@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Table loaders for the driver test data (`TESTDATA.md`): one parquet per
+  * table under the scale-factor directory passed to each query.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and truncate to micros (the
+      // same truncation DuckDB applies when it reads nanos).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** events.parquet with its raw on-disk schema (ts as nanos long) — the
+    * schema a streaming file source must be given (see StreamingSmoke).
+    */
+  def rawEventsSchema(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+}
+
+/** Determinism helpers shared by every query and its DuckDB oracle twin.
+  *
+  * Policy (SURVEY.md §2.C preamble): floating-point aggregation is
+  * non-associative and Spark's partial-aggregate order differs from
+  * DuckDB's, so every measure is cast to DECIMAL(18,4) *before* any
+  * aggregation (decimal addition is exact and order-independent), and the
+  * final aggregate is cast back to DOUBLE (a deterministic conversion both
+  * engines perform identically). Averages are expressed as
+  * decimal-sum-cast-to-double divided by COUNT so the only FP op is one
+  * IEEE-exact division. Timestamps are rendered to strings; integer-typed
+  * function results are normalized to BIGINT on both sides.
+  */
+object Det {
+  val D: DecimalType = DecimalType(18, 4)
+  /** Decimal cast applied to every measure before aggregation. */
+  def dec(c: Column): Column = c.cast(D)
+  /** Order-independent SUM: decimal-accumulated, emitted as double. */
+  def sumd(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Order-independent AVG: decimal sum -> double, one IEEE division. */
+  def avgd(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+  /** Canonical timestamp rendering (micros, UTC) matching strftime %f. */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  /** Normalize integer-producing fns (size, length, year, ...) to BIGINT. */
+  def lng(c: Column): Column = c.cast(LongType)
+
+  // --- SQL twins for the DuckDB oracle strings ---
+  /** SQL twin of [[sumd]]. */
+  def S(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  /** SQL twin of [[avgd]]. */
+  def A(e: String): String =
+    s"(CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / COUNT($e))"
+  /** SQL twin of [[fmtTs]]. */
+  def FT(e: String): String = s"strftime($e, '%Y-%m-%d %H:%M:%S.%f')"
+}
+
+/** A named-query module: every implemented operator registers one entry in
+  * `queries` (SparkSession, sfDir) => DataFrame and, when SQL-expressible,
+  * a DuckDB oracle in `oracle` (driver hash-compares, see Verify.scala).
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}

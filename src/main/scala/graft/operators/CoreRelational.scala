@@ -1,0 +1,410 @@
+package graft.operators
+
+import graft.{Det, QueryModule, Tables}
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.C): scans, filters,
+  * the full join family, aggregation (hash / distinct / grouping sets /
+  * having), window functions, global sort + top-k, set operations, and a
+  * decorrelated scalar subquery.
+  *
+  * Scale notes (100 TB design point): every query is expressed
+  * declaratively so Catalyst plans it — filters and projections push into
+  * the parquet scan, small dimension sides are broadcast (explicitly where
+  * we know the cardinality: part/supplier/nation/region), and wide results
+  * always aggregate before any driver-visible materialization. No
+  * `collect`, no hardcoded partition counts; AQE re-plans at runtime.
+  */
+object CoreRelational extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scan + projection: column pruning must reach the parquet footer ---
+    "q_scan_project" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in the test data; only
+        // the full row is — order by every output column for a total order.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")),
+
+    // --- conjunctive/disjunctive predicate, pushed to the scan ---
+    "q_filter_pred" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(
+          (col("l_discount") > 0.05 && col("l_returnflag") === "R" &&
+            col("l_quantity") < 30.0) ||
+            (col("l_tax") <= 0.01 && col("l_linestatus") === "F"))
+        .filter(col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_discount", "l_tax")),
+
+    // --- equi inner join (shuffled hash/SMJ at scale; AQE decides) ---
+    "q_join_inner" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val c = table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_custkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- broadcast join: part is a dimension, ship it to every executor ---
+    "q_join_broadcast" -> ((s, d) => {
+      val l = table(s, d, "lineitem")
+      val p = table(s, d, "part").filter(col("p_size") <= 5)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(l("l_orderkey"), l("l_linenumber"), p("p_name"), p("p_brand"))
+        .orderBy("l_orderkey", "l_linenumber", "p_name", "p_brand")
+    }),
+
+    // --- left outer join with a join-side predicate ---
+    "q_join_left" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      c.join(o,
+          c("c_custkey") === o("o_custkey") &&
+            o("o_orderpriority") === "1-URGENT", "left")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // --- right outer join ---
+    "q_join_right" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val c = table(s, d, "customer")
+      o.join(c,
+          o("o_custkey") === c("c_custkey") && o("o_orderstatus") === "P",
+          "right")
+        .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // --- existence joins: semi (EXISTS) / anti (NOT EXISTS) ---
+    "q_join_semi" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val big = table(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+    "q_join_anti" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val big = table(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // --- theta (range) join: small side broadcast -> nested loop ---
+    "q_join_theta" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val sup = table(s, d, "supplier")
+      c.join(broadcast(sup),
+          c("c_acctbal") >= sup("s_acctbal") - 100.0 &&
+            c("c_acctbal") <= sup("s_acctbal") + 100.0)
+        .select(sup("s_suppkey"), c("c_custkey"), sup("s_acctbal"),
+          c("c_acctbal"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
+    // --- 4-way star join, dims broadcast, fact aggregated ---
+    "q_join_multiway" -> ((s, d) => {
+      val r = table(s, d, "region")
+      val n = table(s, d, "nation")
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // --- hash aggregate (TPC-H Q1 shape; partial agg map-side) ---
+    "q_agg_group" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          avgd(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- distinct aggregation (expand + two-phase agg) ---
+    "q_agg_distinct" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // --- grouping sets: rollup / cube with grouping_id ---
+    "q_agg_rollup" -> ((s, d) =>
+      table(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("revenue"),
+          lng(grouping_id()).as("g"))
+        .orderBy(col("g"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+    "q_agg_cube" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+          lng(grouping_id()).as("g"))
+        .orderBy(col("g"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // --- post-aggregation filter (HAVING) ---
+    "q_agg_having" -> ((s, d) =>
+      table(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("revenue"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")),
+
+    // --- ranking window functions, top-10 per partition ---
+    "q_win_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val tiesOk = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      table(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          lng(row_number().over(byPrice)).as("rn"),
+          lng(rank().over(tiesOk)).as("rnk"),
+          lng(dense_rank().over(tiesOk)).as("drnk"))
+        .filter(col("rn") <= 10)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // --- sliding-frame analytics + lag/lead (o_orderkey is unique, so
+    // the window order is total and frames are deterministic) ---
+    "q_win_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(-2, 0))
+            .cast("double").as("run_price"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // --- global sort + limit => TakeOrderedAndProject (no full sort) ---
+    "q_sort_limit" -> ((s, d) =>
+      table(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // --- set operations ---
+    "q_set_union" -> ((s, d) => {
+      val c = table(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(lng(col("c_nationkey")).as("nk"), lit("cust").as("side"))
+      val sup = table(s, d, "supplier")
+        .select(lng(col("s_nationkey")).as("nk"), lit("supp").as("side"))
+      c.union(sup).orderBy("side", "nk")
+    }),
+    "q_set_intersect" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+    "q_set_except" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // --- scalar subquery, decorrelated to a broadcast cross join ---
+    "q_subquery_scalar" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val thr = c.agg((sum(dec(col("c_acctbal"))).cast("double") /
+        count(col("c_acctbal"))).as("thr"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+        .stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |       l_discount, l_tax
+        |FROM lineitem
+        |WHERE ((l_discount > 0.05 AND l_returnflag = 'R' AND l_quantity < 30.0)
+        |       OR (l_tax <= 0.01 AND l_linestatus = 'F'))
+        |  AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |         l_discount, l_tax""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |ORDER BY l_orderkey, l_linenumber, p_name, p_brand""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer
+        |  ON o_custkey = c_custkey AND o_orderstatus = 'P'
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q_join_multiway" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+         |       ${S("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${S("l_quantity")} AS sum_qty,
+         |  ${S("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         |    AS sum_disc_price,
+         |  ${A("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |       ${S("o_totalprice")} AS revenue,
+         |       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS g
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${S("l_quantity")} AS sum_qty,
+         |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS g
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${S("o_totalprice")} AS revenue
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+         |ORDER BY o_custkey""".stripMargin,
+
+    "q_win_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+        |  FROM orders) t
+        |WHERE rn <= 10
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_win_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_price,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT * FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk, 'cust' AS side
+        |  FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nk, 'supp' AS side FROM supplier
+        |) ORDER BY side, nk""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |                        AS DOUBLE) / COUNT(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

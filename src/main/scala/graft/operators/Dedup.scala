@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at LLM-pipeline scale: MinHash+LSH and
+  * SimHash over the `documents` table.
+  *
+  * MinHash+LSH (`q_dedup_minhash`): 3-token shingles -> 16 minhashes
+  * (xxhash64 seeded by position, UDF-free) -> 4 bands x 4 rows -> band
+  * hash -> equi self-join on (band, hash) for candidates -> exact Jaccard
+  * verification on the candidate set only. This is the 100 TB shape: the
+  * only shuffle is the band-bucket join (keys ~uniform by construction —
+  * hash output — so no skew), and the quadratic verification runs on the
+  * tiny candidate set, never all pairs. Compare `q_dedup_ngram`
+  * (TextPipeline), the oracle-checked exact all-pairs form of the same
+  * semantics.
+  *
+  * SimHash (`q_dedup_simhash`): 64-bit signature; bit i is the sign of
+  * the sum over tokens of +-1 from bit i of xxhash64(token). Emitted with
+  * four 16-bit band keys — near-dups (small Hamming distance) collide on
+  * at least one band with high probability, giving the same
+  * LSH-bucket-join scale path. No DuckDB oracle (xxhash64 is
+  * Spark-specific); self-checked against the MinHash pairs in the test
+  * suite.
+  */
+object Dedup extends QueryModule {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val Rows = NumHashes / Bands
+
+  /** MinHash signature: sig[j] = min over shingles of xxhash64(j, s). */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      j => array_min(transform(sh, s => xxhash64(j, s))))
+
+  /** Band keys: one xxhash64 per contiguous r-row slice of the signature. */
+  private def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      i => xxhash64(slice(sig, i * Rows + 1, lit(Rows))))
+
+  /** 64-bit SimHash from token hashes (pure SQL higher-order functions —
+    * nested aggregate lambdas; stays in codegen).
+    */
+  private val simhashExpr: Column = expr(
+    """aggregate(
+      |  sequence(0, 63),
+      |  cast(0 as bigint),
+      |  (acc, i) -> acc + if(
+      |    aggregate(transform(split(text, ' '), t -> xxhash64(t)),
+      |              cast(0 as bigint),
+      |              (a, h) -> a + if((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+      |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), shingles(toks).as("sh"))
+      val banded = docs
+        .select(col("doc_id"), col("sh"),
+          posexplode(bandKeys(minhashSig(col("sh")))).as(Seq("band", "bkey")))
+      val a = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+            size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
+        .groupBy("a_id", "b_id").agg(first(col("jac")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), simhashExpr.as("simhash"))
+        .select(col("doc_id"), col("simhash"),
+          (shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL))).as("band0"),
+          (shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL))).as("band1"),
+          (shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL))).as("band2"),
+          (shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL))).as("band3"))
+        .orderBy("doc_id"))
+  )
+
+  // xxhash64-based signatures are engine-specific: rows-only checks.
+  override def oracle: Map[String, String] = Map()
+}

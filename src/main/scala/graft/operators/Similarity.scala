@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
+  *
+  * Determinism: cosine is computed on fixed-point quantized vectors —
+  * `floor(x * 2^20)` per element. Scaling a float by a power of two is
+  * exact in IEEE arithmetic and `floor` is unambiguous, so both engines
+  * derive identical int64 vectors; dot products and norms are then exact
+  * integer sums (order-independent, |x| < 2^20 => products < 2^40, 64
+  * terms < 2^46, no overflow), and the final `int / (sqrt * sqrt)` is a
+  * pair of IEEE-exact ops. Result doubles are bit-identical across Spark
+  * and DuckDB. (A plain double dot product is NOT portable: decimal casts
+  * of doubles round differently per engine, and FP addition depends on
+  * Spark's partial-aggregation order.)
+  *
+  * Scale path: `q_sim_topk` is the brute-force baseline — the probe set
+  * is broadcast, candidates never shuffle, and the only exchange is the
+  * per-probe top-k window over k·|probes| rows. `q_sim_lsh` is the
+  * 100 TB variant: random-hyperplane LSH buckets both sides so each
+  * probe only scores its own bucket — the cross join becomes an equi
+  * join on `bucket` (uniform keys by construction), trading recall for
+  * a ~2^planes fan-in reduction. An IVF variant would replace the hash
+  * with learned centroids.
+  */
+object Similarity extends QueryModule {
+
+  /** Fixed-point quantization: exact & portable (see class doc). */
+  private def quant(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * 1048576.0).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def cosQ(dot: Column, an: Column, bn: Column): Column =
+    dot.cast("double") / (sqrt(an.cast("double")) * sqrt(bn.cast("double")))
+
+  /** Deterministic pseudo-random hyperplane component for plane p, dim i:
+    * xxhash64(p, i) scaled to [-1, 1) — reproducible on any cluster.
+    */
+  private def planeBit(emb: Column, plane: Int): Column = {
+    val dot = aggregate(
+      zip_with(emb, sequence(lit(0), size(emb) - 1),
+        (x, i) => x.cast("double") *
+          (xxhash64(lit(plane), i).cast("double") / Long.MaxValue.toDouble)),
+      lit(0.0), (acc, v) => acc + v)
+    when(dot >= 0.0, lit(1L << plane)).otherwise(lit(0L))
+  }
+
+  private def lshBucket(emb: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(planeBit(emb, _)).reduce(_ + _)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- brute-force cosine top-k (exact ANN baseline) ---
+    "q_sim_topk" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+        .withColumn("nn", dotQ(col("q"), col("q")))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("nn").as("pn"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+        col("nn").as("cn"))
+      val scored = cands.crossJoin(broadcast(probes))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cand_id"),
+          cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // --- embedding near-dup: top-50 closest pairs, all-pairs exact ---
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+        .withColumn("nn", dotQ(col("q"), col("q")))
+      val a = e.select(col("vec_id").as("a_id"), col("q").as("aq"),
+        col("nn").as("an"))
+      val b = e.select(col("vec_id").as("b_id"), col("q").as("bq"),
+        col("nn").as("bn"))
+      val scored = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosQ(dotQ(col("aq"), col("bq")), col("an"), col("bn")).as("cos"))
+      val w = Window.orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 50)
+        .orderBy("rn")
+    }),
+
+    // --- LSH-bucketed ANN (scale path; approximate, self-checked) ---
+    "q_sim_lsh" -> ((s, d) => {
+      val nPlanes = 8
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          quant(col("embedding")).as("q"),
+          lshBucket(col("embedding"), nPlanes).as("bucket"))
+        .withColumn("nn", dotQ(col("q"), col("q")))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("bucket"), col("nn").as("pn"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+        col("bucket"), col("nn").as("cn"))
+      val scored = cands.join(broadcast(probes), "bucket")
+        .filter(col("cand_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cand_id"),
+          cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("probe_id", "rn")
+    })
+  )
+
+  private val qSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+
+  override def oracle: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |dot AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+         |               SUM(a.v * b.v) AS d
+         |        FROM x a JOIN x b ON a.i = b.i
+         |        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(pn.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+         |           AS cos
+         |       FROM dot JOIN n pn ON pn.vec_id = probe_id
+         |                JOIN n cn ON cn.vec_id = cand_id),
+         |r AS (SELECT probe_id, cand_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 5
+         |ORDER BY probe_id, rn""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |dot AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.v * b.v) AS d
+         |        FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT a_id, b_id,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+         |           AS cos
+         |       FROM dot JOIN n na ON na.vec_id = a_id
+         |                JOIN n nb ON nb.vec_id = b_id),
+         |r AS (SELECT a_id, b_id, cos,
+         |        CAST(row_number() OVER (ORDER BY cos DESC, a_id, b_id)
+         |          AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT a_id, b_id, cos, rn FROM r WHERE rn <= 50
+         |ORDER BY rn""".stripMargin
+  )
+}

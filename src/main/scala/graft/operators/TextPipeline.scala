@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: exact dedup, n-gram Jaccard near-dup pairs, token
+  * counting (whitespace + BPE-ish regex), quality scoring, heuristic
+  * language ID, and document fingerprinting.
+  *
+  * All are pure `functions._` expression pipelines (codegen'd, fully
+  * distributed). The n-gram near-dup query is the exact-verification
+  * companion to the MinHash LSH pipeline in [[Dedup]]: at 100 TB you run
+  * LSH first to get candidates, then this verification join on the
+  * candidate set only; at test scale the all-pairs form doubles as the
+  * DuckDB oracle for correctness.
+  */
+object TextPipeline extends QueryModule {
+
+  /** Whitespace tokens. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-token shingles of the document (ANSI-safe: empty when the
+    * document has fewer than 3 tokens).
+    */
+  private def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "data"),
+    "es" -> Seq("order", "sort"),
+    "de" -> Seq("window", "hash"),
+    "fr" -> Seq("stream", "batch"))
+
+  private def markerCount(words: Seq[String]): Column =
+    lng(size(filter(toks, t => t.isin(words.map(lit(_)): _*))))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- exact dedup: hash-groupBy on content, deterministic keeper ---
+    "q_dedup_exact" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")),
+
+    // --- corpus stats per language ---
+    "q_text_stats" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(lng(size(toks))).as("total_tokens"),
+          avgd(col("n_chars")).as("avg_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")),
+
+    // --- per-doc token counting: whitespace + BPE-ish regex tokens ---
+    "q_token_count" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          lng(size(toks)).as("n_ws_tokens"),
+          lng(size(expr(
+            "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+            .as("n_bpe_tokens"),
+          lng(length(col("text"))).as("n_chars_calc"))
+        .orderBy("doc_id")),
+
+    // --- quality scoring: stopword ratio + mean token length ---
+    "q_quality_score" -> ((s, d) => {
+      val nTok = size(toks).cast("double")
+      val stopRatio =
+        size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+          .cast("double") / nTok
+      val meanTokLen =
+        (length(col("text")).cast("double") - (nTok - 1.0)) / nTok
+      table(s, d, "documents")
+        .select(col("doc_id"), stopRatio.as("stop_ratio"),
+          meanTokLen.as("mean_token_len"),
+          (stopRatio * 0.5 + meanTokLen / 10.0 * 0.5).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // --- heuristic language ID by marker-word counts, greatest-wins ---
+    "q_lang_id" -> ((s, d) => {
+      val Seq(en, es, de, fr) = langMarkers.map(m => markerCount(m._2))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          en.as("c_en"), es.as("c_es"), de.as("c_de"), fr.as("c_fr"),
+          when(en >= es && en >= de && en >= fr, "en")
+            .when(es >= de && es >= fr, "es")
+            .when(de >= fr, "de")
+            .otherwise("fr").as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // --- content fingerprint (md5 of normalized text) ---
+    "q_fingerprint" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          md5(lower(col("text"))).as("fp"),
+          substring(md5(lower(col("text"))), 1, 8).as("fp8"))
+        .orderBy("doc_id")),
+
+    // --- n-gram Jaccard near-dup pairs (exact, all-pairs via shingle join)
+    "q_dedup_ngram" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), shingles(toks).as("sh"))
+      val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val a = ex.as("a"); val b = ex.as("b")
+      val inter = a.join(b,
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val ca = counts.as("ca"); val cb = counts.as("cb")
+      inter
+        .join(ca, col("a_id") === col("ca.doc_id"))
+        .join(cb, col("b_id") === col("cb.doc_id"))
+        .select(col("a_id"), col("b_id"), col("inter"),
+          (col("inter").cast("double") /
+            (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+  private def markerSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+
+  override def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+         |  ${A("n_chars")} AS avg_chars,
+         |  MAX(n_chars) AS max_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN ($stopListSql))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         |  (CAST(length(text) AS DOUBLE)
+         |     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+         |  (CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN ($stopListSql))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |  + ((CAST(length(text) AS DOUBLE)
+         |     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0 * 0.5
+         |    AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val Seq(en, es, de, fr) = langMarkers.map(m => markerSql(m._2))
+      s"""SELECT doc_id, lang,
+         |  $en AS c_en, $es AS c_es, $de AS c_de, $fr AS c_fr,
+         |  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         |       WHEN $es >= $de AND $es >= $fr THEN 'es'
+         |       WHEN $de >= $fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang,
+         |  (CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         |        WHEN $es >= $de AND $es >= $fr THEN 'es'
+         |        WHEN $de >= $fr THEN 'de'
+         |        ELSE 'fr' END) = lang AS is_match
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp,
+        |       substring(md5(lower(text)), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(
+        |          range(1, greatest(len(tk) - 2, 0) + 1),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
+        |FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

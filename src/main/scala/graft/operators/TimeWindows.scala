@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing in batch form (SURVEY.md §2.C): tumbling windows
+  * via `window()` and sessionization via `session_window()`. The same
+  * expressions run unchanged under Structured Streaming (see
+  * graft.streaming.StreamingSmoke) — watermarks are the only addition.
+  *
+  * Oracle note: `session_window(ts, gap)` sessions are [min_ts,
+  * max_ts + gap) with a new session whenever the gap between consecutive
+  * events (per key) strictly exceeds `gap`; the DuckDB twin reproduces
+  * that with a gaps-and-islands running sum.
+  */
+object TimeWindows extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_tumbling" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(fmtTs(col("window.start")).as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")),
+
+    "q_window_session" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          fmtTs(col("session_window.start")).as("s_start"),
+          fmtTs(col("session_window.end")).as("s_end"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start"))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      s"""SELECT ${FT("date_trunc('hour', ts)")} AS hour_start, event_type,
+         |  COUNT(*) AS n, ${S("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_window_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |numbered AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id,
+         |  ${FT("MIN(ts)")} AS s_start,
+         |  ${FT("MAX(ts) + INTERVAL 30 MINUTE")} AS s_end,
+         |  COUNT(*) AS n, ${S("value")} AS sum_value
+         |FROM numbered
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, s_start""".stripMargin
+  )
+}

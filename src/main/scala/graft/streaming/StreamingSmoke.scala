@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming smoke (SURVEY.md §2.C `q_streaming_rate`): the
+  * same event-time tumbling-window aggregation as `q_window_tumbling`,
+  * but driven through `readStream` -> watermark -> windowed agg ->
+  * memory sink. The file source replays the batch parquet as a stream;
+  * `processAllAvailable()` makes it synchronous for the harness.
+  *
+  * At scale the identical plan runs continuously against a file/Kafka
+  * source with `outputMode("append")` + watermark-based state eviction;
+  * complete mode here keeps the one-batch smoke deterministic.
+  */
+object StreamingSmoke extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaming_rate" -> ((s, d) => {
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(fmtTs(col("window.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val name = "graft_stream_smoke"
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("hour_start", "event_type")
+    })
+  )
+
+  // Streaming result: rows-only check (same data as q_window_tumbling).
+  override def oracle: Map[String, String] = Map()
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's correctness gate: run each
+oracle SQL in DuckDB against the sf parquet tables, load the Verify
+parquet dump for the same query, sort columns by name, and compare
+values exactly (row order as produced). Usage:
+
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        return ("f", math.isnan(v), v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in got_cols) +
+                " FROM got").fetchall()
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in exp_cols) +
+                " FROM exp").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {str(e).splitlines()[0]}")
+            n_bad += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_bad += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
+            n_bad += 1
+            continue
+        bad = None
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            if tuple(map(canon, g)) != tuple(map(canon, e)):
+                bad = (i, g, e)
+                break
+        if bad:
+            i, g, e = bad
+            print(f"FAIL {name}: row {i} differs\n  spark={g}\n  duck ={e}")
+            print(f"  cols: {got_cols}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got_rows)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

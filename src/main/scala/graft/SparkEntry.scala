@@ -17,6 +17,8 @@ object SparkEntry {
     operators.TextPipeline,
     operators.Similarity,
     operators.Dedup,
+    operators.XmlQueries,
+    operators.ExtensionFns,
     streaming.StreamingSmoke)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on

@@ -38,8 +38,11 @@ object Dedup extends QueryModule {
           element_at(t, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  private val NumHashes = 16
-  private val Bands = 4
+  // 32 hashes in 8 bands of 4: P(no candidate | jac=0.9) ~= 2e-4, while
+  // background pairs (jac < 0.3) produce < ~3% spurious candidates that
+  // the exact-Jaccard verification then discards.
+  private val NumHashes = 32
+  private val Bands = 8
   private val Rows = NumHashes / Bands
 
   /** MinHash signature: sig[j] = min over shingles of xxhash64(j, s). */
@@ -52,18 +55,24 @@ object Dedup extends QueryModule {
     transform(sequence(lit(0), lit(Bands - 1)),
       i => xxhash64(slice(sig, i * Rows + 1, lit(Rows))))
 
-  /** 64-bit SimHash from token hashes (pure SQL higher-order functions —
-    * nested aggregate lambdas; stays in codegen).
-    */
-  private val simhashExpr: Column = expr(
-    """aggregate(
-      |  sequence(0, 63),
-      |  cast(0 as bigint),
-      |  (acc, i) -> acc + if(
-      |    aggregate(transform(split(text, ' '), t -> xxhash64(t)),
-      |              cast(0 as bigint),
-      |              (a, h) -> a + if((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
-      |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
+  // 64-bit SimHash, staged so each pass over the tokens happens once:
+  // token hashes -> per-bit +-1 counts (one zip_with merge per token) ->
+  // sign bits packed into a long. Pure SQL higher-order functions (expr
+  // strings because shiftright/shiftleft need column-typed shift amounts,
+  // which the Scala DSL doesn't expose).
+  private val tokenHashes: Column =
+    expr("transform(split(text, ' '), t -> xxhash64(t))")
+  private val bitCounts: Column = expr(
+    """aggregate(__hs, array_repeat(0, 64),
+      |  (acc, h) -> zip_with(acc,
+      |     transform(sequence(0, 63),
+      |               i -> if((shiftright(h, i) & 1) = 1, 1, -1)),
+      |     (a, b) -> a + b))""".stripMargin)
+  private val packBits: Column = expr(
+    """aggregate(sequence(0, 63), cast(0 as bigint),
+      |  (acc, i) -> acc + if(element_at(__counts, i + 1) > 0,
+      |                       shiftleft(cast(1 as bigint), i),
+      |                       cast(0 as bigint)))""".stripMargin)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> ((s, d) => {
@@ -87,7 +96,9 @@ object Dedup extends QueryModule {
 
     "q_dedup_simhash" -> ((s, d) =>
       table(s, d, "documents")
-        .select(col("doc_id"), simhashExpr.as("simhash"))
+        .select(col("doc_id"), tokenHashes.as("__hs"))
+        .select(col("doc_id"), bitCounts.as("__counts"))
+        .select(col("doc_id"), packBits.as("simhash"))
         .select(col("doc_id"), col("simhash"),
           (shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL))).as("band0"),
           (shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL))).as("band1"),

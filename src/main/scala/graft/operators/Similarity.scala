@@ -30,13 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** Fixed-point quantization: exact & portable (see class doc). */
-  private def quant(a: Column): Column =
-    transform(a, x => floor(x.cast("double") * 1048576.0).cast("long"))
-
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact fixed-point dot product — native codegen'd Catalyst expression
+    * (graft.functions.QuantizedDot): one fused loop over the float
+    * arrays, no intermediate arrays, stays inside whole-stage codegen.
+    */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.QuantizedDot(a, b)
 
   private def cosQ(dot: Column, an: Column, bn: Column): Column =
     dot.cast("double") / (sqrt(an.cast("double")) * sqrt(bn.cast("double")))
@@ -60,7 +59,7 @@ object Similarity extends QueryModule {
     // --- brute-force cosine top-k (exact ANN baseline) ---
     "q_sim_topk" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
+        .select(col("vec_id"), col("embedding").as("q"))
         .withColumn("nn", dotQ(col("q"), col("q")))
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"),
@@ -81,7 +80,7 @@ object Similarity extends QueryModule {
     // --- embedding near-dup: top-50 closest pairs, all-pairs exact ---
     "q_dedup_embedding" -> ((s, d) => {
       val e = table(s, d, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
+        .select(col("vec_id"), col("embedding").as("q"))
         .withColumn("nn", dotQ(col("q"), col("q")))
       val a = e.select(col("vec_id").as("a_id"), col("q").as("aq"),
         col("nn").as("an"))
@@ -100,8 +99,7 @@ object Similarity extends QueryModule {
     "q_sim_lsh" -> ((s, d) => {
       val nPlanes = 8
       val e = table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          quant(col("embedding")).as("q"),
+        .select(col("vec_id"), col("embedding").as("q"),
           lshBucket(col("embedding"), nPlanes).as("bucket"))
         .withColumn("nn", dotQ(col("q"), col("q")))
       val probes = e.filter(col("vec_id") < 10)

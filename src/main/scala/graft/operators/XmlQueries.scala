@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryModule
+import graft.sources.ArchiveXmlSource
+import graft.xml.XmlToParquetJob
+import graft.xml.XmlToParquetJob.Config
+
+/** The reference engine's own surface as registered queries: XSD-typed
+  * XML conversion (flagship `q_xml_shape`), XPath include/exclude subtree
+  * projection, file-info metadata injection, and zip / tar.gz container
+  * ingestion — driven by the self-authored bookOrder fixture (same XSD
+  * construct family as the reference's golden pair; see
+  * src/main/resources/graft/fixtures/). No SQL oracles (DuckDB has no
+  * XSD-typed XML reader): the driver records rows-only checks, and the
+  * golden-output parity assertions live in the ScalaTest suite.
+  */
+object XmlQueries extends QueryModule {
+
+  private def resource(name: String): String =
+    new String(getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      .readAllBytes(), StandardCharsets.UTF_8)
+
+  lazy val xsd: String = resource("bookOrder.xsd")
+
+  /** Fixture workspace: the XML, a zip and a tar.gz each holding two
+    * member documents (container sources S4/S5).
+    */
+  lazy val fixtureDir: Path = {
+    val dir = Files.createTempDirectory("graft_xml_fixtures")
+    val xml = resource("bookOrder.xml")
+    Files.writeString(dir.resolve("bookOrder.xml"), xml)
+
+    val zip = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(dir.resolve("books.zip")))
+    Seq("order1.xml", "order2.xml").foreach { n =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(xml.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    zip.close()
+
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(
+      Files.newOutputStream(dir.resolve("books.tar.gz"))))
+    Seq("order1.xml", "order2.xml").foreach { n =>
+      val bytes = xml.getBytes(StandardCharsets.UTF_8)
+      val e = new TarArchiveEntry(n)
+      e.setSize(bytes.length.toLong)
+      tar.putArchiveEntry(e)
+      tar.write(bytes)
+      tar.closeArchiveEntry()
+    }
+    tar.close()
+    dir
+  }
+
+  private def xmlPath: String = fixtureDir.resolve("bookOrder.xml").toString
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // flagship conversion: 1 document -> 1 row, root-wrapped struct
+    "q_xml_shape" -> ((s, _) =>
+      XmlToParquetJob.read(s, xsd, Seq(xmlPath))),
+
+    // XPath include: only /bookOrder/books/book (+ root attrs) survive
+    "q_xml_include" -> ((s, _) =>
+      XmlToParquetJob.read(s, xsd, Seq(xmlPath),
+        Config(includes = Seq("/bookOrder/books/book")))),
+
+    // XPath exclude: note + books subtrees removed
+    "q_xml_exclude" -> ((s, _) =>
+      XmlToParquetJob.read(s, xsd, Seq(xmlPath),
+        Config(excludes = Seq("/bookOrder/note", "/bookOrder/books")))),
+
+    // file-info metadata column from Spark's hidden _metadata struct
+    "q_xml_fileinfo" -> ((s, _) =>
+      XmlToParquetJob.read(s, xsd, Seq(xmlPath), Config(fileInfo = true))),
+
+    // container sources: one row per archive member
+    "q_xml_zip" -> ((s, _) =>
+      ArchiveXmlSource.read(s, xsd,
+        Seq(fixtureDir.resolve("books.zip").toString), fileInfo = true)),
+    "q_xml_targz" -> ((s, _) =>
+      ArchiveXmlSource.read(s, xsd,
+        Seq(fixtureDir.resolve("books.tar.gz").toString), fileInfo = true))
+  )
+
+  override def oracle: Map[String, String] = Map()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inventory-level checks at sf0.001: every registered query runs and
+  * returns rows; every oracle key has a query; cross-checks between
+  * independent implementations of the same semantics (MinHash candidates
+  * vs exact n-gram Jaccard pairs; streaming vs batch tumbling windows).
+  */
+class QueryInventorySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("oracle keys are a subset of query keys") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with empty results: $empties")
+  }
+
+  test("MinHash LSH candidates equal exact n-gram Jaccard pairs") {
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // LSH is a candidate filter + exact verification at the same 0.5
+    // threshold, so on this corpus (planted near-dups at jac>0.9,
+    // background <0.3) the two must agree exactly.
+    assert(lsh.toSet == exact.toSet)
+    assert(lsh.nonEmpty)
+  }
+
+  test("streaming tumbling windows equal batch tumbling windows") {
+    val stream = SparkEntry.queries("q_streaming_rate")(spark, sf)
+      .select("hour_start", "event_type", "n").collect().toSet
+    val batch = SparkEntry.queries("q_window_tumbling")(spark, sf)
+      .select("hour_start", "event_type", "n").collect().toSet
+    assert(stream == batch)
+  }
+
+  test("simhash signatures: near-dup pairs have small hamming distance") {
+    import org.apache.spark.sql.functions._
+    val sig = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .select("doc_id", "simhash")
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("a_id", "b_id")
+    val a = sig.withColumnRenamed("doc_id", "a_id")
+      .withColumnRenamed("simhash", "sim_a")
+    val b = sig.withColumnRenamed("doc_id", "b_id")
+      .withColumnRenamed("simhash", "sim_b")
+    val joined = pairs.join(a, "a_id").join(b, "b_id")
+      .select(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("ham"))
+      .collect().map(_.getInt(0))
+    // planted near-dups (jaccard > 0.9) must land within 16 bits
+    assert(joined.nonEmpty && joined.forall(_ <= 16),
+      s"hamming distances: ${joined.toSeq}")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.xml
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.XmlQueries
+import graft.sources.ArchiveXmlSource
+import graft.xml.XmlToParquetJob.Config
+
+/** Golden conversion parity for the bookOrder fixture — the Spark-native
+  * equivalent of the reference's README golden outputs (full document,
+  * include-path, exclude-path; SURVEY.md §5.1).
+  */
+class XmlConversionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def xmlPath =
+    XmlQueries.fixtureDir.resolve("bookOrder.xml").toString
+
+  test("full conversion matches golden output") {
+    val df = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath))
+    assert(df.columns.toSeq == Seq("bookOrder"))
+    assert(df.count() == 1) // one document = one row
+    // golden JSON (toJSON drops null fields; schema asserted separately)
+    val expected =
+      """{"bookOrder":{"bookOrder@orderDate":"2005-03-14 00:00:00.000",""" +
+        """"shipTo":{"shipTo@country":"FR","name":"Ada Lovelace",""" +
+        """"street":"12 Rue Verte","city":"Lyon","zip":69001.0},""" +
+        """"billTo":{"billTo@country":"FR","name":"Blaise Pascal",""" +
+        """"street":"8 Quai Noir","city":"Paris","zip":75001.0},""" +
+        """"note":"Leave parcel with concierge","books":{"book":[""" +
+        """{"book@isbn":"321-QL","title":"Relational Algebra in Practice",""" +
+        """"copies":2,"price":54.99,"note":"gift wrap"},""" +
+        """{"book@isbn":"654-ZT","title":"Streams and Tables","copies":1,""" +
+        """"price":89.5,"shipDate":"2005-04-01 00:00:00.000"}]}}}"""
+    assert(df.toJSON.collect().head == expected)
+    // absent optional fields are present-and-null under the fixed schema
+    val row = df.select("bookOrder.books.book").collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(row(0).isNullAt(row(0).fieldIndex("shipDate")))
+    assert(row(1).isNullAt(row(1).fieldIndex("note")))
+    // output type lattice: decimal->double, int-family->long, date->string
+    val bookType = df.schema("bookOrder").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("books").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("book").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(bookType("copies").dataType.typeName == "long")
+    assert(bookType("price").dataType.typeName == "double")
+    assert(bookType("shipDate").dataType.typeName == "string")
+  }
+
+  test("include path keeps subtree plus ancestor attributes") {
+    val df = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath),
+      Config(includes = Seq("/bookOrder/books/book")))
+    val json = df.toJSON.collect().head
+    assert(json.contains("\"bookOrder@orderDate\":\"2005-03-14 00:00:00.000\""))
+    assert(json.contains("\"books\":{\"book\":["))
+    assert(!json.contains("shipTo") && !json.contains("note\":\"Leave"))
+  }
+
+  test("a trailing * include component is treated like its parent path") {
+    val plain = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath),
+      Config(includes = Seq("/bookOrder/books/book"))).toJSON.collect().head
+    val star = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath),
+      Config(includes = Seq("/bookOrder/books/book/*"))).toJSON.collect().head
+    assert(plain == star)
+  }
+
+  test("exclude paths drop subtrees") {
+    val df = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath),
+      Config(excludes = Seq("/bookOrder/note", "/bookOrder/books")))
+    val json = df.toJSON.collect().head
+    assert(json.contains("shipTo") && json.contains("billTo"))
+    assert(!json.contains("books") && !json.contains("concierge"))
+  }
+
+  test("file_info metadata column") {
+    val df = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath),
+      Config(fileInfo = true))
+    assert(df.columns.toSeq == Seq("bookOrder", "file_info"))
+    val fi = df.select("file_info.name", "file_info.size").collect().head
+    assert(fi.getString(0) == "bookOrder.xml")
+    assert(fi.getLong(1) > 0)
+  }
+
+  test("zip and tar.gz containers: one row per member") {
+    for (archive <- Seq("books.zip", "books.tar.gz")) {
+      val df = ArchiveXmlSource.read(spark, XmlQueries.xsd,
+        Seq(XmlQueries.fixtureDir.resolve(archive).toString),
+        fileInfo = true)
+      val rows = df.select("file_info.name").collect().map(_.getString(0))
+      assert(rows.sorted.toSeq == Seq("order1.xml", "order2.xml"),
+        s"archive $archive")
+      val json = df.toJSON.collect().head
+      assert(json.contains("\"bookOrder@orderDate\""))
+    }
+  }
+
+  test("per-file parquet sink uses reference naming") {
+    assert(XmlToParquetJob.outputName("/a/b/order.xml") == "order.xml.parquet")
+    assert(XmlToParquetJob.outputName("x.xml.gz") == "x.xml.parquet")
+    assert(XmlToParquetJob.outputName("x.tar.gz") == "x.xml.parquet")
+    assert(XmlToParquetJob.outputName("x.zip") == "x.xml.parquet")
+    val target = java.nio.file.Files.createTempDirectory("xml_sink").toString
+    val written = XmlToParquetJob.convert(spark, XmlQueries.xsd,
+      Seq(xmlPath), target)
+    assert(written == Seq(s"$target/bookOrder.xml.parquet"))
+    val back = spark.read.parquet(written.head)
+    assert(back.count() == 1 && back.columns.toSeq == Seq("bookOrder"))
+  }
+}

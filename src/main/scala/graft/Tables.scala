@@ -16,6 +16,17 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else if (name == "documents" || name == "embeddings") {
+      // These two tables feed expression-heavy pipelines (shingling,
+      // minhashing, quantized dot products) whose cost is per-row CPU,
+      // not IO. At test scale each is ONE parquet split (sub-MB file,
+      // single row group), which would serialize the whole pipeline on
+      // one core — so spread rows across the cluster up front. At fleet
+      // scale files >> cores and the scan parallelizes naturally; this
+      // repartition is then a cheap no-op-sized shuffle relative to the
+      // compute it feeds.
+      spark.read.parquet(s"$dir/$name.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
@@ -53,6 +64,20 @@ object Det {
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   /** Normalize integer-producing fns (size, length, year, ...) to BIGINT. */
   def lng(c: Column): Column = c.cast(LongType)
+
+  /** Common-subexpression barrier: bind `c` once and reuse it through
+    * `body`. Catalyst's CollapseProject inlines aliased expressions into
+    * every use site — inside higher-order-function lambdas that means an
+    * expensive subexpression (a `split`, a minhash signature) is
+    * RE-EVALUATED once per lambda iteration, which turns linear pipelines
+    * quadratic (observed: 200+ s for a 5 000-doc shingle join). Wrapping
+    * the value as the lambda argument of a single-element `transform`
+    * forces exactly-once evaluation per row: lambda arguments are
+    * evaluated eagerly, and lambda variables are never inlined into the
+    * body.
+    */
+  def let(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
 
   // --- SQL twins for the DuckDB oracle strings ---
   /** SQL twin of [[sumd]]. */

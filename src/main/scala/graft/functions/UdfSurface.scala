@@ -31,6 +31,6 @@ object UdfSurface {
     * Kept as a plain function so the SQL oracle can mirror it exactly.
     */
   val slugify: String => String = s =>
-    s.toLowerCase.replaceAll("[^a-z0-9]+", "-").stripPrefix("-")
-      .stripSuffix("-")
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", "-")
+      .stripPrefix("-").stripSuffix("-")
 }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection at LLM-pipeline scale: MinHash+LSH and
   * SimHash over the `documents` table.
   *
-  * MinHash+LSH (`q_dedup_minhash`): 3-token shingles -> 16 minhashes
-  * (xxhash64 seeded by position, UDF-free) -> 4 bands x 4 rows -> band
+  * MinHash+LSH (`q_dedup_minhash`): 3-token shingles -> 32 minhashes
+  * (xxhash64 seeded by position, UDF-free) -> 8 bands x 4 rows -> band
   * hash -> equi self-join on (band, hash) for candidates -> exact Jaccard
   * verification on the candidate set only. This is the 100 TB shape: the
   * only shuffle is the band-bucket join (keys ~uniform by construction —
@@ -29,14 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  private def toks: Column = split(col("text"), " ")
+  private def toks: Column = TextPipeline.toks
 
-  private def shingles(t: Column): Column =
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  private def shingles(t: Column): Column = TextPipeline.shingles(t)
 
   // 32 hashes in 8 bands of 4: P(no candidate | jac=0.9) ~= 2e-4, while
   // background pairs (jac < 0.3) produce < ~3% spurious candidates that
@@ -75,30 +70,46 @@ object Dedup extends QueryModule {
       |                       cast(0 as bigint)))""".stripMargin)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Canonical LSH candidate generation: the band self-join moves ONLY
+    // (band, bkey, doc_id) — 24 bytes/row — never the shingle arrays;
+    // pairs colliding in several bands are distinct()'d BEFORE the
+    // arrays are fetched, so exact Jaccard runs once per unique
+    // candidate. This is the shape that survives 100 TB: shuffle volume
+    // is O(docs * bands), not O(docs * bands * doclen).
     "q_dedup_minhash" -> ((s, d) => {
       val docs = table(s, d, "documents")
         .select(col("doc_id"), shingles(toks).as("sh"))
-      val banded = docs
-        .select(col("doc_id"), col("sh"),
-          posexplode(bandKeys(minhashSig(col("sh")))).as(Seq("band", "bkey")))
-      val a = banded.select(col("band"), col("bkey"),
-        col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = banded.select(col("band"), col("bkey"),
-        col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
+      // let-bind the signature chain: without it CollapseProject inlines
+      // the full shingle expression into each of the 32 hash lambdas and
+      // the signature into each of the 8 band slices (~256 re-evals/doc).
+      val bands = docs
+        .select(col("doc_id"),
+          posexplode(let(col("sh"))(sh => let(minhashSig(sh))(bandKeys)))
+            .as(Seq("band", "bkey")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
         .select(col("a_id"), col("b_id"),
           (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
             size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
-        .groupBy("a_id", "b_id").agg(first(col("jac")).as("jac"))
         .filter(col("jac") >= 0.5)
         .orderBy("a_id", "b_id")
     }),
 
+    // explode(array(e)) between stages: Generate is a CollapseProject
+    // barrier, so each stage's expression is evaluated exactly once per
+    // row instead of being inlined into every downstream reference.
     "q_dedup_simhash" -> ((s, d) =>
       table(s, d, "documents")
-        .select(col("doc_id"), tokenHashes.as("__hs"))
-        .select(col("doc_id"), bitCounts.as("__counts"))
-        .select(col("doc_id"), packBits.as("simhash"))
+        .select(col("doc_id"), explode(array(tokenHashes)).as("__hs"))
+        .select(col("doc_id"), explode(array(bitCounts)).as("__counts"))
+        .select(col("doc_id"), explode(array(packBits)).as("simhash"))
         .select(col("doc_id"), col("simhash"),
           (shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL))).as("band0"),
           (shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL))).as("band1"),

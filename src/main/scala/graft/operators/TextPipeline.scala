@@ -21,17 +21,22 @@ import org.apache.spark.sql.functions._
 object TextPipeline extends QueryModule {
 
   /** Whitespace tokens. */
-  private def toks: Column = split(col("text"), " ")
+  private[operators] def toks: Column = split(col("text"), " ")
 
   /** Distinct 3-token shingles of the document (ANSI-safe: empty when the
-    * document has fewer than 3 tokens).
+    * document has fewer than 3 tokens). `let`-bound so the tokenization
+    * runs once per document — without it, CollapseProject inlines the
+    * `split` into every `element_at` of every lambda iteration (~160
+    * regex splits per doc; see Det.let).
     */
-  private def shingles(t: Column): Column =
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  private[operators] def shingles(t: Column): Column =
+    let(t) { tk =>
+      when(size(tk) >= 3,
+        array_distinct(transform(sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+            element_at(tk, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -144,7 +149,8 @@ object TextPipeline extends QueryModule {
 
     "q_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+         |    AS total_tokens,
          |  ${A("n_chars")} AS avg_chars,
          |  MAX(n_chars) AS max_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

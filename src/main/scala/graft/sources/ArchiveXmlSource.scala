@@ -1,29 +1,37 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream}
+import java.io.{BufferedInputStream, InputStream}
 import java.nio.charset.StandardCharsets
-
-import scala.collection.mutable.ArrayBuffer
+import java.util.Locale
 
 import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
 import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
+import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.xml.{XmlShaper, XmlToParquetJob}
+import graft.xml.XmlToParquetJob.Config
 
 /** Container ingestion: zip / tar.gz / gz archives of XML documents
   * (reference sources S3-S5, convert_xml_to_parquet.py:303-383),
-  * re-expressed Spark-first: `binaryFile` scan -> per-task member
-  * expansion -> `from_xml` with the XSD-fixed schema -> the same shaping
-  * as plain files.
+  * re-expressed Spark-first: a `binaryFile` listing (content column
+  * pruned — no archive bytes cross the scan) -> per-task streaming member
+  * expansion over a Hadoop `FSDataInputStream` -> `from_xml` with the
+  * XSD-fixed schema -> the same shaping as plain files.
   *
-  * Scale notes: archives are read once per task (never collected to the
-  * driver); a corrupt archive is skipped whole, matching the reference's
-  * `testzip()` policy (convert_xml_to_parquet.py:333-338), and a corrupt
-  * member yields a null document rather than failing the job (PERMISSIVE
-  * analog). One multi-GB archive is one task in both systems — at fleet
-  * scale, many archives >> cores gives full parallelism.
+  * Scale notes: archives are opened once per task and members are decoded
+  * ONE AT A TIME from the compressed stream, so peak memory is the
+  * largest single member, never the whole archive (archives well past the
+  * 2 GB JVM array limit are fine; a single member must still fit in one
+  * String, which is also the reference's bound — it materializes one
+  * member tree at a time). A corrupt archive yields the members read
+  * before the corruption and skips the rest, approximating the
+  * reference's whole-archive `testzip()` skip
+  * (convert_xml_to_parquet.py:333-338) without a second pass over the
+  * stream. One archive is one task in both systems — at fleet scale,
+  * archives >> cores gives full parallelism; a single multi-TB archive is
+  * a straggler in both.
   */
 object ArchiveXmlSource {
 
@@ -31,73 +39,102 @@ object ArchiveXmlSource {
   final case class Member(archive: String, name: String, size: Long,
       xml: String)
 
-  private def isXmlName(n: String): Boolean =
-    n.toLowerCase.endsWith(".xml")
-
-  /** Extract XML members of one archive; a corrupt archive returns an
-    * empty list (whole-archive skip, like the reference's testzip).
+  /** Lazy, self-closing member iterator: `fetch` returns the next member
+    * or None at end-of-archive; IO/format errors truncate the iteration
+    * (keep members already read, skip the rest) and close the stream.
     */
-  def extractMembers(path: String, bytes: Array[Byte]): Seq[Member] = {
-    val lower = path.toLowerCase
-    try {
-      if (lower.endsWith(".zip")) {
-        val zin = new java.util.zip.ZipInputStream(
-          new ByteArrayInputStream(bytes))
-        val out = ArrayBuffer.empty[Member]
-        var e = zin.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && isXmlName(e.getName)) {
-            val content = new String(zin.readAllBytes, StandardCharsets.UTF_8)
-            out += Member(path, e.getName, content.length.toLong, content)
-          }
-          e = zin.getNextEntry
-        }
-        out.toSeq
-      } else if (lower.endsWith(".tar.gz") || lower.endsWith(".tgz")) {
-        val tin = new TarArchiveInputStream(new GzipCompressorInputStream(
-          new BufferedInputStream(new ByteArrayInputStream(bytes))))
-        val out = ArrayBuffer.empty[Member]
-        var e = tin.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && isXmlName(e.getName)) {
-            val content = new String(tin.readAllBytes, StandardCharsets.UTF_8)
-            out += Member(path, e.getName, content.length.toLong, content)
-          }
-          e = tin.getNextEntry
-        }
-        out.toSeq
-      } else if (lower.endsWith(".gz")) {
-        val gin = new GzipCompressorInputStream(
-          new ByteArrayInputStream(bytes))
-        val content = new String(gin.readAllBytes, StandardCharsets.UTF_8)
-        val member = new org.apache.hadoop.fs.Path(path).getName
-          .stripSuffix(".gz")
-        Seq(Member(path, member, content.length.toLong, content))
-      } else Nil
-    } catch {
-      // corrupt archive: skip it whole, keep the run alive
-      case _: java.io.IOException => Nil
-      case _: RuntimeException => Nil
+  private final class MemberIterator(in: java.io.Closeable,
+      fetch: () => Option[Member]) extends Iterator[Member] {
+    private var nxt: Option[Member] = advance()
+    private def advance(): Option[Member] =
+      try {
+        val m = fetch()
+        if (m.isEmpty) in.close()
+        m
+      } catch {
+        case _: java.io.IOException | _: RuntimeException =>
+          try in.close() catch { case _: java.io.IOException => () }
+          None
+      }
+    override def hasNext: Boolean = nxt.isDefined
+    override def next(): Member = {
+      val m = nxt.get; nxt = advance(); m
     }
   }
 
-  /** Scan archives -> one row per XML member (distributed expansion). */
+  /** Stream the members of one archive. Like the reference, every
+    * non-directory member is treated as an XML document regardless of its
+    * name (convert_xml_to_parquet.py:308,336 iterate all members).
+    */
+  def memberIterator(path: String, open: () => InputStream)
+      : Iterator[Member] = {
+    val lower = path.toLowerCase(Locale.ROOT)
+    if (lower.endsWith(".zip")) {
+      val zin = new java.util.zip.ZipInputStream(
+        new BufferedInputStream(open()))
+      new MemberIterator(zin, () => {
+        var e = zin.getNextEntry
+        while (e != null && e.isDirectory) e = zin.getNextEntry
+        Option(e).map { entry =>
+          val content = new String(zin.readAllBytes, StandardCharsets.UTF_8)
+          Member(path, entry.getName, content.length.toLong, content)
+        }
+      })
+    } else if (lower.endsWith(".tar.gz") || lower.endsWith(".tgz")) {
+      val tin = new TarArchiveInputStream(new GzipCompressorInputStream(
+        new BufferedInputStream(open())))
+      new MemberIterator(tin, () => {
+        var e = tin.getNextEntry
+        while (e != null && e.isDirectory) e = tin.getNextEntry
+        Option(e).map { entry =>
+          val content = new String(tin.readAllBytes, StandardCharsets.UTF_8)
+          Member(path, entry.getName, content.length.toLong, content)
+        }
+      })
+    } else if (lower.endsWith(".gz")) {
+      val gin = new GzipCompressorInputStream(
+        new BufferedInputStream(open()))
+      var done = false
+      new MemberIterator(gin, () =>
+        if (done) None
+        else {
+          done = true
+          val content = new String(gin.readAllBytes, StandardCharsets.UTF_8)
+          val member = new org.apache.hadoop.fs.Path(path).getName
+            .stripSuffix(".gz")
+          Some(Member(path, member, content.length.toLong, content))
+        })
+    } else Iterator.empty
+  }
+
+  /** Scan archives -> one row per member (distributed, streaming
+    * expansion). The `binaryFile` scan is used only as a Hadoop-glob file
+    * LISTING (selecting `path` prunes the content column); each task then
+    * re-opens its archive as a stream.
+    */
   def readMembers(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(paths: _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, b) => extractMembers(p, b) }
-      .toDF()
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    val files = spark.read.format("binaryFile").load(paths: _*)
+      .select("path").as[String]
+    files.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      memberIterator(p, () => hp.getFileSystem(bcConf.value.value).open(hp))
+    }.toDF()
   }
 
   /** Parse + shape archive members with the XSD-fixed schema: same output
-    * shape as plain-file conversion, plus `file_info` (member name/size)
-    * when requested — mirroring the reference's zip/tar entry metadata
-    * (convert_xml_to_parquet.py:310-314,339-347).
+    * shape as plain-file conversion (include/exclude pruning honored),
+    * plus `file_info` (member name/size/archive) when requested —
+    * mirroring the reference's zip/tar entry metadata
+    * (convert_xml_to_parquet.py:310-314,339-347). `keepMember = true`
+    * additionally retains a `__member` routing column for per-member
+    * sinks (XmlToParquetJob.convert).
     */
   def read(spark: SparkSession, xsdContent: String, paths: Seq[String],
-      fileInfo: Boolean = false, rowTag: Option[String] = None): DataFrame = {
+      cfg: Config = Config(), rowTag: Option[String] = None,
+      keepMember: Boolean = false): DataFrame = {
     val (root, contentType) = XmlToParquetJob.compileXsd(xsdContent, rowTag)
     val members = readMembers(spark, paths)
     val opts = new java.util.HashMap[String, String]()
@@ -106,12 +143,14 @@ object ArchiveXmlSource {
     opts.put("mode", "PERMISSIVE")
     val parsed = members
       .withColumn("__doc", from_xml(col("xml"), contentType, opts))
-      .select(col("__doc.*"),
-        struct(col("name"), col("size"), col("archive")).as("file_info"))
-    val passThrough = if (fileInfo) Seq("file_info") else Nil
-    val shaped = XmlShaper.shapeDocument(
-      if (fileInfo) parsed else parsed.drop("file_info"),
-      root, passThrough = passThrough)
-    shaped
+      .select(Seq(col("__doc.*")) ++
+        (if (cfg.fileInfo)
+          Seq(struct(col("name"), col("size"), col("archive")).as("file_info"))
+        else Nil) ++
+        (if (keepMember) Seq(col("name").as("__member")) else Nil): _*)
+    val passThrough = (if (cfg.fileInfo) Seq("file_info") else Nil) ++
+      (if (keepMember) Seq("__member") else Nil)
+    XmlShaper.shapeDocument(parsed, root, cfg.includes, cfg.excludes,
+      passThrough)
   }
 }

@@ -58,12 +58,15 @@ object XmlShaper {
 
   private def shapeField(name: String, dt: DataType, src: Column): Seq[Column] =
     dt match {
-      // simple content + attributes -> value + sibling `name@attr` fields
+      // simple content + attributes -> sibling `name@attr` fields, then the
+      // value field, in that order (the reference builds the attrs dict
+      // first and merges `{child@attr: ..., child: text}`,
+      // convert_xml_to_parquet.py:93-118)
       case st: StructType if st.fieldNames.contains("_VALUE") =>
         val value = coerce(src.getField("_VALUE"), st("_VALUE").dataType).as(name)
         val attrs = st.fields.toSeq.filter(f => isAttr(f.name))
-        value +: attrs.map(f => coerce(src.getField(f.name), f.dataType)
-          .as(s"$name@${f.name.stripPrefix("_")}"))
+        attrs.map(f => coerce(src.getField(f.name), f.dataType)
+          .as(s"$name@${f.name.stripPrefix("_")}")) :+ value
       case st: StructType =>
         Seq(shapeStruct(name, st, src).as(name))
       // repeated simple content with attributes -> list<struct>
@@ -71,8 +74,8 @@ object XmlShaper {
         Seq(transform(src, x => {
           val value = coerce(x.getField("_VALUE"), st("_VALUE").dataType).as(name)
           val attrs = st.fields.toSeq.filter(f => isAttr(f.name))
-          struct(value +: attrs.map(f => coerce(x.getField(f.name), f.dataType)
-            .as(s"$name@${f.name.stripPrefix("_")}")): _*)
+          struct(attrs.map(f => coerce(x.getField(f.name), f.dataType)
+            .as(s"$name@${f.name.stripPrefix("_")}")) :+ value: _*)
         }).as(name))
       case ArrayType(st: StructType, _) =>
         Seq(transform(src, x => shapeStruct(name, st, x)).as(name))

@@ -83,18 +83,29 @@ object XmlToParquetJob {
     XmlShaper.shapeDocument(df, root, cfg.includes, cfg.excludes, passThrough)
   }
 
-  /** Reference output naming: strip container/xml suffixes, append
-    * `.xml.parquet` (convert_xml_to_parquet.py:489-508).
+  /** Reference base naming: strip `.gz`, `.tar`, `.zip`, `.xml` suffixes
+    * in that order (convert_xml_to_parquet.py:489-505; `.tgz` added as
+    * our extension — the reference only recognizes `.tar.gz`).
     */
-  def outputName(inputFile: String): String = {
-    val base = new Path(inputFile).getName
-    val stripped = Seq(".tar.gz", ".tgz", ".gz", ".zip", ".xml")
-      .foldLeft(base)((b, s) => b.stripSuffix(s))
-    s"$stripped.xml.parquet"
+  def outputBase(inputFile: String): String =
+    Seq(".gz", ".tgz", ".tar", ".zip", ".xml")
+      .foldLeft(new Path(inputFile).getName)((b, s) => b.stripSuffix(s))
+
+  /** Reference output naming for a plain (or single-member gzip) input:
+    * `<base>.xml.parquet` (convert_xml_to_parquet.py:397,505).
+    */
+  def outputName(inputFile: String): String =
+    s"${outputBase(inputFile)}.xml.parquet"
+
+  private def isArchive(f: String): Boolean = {
+    val l = f.toLowerCase(java.util.Locale.ROOT)
+    l.endsWith(".zip") || l.endsWith(".tar.gz") || l.endsWith(".tgz")
   }
 
-  /** Exact reference parity: one Parquet output per input XML file, named
-    * `<base>.xml.parquet` under `targetDir`. Driver loop is metadata-only;
+  /** Exact reference parity sink: one Parquet output per input XML file,
+    * named `<base>.xml.parquet`; archive inputs (zip / tar.gz) emit one
+    * Parquet PER MEMBER named `<base>.<member>.parquet`
+    * (convert_xml_to_parquet.py:318,351). Driver loop is metadata-only;
     * parse+write run as tasks. Returns the written output paths.
     */
   def convert(spark: SparkSession, xsdContent: String, inputs: Seq[String],
@@ -109,11 +120,28 @@ object XmlToParquetJob {
       Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toString))
         .getOrElse(Seq(in))
     }.distinct
-    files.map { f =>
-      val out = s"$targetDir/${outputName(f)}"
-      read(spark, xsdContent, Seq(f), cfg, rowTag)
-        .coalesce(1).write.mode("overwrite").parquet(out)
-      out
+    files.flatMap { f =>
+      if (isArchive(f)) {
+        val base = outputBase(f)
+        val shaped = graft.sources.ArchiveXmlSource
+          .read(spark, xsdContent, Seq(f), cfg, rowTag, keepMember = true)
+          .cache()
+        try {
+          val members = shaped.select("__member").distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
+          members.map { m =>
+            val out = s"$targetDir/$base.$m.parquet"
+            shaped.filter(col("__member") === m).drop("__member")
+              .coalesce(1).write.mode("overwrite").parquet(out)
+            out
+          }
+        } finally shaped.unpersist()
+      } else {
+        val out = s"$targetDir/${outputName(f)}"
+        read(spark, xsdContent, Seq(f), cfg, rowTag)
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        Seq(out)
+      }
     }
   }
 

@@ -44,8 +44,10 @@ class ShapingRulesSpec extends AnyFunSuite {
           StructField("_VALUE", StringType),
           StructField("_b", StringType)))))),
       root = "r")
+    // attr fields precede the value field (reference merges the attrs
+    // dict first: convert_xml_to_parquet.py:93-118)
     assert(df.toJSON.collect().head ==
-      """{"r":{"r@a":"1","c":"x","c@b":"2"}}""")
+      """{"r":{"r@a":"1","c@b":"2","c":"x"}}""")
   }
 
   test("rule 2: empty simple content becomes null") {
@@ -68,7 +70,7 @@ class ShapingRulesSpec extends AnyFunSuite {
         StructField("_VALUE", LongType),
         StructField("_u", StringType))))))), root = "r")
     assert(df.toJSON.collect().head ==
-      """{"r":{"p":[{"p":1,"p@u":"kg"},{"p":2,"p@u":"lb"}]}}""")
+      """{"r":{"p":[{"p@u":"kg","p":1},{"p@u":"lb","p":2}]}}""")
   }
 
   test("coercions: decimal->double, scale-0 decimal->long, date->string") {

@@ -93,7 +93,7 @@ class XmlConversionSpec extends AnyFunSuite {
     for (archive <- Seq("books.zip", "books.tar.gz")) {
       val df = ArchiveXmlSource.read(spark, XmlQueries.xsd,
         Seq(XmlQueries.fixtureDir.resolve(archive).toString),
-        fileInfo = true)
+        Config(fileInfo = true))
       val rows = df.select("file_info.name").collect().map(_.getString(0))
       assert(rows.sorted.toSeq == Seq("order1.xml", "order2.xml"),
         s"archive $archive")

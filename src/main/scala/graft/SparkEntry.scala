@@ -17,6 +17,8 @@ object SparkEntry {
     operators.TextPipeline,
     operators.Similarity,
     operators.Dedup,
+    operators.Multimodal,
+    operators.Advanced,
     operators.XmlQueries,
     operators.ExtensionFns,
     streaming.StreamingSmoke)

@@ -1,0 +1,319 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave relational operators: pivot/unpivot reshaping, exact
+  * percentiles, moment statistics, grouping sets, correlated subqueries,
+  * as-of joins, skew-salted joins, and window distribution functions.
+  *
+  * Determinism follows the Det policy: decimal casts before any
+  * floating-point aggregation, and where a statistic is inherently FP
+  * (variance, correlation) it is computed from exact decimal sums with
+  * the IDENTICAL arithmetic expression on both engines, so both sides
+  * perform the same sequence of IEEE operations.
+  */
+object Advanced extends QueryModule {
+
+  /** Exact integer moment sums of quantized x and y per group — the
+    * vector every downstream statistic derives from. Inputs are rounded
+    * to integers first, so every sum is an exact int64 AND exactly
+    * representable as a double (values stay < 2^53 through sf0.1:
+    * sum(x^2) ~ 1.5e15 per group); the int->double casts are then exact
+    * on both engines and the shared statistic formula performs an
+    * identical IEEE op sequence — bit-equal results, even through the
+    * catastrophic cancellation in (sxx - sx^2/n). (Decimal-based sums
+    * fail here: a DECIMAL(38,8)->DOUBLE conversion of a ~1e18-scaled
+    * value rounds differently across engines, and the cancellation
+    * amplifies that ulp into the statistic.) At 100 TB the same moment
+    * vector merges associatively — the classic one-pass distributed
+    * statistics shape — with int128/decimal accumulators.
+    */
+  private def moments(x: Column, y: Column): Seq[Column] = {
+    val xq = round(x, 0).cast("long"); val yq = round(y, 0).cast("long")
+    Seq(
+      count(lit(1)).as("n"),
+      sum(xq).as("sx"), sum(xq * xq).as("sxx"),
+      sum(yq).as("sy"), sum(yq * yq).as("syy"),
+      sum(xq * yq).as("sxy"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- pivot: order counts per priority x status ---
+    "q_pivot" -> ((s, d) =>
+      table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")),
+
+    // --- unpivot (melt): wide measures -> (metric, value) rows ---
+    "q_unpivot" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("metric", "value", "l_orderkey", "l_linenumber")),
+
+    // --- exact interpolated percentiles per group ---
+    "q_percentile" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // --- moment statistics from exact decimal sums ---
+    "q_agg_stats" -> ((s, d) => {
+      val m = moments(col("l_extendedprice"), col("l_quantity"))
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(m.head, m.tail: _*)
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)).as("var_price"),
+          sqrt((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)).as("stddev_price"),
+          ((col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+            / (sqrt(col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              * sqrt(col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double") / col("n"))))
+            .as("corr_price_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- explicit GROUPING SETS (beyond rollup/cube) ---
+    "q_agg_groupingsets" -> ((s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           |       COALESCE(l_linestatus, 'ALL') AS ls,
+           |       COUNT(*) AS n, ${S("l_quantity")} AS sum_qty
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+           |                        (l_returnflag, l_linestatus), ())
+           |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    // --- correlated EXISTS subquery ---
+    "q_subquery_exists" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("customer")
+      table(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- IN subquery over a dimension chain ---
+    "q_subquery_in" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("customer")
+      table(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal
+          |FROM customer
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+          |                      WHERE n_regionkey = 1)
+          |  AND c_acctbal < 1000
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- as-of join: latest prior 'view' for every 'click', per user.
+    // Implemented as ONE pass: tag the union, window-scan per user in
+    // event-time order carrying the last view timestamp. This is the
+    // shape that scales — a single shuffle on user_id, no range join, no
+    // per-row subquery; state is one timestamp per partition row.
+    "q_join_asof" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      // views sort before clicks at identical ts (asof uses >=)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc,
+          (col("event_type") === "view").cast("int").desc,
+          col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("asof_view_ts",
+          last(when(col("event_type") === "view", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("click_ts"),
+          fmtTs(col("asof_view_ts")).as("asof_view_ts"))
+        .orderBy("event_id")
+    }),
+
+    // --- skew-mitigation: salted replicated-dimension join. The fact
+    // side derives a salt from its own row; the dimension side is
+    // replicated once per salt value, so a hot join key spreads over
+    // SaltFactor reducers instead of one. Results are identical to the
+    // plain join (oracle runs the unsalted SQL).
+    "q_join_salted" -> ((s, d) => {
+      val saltFactor = 8
+      val facts = table(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_linenumber"), lit(saltFactor)))
+      val dims = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(saltFactor - 1))).as("salt"))
+      facts.join(dims,
+          facts("l_orderkey") === dims("o_orderkey")
+            && facts("salt") === dims("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // --- window distribution functions ---
+    "q_win_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- string similarity / padding scalar family ---
+    "q_scalar_string2" -> ((s, d) =>
+      table(s, d, "supplier")
+        .select(col("s_suppkey"),
+          lng(levenshtein(col("s_name"), lit("Supplier#000000001")))
+            .as("lev"),
+          lpad(col("s_name"), 25, "*").as("padded"),
+          translate(col("s_name"), "#0", "_x").as("translated"),
+          reverse(col("s_name")).as("rev"),
+          repeat(substring(col("s_name"), 1, 3), 2).as("rep"))
+        .orderBy("s_suppkey"))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |         l_quantity AS value FROM lineitem WHERE l_orderkey < 2000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 2000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 2000)
+        |ORDER BY metric, value, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_stats" -> {
+      // integer-quantized moments (see moments() scaladoc): exact int
+      // sums, exact int->double casts, identical IEEE formula
+      val xq = "CAST(round(l_extendedprice, 0) AS BIGINT)"
+      val yq = "CAST(round(l_quantity, 0) AS BIGINT)"
+      val sx = s"CAST(SUM($xq) AS DOUBLE)"
+      val sxx = s"CAST(SUM($xq * $xq) AS DOUBLE)"
+      val sy = s"CAST(SUM($yq) AS DOUBLE)"
+      val syy = s"CAST(SUM($yq * $yq) AS DOUBLE)"
+      val sxy = s"CAST(SUM($xq * $yq) AS DOUBLE)"
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  (($sxx - $sx * $sx / COUNT(*)) / (COUNT(*) - 1)) AS var_price,
+         |  sqrt(($sxx - $sx * $sx / COUNT(*)) / (COUNT(*) - 1))
+         |    AS stddev_price,
+         |  (($sxy - $sx * $sy / COUNT(*))
+         |   / (sqrt($sxx - $sx * $sx / COUNT(*))
+         |      * sqrt($syy - $sy * $sy / COUNT(*)))) AS corr_price_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_agg_groupingsets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |       COALESCE(l_linestatus, 'ALL') AS ls,
+         |       COUNT(*) AS n, ${S("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+         |                        (l_returnflag, l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey = 1)
+        |  AND c_acctbal < 1000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_asof" ->
+      s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+         |           WHERE event_type = 'click'),
+         |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+         |SELECT c.event_id, c.user_id,
+         |       ${FT("c.ts")} AS click_ts,
+         |       ${FT("v.ts")} AS asof_view_ts
+         |FROM c ASOF LEFT JOIN v
+         |  ON c.user_id = v.user_id AND c.ts >= v.ts
+         |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_salted" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${S("l_extendedprice")} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_scalar_string2" ->
+      """SELECT s_suppkey,
+        |  CAST(levenshtein(s_name, 'Supplier#000000001') AS BIGINT) AS lev,
+        |  lpad(s_name, 25, '*') AS padded,
+        |  translate(s_name, '#0', '_x') AS translated,
+        |  reverse(s_name) AS rev,
+        |  repeat(substring(s_name, 1, 3), 2) AS rep
+        |FROM supplier ORDER BY s_suppkey""".stripMargin
+  )
+}

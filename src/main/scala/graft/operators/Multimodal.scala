@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for LLM training-data pipelines: image / audio /
+  * video treated as opaque `binary` payloads with typed metadata, plus a
+  * partition-batched decode / feature-extract stage.
+  *
+  * The synthetic media corpus is derived deterministically from the
+  * `documents` table (payload = UTF-8 bytes of the text, standing in for
+  * image bytes; media_type cycles image/audio/video by doc_id), which
+  * keeps every stage DuckDB-oracle-checkable byte-for-byte. The DECODE
+  * step is a deterministic stub — this container has no codec/model
+  * libraries — but the Spark-side plumbing is the real 100 TB shape:
+  *
+  *   - binary payload column + scalar metadata columns, so metadata-only
+  *     queries prune the payload at the Parquet scan (never deserialize
+  *     gigabytes of pixels to count files by type);
+  *   - a typed `Dataset[MediaRow]` -> `mapPartitions` decode that groups
+  *     rows into fixed-size batches (the GPU/codec-friendly batch shape:
+  *     one model call per batch, not per row) and emits typed features;
+  *   - frame sampling as a generator (`explode(sequence(...))`) so frame
+  *     rows are produced distributively, never collected.
+  */
+object Multimodal extends QueryModule {
+
+  /** One media row entering the decode stage. */
+  final case class MediaRow(doc_id: Long, media_type: String,
+      payload: Array[Byte])
+
+  /** Stub-decoded features (deterministic fake: a real build would call
+    * an image/audio codec here; the batch shape and schema would not
+    * change).
+    */
+  final case class DecodedRow(doc_id: Long, media_type: String,
+      width: Long, height: Long, n_frames: Long)
+
+  /** GPU-ish decode batch size: one "model call" per batch. */
+  private val DecodeBatchSize = 32
+
+  /** Single-row decode, exposed for batch-independence tests. */
+  private[graft] def decodeOne(m: MediaRow): DecodedRow =
+    decodeBatch(Seq(m)).head
+
+  /** Deterministic stand-in for a codec call on a batch of payloads. */
+  private def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] =
+    batch.map { m =>
+      val first = if (m.payload.nonEmpty) (m.payload(0) & 0xff).toLong else 0L
+      val last =
+        if (m.payload.nonEmpty) (m.payload(m.payload.length - 1) & 0xff).toLong
+        else 0L
+      DecodedRow(m.doc_id, m.media_type,
+        width = 64L + first % 64L,
+        height = 64L + last % 64L,
+        n_frames =
+          if (m.media_type == "video") m.payload.length.toLong / 256L + 1L
+          else 1L)
+    }
+
+  /** The synthetic media corpus: (doc_id, media_type, payload). */
+  private def media(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  private val mediaTypeSql =
+    "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- metadata extraction over opaque binary payloads ---
+    "q_multimodal_meta" -> ((s, d) =>
+      media(s, d).select(
+        col("doc_id"), col("media_type"),
+        lng(length(col("payload"))).as("n_bytes"),
+        md5(col("payload")).as("fp"),
+        hex(substring(col("payload"), 1, 4)).as("magic"))
+        .orderBy("doc_id")),
+
+    // --- typed partition-batched decode (stubbed codec) ---
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      media(s, d).as[MediaRow]
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // --- frame sampling: every 10th frame index of each video ---
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      media(s, d).as[MediaRow]
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
+        .toDF()
+        .filter(col("media_type") === "video")
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L)))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 256L).as("byte_offset"))
+        .orderBy("doc_id", "frame_idx")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      s"""SELECT doc_id, $mediaTypeSql AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS fp,
+         |  hex(encode(substring(text, 1, 4))) AS magic
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      s"""SELECT doc_id, $mediaTypeSql AS media_type,
+         |  CAST(64 + ord(substring(text, 1, 1)) % 64 AS BIGINT) AS width,
+         |  CAST(64 + ord(substring(text, length(text), 1)) % 64 AS BIGINT)
+         |    AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 2
+         |       THEN octet_length(encode(text)) // 256 + 1 ELSE 1 END
+         |    AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(frame_idx * 256 AS BIGINT) AS byte_offset
+         |FROM f, unnest(generate_series(0, n_frames - 1, 10)) AS t(frame_idx)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.XmlQueries
+import graft.xml.XmlToParquetJob
+
+/** Semantics checks for the round-2 extension operators: multimodal
+  * decode batching, as-of join, salted join, pivot, and per-member
+  * archive conversion — each verified against an independent
+  * re-derivation of the same result.
+  */
+class OperatorExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multimodal decode is batch-shape independent") {
+    // partition-batched decode must equal a 1-row-at-a-time decode:
+    // batching is an efficiency shape, never a semantics change
+    val batched = SparkEntry.queries("q_multimodal_decode")(spark, sf)
+      .collect().toSet
+    val single = {
+      import spark.implicits._
+      Tables.table(spark, sf, "documents")
+        .repartition(7) // different partitioning, different batch cuts
+        .select(col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[operators.Multimodal.MediaRow]
+        .map(m => operators.Multimodal.decodeOne(m))
+        .toDF().orderBy("doc_id").collect().toSet
+    }
+    assert(batched == single && batched.nonEmpty)
+  }
+
+  test("frame sampling strides by 10 within each video's frame count") {
+    val rows = SparkEntry.queries("q_multimodal_frames")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val idx = r.getAs[Long]("frame_idx")
+      assert(idx % 10 == 0)
+      assert(r.getAs[Long]("byte_offset") == idx * 256)
+    }
+  }
+
+  test("as-of join equals brute-force latest-prior-view") {
+    val asof = SparkEntry.queries("q_join_asof")(spark, sf)
+      .select("event_id", "asof_view_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val ev = Tables.table(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    // quadratic range join + max: the obviously-correct formulation
+    val brute = clicks.join(views,
+        col("cu") === col("vu") && col("vts") <= col("cts"), "left")
+      .groupBy("event_id")
+      .agg(Det.fmtTs(max(col("vts"))).as("asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(asof == brute && asof.nonEmpty)
+  }
+
+  test("salted join equals plain join") {
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf).collect()
+    val plain = Tables.table(spark, sf, "lineitem")
+      .join(Tables.table(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Det.sumd(col("l_extendedprice")).as("rev"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("pivot cells sum to the plain group counts") {
+    val pivoted = SparkEntry.queries("q_pivot")(spark, sf)
+      .withColumn("total", col("F") + col("O") + col("P"))
+      .select("o_orderpriority", "total").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Tables.table(spark, sf, "orders")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pivoted == plain)
+  }
+
+  test("archive convert writes one parquet per member with reference naming") {
+    val target = java.nio.file.Files.createTempDirectory("arch_sink").toString
+    val zipIn = XmlQueries.fixtureDir.resolve("books.zip").toString
+    val written = XmlToParquetJob.convert(spark, XmlQueries.xsd,
+      Seq(zipIn), target)
+    assert(written.sorted == Seq(
+      s"$target/books.order1.xml.parquet",
+      s"$target/books.order2.xml.parquet"))
+    written.foreach { out =>
+      val back = spark.read.parquet(out)
+      assert(back.count() == 1 && back.columns.contains("bookOrder"))
+    }
+  }
+}

@@ -23,8 +23,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32 concurrent local tasks share one unified memory pool; 8g starves
+// them into GC storms on the array-heavy dedup/similarity queries (and a
+// GC-poisoned session then mistimes every later query). The bench box
+// has 128 GiB; 32g keeps task memory ~600 MiB each with ample headroom.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // G1's adaptive young-gen sizing collapses under the allocation-heavy
+  // interpreted expression pipelines (higher-order functions allocate
+  // per-element), making identical queries bimodal 4s..60s with 40x CPU
+  // inflation; throughput-oriented ParallelGC with a pinned young gen is
+  // stable for this batch workload.
+  // Small young gen + capped GC threads: 4g young made each minor GC a
+  // multi-GB copy with 23 GC threads contending against 32 task
+  // threads; 1g/8 keeps pauses short and CPU with the tasks (bench
+  // total 133s -> 47s, worst query 23s -> 3s).
+  "-XX:+UseParallelGC", "-Xmn1g", "-XX:ParallelGCThreads=8",
+  // Codegen churns generated classes through Metaspace; the default
+  // ~21 MB increment forces a Full GC at every threshold crossing (10+
+  // "Metadata GC Threshold" pauses per bench run). Start large.
+  "-XX:MetaspaceSize=512m",
+  // Long time-to-safepoint from C2 counted loops over codegen'd array
+  // kernels stalls all 32 task threads whenever GC needs a safepoint.
+  "-XX:+UseCountedLoopSafepoints",
 )

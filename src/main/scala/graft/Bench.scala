@@ -8,8 +8,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Netty event loops that idle out mid-run (default 120 s) spin in
+      // prepareToDestroy on this netty version, permanently burning ~20
+      // cores and poisoning every later measurement — keep connections
+      // alive for the whole run instead.
+      .config("spark.network.timeout", "3600s")
+      // shuffle/spill on tmpfs: the bench VM's block device stalls
+      // under load (idle iowait load ~6), and disk-backed shuffle files
+      // made identical queries 2-10x slower run-to-run
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the machinery the first timed query would otherwise pay for
+    // (codegen pipeline, shuffle service, parquet reader init) with a
+    // trivial query — measurement isolation, not a result change.
+    spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").count().count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // Deterministic order + per-query stderr progress so a harness timeout
     // still leaves a legible trail of which query stalled.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Advanced,
     operators.XmlQueries,
     operators.ExtensionFns,
-    streaming.StreamingSmoke)
+    streaming.StreamingSmoke,
+    streaming.StatefulSession)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on
     * sf=0.001; driver smoke-checks rows>0.

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench: avoid netty idle-teardown spin mid-run
+      .config("spark.network.timeout", "3600s")
+      // shuffle/spill on tmpfs: the bench VM's block device stalls
+      // under load (idle iowait load ~6), and disk-backed shuffle files
+      // made identical queries 2-10x slower run-to-run
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

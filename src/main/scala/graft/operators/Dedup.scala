@@ -86,15 +86,24 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           posexplode(let(col("sh"))(sh => let(minhashSig(sh))(bandKeys)))
             .as(Seq("band", "bkey")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
+      // band self-join: skinny rows, but force the shuffle shape (the
+      // planner's size estimate of an exploded projection is unreliable;
+      // see q_dedup_ngram)
+      val cand = bands.hint("shuffle_merge").as("a")
+        .join(bands.hint("shuffle_merge").as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      // fetch shingles for the few surviving candidates: broadcast the
+      // CANDIDATE side (genuinely small), stream the docs — never let
+      // the planner broadcast the array-carrying docs relation. At
+      // fleet scale with huge candidate sets this becomes a shuffle
+      // join on doc_id instead.
+      docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        .join(broadcast(cand), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+          .hint("shuffle_hash"), "b_id")
         .select(col("a_id"), col("b_id"),
           (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
             size(array_union(col("a_sh"), col("b_sh")))).as("jac"))

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   * 100 TB variant: random-hyperplane LSH buckets both sides so each
   * probe only scores its own bucket — the cross join becomes an equi
   * join on `bucket` (uniform keys by construction), trading recall for
-  * a ~2^planes fan-in reduction. An IVF variant would replace the hash
-  * with learned centroids.
+  * a ~2^planes fan-in reduction. `q_sim_ivf` is the learned-partition
+  * variant: nearest-centroid assignment replaces the hash, nprobe = 1.
   */
 object Similarity extends QueryModule {
 
@@ -95,6 +95,44 @@ object Similarity extends QueryModule {
         .orderBy("rn")
     }),
 
+    // --- IVF-bucketed ANN: assign every vector to its nearest of 16
+    // deterministic seed centroids (vec_id < 16 — a real build k-means
+    // trains these on a sample; the partition/search shape is
+    // identical), then each probe scores ONLY its own centroid's
+    // bucket (nprobe = 1). Centroids broadcast to both stages; the
+    // only shuffle is the bucket equi-join. Trades recall for a
+    // ~|centroids| fan-in reduction, the standard IVF bargain. ---
+    "q_sim_ivf" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"))
+        .withColumn("nn", dotQ(col("q"), col("q")))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nn").as("cn"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          cosQ(dotQ(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id").as("bucket"))
+      val bucketed = e.join(assigned, "vec_id")
+      val probes = bucketed
+        .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("nn").as("pn"), col("bucket"))
+      val scored = bucketed.join(broadcast(probes), "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("probe_id", "rn")
+    }),
+
     // --- LSH-bucketed ANN (scale path; approximate, self-checked) ---
     "q_sim_lsh" -> ((s, d) => {
       val nPlanes = 8
@@ -123,6 +161,46 @@ object Similarity extends QueryModule {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
   override def oracle: Map[String, String] = Map(
+    "q_sim_ivf" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |cd AS (SELECT a.vec_id AS vid, b.vec_id AS cid, SUM(a.v * b.v) AS d
+         |       FROM x a JOIN x b ON a.i = b.i AND b.vec_id < 16
+         |       GROUP BY 1, 2),
+         |ac AS (SELECT vid, cid,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+         |           AS ccos
+         |       FROM cd JOIN n nv ON nv.vec_id = vid
+         |                JOIN n nc ON nc.vec_id = cid),
+         |asg AS (SELECT vid, cid AS bucket FROM (
+         |          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+         |                 ORDER BY ccos DESC, cid) AS arn FROM ac)
+         |        WHERE arn = 1),
+         |pr AS (SELECT vid AS probe_id, bucket FROM asg
+         |       WHERE vid >= 10 AND vid < 20),
+         |cand AS (SELECT p.probe_id, s.vid AS cand_id
+         |         FROM pr p JOIN asg s ON s.bucket = p.bucket
+         |         WHERE s.vid <> p.probe_id),
+         |pd AS (SELECT c.probe_id, c.cand_id, SUM(xp.v * xq.v) AS d
+         |       FROM cand c
+         |       JOIN x xp ON xp.vec_id = c.probe_id
+         |       JOIN x xq ON xq.vec_id = c.cand_id AND xq.i = xp.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(np.nn AS DOUBLE)) * sqrt(CAST(nc2.nn AS DOUBLE)))
+         |           AS cos
+         |       FROM pd JOIN n np ON np.vec_id = probe_id
+         |                JOIN n nc2 ON nc2.vec_id = cand_id),
+         |r AS (SELECT probe_id, cand_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 3
+         |ORDER BY probe_id, rn""".stripMargin,
+
     "q_sim_topk" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |                  unnest($qSql) AS v FROM embeddings),

@@ -121,7 +121,14 @@ object TextPipeline extends QueryModule {
         .select(col("doc_id"), shingles(toks).as("sh"))
       val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      val a = ex.as("a"); val b = ex.as("b")
+      // Explicit sort-merge: the exploded legs LOOK tiny to the planner
+      // (stats come from the 600 KB parquet) but materialize to GBs, and
+      // an auto-chosen broadcast of that side builds a multi-GB hash
+      // relation on the driver — full-GC storms at test scale, OOM at
+      // fleet scale. A shuffle on the shingle key is the shape that
+      // scales.
+      val a = ex.hint("shuffle_merge").as("a")
+      val b = ex.hint("shuffle_merge").as("b")
       val inter = a.join(b,
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

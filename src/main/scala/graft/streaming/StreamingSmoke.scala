@@ -33,9 +33,18 @@ object StreamingSmoke extends QueryModule {
         .select(fmtTs(col("window.start")).as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
       val name = "graft_stream_smoke"
-      val q = agg.writeStream
-        .outputMode("complete").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      // State partitions are fixed at query start from
+      // spark.sql.shuffle.partitions; each carries its own state-store
+      // init + per-commit overhead, so size them to the state (a few
+      // hundred window x type keys), not the CPU count. At fleet scale
+      // this would instead be sized to executors x cores.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream
+          .outputMode("complete").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name).orderBy("hour_start", "event_type")
     })
   )

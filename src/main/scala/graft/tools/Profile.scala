@@ -20,6 +20,11 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "3600s")
+      // shuffle/spill on tmpfs: the bench VM's block device stalls
+      // under load (idle iowait load ~6), and disk-backed shuffle files
+      // made identical queries 2-10x slower run-to-run
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq

@@ -1,7 +1,9 @@
 package graft.tools
 
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway bisection harness for performance debugging (dev only). */
 object Scratch {
@@ -10,35 +12,39 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "3600s")
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
+    val run = new LongAdder; val cpu = new LongAdder
+    val gc = new LongAdder; val deser = new LongAdder
+    val sched = new LongAdder; val tasks = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          run.add(m.executorRunTime); cpu.add(m.executorCpuTime / 1000000L)
+          gc.add(m.jvmGCTime); deser.add(m.executorDeserializeTime)
+          tasks.increment()
+          sched.add(math.max(0L,
+            t.taskInfo.finishTime - t.taskInfo.launchTime - m.executorRunTime
+              - m.executorDeserializeTime))
+        }
+      }
+    })
+    def snap(): Seq[Long] =
+      Seq(run.sum, cpu.sum, gc.sum, deser.sum, sched.sum, tasks.sum)
+    val d = "/root/testdata/sf0.1"
+    for (i <- 1 to 6) {
+      val before = snap()
       val t0 = System.nanoTime()
-      val r = f
-      println(f"## $label: ${(System.nanoTime - t0) / 1e9}%.2fs")
-      r
+      graft.SparkEntry.queries("q_dedup_ngram")(spark, d).count()
+      val wall = (System.nanoTime - t0) / 1e9
+      Thread.sleep(200)
+      val delta = snap().zip(before).map { case (a, b) => a - b }
+      println(f"## ngram-$i wall=$wall%.2fs runMs=${delta(0)} cpuMs=${delta(1)} " +
+        f"gcMs=${delta(2)} deserMs=${delta(3)} schedMs=${delta(4)} tasks=${delta(5)}")
     }
-    val raw = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    time("warm")(raw.count())
-    time("md5-raw")(raw.select(md5(lower(col("text")))).count())
-    time("md5-raw2")(raw.select(md5(lower(col("text")))).count())
-    val rep = raw.repartition(32)
-    time("md5-rep")(rep.select(md5(lower(col("text")))).count())
-    time("md5-rep2")(rep.select(md5(lower(col("text")))).count())
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val erep = emb.repartition(32)
-    time("emb-raw-count")(emb.count())
-    time("emb-rep-count")(erep.count())
-    time("emb-rep-count2")(erep.count())
-    val e = erep.select(col("vec_id"), col("embedding").as("q"))
-      .withColumn("nn", graft.functions.QuantizedDot(col("q"), col("q")))
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nn").as("pn"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("q").as("cq"), col("nn").as("cn"))
-    val scored = cands.crossJoin(broadcast(probes))
-      .filter(col("cand_id") =!= col("probe_id"))
-    time("topk-scored")(scored.count())
-    time("topk-scored2")(scored.count())
     spark.stop()
   }
 }

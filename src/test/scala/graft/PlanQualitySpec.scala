@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (SURVEY.md §4): the properties that
+  * make these queries survive a 100x scale-up are pinned here so a
+  * refactor that silently loses a pushdown, a broadcast, or partial
+  * aggregation — or reintroduces a cartesian product — fails CI, not the
+  * cluster.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter predicates push into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan") || p.contains("EqualTo"),
+      "expected a value predicate in PushedFilters")
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val p = plan("q_scan_project")
+    // lineitem has 11 columns; the query references 4
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_returnflag") && !read.contains("l_shipdate"),
+      read)
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_join_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("no unintended cartesian products or nested-loop joins") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_join_inner",
+        "q_join_theta", "q_join_asof", "q_join_salted")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val p = plan("q_agg_group")
+    // a partial_* aggregate below the exchange, final above it
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("minhash band join shuffles skinny rows, not shingle arrays") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the band-bucket self-join must not carry the shingle arrays
+    val bandJoin = joins.last // bottom-most join = band join
+    val carried = bandJoin.output.map(_.name)
+    assert(!carried.exists(_.contains("sh")),
+      s"band join carries array columns: $carried")
+  }
+
+  test("sort-limit compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+}

@@ -58,6 +58,14 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stateful streaming sessions equal batch session_window") {
+    val stream = SparkEntry.queries("q_streaming_session")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_window_session")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("simhash signatures: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions._
     val sig = SparkEntry.queries("q_dedup_simhash")(spark, sf)

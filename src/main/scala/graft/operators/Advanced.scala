@@ -193,6 +193,22 @@ object Advanced extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // --- custom physical operator: bounded-heap top-k per key
+    // (graft.plans.TopKPerKey) — one hash exchange, NO per-partition
+    // sort, unlike the row_number window spelling it replaces
+    "q_topk_native" -> ((s, d) => {
+      val df = table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      graft.plans.TopKPerKey.topKPerKey(df,
+          keys = Seq(col("l_returnflag")),
+          order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          k = 3)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // --- string similarity / padding scalar family ---
     "q_scalar_string2" -> ((s, d) =>
       table(s, d, "supplier")
@@ -306,6 +322,18 @@ object Advanced extends QueryModule {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |             l_extendedprice,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey,
+        |                        l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
+        |         l_linenumber""".stripMargin,
 
     "q_scalar_string2" ->
       """SELECT s_suppkey,

@@ -15,9 +15,27 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager conversion to a real catalyst expression tree
+    * (UnresolvedAttribute / SortOrder / ...). ExpressionUtils.expression
+    * returns a lazy ColumnNodeExpression wrapper, which the analyzer
+    * will not resolve inside a CUSTOM logical node — use this when
+    * building expressions for user-defined plans.
+    */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a native expression under a SQL-callable name. */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Wrap a custom LogicalPlan as a DataFrame (classic Dataset.ofRows
+    * is private[sql]).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

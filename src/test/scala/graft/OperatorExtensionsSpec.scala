@@ -94,6 +94,23 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(pivoted == plain)
   }
 
+  test("custom TopKPerKey operator equals the window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val native = SparkEntry.queries("q_topk_native")(spark, sf).collect()
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val windowed = Tables.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+    assert(native.toSeq == windowed.toSeq && native.nonEmpty)
+  }
+
   test("archive convert writes one parquet per member with reference naming") {
     val target = java.nio.file.Files.createTempDirectory("arch_sink").toString
     val zipIn = XmlQueries.fixtureDir.resolve("books.zip").toString

@@ -74,4 +74,10 @@ class PlanQualitySpec extends AnyFunSuite {
   test("sort-limit compiles to TakeOrderedAndProject, not a global sort") {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
+
+  test("native top-k plans the custom operator, no window sort") {
+    val p = plan("q_topk_native")
+    assert(p.contains("TopKPerKey ["), p.take(1500)) // Exec renders sans suffix
+    assert(!p.contains("Window"), "window spelling leaked back in")
+  }
 }

@@ -24,6 +24,8 @@ import graft.xml.XmlToParquetJob.Config
   */
 object XmlQueries extends QueryModule {
 
+  private[graft] def resourceText(name: String): String = resource(name)
+
   private def resource(name: String): String =
     new String(getClass.getResourceAsStream(s"/graft/fixtures/$name")
       .readAllBytes(), StandardCharsets.UTF_8)

@@ -92,12 +92,62 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: rewrite the canonical top-k window spelling
+  *
+  * {{{ Project(cols..., Filter(rn <= k, Window([rn := row_number() over
+  *     (partition by p order by o)], p, o, child))) }}}
+  *
+  * into [[TopKPerKey]] whenever the rank column itself is discarded by
+  * the enclosing projection — the user asked for "k rows per key", not
+  * for rank values, so the full per-partition sort WindowExec would do
+  * is unnecessary. Tie behavior matches: row_number is arbitrary among
+  * order-ties and so is the heap. Queries that keep `rn` in the output
+  * are left untouched.
+  */
+object RowNumberTopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, _))
+        if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, _))
+        if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, Literal(1, _))
+        if a.semanticEquals(rn) => Some(1)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList,
+        Filter(cond, Window(Seq(alias @ Alias(
+          WindowExpression(_: RowNumber, _), _)), part, order, child, _)))
+        if part.nonEmpty && order.nonEmpty &&
+          !projList.exists(_.references.contains(alias.toAttribute)) =>
+      limitOf(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 =>
+          // InferWindowGroupLimit may already have inserted a sort-based
+          // group limit below the Window; the heap subsumes it
+          val base = child match {
+            case WindowGroupLimit(_, _, _, _, c) => c
+            case other => other
+          }
+          Project(projList, TopKPerKey(part, order, k, base))
+        case _ => p
+      }
+  }
+}
+
 /** `spark.sql.extensions`-style registration
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => RowNumberTopKRewrite)
+  }
 }
 
 object TopKPerKey {
@@ -106,11 +156,16 @@ object TopKPerKey {
     * harness constructs the SparkSession itself, so the
     * `spark.sql.extensions` config path is not available to it).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(RowNumberTopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RowNumberTopKRewrite
+    }
+  }
 
   /** Top-k rows per key, ordered by `order` (use `.desc`/`.asc` columns;
     * bare columns default ascending).

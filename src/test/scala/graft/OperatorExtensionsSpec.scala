@@ -100,15 +100,38 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
         col("l_linenumber").asc)
+    // keep rn in the output so RowNumberTopKRewrite does NOT fire here —
+    // this must remain an independent WindowExec execution
     val windowed = Tables.table(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3).drop("rn")
+      .filter(col("rn") <= 3)
       .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
         col("l_orderkey"), col("l_linenumber"))
       .collect()
-    assert(native.toSeq == windowed.toSeq && native.nonEmpty)
+      .map(r => r.toSeq.dropRight(1))
+    assert(native.map(_.toSeq).toSeq == windowed.toSeq && native.nonEmpty)
+  }
+
+  test("RowNumberTopKRewrite turns the window spelling into TopKPerKey") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKPerKey.register(spark)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val df = Tables.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn") // rank discarded -> rewrite fires
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), plan.take(1500))
+    assert(!plan.contains("Window"), "rewrite did not fire:\n" + plan.take(1500))
+    // and the rewritten plan returns the right rows
+    val native = SparkEntry.queries("q_topk_native")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == native)
   }
 
   test("archive convert writes one parquet per member with reference naming") {

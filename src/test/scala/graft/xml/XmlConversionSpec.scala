@@ -102,6 +102,24 @@ class XmlConversionSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip single-file source decompresses transparently") {
+    // reference source S3 (convert_xml_to_parquet.py:361-383): Hadoop's
+    // codec layer handles .gz inside the XML reader
+    val dir = java.nio.file.Files.createTempDirectory("gz_src")
+    val gz = dir.resolve("bookOrder.xml.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(XmlQueries.resourceText("bookOrder.xml")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val plain = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(xmlPath))
+      .toJSON.collect().head
+    val viaGz = XmlToParquetJob.read(spark, XmlQueries.xsd, Seq(gz.toString))
+      .toJSON.collect().head
+    assert(viaGz == plain)
+    assert(XmlToParquetJob.outputName(gz.toString) == "bookOrder.xml.parquet")
+  }
+
   test("per-file parquet sink uses reference naming") {
     assert(XmlToParquetJob.outputName("/a/b/order.xml") == "order.xml.parquet")
     assert(XmlToParquetJob.outputName("x.xml.gz") == "x.xml.parquet")

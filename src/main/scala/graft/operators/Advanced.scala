@@ -193,6 +193,54 @@ object Advanced extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // --- HLL sketch aggregate (TypedImperativeAggregate; rows-only
+    // check, exactness cross-checked in OperatorExtensionsSpec) ---
+    "q_agg_hll" -> ((s, d) => {
+      graft.functions.HyperLogLog.register(s)
+      table(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |       graft_hll(o_custkey) AS approx_custs,
+          |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // --- map-typed columns: JSON -> map, key/value/lookup functions ---
+    "q_map_ops" -> ((s, d) =>
+      table(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), lit("map<string,bigint>")).as("m"))
+        .select(col("event_id"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+          lng(size(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"),
+          (element_at(col("m"), "k") * 2).as("k_doubled"))
+        .orderBy("event_id")),
+
+    // --- runtime bloom-filter pruning: build a bloom over the selective
+    // dimension's keys (scalar subquery -> broadcast), pre-filter the
+    // fact scan with might_contain, then the exact join removes the
+    // false positives — result-identical to the plain join (the oracle
+    // runs the unsalted SQL), but at 100 TB the fact rows that survive
+    // the bloom are a fraction of the scan, cutting the shuffle. This is
+    // Spark's own runtime row-level filtering shape, spelled explicitly.
+    "q_join_bloom" -> ((s, d) => {
+      graft.functions.BloomFns.register(s)
+      table(s, d, "supplier").createOrReplaceTempView("supplier")
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        s"""SELECT s_name, COUNT(*) AS n, ${S("l_extendedprice")} AS rev
+           |FROM (SELECT * FROM lineitem
+           |      WHERE graft_might_contain(
+           |        (SELECT graft_bloom_agg(xxhash64(s_suppkey), 100L, 8192L)
+           |         FROM supplier WHERE s_nationkey < 5),
+           |        xxhash64(l_suppkey))) l
+           |JOIN (SELECT * FROM supplier WHERE s_nationkey < 5) s
+           |  ON l.l_suppkey = s.s_suppkey
+           |GROUP BY s_name ORDER BY s_name""".stripMargin)
+    }),
+
     // --- custom physical operator: bounded-heap top-k per key
     // (graft.plans.TopKPerKey) — one hash exchange, NO per-partition
     // sort, unlike the row_number window spelling it replaces
@@ -322,6 +370,20 @@ object Advanced extends QueryModule {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_join_bloom" ->
+      s"""SELECT s_name, COUNT(*) AS n, ${S("l_extendedprice")} AS rev
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE s_nationkey < 5
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q_topk_native" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice

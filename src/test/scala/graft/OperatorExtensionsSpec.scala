@@ -134,6 +134,33 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet == native)
   }
 
+  test("HLL sketch estimates within the p=12 error envelope") {
+    val rows = SparkEntry.queries("q_agg_hll")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_custs").toDouble
+      val exact = r.getAs[Long]("exact_custs").toDouble
+      // 1.04/sqrt(4096) ~= 1.6% standard error; allow 4 sigma
+      assert(math.abs(approx - exact) / exact < 0.065,
+        s"HLL off: approx=$approx exact=$exact")
+    }
+  }
+
+  test("bloom-pruned join equals the plain join") {
+    val bloom = SparkEntry.queries("q_join_bloom")(spark, sf)
+      .collect().map(_.toSeq)
+    val plain = {
+      val l = Tables.table(spark, sf, "lineitem")
+      val s2 = Tables.table(spark, sf, "supplier")
+        .filter(col("s_nationkey") < 5)
+      l.join(s2, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"), Det.sumd(col("l_extendedprice")).as("rev"))
+        .orderBy("s_name").collect().map(_.toSeq)
+    }
+    assert(bloom.toSeq == plain.toSeq && bloom.nonEmpty)
+  }
+
   test("archive convert writes one parquet per member with reference naming") {
     val target = java.nio.file.Files.createTempDirectory("arch_sink").toString
     val zipIn = XmlQueries.fixtureDir.resolve("books.zip").toString

@@ -139,6 +139,7 @@ object ArchiveXmlSource {
     val members = readMembers(spark, paths)
     val opts = new java.util.HashMap[String, String]()
     opts.put("attributePrefix", "_")
+    opts.put("ignoreNamespace", "true")
     opts.put("nullValue", "")
     opts.put("mode", "PERMISSIVE")
     val parsed = members

@@ -68,6 +68,7 @@ object XmlToParquetJob {
     var df = spark.read.format("xml")
       .option("rowTag", root)
       .option("attributePrefix", "_")
+      .option("ignoreNamespace", "true")
       .option("nullValue", "")
       .option("mode", "PERMISSIVE")
       .schema(contentType)
@@ -156,6 +157,7 @@ object XmlToParquetJob {
     val df = spark.read.format("xml")
       .option("rowTag", root)
       .option("attributePrefix", "_")
+      .option("ignoreNamespace", "true")
       .option("nullValue", "")
       .option("mode", "PERMISSIVE")
       .schema(contentType)

@@ -20,6 +20,7 @@ class ShapingRulesSpec extends AnyFunSuite {
   private val xmlOpts = {
     val m = new java.util.HashMap[String, String]()
     m.put("attributePrefix", "_")
+    m.put("ignoreNamespace", "true")
     m.put("nullValue", "")
     m
   }
@@ -105,6 +106,16 @@ class ShapingRulesSpec extends AnyFunSuite {
       root = "r", excludes = Seq("/r/p/drop"))
     assert(df.toJSON.collect().head ==
       """{"r":{"p":[{"keep":"k1"},{"keep":"k2"}]}}""")
+  }
+
+  test("namespaces are stripped from element naming (reference rule 5)") {
+    // reference decodes with process_namespaces=False and local-name
+    // extraction (convert_xml_to_parquet.py:198,227)
+    val df = shape(
+      """<r xmlns="http://d" xmlns:a="http://x"><a:c>v</a:c><w>W</w></r>""",
+      StructType(Seq(StructField("c", StringType),
+        StructField("w", StringType))), root = "r")
+    assert(df.toJSON.collect().head == """{"r":{"c":"v","w":"W"}}""")
   }
 
   test("exclude dropping every child drops the parent struct too") {

@@ -241,6 +241,37 @@ object Advanced extends QueryModule {
            |GROUP BY s_name ORDER BY s_name""".stripMargin)
     }),
 
+    // --- bucketed co-located join: both sides pre-bucketed on the join
+    // key with the same bucket count, so the sort-merge join reads
+    // bucket i against bucket i directly — ZERO exchanges for the join
+    // (asserted in PlanQualitySpec). This is the 100 TB pattern for a
+    // fact table joined repeatedly on the same key: pay the bucketing
+    // shuffle once at write time, never again per query.
+    "q_join_bucketed" -> ((s, d) => {
+      val sfTag = new java.io.File(d).getName
+      val wh = s"/dev/shm/graft_bucketed/$sfTag"
+      def bucketize(name: String, key: String): String = {
+        val tbl = s"${name}_b_$sfTag".replace(".", "_")
+        if (!s.catalog.tableExists(tbl)) {
+          table(s, d, name).write
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$wh/$tbl")
+            .mode("overwrite").saveAsTable(tbl)
+        }
+        tbl
+      }
+      // merge hint: at test scale the planner would broadcast the small
+      // side (also fine); SMJ is the both-sides-huge shape the bucketing
+      // exists for, and with sorted buckets it needs neither exchange
+      // nor sort
+      val l = s.table(bucketize("lineitem", "l_orderkey")).hint("merge")
+      val o = s.table(bucketize("orders", "o_orderkey")).hint("merge")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- custom physical operator: bounded-heap top-k per key
     // (graft.plans.TopKPerKey) — one hash exchange, NO per-partition
     // sort, unlike the row_number window spelling it replaces
@@ -384,6 +415,11 @@ object Advanced extends QueryModule {
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |WHERE s_nationkey < 5
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_join_bucketed" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${S("l_quantity")} AS qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_topk_native" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice

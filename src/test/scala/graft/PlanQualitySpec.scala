@@ -75,6 +75,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed join runs with no exchange under the join") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "join required a shuffle despite bucketing:\n" + p.take(2000))
+    // SelectedBucketsCount marker proves the scan is bucket-aware
+    assert(p.contains("Bucketed: true"), p.take(2000))
+  }
+
   test("native top-k plans the custom operator, no window sort") {
     val p = plan("q_topk_native")
     assert(p.contains("TopKPerKey ["), p.take(1500)) // Exec renders sans suffix

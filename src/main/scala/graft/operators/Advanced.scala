@@ -252,11 +252,22 @@ object Advanced extends QueryModule {
       val wh = s"/dev/shm/graft_bucketed/$sfTag"
       def bucketize(name: String, key: String): String = {
         val tbl = s"${name}_b_$sfTag".replace(".", "_")
+        val path = s"$wh/$tbl"
         if (!s.catalog.tableExists(tbl)) {
-          table(s, d, name).write
-            .bucketBy(8, key).sortBy(key)
-            .option("path", s"$wh/$tbl")
-            .mode("overwrite").saveAsTable(tbl)
+          if (new java.io.File(path, "_SUCCESS").exists()) {
+            // bucketed files already on disk (earlier session): register
+            // the external table with its bucket spec instead of
+            // rewriting — the read path only needs the catalog metadata
+            val ddlSchema = table(s, d, name).schema.toDDL
+            s.sql(s"""CREATE TABLE $tbl ($ddlSchema) USING PARQUET
+                     |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                     |LOCATION '$path'""".stripMargin)
+          } else {
+            table(s, d, name).write
+              .bucketBy(8, key).sortBy(key)
+              .option("path", path)
+              .mode("overwrite").saveAsTable(tbl)
+          }
         }
         tbl
       }

@@ -50,24 +50,6 @@ object Dedup extends QueryModule {
     transform(sequence(lit(0), lit(Bands - 1)),
       i => xxhash64(slice(sig, i * Rows + 1, lit(Rows))))
 
-  // 64-bit SimHash, staged so each pass over the tokens happens once:
-  // token hashes -> per-bit +-1 counts (one zip_with merge per token) ->
-  // sign bits packed into a long. Pure SQL higher-order functions (expr
-  // strings because shiftright/shiftleft need column-typed shift amounts,
-  // which the Scala DSL doesn't expose).
-  private val tokenHashes: Column =
-    expr("transform(split(text, ' '), t -> xxhash64(t))")
-  private val bitCounts: Column = expr(
-    """aggregate(__hs, array_repeat(0, 64),
-      |  (acc, h) -> zip_with(acc,
-      |     transform(sequence(0, 63),
-      |               i -> if((shiftright(h, i) & 1) = 1, 1, -1)),
-      |     (a, b) -> a + b))""".stripMargin)
-  private val packBits: Column = expr(
-    """aggregate(sequence(0, 63), cast(0 as bigint),
-      |  (acc, i) -> acc + if(element_at(__counts, i + 1) > 0,
-      |                       shiftleft(cast(1 as bigint), i),
-      |                       cast(0 as bigint)))""".stripMargin)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Canonical LSH candidate generation: the band self-join moves ONLY
@@ -111,14 +93,14 @@ object Dedup extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
-    // explode(array(e)) between stages: Generate is a CollapseProject
-    // barrier, so each stage's expression is evaluated exactly once per
-    // row instead of being inlined into every downstream reference.
+    // One fused codegen'd pass per document: split (codegen'd) ->
+    // SimHash64 native expression (functions/SimHash64.scala). Replaces
+    // the round-2 aggregate/zip_with HOF chain that Spark evaluated
+    // interpreted (66.5 s in BENCH_r02); signatures are bit-identical.
     "q_dedup_simhash" -> ((s, d) =>
       table(s, d, "documents")
-        .select(col("doc_id"), explode(array(tokenHashes)).as("__hs"))
-        .select(col("doc_id"), explode(array(bitCounts)).as("__counts"))
-        .select(col("doc_id"), explode(array(packBits)).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
         .select(col("doc_id"), col("simhash"),
           (shiftright(col("simhash"), 0).bitwiseAND(lit(0xFFFFL))).as("band0"),
           (shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL))).as("band1"),

@@ -161,6 +161,27 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(bloom.toSeq == plain.toSeq && bloom.nonEmpty)
   }
 
+  test("native SimHash64 equals the SQL-HOF spelling bit-for-bit") {
+    // the round-2 reference spelling, kept here as the oracle: per-token
+    // xxhash64 -> per-bit +-1 counts -> sign bits packed into a long
+    val hofSig = expr(
+      """aggregate(sequence(0, 63), cast(0 as bigint),
+        |  (acc, i) -> acc + if(element_at(
+        |      aggregate(transform(split(text, ' '), t -> xxhash64(t)),
+        |        array_repeat(0, 64),
+        |        (acc2, h) -> zip_with(acc2,
+        |           transform(sequence(0, 63),
+        |                     j -> if((shiftright(h, j) & 1) = 1, 1, -1)),
+        |           (a, b) -> a + b)), i + 1) > 0,
+        |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin)
+    val rows = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        functions.SimHash64(split(col("text"), " ")).as("native"),
+        hofSig.as("hof"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("archive convert writes one parquet per member with reference naming") {
     val target = java.nio.file.Files.createTempDirectory("arch_sink").toString
     val zipIn = XmlQueries.fixtureDir.resolve("books.zip").toString

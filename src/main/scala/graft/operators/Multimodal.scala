@@ -46,13 +46,18 @@ object Multimodal extends QueryModule {
   private[graft] def decodeOne(m: MediaRow): DecodedRow =
     decodeBatch(Seq(m)).head
 
-  /** Deterministic stand-in for a codec call on a batch of payloads. */
+  /** Deterministic stand-in for a codec call on a batch of payloads.
+    * The fake "dimensions" come from the first/last CODE POINT of the
+    * payload decoded as UTF-8 — code points, not raw bytes, because the
+    * DuckDB oracle's `ord(substring(text, ...))` is code-point based and
+    * the two must agree for non-ASCII payloads too.
+    */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedRow] =
     batch.map { m =>
-      val first = if (m.payload.nonEmpty) (m.payload(0) & 0xff).toLong else 0L
+      val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val first = if (text.nonEmpty) text.codePointAt(0).toLong else 0L
       val last =
-        if (m.payload.nonEmpty) (m.payload(m.payload.length - 1) & 0xff).toLong
-        else 0L
+        if (text.nonEmpty) text.codePointBefore(text.length).toLong else 0L
       DecodedRow(m.doc_id, m.media_type,
         width = 64L + first % 64L,
         height = 64L + last % 64L,

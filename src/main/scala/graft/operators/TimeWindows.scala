@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Oracle note: `session_window(ts, gap)` sessions are [min_ts,
   * max_ts + gap) with a new session whenever the gap between consecutive
-  * events (per key) strictly exceeds `gap`; the DuckDB twin reproduces
-  * that with a gaps-and-islands running sum.
+  * events (per key) reaches `gap` — the window range is half-open, so an
+  * event landing exactly on `last + gap` starts a NEW session; the DuckDB
+  * twin reproduces that with a gaps-and-islands running sum split at
+  * `>= gap`.
   */
 object TimeWindows extends QueryModule {
 
@@ -50,7 +52,7 @@ object TimeWindows extends QueryModule {
       s"""WITH marked AS (
          |  SELECT user_id, ts, value,
          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-         |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
          |  FROM events),
          |numbered AS (
          |  SELECT user_id, ts, value,

@@ -44,7 +44,14 @@ object ArchiveXmlSource {
     * (keep members already read, skip the rest) and close the stream.
     */
   private final class MemberIterator(in: java.io.Closeable,
-      fetch: () => Option[Member]) extends Iterator[Member] {
+      fetch: () => Option[Member])
+      extends Iterator[Member] with java.io.Closeable {
+    /** Idempotent; also safe to call mid-iteration (task kill / limit
+      * abandoning the iterator) — the underlying archive streams
+      * tolerate a second close.
+      */
+    override def close(): Unit =
+      try in.close() catch { case _: java.io.IOException => () }
     private var nxt: Option[Member] = advance()
     private def advance(): Option[Member] =
       try {
@@ -120,7 +127,18 @@ object ArchiveXmlSource {
       .select("path").as[String]
     files.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      memberIterator(p, () => hp.getFileSystem(bcConf.value.value).open(hp))
+      val it =
+        memberIterator(p, () => hp.getFileSystem(bcConf.value.value).open(hp))
+      // If the task abandons the iterator early (limit, kill, failure)
+      // the archive stream and its file descriptor would leak — close it
+      // at task completion (no-op if iteration already closed it).
+      it match {
+        case c: java.io.Closeable =>
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => c.close()))
+        case _ => ()
+      }
+      it
     }.toDF()
   }
 

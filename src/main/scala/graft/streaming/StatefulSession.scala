@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.QueryModule
 
@@ -11,18 +12,21 @@ import graft.QueryModule
   * hand-rolled-state counterpart of the built-in `session_window` used by
   * `q_window_session` — the two are asserted equal in the test suite.
   *
-  * Semantics: a session is a maximal run of events per user where each
-  * event follows the previous within `Gap` (strictly greater gap starts a
-  * new session); emitted as [min_ts, max_ts + Gap) exactly like
-  * `session_window`. Each trigger emits a SNAPSHOT of every session
-  * touched this batch (closed sessions are final; the open tail session
-  * re-emits, updated, on later triggers — Update output mode). The open
-  * tail is carried in `GroupState`, so state per user is one small
-  * struct, not the event history: the shape that survives unbounded
-  * streams. In production you would add an event-time timeout
-  * (`GroupStateTimeout.EventTimeTimeout`) to finalize and evict idle
-  * sessions at the watermark; the one-shot replay harness has a single
-  * trigger, so no timeout ever fires here.
+  * Semantics match `session_window(ts, gap)`: a session is a maximal run
+  * of events per user where each event follows the previous by LESS than
+  * `Gap` (a gap of exactly `Gap` starts a new session — the window range
+  * is [start, last + gap)); emitted as [min_ts, max_ts + Gap).
+  *
+  * Production state lifecycle, not a one-shot snapshot: the query runs
+  * `GroupStateTimeout.EventTimeTimeout` against a 0-delay watermark, so a
+  * session is emitted EXACTLY ONCE, when it closes — either a later event
+  * of the same user splits it, or the watermark passes `last + Gap` and
+  * the timeout fires, which also evicts the state (bounded state on
+  * unbounded streams). The replay harness time-splits the events file
+  * into two batches, so mid-stream timeouts genuinely fire between
+  * them; a far-future sentinel event (filtered user -1) rides in the
+  * last batch so the trailing no-data microbatch flushes every open
+  * tail.
   *
   * Determinism: sums are accumulated as DECIMAL(18,4)-style unscaled
   * longs (value quantized at 1e-4, exactly the Det.sumd policy) and
@@ -31,7 +35,9 @@ import graft.QueryModule
   */
 object StatefulSession extends QueryModule {
 
-  /** One event entering the sessionizer (ts in epoch micros). */
+  /** One event entering the sessionizer (ts_us in epoch micros; the
+    * `ts` timestamp twin carries the watermark).
+    */
   final case class SessEvent(user_id: Long, ts_us: Long, value: Double)
 
   /** Open-session state: one struct per user, independent of history
@@ -45,6 +51,11 @@ object StatefulSession extends QueryModule {
       n: Long, sum_value: Double)
 
   private val GapUs = 30L * 60L * 1000000L
+
+  /** Sentinel user replayed after the real data purely to advance the
+    * watermark past every `last + Gap`; filtered from the output.
+    */
+  private val SentinelUser = -1L
 
   /** DECIMAL(18,4) quantization of a measure (Det policy, JVM-side). */
   private def quant(v: Double): Long =
@@ -62,23 +73,32 @@ object StatefulSession extends QueryModule {
     SessionRow(user, fmtMicros(s.start_us), fmtMicros(s.last_us + GapUs),
       s.n, BigDecimal(java.math.BigInteger.valueOf(s.sum_q), 4).toDouble)
 
-  /** The stateful function: fold this batch's events (sorted by event
-    * time) onto the carried open session, splitting at > Gap; emit every
-    * session touched, carry the open tail.
+  /** The stateful function. Timeout path: the watermark passed
+    * `last + Gap` with no further event — the carried session is final;
+    * emit it once and evict the state. Data path: fold this batch's
+    * events (sorted by event time) onto the carried open session,
+    * splitting at >= Gap (session_window's boundary rule); emit the
+    * sessions that CLOSED, carry the open tail with its timeout armed at
+    * `last + Gap`.
     */
   private[streaming] def sessionize(user: Long, it: Iterator[SessEvent],
       state: GroupState[OpenSession]): Iterator[SessionRow] = {
+    if (state.hasTimedOut) {
+      val fin = state.get
+      state.remove()
+      return Iterator.single(emit(user, fin))
+    }
     val evs = it.toArray.sortBy(_.ts_us)
     if (evs.isEmpty) return Iterator.empty
-    var sessions = List.empty[OpenSession]
+    var closed = List.empty[OpenSession]
     var cur = state.getOption.orNull
     evs.foreach { e =>
       val q = quant(e.value)
       cur match {
         case null =>
           cur = OpenSession(e.ts_us, e.ts_us, 1L, q)
-        case c if e.ts_us - c.last_us > GapUs =>
-          sessions ::= c
+        case c if e.ts_us - c.last_us >= GapUs =>
+          closed ::= c
           cur = OpenSession(e.ts_us, e.ts_us, 1L, q)
         case c =>
           cur = OpenSession(c.start_us, math.max(c.last_us, e.ts_us),
@@ -86,37 +106,99 @@ object StatefulSession extends QueryModule {
       }
     }
     state.update(cur)
-    (cur :: sessions).reverseIterator.map(emit(user, _))
+    state.setTimeoutTimestamp((cur.last_us + GapUs) / 1000L)
+    closed.reverseIterator.map(emit(user, _))
   }
+
+  /** Materialize the multi-batch replay of `events.parquet` on tmpfs:
+    * two time-split halves (so the inter-batch watermark advance fires
+    * mid-stream timeouts) plus the sentinel file, modification times
+    * forcing replay order. Cache key = source fingerprint (path, size,
+    * mtime) so a regenerated source misses the cache; built atomically
+    * via rename.
+    */
+  private[graft] def replayDir(s: SparkSession, d: String): String = {
+    val src = new java.io.File(d, "events.parquet")
+    val desc = s"${src.getAbsolutePath}|${src.length}|${src.lastModified}"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    val dir = new java.io.File(s"/dev/shm/graft_replay/$fp")
+    if (!dir.exists()) {
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      val raw = s.read.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("value"))
+      val Row(mn: Long, mx: Long) = raw.agg(min("ts_us"), max("ts_us")).head()
+      val mid = mn + (mx - mn) / 2
+      val tmp = new java.io.File(s"/dev/shm/graft_replay/.tmp-$fp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      tmp.mkdirs()
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(tmp, s".stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(tmp, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        dest.setLastModified(mtime)
+      }
+      val t0 = src.lastModified()
+      import s.implicits._
+      // The sentinel rides in the LAST data file (not its own batch):
+      // its event time advances the watermark at end-of-batch1, so the
+      // single trailing no-data batch flushes every open tail — three
+      // microbatches total instead of four.
+      val sentinelTs = mx + 100L * 86400L * 1000000L // 100 days past the end
+      val sentinel = Seq((sentinelTs, SentinelUser, 0.0d))
+        .toDF("ts_us", "user_id", "value")
+      writeOne(raw.filter(col("ts_us") < mid), "batch0.parquet", t0)
+      writeOne(raw.filter(col("ts_us") >= mid).unionAll(sentinel),
+        "batch1.parquet", t0 + 60000L)
+      if (!tmp.renameTo(dir)) // lost a concurrent-build race: theirs is equivalent
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    dir.toString
+  }
+
+  private val replaySchema = StructType(Seq(
+    StructField("ts_us", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType)))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_session" -> ((s, d) => {
       import s.implicits._
-      val schema = graft.Tables.rawEventsSchema(s, d)
       val stream = s.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .select(expr("ts div 1000").as("ts_us"), col("user_id"),
-          col("value"))
+        .schema(replaySchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replayDir(s, d))
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "0 seconds")
         .as[SessEvent]
       val out = stream.groupByKey(_.user_id)
         .flatMapGroupsWithState[OpenSession, SessionRow](
-          OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionize)
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(sessionize)
+        .filter(col("user_id") =!= SentinelUser)
       val name = "graft_stream_session"
       // see StreamingSmoke: state partitions sized to the state, not CPUs
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val ckpt = s"/dev/shm/graft_ckpt/sess-" +
+        java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream
-          .outputMode("update").format("memory").queryName(name).start()
+          .outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       s.table(name).orderBy("user_id", "s_start")
     })
   )
 
   // Streaming result: rows-only check; asserted equal to the batch
-  // session_window query in QueryInventorySpec.
+  // session_window query (and exactly-once) in QueryInventorySpec.
   override def oracle: Map[String, String] = Map()
 }

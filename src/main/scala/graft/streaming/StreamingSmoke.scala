@@ -39,12 +39,22 @@ object StreamingSmoke extends QueryModule {
       // hundred window x type keys), not the CPU count. At fleet scale
       // this would instead be sized to executors x cores.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // checkpoint + state store on tmpfs: the default temp checkpoint
+      // lands on the (stall-prone) block device and is pure harness
+      // overhead for a replay smoke
+      val ckpt = s"/dev/shm/graft_ckpt/rate-" +
+        java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = agg.writeStream
-          .outputMode("complete").format("memory").queryName(name).start()
+          .outputMode("complete").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       s.table(name).orderBy("hour_start", "event_type")
     })
   )

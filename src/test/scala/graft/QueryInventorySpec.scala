@@ -58,12 +58,21 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
-  test("stateful streaming sessions equal batch session_window") {
-    val stream = SparkEntry.queries("q_streaming_session")(spark, sf)
-      .collect().map(_.toSeq).toSet
+  test("stateful streaming sessions equal batch session_window, " +
+      "each emitted exactly once across a multi-batch replay") {
+    // the replay is genuinely multi-batch (two time-split halves, the
+    // watermark sentinel riding in the last), so mid-stream event-time
+    // timeouts fire between batches
+    val replay = new java.io.File(
+      streaming.StatefulSession.replayDir(spark, sf))
+    assert(replay.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
+    val rows = SparkEntry.queries("q_streaming_session")(spark, sf)
+      .collect().map(_.toSeq)
+    // closed sessions are append-mode emissions: exactly once each
+    assert(rows.length == rows.toSet.size)
     val batch = SparkEntry.queries("q_window_session")(spark, sf)
       .collect().map(_.toSeq).toSet
-    assert(stream == batch && stream.nonEmpty)
+    assert(rows.toSet == batch && rows.nonEmpty)
   }
 
   test("simhash signatures: near-dup pairs have small hamming distance") {

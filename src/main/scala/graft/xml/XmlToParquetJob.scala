@@ -24,10 +24,12 @@ import org.apache.spark.sql.types.StructType
   *   - one Parquet output per input XML (reference sink K1, naming
   *     `<base>.xml.parquet`, convert_xml_to_parquet.py:397,489-508) via a
   *     metadata-only driver loop — the per-file work itself runs in
-  *     executor tasks. For fleet-scale corpora `convertPartitioned`
-  *     writes the whole corpus in ONE job partitioned by source file,
-  *     which is the shape that survives 100 TB (no per-file job
-  *     scheduling overhead; files >> cores parallelism).
+  *     executor tasks, and an archive's members are all written by ONE
+  *     `partitionBy` job + renames, not a job per member. For
+  *     fleet-scale corpora `convertPartitioned` writes the whole corpus
+  *     in ONE job partitioned by source file, which is the shape that
+  *     survives 100 TB (no per-file job scheduling overhead;
+  *     files >> cores parallelism).
   */
 object XmlToParquetJob {
 
@@ -106,12 +108,21 @@ object XmlToParquetJob {
   /** Exact reference parity sink: one Parquet output per input XML file,
     * named `<base>.xml.parquet`; archive inputs (zip / tar.gz) emit one
     * Parquet PER MEMBER named `<base>.<member>.parquet`
-    * (convert_xml_to_parquet.py:318,351). Driver loop is metadata-only;
-    * parse+write run as tasks. Returns the written output paths.
+    * (convert_xml_to_parquet.py:318,351). An archive is written in ONE
+    * Spark job — `partitionBy` on the member routing column, then a
+    * metadata-only rename of each partition directory to the reference
+    * name — so driver work is O(1) jobs per input regardless of member
+    * count. Returns the written output paths.
+    *
+    * `deleteSource` mirrors the reference's `-d` flag
+    * (convert_xml_to_parquet.py:407-408): the input is deleted only
+    * after its outputs are successfully written; any write failure
+    * propagates first, so the source survives.
     */
   def convert(spark: SparkSession, xsdContent: String, inputs: Seq[String],
       targetDir: String, cfg: Config = Config(),
-      rowTag: Option[String] = None): Seq[String] = {
+      rowTag: Option[String] = None,
+      deleteSource: Boolean = false): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     // glob-expand + dedup, the reference's worklist build
     // (convert_xml_to_parquet.py:464-475)
@@ -122,27 +133,44 @@ object XmlToParquetJob {
         .getOrElse(Seq(in))
     }.distinct
     files.flatMap { f =>
-      if (isArchive(f)) {
-        val base = outputBase(f)
-        val shaped = graft.sources.ArchiveXmlSource
-          .read(spark, xsdContent, Seq(f), cfg, rowTag, keepMember = true)
-          .cache()
-        try {
-          val members = shaped.select("__member").distinct()
-            .collect().map(_.getString(0)).sorted.toSeq
-          members.map { m =>
-            val out = s"$targetDir/$base.$m.parquet"
-            shaped.filter(col("__member") === m).drop("__member")
-              .coalesce(1).write.mode("overwrite").parquet(out)
-            out
-          }
-        } finally shaped.unpersist()
-      } else {
-        val out = s"$targetDir/${outputName(f)}"
-        read(spark, xsdContent, Seq(f), cfg, rowTag)
-          .coalesce(1).write.mode("overwrite").parquet(out)
-        Seq(out)
+      val outs: Seq[String] =
+        if (isArchive(f)) {
+          val base = outputBase(f)
+          val shaped = graft.sources.ArchiveXmlSource
+            .read(spark, xsdContent, Seq(f), cfg, rowTag, keepMember = true)
+          // one job: route rows to per-member partition dirs (repartition
+          // on the member key so each member lands as one file), then
+          // rename dirs to the reference naming
+          val staging = new Path(targetDir,
+            s".graft_stage_${base}_${java.util.UUID.randomUUID.toString.take(8)}")
+          shaped.repartition(col("__member"))
+            .write.mode("overwrite").partitionBy("__member")
+            .parquet(staging.toString)
+          val fs = staging.getFileSystem(hconf)
+          try {
+            fs.listStatus(staging).toSeq
+              .filter(_.getPath.getName.startsWith("__member="))
+              .map { st =>
+                val m = org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils
+                  .unescapePathName(st.getPath.getName.stripPrefix("__member="))
+                val dest = new Path(targetDir, s"$base.$m.parquet")
+                fs.delete(dest, true)
+                fs.rename(st.getPath, dest)
+                dest.toString
+              }.sorted
+          } finally fs.delete(staging, true)
+        } else {
+          val out = s"$targetDir/${outputName(f)}"
+          read(spark, xsdContent, Seq(f), cfg, rowTag)
+            .coalesce(1).write.mode("overwrite").parquet(out)
+          Seq(out)
+        }
+      if (deleteSource) {
+        val p = new Path(f)
+        p.getFileSystem(hconf).delete(p, false)
       }
+      outs
     }
   }
 

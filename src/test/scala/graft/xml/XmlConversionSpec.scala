@@ -148,4 +148,81 @@ class XmlConversionSpec extends AnyFunSuite {
     val back = spark.read.parquet(written.head)
     assert(back.count() == 1 && back.columns.toSeq == Seq("bookOrder"))
   }
+
+  test("deleteSource removes the input after success, keeps it on failure") {
+    // reference -d flag (convert_xml_to_parquet.py:407-408)
+    val srcDir = java.nio.file.Files.createTempDirectory("del_src")
+    val src = srcDir.resolve("bookOrder.xml")
+    java.nio.file.Files.writeString(src,
+      XmlQueries.resourceText("bookOrder.xml"))
+    val target = java.nio.file.Files.createTempDirectory("del_out").toString
+    XmlToParquetJob.convert(spark, XmlQueries.xsd, Seq(src.toString),
+      target, deleteSource = true)
+    assert(!java.nio.file.Files.exists(src), "source must be gone on success")
+    assert(spark.read.parquet(s"$target/bookOrder.xml.parquet").count() == 1)
+
+    // failed write (unwritable target) must propagate BEFORE deletion
+    val src2 = srcDir.resolve("bookOrder2.xml")
+    java.nio.file.Files.writeString(src2,
+      XmlQueries.resourceText("bookOrder.xml"))
+    intercept[Exception] {
+      XmlToParquetJob.convert(spark, XmlQueries.xsd, Seq(src2.toString),
+        "/proc/graft_unwritable", deleteSource = true)
+    }
+    assert(java.nio.file.Files.exists(src2),
+      "source must survive a failed conversion")
+  }
+
+  test("archive convert runs one write job regardless of member count") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val target = java.nio.file.Files.createTempDirectory("arch_one").toString
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      XmlToParquetJob.convert(spark, XmlQueries.xsd,
+        Seq(XmlQueries.fixtureDir.resolve("books.zip").toString), target)
+      Thread.sleep(1000) // listener events post asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one partitionBy write job (+ at most one listing job), NOT a job
+    // per member — the renames are driver-side metadata ops
+    assert(jobs.get() <= 2, s"expected a single write job, saw ${jobs.get()}")
+  }
+
+  test("CLI main converts with the reference flag surface") {
+    val srcDir = java.nio.file.Files.createTempDirectory("cli_src")
+    val xsdFile = srcDir.resolve("bookOrder.xsd")
+    java.nio.file.Files.writeString(xsdFile, XmlQueries.xsd)
+    java.nio.file.Files.writeString(srcDir.resolve("bookOrder.xml"),
+      XmlQueries.resourceText("bookOrder.xml"))
+    java.nio.file.Files.copy(XmlQueries.fixtureDir.resolve("books.zip"),
+      srcDir.resolve("books.zip"))
+    val target = java.nio.file.Files.createTempDirectory("cli_out").toString
+    Main.main(Array(
+      "-x", xsdFile.toString, "-t", target, "-f", "-m", "2",
+      "-e", "/bookOrder/note",
+      s"$srcDir/bookOrder.xml", s"$srcDir/books.zip"))
+    val outs = new java.io.File(target).listFiles().map(_.getName).sorted
+    assert(outs.toSeq == Seq("bookOrder.xml.parquet",
+      "books.order1.xml.parquet", "books.order2.xml.parquet"))
+    val back = spark.read.parquet(s"$target/bookOrder.xml.parquet")
+    assert(back.count() == 1)
+    assert(back.columns.contains("file_info"))
+    // -e pruned the note subtree
+    assert(!back.select("bookOrder.*").columns.contains("note"))
+    // borrowed session must survive main()
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("CLI flag parser matches the reference argument grammar") {
+    val a = Main.parse(List("-x", "s.xsd", "-p", "/a,/b", "-e", "/c",
+      "-m", "4", "-d", "-f", "-b", "1024", "-v", "INFO", "in1.xml",
+      "in2.zip"))
+    assert(a.xsd.contains("s.xsd") && a.includes == Seq("/a", "/b") &&
+      a.excludes == Seq("/c") && a.multi == 4 && a.delete && a.fileInfo &&
+      a.verbose == "INFO" && a.inputs == Seq("in1.xml", "in2.zip"))
+  }
 }

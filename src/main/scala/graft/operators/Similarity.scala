@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   * Scale path: `q_sim_topk` is the brute-force baseline — the probe set
   * is broadcast, candidates never shuffle, and the only exchange is the
   * per-probe top-k window over k·|probes| rows. `q_sim_lsh` is the
-  * 100 TB variant: random-hyperplane LSH buckets both sides so each
-  * probe only scores its own bucket — the cross join becomes an equi
-  * join on `bucket` (uniform keys by construction), trading recall for
-  * a ~2^planes fan-in reduction. `q_sim_ivf` is the learned-partition
+  * 100 TB variant: multi-table random-hyperplane LSH (L tables of k
+  * sign bits) buckets both sides so each probe scores only candidates
+  * colliding in at least one table — the cross join becomes an equi
+  * join on (table, bucket) (uniform keys by construction), trading a
+  * tunable recall (1-(1-p^k)^L) for a ~2^k per-table fan-in reduction. `q_sim_ivf` is the learned-partition
   * variant: nearest-centroid assignment replaces the hash, nprobe = 1.
   */
 object Similarity extends QueryModule {
@@ -40,20 +41,15 @@ object Similarity extends QueryModule {
   private def cosQ(dot: Column, an: Column, bn: Column): Column =
     dot.cast("double") / (sqrt(an.cast("double")) * sqrt(bn.cast("double")))
 
-  /** Deterministic pseudo-random hyperplane component for plane p, dim i:
-    * xxhash64(p, i) scaled to [-1, 1) — reproducible on any cluster.
+  /** LSH geometry: L hash tables of k sign-bit planes each. A true
+    * neighbor is a candidate if it collides in ANY table, so per-pair
+    * recall is 1-(1-p^k)^L (p = 1 - angle/pi) — the multi-table union
+    * is what makes hyperplane LSH usable (one k-bit table alone has
+    * p^k recall, near zero for moderate angles). k scales with corpus
+    * size (bucket occupancy ~ n / 2^k), L buys recall at linear cost.
     */
-  private def planeBit(emb: Column, plane: Int): Column = {
-    val dot = aggregate(
-      zip_with(emb, sequence(lit(0), size(emb) - 1),
-        (x, i) => x.cast("double") *
-          (xxhash64(lit(plane), i).cast("double") / Long.MaxValue.toDouble)),
-      lit(0.0), (acc, v) => acc + v)
-    when(dot >= 0.0, lit(1L << plane)).otherwise(lit(0L))
-  }
-
-  private def lshBucket(emb: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map(planeBit(emb, _)).reduce(_ + _)
+  private val LshTables = 8
+  private val LshPlanes = 4
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- brute-force cosine top-k (exact ANN baseline) ---
@@ -133,20 +129,31 @@ object Similarity extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
-    // --- LSH-bucketed ANN (scale path; approximate, self-checked) ---
+    // --- LSH-bucketed ANN (scale path; approximate, self-checked).
+    // Candidate generation mirrors q_dedup_minhash's banding: the
+    // (table, bucket) equi-join moves only 24-byte rows, pairs
+    // colliding in several tables are distinct()'d BEFORE vectors are
+    // fetched, and only then does the (small) candidate set score
+    // against the corpus. ---
     "q_sim_lsh" -> ((s, d) => {
-      val nPlanes = 8
       val e = table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").as("q"),
-          lshBucket(col("embedding"), nPlanes).as("bucket"))
+        .select(col("vec_id"), col("embedding").as("q"))
         .withColumn("nn", dotQ(col("q"), col("q")))
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
-          col("bucket"), col("nn").as("pn"))
-      val cands = e.select(col("vec_id").as("cand_id"), col("q").as("cq"),
-        col("bucket"), col("nn").as("cn"))
-      val scored = cands.join(broadcast(probes), "bucket")
-        .filter(col("cand_id") =!= col("probe_id"))
+      val buckets = e.select(col("vec_id"),
+        posexplode(graft.functions.LshBuckets(col("q"), LshTables, LshPlanes))
+          .as(Seq("tbl", "bucket")))
+      val probeBuckets = buckets.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
+      val cand = buckets.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"))
+        .distinct()
+      val scored = cand
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+            col("nn").as("pn"))), "probe_id")
+        .join(e.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+          col("nn").as("cn")), "cand_id")
         .select(col("probe_id"), col("cand_id"),
           cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("cos"))
       val w = Window.partitionBy("probe_id")

@@ -75,6 +75,65 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(rows.toSet == batch && rows.nonEmpty)
   }
 
+  test("LSH ANN: exact scores, reproducible buckets, recall floor") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(a: Array[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    def cos(a: Long, b: Long): Double = {
+      val qa = quant(vecs(a)); val qb = quant(vecs(b))
+      val dot = qa.lazyZip(qb).map(_ * _).sum
+      dot.toDouble / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    }
+    // independent re-derivation of the multi-table random-hyperplane
+    // buckets (L=8 tables x k=4 planes): plane id P = t*k+p, component
+    // for dim i chains hashInt(i, hashInt(P, seed=42))
+    def buckets(v: Array[Float]): Seq[Long] =
+      (0 until 8).map { t =>
+        (0 until 4).map { p =>
+          val h1 = XXH64.hashInt(t * 4 + p, 42L)
+          val dot = v.zipWithIndex.map { case (x, i) =>
+            x.toDouble * (XXH64.hashInt(i, h1).toDouble / Long.MaxValue.toDouble)
+          }.sum
+          if (dot >= 0.0) 1L << p else 0L
+        }.sum
+      }
+    def collides(a: Array[Float], b: Array[Float]): Boolean =
+      buckets(a).lazyZip(buckets(b)).exists(_ == _)
+    val lsh = SparkEntry.queries("q_sim_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(lsh.nonEmpty)
+    // every emitted score is the exact cosine of a real corpus pair,
+    // bit-for-bit (LSH only prunes candidates, never alters scores)
+    lsh.foreach { case (p, c, s, _) => assert(s == cos(p, c), s"($p,$c)") }
+    // full-result equality with a from-scratch multi-table top-5
+    val expected = (0L until 10L).flatMap { p =>
+      vecs.keys.filter(c => c != p && collides(vecs(p), vecs(c)))
+        .map(c => (p, c, cos(p, c))).toSeq
+        .sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((pp, c, s), i) => (pp, c, s, (i + 1).toLong) }
+    }.toSet
+    assert(lsh.toSet == expected)
+    // recall against the exact brute-force top-5 (the LSH bargain:
+    // approximate, but must find a meaningful share of true neighbors)
+    val brute = (0L until 10L).map { p =>
+      p -> vecs.keys.filter(_ != p).map(c => (c, cos(p, c))).toSeq
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    }
+    val lshByProbe = lsh.groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val recall = brute.map { case (p, bs) =>
+      (bs & lshByProbe.getOrElse(p, Set.empty[Long])).size }.sum.toDouble /
+      brute.map(_._2.size).sum
+    info(f"LSH recall vs brute-force top-5: $recall%.2f")
+    // deterministic construction + fixed corpus => stable measure
+    // (0.60 on this fixture); the floor leaves noise-free headroom
+    assert(recall >= 0.4, s"recall $recall below floor")
+  }
+
   test("simhash signatures: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions._
     val sig = SparkEntry.queries("q_dedup_simhash")(spark, sf)

@@ -26,10 +26,11 @@ import graft.xml.XmlToParquetJob.Config
   * 2 GB JVM array limit are fine; a single member must still fit in one
   * String, which is also the reference's bound — it materializes one
   * member tree at a time). A corrupt archive yields the members read
-  * before the corruption and skips the rest, approximating the
-  * reference's whole-archive `testzip()` skip
-  * (convert_xml_to_parquet.py:333-338) without a second pass over the
-  * stream. One archive is one task in both systems — at fleet scale,
+  * before the corruption and skips the rest by default; strict mode
+  * (`Config.strictArchives`) instead rejects the whole archive after a
+  * validation pass, exactly the reference's `testzip()` rule
+  * (convert_xml_to_parquet.py:333-338) at the same two-reads cost. One
+  * archive is one task in both systems — at fleet scale,
   * archives >> cores gives full parallelism; a single multi-TB archive is
   * a straggler in both.
   */
@@ -41,11 +42,14 @@ object ArchiveXmlSource {
 
   /** Lazy, self-closing member iterator: `fetch` returns the next member
     * or None at end-of-archive; IO/format errors truncate the iteration
-    * (keep members already read, skip the rest) and close the stream.
+    * (keep members already read, skip the rest), close the stream, and
+    * set `failed` — strict mode uses that flag to reject the archive.
     */
   private final class MemberIterator(in: java.io.Closeable,
       fetch: () => Option[Member])
       extends Iterator[Member] with java.io.Closeable {
+    /** True once an IO/format error truncated the iteration. */
+    var failed: Boolean = false
     /** Idempotent; also safe to call mid-iteration (task kill / limit
       * abandoning the iterator) — the underlying archive streams
       * tolerate a second close.
@@ -60,6 +64,7 @@ object ArchiveXmlSource {
         m
       } catch {
         case _: java.io.IOException | _: RuntimeException =>
+          failed = true
           try in.close() catch { case _: java.io.IOException => () }
           None
       }
@@ -118,8 +123,16 @@ object ArchiveXmlSource {
     * expansion). The `binaryFile` scan is used only as a Hadoop-glob file
     * LISTING (selecting `path` prunes the content column); each task then
     * re-opens its archive as a stream.
+    *
+    * `strict = true` reproduces the reference's whole-archive `testzip`
+    * rule (convert_xml_to_parquet.py:333-338): a validation pass streams
+    * the full archive first, and ANY corruption rejects every member of
+    * that archive (the lenient default keeps members read before the
+    * corruption). Same two-reads cost profile as the reference; per-task,
+    * so validation parallelizes with everything else.
     */
-  def readMembers(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  def readMembers(spark: SparkSession, paths: Seq[String],
+      strict: Boolean = false): DataFrame = {
     import spark.implicits._
     val bcConf = spark.sparkContext.broadcast(
       new SerializableWritable(spark.sparkContext.hadoopConfiguration))
@@ -127,18 +140,30 @@ object ArchiveXmlSource {
       .select("path").as[String]
     files.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      val it =
+      def mk() =
         memberIterator(p, () => hp.getFileSystem(bcConf.value.value).open(hp))
-      // If the task abandons the iterator early (limit, kill, failure)
-      // the archive stream and its file descriptor would leak — close it
-      // at task completion (no-op if iteration already closed it).
-      it match {
-        case c: java.io.Closeable =>
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => c.close()))
-        case _ => ()
+      val rejected = strict && {
+        mk() match {
+          case v: MemberIterator =>
+            while (v.hasNext) v.next() // full CRC/format validation scan
+            v.failed
+          case _ => false
+        }
       }
-      it
+      if (rejected) Iterator.empty
+      else {
+        val it = mk()
+        // If the task abandons the iterator early (limit, kill, failure)
+        // the archive stream and its file descriptor would leak — close
+        // it at task completion (no-op if iteration already closed it).
+        it match {
+          case c: java.io.Closeable =>
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => c.close()))
+          case _ => ()
+        }
+        it
+      }
     }.toDF()
   }
 
@@ -154,7 +179,7 @@ object ArchiveXmlSource {
       cfg: Config = Config(), rowTag: Option[String] = None,
       keepMember: Boolean = false): DataFrame = {
     val (root, contentType) = XmlToParquetJob.compileXsd(xsdContent, rowTag)
-    val members = readMembers(spark, paths)
+    val members = readMembers(spark, paths, cfg.strictArchives)
     val opts = new java.util.HashMap[String, String]()
     opts.put("attributePrefix", "_")
     opts.put("ignoreNamespace", "true")

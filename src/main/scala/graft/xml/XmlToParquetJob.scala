@@ -36,7 +36,10 @@ object XmlToParquetJob {
   final case class Config(
       includes: Seq[String] = Nil,
       excludes: Seq[String] = Nil,
-      fileInfo: Boolean = false)
+      fileInfo: Boolean = false,
+      // reference testzip parity: reject a whole archive on any corrupt
+      // member (default keeps members read before the corruption)
+      strictArchives: Boolean = false)
 
   /** Compile an XSD (content string) and locate the root element; returns
     * (rootElementName, contentStructType). XSDToSchema emits one field

@@ -149,6 +149,37 @@ class XmlConversionSpec extends AnyFunSuite {
     assert(back.count() == 1 && back.columns.toSeq == Seq("bookOrder"))
   }
 
+  test("corrupt archive: lenient keeps prefix, strict rejects whole") {
+    // zip with two entries, then truncate mid-second-entry: entry 1
+    // remains fully readable, entry 2's CRC check cannot pass
+    val dir = java.nio.file.Files.createTempDirectory("corrupt_zip")
+    val whole = dir.resolve("whole.zip")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(whole))
+    val xml = XmlQueries.resourceText("bookOrder.xml")
+    Seq("order1.xml", "order2.xml").foreach { n =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    zip.close()
+    val bytes = java.nio.file.Files.readAllBytes(whole)
+    val corrupt = dir.resolve("corrupt.zip")
+    java.nio.file.Files.write(corrupt,
+      java.util.Arrays.copyOf(bytes, bytes.length - xml.length / 2))
+    val lenient = ArchiveXmlSource.readMembers(spark,
+      Seq(corrupt.toString)).select("name")
+      .collect().map(_.getString(0)).toSeq
+    assert(lenient == Seq("order1.xml"), s"lenient saw $lenient")
+    val strict = ArchiveXmlSource.readMembers(spark,
+      Seq(corrupt.toString), strict = true).count()
+    assert(strict == 0L, "strict mode must reject the whole archive")
+    // an intact archive is unaffected by strict mode
+    val intact = ArchiveXmlSource.readMembers(spark,
+      Seq(whole.toString), strict = true).count()
+    assert(intact == 2L)
+  }
+
   test("deleteSource removes the input after success, keeps it on failure") {
     // reference -d flag (convert_xml_to_parquet.py:407-408)
     val srcDir = java.nio.file.Files.createTempDirectory("del_src")

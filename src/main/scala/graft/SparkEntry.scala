@@ -15,6 +15,7 @@ object SparkEntry {
     operators.ScalarFns,
     operators.TimeWindows,
     operators.TextPipeline,
+    operators.Curation,
     operators.Similarity,
     operators.Dedup,
     operators.Multimodal,

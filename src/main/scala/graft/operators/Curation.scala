@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NGramGenerator
+
+/** Corpus-curation operators for LLM training-data pipelines, round 3:
+  * text normalization, PII redaction, URL extraction, Gopher-style
+  * repetition scoring, deterministic train/val/test splitting, and
+  * benchmark decontamination.
+  *
+  * The `documents` fixture is clean tokens only, so the redaction /
+  * extraction queries synthesize their noisy input deterministically
+  * from (doc_id, text) with the IDENTICAL expression on both engines —
+  * the operators then run real regex machinery and the oracle checks
+  * real outputs, instead of trivially passing on pattern-free text.
+  *
+  * Determinism: ratios are exact-int divisions (int casts to double are
+  * exact, one IEEE division on both engines); the split assignment
+  * hashes with md5 (byte-identical across engines), never an
+  * engine-specific hash.
+  */
+object Curation extends QueryModule {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Synthetic noisy text, reproducible on both engines. */
+  private val rawPii: Column =
+    concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+  private val rawPiiSql =
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+      "'@example.com or call 555-', " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+
+  private val rawUrl: Column =
+    concat(lit("see http://ex"), (col("doc_id") % 7).cast("string"),
+      lit(".org/p/"), col("doc_id").cast("string"),
+      lit(" plus https://w"), (col("doc_id") % 3).cast("string"),
+      lit(".net/x "), col("text"))
+  private val rawUrlSql =
+    "concat('see http://ex', CAST(doc_id % 7 AS VARCHAR), '.org/p/', " +
+      "CAST(doc_id AS VARCHAR), ' plus https://w', " +
+      "CAST(doc_id % 3 AS VARCHAR), '.net/x ', text)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- normalization: case-fold, strip non-alnum, collapse runs ---
+    "q_text_normalize" -> ((s, d) => {
+      val raw = concat(lit("  "), upper(col("text")), lit("  !! ["),
+        col("doc_id").cast("string"), lit("] ??  "))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(raw), "[^a-z0-9 ]", ""), " +", " "))
+      table(s, d, "documents")
+        .select(col("doc_id"), norm.as("norm"),
+          length(norm).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // --- PII redaction: emails + phone-shaped tokens masked ---
+    "q_pii_redact" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(rawPii, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"),
+          size(expr(
+            "regexp_extract_all(" +
+              "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+              "'@example.com or call 555-', " +
+              "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')), " +
+              "'[a-z0-9.]+@[a-z0-9.]+|[0-9]{3}-[0-9]{4}', 0)"))
+            .cast("long").as("n_pii"))
+        .orderBy("doc_id")),
+
+    // --- URL extraction: regex pull, explode, count per domain ---
+    "q_url_extract" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(" +
+            "concat('see http://ex', CAST(doc_id % 7 AS STRING), '.org/p/', " +
+            "CAST(doc_id AS STRING), ' plus https://w', " +
+            "CAST(doc_id % 3 AS STRING), '.net/x ', text), " +
+            "'https?://[a-z0-9./]+', 0)")).as("url"))
+        .select(regexp_extract(col("url"), "^https?://([a-z0-9.]+)", 1)
+          .as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"))
+        .orderBy("domain")),
+
+    // --- Gopher-style repetition scoring: duplicate-2-gram fraction
+    // (via the custom NGramGenerator — streamed, no intermediate gram
+    // array) + most-common-token fraction ---
+    "q_repetition" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(size(toks) >= 2)
+      val grams = docs
+        .select(col("doc_id"), NGramGenerator(toks, 2).alias("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_2grams"),
+          countDistinct(col("gram")).as("d_2grams"))
+      val topTok = docs
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_toks"))
+      grams.join(topTok, "doc_id")
+        .select(col("doc_id"), col("n_2grams"), col("d_2grams"),
+          ((col("n_2grams") - col("d_2grams")).cast("double") /
+            col("n_2grams").cast("double")).as("dup_2gram_frac"),
+          (col("top_c").cast("double") / col("n_toks").cast("double"))
+            .as("top_token_frac"))
+        .withColumn("repetitive",
+          col("dup_2gram_frac") >= 0.2 || col("top_token_frac") >= 0.3)
+        .orderBy("doc_id")
+    }),
+
+    // --- deterministic train/val/test split: first md5 hex nibble of
+    // the doc id — reproducible on any engine/cluster, no RNG state.
+    // 12/16 train, 2/16 val, 2/16 test ---
+    "q_train_split" -> ((s, d) => {
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      table(s, d, "documents")
+        .select(col("doc_id"), nib.as("bucket"),
+          when(nib <= "b", "train").when(nib <= "d", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // --- benchmark decontamination: corpus docs sharing >= 3 distinct
+    // 3-gram shingles with the benchmark set (doc_id % 97 == 0 stands in
+    // for an eval suite). Benchmark gram set is tiny -> broadcast; the
+    // corpus side streams, the same candidate-join shape as minhash ---
+    "q_contamination" -> ((s, d) => {
+      NGramGenerator.register(s)
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"), NGramGenerator(toks, 3).alias("gram"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 3)
+        .select(col("doc_id"), col("overlap"),
+          lit(true).as("contaminated"))
+        .orderBy("doc_id")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower(concat('  ', upper(text), '  !! [',
+        |                 CAST(doc_id AS VARCHAR), '] ??  ')),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(
+        |    lower(concat('  ', upper(text), '  !! [',
+        |                 CAST(doc_id AS VARCHAR), '] ??  ')),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace($rawPiiSql,
+         |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all($rawPiiSql,
+         |    '[a-z0-9.]+@[a-z0-9.]+|[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_extract" ->
+      s"""WITH u AS (SELECT unnest(regexp_extract_all($rawUrlSql,
+         |             'https?://[a-z0-9./]+')) AS url FROM documents)
+         |SELECT regexp_extract(url, '^https?://([a-z0-9.]+)', 1) AS domain,
+         |       COUNT(*) AS n_urls
+         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |        CAST(len(tk) - 1 AS BIGINT) AS n_2grams,
+        |        CAST(len(list_distinct(list_transform(
+        |          range(1, len(tk)),
+        |          i -> tk[i] || ' ' || tk[i+1]))) AS BIGINT) AS d_2grams
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c,
+        |             CAST(SUM(c) AS BIGINT) AS n_toks
+        |      FROM c GROUP BY doc_id)
+        |SELECT g.doc_id, n_2grams, d_2grams,
+        |  CAST(n_2grams - d_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+        |    AS dup_2gram_frac,
+        |  CAST(top_c AS DOUBLE) / CAST(n_toks AS DOUBLE) AS top_token_frac,
+        |  (CAST(n_2grams - d_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+        |     >= 0.2)
+        |  OR (CAST(top_c AS DOUBLE) / CAST(n_toks AS DOUBLE) >= 0.3)
+        |    AS repetitive
+        |FROM g JOIN m ON m.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(tk) - 2, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |      FROM t),
+        |b AS (SELECT DISTINCT gram FROM s WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, COUNT(*) AS overlap, true AS contaminated
+        |FROM s JOIN b ON b.gram = s.gram
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id
+        |HAVING COUNT(*) >= 3
+        |ORDER BY s.doc_id""".stripMargin
+  )
+}

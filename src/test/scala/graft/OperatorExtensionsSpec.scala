@@ -161,6 +161,37 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(bloom.toSeq == plain.toSeq && bloom.nonEmpty)
   }
 
+  test("NGramGenerator: column API, SQL registration, edge cases") {
+    import spark.implicits._
+    functions.NGramGenerator.register(spark)
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo"), (4L, ""))
+      .toDF("id", "t")
+    df.createOrReplaceTempView("ngram_fixture")
+    val viaCol = df
+      .select(col("id"), functions.NGramGenerator(split(col("t"), " "), 2)
+        .alias("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // sliding bigrams; <n tokens -> no rows ("" splits to one token)
+    assert(viaCol == Seq((1L, "a b"), (1L, "b c"), (1L, "c d"), (2L, "x y")))
+    val viaSql = spark.sql(
+      "SELECT id, graft_ngrams(split(t, ' '), 2) AS gram FROM ngram_fixture")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == viaCol)
+    // trigram path agrees with the HOF spelling on real documents
+    val docs = Tables.table(spark, sf, "documents").limit(50)
+    val gen = docs.select(col("doc_id"),
+        functions.NGramGenerator(split(col("text"), " "), 3).alias("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val hof = docs.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |    element_at(split(text, ' '), i + 1),
+          |    element_at(split(text, ' '), i + 2)))""".stripMargin))
+        .as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gen == hof && gen.nonEmpty)
+  }
+
   test("native SimHash64 equals the SQL-HOF spelling bit-for-bit") {
     // the round-2 reference spelling, kept here as the oracle: per-token
     // xxhash64 -> per-bit +-1 counts -> sign bits packed into a long

@@ -90,4 +90,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey ["), p.take(1500)) // Exec renders sans suffix
     assert(!p.contains("Window"), "window spelling leaked back in")
   }
+
+  test("contamination broadcasts the benchmark gram set, no cartesian") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH candidate join broadcasts probe buckets; simhash scan is narrow") {
+    val p = plan("q_sim_lsh")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // simhash reads only (doc_id, text) — the signature pipeline must not
+    // widen the scan
+    val read = plan("q_dedup_simhash").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"), read)
+  }
+
+  test("curation regex/split pipelines stay inside whole-stage codegen") {
+    for (q <- Seq("q_text_normalize", "q_pii_redact", "q_train_split")) {
+      // codegen wrapping appears in the final AQE plan, so execute first
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // AQE's final-plan rendering marks WholeStageCodegen stages "*(n)"
+      assert(p.contains("*("), s"$q lost codegen:\n${p.take(1500)}")
+    }
+  }
 }

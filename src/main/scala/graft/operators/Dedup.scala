@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection at LLM-pipeline scale: MinHash+LSH and
   * SimHash over the `documents` table.
   *
-  * MinHash+LSH (`q_dedup_minhash`): 3-token shingles -> 32 minhashes
-  * (xxhash64 seeded by position, UDF-free) -> 8 bands x 4 rows -> band
-  * hash -> equi self-join on (band, hash) for candidates -> exact Jaccard
-  * verification on the candidate set only. This is the 100 TB shape: the
+  * MinHash+LSH (`q_dedup_minhash`): 3-token shingles -> 32 minhashes ->
+  * 8 bands x 4 rows -> band key -> equi self-join on (band, key) for
+  * candidates -> exact Jaccard verification on the candidate set only
+  * (signature pipeline fused into the native codegen'd
+  * [[graft.functions.MinHashBandKeys]]). This is the 100 TB shape: the
   * only shuffle is the band-bucket join (keys ~uniform by construction —
   * hash output — so no skew), and the quadratic verification runs on the
   * tiny candidate set, never all pairs. Compare `q_dedup_ngram`
@@ -31,24 +32,11 @@ object Dedup extends QueryModule {
 
   private def toks: Column = TextPipeline.toks
 
-  private def shingles(t: Column): Column = TextPipeline.shingles(t)
-
   // 32 hashes in 8 bands of 4: P(no candidate | jac=0.9) ~= 2e-4, while
   // background pairs (jac < 0.3) produce < ~3% spurious candidates that
   // the exact-Jaccard verification then discards.
   private val NumHashes = 32
   private val Bands = 8
-  private val Rows = NumHashes / Bands
-
-  /** MinHash signature: sig[j] = min over shingles of xxhash64(j, s). */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      j => array_min(transform(sh, s => xxhash64(j, s))))
-
-  /** Band keys: one xxhash64 per contiguous r-row slice of the signature. */
-  private def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)),
-      i => xxhash64(slice(sig, i * Rows + 1, lit(Rows))))
 
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,15 +47,13 @@ object Dedup extends QueryModule {
     // candidate. This is the shape that survives 100 TB: shuffle volume
     // is O(docs * bands), not O(docs * bands * doclen).
     "q_dedup_minhash" -> ((s, d) => {
-      val docs = table(s, d, "documents")
-        .select(col("doc_id"), shingles(toks).as("sh"))
-      // let-bind the signature chain: without it CollapseProject inlines
-      // the full shingle expression into each of the 32 hash lambdas and
-      // the signature into each of the 8 band slices (~256 re-evals/doc).
-      val bands = docs
+      // band keys in one fused codegen'd pass over the tokens (native
+      // MinHashBandKeys — replaced the interpreted transform/array_min
+      // HOF chain and its Det.let barriers in round 3)
+      val bands = table(s, d, "documents")
         .select(col("doc_id"),
-          posexplode(let(col("sh"))(sh => let(minhashSig(sh))(bandKeys)))
-            .as(Seq("band", "bkey")))
+          posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
+            Bands)).as(Seq("band", "bkey")))
       // band self-join: skinny rows, but force the shuffle shape (the
       // planner's size estimate of an exploded projection is unreliable;
       // see q_dedup_ngram)
@@ -77,11 +63,15 @@ object Dedup extends QueryModule {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      // fetch shingles for the few surviving candidates: broadcast the
+      // exact-Jaccard verification on the candidates only: fetch the
+      // per-doc shingle arrays (map-side, per-doc-distinct via array op —
+      // no extra shuffle) for the few surviving pairs. Broadcast the
       // CANDIDATE side (genuinely small), stream the docs — never let
       // the planner broadcast the array-carrying docs relation. At
       // fleet scale with huge candidate sets this becomes a shuffle
       // join on doc_id instead.
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
       docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
         .join(broadcast(cand), "a_id")
         .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))

@@ -117,6 +117,8 @@ object TextPipeline extends QueryModule {
 
     // --- n-gram Jaccard near-dup pairs (exact, all-pairs via shingle join)
     "q_dedup_ngram" -> ((s, d) => {
+      // per-doc-distinct shingle ARRAYS (map-side array op — cheaper at
+      // scale than a global (doc, gram) distinct shuffle), then explode
       val docs = table(s, d, "documents")
         .select(col("doc_id"), shingles(toks).as("sh"))
       val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))

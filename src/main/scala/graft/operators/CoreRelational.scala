@@ -84,6 +84,18 @@ object CoreRelational extends QueryModule {
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
     }),
 
+    // --- full outer join: both sides filtered so each has unmatched
+    // rows (shuffle join — full outer cannot broadcast either side) ---
+    "q_join_full" -> ((s, d) => {
+      val c = table(s, d, "customer").filter(col("c_custkey") < 500)
+      val o = table(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+          o("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)
+    }),
+
     // --- existence joins: semi (EXISTS) / anti (NOT EXISTS) ---
     "q_join_semi" -> ((s, d) => {
       val c = table(s, d, "customer")
@@ -283,6 +295,13 @@ object CoreRelational extends QueryModule {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'P'
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

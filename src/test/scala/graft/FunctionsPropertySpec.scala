@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the native codegen'd expressions: random token /
+  * vector inputs -> algebraic invariants of the signatures, checked
+  * through real Spark evaluation (so both the interpreted `eval` and the
+  * generated code path are exercised via codegen fallback settings Spark
+  * chooses). Fixed scalacheck seed, bounded samples — each case round
+  * trips through a DataFrame.
+  */
+class FunctionsPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val seed = rng.Seed(20260812L)
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate((g.pureApply(Gen.Parameters.default, seed), seed.next)) {
+      case (_, s) => (g.pureApply(Gen.Parameters.default, s), s.next)
+    }.map(_._1).take(n).toSeq
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val doc: Gen[Seq[String]] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, word))
+
+  test("SimHash64: identical docs hash equal; one-token edit flips few bits") {
+    import spark.implicits._
+    val docs = sample(doc.filter(_.length >= 10), 12)
+    val edited = docs.map(d => d.updated(d.length / 2, "zzzedit"))
+    val df = (docs ++ edited).map(_.mkString(" ")).toDF("text")
+      .select(functions.SimHash64(split(col("text"), " ")).as("h"))
+      .collect().map(_.getLong(0))
+    val (orig, ed) = df.splitAt(docs.length)
+    docs.indices.foreach { i =>
+      val ham = java.lang.Long.bitCount(orig(i) ^ ed(i))
+      // a single replaced token among >=10 moves few of the 64 sign sums
+      assert(ham <= 24, s"doc $i: hamming $ham after one-token edit")
+    }
+    // determinism: recompute equals first compute
+    val again = docs.map(_.mkString(" ")).toDF("text")
+      .select(functions.SimHash64(split(col("text"), " ")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == orig.toSeq)
+  }
+
+  test("MinHashBandKeys: permutation-invariant to duplicate grams, " +
+      "identical docs collide on all bands, disjoint docs on none") {
+    import spark.implicits._
+    val docs = sample(doc.filter(_.length >= 8), 10)
+    def keys(ts: Seq[Seq[String]]): Seq[Seq[Long]] =
+      ts.map(_.mkString(" ")).toDF("text")
+        .select(functions.MinHashBandKeys(split(col("text"), " "), 3, 32, 8)
+          .as("k"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val base = keys(docs)
+    // duplicating the doc's own tail adds only duplicate grams plus a
+    // few new boundary grams — minima can only decrease; identical
+    // input twice must be bitwise identical
+    assert(keys(docs) == base)
+    // identical docs collide on every band
+    val twice = keys(docs.map(identity) ++ docs)
+    docs.indices.foreach(i => assert(twice(i) == twice(docs.length + i)))
+    // token-disjoint docs should collide on (almost) no band: compare
+    // lowercase corpus against an uppercase-alphabet corpus
+    val disjoint = keys(docs.map(_.map(_.toUpperCase)))
+    val collisions = base.zip(disjoint)
+      .map { case (a, b) => a.zip(b).count { case (x, y) => x == y } }.sum
+    assert(collisions <= 2, s"$collisions band collisions between disjoint corpora")
+  }
+
+  test("LshBuckets: deterministic, in-range, and scale-invariant " +
+      "(hyperplane signs ignore vector magnitude)") {
+    import spark.implicits._
+    val vec: Gen[Seq[Float]] =
+      Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))
+    val vs = sample(vec.filter(_.exists(_ != 0f)), 15)
+    def buckets(xs: Seq[Seq[Float]]): Seq[Seq[Long]] =
+      xs.map(v => Tuple1(v.toArray)).toDF("v")
+        .select(functions.LshBuckets(col("v"), 8, 4).as("b"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val b1 = buckets(vs)
+    assert(b1 == buckets(vs)) // deterministic
+    assert(b1.forall(row => row.length == 8 && row.forall(k => k >= 0 && k < 16)))
+    // positive scaling preserves every hyperplane sign
+    assert(buckets(vs.map(_.map(_ * 7.5f))) == b1)
+    // negation flips every sign: all 4 plane bits flip in every table
+    val neg = buckets(vs.map(_.map(x => -x)))
+    b1.zip(neg).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert((x ^ y) == 15L) }
+    }
+  }
+
+  test("NGramGenerator: gram count and content law") {
+    import spark.implicits._
+    val docs = sample(doc, 20)
+    for (n <- Seq(2, 3, 5)) {
+      val got = docs.map(_.mkString(" ")).toDF("text")
+        .select(functions.NGramGenerator(split(col("text"), " "), n)
+          .alias("gram"))
+        .collect().map(_.getString(0))
+      val expected = docs.flatMap(d =>
+        // split("") yields one empty token, like Spark's split
+        (if (d.isEmpty) Seq("") else d).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")))
+      assert(got.toSeq.sorted == expected.sorted, s"n=$n")
+    }
+  }
+}

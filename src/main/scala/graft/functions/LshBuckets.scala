@@ -54,21 +54,39 @@ case class LshBuckets(child: Expression, numTables: Int,
 object LshBuckets {
   private final val Seed = 42L // Spark's xxhash64 default seed
 
+  /** The hyperplane matrix is a pure function of (plane count, dims) —
+    * hashing it per ROW would dominate the signature cost (plane*dim
+    * hashes per vector). One deterministic build per executor, racy-but-
+    * idempotent publish; per row is then plane*dim multiply-adds only.
+    */
+  @volatile private var cached: (Int, Int, Array[Array[Double]]) = null
+
+  private def planeMatrix(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val c = cached
+    if (c != null && c._1 == numPlanes && c._2 == dims) return c._3
+    val m = Array.tabulate(numPlanes, dims) { (p, i) =>
+      XXH64.hashInt(i, XXH64.hashInt(p, Seed)).toDouble /
+        Long.MaxValue.toDouble
+    }
+    cached = (numPlanes, dims, m)
+    m
+  }
+
   def compute(arr: ArrayData, numTables: Int,
       planesPerTable: Int): GenericArrayData = {
     val n = arr.numElements()
+    val m = planeMatrix(numTables * planesPerTable, n)
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
       var bucket = 0L
       var p = 0
       while (p < planesPerTable) {
-        val h1 = XXH64.hashInt(t * planesPerTable + p, Seed)
+        val row = m(t * planesPerTable + p)
         var dot = 0.0d
         var i = 0
         while (i < n) {
-          dot += arr.getFloat(i).toDouble *
-            (XXH64.hashInt(i, h1).toDouble / Long.MaxValue.toDouble)
+          dot += arr.getFloat(i).toDouble * row(i)
           i += 1
         }
         if (dot >= 0.0d) bucket |= 1L << p

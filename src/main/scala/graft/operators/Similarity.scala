@@ -46,10 +46,16 @@ object Similarity extends QueryModule {
     * recall is 1-(1-p^k)^L (p = 1 - angle/pi) — the multi-table union
     * is what makes hyperplane LSH usable (one k-bit table alone has
     * p^k recall, near zero for moderate angles). k scales with corpus
-    * size (bucket occupancy ~ n / 2^k), L buys recall at linear cost.
+    * size targeting ~64-vector buckets (occupancy ~ n / 2^k): a fixed
+    * k either floods probes with candidates at 1000x the corpus or
+    * starves recall at 1/1000th — the plane count is a function of n,
+    * not a constant. L buys recall back at linear cost. The row count
+    * comes from parquet footer statistics (metadata-only job).
     */
   private val LshTables = 8
-  private val LshPlanes = 4
+  private def lshPlanes(n: Long): Int =
+    math.max(4, (63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / 64L))).toInt)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- brute-force cosine top-k (exact ANN baseline) ---
@@ -139,8 +145,12 @@ object Similarity extends QueryModule {
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").as("q"))
         .withColumn("nn", dotQ(col("q"), col("q")))
+      // raw read, not Tables.table: the count comes straight from
+      // parquet row-group metadata (table() repartitions, which would
+      // turn this into a full shuffle just to count)
+      val k = lshPlanes(s.read.parquet(s"$d/embeddings.parquet").count())
       val buckets = e.select(col("vec_id"),
-        posexplode(graft.functions.LshBuckets(col("q"), LshTables, LshPlanes))
+        posexplode(graft.functions.LshBuckets(col("q"), LshTables, k))
           .as(Seq("tbl", "bucket")))
       val probeBuckets = buckets.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
@@ -148,12 +158,19 @@ object Similarity extends QueryModule {
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("cand_id"))
         .distinct()
-      val scored = cand
-        .join(broadcast(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe_id"), col("q").as("pq"),
-            col("nn").as("pn"))), "probe_id")
-        .join(e.select(col("vec_id").as("cand_id"), col("q").as("cq"),
-          col("nn").as("cn")), "cand_id")
+      // score by STREAMING the corpus against the broadcast (candidate
+      // pair x probe vector) set — the corpus vectors never shuffle.
+      // Adaptive k bounds the candidate set (~bucket occupancy x L x
+      // probes), which is what makes the broadcast safe; a fleet-scale
+      // probe set in the millions would flip this to a shuffle join on
+      // cand_id instead.
+      val probeVecs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("nn").as("pn"))
+      val scored = e
+        .select(col("vec_id").as("cand_id"), col("q").as("cq"),
+          col("nn").as("cn"))
+        .join(broadcast(cand.join(probeVecs, "probe_id")), "cand_id")
         .select(col("probe_id"), col("cand_id"),
           cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("cos"))
       val w = Window.partitionBy("probe_id")

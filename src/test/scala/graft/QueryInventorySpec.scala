@@ -89,8 +89,9 @@ class QueryInventorySpec extends AnyFunSuite {
         math.sqrt(qb.map(x => x * x).sum.toDouble))
     }
     // independent re-derivation of the multi-table random-hyperplane
-    // buckets (L=8 tables x k=4 planes): plane id P = t*k+p, component
-    // for dim i chains hashInt(i, hashInt(P, seed=42))
+    // buckets (L=8 tables x k=4 planes — the adaptive plane count
+    // resolves to 4 for this 500-vector fixture): plane id P = t*k+p,
+    // component for dim i chains hashInt(i, hashInt(P, seed=42))
     def buckets(v: Array[Float]): Seq[Long] =
       (0 until 8).map { t =>
         (0 until 4).map { p =>

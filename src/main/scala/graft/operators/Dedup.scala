@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.QueryModule
-import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -134,10 +134,13 @@ object Curation extends QueryModule {
     // for an eval suite). Benchmark gram set is tiny -> broadcast; the
     // corpus side streams, the same candidate-join shape as minhash ---
     "q_contamination" -> ((s, d) => {
-      NGramGenerator.register(s)
+      // distinct (doc, gram) rows come from exploding the PER-DOC
+      // distinct shingle array — a map-side array op, not a global
+      // distinct shuffle of every gram row (the corpus side never
+      // shuffles until the final per-doc count)
       val grams = table(s, d, "documents")
-        .select(col("doc_id"), NGramGenerator(toks, 3).alias("gram"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(TextPipeline.shingles(toks)).as("gram"))
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select(col("gram")).distinct()
       grams.filter(col("doc_id") % 97 =!= 0)

@@ -37,11 +37,6 @@ object Curation extends QueryModule {
       "'@example.com or call 555-', " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
 
-  private val rawUrl: Column =
-    concat(lit("see http://ex"), (col("doc_id") % 7).cast("string"),
-      lit(".org/p/"), col("doc_id").cast("string"),
-      lit(" plus https://w"), (col("doc_id") % 3).cast("string"),
-      lit(".net/x "), col("text"))
   private val rawUrlSql =
     "concat('see http://ex', CAST(doc_id % 7 AS VARCHAR), '.org/p/', " +
       "CAST(doc_id AS VARCHAR), ' plus https://w', " +

@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench prints its result as ONE JSON line on stdout; sbt's trailing
+// "[success] Total time" banner would otherwise be the last line and
+// defeat last-line JSON parsing by the harness.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
+// Forked run output goes straight to the sbt process's stdout/stderr,
+// not through the logger — the logger would prefix every line with
+// "[info] ", which breaks last-line JSON parsing just as surely as the
+// success banner does. (All three prior bench records show parsed=None:
+// the harness has never successfully parsed a bench line.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

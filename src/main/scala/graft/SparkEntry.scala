@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Multimodal,
     operators.Advanced,
+    operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,
     streaming.StreamingSmoke,

@@ -47,7 +47,7 @@ object Advanced extends QueryModule {
     * regenerated-in-place parquet or two datasets sharing a basename
     * must miss the cache, never silently reuse stale buckets.
     */
-  private def fingerprint(d: String, name: String): String = {
+  private[operators] def fingerprint(d: String, name: String): String = {
     val src = new java.io.File(d, s"$name.parquet")
     val files =
       if (src.isDirectory) src.listFiles().sortBy(_.getName)
@@ -226,6 +226,40 @@ object Advanced extends QueryModule {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("rev"))
         .orderBy("o_orderpriority")
+    }),
+
+    // --- banded range join: the shuffle-scale companion of
+    // q_join_theta (CoreRelational). Theta spells |c - s| <= 100 as a
+    // broadcast nested loop — right when one side fits in memory, dead
+    // at 100 TB-vs-100 GB. Banding rewrites the range predicate as an
+    // EQUI join: bucket both sides by floor(bal / bandWidth) with the
+    // band equal to the bucket width, replicate one side to its 3
+    // adjacent buckets (explode x3 — bounded, unlike a nested loop),
+    // join on the bucket key, then apply the exact predicate. Shuffles
+    // partition by bucket, so both sides scale out; the residual filter
+    // discards the < 2/3 of bucket-collisions outside the band. Result
+    // is identical to the theta spelling (the oracle runs the plain
+    // range SQL). ---
+    "q_join_range" -> ((s, d) => {
+      val band = 100.0
+      val c = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          floor(col("c_acctbal") / band).as("bucket"))
+      val sup = table(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          explode(array(floor(col("s_acctbal") / band) - 1,
+            floor(col("s_acctbal") / band),
+            floor(col("s_acctbal") / band) + 1)).as("bucket"))
+      // force the shuffle shape: the exploded leg's size estimate is
+      // unreliable (see q_dedup_ngram) and auto-broadcast would defeat
+      // the point of the banded form
+      c.hint("shuffle_merge")
+        .join(sup.hint("shuffle_merge"), "bucket")
+        .filter(col("c_acctbal") >= col("s_acctbal") - band &&
+          col("c_acctbal") <= col("s_acctbal") + band)
+        .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"),
+          col("c_acctbal"))
+        .orderBy("s_suppkey", "c_custkey")
     }),
 
     // --- window distribution functions ---
@@ -430,6 +464,14 @@ object Advanced extends QueryModule {
          |  ${S("l_extendedprice")} AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // identical semantics to q_join_theta — the banded rewrite must be
+    // result-invisible, so its oracle IS the plain range join
+    "q_join_range" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
 
     "q_win_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

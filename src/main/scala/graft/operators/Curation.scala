@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NGramGenerator
@@ -124,6 +125,63 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- stratified sampling: per-language keep rates, hash-gated.
+    // sampleBy/rand would be nondeterministic across runs, partitionings
+    // and engines; gating on md5(salt || doc_id) gives exact
+    // reproducibility (re-running the pipeline keeps the SAME docs — a
+    // training-data requirement, or dataset versions drift) and needs no
+    // RNG state on executors. First two hex chars ~ Uniform(0..255):
+    // en keeps < 0x40 (25%), other languages < 0x80 (50%) — upsampling
+    // low-resource languages, the canonical curation move. ---
+    "q_sample_stratified" -> ((s, d) => {
+      val gate = substring(
+        md5(concat(lit("smp"), col("doc_id").cast("string"))), 1, 2)
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), gate.as("gate"))
+        .filter(col("gate") <
+          when(col("lang") === "en", lit("40")).otherwise(lit("80")))
+        .orderBy("doc_id")
+    }),
+
+    // --- context-window packing: assign each document an offset-based
+    // bin of a 512-token training context. The canonical "concatenate
+    // then chop" packing: documents are laid out in a deterministic
+    // order and the running token offset decides bin and position —
+    // bin = floor(offset/512). Partitioned by language so the window
+    // never needs a global single-partition sort (the fleet shape: pack
+    // per shard/stratum, never globally; a global order would serialize
+    // 100 TB through one task). ---
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tok"))
+        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor(col("off") / lit(512.0)).as("bin_id"),
+          (col("off") % 512).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // --- overlapping chunking for embedding/indexing pipelines: 50-token
+    // chunks on a 40-token stride (10-token overlap). One generator
+    // (posexplode over the stride sequence) + array slice per row — no
+    // join, no shuffle except the final order; chunk fan-out is bounded
+    // by doc length / stride. The chunk hash stands in for the chunk
+    // payload so the result stays narrow. ---
+    "q_chunk_overlap" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(1), greatest(size(col("tk")), lit(1)),
+            lit(40))).as(Seq("idx", "start")))
+        .select(col("doc_id"), col("idx").cast("long").as("chunk_idx"),
+          slice(col("tk"), col("start"), lit(50)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // --- benchmark decontamination: corpus docs sharing >= 3 distinct
     // 3-gram shingles with the benchmark set (doc_id % 97 == 0 stands in
     // for an eval suite). Benchmark gram set is tiny -> broadcast; the
@@ -213,6 +271,41 @@ object Curation extends QueryModule {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  substring(md5(concat('smp', CAST(doc_id AS VARCHAR))), 1, 2)
+        |    AS gate
+        |FROM documents
+        |WHERE substring(md5(concat('smp', CAST(doc_id AS VARCHAR))), 1, 2)
+        |      < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+        |          AS BIGINT) - n_tok AS off
+        |      FROM t)
+        |SELECT doc_id, lang, n_tok,
+        |  CAST(floor(off / 512.0) AS BIGINT) AS bin_id,
+        |  off % 512 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, tk,
+        |        unnest(generate_series(1, greatest(len(tk), 1), 40)) AS st
+        |      FROM t),
+        |ch AS (SELECT doc_id, CAST((st - 1) // 40 AS BIGINT) AS chunk_idx,
+        |         array_slice(tk, st, st + 49) AS chunk
+        |       FROM g)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

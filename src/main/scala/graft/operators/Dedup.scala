@@ -82,6 +82,56 @@ object Dedup extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // --- transitive near-dup clustering: connected components over the
+    // exact near-dup pair relation, by iterative min-label propagation.
+    // Near-dup is not transitive (A~B, B~C !=> A~C), so a real pipeline
+    // must CLUSTER the pair graph and keep one representative per
+    // component — pair detection alone over-deletes or under-deletes.
+    // Shape: the per-iteration step is one equi join (labels x edges) +
+    // one min-aggregate, both shuffles on doc_id; the driver loop only
+    // moves a convergence boolean (never data), the standard Spark
+    // iterative-graph idiom (GraphX Pregel is this loop). Converges in
+    // O(component diameter) rounds — near-dup clusters are shallow (a
+    // dup cluster's diameter is small by construction), and
+    // localCheckpoint truncates the growing lineage each round so plan
+    // size stays O(1). Label = MIN doc_id of the component:
+    // deterministic, order-independent, and directly the "keeper". ---
+    "q_dedup_cluster" -> ((s, d) => {
+      val pairs = TextPipeline.ngramPairs(s, d)
+        .select(col("a_id"), col("b_id"))
+      // symmetric edge list, persisted: reused every iteration
+      val edges = pairs
+        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .persist()
+      var labels = table(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 25) {
+        // each node adopts min(own label, neighbors' labels)
+        val prop = labels.as("l")
+          .join(edges.as("e"), col("l.doc_id") === col("e.a_id"))
+          .select(col("e.b_id").as("doc_id"), col("l.cluster_id"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint()
+        converged = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // One fused codegen'd pass per document: split (codegen'd) ->
     // SimHash64 native expression (functions/SimHash64.scala). Replaces
     // the round-2 aggregate/zip_with HOF chain that Spark evaluated
@@ -98,6 +148,27 @@ object Dedup extends QueryModule {
         .orderBy("doc_id"))
   )
 
-  // xxhash64-based signatures are engine-specific: rows-only checks.
-  override def oracle: Map[String, String] = Map()
+  // xxhash64-based signatures (minhash, simhash) are engine-specific:
+  // rows-only checks. The clustering query is hash-free — its oracle
+  // re-derives the components with a recursive CTE over the same pair
+  // relation (DuckDB's UNION-recursive fixpoint == our propagation
+  // fixpoint: both compute min reachable id).
+  override def oracle: Map[String, String] = Map(
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM p),
+         |r AS (SELECT doc_id AS doc, doc_id AS reach FROM documents
+         |      UNION
+         |      SELECT r.doc, ed.dst FROM r JOIN ed ON ed.src = r.reach),
+         |cl AS (SELECT doc AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY doc),
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members
+         |       FROM cl GROUP BY cluster_id)
+         |SELECT cl.doc_id, cl.cluster_id, sz.n_members,
+         |       cl.doc_id = cl.cluster_id AS is_canonical
+         |FROM cl JOIN sz USING (cluster_id)
+         |ORDER BY cl.doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Det._
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format surface beyond parquet: CSV and JSON text sources,
+  * the ORC columnar source, and a partition-pruned parquet sink — the
+  * formats a training-data pipeline actually ingests from (web-scraped
+  * text ships as JSONL/CSV far more often than parquet) and the layout
+  * it publishes to (date/key-partitioned directories).
+  *
+  * Each `q_source_*` query round-trips a driver table through the format
+  * once (cached on tmpfs, fingerprint-keyed like the bucketed-join
+  * tables) and then runs an aggregation over the re-read copy; the
+  * DuckDB oracle runs the same aggregation over the ORIGINAL parquet, so
+  * a hash match proves end-to-end type fidelity through the text format
+  * (long/double/string survive: Spark prints doubles in shortest-
+  * round-trip form, so re-parsing is bit-exact). The write is setup, not
+  * the operator — Bench pre-warms it the way it pre-warms the bucketed
+  * tables (write once, read forever is the fleet shape).
+  */
+object Formats extends QueryModule {
+
+  /** One-time format round-trip of `name`, cached per (dataset, format)
+    * on tmpfs; returns the written directory.
+    */
+  private[graft] def roundtrip(s: SparkSession, d: String, name: String,
+      fmt: String, options: Map[String, String] = Map.empty): String = {
+    val path =
+      s"/dev/shm/graft_fmt/${name}_${fmt}_${Advanced.fingerprint(d, name)}"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      table(s, d, name).write.format(fmt).options(options)
+        .mode("overwrite").save(path)
+    }
+    path
+  }
+
+  private[graft] val JsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private[graft] def csvDir(s: SparkSession, d: String): String =
+    roundtrip(s, d, "customer", "csv", Map("header" -> "true"))
+  private[graft] def jsonDir(s: SparkSession, d: String): String =
+    roundtrip(s, d, "events", "json", Map("timestampFormat" -> JsonTsFmt))
+  private[graft] def orcDir(s: SparkSession, d: String): String =
+    roundtrip(s, d, "lineitem", "orc")
+
+  /** Materialize all format round-trips once — Bench calls this before
+    * timing so the queries measure the steady-state read, matching the
+    * write-once/read-forever fleet shape (same rationale as the
+    * bucketed-table prewarm).
+    */
+  private[graft] def prewarm(s: SparkSession, d: String): Unit = {
+    csvDir(s, d); jsonDir(s, d); orcDir(s, d); partitionedOrders(s, d)
+    ()
+  }
+
+  /** One-time partitioned-parquet publish of `orders` by order year,
+    * cached on tmpfs; returns the written directory. Hive-style
+    * `o_year=YYYY/` directories — the layout partition pruning needs.
+    */
+  private[graft] def partitionedOrders(s: SparkSession, d: String): String = {
+    val path =
+      s"/dev/shm/graft_fmt/orders_part_${Advanced.fingerprint(d, "orders")}"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      table(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year")
+        .mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CSV source: schema-explicit read (never inferSchema at scale —
+    // inference is a full extra pass over the data) ---
+    "q_source_csv" -> ((s, d) => {
+      val path = roundtrip(s, d, "customer", "csv",
+        Map("header" -> "true"))
+      val cust = s.read.schema(table(s, d, "customer").schema)
+        .option("header", "true").csv(path)
+      val n = table(s, d, "nation")
+      cust.join(broadcast(n), cust("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("bal"))
+        .orderBy("n_name")
+    }),
+
+    // --- JSON (JSONL) source: the de-facto web-corpus interchange
+    // format. timestampFormat pinned to explicit micros on BOTH sides:
+    // the default write pattern ([.SSS]) silently truncates to millis,
+    // which a round-trip fidelity check exists to catch ---
+    "q_source_json" -> ((s, d) => {
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val path = roundtrip(s, d, "events", "json",
+        Map("timestampFormat" -> tsFmt))
+      val ev = s.read.schema(table(s, d, "events").schema)
+        .option("timestampFormat", tsFmt).json(path)
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("total"),
+          fmtTs(max(col("ts"))).as("last_ts"))
+        .orderBy("event_type")
+    }),
+
+    // --- ORC source: the other columnar format Spark ships natively ---
+    "q_source_orc" -> ((s, d) => {
+      val path = roundtrip(s, d, "lineitem", "orc")
+      s.read.orc(path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- partitioned sink + partition pruning: orders published as
+    // o_year=YYYY/ directories; the year filter prunes to ONE partition
+    // directory at planning time (PlanQualitySpec pins PartitionFilters
+    // in the scan) — at fleet scale this is reading 1/7th of the table
+    // because the other 6/7ths were never listed, the single highest-
+    // leverage scan optimization there is. ---
+    "q_sink_partitioned" -> ((s, d) => {
+      val path = partitionedOrders(s, d)
+      s.read.parquet(path)
+        .filter(col("o_year") === 1995)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_source_csv" ->
+      s"""SELECT n_name, COUNT(*) AS n_cust, ${S("c_acctbal")} AS bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_source_json" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${S("value")} AS total,
+         |  ${FT("MAX(ts)")} AS last_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_source_orc" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${S("l_quantity")} AS qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sink_partitioned" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${S("o_totalprice")} AS rev
+         |FROM orders WHERE year(o_orderdate) = 1995
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

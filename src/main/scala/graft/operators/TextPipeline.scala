@@ -116,36 +116,81 @@ object TextPipeline extends QueryModule {
         .orderBy("doc_id")),
 
     // --- n-gram Jaccard near-dup pairs (exact, all-pairs via shingle join)
-    "q_dedup_ngram" -> ((s, d) => {
-      // per-doc-distinct shingle ARRAYS (map-side array op — cheaper at
-      // scale than a global (doc, gram) distinct shuffle), then explode
-      val docs = table(s, d, "documents")
-        .select(col("doc_id"), shingles(toks).as("sh"))
-      val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      // Explicit sort-merge: the exploded legs LOOK tiny to the planner
-      // (stats come from the 600 KB parquet) but materialize to GBs, and
-      // an auto-chosen broadcast of that side builds a multi-GB hash
-      // relation on the driver — full-GC storms at test scale, OOM at
-      // fleet scale. A shuffle on the shingle key is the shape that
-      // scales.
-      val a = ex.hint("shuffle_merge").as("a")
-      val b = ex.hint("shuffle_merge").as("b")
-      val inter = a.join(b,
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val ca = counts.as("ca"); val cb = counts.as("cb")
-      inter
-        .join(ca, col("a_id") === col("ca.doc_id"))
-        .join(cb, col("b_id") === col("cb.doc_id"))
-        .select(col("a_id"), col("b_id"), col("inter"),
-          (col("inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy("a_id", "b_id")
+    "q_dedup_ngram" -> ((s, d) =>
+      ngramPairs(s, d).orderBy("a_id", "b_id")),
+
+    // --- per-language vocabulary heavy hitters: token frequencies ->
+    // top-5 per language through the native bounded-heap TopKPerKey
+    // operator (plans/TopKPerKey.scala) instead of a window sort — the
+    // frequency table after the (lang, token) aggregate is vocabulary-
+    // sized (millions of rows at fleet scale), and rank-via-window would
+    // globally sort every partition of it for the sake of 5 rows each.
+    // Ties break on the token itself for a total deterministic order. ---
+    "q_vocab_topk" -> ((s, d) => {
+      val tf = table(s, d, "documents")
+        .select(col("lang"), explode(toks).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      graft.plans.TopKPerKey.topKPerKey(tf,
+          keys = Seq(col("lang")),
+          order = Seq(col("tf").desc, col("token").asc),
+          k = 5)
+        .orderBy(col("lang"), col("tf").desc, col("token"))
     })
   )
+
+  /** Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac >= 0.5) —
+    * shared by `q_dedup_ngram` and the connected-components clustering in
+    * [[Dedup]] (its edge relation).
+    */
+  private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    // per-doc-distinct shingle ARRAYS (map-side array op — cheaper at
+    // scale than a global (doc, gram) distinct shuffle), then explode
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), shingles(toks).as("sh"))
+    val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // Explicit sort-merge: the exploded legs LOOK tiny to the planner
+    // (stats come from the 600 KB parquet) but materialize to GBs, and
+    // an auto-chosen broadcast of that side builds a multi-GB hash
+    // relation on the driver — full-GC storms at test scale, OOM at
+    // fleet scale. A shuffle on the shingle key is the shape that
+    // scales.
+    val a = ex.hint("shuffle_merge").as("a")
+    val b = ex.hint("shuffle_merge").as("b")
+    val inter = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val ca = counts.as("ca"); val cb = counts.as("cb")
+    inter
+      .join(ca, col("a_id") === col("ca.doc_id"))
+      .join(cb, col("b_id") === col("cb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** DuckDB CTE block deriving the same pair relation `p(a_id, b_id)` —
+    * prefix for oracles that build on the near-dup pairs.
+    */
+  private[operators] val ngramPairCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(
+      |          range(1, greatest(len(tk) - 2, 0) + 1),
+      |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |      FROM t),
+      |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT a_id, b_id, inter,
+      |        CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
+      |      FROM pp JOIN c ca ON ca.doc_id = a_id
+      |              JOIN c cb ON cb.doc_id = b_id
+      |      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5)""".stripMargin
 
   private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
   private def markerSql(words: Seq[String]): String =
@@ -210,21 +255,19 @@ object TextPipeline extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |s AS (SELECT doc_id,
-        |        list_distinct(list_transform(
-        |          range(1, greatest(len(tk) - 2, 0) + 1),
-        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |      FROM t),
-        |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
-        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT a_id, b_id, inter,
-        |       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
-        |FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
-        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin
+      s"""WITH $ngramPairCte
+         |SELECT a_id, b_id, inter, jac FROM p
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH e AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+        |r AS (SELECT lang, token, tf,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY tf DESC, token) AS rn
+        |      FROM c)
+        |SELECT lang, token, tf FROM r WHERE rn <= 5
+        |ORDER BY lang, tf DESC, token""".stripMargin
   )
 }

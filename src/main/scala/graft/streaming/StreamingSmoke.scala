@@ -57,8 +57,57 @@ object StreamingSmoke extends QueryModule {
       }
       s.table(name).orderBy("hour_start", "event_type")
     })
+    ,
+
+    // --- streaming deduplication: dropDuplicates keyed on
+    // (user_id, event_type) over the replayed event stream, append-mode
+    // memory sink, then a batch rollup of the sink. Each key is emitted
+    // exactly once regardless of arrival count, so the per-type counts
+    // equal batch COUNT(DISTINCT user_id) — which makes this streaming
+    // query deterministically ORACLE-checkable, unlike the windowed
+    // smokes. At fleet scale the same plan runs with
+    // dropDuplicatesWithinWatermark so dedup state older than the
+    // watermark is evicted instead of growing without bound; the bounded
+    // replay here would make that a no-op. ---
+    "q_streaming_dedup" -> ((s, d) => {
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val dedup = stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val name = "graft_stream_dedup"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = s"/dev/shm/graft_ckpt/dedup-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val q = dedup.writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    })
   )
 
-  // Streaming result: rows-only check (same data as q_window_tumbling).
-  override def oracle: Map[String, String] = Map()
+  // The windowed smoke is rows-only (same data as q_window_tumbling,
+  // asserted equal in tests); the dedup result is deterministic and
+  // carries a real oracle.
+  override def oracle: Map[String, String] = Map(
+    "q_streaming_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

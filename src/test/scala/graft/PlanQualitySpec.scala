@@ -109,6 +109,30 @@ class PlanQualitySpec extends AnyFunSuite {
       !read.contains("lang"), read)
   }
 
+  test("banded range join is an equi join, not a nested loop") {
+    val p = plan("q_join_range")
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range predicate fell back to a nested loop:\n" + p.take(2000))
+  }
+
+  test("partitioned sink scan prunes to the single year directory") {
+    val df = SparkEntry.queries("q_sink_partitioned")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("o_year")), p.take(2000))
+    // the definitive check: the scan's pruned listing holds exactly ONE
+    // partition directory (inputFiles reports the pre-pruning catalog,
+    // so it cannot be used here)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan found")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"scan kept ${scans.head.selectedPartitions.partitionCount} partitions")
+  }
+
   test("curation regex/split pipelines stay inside whole-stage codegen") {
     for (q <- Seq("q_text_normalize", "q_pii_redact", "q_train_split")) {
       // codegen wrapping appears in the final AQE plan, so execute first

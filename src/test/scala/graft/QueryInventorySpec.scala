@@ -50,6 +50,31 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("near-dup clusters equal union-find over the exact pair relation") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find with min-id roots — an independent algorithm
+    // for the same components the iterative propagation computes
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    got.foreach { case (doc, cl) =>
+      assert(cl == find(doc), s"doc $doc: got cluster $cl, want ${find(doc)}")
+    }
+  }
+
   test("streaming tumbling windows equal batch tumbling windows") {
     val stream = SparkEntry.queries("q_streaming_rate")(spark, sf)
       .select("hour_start", "event_type", "n").collect().toSet

@@ -99,6 +99,53 @@ object StreamingSmoke extends QueryModule {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
+    }),
+
+    // --- watermarked stream-stream interval join: views joined to the
+    // same user's clicks that land within the following 10 minutes. The
+    // event-time bound in the join condition is what makes this run with
+    // FINITE state at fleet scale: each side buffers only rows younger
+    // than watermark + interval, so state size tracks the event rate x
+    // 10 minutes, not the stream length. Inner join + append mode emits
+    // each matched pair exactly once, so the per-user pair counts are
+    // deterministic and hash-oracle-checkable against the equivalent
+    // batch interval join. ---
+    "q_streaming_join" -> ((s, d) => {
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      def src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      val name = "graft_stream_join"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = s"/dev/shm/graft_ckpt/join-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val q = joined.writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+      s.table(name)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -108,6 +155,14 @@ object StreamingSmoke extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q_streaming_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_streaming_join" ->
+      """SELECT v.user_id, COUNT(*) AS n_pairs
+        |FROM events v JOIN events c
+        |  ON c.user_id = v.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
   )
 }

@@ -80,6 +80,13 @@ object Advanced extends QueryModule {
                  |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                  |LOCATION '$path'""".stripMargin)
       } else {
+        // prune bucketed copies of this table keyed by a stale
+        // fingerprint (regenerated dataset) — tmpfs is RAM, don't hoard
+        val parent = new java.io.File(path).getParentFile
+        Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith(s"${name}_b_") &&
+            f.getName != tbl)
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         table(s, d, name).write
           .bucketBy(8, key).sortBy(key)
           .option("path", path)
@@ -303,6 +310,31 @@ object Advanced extends QueryModule {
           (try_element_at(col("m"), lit("k")) * 2).as("k_doubled"))
         .orderBy("event_id")),
 
+    // --- CDC merge/upsert (round 5): apply a change set (updates +
+    // inserts, synthesized deterministically from the base) onto a base
+    // table — the MERGE INTO shape without a table format: anti-join
+    // keeps unchanged rows, union applies the changes. Both legs key on
+    // o_orderkey, so the anti join shuffles co-partitioned once; a real
+    // change batch is small relative to base and AQE broadcasts it,
+    // making the merge a single scan over base. ---
+    "q_merge_upsert" -> ((s, d) => {
+      val base = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("updated").as("change"))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"), lit("inserted").as("change"))
+      val changes = updates.unionByName(inserts)
+      base
+        .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .withColumn("change", lit("kept"))
+        .unionByName(changes)
+        .orderBy("o_orderkey")
+    }),
+
     // --- runtime bloom-filter pruning: build a bloom over the selective
     // dimension's keys (scalar subquery -> broadcast), pre-filter the
     // fact scan with might_contain, then the exact join removes the
@@ -490,6 +522,20 @@ object Advanced extends QueryModule {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |         'updated' AS change
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, 'inserted'
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o.o_orderkey, o.o_totalprice, 'kept' AS change
+        |FROM orders o ANTI JOIN ch ON ch.o_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, change FROM ch
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_bloom" ->
       s"""SELECT s_name, COUNT(*) AS n, ${S("l_extendedprice")} AS rev

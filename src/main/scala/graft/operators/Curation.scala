@@ -182,6 +182,90 @@ object Curation extends QueryModule {
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // --- weighted source interleaving (round 5): compose one training
+    // stream from N corpus sources at integer pacing weights with a
+    // deterministic shuffle, no RNG. Each doc gets a per-source shuffle
+    // rank (md5 order) and a pace key rank * pace(source); merging all
+    // sources by pace yields the weighted round-robin epoch order. The
+    // window partitions by source, so ranking parallelizes per source —
+    // only the implicit merge order is global, and that is a sort key
+    // the consumer's range-partitioned write provides, never a
+    // single-task row_number. Pace stays in exact integer arithmetic. ---
+    "q_interleave" -> ((s, d) => {
+      val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+      // pace 1 / 2 / 3: a pace-1 source streams 2x faster than pace-2
+      val pace = lit(1L) + srcNum % 3
+      val gate = md5(concat(lit("ilv"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy("gate", "doc_id")
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"), gate.as("gate"),
+          pace.as("pace"))
+        .withColumn("src_rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("source"), col("src_rank"),
+          (col("src_rank") * col("pace")).as("stream_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // --- content-defined chunking (round 5): variable-length chunks cut
+    // where the content itself hashes below a gate (first md5 nibble
+    // <= '1', p = 1/8 -> ~8-token mean chunks) — the rolling-hash CDC
+    // move: chunk boundaries survive insertions/deletions elsewhere in
+    // the doc, unlike fixed-stride chunking, so downstream dedup of
+    // chunks is edit-stable. chunk_id = running count of prior cuts
+    // (per-doc window, parallel across docs); chunk text is re-sliced
+    // from the token array by (start, len) instead of collect_list —
+    // no per-group row buffering, order-deterministic by construction. ---
+    "q_chunk_cdc" -> ((s, d) => {
+      val t = table(s, d, "documents").select(col("doc_id"), toks.as("tk"))
+      val e = t
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val cut = when(substring(md5(col("tok")), 1, 1) <= "1", 1L)
+        .otherwise(0L)
+      val prior = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = e
+        .withColumn("chunk_id", coalesce(sum(cut).over(prior), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(min(col("pos")).as("start"), count(lit(1)).as("n_tok"))
+      chunks.join(t, "doc_id")
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+          md5(concat_ws(" ",
+            slice(col("tk"), col("start").cast("int"),
+              col("n_tok").cast("int")))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // --- URL-canonicalized dedup (round 5): the web-crawl first pass —
+    // collapse scheme/case/tracking-param/trailing-slash variants to one
+    // canonical key, keep the smallest doc_id per key. Variants are
+    // synthesized deterministically from doc_id on both engines (the
+    // fixture has no URL column); %7 hosts x %50 paths force real
+    // collisions. Pure codegen'd string pipeline + one groupBy on the
+    // canonical key — at fleet scale this is the same shape as
+    // q_dedup_exact: shuffle on a short key, never on the raw URL. ---
+    "q_dedup_url" -> ((s, d) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, "http://").otherwise("HTTPS://"),
+        when(col("doc_id") % 3 === 0, "Ex").otherwise("ex"),
+        (col("doc_id") % 7).cast("string"), lit(".Org/p/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, "/")
+          .when(col("doc_id") % 3 === 1, "?utm_source=feed")
+          .otherwise(""))
+      val canon = regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(raw), "^https?://", ""),
+          "\\?utm[a-z_=]*$", ""),
+        "/$", "")
+      table(s, d, "documents")
+        .select(col("doc_id"), canon.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"),
+          min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy("canonical_url")
+    }),
+
     // --- benchmark decontamination: corpus docs sharing >= 3 distinct
     // 3-gram shingles with the benchmark set (doc_id % 97 == 0 stands in
     // for an eval suite). Benchmark gram set is tiny -> broadcast; the
@@ -306,6 +390,60 @@ object Curation extends QueryModule {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_len,
         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_interleave" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    md5(concat('ilv', CAST(doc_id AS VARCHAR))) AS gate,
+        |    1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3
+        |      AS pace
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, pace,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY gate, doc_id) AS BIGINT)
+        |      AS src_rank
+        |  FROM t)
+        |SELECT doc_id, source, src_rank, src_rank * pace AS stream_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_cdc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos
+        |      FROM t),
+        |e AS (SELECT doc_id, pos, tk[pos] AS tok FROM g),
+        |c AS (SELECT doc_id, pos, tok,
+        |        COALESCE(SUM(CASE WHEN substring(md5(tok), 1, 1) <= '1'
+        |                          THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM e)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |FROM c GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(concat(
+        |      CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'Ex' ELSE 'ex' END,
+        |      CAST(doc_id % 7 AS VARCHAR), '.Org/p/',
+        |      CAST(doc_id % 50 AS VARCHAR),
+        |      CASE WHEN doc_id % 3 = 0 THEN '/'
+        |           WHEN doc_id % 3 = 1 THEN '?utm_source=feed'
+        |           ELSE '' END)),
+        |      '^https?://', ''), '\?utm[a-z_=]*$', ''), '/$', '')
+        |      AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, COUNT(*) AS n_variants,
+        |  MIN(doc_id) AS keeper_doc_id
+        |FROM u GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -124,6 +124,14 @@ object Dedup extends QueryModule {
         iter += 1
       }
       edges.unpersist()
+      // The cap is a runaway guard, not an accuracy knob: exiting through
+      // it means some component's diameter exceeded the iteration budget
+      // and the labels are WRONG. Fail loudly rather than return them —
+      // a silently unconverged clustering would pass row-count checks.
+      if (!converged)
+        throw new IllegalStateException(
+          s"q_dedup_cluster: label propagation not converged after $iter " +
+            "iterations — component diameter exceeds the cap; raise it")
       val sizes = labels.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "cluster_id")

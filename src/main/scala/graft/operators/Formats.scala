@@ -24,19 +24,55 @@ import org.apache.spark.sql.functions._
   */
 object Formats extends QueryModule {
 
+  /** Fill a fingerprint-keyed tmpfs cache directory exactly once, safely
+    * under concurrent writers and dataset regeneration:
+    *   - stale fingerprints (same `<prefix>_` name, different hash) are
+    *     pruned before writing, so regenerated datasets don't accumulate
+    *     dead copies in RAM-backed tmpfs;
+    *   - the write lands in a dot-prefixed temp dir (excluded from the
+    *     prune glob) and is atomically renamed into place, so a second
+    *     JVM prewarming the same path concurrently either wins the rename
+    *     or discards its temp copy — it can never observe a half-written
+    *     directory with `_SUCCESS` missing-but-imminent.
+    */
+  private def fillCache(path: String)(write: String => Unit): String = {
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val parent = dir.getParentFile
+      parent.mkdirs()
+      val prefix = dir.getName.substring(0, dir.getName.lastIndexOf('_') + 1)
+      Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(prefix) && f.getName != dir.getName)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val tmp = new java.io.File(parent,
+        "." + dir.getName + ".tmp-" + ProcessHandle.current().pid())
+      write(tmp.getAbsolutePath)
+      if (!tmp.renameTo(dir)) {
+        // Lost the fill race (or a crashed run left a partial target):
+        // if the winner's copy is complete use it, else replace it.
+        if (new java.io.File(dir, "_SUCCESS").exists())
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        else {
+          org.apache.commons.io.FileUtils.deleteQuietly(dir)
+          if (!tmp.renameTo(dir))
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        }
+      }
+    }
+    path
+  }
+
   /** One-time format round-trip of `name`, cached per (dataset, format)
     * on tmpfs; returns the written directory.
     */
   private[graft] def roundtrip(s: SparkSession, d: String, name: String,
-      fmt: String, options: Map[String, String] = Map.empty): String = {
-    val path =
-      s"/dev/shm/graft_fmt/${name}_${fmt}_${Advanced.fingerprint(d, name)}"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      table(s, d, name).write.format(fmt).options(options)
-        .mode("overwrite").save(path)
+      fmt: String, options: Map[String, String] = Map.empty): String =
+    fillCache(
+      s"/dev/shm/graft_fmt/${name}_${fmt}_${Advanced.fingerprint(d, name)}") {
+      tmp =>
+        table(s, d, name).write.format(fmt).options(options)
+          .mode("overwrite").save(tmp)
     }
-    path
-  }
 
   private[graft] val JsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
@@ -61,17 +97,15 @@ object Formats extends QueryModule {
     * cached on tmpfs; returns the written directory. Hive-style
     * `o_year=YYYY/` directories — the layout partition pruning needs.
     */
-  private[graft] def partitionedOrders(s: SparkSession, d: String): String = {
-    val path =
-      s"/dev/shm/graft_fmt/orders_part_${Advanced.fingerprint(d, "orders")}"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      table(s, d, "orders")
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.partitionBy("o_year")
-        .mode("overwrite").parquet(path)
+  private[graft] def partitionedOrders(s: SparkSession, d: String): String =
+    fillCache(
+      s"/dev/shm/graft_fmt/orders_part_${Advanced.fingerprint(d, "orders")}") {
+      tmp =>
+        table(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.partitionBy("o_year")
+          .mode("overwrite").parquet(tmp)
     }
-    path
-  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CSV source: schema-explicit read (never inferSchema at scale —

@@ -29,6 +29,19 @@ object TimeWindows extends QueryModule {
           col("n"), col("sum_value"))
         .orderBy("hour_start", "event_type")),
 
+    // --- hopping (sliding) window: 1-hour windows every 30 minutes —
+    // each event lands in exactly 2 overlapping windows. Spark expands
+    // the event into its windows with a generator before the hash
+    // aggregate, so this is one shuffle keyed on (window, type), same
+    // as tumbling — the 2x row fan-out happens map-side. ---
+    "q_window_hopping" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(fmtTs(col("window.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     "q_window_session" -> ((s, d) =>
       table(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -47,6 +60,20 @@ object TimeWindows extends QueryModule {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour_start, event_type""".stripMargin,
+
+    // each event belongs to the two 30-min-aligned starts covering it:
+    // floor(ts to 30 min) and 30 min before that
+    "q_window_hopping" ->
+      s"""WITH h AS (
+         |  SELECT make_timestamp(
+         |           (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+         |            - g.s) * 1000000) AS w_start,
+         |         event_type, value
+         |  FROM events, (SELECT unnest([0, 1800]) AS s) g)
+         |SELECT ${FT("w_start")} AS w_start, event_type,
+         |  COUNT(*) AS n, ${S("value")} AS sum_value
+         |FROM h GROUP BY 1, 2
+         |ORDER BY w_start, event_type""".stripMargin,
 
     "q_window_session" ->
       s"""WITH marked AS (

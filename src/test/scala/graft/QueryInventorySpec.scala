@@ -160,6 +160,75 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall below floor")
   }
 
+  test("CDC chunking reassembles each document, driver-side re-derivation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // independent chunker: same gate (first md5 nibble <= '1'), plain
+    // sequential loop instead of windows/joins
+    def chunk(text: String): Seq[(Long, Long, String)] = {
+      val toks = text.split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var id = 0L
+      for (t <- toks) {
+        cur += t
+        if (md5hex(t).head <= '1') {
+          out += ((id, cur.size.toLong, md5hex(cur.mkString(" "))))
+          id += 1; cur = scala.collection.mutable.ArrayBuffer[String]()
+        }
+      }
+      if (cur.nonEmpty) out += ((id, cur.size.toLong, md5hex(cur.mkString(" "))))
+      out.toSeq
+    }
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      chunk(text).map { case (cid, n, h) => (id, cid, n, h) }
+    }.toSet
+    val got = SparkEntry.queries("q_chunk_cdc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("round-5 invariants: hopping fan-out, merge counts, interleave " +
+      "permutation, url dedup partition") {
+    import org.apache.spark.sql.functions._
+    // hopping: 1h window / 30min hop => every event lands in exactly 2
+    // windows, so counts sum to 2x the event count
+    val nEvents = Tables.table(spark, sf, "events").count()
+    val hopSum = SparkEntry.queries("q_window_hopping")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(hopSum == 2 * nEvents)
+    // merge: |result| = |base| + |inserts|; updated rows repriced 1.1x
+    val base = Tables.table(spark, sf, "orders")
+    val merged = SparkEntry.queries("q_merge_upsert")(spark, sf)
+    val nIns = base.filter(col("o_orderkey") % 97 === 0).count()
+    assert(merged.count() == base.count() + nIns)
+    val reprice = merged.filter(col("change") === "updated").as("m")
+      .join(base.as("b"), col("m.o_orderkey") === col("b.o_orderkey"))
+      .filter(col("m.o_totalprice") =!= col("b.o_totalprice") * 1.1)
+    assert(reprice.isEmpty)
+    // interleave: per-source ranks are a 1..n permutation and
+    // stream_pos is rank * pace (pace in 1..3)
+    val il = SparkEntry.queries("q_interleave")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    il.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, src)
+      val pace = rows.head._3 / rows.head._2
+      assert((1L to 3L).contains(pace) &&
+        rows.forall(r => r._3 == r._2 * pace), src)
+    }
+    // url dedup: variant counts partition the corpus; keeper is a real
+    // member of its group (min doc_id can't exceed any member)
+    val urls = SparkEntry.queries("q_dedup_url")(spark, sf).collect()
+    assert(urls.map(_.getLong(1)).sum ==
+      Tables.table(spark, sf, "documents").count())
+  }
+
   test("simhash signatures: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions._
     val sig = SparkEntry.queries("q_dedup_simhash")(spark, sf)

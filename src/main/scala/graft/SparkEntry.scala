@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TimeWindows,
     operators.TextPipeline,
     operators.Curation,
+    operators.Scoring,
     operators.Similarity,
     operators.Dedup,
     operators.Multimodal,

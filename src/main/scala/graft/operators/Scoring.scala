@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NGramGenerator
+
+/** Corpus scoring / profiling operators for LLM training-data pipelines,
+  * round 5: unigram-LM perplexity filtering, bigram co-occurrence (PMI)
+  * mining, document-frequency stopword discovery, curriculum binning,
+  * per-source weighted sampling, CDC keep-latest compaction, and
+  * one-pass table profiling. All seven are oracle-checked.
+  *
+  * Determinism notes (SURVEY.md §2.C preamble applies):
+  *   - Perplexity avoids transcendentals entirely: surprisal is the
+  *     integer floor-log2 of the inverse token frequency, computed as
+  *     `length(bin(N div c)) - 1` — exact int64 arithmetic on both
+  *     engines (log/ln are NOT correctly-rounded and can differ in the
+  *     last ulp across libm implementations; +, *, / on exact doubles
+  *     are IEEE-correctly-rounded everywhere and ARE portable).
+  *   - PMI is reported as lift = p(ab)/(p(a)p(b)) = 2^pmi (monotone in
+  *     pmi, so the ranking is identical): one exact int64 product per
+  *     side cast to double, one IEEE division. Products stay < 2^53 at
+  *     test scale; at fleet scale (N ~ 1e12) the products overflow and
+  *     the ranking moves to log space with an ulp tolerance.
+  */
+object Scoring extends QueryModule {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Integer surprisal: floor(log2(nTotal / cnt)) via binary-string
+    * length — no libm (log is not correctly rounded and differs across
+    * engines). The inner quotient is one IEEE division of two exact
+    * (< 2^53) integers + floor: both engines produce the identical
+    * double, so the identical floor, so the identical bit length.
+    */
+  private def bits(nTotal: Column, cnt: Column): Column =
+    (length(bin(floor(nTotal.cast("double") / cnt).cast("long"))) - 1)
+      .cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- unigram-LM perplexity proxy (quality filtering): score each
+    // document by its mean token surprisal under the corpus's own
+    // unigram model. Two aggregates + one join: token counts (shuffle
+    // on token, map-side partial), then exploded tokens re-join the
+    // vocab — the vocab side of that join is an aggregate output that
+    // AQE sizes at runtime and broadcasts when it is small (always,
+    // for a unigram vocab: even web-scale corpora hold ~1e8 distinct
+    // tokens, GBs not TBs); the per-doc sum is then a map-side-partial
+    // groupBy on doc_id. ---
+    "q_perplexity" -> ((s, d) => {
+      val ex = table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum(col("c")).as("n_total"))
+      ex.join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), bits(col("n_total"), col("c")).as("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("b")).as("sum_bits"))
+        .select(col("doc_id"), col("n_tok"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tok")).as("avg_bits"))
+        .orderBy("doc_id")
+    }),
+
+    // --- bigram co-occurrence mining (collocations for tokenizer /
+    // vocab construction): lift = N * c(ab) / (c(a) * c(b)), top 25
+    // pairs with support >= 5. Bigram counts stream out of the
+    // NGramGenerator (codegen'd, no intermediate gram arrays); the two
+    // unigram joins hit the same AQE-broadcast vocab as q_perplexity.
+    // The final top-k windows over the SUPPORT-FILTERED aggregate —
+    // a relation of heavy-hitter bigrams, vocabulary-sized at worst,
+    // so the single-partition rank sort is bounded; the raw bigram
+    // stream itself is never globally sorted. ---
+    "q_cooccur_pmi" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val uni = docs.select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum(col("c1")).as("n_total"))
+      val bi = docs.select(NGramGenerator(toks, 2).alias("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+        .select(let(split(col("gram"), " ")) { ws =>
+          struct(element_at(ws, 1).as("w1"), element_at(ws, 2).as("w2"))
+        }.as("ws"), col("c2"))
+        .select(col("ws.w1").as("w1"), col("ws.w2").as("w2"), col("c2"))
+      val ua = uni.select(col("tok").as("w1"), col("c1").as("ca"))
+      val ub = uni.select(col("tok").as("w2"), col("c1").as("cb"))
+      val scored = bi.join(ua, "w1").join(ub, "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c2"),
+          ((col("c2") * col("n_total")).cast("double") /
+            (col("ca") * col("cb")).cast("double")).as("lift"))
+      val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 25)
+        .orderBy("rn")
+    }),
+
+    // --- document-frequency stopword discovery: tokens present in
+    // >= 50% of documents. Per-doc distinct is an ARRAY op before the
+    // explode (map-side; never a global (doc, token) distinct
+    // shuffle), the groupBy is on the token, and the corpus size joins
+    // in as a broadcast scalar. ---
+    "q_df_stopwords" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(explode(array_distinct(toks)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("df"),
+          (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+        .filter(col("df_ratio") >= 0.5)
+        .orderBy("tok")
+    }),
+
+    // --- curriculum binning: decile buckets over document length for
+    // length-staged training schedules. ntile needs a total order over
+    // (n_tok, doc_id) — at test scale a single window; at fleet scale
+    // the same decile assignment comes from approx-quantile boundaries
+    // + a map-side bin lookup (documented trade: ntile is exact and
+    // the oracle-comparable spelling). Per-bin stats are a 10-row
+    // aggregate. ---
+    "q_curriculum_bins" -> ((s, d) => {
+      val t = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), lng(size(toks)).as("n_tok"))
+      val w = Window.orderBy(col("n_tok"), col("doc_id"))
+      t.withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+          avgd(col("n_chars")).as("avg_chars"))
+        .orderBy("bin")
+    }),
+
+    // --- per-source weighted sampling (training-mix downsampling):
+    // keep a deterministic p-fraction of each source (p = 0.25 / 0.5 /
+    // 0.75 by source id) by comparing the first md5 byte of the doc id
+    // against a per-source hex threshold — a pure map-side filter, no
+    // shuffle, no RNG, reproducible across engines and reruns. The
+    // same shape scales to per-domain quality weights: the threshold
+    // becomes a column joined in from a (small, broadcast) policy
+    // table. ---
+    "q_sample_weighted" -> ((s, d) => {
+      val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+      val thresh = when(srcNum % 3 === 0, "40")
+        .when(srcNum % 3 === 1, "80").otherwise("c0")
+      val gate = substring(
+        md5(concat(lit("smp"), col("doc_id").cast("string"))), 1, 2)
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"), gate.as("gate"),
+          thresh.as("thresh"))
+        .filter(col("gate") < col("thresh"))
+        .orderBy("doc_id")
+    }),
+
+    // --- CDC keep-latest compaction: one surviving row per
+    // (user_id, event_type) — the log-compaction / snapshot read of a
+    // change stream. Single shuffle on the key, per-partition sort,
+    // rank-1 filter; ties on ts break on event_id for a total order.
+    // At fleet scale this is the classic window-dedup: partial
+    // aggregation does not apply, but AQE skew-split handles hot keys
+    // and nothing is ever globally sorted. ---
+    "q_keep_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      table(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          fmtTs(col("ts")).as("last_ts"), col("event_id"), col("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // --- one-pass table profiling (data-quality sweep): null count,
+    // exact distinct count, min/max per column of `orders`, unpivoted
+    // to one row per column. A single scan feeds every aggregate
+    // (multiple exact COUNT DISTINCTs plan as one Expand + two-stage
+    // aggregate — 6x row fan-out map-side, never a per-column rescan);
+    // min/max render through the house deterministic casts (decimal
+    // for doubles, fmtTs for timestamps). At fleet scale the exact
+    // distincts downgrade to HLL (q_agg_hll is the building block) —
+    // the profile shape is identical. ---
+    "q_profile_table" -> ((s, d) => {
+      def minMax(c: Column): (Column, Column) = (min(c), max(c))
+      val (mn1, mx1) = minMax(col("o_orderkey"))
+      val (mn2, mx2) = minMax(col("o_custkey"))
+      val (mn3, mx3) = minMax(col("o_orderstatus"))
+      val (mn4, mx4) = minMax(dec(col("o_totalprice")))
+      val (mn5, mx5) = minMax(col("o_orderdate"))
+      val (mn6, mx6) = minMax(col("o_orderpriority"))
+      table(s, d, "orders")
+        .agg(
+          count(col("o_orderkey")).as("nn1"),
+          countDistinct(col("o_orderkey")).as("nd1"),
+          mn1.cast("string").as("mn1"), mx1.cast("string").as("mx1"),
+          count(col("o_custkey")).as("nn2"),
+          countDistinct(col("o_custkey")).as("nd2"),
+          mn2.cast("string").as("mn2"), mx2.cast("string").as("mx2"),
+          count(col("o_orderstatus")).as("nn3"),
+          countDistinct(col("o_orderstatus")).as("nd3"),
+          mn3.as("mn3"), mx3.as("mx3"),
+          count(col("o_totalprice")).as("nn4"),
+          countDistinct(col("o_totalprice")).as("nd4"),
+          mn4.cast("string").as("mn4"), mx4.cast("string").as("mx4"),
+          count(col("o_orderdate")).as("nn5"),
+          countDistinct(col("o_orderdate")).as("nd5"),
+          fmtTs(mn5).as("mn5"), fmtTs(mx5).as("mx5"),
+          count(col("o_orderpriority")).as("nn6"),
+          countDistinct(col("o_orderpriority")).as("nd6"),
+          mn6.as("mn6"), mx6.as("mx6"))
+        .selectExpr(
+          """stack(6,
+            |  'o_orderkey',      nn1, nd1, mn1, mx1,
+            |  'o_custkey',       nn2, nd2, mn2, mx2,
+            |  'o_orderstatus',   nn3, nd3, mn3, mx3,
+            |  'o_totalprice',    nn4, nd4, mn4, mx4,
+            |  'o_orderdate',     nn5, nd5, mn5, mx5,
+            |  'o_orderpriority', nn6, nd6, mn6, mx6)
+            |  AS (column_name, n_nonnull, n_distinct, min_val, max_val)
+            |""".stripMargin)
+        .orderBy("column_name")
+    })
+  )
+
+  /** DuckDB twin of one profile row. */
+  private def profileRowSql(c: String, render: String => String): String =
+    s"""SELECT '$c' AS column_name,
+       |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  ${render(s"MIN($c)")} AS min_val,
+       |  ${render(s"MAX($c)")} AS max_val
+       |FROM orders""".stripMargin
+  private def vc(e: String): String = s"CAST($e AS VARCHAR)"
+  private def vcDec(e: String): String =
+    s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"
+
+  override def oracle: Map[String, String] = Map(
+    "q_perplexity" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS c FROM e GROUP BY tok),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM v),
+        |sc AS (SELECT doc_id,
+        |         CAST(length(bin(CAST(floor(CAST(n_total AS DOUBLE) / c)
+        |           AS BIGINT))) - 1 AS BIGINT) AS b
+        |       FROM e JOIN v USING (tok) CROSS JOIN t)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(b) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(b) AS DOUBLE) / COUNT(*) AS avg_bits
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |e AS (SELECT unnest(tk) AS tok FROM t),
+        |u AS (SELECT tok, COUNT(*) AS c1 FROM e GROUP BY tok),
+        |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_total FROM u),
+        |g AS (SELECT unnest(list_transform(
+        |        range(1, greatest(len(tk) - 1, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS gram FROM t),
+        |b AS (SELECT string_split(gram, ' ')[1] AS w1,
+        |             string_split(gram, ' ')[2] AS w2, COUNT(*) AS c2
+        |      FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |sc AS (SELECT w1, w2, c2,
+        |         CAST(c2 * n_total AS DOUBLE)
+        |           / CAST(u1.c1 * u2.c1 AS DOUBLE) AS lift
+        |       FROM b JOIN u u1 ON u1.tok = w1
+        |              JOIN u u2 ON u2.tok = w2
+        |              CROSS JOIN tt),
+        |r AS (SELECT w1, w2, c2, lift,
+        |        CAST(row_number() OVER (ORDER BY lift DESC, w1, w2)
+        |          AS BIGINT) AS rn
+        |      FROM sc)
+        |SELECT w1, w2, c2, lift, rn FROM r WHERE rn <= 25
+        |ORDER BY rn""".stripMargin,
+
+    "q_df_stopwords" ->
+      """WITH e AS (SELECT doc_id,
+        |             unnest(list_distinct(string_split(text, ' '))) AS tok
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |f AS (SELECT tok, COUNT(*) AS df FROM e GROUP BY tok)
+        |SELECT tok, df, CAST(df AS DOUBLE) / n_docs AS df_ratio
+        |FROM f CROSS JOIN n
+        |WHERE CAST(df AS DOUBLE) / n_docs >= 0.5
+        |ORDER BY tok""".stripMargin,
+
+    "q_curriculum_bins" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |b AS (SELECT *, CAST(ntile(10) OVER (ORDER BY n_tok, doc_id)
+         |        AS BIGINT) AS bin FROM t)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+         |  ${A("n_chars")} AS avg_chars
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    substring(md5(concat('smp', CAST(doc_id AS VARCHAR))), 1, 2)
+        |      AS gate,
+        |    CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3
+        |      WHEN 0 THEN '40' WHEN 1 THEN '80' ELSE 'c0' END AS thresh
+        |  FROM documents)
+        |SELECT doc_id, source, gate, thresh FROM t
+        |WHERE gate < thresh ORDER BY doc_id""".stripMargin,
+
+    "q_keep_latest" ->
+      s"""SELECT user_id, event_type, ${FT("ts")} AS last_ts, event_id, value
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY user_id, event_type
+         |        ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM events)
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_profile_table" -> Seq(
+      profileRowSql("o_orderkey", vc),
+      profileRowSql("o_custkey", vc),
+      profileRowSql("o_orderstatus", e => e),
+      profileRowSql("o_totalprice", vcDec),
+      profileRowSql("o_orderdate", e => s"strftime($e, '%Y-%m-%d %H:%M:%S.%f')"),
+      profileRowSql("o_orderpriority", e => e)
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  )
+}

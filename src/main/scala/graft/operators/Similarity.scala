@@ -146,6 +146,46 @@ object Similarity extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
+    // --- SemDedup (round 5): semantic near-dup candidates — vectors
+    // are IVF-assigned to their nearest seed centroid (the identical
+    // partition the ANN path uses), then ONLY within-bucket pairs are
+    // scored and the 5 most-similar pairs per bucket survive (keeper =
+    // smaller vec_id, the dedup decision). The bucket equi-join
+    // replaces the corpus cross join — the SemDedup bargain: semantic
+    // duplicates land in the same centroid cell with high probability,
+    // so pairwise work is sum(|cell|^2), not |corpus|^2, and each cell
+    // scores independently in its own task. ---
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"))
+        .withColumn("nn", dotQ(col("q"), col("q")))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nn").as("cn"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          cosQ(dotQ(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id").as("bucket"))
+      val bucketed = e.join(assigned, "vec_id")
+      val a = bucketed.select(col("bucket"), col("vec_id").as("keeper_id"),
+        col("q").as("aq"), col("nn").as("an"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("dup_id"),
+        col("q").as("bq"), col("nn").as("bn"))
+      val scored = a.join(b, "bucket")
+        .filter(col("keeper_id") < col("dup_id"))
+        .select(col("bucket"), col("keeper_id"), col("dup_id"),
+          cosQ(dotQ(col("aq"), col("bq")), col("an"), col("bn")).as("cos"))
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("cos").desc, col("keeper_id"), col("dup_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("bucket", "rn")
+    }),
+
     // --- LSH-bucketed ANN (scale path; approximate, self-checked).
     // Candidate generation mirrors q_dedup_minhash's banding: the
     // (table, bucket) equi-join moves only 24-byte rows, pairs
@@ -196,6 +236,44 @@ object Similarity extends QueryModule {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
   override def oracle: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |cd AS (SELECT a.vec_id AS vid, b.vec_id AS cid, SUM(a.v * b.v) AS d
+         |       FROM x a JOIN x b ON a.i = b.i AND b.vec_id < 16
+         |       GROUP BY 1, 2),
+         |ac AS (SELECT vid, cid,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+         |           AS ccos
+         |       FROM cd JOIN n nv ON nv.vec_id = vid
+         |                JOIN n nc ON nc.vec_id = cid),
+         |asg AS (SELECT vid, cid AS bucket FROM (
+         |          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+         |                 ORDER BY ccos DESC, cid) AS arn FROM ac)
+         |        WHERE arn = 1),
+         |pr AS (SELECT a.bucket, a.vid AS keeper_id, b.vid AS dup_id
+         |       FROM asg a JOIN asg b ON a.bucket = b.bucket
+         |                             AND a.vid < b.vid),
+         |pd AS (SELECT p.bucket, p.keeper_id, p.dup_id, SUM(xa.v * xb.v) AS d
+         |       FROM pr p
+         |       JOIN x xa ON xa.vec_id = p.keeper_id
+         |       JOIN x xb ON xb.vec_id = p.dup_id AND xb.i = xa.i
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT bucket, keeper_id, dup_id,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+         |           AS cos
+         |       FROM pd JOIN n na ON na.vec_id = keeper_id
+         |                JOIN n nb ON nb.vec_id = dup_id),
+         |r AS (SELECT bucket, keeper_id, dup_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY bucket
+         |             ORDER BY cos DESC, keeper_id, dup_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT bucket, keeper_id, dup_id, cos, rn FROM r WHERE rn <= 5
+         |ORDER BY bucket, rn""".stripMargin,
+
     "q_sim_ivf" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |                  unnest($qSql) AS v FROM embeddings),

@@ -229,6 +229,58 @@ class QueryInventorySpec extends AnyFunSuite {
       Tables.table(spark, sf, "documents").count())
   }
 
+  test("round-5 scoring invariants: perplexity mass, curriculum " +
+      "partition, sampling rates, keep-latest keys, profile sanity") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf, "documents")
+    val nDocs = docs.count()
+    val nToks = docs.agg(sum(size(split(col("text"), " "))))
+      .collect()(0).getLong(0)
+    // perplexity: one row per doc; token mass preserved; bits >= 0
+    val ppl = SparkEntry.queries("q_perplexity")(spark, sf).collect()
+    assert(ppl.length == nDocs)
+    assert(ppl.map(_.getLong(1)).sum == nToks)
+    assert(ppl.forall(r => r.getLong(2) >= 0 && r.getDouble(3) >= 0))
+    // curriculum bins partition the corpus into 10 ordered deciles
+    val bins = SparkEntry.queries("q_curriculum_bins")(spark, sf).collect()
+    assert(bins.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(bins.map(_.getLong(1)).sum == nDocs)
+    assert(bins.sliding(2).forall(p => p(0).getLong(3) <= p(1).getLong(2)))
+    // weighted sampling: per-source keep rate tracks its weight
+    val kept = SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    bySrc.foreach { case (src, n) =>
+      val w = (src.filter(_.isDigit).toLong % 3 + 1) * 0.25
+      val rate = kept.getOrElse(src, 0L).toDouble / n
+      // md5 gates are iid-uniform per doc: allow 4 sigma of binomial
+      // noise (small sources at sf0.001 carry only a handful of docs)
+      val tol = math.max(0.1, 4 * math.sqrt(w * (1 - w) / n))
+      assert(math.abs(rate - w) < tol, s"$src rate $rate vs weight $w ($n docs)")
+    }
+    // keep-latest: exactly one row per live (user_id, event_type) key
+    val events = Tables.table(spark, sf, "events")
+    val nKeys = events.select("user_id", "event_type").distinct().count()
+    assert(SparkEntry.queries("q_keep_latest")(spark, sf).count() == nKeys)
+    // profile: one row per orders column, distinct <= nonnull, min <= max
+    val prof = SparkEntry.queries("q_profile_table")(spark, sf).collect()
+    assert(prof.length == 6)
+    assert(prof.forall(r => r.getLong(2) <= r.getLong(1)))
+    // df stopwords: ratios in (0.5, 1]; semantic dedup: cos in [-1, 1],
+    // at most 5 pairs per bucket
+    val dfw = SparkEntry.queries("q_df_stopwords")(spark, sf).collect()
+    assert(dfw.nonEmpty &&
+      dfw.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+    val sem = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+    assert(sem.nonEmpty && sem.forall { r =>
+      val cos = r.getDouble(3)
+      cos >= -1.0 && cos <= 1.0 && r.getLong(4) <= 5 &&
+        r.getLong(1) < r.getLong(2)
+    })
+  }
+
   test("simhash signatures: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions._
     val sig = SparkEntry.queries("q_dedup_simhash")(spark, sf)

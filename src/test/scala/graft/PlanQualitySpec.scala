@@ -133,6 +133,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan kept ${scans.head.selectedPartitions.partitionCount} partitions")
   }
 
+  test("round-5 plans: map-side sampling, single-shuffle compaction " +
+      "and hopping, one-scan profile, no cartesians") {
+    // weighted sampling is a pure map-side filter: no join, no
+    // aggregate, no hash exchange (the final orderBy range-partitions)
+    val ps = plan("q_sample_weighted")
+    assert(!ps.contains("Join") && !ps.contains("HashAggregate"),
+      ps.take(1500))
+    assert(!ps.contains("Exchange hashpartitioning"), ps.take(1500))
+    // keep-latest: exactly one hash shuffle (the window key)
+    val pk = plan("q_keep_latest")
+    assert("Exchange hashpartitioning".r.findAllIn(pk).size == 1,
+      pk.take(2000))
+    // hopping window: the 2x window fan-out happens map-side — same
+    // single hash shuffle as the tumbling window
+    val ph = plan("q_window_hopping")
+    assert("Exchange hashpartitioning".r.findAllIn(ph).size == 1,
+      ph.take(2000))
+    // profile: ONE scan feeds every aggregate through a single Expand
+    val pp = plan("q_profile_table")
+    assert("Scan parquet".r.findAllIn(pp).size == 1, pp.take(2000))
+    assert(pp.contains("Expand"), pp.take(2000))
+    // the new join-shaped queries must never plan a cartesian
+    for (q <- Seq("q_merge_upsert", "q_dedup_semantic", "q_perplexity",
+        "q_cooccur_pmi", "q_chunk_cdc", "q_dedup_url"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // perplexity: AQE broadcasts the vocab side of the re-join and the
+    // per-doc sum combines map-side (final AQE plan, so execute first)
+    val df = SparkEntry.queries("q_perplexity")(spark, sf)
+    df.collect()
+    val pf = df.queryExecution.executedPlan.toString
+    assert(pf.contains("BroadcastHashJoin"), pf.take(2000))
+    assert(pf.contains("partial_count") || pf.contains("partial_sum"),
+      pf.take(2000))
+  }
+
   test("curation regex/split pipelines stay inside whole-stage codegen") {
     for (q <- Seq("q_text_normalize", "q_pii_redact", "q_train_split")) {
       // codegen wrapping appears in the final AQE plan, so execute first

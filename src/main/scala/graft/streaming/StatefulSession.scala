@@ -200,5 +200,29 @@ object StatefulSession extends QueryModule {
 
   // Streaming result: rows-only check; asserted equal to the batch
   // session_window query (and exactly-once) in QueryInventorySpec.
-  override def oracle: Map[String, String] = Map()
+  // The exactly-once event-time-timeout emission over the bounded
+  // replay reproduces the batch session_window result bit-for-bit
+  // (sums quantized per the Det decimal policy), so the hand-rolled
+  // stateful query carries the same oracle as q_window_session.
+  override def oracle: Map[String, String] = Map(
+    "q_streaming_session" -> {
+      import graft.Det.{FT, S}
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |numbered AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id,
+         |  ${FT("MIN(ts)")} AS s_start,
+         |  ${FT("MAX(ts) + INTERVAL 30 MINUTE")} AS s_end,
+         |  COUNT(*) AS n, ${S("value")} AS sum_value
+         |FROM numbered
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, s_start""".stripMargin
+    })
 }

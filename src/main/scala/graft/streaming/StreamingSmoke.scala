@@ -149,10 +149,19 @@ object StreamingSmoke extends QueryModule {
     })
   )
 
-  // The windowed smoke is rows-only (same data as q_window_tumbling,
-  // asserted equal in tests); the dedup result is deterministic and
-  // carries a real oracle.
+  // Every one of these replays the full batch input exactly once into
+  // deterministic aggregates, so all three carry real oracles: the
+  // windowed smoke is the tumbling-window SQL (complete-mode output ==
+  // batch result), dedup is COUNT(DISTINCT), and the interval join is
+  // its batch twin.
   override def oracle: Map[String, String] = Map(
+    "q_streaming_rate" ->
+      s"""SELECT ${FT("date_trunc('hour', ts)")} AS hour_start, event_type,
+         |  COUNT(*) AS n, ${S("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour_start, event_type""".stripMargin,
+
     "q_streaming_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -176,53 +176,43 @@ object Scoring extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
-    // --- one-pass table profiling (data-quality sweep): null count,
-    // exact distinct count, min/max per column of `orders`, unpivoted
-    // to one row per column. A single scan feeds every aggregate
-    // (multiple exact COUNT DISTINCTs plan as one Expand + two-stage
-    // aggregate — 6x row fan-out map-side, never a per-column rescan);
-    // min/max render through the house deterministic casts (decimal
+    // --- table profiling (data-quality sweep): null count, exact
+    // distinct count, min/max per column of `orders`, one output row
+    // per column. Deliberately NOT the single-pass multi-COUNT-
+    // DISTINCT spelling: that plans a |columns|+1-way Expand and then
+    // a SORT aggregate keyed on every profiled column at once (string
+    // buffers disqualify hash aggregation) — measured 3 s at sf0.1 and
+    // a rows x columns blow-up through a wide sort at fleet scale.
+    // Instead each column gets its own two-phase aggregate — group-by
+    // the column (hash agg, map-side partial), then fold the DISTINCT
+    // VALUES relation into (nonnull, distinct, min, max) — unioned
+    // into one plan/job. Columnar parquet makes 6 single-column scans
+    // read exactly the same bytes as one 6-column scan; min/max over
+    // strings sort-aggregates only the distinct-value relation.
+    // Min/max render through the house deterministic casts (decimal
     // for doubles, fmtTs for timestamps). At fleet scale the exact
     // distincts downgrade to HLL (q_agg_hll is the building block) —
     // the profile shape is identical. ---
     "q_profile_table" -> ((s, d) => {
-      def minMax(c: Column): (Column, Column) = (min(c), max(c))
-      val (mn1, mx1) = minMax(col("o_orderkey"))
-      val (mn2, mx2) = minMax(col("o_custkey"))
-      val (mn3, mx3) = minMax(col("o_orderstatus"))
-      val (mn4, mx4) = minMax(dec(col("o_totalprice")))
-      val (mn5, mx5) = minMax(col("o_orderdate"))
-      val (mn6, mx6) = minMax(col("o_orderpriority"))
-      table(s, d, "orders")
-        .agg(
-          count(col("o_orderkey")).as("nn1"),
-          countDistinct(col("o_orderkey")).as("nd1"),
-          mn1.cast("string").as("mn1"), mx1.cast("string").as("mx1"),
-          count(col("o_custkey")).as("nn2"),
-          countDistinct(col("o_custkey")).as("nd2"),
-          mn2.cast("string").as("mn2"), mx2.cast("string").as("mx2"),
-          count(col("o_orderstatus")).as("nn3"),
-          countDistinct(col("o_orderstatus")).as("nd3"),
-          mn3.as("mn3"), mx3.as("mx3"),
-          count(col("o_totalprice")).as("nn4"),
-          countDistinct(col("o_totalprice")).as("nd4"),
-          mn4.cast("string").as("mn4"), mx4.cast("string").as("mx4"),
-          count(col("o_orderdate")).as("nn5"),
-          countDistinct(col("o_orderdate")).as("nd5"),
-          fmtTs(mn5).as("mn5"), fmtTs(mx5).as("mx5"),
-          count(col("o_orderpriority")).as("nn6"),
-          countDistinct(col("o_orderpriority")).as("nd6"),
-          mn6.as("mn6"), mx6.as("mx6"))
-        .selectExpr(
-          """stack(6,
-            |  'o_orderkey',      nn1, nd1, mn1, mx1,
-            |  'o_custkey',       nn2, nd2, mn2, mx2,
-            |  'o_orderstatus',   nn3, nd3, mn3, mx3,
-            |  'o_totalprice',    nn4, nd4, mn4, mx4,
-            |  'o_orderdate',     nn5, nd5, mn5, mx5,
-            |  'o_orderpriority', nn6, nd6, mn6, mx6)
-            |  AS (column_name, n_nonnull, n_distinct, min_val, max_val)
-            |""".stripMargin)
+      val o = table(s, d, "orders")
+      def branch(name: String, render: Column => Column): DataFrame = {
+        val c = col(name)
+        // cnt is 0 for the all-null group (COUNT(c) skips nulls), so
+        // the plain SUM is the non-null row count
+        o.select(c).groupBy(c).agg(count(c).as("cnt"))
+          .agg(sum(col("cnt")).as("nn"), count(c).as("nd"),
+            render(min(c)).as("mn"), render(max(c)).as("mx"))
+          .select(lit(name).as("column_name"),
+            col("nn").cast("long").as("n_nonnull"),
+            col("nd").as("n_distinct"),
+            col("mn").as("min_val"), col("mx").as("max_val"))
+      }
+      branch("o_orderkey", _.cast("string"))
+        .unionByName(branch("o_custkey", _.cast("string")))
+        .unionByName(branch("o_orderstatus", identity))
+        .unionByName(branch("o_totalprice", c => dec(c).cast("string")))
+        .unionByName(branch("o_orderdate", fmtTs))
+        .unionByName(branch("o_orderpriority", identity))
         .orderBy("column_name")
     })
   )

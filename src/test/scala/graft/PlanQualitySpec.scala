@@ -150,10 +150,16 @@ class PlanQualitySpec extends AnyFunSuite {
     val ph = plan("q_window_hopping")
     assert("Exchange hashpartitioning".r.findAllIn(ph).size == 1,
       ph.take(2000))
-    // profile: ONE scan feeds every aggregate through a single Expand
+    // profile: no multi-distinct Expand (rows x columns fan-out into a
+    // wide sort aggregate); six single-column branches whose scans are
+    // each pruned to exactly the profiled column
     val pp = plan("q_profile_table")
-    assert("Scan parquet".r.findAllIn(pp).size == 1, pp.take(2000))
-    assert(pp.contains("Expand"), pp.take(2000))
+    assert(!pp.contains("Expand"), pp.take(2000))
+    val reads = pp.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.size == 6, s"expected 6 pruned scans, got ${reads.size}")
+    assert(reads.forall(r =>
+      "o_[a-z]+:".r.findAllIn(r.substring(r.indexOf("ReadSchema"))).size == 1),
+      reads.mkString("\n"))
     // the new join-shaped queries must never plan a cartesian
     for (q <- Seq("q_merge_upsert", "q_dedup_semantic", "q_perplexity",
         "q_cooccur_pmi", "q_chunk_cdc", "q_dedup_url"))

@@ -176,6 +176,31 @@ object Scoring extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
+    // --- incremental aggregation (partial-aggregate merge): combine a
+    // precomputed aggregate state (history before the split date) with
+    // a freshly aggregated delta batch — the warehouse incremental
+    // pattern that avoids rescanning history every run. Both sides
+    // reduce to per-key partials BEFORE the merge, so the
+    // union + re-aggregate moves |keys| rows, not data; at fleet scale
+    // the state side is a tiny stored table and only the delta touches
+    // raw data. Decimal partial sums make the merge order-independent
+    // (the same property Spark's own partial aggregation relies on);
+    // the result provably equals the full-table aggregate (pinned in
+    // tests). ---
+    "q_incremental_agg" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      val split = lit("1997-01-01").cast("timestamp")
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("psum"))
+      val state = partial(o.filter(col("o_orderdate") < split))
+      val delta = partial(o.filter(col("o_orderdate") >= split))
+      state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n"), sum(col("psum")).cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // --- table profiling (data-quality sweep): null count, exact
     // distinct count, min/max per column of `orders`, one output row
     // per column. Deliberately NOT the single-pass multi-COUNT-
@@ -308,6 +333,20 @@ object Scoring extends QueryModule {
          |        ORDER BY ts DESC, event_id DESC) AS rn
          |      FROM events)
          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH st AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |              SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS psum
+        |            FROM orders
+        |            WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+        |dl AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS psum
+        |       FROM orders
+        |       WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1),
+        |u AS (SELECT * FROM st UNION ALL SELECT * FROM dl)
+        |SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(psum) AS DOUBLE) AS total
+        |FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_profile_table" -> Seq(
       profileRowSql("o_orderkey", vc),

@@ -68,6 +68,34 @@ object Similarity extends QueryModule {
     rowCountCache.computeIfAbsent(s"$d/embeddings.parquet",
       p => s.read.parquet(p).count())
 
+  /** The corpus with its quantized self-dot: (vec_id, q, nn). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("q"))
+      .withColumn("nn", dotQ(col("q"), col("q")))
+
+  /** IVF assignment shared by the ANN / SemDedup / k-means queries:
+    * every vector mapped to its nearest of the 16 deterministic seed
+    * centroids (vec_id < 16 — a real build trains these on a sample;
+    * the partition shape is identical). Centroids broadcast; the
+    * argmax is a per-vector window over the 16 candidate rows.
+    * Returns (vec_id, bucket).
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nn").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosQ(dotQ(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- brute-force cosine top-k (exact ANN baseline) ---
     "q_sim_topk" -> ((s, d) => {
@@ -116,21 +144,8 @@ object Similarity extends QueryModule {
     // only shuffle is the bucket equi-join. Trades recall for a
     // ~|centroids| fan-in reduction, the standard IVF bargain. ---
     "q_sim_ivf" -> ((s, d) => {
-      val e = table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").as("q"))
-        .withColumn("nn", dotQ(col("q"), col("q")))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("nn").as("cn"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          cosQ(dotQ(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id").as("bucket"))
-      val bucketed = e.join(assigned, "vec_id")
+      val e = corpus(s, d)
+      val bucketed = e.join(ivfAssigned(s, d), "vec_id")
       val probes = bucketed
         .filter(col("vec_id") >= 10 && col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"),
@@ -156,21 +171,8 @@ object Similarity extends QueryModule {
     // so pairwise work is sum(|cell|^2), not |corpus|^2, and each cell
     // scores independently in its own task. ---
     "q_dedup_semantic" -> ((s, d) => {
-      val e = table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").as("q"))
-        .withColumn("nn", dotQ(col("q"), col("q")))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("nn").as("cn"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          cosQ(dotQ(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id").as("bucket"))
-      val bucketed = e.join(assigned, "vec_id")
+      val e = corpus(s, d)
+      val bucketed = e.join(ivfAssigned(s, d), "vec_id")
       val a = bucketed.select(col("bucket"), col("vec_id").as("keeper_id"),
         col("q").as("aq"), col("nn").as("an"))
       val b = bucketed.select(col("bucket"), col("vec_id").as("dup_id"),
@@ -192,10 +194,30 @@ object Similarity extends QueryModule {
     // colliding in several tables are distinct()'d BEFORE vectors are
     // fetched, and only then does the (small) candidate set score
     // against the corpus. ---
+    // --- one k-means (Lloyd) refinement step (round 5): re-estimate
+    // every centroid as the mean of its assigned vectors — the training
+    // loop behind the IVF / SemDedup partitions, run to convergence by
+    // iterating this exact plan. Vectors explode to (bucket, dim,
+    // quantized value) AFTER assignment, so the only shuffle is the
+    // (bucket, dim) aggregate — 16 x 64 cells — with map-side partial
+    // sums; the mean divides an exact int64 sum once per cell. ---
+    "q_kmeans_step" -> ((s, d) => {
+      val members = corpus(s, d).join(ivfAssigned(s, d), "vec_id")
+      members
+        .select(col("bucket"), posexplode(transform(col("q"),
+          x => floor(x.cast("double") * lit(1048576.0)).cast("long")))
+          .as(Seq("i0", "v")))
+        .select(col("bucket"), (col("i0") + 1).cast("long").as("i"),
+          col("v"))
+        .groupBy("bucket", "i")
+        .agg(count(lit(1)).as("n_members"),
+          ((sum(col("v")).cast("double") / count(lit(1))) / 1048576.0)
+            .as("centroid"))
+        .orderBy("bucket", "i")
+    }),
+
     "q_sim_lsh" -> ((s, d) => {
-      val e = table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").as("q"))
-        .withColumn("nn", dotQ(col("q"), col("q")))
+      val e = corpus(s, d)
       // raw read, not Tables.table: the count comes straight from
       // parquet row-group metadata (table() repartitions, which would
       // turn this into a full shuffle just to count); cached per dir
@@ -235,24 +257,39 @@ object Similarity extends QueryModule {
   private val qSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
+  /** Shared CTE chain deriving the IVF assignment `asg(vid, bucket)` —
+    * plus the quantized element relation `x(vec_id, i, v)` and squared
+    * norms `n(vec_id, nn)` — the DuckDB twin of [[ivfAssigned]].
+    */
+  private val ivfAsgCte: String =
+    s"""x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |                unnest($qSql) AS v FROM embeddings),
+       |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+       |cd AS (SELECT a.vec_id AS vid, b.vec_id AS cid, SUM(a.v * b.v) AS d
+       |       FROM x a JOIN x b ON a.i = b.i AND b.vec_id < 16
+       |       GROUP BY 1, 2),
+       |ac AS (SELECT vid, cid,
+       |         CAST(d AS DOUBLE) /
+       |           (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+       |           AS ccos
+       |       FROM cd JOIN n nv ON nv.vec_id = vid
+       |                JOIN n nc ON nc.vec_id = cid),
+       |asg AS (SELECT vid, cid AS bucket FROM (
+       |          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |                 ORDER BY ccos DESC, cid) AS arn FROM ac)
+       |        WHERE arn = 1)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "q_kmeans_step" ->
+      s"""WITH $ivfAsgCte,
+         |m AS (SELECT asg.bucket, x.i, x.v
+         |      FROM x JOIN asg ON asg.vid = x.vec_id)
+         |SELECT bucket, CAST(i AS BIGINT) AS i, COUNT(*) AS n_members,
+         |  (CAST(SUM(v) AS DOUBLE) / COUNT(*)) / 1048576.0 AS centroid
+         |FROM m GROUP BY bucket, i ORDER BY bucket, i""".stripMargin,
+
     "q_dedup_semantic" ->
-      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |                  unnest($qSql) AS v FROM embeddings),
-         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
-         |cd AS (SELECT a.vec_id AS vid, b.vec_id AS cid, SUM(a.v * b.v) AS d
-         |       FROM x a JOIN x b ON a.i = b.i AND b.vec_id < 16
-         |       GROUP BY 1, 2),
-         |ac AS (SELECT vid, cid,
-         |         CAST(d AS DOUBLE) /
-         |           (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
-         |           AS ccos
-         |       FROM cd JOIN n nv ON nv.vec_id = vid
-         |                JOIN n nc ON nc.vec_id = cid),
-         |asg AS (SELECT vid, cid AS bucket FROM (
-         |          SELECT vid, cid, row_number() OVER (PARTITION BY vid
-         |                 ORDER BY ccos DESC, cid) AS arn FROM ac)
-         |        WHERE arn = 1),
+      s"""WITH $ivfAsgCte,
          |pr AS (SELECT a.bucket, a.vid AS keeper_id, b.vid AS dup_id
          |       FROM asg a JOIN asg b ON a.bucket = b.bucket
          |                             AND a.vid < b.vid),
@@ -275,22 +312,7 @@ object Similarity extends QueryModule {
          |ORDER BY bucket, rn""".stripMargin,
 
     "q_sim_ivf" ->
-      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |                  unnest($qSql) AS v FROM embeddings),
-         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
-         |cd AS (SELECT a.vec_id AS vid, b.vec_id AS cid, SUM(a.v * b.v) AS d
-         |       FROM x a JOIN x b ON a.i = b.i AND b.vec_id < 16
-         |       GROUP BY 1, 2),
-         |ac AS (SELECT vid, cid,
-         |         CAST(d AS DOUBLE) /
-         |           (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
-         |           AS ccos
-         |       FROM cd JOIN n nv ON nv.vec_id = vid
-         |                JOIN n nc ON nc.vec_id = cid),
-         |asg AS (SELECT vid, cid AS bucket FROM (
-         |          SELECT vid, cid, row_number() OVER (PARTITION BY vid
-         |                 ORDER BY ccos DESC, cid) AS arn FROM ac)
-         |        WHERE arn = 1),
+      s"""WITH $ivfAsgCte,
          |pr AS (SELECT vid AS probe_id, bucket FROM asg
          |       WHERE vid >= 10 AND vid < 20),
          |cand AS (SELECT p.probe_id, s.vid AS cand_id

@@ -279,6 +279,22 @@ class QueryInventorySpec extends AnyFunSuite {
       cos >= -1.0 && cos <= 1.0 && r.getLong(4) <= 5 &&
         r.getLong(1) < r.getLong(2)
     })
+    // k-means step: every vector contributes to exactly one centroid
+    // (per-dimension member counts over dim 1 sum to the corpus size),
+    // and centroids stay inside the data's quantized range
+    val km = SparkEntry.queries("q_kmeans_step")(spark, sf).collect()
+    val nVecs = Tables.table(spark, sf, "embeddings").count()
+    assert(km.filter(_.getLong(1) == 1L).map(_.getLong(2)).sum == nVecs)
+    assert(km.forall(r => math.abs(r.getDouble(3)) <= 1.5))
+    // incremental agg == the full-table aggregate it replaces
+    val inc = SparkEntry.queries("q_incremental_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val full = Tables.table(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), graft.Det.sumd(col("o_totalprice")))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.toSeq == full.toSeq)
   }
 
   test("simhash signatures: near-dup pairs have small hamming distance") {

@@ -38,6 +38,52 @@ object Dedup extends QueryModule {
   private val Bands = 8
 
 
+  /** Min-label propagation to convergence over the symmetric near-dup
+    * edge list; returns per-doc (cluster_id, n_members, is_canonical).
+    */
+  private def clusterLoop(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+      // symmetric edge list, persisted: reused every iteration
+      val edges = pairs
+        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .persist()
+      var labels = table(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 25) {
+        // each node adopts min(own label, neighbors' labels)
+        val prop = labels.as("l")
+          .join(edges.as("e"), col("l.doc_id") === col("e.a_id"))
+          .select(col("e.b_id").as("doc_id"), col("l.cluster_id"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint()
+        converged = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      // The cap is a runaway guard, not an accuracy knob: exiting through
+      // it means some component's diameter exceeded the iteration budget
+      // and the labels are WRONG. Fail loudly rather than return them —
+      // a silently unconverged clustering would pass row-count checks.
+      if (!converged)
+        throw new IllegalStateException(
+          s"q_dedup_cluster: label propagation not converged after $iter " +
+            "iterations — component diameter exceeds the cap; raise it")
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Canonical LSH candidate generation: the band self-join moves ONLY
     // (band, bkey, doc_id) — 24 bytes/row — never the shingle arrays;
@@ -99,45 +145,19 @@ object Dedup extends QueryModule {
     "q_dedup_cluster" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
-      // symmetric edge list, persisted: reused every iteration
-      val edges = pairs
-        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .persist()
-      var labels = table(s, d, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 25) {
-        // each node adopts min(own label, neighbors' labels)
-        val prop = labels.as("l")
-          .join(edges.as("e"), col("l.doc_id") === col("e.a_id"))
-          .select(col("e.b_id").as("doc_id"), col("l.cluster_id"))
-        val next = labels.union(prop)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-          .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.as("o"), "doc_id")
-          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-          .isEmpty
-        labels = next
-        iter += 1
-      }
-      edges.unpersist()
-      // The cap is a runaway guard, not an accuracy knob: exiting through
-      // it means some component's diameter exceeded the iteration budget
-      // and the labels are WRONG. Fail loudly rather than return them —
-      // a silently unconverged clustering would pass row-count checks.
-      if (!converged)
-        throw new IllegalStateException(
-          s"q_dedup_cluster: label propagation not converged after $iter " +
-            "iterations — component diameter exceeds the cap; raise it")
-      val sizes = labels.groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"))
-      labels.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("n_members"),
-          (col("doc_id") === col("cluster_id")).as("is_canonical"))
-        .orderBy("doc_id")
+      // The iterative phase shuffles only the label table (|docs| skinny
+      // rows) and the near-dup edge list — relations orders of magnitude
+      // smaller than the corpus the pair join above chews through. At 32
+      // shuffle partitions each of the ~3 jobs per round schedules 32
+      // near-empty tasks and the loop is pure task-launch overhead;
+      // size the iterative shuffles to the data like the streaming
+      // queries size state partitions. At fleet scale this knob is AQE
+      // coalescing (it already merges empty partitions there — the
+      // explicit setting matters only for this tiny-relation loop).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try clusterLoop(s, d, pairs)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // One fused codegen'd pass per document: split (codegen'd) ->

@@ -182,6 +182,41 @@ object Curation extends QueryModule {
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // --- line-level boilerplate dedup (round 5, the CCNet pass):
+    // "lines" (disjoint 8-token segments — the fixture has no newlines)
+    // recurring across >= 3 distinct documents are boilerplate
+    // (headers, nav bars, license blurbs) and are struck from EVERY
+    // document; each doc re-emits its kept-line count and a
+    // fingerprint of the re-joined text. Scale shape: the df count is
+    // one shuffle keyed on the line, the boilerplate set is tiny ->
+    // broadcast anti join against the line stream, and reassembly
+    // groups per doc via array_sort of (idx, line) structs — ordered
+    // by construction, never an order-dependent collect. ---
+    "q_dedup_lines" -> ((s, d) => {
+      val lines = table(s, d, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(1), greatest(size(col("tk")), lit(1)),
+            lit(8))).as(Seq("li", "start")))
+        .select(col("doc_id"), col("li").cast("long").as("li"),
+          concat_ws(" ", slice(col("tk"), col("start"), lit(8))).as("line"))
+      val boiler = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select("line")
+      val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+      val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("li"), col("line")))),
+            x => x.getField("line")))).as("fp"))
+      totals.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     // --- weighted source interleaving (round 5): compose one training
     // stream from N corpus sources at integer pacing weights with a
     // deterministic shuffle, no RNG. Each doc gets a per-source shuffle
@@ -390,6 +425,25 @@ object Curation extends QueryModule {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_len,
         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, tk,
+        |        unnest(generate_series(1, greatest(len(tk), 1), 8)) AS st
+        |      FROM t),
+        |l AS (SELECT doc_id, CAST((st - 1) // 8 AS BIGINT) AS li,
+        |        array_to_string(array_slice(tk, st, st + 7), ' ') AS line
+        |      FROM g),
+        |b AS (SELECT line FROM l
+        |      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY doc_id),
+        |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |        md5(string_agg(line, ' ' ORDER BY li)) AS fp
+        |      FROM l ANTI JOIN b USING (line) GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_total,
+        |  COALESCE(k.n_kept, 0) AS n_kept, k.fp
+        |FROM tot LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_interleave" ->
       """WITH t AS (

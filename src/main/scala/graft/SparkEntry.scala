@@ -17,6 +17,7 @@ object SparkEntry {
     operators.TextPipeline,
     operators.Curation,
     operators.Scoring,
+    operators.Retrieval,
     operators.Similarity,
     operators.Dedup,
     operators.Multimodal,

@@ -403,8 +403,41 @@ object Advanced extends QueryModule {
           translate(col("s_name"), "#0", "_x").as("translated"),
           reverse(col("s_name")).as("rev"),
           repeat(substring(col("s_name"), 1, 3), 2).as("rep"))
-        .orderBy("s_suppkey"))
+        .orderBy("s_suppkey")),
+
+    // --- Z-order (Morton) layout clustering: one interleaved-bit sort
+    // key clusters rows along BOTH (user, time) at once, so a range-
+    // partitioned write ordered by it yields parquet min/max stats that
+    // prune on EITHER column — the multi-dimensional data-skipping
+    // layout for 100 TB scans (a single-column sort gives pruning on
+    // one dimension only). The key build is the native codegen'd
+    // MortonCode expression (10 ALU ops/coordinate, stays in
+    // whole-stage codegen); the query audits the layout by aggregating
+    // per coarse Z-cell: each cell's min/max bounds on BOTH coordinates
+    // are tight, which is exactly the file-stats property the writer
+    // would rely on. Everything before the 1024-cell aggregate is
+    // map-side. ---
+    "q_zorder_cluster" -> ((s, d) => {
+      val e = table(s, d, "events").select(
+        col("user_id").bitwiseAND(lit(65535L)).as("x"),
+        expr("unix_micros(ts) div 60000000").bitwiseAND(lit(65535L)).as("y"))
+      e.select(col("x"), col("y"),
+          graft.functions.MortonCode(col("x"), col("y")).as("zkey"))
+        .groupBy(shiftright(col("zkey"), 22).as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("zcell")
+    })
   )
+
+  /** DuckDB twin of MortonCode.spread: 16-term shift/mask chain placing
+    * bit i of `v` at result bit 2i (+1 when `odd`).
+    */
+  private def spreadSql(v: String, odd: Boolean): String =
+    (0 until 16).map { i =>
+      s"(((($v) >> $i) & 1) * ${1L << (2 * i + (if (odd) 1 else 0))})"
+    }.mkString("(", " + ", ")")
 
   override def oracle: Map[String, String] = Map(
     "q_pivot" ->
@@ -567,6 +600,20 @@ object Advanced extends QueryModule {
         |  translate(s_name, '#0', '_x') AS translated,
         |  reverse(s_name) AS rev,
         |  repeat(substring(s_name, 1, 3), 2) AS rep
-        |FROM supplier ORDER BY s_suppkey""".stripMargin
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_zorder_cluster" ->
+      s"""WITH c AS (
+        |  SELECT (user_id & 65535) AS x,
+        |         ((epoch_us(ts) // 60000000) & 65535) AS y
+        |  FROM events),
+        |z AS (SELECT x, y,
+        |        ${spreadSql("x", odd = false)}
+        |        + ${spreadSql("y", odd = true)} AS zkey
+        |      FROM c)
+        |SELECT (zkey >> 22) AS zcell, COUNT(*) AS n,
+        |  MIN(x) AS x_min, MAX(x) AS x_max,
+        |  MIN(y) AS y_min, MAX(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
   )
 }

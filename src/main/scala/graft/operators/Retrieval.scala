@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.Det.let
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-infrastructure operators over the document corpus, round 5:
+  * BM25 relevance ranking and an inverted-index (postings) build. Both
+  * are the batch halves of a contamination/search stack: the index finds
+  * which documents mention a probe, BM25 ranks them.
+  *
+  * Determinism notes (SURVEY.md §2.C preamble applies):
+  *   - BM25 with k1 = 1.2, b = 0.75 is computed EXACTLY in int64 up to
+  *     one final IEEE division per query term: multiplying the classic
+  *     per-term expression tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+  *     through by 10*A (A = total corpus tokens, avgdl = A/N) gives
+  *     22*A*tf / (10*A*tf + 3*A + 9*dl*N) — integer numerator and
+  *     denominator, so both engines divide the identical operands.
+  *   - idf uses the same integer floor-log2 spelling as
+  *     [[Scoring]]'s perplexity (`length(bin(...)) - 1`), no libm.
+  *   - The three per-term scores are added in one fixed written order
+  *     (left-to-right in both engines), never via SUM over an exploded
+  *     relation, so no float-reassociation hazard.
+  */
+object Retrieval extends QueryModule {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** BM25 probe terms: one rare term (the actual signal — its idf
+    * dominates) and two high-df terms whose idf correctly rounds to ~0,
+    * the stopword behavior BM25 is designed to have.
+    */
+  private val Terms = Seq("dup", "spark", "vector")
+
+  /** floor(log2(num/den)) for exact int64 operands, via binary-string
+    * length (shared spelling with Scoring.bits — no libm).
+    */
+  private def idfBits(num: Column, den: Column): Column =
+    (length(bin(floor(num.cast("double") / den).cast("long"))) - 1)
+      .cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- BM25 ranking: corpus stats (N docs, A total tokens, per-term
+    // df) reduce to ONE scalar row — computed in a single pass with
+    // conditional aggregates and broadcast back under every document
+    // (crossJoin of a 1-row relation; Spark plans a BroadcastNestedLoop
+    // that costs one map-side lookup). Scoring is then pure map-side
+    // projection over the corpus scan — no shuffle at any scale — and
+    // the global top-50 is a TakeOrdered (per-partition heap + driver
+    // merge of 50-row heads), never a full sort. tf per term is
+    // size-difference against array_remove: codegen'd collection ops,
+    // no lambda HOFs in the hot path. Int64 bounds: 22*A*tf < 2^63
+    // through ~1e15 corpus tokens x tf 100; past that the rationals
+    // move to DECIMAL(38,0) partials, same shape. ---
+    "q_rank_bm25" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("dl"),
+          toks.as("tk"))
+      val withTf = Terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          (col("dl") - size(array_remove(col("tk"), t))).cast("long"))
+      }.drop("tk")
+      val stats = withTf.agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")).as("a") +:
+          Terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+      val scored = withTf.crossJoin(broadcast(stats))
+      val termScore = Terms.indices.map { i =>
+        val idf = idfBits(
+          lit(2) * col("n") - lit(2) * col(s"df$i") + 1,
+          lit(2) * col(s"df$i") + 1)
+        // tf = 0 zeroes the numerator, so absent terms contribute
+        // exactly 0.0 with no branch
+        idf.cast("double") *
+          ((lit(22) * col("a") * col(s"tf$i")).cast("double") /
+            (lit(10) * col("a") * col(s"tf$i") + lit(3) * col("a") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+      }
+      scored
+        .select(col("doc_id"), col("dl"), col("tf0").as("tf_rare"),
+          termScore.reduceLeft(_ + _).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // --- inverted-index build (trigram postings): the scale shape is
+    // df-first — document frequency is a cheap combinable count
+    // (map-side partial, one shuffle on the gram), the probe set (here:
+    // bottom-100 rarest grams, the ones a contamination check would
+    // look up) is selected from that aggregate, and ONLY surviving
+    // grams' postings are collected, with the probe set broadcast into
+    // the gram stream. Collecting postings for every gram first would
+    // shuffle stopword posting lists orders of magnitude larger than
+    // the answer; this never materializes them. Postings are rendered
+    // as a canonical comma-joined numerically-sorted string — an
+    // order-insensitive aggregate both engines produce identically. ---
+    "q_inverted_index" -> ((s, d) => {
+      val grams = table(s, d, "documents")
+        // shingles() is per-doc distinct, so COUNT per gram == df
+        .select(col("doc_id"),
+          explode(TextPipeline.shingles(toks)).as("gram"))
+      val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      val rare = dfreq.orderBy(col("df"), col("gram")).limit(100)
+      grams.join(broadcast(rare), "gram")
+        .groupBy("gram", "df")
+        .agg(array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+        .orderBy("gram")
+    }),
+
+    // --- PageRank power-iteration step (link-graph authority, the
+    // crawl-curation primitive) over the token co-occurrence graph:
+    // edge s->t with weight c(s,t) = bigram count. One damped step from
+    // the uniform vector: r1(t) = 0.15/n + (0.85/n) * sum_s c(s,t)/out(s).
+    // The only corpus-sized work is the bigram count (one shuffle with
+    // map-side partials, streamed out of the codegen'd NGramGenerator);
+    // everything after runs on vocabulary-sized relations, which is the
+    // iterated-step cost profile at any scale (the real loop re-joins
+    // rank to edges per step, exactly like q_dedup_cluster's label
+    // loop). Float determinism: each per-edge ratio is ONE IEEE
+    // division of exact int64 operands, floor-quantized to 1e-9
+    // transition-probability units (int64) so the incoming-edge sum is
+    // exact and order-independent — decimal sums are NOT enough here,
+    // DECIMAL(38,18)->DOUBLE conversion differs in the last ulp across
+    // engines; the int64 sum stays < 2^53 so its double image and the
+    // final affine map are bit-identical everywhere. ---
+    "q_pagerank_iter" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val edges = docs
+        .select(graft.functions.NGramGenerator(toks, 2).alias("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c"))
+        .select(let(split(col("gram"), " ")) { ws =>
+          struct(element_at(ws, 1).as("s"), element_at(ws, 2).as("t"))
+        }.as("ws"), col("c"))
+        .select(col("ws.s").as("src"), col("ws.t").as("dst"), col("c"))
+      val out = edges.groupBy("src").agg(sum(col("c")).as("outw"))
+      val vocab = docs.select(explode(toks).as("tok")).distinct()
+      val n = vocab.agg(count(lit(1)).as("n"))
+      val contrib = edges.join(out, "src")
+        .select(col("dst"),
+          floor((col("c").cast("double") / col("outw").cast("double"))
+            * lit(1e9)).cast("long").as("ratio_q"))
+        .groupBy("dst").agg(sum(col("ratio_q")).as("rsum"))
+      vocab.join(contrib, vocab("tok") === contrib("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("tok"),
+          ((lit(0.15) + lit(0.85) *
+            (coalesce(col("rsum"), lit(0L)).cast("double") / lit(1e9))) /
+            col("n")).as("rank1"))
+        .orderBy(col("rank1").desc, col("tok"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_rank_bm25" -> {
+      val stats = Terms.indices.map(i =>
+        s"""SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i""")
+        .mkString(",\n        |           ")
+      val tf = Terms.zipWithIndex.map { case (t, i) =>
+        s"""CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"""
+      }.mkString(",\n        |         ")
+      val score = Terms.indices.map { i =>
+        s"""CAST(length(bin(CAST(floor(CAST(2*n - 2*df$i + 1 AS DOUBLE)
+           |      / (2*df$i + 1)) AS BIGINT))) - 1 AS DOUBLE)
+           |    * (CAST(22*a*tf$i AS DOUBLE)
+           |       / CAST(10*a*tf$i + 3*a + 9*dl*n AS DOUBLE))"""
+          .stripMargin
+      }.mkString("\n        |  + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |w AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |         $tf
+        |      FROM d),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(dl) AS BIGINT) AS a,
+        |           $stats
+        |      FROM w)
+        |SELECT doc_id, dl, tf0 AS tf_rare,
+        |  $score
+        |  AS bm25
+        |FROM w CROSS JOIN s
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(tk) - 2, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |      FROM t),
+        |d AS (SELECT gram, COUNT(*) AS df FROM s GROUP BY gram),
+        |r AS (SELECT gram, df FROM d ORDER BY df, gram LIMIT 100)
+        |SELECT r.gram, r.df,
+        |  string_agg(CAST(s.doc_id AS VARCHAR), ','
+        |             ORDER BY s.doc_id) AS postings
+        |FROM s JOIN r USING (gram)
+        |GROUP BY r.gram, r.df
+        |ORDER BY r.gram""".stripMargin,
+
+    "q_pagerank_iter" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest(list_transform(
+        |        range(1, greatest(len(tk) - 1, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS gram FROM t),
+        |e0 AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        |e AS (SELECT string_split(gram, ' ')[1] AS src,
+        |        string_split(gram, ' ')[2] AS dst, c FROM e0),
+        |o AS (SELECT src, CAST(SUM(c) AS BIGINT) AS outw
+        |      FROM e GROUP BY src),
+        |v AS (SELECT DISTINCT unnest(tk) AS tok FROM t),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |ctr AS (SELECT dst,
+        |          CAST(SUM(CAST(floor(CAST(c AS DOUBLE) / CAST(outw AS DOUBLE)
+        |              * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |            AS rsum
+        |        FROM e JOIN o USING (src) GROUP BY dst)
+        |SELECT tok,
+        |  (CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+        |   * (CAST(COALESCE(rsum, 0) AS DOUBLE)
+        |      / CAST(1000000000 AS DOUBLE))) / n AS rank1
+        |FROM v LEFT JOIN ctr ON ctr.dst = v.tok CROSS JOIN nn
+        |ORDER BY rank1 DESC, tok""".stripMargin
+  )
+}

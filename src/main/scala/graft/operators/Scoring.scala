@@ -239,7 +239,64 @@ object Scoring extends QueryModule {
         .unionByName(branch("o_orderdate", fmtTs))
         .unionByName(branch("o_orderpriority", identity))
         .orderBy("column_name")
-    })
+    }),
+
+    // --- per-source quality gating: keep each source's top half by
+    // document length. Quality thresholds must be RELATIVE per source
+    // (a fixed global cutoff would drop whole low-verbosity sources),
+    // so the rank is a window partitioned by source — fully parallel
+    // across sources, one shuffle, per-partition sort only. percent_rank
+    // = (rank-1)/(n-1) over the unique key (n_chars, doc_id) is one
+    // IEEE division of two small exact ints — identical in both
+    // engines. At fleet scale an approx-quantile threshold per source
+    // (computed like q_curriculum_bins' fleet path) replaces the full
+    // window sort; the gate itself stays a map-side filter. ---
+    "q_quality_gate" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // --- compression-ratio quality signal (Kolmogorov proxy): DEFLATE
+    // bytes per input byte via the native codegen'd DeflateLen
+    // expression (functions/DeflateLen.scala). Pure map-side projection
+    // — no shuffle at any scale; the thread-local Deflater makes the
+    // per-row cost the compression itself, no allocation/JNI-init. Not
+    // SQL-expressible (DuckDB has no compression function), so this is
+    // a rows-only query; NativeFnPropertySpec pins the semantics
+    // (determinism, repetitive << shuffled ratio ordering, interpreted
+    // == codegen paths). ---
+    "q_compress_ratio" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long")
+          .as("raw_len"),
+          graft.functions.DeflateLen(col("text")).as("comp_len"))
+        .withColumn("ratio",
+          col("comp_len").cast("double") / col("raw_len").cast("double"))
+        .orderBy("doc_id")),
+
+    // --- deterministic k-per-source uniform sample: md5-of-key as the
+    // priority, kept by the custom bounded TypedImperativeAggregate
+    // (functions/ReservoirTopK.scala). The window spelling
+    // (row_number() <= k, which the oracle uses) shuffles and sorts the
+    // ENTIRE corpus; the aggregate's map-side partials bound every
+    // buffer at k rows, so shuffle volume is O(sources * k) — the only
+    // shape that holds when one source is 100 TB. ---
+    "q_sample_reservoir" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("pri"))
+        .groupBy("source")
+        .agg(graft.functions.ReservoirTopK(col("pri"), col("doc_id"), 5)
+          .as("sample"))
+        .select(col("source"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+          col("doc_id"))
+        .orderBy("source", "rn"))
   )
 
   /** DuckDB twin of one profile row. */
@@ -355,6 +412,25 @@ object Scoring extends QueryModule {
       profileRowSql("o_totalprice", vcDec),
       profileRowSql("o_orderdate", e => s"strftime($e, '%Y-%m-%d %H:%M:%S.%f')"),
       profileRowSql("o_orderpriority", e => e)
-    ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "q_quality_gate" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source
+        |                         ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, pr
+        |FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_reservoir" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id
+        |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin
   )
 }

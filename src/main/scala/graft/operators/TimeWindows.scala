@@ -4,6 +4,7 @@ import graft.QueryModule
 import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing in batch form (SURVEY.md §2.C): tumbling windows
@@ -50,7 +51,29 @@ object TimeWindows extends QueryModule {
           fmtTs(col("session_window.start")).as("s_start"),
           fmtTs(col("session_window.end")).as("s_end"),
           col("n"), col("sum_value"))
-        .orderBy("user_id", "s_start"))
+        .orderBy("user_id", "s_start")),
+
+    // --- windowed event dedup: keep the FIRST event per (user, 5-min
+    // tumbling window) — the standard client-retry / at-least-once
+    // collapse before sessionization. One shuffle keyed on (user,
+    // window) with a per-partition sort; the window fan-in is map-side
+    // (window() assigns the bucket before the exchange), and AQE
+    // skew-splits a hot user. The same dropDuplicates-shaped logic runs
+    // under Structured Streaming with a watermark bounding state (see
+    // q_streaming_dedup); this is the batch/backfill twin. ---
+    "q_window_dedup" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("win"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), window(col("ts"), "5 minutes").as("win"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), fmtTs(col("win.start")).as("w_start"),
+          col("event_id"), col("event_type"))
+        .orderBy("user_id", "w_start")
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -92,6 +115,19 @@ object TimeWindows extends QueryModule {
          |  COUNT(*) AS n, ${S("value")} AS sum_value
          |FROM numbered
          |GROUP BY user_id, sid
-         |ORDER BY user_id, s_start""".stripMargin
+         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_window_dedup" ->
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, event_type,
+         |    make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT)
+         |                   * 300 * 1000000) AS w_start,
+         |    row_number() OVER (
+         |      PARTITION BY user_id, CAST(floor(epoch(ts) / 300) AS BIGINT)
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events)
+         |SELECT user_id, ${FT("w_start")} AS w_start, event_id, event_type
+         |FROM b WHERE rn = 1
+         |ORDER BY user_id, w_start""".stripMargin
   )
 }

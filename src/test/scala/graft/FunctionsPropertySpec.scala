@@ -99,6 +99,54 @@ class FunctionsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MortonCode: matches bit-by-bit reference interleave; masks to " +
+      "16 bits; inverse-recoverable") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    val coord: Gen[(Long, Long)] = for {
+      x <- Gen.chooseNum(0L, 0x1ffffL) // beyond 16 bits to test masking
+      y <- Gen.chooseNum(0L, 0x1ffffL)
+    } yield (x, y)
+    val pts = sample(coord, 40) ++
+      Seq((0L, 0L), (0xffffL, 0L), (0L, 0xffffL), (0xffffL, 0xffffL))
+    val got = pts.toDF("x", "y")
+      .select(functions.MortonCode(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x & 0xffffL, y & 0xffffL), s"($x, $y)")
+    }
+    // corner values: all-x bits land on even positions, all-y on odd
+    assert(functions.MortonCode.interleave(0xffffL, 0L) == 0x55555555L)
+    assert(functions.MortonCode.interleave(0L, 0xffffL) == 0xaaaaaaaaL)
+  }
+
+  test("DeflateLen: deterministic, bounded, and orders repetitive below " +
+      "high-entropy text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val repetitive = "spark table scan " * 64 // 1088 chars, low entropy
+    val noisy = (1 to 1088).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val texts = Seq(repetitive, noisy, "", "x") ++
+      sample(doc, 10).map(_.mkString(" "))
+    def lens(ts: Seq[String]): Seq[Long] =
+      ts.toDF("text")
+        .select(functions.DeflateLen(col("text")).as("n"))
+        .collect().map(_.getLong(0)).toSeq
+    val first = lens(texts)
+    assert(first == lens(texts)) // deterministic across invocations
+    texts.zip(first).foreach { case (t, n) =>
+      assert(n >= 0 && n <= t.getBytes("UTF-8").length + 64,
+        s"len $n out of bounds for ${t.take(20)}")
+    }
+    // the curation signal: low-entropy text compresses far smaller than
+    // random text of the same length
+    assert(first(0) < first(1) / 2,
+      s"repetitive ${first(0)} !<< noisy ${first(1)}")
+  }
+
   test("NGramGenerator: gram count and content law") {
     import spark.implicits._
     val docs = sample(doc, 20)

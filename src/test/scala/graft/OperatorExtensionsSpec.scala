@@ -146,6 +146,39 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ReservoirTopK: partition-count invariant, equals the window " +
+      "spelling, and plans with map-side partials") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("pri"))
+    def sample(parts: Int): Seq[Seq[Any]] =
+      docs.repartition(parts)
+        .groupBy("source")
+        .agg(graft.functions.ReservoirTopK(col("pri"), col("doc_id"), 5)
+          .as("s"))
+        .select(col("source"), col("s"))
+        .orderBy("source").collect()
+        .map(r => Seq(r.getString(0), r.getSeq[Long](1).toSeq)).toSeq
+    // associative/commutative merge: any partitioning yields the result
+    val one = sample(1)
+    assert(one == sample(7) && one.nonEmpty)
+    // equals the (corpus-sorting) window spelling it replaces
+    val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    val windowed = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("source").agg(sort_array(collect_list(
+        struct(col("pri"), col("doc_id")))).as("s"))
+      .select(col("source"), col("s.doc_id").as("s"))
+      .orderBy("source").collect()
+      .map(r => Seq(r.getString(0), r.getSeq[Long](1).toSeq)).toSeq
+    assert(one == windowed)
+    // the aggregate must combine map-side (partial before the exchange)
+    val plan = SparkEntry.queries("q_sample_reservoir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_reservoir_topk"), plan.take(2000))
+  }
+
   test("bloom-pruned join equals the plain join") {
     val bloom = SparkEntry.queries("q_join_bloom")(spark, sf)
       .collect().map(_.toSeq)

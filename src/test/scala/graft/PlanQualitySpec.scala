@@ -174,6 +174,46 @@ class PlanQualitySpec extends AnyFunSuite {
       pf.take(2000))
   }
 
+  test("round-5 batch-3 plans: BM25 is shuffle-free scoring + TakeOrdered, " +
+      "postings broadcast the probe set, layout/gate keys stay map-side") {
+    // BM25: corpus stats reduce to one broadcast row, scoring is pure
+    // projection — no hash shuffle anywhere; the top-50 is a TakeOrdered
+    // (per-partition heaps), never a global sort
+    val pb = plan("q_rank_bm25")
+    assert("Exchange hashpartitioning".r.findAllIn(pb).isEmpty, pb.take(2000))
+    assert(pb.contains("TakeOrderedAndProject"), pb.take(2000))
+    assert(pb.contains("BroadcastNestedLoopJoin"), pb.take(2000))
+    // inverted index: df aggregate + postings aggregate are the only
+    // shuffles; the bottom-100 probe set is a TakeOrdered broadcast into
+    // the gram stream, so stopword postings never materialize
+    val pi = plan("q_inverted_index")
+    assert(pi.contains("BroadcastHashJoin"), pi.take(2000))
+    assert(pi.contains("TakeOrderedAndProject"), pi.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(pi).size <= 2,
+      pi.take(2000))
+    // Z-order: the native morton key build is map-side; the only hash
+    // shuffle is the 1024-cell audit aggregate, with map-side partials
+    val pz = plan("q_zorder_cluster")
+    assert("Exchange hashpartitioning".r.findAllIn(pz).size == 1,
+      pz.take(2000))
+    assert(pz.contains("partial_count") || pz.contains("partial_min"),
+      pz.take(2000))
+    // windowed dedup / quality gate: exactly one hash shuffle (the
+    // window key); compress-ratio is a pure map-side projection that
+    // stays inside whole-stage codegen
+    for (q <- Seq("q_window_dedup", "q_quality_gate"))
+      assert("Exchange hashpartitioning".r.findAllIn(plan(q)).size == 1, q)
+    // pagerank: vocabulary-sized joins only, never a cartesian
+    assert(!plan("q_pagerank_iter").contains("CartesianProduct"))
+    // codegen wrapping appears in the final AQE plan, so execute first
+    val dfc = SparkEntry.queries("q_compress_ratio")(spark, sf)
+    dfc.collect()
+    val pc = dfc.queryExecution.executedPlan.toString
+    assert(!pc.contains("Join") && !pc.contains("HashAggregate"),
+      pc.take(1500))
+    assert(pc.contains("*("), pc.take(1500))
+  }
+
   test("curation regex/split pipelines stay inside whole-stage codegen") {
     for (q <- Seq("q_text_normalize", "q_pii_redact", "q_train_split")) {
       // codegen wrapping appears in the final AQE plan, so execute first

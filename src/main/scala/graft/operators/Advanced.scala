@@ -294,6 +294,27 @@ object Advanced extends QueryModule {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // --- Count-Min sketch heavy hitters (TypedImperativeAggregate +
+    // native probe expression; rows-only check, the >=-exact bound and
+    // error envelope are pinned in OperatorExtensionsSpec). The sketch
+    // is the 100 TB frequency-profile shape: 64 KiB per partition
+    // through the partial-agg merge regardless of key cardinality. The
+    // exact per-key count here is the verification companion (at fleet
+    // scale the probe set comes from a sample or a prior round, not an
+    // exact global groupBy). ---
+    "q_agg_cms" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val sketch = ev.agg(graft.functions.CountMin.agg(col("user_id"))
+        .as("sk"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        .crossJoin(broadcast(sketch))
+        .select(col("user_id"), col("exact_n"),
+          graft.functions.CountMin.lookup(col("sk"), col("user_id"))
+            .as("est_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
     // --- map-typed columns: JSON -> map, key/value/lookup functions ---
     "q_map_ops" -> ((s, d) =>
       table(s, d, "events")

@@ -179,6 +179,28 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("partial_reservoir_topk"), plan.take(2000))
   }
 
+  test("Count-Min sketch: estimates bound exact counts within the " +
+      "envelope, partition-invariant") {
+    val rows = SparkEntry.queries("q_agg_cms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.table(spark, sf, "events").count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact, s"CMS under-estimated: $est < $exact")
+      // overshoot per row ~ 2N/w; min over 4 rows stays well inside 3N/w
+      assert(est - exact <= 3 * total / 2048 + 1,
+        s"CMS overshoot ${est - exact} beyond envelope (N=$total)")
+    }
+    // associative/commutative merge: the sketch is partitioning-invariant
+    val ev = Tables.table(spark, sf, "events")
+    def sketchOf(parts: Int): Seq[Byte] =
+      ev.repartition(parts)
+        .agg(graft.functions.CountMin.agg(col("user_id")).as("sk"))
+        .collect().head.getAs[Array[Byte]]("sk").toSeq
+    assert(sketchOf(1) == sketchOf(7))
+  }
+
   test("bloom-pruned join equals the plain join") {
     val bloom = SparkEntry.queries("q_join_bloom")(spark, sf)
       .collect().map(_.toSeq)

@@ -398,6 +398,20 @@ object Advanced extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // --- aggregation on a bucketed table: the scan's bucket layout
+    // already satisfies the groupBy's required distribution, so the
+    // aggregate runs with ZERO exchange — write-once bucketing buys
+    // every downstream keyed aggregation (and join, see
+    // q_join_bucketed) its shuffle back. At 100 TB this is the
+    // difference between an aggregation that moves the table and one
+    // that only reads it. Plan-pinned: no hash exchange below the agg. ---
+    "q_agg_bucketed" -> ((s, d) => {
+      val l = s.table(bucketize(s, d, "lineitem", "l_orderkey"))
+      l.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("qty"))
+        .orderBy("l_orderkey")
+    }),
+
     // --- custom physical operator: bounded-heap top-k per key
     // (graft.plans.TopKPerKey) — one hash exchange, NO per-partition
     // sort, unlike the row_number window spelling it replaces
@@ -601,6 +615,10 @@ object Advanced extends QueryModule {
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${S("l_quantity")} AS qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_bucketed" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n, ${S("l_quantity")} AS qty
+         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_topk_native" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice

@@ -119,7 +119,9 @@ object StatefulSession extends QueryModule {
     */
   private[graft] def replayDir(s: SparkSession, d: String): String = {
     val src = new java.io.File(d, "events.parquet")
-    val desc = s"${src.getAbsolutePath}|${src.length}|${src.lastModified}"
+    // |v2: replay schema grew event_id/event_type (consumers project a
+    // subset, so v1 readers would work — but v1 FILES lack the columns)
+    val desc = s"${src.getAbsolutePath}|${src.length}|${src.lastModified}|v2"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
     val dir = new java.io.File(s"/dev/shm/graft_replay/$fp")
@@ -127,7 +129,8 @@ object StatefulSession extends QueryModule {
       val schema = graft.Tables.rawEventsSchema(s, d)
       val raw = s.read.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("value"))
+        .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("value"),
+          col("event_id"), col("event_type"))
       val Row(mn: Long, mx: Long) = raw.agg(min("ts_us"), max("ts_us")).head()
       val mid = mn + (mx - mn) / 2
       val tmp = new java.io.File(s"/dev/shm/graft_replay/.tmp-$fp-" +
@@ -149,8 +152,8 @@ object StatefulSession extends QueryModule {
       // single trailing no-data batch flushes every open tail — three
       // microbatches total instead of four.
       val sentinelTs = mx + 100L * 86400L * 1000000L // 100 days past the end
-      val sentinel = Seq((sentinelTs, SentinelUser, 0.0d))
-        .toDF("ts_us", "user_id", "value")
+      val sentinel = Seq((sentinelTs, SentinelUser, 0.0d, -1L, "sentinel"))
+        .toDF("ts_us", "user_id", "value", "event_id", "event_type")
       writeOne(raw.filter(col("ts_us") < mid), "batch0.parquet", t0)
       writeOne(raw.filter(col("ts_us") >= mid).unionAll(sentinel),
         "batch1.parquet", t0 + 60000L)

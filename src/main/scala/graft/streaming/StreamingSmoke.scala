@@ -146,6 +146,68 @@ object StreamingSmoke extends QueryModule {
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // --- streaming CDC apply (foreachBatch upsert): each microbatch is
+    // collapsed to its latest row per (user, type) and MERGEd into a
+    // persistent state table — the incremental-materialization pattern
+    // for keeping a serving table current off a change stream without
+    // ever recomputing it from scratch. foreachBatch is the production
+    // shape: sinks without native MERGE get batch-transactional upserts
+    // (here: versioned parquet state dirs, v{n} read -> v{n+1} written,
+    // so a reader never sees a half-written table; a real deployment
+    // swaps in a table format's atomic MERGE). State per key is one
+    // row; the anti-join+union merge shuffles only |keys| + |batch|
+    // rows per batch regardless of history length. The time-split
+    // replay makes the stream genuinely multi-batch; the final state is
+    // pinned equal to the batch keep-latest (its oracle). ---
+    "q_streaming_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val replay = StatefulSession.replayDir(s, d)
+      val root = new java.io.File("/dev/shm/graft_upsert")
+      // reap state dirs from runs that finished long ago (tmpfs is RAM);
+      // an hour-old dir cannot belong to a live query in this harness
+      root.mkdirs()
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.lastModified < System.currentTimeMillis() - 3600000L)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val stateRoot = new java.io.File(root,
+        "run-" + java.util.UUID.randomUUID().toString.take(8))
+      stateRoot.mkdirs()
+      val ckpt = s"/dev/shm/graft_ckpt/upsert-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val latest = batch.filter(col("user_id") =!= -1L)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val curDir = new java.io.File(stateRoot, s"v$id")
+          val cur =
+            if (curDir.exists()) s.read.parquet(curDir.toString)
+            else latest.limit(0)
+          cur.join(latest, Seq("user_id", "event_type"), "left_anti")
+            .unionByName(latest)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(stateRoot, s"v${id + 1}").toString)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val last = stateRoot.listFiles().filter(_.getName.startsWith("v"))
+        .maxBy(_.getName.drop(1).toInt)
+      s.read.parquet(last.toString)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("value"), col("event_id"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -172,6 +234,17 @@ object StreamingSmoke extends QueryModule {
         |  ON c.user_id = v.user_id
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
-        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "q_streaming_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, value,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC)
+        |      AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us, value, event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

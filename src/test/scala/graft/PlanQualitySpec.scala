@@ -83,6 +83,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "join required a shuffle despite bucketing:\n" + p.take(2000))
     // SelectedBucketsCount marker proves the scan is bucket-aware
     assert(p.contains("Bucketed: true"), p.take(2000))
+    // keyed aggregation on the bucketed table: zero hash exchange — the
+    // bucket layout satisfies the groupBy distribution directly
+    val pa = plan("q_agg_bucketed")
+    assert(!pa.contains("Exchange hashpartitioning"),
+      "bucketed agg shuffled despite bucketing:\n" + pa.take(2000))
+    assert(pa.contains("Bucketed: true"), pa.take(2000))
   }
 
   test("native top-k plans the custom operator, no window sort") {

@@ -100,6 +100,34 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(rows.toSet == batch && rows.nonEmpty)
   }
 
+  test("streaming CDC upsert applies genuinely multi-batch and matches " +
+      "batch keep-latest") {
+    import org.apache.spark.sql.functions.{col, row_number, unix_micros}
+    val rows = SparkEntry.queries("q_streaming_upsert")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(rows.nonEmpty)
+    // one row per live (user, type) key
+    assert(rows.map(_.take(2)).distinct.length == rows.length)
+    // the newest state dir is v2+: at least two microbatches were
+    // MERGEd (one per time-split replay file), not one collapsed batch
+    val root = new java.io.File("/dev/shm/graft_upsert")
+    val latestRun = root.listFiles().filter(_.getName.startsWith("run-"))
+      .maxBy(_.lastModified)
+    val versions = latestRun.listFiles().map(_.getName).sorted.toSeq
+    assert(versions.count(_.startsWith("v")) >= 2, versions.mkString(","))
+    // equals the batch keep-latest over the same replayed columns
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables.table(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("event_id"))
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq)
+    assert(rows.toSeq == batch.toSeq)
+  }
+
   test("LSH ANN: exact scores, reproducible buckets, recall floor") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val vecs = Tables.table(spark, sf, "embeddings")

@@ -208,6 +208,44 @@ object StreamingSmoke extends QueryModule {
         .select(col("user_id"), col("event_type"), col("ts_us"),
           col("value"), col("event_id"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // --- streaming sketch maintenance: the custom Count-Min
+    // TypedImperativeAggregate runs unchanged under Structured
+    // Streaming (complete-mode global aggregate) because its merge is
+    // associative+commutative — the property that makes ANY of the
+    // sketch family incrementally maintainable: the streamed sketch is
+    // bit-identical to the batch sketch over the same rows (pinned in
+    // tests, and the probe output equals q_agg_cms row-for-row). At
+    // fleet scale this is a continuously-updated frequency profile at
+    // 64 KiB of state, vs a keyed count table that grows with
+    // cardinality. ---
+    "q_streaming_cms" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val name = "graft_stream_cms"
+      val ckpt = s"/dev/shm/graft_ckpt/cms-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .agg(graft.functions.CountMin.agg(col("user_id")).as("sk"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val sk = s.table(name).head().getAs[Array[Byte]]("sk")
+      table(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        .select(col("user_id"), col("exact_n"),
+          graft.functions.CountMin.lookup(lit(sk), col("user_id"))
+            .as("est_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
     })
   )
 

@@ -201,6 +201,17 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(sketchOf(1) == sketchOf(7))
   }
 
+  test("streamed Count-Min sketch equals the batch sketch row-for-row") {
+    // merge associativity makes the sketch incrementally maintainable:
+    // the complete-mode streamed aggregate must land on the identical
+    // sketch, so the probe outputs match q_agg_cms exactly
+    val streamed = SparkEntry.queries("q_streaming_cms")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("q_agg_cms")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("bloom-pruned join equals the plain join") {
     val bloom = SparkEntry.queries("q_join_bloom")(spark, sf)
       .collect().map(_.toSeq)

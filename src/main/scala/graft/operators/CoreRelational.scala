@@ -112,6 +112,26 @@ object CoreRelational extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // --- correlated LATERAL join (top-N-per-outer-row subquery):
+    // Catalyst decorrelates the per-order ORDER BY ... LIMIT subquery
+    // into a window/top-k over one equi join — the declarative spelling
+    // scales exactly like the explicit rank-filter it rewrites to, with
+    // no per-row subquery execution anywhere. Ties beyond the total
+    // order carry identical values (duplicated lineitems), so LIMIT's
+    // choice between them cannot change the output. ---
+    "q_join_lateral" -> ((s, d) => {
+      table(s, d, "orders").createOrReplaceTempView("orders_v")
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders_v o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem_v l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_orderkey <= 1000
+        |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber"""
+        .stripMargin)
+    }),
+
     // --- theta (range) join: small side broadcast -> nested loop ---
     "q_join_theta" -> ((s, d) => {
       val c = table(s, d, "customer")
@@ -314,6 +334,15 @@ object CoreRelational extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_orderkey <= 1000
+        |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin,
 
     "q_join_theta" ->
       """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal

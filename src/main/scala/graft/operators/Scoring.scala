@@ -286,6 +286,27 @@ object Scoring extends QueryModule {
     // ENTIRE corpus; the aggregate's map-side partials bound every
     // buffer at k rows, so shuffle volume is O(sources * k) — the only
     // shape that holds when one source is 100 TB. ---
+    // --- SCD2 validity intervals (temporal versioning): turn the
+    // per-key change history into [eff_start, eff_end) rows, open end =
+    // current version — the warehouse-dimension twin of q_keep_latest
+    // (which keeps only the final row). One shuffle on the key, a
+    // per-partition sort, lead() closes each interval at its
+    // successor's start; AQE skew-splits hot keys like every window
+    // here. ---
+    "q_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts"))
+        .withColumn("eff_end", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), fmtTs(col("ts")).as("eff_start"),
+          fmtTs(col("eff_end")).as("eff_end"),
+          col("eff_end").isNull.as("is_current"))
+        .orderBy("user_id", "event_type", "eff_start", "event_id")
+    }),
+
     "q_sample_reservoir" -> ((s, d) =>
       table(s, d, "documents")
         .select(col("source"), col("doc_id"),
@@ -422,6 +443,16 @@ object Scoring extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, pr
         |FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    "q_scd2_intervals" ->
+      s"""SELECT user_id, event_type, event_id, value,
+         |  ${FT("ts")} AS eff_start,
+         |  ${FT("lead(ts, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)")}
+         |    AS eff_end,
+         |  (lead(ts, 1) OVER (PARTITION BY user_id, event_type
+         |                     ORDER BY ts, event_id) IS NULL) AS is_current
+         |FROM events
+         |ORDER BY user_id, event_type, eff_start, event_id""".stripMargin,
 
     "q_sample_reservoir" ->
       """WITH r AS (

@@ -211,6 +211,15 @@ class PlanQualitySpec extends AnyFunSuite {
       assert("Exchange hashpartitioning".r.findAllIn(plan(q)).size == 1, q)
     // pagerank: vocabulary-sized joins only, never a cartesian
     assert(!plan("q_pagerank_iter").contains("CartesianProduct"))
+    // correlated LATERAL must decorrelate to a bounded per-group top-k
+    // + one equi join — never per-outer-row subquery execution. The
+    // bounded operator is Spark's WindowGroupLimit, or our TopKPerKey
+    // when the RowNumberTopKRewrite extension is registered in the
+    // shared test session (an even stronger plan: no sort at all).
+    val pl = plan("q_join_lateral")
+    assert(!pl.contains("CartesianProduct"), pl.take(2000))
+    assert(pl.contains("WindowGroupLimit") || pl.contains("TopKPerKey"),
+      pl.take(2000))
     // codegen wrapping appears in the final AQE plan, so execute first
     val dfc = SparkEntry.queries("q_compress_ratio")(spark, sf)
     dfc.collect()

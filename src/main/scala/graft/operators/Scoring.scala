@@ -286,6 +286,33 @@ object Scoring extends QueryModule {
     // ENTIRE corpus; the aggregate's map-side partials bound every
     // buffer at k rows, so shuffle volume is O(sources * k) — the only
     // shape that holds when one source is 100 TB. ---
+    // --- bigram-LM perplexity (conditional surprisal): upgrade of
+    // q_perplexity's unigram model — each bigram (prev, tok) costs
+    // floor(log2(c1(prev) / c2(prev, tok))) bits, the MLE conditional
+    // with the unigram-context denominator. Same determinism spelling
+    // (integer floor-log2, no libm) and the same two-aggregate shape:
+    // bigram counts stream out of the codegen'd NGramGenerator, the
+    // unigram/bigram vocab joins are AQE-broadcast, the per-doc sum is
+    // map-side-partial. Short docs (< 2 tokens) produce no bigrams and
+    // drop out identically in both engines. ---
+    "q_ngram_lm" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val g = docs.select(col("doc_id"),
+        NGramGenerator(toks, 2).alias("gram"))
+      val c2 = g.groupBy("gram").agg(count(lit(1)).as("c2"))
+      val uni = docs.select(explode(toks).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      g.join(c2, "gram")
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .join(uni, "w1")
+        .select(col("doc_id"), bits(col("c1"), col("c2")).as("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_bigrams")).as("avg_bits"))
+        .orderBy("doc_id")
+    }),
+
     // --- SCD2 validity intervals (temporal versioning): turn the
     // per-key change history into [eff_start, eff_end) rows, open end =
     // current version — the warehouse-dimension twin of q_keep_latest
@@ -443,6 +470,25 @@ object Scoring extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, pr
         |FROM r WHERE pr >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(tk) - 1, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS gram FROM t),
+        |c2 AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram),
+        |u AS (SELECT unnest(tk) AS w1 FROM t),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM u GROUP BY w1),
+        |sc AS (SELECT doc_id,
+        |         CAST(length(bin(CAST(floor(CAST(c1 AS DOUBLE) / c2)
+        |           AS BIGINT))) - 1 AS BIGINT) AS b
+        |       FROM g JOIN c2 USING (gram)
+        |       JOIN c1 ON c1.w1 = string_split(g.gram, ' ')[1])
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(b) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(b) AS DOUBLE) / COUNT(*) AS avg_bits
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_scd2_intervals" ->
       s"""SELECT user_id, event_type, event_id, value,

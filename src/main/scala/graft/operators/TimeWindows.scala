@@ -73,6 +73,35 @@ object TimeWindows extends QueryModule {
         .select(col("user_id"), fmtTs(col("win.start")).as("w_start"),
           col("event_id"), col("event_type"))
         .orderBy("user_id", "w_start")
+    }),
+
+    // --- ordered conversion funnel (view -> click -> purchase): each
+    // stage is "first event of this type STRICTLY AFTER the previous
+    // stage" — a per-user min-aggregate joined back, three times. Every
+    // join/aggregate is keyed on user_id, so the stages co-partition
+    // into the same exchange layout (AQE reuses it) and per-user state
+    // is one timestamp per stage regardless of event volume — the
+    // funnel shape that holds on an unbounded event history. ---
+    "q_funnel" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), fmtTs(col("t1")).as("t_view"),
+          fmtTs(col("t2")).as("t_click"), fmtTs(col("t3")).as("t_purchase"),
+          (lit(1L) + col("t2").isNotNull.cast("long") +
+            col("t3").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
     })
   )
 
@@ -128,6 +157,24 @@ object TimeWindows extends QueryModule {
          |  FROM events)
          |SELECT user_id, ${FT("w_start")} AS w_start, event_id, event_type
          |FROM b WHERE rn = 1
-         |ORDER BY user_id, w_start""".stripMargin
+         |ORDER BY user_id, w_start""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+         |      FROM events e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.ts > v.t1
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+         |      FROM events e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+         |      GROUP BY e.user_id)
+         |SELECT v.user_id, ${FT("t1")} AS t_view, ${FT("t2")} AS t_click,
+         |  ${FT("t3")} AS t_purchase,
+         |  (1 + CAST(t2 IS NOT NULL AS BIGINT)
+         |     + CAST(t3 IS NOT NULL AS BIGINT)) AS stage
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin
   )
 }

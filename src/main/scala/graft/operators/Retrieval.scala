@@ -112,6 +112,31 @@ object Retrieval extends QueryModule {
         .orderBy("gram")
     }),
 
+    // --- per-document TF-IDF keyword extraction: score = tf *
+    // floor-log2-idf — ENTIRELY int64, so the ranking needs no float at
+    // all (stopwords hit idf 0 and drop out; rare terms surface). tf is
+    // one (doc, tok) aggregate with map-side partials; df re-aggregates
+    // the same relation (per-doc distinct already); the top-3 per doc
+    // runs on the custom bounded-heap TopKPerKey operator — one hash
+    // exchange, no per-partition sort, the same operator the
+    // window-rank rewrite targets. ---
+    "q_tfidf_topk" -> ((s, d) => {
+      val e = table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val tf = e.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = table(s, d, "documents").agg(count(lit(1)).as("n"))
+      val scored = tf.join(df_, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"),
+          (col("tf") *
+            ((length(bin(floor(col("n").cast("double") / col("df"))
+              .cast("long"))) - 1).cast("long"))).as("score"))
+        .filter(col("score") > 0)
+      graft.plans.TopKPerKey.topKPerKey(scored, Seq(col("doc_id")),
+          Seq(col("score").desc, col("tok")), 3)
+        .orderBy(col("doc_id"), col("score").desc, col("tok"))
+    }),
+
     // --- PageRank power-iteration step (link-graph authority, the
     // crawl-curation primitive) over the token co-occurrence graph:
     // edge s->t with weight c(s,t) = bigram count. One damped step from
@@ -201,6 +226,24 @@ object Retrieval extends QueryModule {
         |FROM s JOIN r USING (gram)
         |GROUP BY r.gram, r.df
         |ORDER BY r.gram""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM e
+        |       GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, tok, tf,
+        |        tf * CAST(length(bin(CAST(floor(CAST(n AS DOUBLE) / df)
+        |          AS BIGINT))) - 1 AS BIGINT) AS score
+        |       FROM tf JOIN df USING (tok) CROSS JOIN nn),
+        |r AS (SELECT doc_id, tok, tf, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, tok) AS rn
+        |      FROM sc WHERE score > 0)
+        |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, tok""".stripMargin,
 
     "q_pagerank_iter" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),

@@ -79,6 +79,13 @@ object Main {
       System.err.println("error: no input files given")
       sys.exit(2)
     }
+    // Reference parity (convert_xml_to_parquet.py:459-461): an explicit
+    // -t that doesn't exist fails CLEANLY before any Spark work — not
+    // with a stack trace mid-run after paying XSD compile + read.
+    targetError(args.target).foreach { msg =>
+      System.err.println(msg)
+      sys.exit(1)
+    }
     val builder = SparkSession.builder().appName("xml-to-parquet")
     if (!sys.props.contains("spark.master") &&
         !sys.env.contains("SPARK_MASTER"))
@@ -93,6 +100,22 @@ object Main {
       run(spark, args)
     } finally if (pre.isEmpty) spark.stop()
   }
+
+  /** `-t` validation, separated from `main` so the exit path is
+    * spec-testable: Some(message) when the target directory is absent
+    * (or is a plain file), None when writable conversion can proceed.
+    * Needs no SparkSession — only the Hadoop filesystem of the path.
+    */
+  private[xml] def targetError(target: Option[String]): Option[String] =
+    target.flatMap { t =>
+      val p = new Path(t)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!fs.exists(p))
+        Some(s"error: target path '$t' does not exist")
+      else if (!fs.getFileStatus(p).isDirectory)
+        Some(s"error: target path '$t' is not a directory")
+      else None
+    }
 
   /** Conversion body, separated from session lifecycle for testability.
     * Returns the written output paths.
@@ -115,19 +138,24 @@ object Main {
       }
       System.err.println(msg)
     }
+    // Per-file failures land in the log AND on stderr, and the worklist
+    // continues — the reference's error_callback behavior
+    // (convert_xml_to_parquet.py:510-524).
+    val onError: (String, Throwable) => Unit =
+      (f, e) => logLine(s"error converting $f: ${e.getMessage}")
     // Reference semantics: explicit -t writes everything there; without
     // it each output lands next to its input
     // (convert_xml_to_parquet.py:505-508).
     val written = args.target match {
       case Some(t) =>
         XmlToParquetJob.convert(spark, xsdContent, args.inputs, t, cfg,
-          deleteSource = args.delete)
+          deleteSource = args.delete, onError = onError)
       case None =>
         args.inputs.flatMap { in =>
           val dir = Option(new Path(in).getParent).map(_.toString)
             .getOrElse(".")
           XmlToParquetJob.convert(spark, xsdContent, Seq(in), dir, cfg,
-            deleteSource = args.delete)
+            deleteSource = args.delete, onError = onError)
         }
     }
     written.foreach(o => logLine(s"wrote $o"))

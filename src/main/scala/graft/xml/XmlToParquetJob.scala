@@ -117,16 +117,28 @@ object XmlToParquetJob {
     * name — so driver work is O(1) jobs per input regardless of member
     * count. Returns the written output paths.
     *
+    * Per-file failure isolation mirrors the reference's error_callback
+    * (convert_xml_to_parquet.py:510-524, :537-539): a file that fails to
+    * convert is reported through `onError` (default: stderr) and the
+    * worklist CONTINUES — one corrupt document in a 10,000-file batch
+    * costs one output, not the batch. Failed inputs are never deleted.
+    *
     * `deleteSource` mirrors the reference's `-d` flag
     * (convert_xml_to_parquet.py:407-408): the input is deleted only
-    * after its outputs are successfully written; any write failure
-    * propagates first, so the source survives.
+    * after its outputs are successfully written.
     */
   def convert(spark: SparkSession, xsdContent: String, inputs: Seq[String],
       targetDir: String, cfg: Config = Config(),
       rowTag: Option[String] = None,
-      deleteSource: Boolean = false): Seq[String] = {
+      deleteSource: Boolean = false,
+      onError: (String, Throwable) => Unit = (f, e) =>
+        System.err.println(s"error converting $f: ${e.getMessage}"))
+      : Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
+    // The XSD must compile for ANY file to convert — a broken schema is
+    // a whole-run error, not a per-file one, and fails fast here before
+    // the worklist loop swallows it once per input.
+    compileXsd(xsdContent, rowTag)
     // glob-expand + dedup, the reference's worklist build
     // (convert_xml_to_parquet.py:464-475)
     val files = inputs.flatMap { in =>
@@ -136,6 +148,20 @@ object XmlToParquetJob {
         .getOrElse(Seq(in))
     }.distinct
     files.flatMap { f =>
+      try convertOne(spark, xsdContent, f, targetDir, cfg, rowTag,
+        deleteSource, hconf)
+      catch { case scala.util.control.NonFatal(e) => onError(f, e); Nil }
+    }
+  }
+
+  /** One worklist entry: convert a single (already glob-expanded) input
+    * and return its output paths. Failures propagate to [[convert]]'s
+    * per-file isolation boundary.
+    */
+  private def convertOne(spark: SparkSession, xsdContent: String, f: String,
+      targetDir: String, cfg: Config, rowTag: Option[String],
+      deleteSource: Boolean,
+      hconf: org.apache.hadoop.conf.Configuration): Seq[String] = {
       val outs: Seq[String] =
         if (isArchive(f)) {
           val base = outputBase(f)
@@ -174,7 +200,6 @@ object XmlToParquetJob {
         p.getFileSystem(hconf).delete(p, false)
       }
       outs
-    }
   }
 
   /** Fleet-scale variant: the whole corpus in one job, partitioned by

@@ -192,16 +192,53 @@ class XmlConversionSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(src), "source must be gone on success")
     assert(spark.read.parquet(s"$target/bookOrder.xml.parquet").count() == 1)
 
-    // failed write (unwritable target) must propagate BEFORE deletion
+    // a failed write is isolated per file (reference error_callback
+    // parity): reported through onError, no exception escapes, and the
+    // source is NOT deleted
     val src2 = srcDir.resolve("bookOrder2.xml")
     java.nio.file.Files.writeString(src2,
       XmlQueries.resourceText("bookOrder.xml"))
-    intercept[Exception] {
-      XmlToParquetJob.convert(spark, XmlQueries.xsd, Seq(src2.toString),
-        "/proc/graft_unwritable", deleteSource = true)
-    }
+    var failed = Seq.empty[String]
+    val out2 = XmlToParquetJob.convert(spark, XmlQueries.xsd,
+      Seq(src2.toString), "/proc/graft_unwritable", deleteSource = true,
+      onError = (f, _) => failed :+= f)
+    // glob expansion normalizes to a file: URI — compare by path suffix
+    assert(out2.isEmpty && failed.size == 1 &&
+      failed.head.endsWith("bookOrder2.xml"), s"failures: $failed")
     assert(java.nio.file.Files.exists(src2),
       "source must survive a failed conversion")
+  }
+
+  test("worklist isolates per-file failures: one corrupt input costs " +
+      "one output, not the batch") {
+    // reference behavior (convert_xml_to_parquet.py:510-524): a failed
+    // file is logged via error_callback and the rest of the worklist
+    // converts — verified here with a corrupt gzip between two good
+    // inputs, under -d
+    val srcDir = java.nio.file.Files.createTempDirectory("iso_src")
+    val good1 = srcDir.resolve("good1.xml")
+    val good2 = srcDir.resolve("good2.xml")
+    for (p <- Seq(good1, good2))
+      java.nio.file.Files.writeString(p,
+        XmlQueries.resourceText("bookOrder.xml"))
+    val bad = srcDir.resolve("bad.xml.gz") // not gzip: codec fails mid-task
+    java.nio.file.Files.write(bad, "this is not a gzip stream".getBytes)
+    val target = java.nio.file.Files.createTempDirectory("iso_out").toString
+    var failed = Seq.empty[String]
+    val written = XmlToParquetJob.convert(spark, XmlQueries.xsd,
+      Seq(good1.toString, bad.toString, good2.toString), target,
+      deleteSource = true, onError = (f, _) => failed :+= f)
+    assert(written.map(w => new java.io.File(w).getName).sorted ==
+      Seq("good1.xml.parquet", "good2.xml.parquet"), s"wrote $written")
+    // glob expansion normalizes to a file: URI — compare by path suffix
+    assert(failed.size == 1 && failed.head.endsWith("bad.xml.gz"),
+      s"failures: $failed")
+    // -d semantics under isolation: converted sources deleted, the
+    // failed source kept for retry
+    assert(!java.nio.file.Files.exists(good1) &&
+      !java.nio.file.Files.exists(good2), "converted sources must be gone")
+    assert(java.nio.file.Files.exists(bad),
+      "failed source must never be deleted")
   }
 
   test("archive convert runs one write job regardless of member count") {
@@ -255,5 +292,20 @@ class XmlConversionSpec extends AnyFunSuite {
     assert(a.xsd.contains("s.xsd") && a.includes == Seq("/a", "/b") &&
       a.excludes == Seq("/c") && a.multi == 4 && a.delete && a.fileInfo &&
       a.verbose == "INFO" && a.inputs == Seq("in1.xml", "in2.zip"))
+  }
+
+  test("-t validation fails cleanly before any Spark work") {
+    // reference parity (convert_xml_to_parquet.py:459-461): a missing
+    // target directory is a clean exit-1 message, not a mid-run stack
+    // trace; no -t (outputs land beside inputs) validates trivially
+    assert(Main.targetError(None).isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("tgt_ok")
+    assert(Main.targetError(Some(dir.toString)).isEmpty)
+    val missing = dir.resolve("does_not_exist").toString
+    assert(Main.targetError(Some(missing)).exists(_.contains(missing)))
+    val plainFile = dir.resolve("a_file")
+    java.nio.file.Files.writeString(plainFile, "x")
+    assert(Main.targetError(Some(plainFile.toString))
+      .exists(_.contains("not a directory")))
   }
 }

@@ -36,6 +36,22 @@ case class CountMinAgg(child: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "count_min"
 
+  // The probe (CountMinLookup) always hashes its key as LongType; a
+  // sketch built over any other type would answer probes with
+  // meaningless estimates and no error. Pin build == probe type at
+  // analysis time.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"count_min expects a bigint key (the probe " +
+            s"hashes as bigint; build and probe must hash identically), " +
+            s"got $other")
+    }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

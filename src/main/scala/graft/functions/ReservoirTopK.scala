@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded k-per-group sample as a `TypedImperativeAggregate`: keeps the
@@ -39,6 +39,21 @@ case class ReservoirTopK(left: Expression, right: Expression, k: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "reservoir_topk"
+
+  // update() casts the priority to UTF8String and the payload to Long;
+  // reject anything else at analysis time rather than ClassCastException
+  // at runtime (the declared dataType is only honest for these inputs).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"reservoir_topk expects (string priority, bigint payload), " +
+              s"got $other")
+    }
 
   // UTF8String compares in lexicographic byte order — for md5-hex
   // priorities that matches DuckDB's VARCHAR ordering exactly

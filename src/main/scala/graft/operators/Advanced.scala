@@ -96,6 +96,20 @@ object Advanced extends QueryModule {
     tbl
   }
 
+  /** Events bucketed on `user_id` — the shared write-once layout for the
+    * event-time family (q_keep_latest / q_scd2_intervals / q_funnel /
+    * q_window_dedup). Every one of those partitions its window or keys
+    * its joins/aggregates on user_id (possibly plus a finer column, which
+    * hash-partitioning on the prefix still satisfies: equal (user_id, x)
+    * implies equal user_id implies same bucket), so the bucketed scan's
+    * HashPartitioning satisfies each ClusteredDistribution and the
+    * per-query hash exchange disappears — at 100 TB the event log is
+    * bucketed once at ingest and every session/funnel/compaction query
+    * stops paying its shuffle.
+    */
+  private[graft] def eventsByUser(s: SparkSession, d: String): DataFrame =
+    s.table(bucketize(s, d, "events", "user_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- pivot: order counts per priority x status ---
     "q_pivot" -> ((s, d) =>

@@ -160,15 +160,17 @@ object Scoring extends QueryModule {
 
     // --- CDC keep-latest compaction: one surviving row per
     // (user_id, event_type) — the log-compaction / snapshot read of a
-    // change stream. Single shuffle on the key, per-partition sort,
-    // rank-1 filter; ties on ts break on event_id for a total order.
-    // At fleet scale this is the classic window-dedup: partial
-    // aggregation does not apply, but AQE skew-split handles hot keys
-    // and nothing is ever globally sorted. ---
+    // change stream. Reads the user_id-bucketed event log
+    // (Advanced.eventsByUser): the scan's bucket layout already
+    // satisfies the window's clustering, so the plan has ZERO hash
+    // exchange (plan-pinned) — per-partition sort, rank-1 filter; ties
+    // on ts break on event_id for a total order. At fleet scale the
+    // change log is bucketed once at ingest and every compaction read
+    // stops paying the shuffle; nothing is ever globally sorted. ---
     "q_keep_latest" -> ((s, d) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts").desc, col("event_id").desc)
-      table(s, d, "events")
+      Advanced.eventsByUser(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"),
@@ -268,24 +270,22 @@ object Scoring extends QueryModule {
     // per-row cost the compression itself, no allocation/JNI-init. Not
     // SQL-expressible (DuckDB has no compression function), so this is
     // a rows-only query; NativeFnPropertySpec pins the semantics
-    // (determinism, repetitive << shuffled ratio ordering, interpreted
-    // == codegen paths). ---
+    // (repeatable within one JVM/zlib build — DEFLATE output is NOT
+    // specified bit-exactly, so lengths can differ across zlib
+    // versions; the quality SIGNAL, ratio ordering, is what transfers
+    // — plus repetitive << shuffled ordering, interpreted == codegen).
+    // An empty document deflates to a nonzero header, so the ratio is
+    // null-guarded, not NaN. ---
     "q_compress_ratio" -> ((s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"), octet_length(col("text")).cast("long")
           .as("raw_len"),
           graft.functions.DeflateLen(col("text")).as("comp_len"))
         .withColumn("ratio",
-          col("comp_len").cast("double") / col("raw_len").cast("double"))
+          when(col("raw_len") > 0,
+            col("comp_len").cast("double") / col("raw_len").cast("double")))
         .orderBy("doc_id")),
 
-    // --- deterministic k-per-source uniform sample: md5-of-key as the
-    // priority, kept by the custom bounded TypedImperativeAggregate
-    // (functions/ReservoirTopK.scala). The window spelling
-    // (row_number() <= k, which the oracle uses) shuffles and sorts the
-    // ENTIRE corpus; the aggregate's map-side partials bound every
-    // buffer at k rows, so shuffle volume is O(sources * k) — the only
-    // shape that holds when one source is 100 TB. ---
     // --- bigram-LM perplexity (conditional surprisal): upgrade of
     // q_perplexity's unigram model — each bigram (prev, tok) costs
     // floor(log2(c1(prev) / c2(prev, tok))) bits, the MLE conditional
@@ -318,12 +318,13 @@ object Scoring extends QueryModule {
     // current version — the warehouse-dimension twin of q_keep_latest
     // (which keeps only the final row). One shuffle on the key, a
     // per-partition sort, lead() closes each interval at its
-    // successor's start; AQE skew-splits hot keys like every window
-    // here. ---
+    // successor's start. Like q_keep_latest it reads the
+    // user_id-bucketed event log, so the window's exchange vanishes —
+    // the versioned-dimension build becomes a scan + local sort. ---
     "q_scd2_intervals" -> ((s, d) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id"))
-      table(s, d, "events")
+      Advanced.eventsByUser(s, d)
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), col("ts"))
         .withColumn("eff_end", lead(col("ts"), 1).over(w))
@@ -334,6 +335,13 @@ object Scoring extends QueryModule {
         .orderBy("user_id", "event_type", "eff_start", "event_id")
     }),
 
+    // --- deterministic k-per-source uniform sample: md5-of-key as the
+    // priority, kept by the custom bounded TypedImperativeAggregate
+    // (functions/ReservoirTopK.scala). The window spelling
+    // (row_number() <= k, which the oracle uses) shuffles and sorts the
+    // ENTIRE corpus; the aggregate's map-side partials bound every
+    // buffer at k rows, so shuffle volume is O(sources * k) — the only
+    // shape that holds when one source is 100 TB. ---
     "q_sample_reservoir" -> ((s, d) =>
       table(s, d, "documents")
         .select(col("source"), col("doc_id"),

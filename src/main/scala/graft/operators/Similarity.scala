@@ -130,9 +130,16 @@ object Similarity extends QueryModule {
       val scored = a.crossJoin(b).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           cosQ(dotQ(col("aq"), col("bq")), col("an"), col("bn")).as("cos"))
+      // Global top-50 via sort+limit, which plans as TakeOrderedAndProject:
+      // every partition keeps a 50-row heap and the driver merges heads.
+      // A global row_number() window here would drag ALL n^2/2 scored
+      // pairs into one task — the rank is instead derived afterwards over
+      // just the 50 survivors (a 50-row window, bounded at any scale).
+      val top = scored
+        .orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
+        .limit(50)
       val w = Window.orderBy(col("cos").desc, col("a_id").asc, col("b_id").asc)
-      scored.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 50)
+      top.withColumn("rn", row_number().over(w).cast("long"))
         .orderBy("rn")
     }),
 

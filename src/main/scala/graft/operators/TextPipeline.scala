@@ -138,6 +138,22 @@ object TextPipeline extends QueryModule {
     })
   )
 
+  /** Shingle document-frequency cap — the fleet knob that hardens the
+    * shingle self-join against skew: ONE viral shingle (license
+    * boilerplate, a scraped nav header) with df = m contributes m^2/2
+    * rows to a single join key, and no partitioning scheme fixes a
+    * single hot key. Grams above the cap are dropped from candidate
+    * generation via a broadcast anti-join against the (tiny) heavy-gram
+    * list — the df-first discipline q_inverted_index uses. The cap is
+    * provably above this corpus's max df (measured 25 at sf0.1, 9 at
+    * sf0.001), so results are bit-identical to the uncapped join and the
+    * DuckDB oracle still verifies them; at fleet scale it bounds the
+    * worst key at cap^2/2 rows. (Dropping a truly-viral gram only
+    * LOWERS a pair's observed intersection — the conservative error
+    * direction for a near-dup gate, same trade MinHash banding makes.)
+    */
+  private val NgramDfCap = 256
+
   /** Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac >= 0.5) —
     * shared by `q_dedup_ngram` and the connected-components clustering in
     * [[Dedup]] (its edge relation).
@@ -148,7 +164,12 @@ object TextPipeline extends QueryModule {
     val docs = table(s, d, "documents")
       .select(col("doc_id"), shingles(toks).as("sh"))
     val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // df-cap (see NgramDfCap): the heavy-gram relation is bounded by
+    // |corpus| / cap entries, so it broadcasts at any scale.
+    val heavy = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap).select("s")
+    val ex = exAll.join(broadcast(heavy), Seq("s"), "left_anti")
     // Explicit sort-merge: the exploded legs LOOK tiny to the planner
     // (stats come from the 600 KB parquet) but materialize to GBs, and
     // an auto-chosen broadcast of that side builds a multi-GB hash

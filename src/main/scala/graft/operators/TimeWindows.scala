@@ -55,17 +55,19 @@ object TimeWindows extends QueryModule {
 
     // --- windowed event dedup: keep the FIRST event per (user, 5-min
     // tumbling window) — the standard client-retry / at-least-once
-    // collapse before sessionization. One shuffle keyed on (user,
-    // window) with a per-partition sort; the window fan-in is map-side
-    // (window() assigns the bucket before the exchange), and AQE
-    // skew-splits a hot user. The same dropDuplicates-shaped logic runs
-    // under Structured Streaming with a watermark bounding state (see
-    // q_streaming_dedup); this is the batch/backfill twin. ---
+    // collapse before sessionization. Reads the user_id-bucketed event
+    // log (Advanced.eventsByUser): bucketing on the user prefix
+    // satisfies the (user, window) clustering, so there is no exchange —
+    // just a per-partition sort; the window fan-in is map-side (window()
+    // assigns the bucket before any movement). The same
+    // dropDuplicates-shaped logic runs under Structured Streaming with a
+    // watermark bounding state (see q_streaming_dedup); this is the
+    // batch/backfill twin. ---
     "q_window_dedup" -> ((s, d) => {
       val w = Window
         .partitionBy(col("user_id"), col("win"))
         .orderBy(col("ts"), col("event_id"))
-      table(s, d, "events")
+      Advanced.eventsByUser(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"), window(col("ts"), "5 minutes").as("win"))
         .withColumn("rn", row_number().over(w))
@@ -78,12 +80,13 @@ object TimeWindows extends QueryModule {
     // --- ordered conversion funnel (view -> click -> purchase): each
     // stage is "first event of this type STRICTLY AFTER the previous
     // stage" — a per-user min-aggregate joined back, three times. Every
-    // join/aggregate is keyed on user_id, so the stages co-partition
-    // into the same exchange layout (AQE reuses it) and per-user state
-    // is one timestamp per stage regardless of event volume — the
-    // funnel shape that holds on an unbounded event history. ---
+    // join/aggregate is keyed on user_id and reads the user_id-bucketed
+    // event log, so ALL stages inherit the scan's bucket layout — no
+    // exchange anywhere — and per-user state is one timestamp per stage
+    // regardless of event volume: the funnel shape that holds on an
+    // unbounded event history. ---
     "q_funnel" -> ((s, d) => {
-      val ev = table(s, d, "events")
+      val ev = Advanced.eventsByUser(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t1"))

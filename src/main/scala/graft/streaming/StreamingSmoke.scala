@@ -222,9 +222,12 @@ object StreamingSmoke extends QueryModule {
     // cardinality. ---
     "q_streaming_cms" -> ((s, d) => {
       val replay = StatefulSession.replayDir(s, d)
-      val name = "graft_stream_cms"
-      val ckpt = s"/dev/shm/graft_ckpt/cms-" +
-        java.util.UUID.randomUUID().toString.take(8)
+      // per-run memory-sink name: a fixed name would make two concurrent
+      // invocations in one session collide on start() (or read each
+      // other's table) — same isolation rule as the checkpoint dir
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_cms_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/cms-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")

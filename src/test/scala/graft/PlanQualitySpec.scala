@@ -147,10 +147,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!ps.contains("Join") && !ps.contains("HashAggregate"),
       ps.take(1500))
     assert(!ps.contains("Exchange hashpartitioning"), ps.take(1500))
-    // keep-latest: exactly one hash shuffle (the window key)
+    // keep-latest: ZERO hash shuffle — the user_id-bucketed event scan
+    // satisfies the (user_id, event_type) window clustering (round-6
+    // bucketing of the event-time family)
     val pk = plan("q_keep_latest")
-    assert("Exchange hashpartitioning".r.findAllIn(pk).size == 1,
+    assert("Exchange hashpartitioning".r.findAllIn(pk).isEmpty,
       pk.take(2000))
+    assert(pk.contains("Bucketed: true"), pk.take(2000))
     // hopping window: the 2x window fan-out happens map-side — same
     // single hash shuffle as the tumbling window
     val ph = plan("q_window_hopping")
@@ -204,11 +207,14 @@ class PlanQualitySpec extends AnyFunSuite {
       pz.take(2000))
     assert(pz.contains("partial_count") || pz.contains("partial_min"),
       pz.take(2000))
-    // windowed dedup / quality gate: exactly one hash shuffle (the
-    // window key); compress-ratio is a pure map-side projection that
-    // stays inside whole-stage codegen
-    for (q <- Seq("q_window_dedup", "q_quality_gate"))
-      assert("Exchange hashpartitioning".r.findAllIn(plan(q)).size == 1, q)
+    // quality gate: exactly one hash shuffle (the window key); windowed
+    // dedup reads the bucketed event log, so its window shuffle is gone
+    // entirely; compress-ratio is a pure map-side projection that stays
+    // inside whole-stage codegen
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan("q_quality_gate")).size == 1, "q_quality_gate")
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan("q_window_dedup")).isEmpty, "q_window_dedup")
     // pagerank: vocabulary-sized joins only, never a cartesian
     assert(!plan("q_pagerank_iter").contains("CartesianProduct"))
     // correlated LATERAL must decorrelate to a bounded per-group top-k
@@ -227,6 +233,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pc.contains("Join") && !pc.contains("HashAggregate"),
       pc.take(1500))
     assert(pc.contains("*("), pc.take(1500))
+  }
+
+  test("round-6 plans: embedding near-dup ranks via TakeOrdered, funnel " +
+      "and SCD2 ride the bucketed event layout") {
+    // the all-pairs exact baseline must never rank n^2/2 pairs through a
+    // single-partition window: the top-50 is a TakeOrderedAndProject
+    // (per-partition heaps, driver merges 50-row heads), and any
+    // unpartitioned Window in the plan may only see the bounded
+    // survivors (i.e. has the TakeOrdered below it)
+    val de = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+    val pe = de.queryExecution.executedPlan
+    assert(pe.toString.contains("TakeOrderedAndProject"),
+      pe.toString.take(2000))
+    val globalWindows = pe.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      assert(w.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty,
+        "unpartitioned Window over unbounded input:\n" + w.toString.take(2000))
+    }
+    // SCD2 and the funnel read the user_id-bucketed event log: the
+    // window / per-stage aggregates inherit the scan layout — zero hash
+    // exchange in either plan
+    for (q <- Seq("q_scd2_intervals", "q_funnel")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"$q shuffled despite bucketing:\n" + p.take(2000))
+      assert(p.contains("Bucketed: true"), p.take(2000))
+    }
   }
 
   test("curation regex/split pipelines stay inside whole-stage codegen") {

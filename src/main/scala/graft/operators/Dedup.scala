@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * SimHash over the `documents` table.
   *
   * MinHash+LSH (`q_dedup_minhash`): 3-token shingles -> 32 minhashes ->
-  * 8 bands x 4 rows -> band key -> equi self-join on (band, key) for
+  * 8 bands x 4 rows -> band key -> ONE shuffle groups the skinny band
+  * stream into per-bucket posting lists whose i<j pairs are the
   * candidates -> exact Jaccard verification on the candidate set only
   * (signature pipeline fused into the native codegen'd
   * [[graft.functions.MinHashBandKeys]]). This is the 100 TB shape: the
-  * only shuffle is the band-bucket join (keys ~uniform by construction —
-  * hash output — so no skew), and the quadratic verification runs on the
-  * tiny candidate set, never all pairs. Compare `q_dedup_ngram`
-  * (TextPipeline), the oracle-checked exact all-pairs form of the same
-  * semantics.
+  * only shuffles are the bucket grouping (keys ~uniform by construction
+  * — hash output — so no skew) and the candidate distinct, and the
+  * quadratic verification runs on the tiny candidate set, never all
+  * pairs. Compare `q_dedup_ngram` (TextPipeline), the oracle-checked
+  * exact all-pairs form of the same semantics.
   *
   * SimHash (`q_dedup_simhash`): 64-bit signature; bit i is the sign of
   * the sum over tokens of +-1 from bit i of xxhash64(token). Emitted with
@@ -99,14 +100,24 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
             Bands)).as(Seq("band", "bkey")))
-      // band self-join: skinny rows, but force the shuffle shape (the
-      // planner's size estimate of an exploded projection is unreliable;
-      // see q_dedup_ngram)
-      val cand = bands.hint("shuffle_merge").as("a")
-        .join(bands.hint("shuffle_merge").as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // Candidate pairs by bucket posting list, NOT a band self-join:
+      // group the skinny (band, bkey, doc_id) stream once, collect each
+      // bucket's (sorted) occupants, emit the i<j pairs map-side — one
+      // shuffle of the band stream instead of two join legs plus a
+      // merge sort (the same single-shuffle shape ngramPairs uses).
+      // LSH bucket sizes are ~geometric by construction (a bucket is a
+      // 64-bit hash collision), so the per-bucket lists are small and
+      // the i<j fan-out matches what the join would have produced
+      // anyway. Pairs colliding in several bands distinct() BEFORE the
+      // array fetch, as before.
+      val cand = bands.groupBy("band", "bkey")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+        .select(col("a_id"), col("i"),
+          posexplode(col("ids")).as(Seq("j", "b_id")))
+        .filter(col("i") < col("j"))
+        .select(col("a_id"), col("b_id"))
         .distinct()
       // exact-Jaccard verification on the candidates only: fetch the
       // per-doc shingle arrays (map-side, per-doc-distinct via array op —

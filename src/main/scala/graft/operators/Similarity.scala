@@ -77,8 +77,15 @@ object Similarity extends QueryModule {
   /** IVF assignment shared by the ANN / SemDedup / k-means queries:
     * every vector mapped to its nearest of the 16 deterministic seed
     * centroids (vec_id < 16 — a real build trains these on a sample;
-    * the partition shape is identical). Centroids broadcast; the
-    * argmax is a per-vector window over the 16 candidate rows.
+    * the partition shape is identical). Centroids broadcast; the argmax
+    * is a `min_by` AGGREGATE over the 16 scored rows per vector — a
+    * hash aggregate with map-side partials that moves one row per
+    * vector across the exchange, where the window spelling
+    * (row_number over (vec_id, ccos desc)) would shuffle AND sort all
+    * 16x|corpus| scored rows. The ordering key (-ccos, cent_id) is a
+    * total order (cent_id unique per vector; negation of an IEEE double
+    * is exact), so the winner is merge-order-independent — the same
+    * vector the window's (ccos desc, cent_id asc) rank-1 picked.
     * Returns (vec_id, bucket).
     */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
@@ -86,14 +93,13 @@ object Similarity extends QueryModule {
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"),
         col("nn").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id").asc)
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         cosQ(dotQ(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id").as("bucket"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"),
+        struct((-col("ccos")).as("negcos"), col("cent_id").as("tie")))
+        .as("bucket"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

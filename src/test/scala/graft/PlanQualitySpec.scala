@@ -59,16 +59,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
-  test("minhash band join shuffles skinny rows, not shingle arrays") {
+  test("minhash candidates come from bucket posting lists, not a self-join") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    // the band-bucket self-join must not carry the shingle arrays
-    val bandJoin = joins.last // bottom-most join = band join
-    val carried = bandJoin.output.map(_.name)
-    assert(!carried.exists(_.contains("sh")),
-      s"band join carries array columns: $carried")
+    // candidate generation is ONE aggregation of the skinny band stream
+    // (posting lists -> i<j pairs) — the only joins left in the whole
+    // plan are the two verification array-fetch joins, so the exploded
+    // band stream is shuffled once, never twice as self-join legs
+    assert(joins.size == 2, s"expected 2 fetch joins, found ${joins.size}")
+    // and the shingle arrays enter only at those fetch joins, above the
+    // distinct'd candidate relation — never through the band stream
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.toString.contains("collect_list"))),
+      "posting-list aggregate missing from candidate generation")
   }
 
   test("sort-limit compiles to TakeOrderedAndProject, not a global sort") {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryModule
+import graft.Det.let
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -229,6 +230,85 @@ object Similarity extends QueryModule {
         .orderBy("bucket", "i")
     }),
 
+    // --- multi-probe IVF ANN (round 6): each probe searches its TWO
+    // nearest centroid buckets (nprobe = 2) — the standard IVF recall
+    // knob: quantization error puts a probe's true neighbors in an
+    // adjacent cell with nontrivial probability, and probing n cells
+    // trades n x candidate volume for recall without touching the
+    // (write-once) corpus partition. The probe-side top-2 centroids run
+    // through the native bounded-heap TopKPerKey operator (no window
+    // sort); candidates still join bucket-equi against the SAME
+    // nprobe=1 corpus assignment q_sim_ivf uses. ---
+    "q_sim_ivf2" -> ((s, d) => {
+      val e = corpus(s, d)
+      val bucketed = e.join(ivfAssigned(s, d), "vec_id")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nn").as("cn"))
+      val probeScored = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("nn").as("pn"))
+        .crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("pq"), col("pn"), col("cent_id"),
+          cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("ccos"))
+      val probeBuckets = graft.plans.TopKPerKey.topKPerKey(probeScored,
+          keys = Seq(col("probe_id")),
+          order = Seq(col("ccos").desc, col("cent_id").asc), k = 2)
+        .select(col("probe_id"), col("pq"), col("pn"),
+          col("cent_id").as("bucket"))
+      val scored = bucketed.join(broadcast(probeBuckets), "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // --- int8 embedding quantization (round 6): symmetric per-vector
+    // scale (maxabs/127) — the storage/bandwidth knob every vector
+    // index applies before ANN at scale (4x smaller than f32, dot
+    // products stay int arithmetic). Entirely exact integer math on the
+    // 2^20 fixed-point elements: q8_i = floor(v_i * 127 / maxabs) (the
+    // product < 2^27 is double-exact, one IEEE division, floor), and
+    // the reported reconstruction error is an EXACT int64 sum of
+    // squared fixed-point residuals (v_i*127 - q8_i*maxabs, bounded by
+    // 2^27 -> squares sum < 2^60 over 64 dims) divided once at the end
+    // — order-independent, so bit-identical across engines and partial
+    // aggregation. Map-side only: no shuffle at any corpus size. ---
+    "q_embed_quantize" -> ((s, d) => {
+      val vArr = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+      // let-bound: v/maxabs/q8 are each referenced several times and
+      // CollapseProject would otherwise re-evaluate the whole transform
+      // chain per reference (see Det.let)
+      val out = let(vArr) { vv =>
+        let(array_max(transform(vv, a => abs(a)))) { ma =>
+          let(transform(vv, a => when(ma > 0,
+              floor((a * 127).cast("double") / ma.cast("double")))
+            .otherwise(lit(0L)).cast("long"))) { q8 =>
+            struct(
+              ma.as("maxabs"),
+              array_join(transform(q8, _.cast("string")), ",").as("q8"),
+              aggregate(
+                zip_with(vv, q8, (a, b) => a * 127 - b * ma),
+                lit(0L), (acc, e) => acc + e * e).as("sq_err_fp"))
+          }
+        }
+      }
+      table(s, d, "embeddings")
+        .select(col("vec_id"), out.as("o"))
+        .select(col("vec_id"), col("o.maxabs").as("maxabs"),
+          col("o.q8").as("q8"),
+          // denominator = (127 * 2^20)^2 = 16129 * 2^40: 14 significand
+          // bits, so the int64 -> double conversion is exact
+          (col("o.sq_err_fp").cast("double") /
+            lit(17734023044399104L).cast("double")).as("sq_err"))
+        .orderBy("vec_id")
+    }),
+
     "q_sim_lsh" -> ((s, d) => {
       val e = corpus(s, d)
       // raw read, not Tables.table: the count comes straight from
@@ -348,6 +428,54 @@ object Similarity extends QueryModule {
          |      FROM sc)
          |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 3
          |ORDER BY probe_id, rn""".stripMargin,
+
+    "q_sim_ivf2" ->
+      s"""WITH $ivfAsgCte,
+         |pb AS (SELECT probe_id, bucket FROM (
+         |         SELECT vid AS probe_id, cid AS bucket,
+         |                row_number() OVER (PARTITION BY vid
+         |                  ORDER BY ccos DESC, cid) AS r
+         |         FROM ac WHERE vid >= 10 AND vid < 20)
+         |       WHERE r <= 2),
+         |cand AS (SELECT p.probe_id, s.vid AS cand_id
+         |         FROM pb p JOIN asg s ON s.bucket = p.bucket
+         |         WHERE s.vid <> p.probe_id),
+         |pd AS (SELECT c.probe_id, c.cand_id, SUM(xp.v * xq.v) AS d
+         |       FROM cand c
+         |       JOIN x xp ON xp.vec_id = c.probe_id
+         |       JOIN x xq ON xq.vec_id = c.cand_id AND xq.i = xp.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) /
+         |           (sqrt(CAST(np.nn AS DOUBLE)) * sqrt(CAST(nc2.nn AS DOUBLE)))
+         |           AS cos
+         |       FROM pd JOIN n np ON np.vec_id = probe_id
+         |                JOIN n nc2 ON nc2.vec_id = cand_id),
+         |r AS (SELECT probe_id, cand_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 3
+         |ORDER BY probe_id, rn""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH v0 AS (SELECT vec_id, $qSql AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, a -> abs(a))) AS maxabs
+         |      FROM v0),
+         |qq AS (SELECT vec_id, v, maxabs,
+         |         list_transform(v, a -> CASE WHEN maxabs > 0
+         |           THEN CAST(floor(CAST(a * 127 AS DOUBLE)
+         |                / CAST(maxabs AS DOUBLE)) AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END) AS q8
+         |       FROM m)
+         |SELECT vec_id, maxabs,
+         |  array_to_string(q8, ',') AS q8,
+         |  CAST(CAST(list_sum(list_transform(range(1, len(v) + 1),
+         |    i -> (v[i] * 127 - q8[i] * maxabs)
+         |       * (v[i] * 127 - q8[i] * maxabs))) AS BIGINT) AS DOUBLE)
+         |    / CAST(17734023044399104 AS DOUBLE) AS sq_err
+         |FROM qq ORDER BY vec_id""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -273,6 +273,17 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q shuffled despite bucketing:\n" + p.take(2000))
       assert(p.contains("Bucketed: true"), p.take(2000))
     }
+    // int8 quantization is pure map-side projection: no join, no
+    // aggregate exchange — the only exchange is the final orderBy range
+    // partitioning
+    val pq = plan("q_embed_quantize")
+    assert(!pq.contains("Join") &&
+      !pq.contains("Exchange hashpartitioning"), pq.take(2000))
+    // multi-probe IVF: probe-side top-2 centroids run the native
+    // bounded-heap operator, and nothing plans a cartesian
+    val p2 = plan("q_sim_ivf2")
+    assert(p2.contains("TopKPerKey ["), p2.take(2000))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
   }
 
   test("curation regex/split pipelines stay inside whole-stage codegen") {

@@ -188,6 +188,38 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall below floor")
   }
 
+  test("multi-probe IVF dominates single-probe; int8 quantization bounds") {
+    // nprobe=2's probed buckets are a superset of nprobe=1's (the top-2
+    // centroids include the top-1), so per probe the rank-k candidate
+    // cosine can only improve — pointwise dominance, the defining
+    // property of the multi-probe recall knob
+    def byProbe(q: String): Map[Long, Seq[Double]] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1)
+        .map { case (p, rs) => p -> rs.sortBy(_._3).map(_._2).toSeq }
+    val one = byProbe("q_sim_ivf")
+    val two = byProbe("q_sim_ivf2")
+    assert(one.keySet == two.keySet)
+    for (p <- one.keySet; (c1, c2) <- one(p).zip(two(p)))
+      assert(c2 >= c1, s"probe $p: nprobe=2 cosine $c2 below nprobe=1 $c1")
+    // int8 quantization invariants: codes in [-127, 127]; per-element
+    // floor residual < one quantization step (maxabs in fixed-point
+    // units), so the exact integer error sum is < 64 * maxabs^2
+    val quant = SparkEntry.queries("q_embed_quantize")(spark, sf).collect()
+    assert(quant.nonEmpty)
+    quant.foreach { r =>
+      val maxabs = r.getLong(1)
+      val codes = r.getString(2).split(",").map(_.toLong)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)}")
+      val sqErr = r.getDouble(3)
+      val bound = 64.0 * maxabs.toDouble * maxabs.toDouble /
+        17734023044399104.0
+      assert(sqErr >= 0.0 && sqErr < bound,
+        s"vec ${r.getLong(0)}: sq_err $sqErr outside [0, $bound)")
+    }
+  }
+
   test("CDC chunking reassembles each document, driver-side re-derivation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

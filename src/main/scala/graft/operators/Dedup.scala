@@ -53,6 +53,17 @@ object Dedup extends QueryModule {
         .localCheckpoint()
       var converged = false
       var iter = 0
+      // Convergence via the label-sum invariant: a step assigns each
+      // node min(own, neighbors') — own label included — so labels are
+      // pointwise non-increasing and the exact int64 label sum strictly
+      // decreases until the fixpoint; equal sums mean zero changed
+      // labels. One skinny aggregate over the (checkpointed) label
+      // table replaces the join+filter existence check — one fewer
+      // shuffle per round, and the driver still only ever sees a
+      // scalar.
+      def labelSum(df: DataFrame): Long =
+        df.agg(sum(col("cluster_id"))).head().getLong(0)
+      var prevSum = labelSum(labels)
       while (!converged && iter < 25) {
         // each node adopts min(own label, neighbors' labels)
         val prop = labels.as("l")
@@ -61,10 +72,9 @@ object Dedup extends QueryModule {
         val next = labels.union(prop)
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.as("o"), "doc_id")
-          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-          .isEmpty
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels = next
         iter += 1
       }

@@ -249,6 +249,46 @@ object StreamingSmoke extends QueryModule {
           graft.functions.CountMin.lookup(lit(sk), col("user_id"))
             .as("est_n"))
         .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
+    // --- streamed reservoir sampling (round 6): the bounded
+    // ReservoirTopK aggregate maintained under Structured Streaming —
+    // the third sketch in the incrementally-maintained family (after
+    // HLL-style distinct and Count-Min). The md5 priority makes the
+    // sample DETERMINISTIC, so unlike a classic RNG reservoir the
+    // streamed state is provably identical to the batch sample over the
+    // same rows at every point in the stream — this query carries a
+    // full DuckDB oracle (the window-spelled sample over the batch
+    // table), not just a smoke check. Per-group state is k rows
+    // regardless of stream length: a continuously-fresh uniform sample
+    // of an unbounded event stream at O(groups * k) memory. ---
+    "q_streaming_reservoir" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_rsv_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/rsv-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.ReservoirTopK(
+          md5(col("event_id").cast("string")), col("event_id"), 5)
+          .as("sample"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      s.table(name)
+        .select(col("event_type"),
+          posexplode(col("sample")).as(Seq("pos", "event_id")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          col("event_id"))
+        .orderBy("event_type", "rn")
     })
   )
 
@@ -286,6 +326,19 @@ object StreamingSmoke extends QueryModule {
         |      AS rn
         |  FROM events)
         |SELECT user_id, event_type, ts_us, value, event_id
-        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // the deterministic (md5-priority) reservoir makes the STREAMED
+    // sample equal to the batch window spelling — a real oracle, not a
+    // smoke check
+    "q_streaming_reservoir" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
   )
 }

@@ -212,6 +212,26 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streamed reservoir sample equals the batch aggregate exactly") {
+    // deterministic md5 priorities + associative k-bounded merges: the
+    // sample maintained across microbatches must be the identical rows
+    // the one-shot batch aggregate produces over the same events
+    val streamed = SparkEntry.queries("q_streaming_reservoir")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.ReservoirTopK(
+        md5(col("event_id").cast("string")), col("event_id"), 5)
+        .as("sample"))
+      .select(col("event_type"),
+        posexplode(col("sample")).as(Seq("pos", "event_id")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+        col("event_id"))
+      .orderBy("event_type", "rn")
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("bloom-pruned join equals the plain join") {
     val bloom = SparkEntry.queries("q_join_bloom")(spark, sf)
       .collect().map(_.toSeq)

@@ -4,6 +4,7 @@ import graft.Det.let
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval-infrastructure operators over the document corpus, round 5:
@@ -41,6 +42,40 @@ object Retrieval extends QueryModule {
     (length(bin(floor(num.cast("double") / den).cast("long"))) - 1)
       .cast("long")
 
+  /** Per-document BM25 scores against [[Terms]] — the scoring pipeline
+    * shared by `q_rank_bm25` (top-50) and `q_rank_fusion` (lexical leg):
+    * one-pass corpus stats broadcast as a 1-row relation, then pure
+    * map-side projection. Returns (doc_id, dl, tf_rare, bm25).
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        toks.as("tk"))
+    val withTf = Terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        (col("dl") - size(array_remove(col("tk"), t))).cast("long"))
+    }.drop("tk")
+    val stats = withTf.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("a") +:
+        Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val termScore = Terms.indices.map { i =>
+      val idf = idfBits(
+        lit(2) * col("n") - lit(2) * col(s"df$i") + 1,
+        lit(2) * col(s"df$i") + 1)
+      // tf = 0 zeroes the numerator, so absent terms contribute
+      // exactly 0.0 with no branch
+      idf.cast("double") *
+        ((lit(22) * col("a") * col(s"tf$i")).cast("double") /
+          (lit(10) * col("a") * col(s"tf$i") + lit(3) * col("a") +
+            lit(9) * col("dl") * col("n")).cast("double"))
+    }
+    scored.select(col("doc_id"), col("dl"), col("tf0").as("tf_rare"),
+      termScore.reduceLeft(_ + _).as("bm25"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- BM25 ranking: corpus stats (N docs, A total tokens, per-term
     // df) reduce to ONE scalar row — computed in a single pass with
@@ -54,36 +89,51 @@ object Retrieval extends QueryModule {
     // no lambda HOFs in the hot path. Int64 bounds: 22*A*tf < 2^63
     // through ~1e15 corpus tokens x tf 100; past that the rationals
     // move to DECIMAL(38,0) partials, same shape. ---
-    "q_rank_bm25" -> ((s, d) => {
-      val docs = table(s, d, "documents")
-        .select(col("doc_id"), size(toks).cast("long").as("dl"),
-          toks.as("tk"))
-      val withTf = Terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
-        df.withColumn(s"tf$i",
-          (col("dl") - size(array_remove(col("tk"), t))).cast("long"))
-      }.drop("tk")
-      val stats = withTf.agg(
-        count(lit(1)).as("n"),
-        (sum(col("dl")).as("a") +:
-          Terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
-      val scored = withTf.crossJoin(broadcast(stats))
-      val termScore = Terms.indices.map { i =>
-        val idf = idfBits(
-          lit(2) * col("n") - lit(2) * col(s"df$i") + 1,
-          lit(2) * col(s"df$i") + 1)
-        // tf = 0 zeroes the numerator, so absent terms contribute
-        // exactly 0.0 with no branch
-        idf.cast("double") *
-          ((lit(22) * col("a") * col(s"tf$i")).cast("double") /
-            (lit(10) * col("a") * col(s"tf$i") + lit(3) * col("a") +
-              lit(9) * col("dl") * col("n")).cast("double"))
-      }
-      scored
-        .select(col("doc_id"), col("dl"), col("tf0").as("tf_rare"),
-          termScore.reduceLeft(_ + _).as("bm25"))
+    "q_rank_bm25" -> ((s, d) =>
+      bm25Scored(s, d)
         .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(50)
+        .limit(50)),
+
+    // --- hybrid retrieval: reciprocal-rank fusion (round 6) of the
+    // lexical BM25 list and an embedding-cosine list — the standard
+    // hybrid-search combinator (RRF: score = sum over lists of
+    // 1/(60 + rank); rank-based, so the two score scales never need
+    // calibrating). Each leg is an independent top-20 TakeOrdered
+    // (per-partition heaps — never a global sort), ranks derive from
+    // windows over the 20 bounded survivors only, and the fusion is a
+    // full-outer join of two 20-row relations — driver-scale work no
+    // matter the corpus. Float determinism: each contribution is ONE
+    // IEEE division 1/(60+rank) of exact small operands, and the two
+    // terms add in fixed written order. ---
+    "q_rank_fusion" -> ((s, d) => {
+      val lexTop = bm25Scored(s, d).select("doc_id", "bm25")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lexRank = lexTop
+        .withColumn("r_lex", row_number().over(wl).cast("long"))
+        .select("doc_id", "r_lex")
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"))
+        .withColumn("nn", graft.functions.QuantizedDot(col("q"), col("q")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("q").as("pq"), col("nn").as("pn"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          (graft.functions.QuantizedDot(col("pq"), col("q")).cast("double") /
+            (sqrt(col("pn").cast("double")) * sqrt(col("nn").cast("double"))))
+            .as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      val wv = Window.orderBy(col("cos").desc, col("doc_id"))
+      val vecRank = vecTop
+        .withColumn("r_vec", row_number().over(wv).cast("long"))
+        .select("doc_id", "r_vec")
+      def contrib(r: Column): Column =
+        when(r.isNotNull, lit(1.0) / (lit(60.0) + r)).otherwise(lit(0.0))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          (contrib(col("r_lex")) + contrib(col("r_vec"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
     // --- inverted-index build (trigram postings): the scale shape is
@@ -180,36 +230,82 @@ object Retrieval extends QueryModule {
     })
   )
 
+  /** DuckDB CTE block `d/w/s` + score expression for the BM25 scoring
+    * pipeline — shared by the `q_rank_bm25` and `q_rank_fusion` oracles.
+    */
+  private val bm25Cte: String = {
+    val stats = Terms.indices.map(i =>
+      s"""SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i""")
+      .mkString(",\n|           ")
+    val tf = Terms.zipWithIndex.map { case (t, i) =>
+      s"""CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"""
+    }.mkString(",\n|         ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |w AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |         $tf
+       |      FROM d),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |           CAST(SUM(dl) AS BIGINT) AS a,
+       |           $stats
+       |      FROM w)""".stripMargin
+  }
+
+  private val bm25ScoreSql: String = Terms.indices.map { i =>
+    s"""CAST(length(bin(CAST(floor(CAST(2*n - 2*df$i + 1 AS DOUBLE)
+       |      / (2*df$i + 1)) AS BIGINT))) - 1 AS DOUBLE)
+       |    * (CAST(22*a*tf$i AS DOUBLE)
+       |       / CAST(10*a*tf$i + 3*a + 9*dl*n AS DOUBLE))"""
+      .stripMargin
+  }.mkString("\n|  + ")
+
   override def oracle: Map[String, String] = Map(
-    "q_rank_bm25" -> {
-      val stats = Terms.indices.map(i =>
-        s"""SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i""")
-        .mkString(",\n        |           ")
-      val tf = Terms.zipWithIndex.map { case (t, i) =>
-        s"""CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"""
-      }.mkString(",\n        |         ")
-      val score = Terms.indices.map { i =>
-        s"""CAST(length(bin(CAST(floor(CAST(2*n - 2*df$i + 1 AS DOUBLE)
-           |      / (2*df$i + 1)) AS BIGINT))) - 1 AS DOUBLE)
-           |    * (CAST(22*a*tf$i AS DOUBLE)
-           |       / CAST(10*a*tf$i + 3*a + 9*dl*n AS DOUBLE))"""
-          .stripMargin
-      }.mkString("\n        |  + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents),
-        |w AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-        |         $tf
-        |      FROM d),
-        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |           CAST(SUM(dl) AS BIGINT) AS a,
-        |           $stats
-        |      FROM w)
+    "q_rank_bm25" ->
+      s"""WITH $bm25Cte
         |SELECT doc_id, dl, tf0 AS tf_rare,
-        |  $score
+        |  $bm25ScoreSql
         |  AS bm25
         |FROM w CROSS JOIN s
-        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
-    },
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_rank_fusion" ->
+      s"""WITH $bm25Cte,
+        |lex AS (SELECT doc_id,
+        |          $bm25ScoreSql
+        |          AS bm25
+        |        FROM w CROSS JOIN s),
+        |lt AS (SELECT doc_id, bm25 FROM lex
+        |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lr AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex FROM lt),
+        |x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |        unnest(list_transform(embedding, e ->
+        |          CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))) AS v
+        |      FROM embeddings),
+        |n2 AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+        |dotp AS (SELECT b.vec_id AS doc_id, SUM(a.v * b.v) AS dd
+        |         FROM x a JOIN x b ON a.i = b.i
+        |                          AND a.vec_id = 0 AND b.vec_id <> 0
+        |         GROUP BY b.vec_id),
+        |vs AS (SELECT doc_id,
+        |         CAST(dd AS DOUBLE) /
+        |           (sqrt(CAST(np.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+        |           AS cos
+        |       FROM dotp JOIN n2 np ON np.vec_id = 0
+        |                 JOIN n2 nb ON nb.vec_id = doc_id),
+        |vt AS (SELECT doc_id, cos FROM vs
+        |       ORDER BY cos DESC, doc_id LIMIT 20),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER (
+        |         ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec FROM vt)
+        |SELECT doc_id, r_lex, r_vec,
+        |  (CASE WHEN r_lex IS NOT NULL
+        |        THEN CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex)
+        |        ELSE CAST(0 AS DOUBLE) END
+        |   + CASE WHEN r_vec IS NOT NULL
+        |        THEN CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_vec)
+        |        ELSE CAST(0 AS DOUBLE) END) AS rrf
+        |FROM lr FULL OUTER JOIN vr USING (doc_id)
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
 
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

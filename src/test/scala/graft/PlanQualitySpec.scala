@@ -250,19 +250,24 @@ class PlanQualitySpec extends AnyFunSuite {
     // (per-partition heaps, driver merges 50-row heads), and any
     // unpartitioned Window in the plan may only see the bounded
     // survivors (i.e. has the TakeOrdered below it)
-    val de = SparkEntry.queries("q_dedup_embedding")(spark, sf)
-    val pe = de.queryExecution.executedPlan
-    assert(pe.toString.contains("TakeOrderedAndProject"),
-      pe.toString.take(2000))
-    val globalWindows = pe.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
-    globalWindows.foreach { w =>
-      assert(w.collect {
-        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-      }.nonEmpty,
-        "unpartitioned Window over unbounded input:\n" + w.toString.take(2000))
+    // q_rank_fusion gets the same treatment: both retrieval legs are
+    // top-20 TakeOrdereds, rank windows only ever see the survivors
+    for (q <- Seq("q_dedup_embedding", "q_rank_fusion")) {
+      val pe = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan
+      assert(pe.toString.contains("TakeOrderedAndProject"),
+        s"$q: " + pe.toString.take(2000))
+      val globalWindows = pe.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      globalWindows.foreach { w =>
+        assert(w.collect {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        }.nonEmpty,
+          s"$q: unpartitioned Window over unbounded input:\n" +
+            w.toString.take(2000))
+      }
     }
     // SCD2 and the funnel read the user_id-bucketed event log: the
     // window / per-stage aggregates inherit the scan layout — zero hash

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Det.dec
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -241,6 +242,38 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- temperature-scaled source mixing weights: the multilingual /
+    // multi-domain sampling schedule (p_i proportional to share_i^tau,
+    // tau = 0.5) that upsamples small sources without letting a huge
+    // one dominate. The corpus reduces to ONE row per source (exact
+    // int64 token counts), so everything after the first aggregate is
+    // driver-scale: the tau-powered shares are normalized against a
+    // DECIMAL-quantized partition function (decimal addition is
+    // order-independent — a raw double SUM over the per-source rows
+    // would be partial-order-dependent) and the weight each source's
+    // sampler applies is p_i / share_i. sqrt is IEEE-exact in every
+    // engine; the two divisions are single IEEE ops on identical
+    // operands. ---
+    "q_mix_weights" -> ((s, d) => {
+      val src = table(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(toks)).cast("long").as("tokens"))
+      val tot = src.agg(sum(col("tokens")).cast("long").as("total"))
+      val shared = src.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("tokens").cast("double") / col("total").cast("double"))
+        .withColumn("p_raw", dec(sqrt(col("share"))))
+      val z = shared.agg(sum(col("p_raw")).as("z"))
+      shared.crossJoin(broadcast(z))
+        .select(col("source"), col("docs"), col("tokens"), col("share"),
+          (col("p_raw").cast("double") / col("z").cast("double"))
+            .as("p_target"),
+          ((col("p_raw").cast("double") / col("z").cast("double"))
+            / col("share")).as("weight"))
+        .orderBy("source")
+    }),
+
     // --- content-defined chunking (round 5): variable-length chunks cut
     // where the content itself hashes below a gate (first md5 nibble
     // <= '1', p = 1/8 -> ~8-token mean chunks) — the rolling-hash CDC
@@ -327,6 +360,24 @@ object Curation extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH src AS (SELECT source, COUNT(*) AS docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |           AS tokens
+        |       FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM src),
+        |sh AS (SELECT source, docs, tokens,
+        |         CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |         CAST(sqrt(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE))
+        |              AS DECIMAL(18,4)) AS p_raw
+        |       FROM src CROSS JOIN tot),
+        |zz AS (SELECT SUM(p_raw) AS z FROM sh)
+        |SELECT source, docs, tokens, share,
+        |  CAST(p_raw AS DOUBLE) / CAST(z AS DOUBLE) AS p_target,
+        |  (CAST(p_raw AS DOUBLE) / CAST(z AS DOUBLE)) / share AS weight
+        |FROM sh CROSS JOIN zz
+        |ORDER BY source""".stripMargin,
+
     "q_text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(

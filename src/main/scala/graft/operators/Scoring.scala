@@ -243,6 +243,37 @@ object Scoring extends QueryModule {
         .orderBy("column_name")
     }),
 
+    // --- per-group z-score anomaly detection: flag events whose value
+    // sits more than 3 population-sigmas from its event-type mean — the
+    // metric-outlier sweep run over telemetry before it trains anything.
+    // Two-pass shape that scales: pass 1 reduces the table to ONE tiny
+    // stats row per type (integer-quantized moments, exact int64 sums —
+    // the q_agg_stats discipline: sum(vq^2) stays under 2^63 through
+    // ~10^12 rows at these magnitudes, then the partials switch to
+    // DECIMAL(38,0), same shape); pass 2 re-scans with the stats
+    // BROADCAST, so the outlier test is a map-side filter — no shuffle
+    // ever touches event rows. mean/sigma are exact-int-derived doubles;
+    // z is two IEEE ops (sub, div) on them — identical in both engines.
+    "q_anomaly_zscore" -> ((s, d) => {
+      val q = table(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("value"), 0).cast("long").as("vq"))
+      val st = q.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
+          sum(col("vq") * col("vq")).as("sxx"))
+        .select(col("event_type"),
+          (col("sx").cast("double") / col("n")).as("mean"),
+          sqrt((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / col("n")).as("sigma"))
+      q.join(broadcast(st), "event_type")
+        .withColumn("z", (col("vq").cast("double") - col("mean"))
+          / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
     // --- per-source quality gating: keep each source's top half by
     // document length. Quality thresholds must be RELATIVE per source
     // (a fixed global cutoff would drop whole low-verbosity sources),
@@ -368,6 +399,25 @@ object Scoring extends QueryModule {
     s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"
 
   override def oracle: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      """WITH q AS (SELECT event_id, event_type, value,
+        |             CAST(round(value, 0) AS BIGINT) AS vq FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(vq) AS BIGINT) AS sx,
+        |         CAST(SUM(vq * vq) AS BIGINT) AS sxx
+        |       FROM q GROUP BY event_type),
+        |sp AS (SELECT event_type,
+        |         CAST(sx AS DOUBLE) / n AS mean,
+        |         sqrt((CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+        |           AS sigma
+        |       FROM st)
+        |SELECT event_id, event_type, value,
+        |  (CAST(vq AS DOUBLE) - mean) / sigma AS z
+        |FROM q JOIN sp USING (event_type)
+        |WHERE abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
     "q_perplexity" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |           FROM documents),

@@ -105,10 +105,41 @@ object TimeWindows extends QueryModule {
           (lit(1L) + col("t2").isNotNull.cast("long") +
             col("t3").isNotNull.cast("long")).as("stage"))
         .orderBy("user_id")
+    }),
+
+    // --- per-user event deltas (lag/lead): inter-event gap in micros
+    // and the next event's type — the sequence-feature primitive behind
+    // dwell-time, churn, and bot-cadence signals. Reads the
+    // user_id-bucketed event log, so the per-user window inherits the
+    // scan layout (no exchange, one per-partition sort); state per row
+    // is one neighbor — rows stream through the frame. The gap is exact
+    // integer microseconds (unix_micros on both sides), never a float
+    // interval. ---
+    "q_win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("gap_us",
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .cast("long"))
+        .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+          col("gap_us"), lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "ts_s", "event_id")
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_win_lag_lead" ->
+      s"""SELECT user_id, event_id, ${FT("ts")} AS ts_s,
+         |  CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS BIGINT)
+         |    AS gap_us,
+         |  lead(event_type, 1) OVER w AS next_type
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, ts_s, event_id""".stripMargin,
+
     "q_window_tumbling" ->
       s"""SELECT ${FT("date_trunc('hour', ts)")} AS hour_start, event_type,
          |  COUNT(*) AS n, ${S("value")} AS sum_value

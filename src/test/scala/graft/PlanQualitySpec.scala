@@ -272,12 +272,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // SCD2 and the funnel read the user_id-bucketed event log: the
     // window / per-stage aggregates inherit the scan layout — zero hash
     // exchange in either plan
-    for (q <- Seq("q_scd2_intervals", "q_funnel")) {
+    for (q <- Seq("q_scd2_intervals", "q_funnel", "q_win_lag_lead")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
         s"$q shuffled despite bucketing:\n" + p.take(2000))
       assert(p.contains("Bucketed: true"), p.take(2000))
     }
+    // z-score anomaly sweep: the per-type stats row is broadcast, so
+    // event rows are never hash-shuffled — the outlier test is a
+    // map-side filter after a broadcast join
+    val pz = plan("q_anomaly_zscore")
+    assert(pz.contains("BroadcastHashJoin"), pz.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(pz)
+      .size <= 1, // the one stats aggregate may shuffle its 5 rows
+      pz.take(2000))
     // int8 quantization is pure map-side projection: no join, no
     // aggregate exchange — the only exchange is the final orderBy range
     // partitioning

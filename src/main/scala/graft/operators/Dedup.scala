@@ -181,6 +181,51 @@ object Dedup extends QueryModule {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // --- blocked fuzzy dedup (edit distance): the entity-resolution
+    // member of the dedup family — pairs whose 80-char prefixes are
+    // within levenshtein 8 and whose lengths differ by <= 8. The scale
+    // shape is BLOCKING, same discipline as q_join_range's banding: dock
+    // each doc in a 32-char length band, replicate ONE side to its 3
+    // adjacent bands (bounded explode, never a cross join), equi-join on
+    // the band key. Replicate-width 32 > 2 x the 8-char length gate, so
+    // every qualifying pair shares a band — blocking is result-invisible
+    // and the oracle runs the clean all-pairs SQL. Two more scale knobs:
+    // (1) the band key is SALTED — the base side docks at (band,
+    // hash(id) % 8) and the probe replicates over the 8 salts, so one
+    // hot length band spreads over 8 reducers instead of serializing
+    // (bands are few and uneven; without salt, parallelism = band
+    // count); (2) the DP is the THRESHOLDED levenshtein (banded
+    // O(len x k), -1 past the threshold — no work wasted on distant
+    // pairs). At fleet scale a second blocking key (simhash band,
+    // q_dedup_simhash's) cuts within-band candidates further; the band
+    // join shape is unchanged. ---
+    "q_dedup_fuzzy" -> ((s, d) => {
+      val salts = 8
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          substring(col("text"), 1, 80).as("p"),
+          expr("n_chars DIV 32").as("blk"))
+      val probe = docs.select(col("doc_id").as("a_id"),
+          col("n_chars").as("a_len"), col("p").as("a_p"),
+          explode(array(col("blk") - 1, col("blk"), col("blk") + 1))
+            .as("blk"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val base = docs.select(col("doc_id").as("b_id"),
+          col("n_chars").as("b_len"), col("p").as("b_p"), col("blk"),
+          pmod(xxhash64(col("doc_id")), lit(salts)).as("salt"))
+      // force the shuffle join: the exploded leg's row estimate lies
+      // (see q_join_range) and broadcasting the corpus defeats banding
+      probe.hint("shuffle_merge")
+        .join(base.hint("shuffle_merge"), Seq("blk", "salt"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("a_len") - col("b_len")) <= 8)
+        .withColumn("lev", levenshtein(col("a_p"), col("b_p"), 8))
+        .filter(col("lev") >= 0)
+        .select(col("a_id"), col("b_id"), col("a_len"), col("b_len"),
+          col("lev").cast("long").as("lev"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // One fused codegen'd pass per document: split (codegen'd) ->
     // SimHash64 native expression (functions/SimHash64.scala). Replaces
     // the round-2 aggregate/zip_with HOF chain that Spark evaluated
@@ -203,6 +248,18 @@ object Dedup extends QueryModule {
   // relation (DuckDB's UNION-recursive fixpoint == our propagation
   // fixpoint: both compute min reachable id).
   override def oracle: Map[String, String] = Map(
+    // all-pairs spelling: the banded blocking must be result-invisible
+    "q_dedup_fuzzy" ->
+      """WITH d AS (SELECT doc_id, n_chars, substr(text, 1, 80) AS p
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       a.n_chars AS a_len, b.n_chars AS b_len,
+        |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE abs(a.n_chars - b.n_chars) <= 8
+        |  AND levenshtein(a.p, b.p) <= 8
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
          |ed AS (SELECT a_id AS src, b_id AS dst FROM p

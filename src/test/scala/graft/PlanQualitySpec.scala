@@ -297,6 +297,18 @@ class PlanQualitySpec extends AnyFunSuite {
     val p2 = plan("q_sim_ivf2")
     assert(p2.contains("TopKPerKey ["), p2.take(2000))
     assert(!p2.contains("CartesianProduct"), p2.take(2000))
+    // blocked fuzzy dedup: the banded+salted blocking must plan as an
+    // equi join (never a cartesian / broadcast nested loop over docs)
+    val pf = plan("q_dedup_fuzzy")
+    assert(!pf.contains("CartesianProduct") &&
+      !pf.contains("BroadcastNestedLoopJoin"), pf.take(2000))
+    // triangle count: edge build reads the bucketed lineitem, the
+    // adjacency attaches via broadcast (the O(m^1.5) intersection work
+    // is map-side), and the top-20 is a TakeOrdered, not a global sort
+    val pt = plan("q_graph_triangle")
+    assert(pt.contains("BroadcastHashJoin"), pt.take(2000))
+    assert(pt.contains("TakeOrderedAndProject"), pt.take(2000))
+    assert(!pt.contains("CartesianProduct"), pt.take(2000))
   }
 
   test("curation regex/split pipelines stay inside whole-stage codegen") {

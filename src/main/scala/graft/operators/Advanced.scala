@@ -329,6 +329,31 @@ object Advanced extends QueryModule {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // --- HDR-histogram quantile sketch (round 6): mergeable percentiles
+    // with fixed 8 KiB state per group — the sketch-tier twin of the
+    // exact sort-based q_percentile (which moves the value set; this
+    // moves 8 KiB per group per partition through the partial-agg
+    // merge). Bit-deterministic bucketing (floor-log2 octave + 4-bit
+    // sub-bucket, no libm) makes it the rare quantile sketch with a
+    // FULL oracle: the DuckDB twin reproduces the bucket function with
+    // length(bin(u))-1 and picks the same ceil(q*n) bucket. Error is
+    // bounded at the sub-bucket width (~6% relative), constant at any
+    // scale. ---
+    "q_quantile_sketch" -> ((s, d) => {
+      graft.functions.HdrHistogram.register(s)
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  element_at(qs, 1) AS p50, element_at(qs, 2) AS p90,
+          |  element_at(qs, 3) AS p99, n
+          |FROM (SELECT l_returnflag,
+          |        graft_hdr(l_extendedprice, array(0.5D, 0.9D, 0.99D))
+          |          AS qs,
+          |        COUNT(*) AS n
+          |      FROM lineitem GROUP BY l_returnflag)
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // --- map-typed columns: JSON -> map, key/value/lookup functions ---
     "q_map_ops" -> ((s, d) =>
       table(s, d, "events")
@@ -596,6 +621,32 @@ object Advanced extends QueryModule {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // exact SQL twin of the sketch bucketing: u = floor(16v)+16, octave
+    // = floor-log2 via length(bin(u))-1, sub-bucket = 4 bits after the
+    // leading 1, estimate = lower bound of the first bucket whose
+    // cumulative count reaches ceil(q*n)
+    "q_quantile_sketch" ->
+      """WITH v AS (SELECT l_returnflag AS grp,
+        |             CAST(floor(l_extendedprice * 16) AS BIGINT) + 16 AS u
+        |           FROM lineitem),
+        |b AS (SELECT grp, length(bin(u)) - 1 AS hi,
+        |        (u >> (length(bin(u)) - 1 - 4)) & 15 AS sub,
+        |        COUNT(*) AS c
+        |      FROM v GROUP BY 1, 2, 3),
+        |w AS (SELECT grp, hi, sub, c,
+        |        SUM(c) OVER (PARTITION BY grp ORDER BY hi, sub) AS cum,
+        |        SUM(c) OVER (PARTITION BY grp) AS n FROM b),
+        |r AS (SELECT grp, cum, n,
+        |        CAST((16 + sub) * (CAST(1 AS BIGINT) << (hi - 4)) - 16
+        |             AS DOUBLE) / 16 AS rep
+        |      FROM w)
+        |SELECT grp AS l_returnflag,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * n) THEN rep END) AS p50,
+        |  MIN(CASE WHEN cum >= ceil(0.9 * n) THEN rep END) AS p90,
+        |  MIN(CASE WHEN cum >= ceil(0.99 * n) THEN rep END) AS p99,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM r GROUP BY grp ORDER BY l_returnflag""".stripMargin,
 
     "q_map_ops" ->
       """SELECT event_id,

@@ -135,6 +135,31 @@ object TextPipeline extends QueryModule {
           order = Seq(col("tf").desc, col("token").asc),
           k = 5)
         .orderBy(col("lang"), col("tf").desc, col("token"))
+    }),
+
+    // --- BPE pair-statistics step: the frequency count of adjacent
+    // symbol pairs within tokens that drives each byte-pair-encoding
+    // merge — one iteration of tokenizer training over the corpus. The
+    // native NGramGenerator emits the in-token char bigrams (fused,
+    // codegen'd — same generator the shingle pipelines use), one
+    // map-side pass; the only shuffle is the pair-count aggregate with
+    // map-side partials over a vocabulary-sized key space (alphabet^2,
+    // NOT corpus-sized). Winner selection is a TakeOrdered top-20 —
+    // per-partition heaps, never a global sort — and the merge rank is
+    // derived over the 20 bounded survivors. In a full training loop
+    // this query runs per merge round with the corpus re-paired against
+    // the grown vocab; the per-round shape is exactly this. ---
+    "q_bpe_step" -> ((s, d) => {
+      val top = table(s, d, "documents")
+        .select(explode(toks).as("tok"))
+        .select(graft.functions.NGramGenerator(split(col("tok"), ""), 2)
+          .alias("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("pair"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .orderBy("rnk")
     })
   )
 
@@ -295,6 +320,19 @@ object TextPipeline extends QueryModule {
         |          ORDER BY tf DESC, token) AS rn
         |      FROM c)
         |SELECT lang, token, tf FROM r WHERE rn <= 5
-        |ORDER BY lang, tf DESC, token""".stripMargin
+        |ORDER BY lang, tf DESC, token""".stripMargin,
+
+    "q_bpe_step" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(tok)),
+        |        i -> substr(tok, CAST(i AS INTEGER), 1) || ' '
+        |             || substr(tok, CAST(i AS INTEGER) + 1, 1))) AS pair
+        |      FROM t),
+        |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+        |tp AS (SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20)
+        |SELECT pair, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+        |FROM tp ORDER BY rnk""".stripMargin
   )
 }

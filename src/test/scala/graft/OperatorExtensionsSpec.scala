@@ -146,6 +146,39 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("HDR quantile sketch: partition invariant and inside the " +
+      "sub-bucket error envelope") {
+    graft.functions.HdrHistogram.register(spark)
+    Tables.table(spark, sf, "lineitem").createOrReplaceTempView("li_hdr")
+    def run(parts: Int): Array[org.apache.spark.sql.Row] =
+      spark.sql(
+        s"""SELECT l_returnflag,
+           |  graft_hdr(l_extendedprice, array(0.5D, 0.9D, 0.99D)) AS qs
+           |FROM (SELECT /*+ REPARTITION($parts) */ * FROM li_hdr)
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        .collect()
+    // merge associativity: estimates must be bit-identical whatever the
+    // partitioning (and therefore whatever the partial-merge order)
+    val a = run(3)
+    assert(a.sameElements(run(17)), "sketch not partition-invariant")
+    // error envelope: each estimate within one sub-bucket (1/16
+    // relative, plus the 1-unit docking offset) of the exact quantile
+    val exact = spark.sql(
+      """SELECT l_returnflag, percentile(l_extendedprice, 0.5) AS p50,
+        |  percentile(l_extendedprice, 0.9) AS p90,
+        |  percentile(l_extendedprice, 0.99) AS p99
+        |FROM li_hdr GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin).collect()
+    a.zip(exact).foreach { case (est, ex) =>
+      val qs = est.getSeq[Double](1)
+      for ((q, i) <- Seq("p50", "p90", "p99").zipWithIndex) {
+        val e = ex.getAs[Double](q)
+        assert(math.abs(qs(i) - e) <= e / 16.0 + 1.0,
+          s"${est.getString(0)} $q: sketch=${qs(i)} exact=$e")
+      }
+    }
+  }
+
   test("ReservoirTopK: partition-count invariant, equals the window " +
       "spelling, and plans with map-side partials") {
     import org.apache.spark.sql.expressions.Window

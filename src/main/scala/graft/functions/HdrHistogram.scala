@@ -134,4 +134,14 @@ object HdrHistogram {
   def register(spark: SparkSession): Unit =
     Bridge.registerFunction(spark, "graft_hdr",
       args => new HdrHistogram(args(0), args(1)).toAggregateExpression())
+
+  /** Column-API spelling (used by the streamed twin, where no session
+    * registration has happened).
+    */
+  def agg(value: org.apache.spark.sql.Column, qs: Seq[Double])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    Bridge.column(HdrHistogram(Bridge.expression(value),
+      Bridge.expression(array(qs.map(lit(_)): _*))).toAggregateExpression())
+  }
 }

@@ -226,6 +226,43 @@ object Dedup extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // --- incremental dedup: a new ingest batch (doc_id % 5 == 0 plays
+    // the incoming crawl) fuzzy-checked against the EXISTING corpus —
+    // the shape every continuously-fed pipeline actually runs (full
+    //-corpus dedup is the backfill; this is the steady state). Same
+    // match predicate as q_dedup_fuzzy (|len diff| <= 8, prefix-80
+    // levenshtein <= 8). The scale shape inverts the blocking: the
+    // batch is small relative to the corpus, so its band-replicated
+    // rows BROADCAST and the corpus streams through a map-side band
+    // join — zero corpus shuffle, the corpus is read once and never
+    // moved. (A batch too big to broadcast falls back to q_dedup_fuzzy's
+    // banded+salted shuffle with the corpus docked once.) Novel docs
+    // surface via the left join against the matched set; dup_of = min
+    // matching corpus id, deterministic. ---
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          substring(col("text"), 1, 80).as("p"),
+          expr("n_chars DIV 32").as("blk"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("c_id"), col("n_chars").as("c_len"),
+          col("p").as("c_p"), col("blk"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val batchRep = batch.select(col("doc_id").as("b_id"),
+        col("n_chars").as("b_len"), col("p").as("b_p"),
+        explode(array(col("blk") - 1, col("blk"), col("blk") + 1))
+          .as("blk"))
+      val hits = corpus.join(broadcast(batchRep), Seq("blk"))
+        .filter(abs(col("c_len") - col("b_len")) <= 8 &&
+          levenshtein(col("c_p"), col("b_p"), 8) >= 0)
+        .groupBy("b_id").agg(min(col("c_id")).as("dup_of"))
+      batch.select(col("doc_id"))
+        .join(hits, col("doc_id") === col("b_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNull.as("is_novel"))
+        .orderBy("doc_id")
+    }),
+
     // One fused codegen'd pass per document: split (codegen'd) ->
     // SimHash64 native expression (functions/SimHash64.scala). Replaces
     // the round-2 aggregate/zip_with HOF chain that Spark evaluated
@@ -259,6 +296,19 @@ object Dedup extends QueryModule {
         |WHERE abs(a.n_chars - b.n_chars) <= 8
         |  AND levenshtein(a.p, b.p) <= 8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, n_chars, substr(text, 1, 80) AS p
+        |           FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |c AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |m AS (SELECT b.doc_id AS b_id, MIN(c.doc_id) AS dup_of
+        |      FROM b JOIN c ON abs(b.n_chars - c.n_chars) <= 8
+        |                   AND levenshtein(b.p, c.p) <= 8
+        |      GROUP BY 1)
+        |SELECT b.doc_id, m.dup_of, m.dup_of IS NULL AS is_novel
+        |FROM b LEFT JOIN m ON m.b_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},

@@ -251,6 +251,41 @@ object StreamingSmoke extends QueryModule {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // --- streamed quantile maintenance: the HDR sketch under complete
+    // mode over the two-batch replay — live latency/size percentiles
+    // the monitoring plane reads per micro-batch. State per group is
+    // the fixed 8 KiB histogram forever (the same associative merge
+    // that serves batch partial aggregation serves the streaming state
+    // update), and because the sketch is bit-deterministic this
+    // streamed query carries the same FULL oracle as a batch run over
+    // the same rows — impossible for a t-digest/KLL. ---
+    "q_streaming_hdr" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_hdr_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/hdr-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.HdrHistogram.agg(col("value"),
+          Seq(0.5, 0.9, 0.99)).as("qs"), count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      s.table(name)
+        .select(col("event_type"), element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // --- streamed reservoir sampling (round 6): the bounded
     // ReservoirTopK aggregate maintained under Structured Streaming —
     // the third sketch in the incrementally-maintained family (after
@@ -298,6 +333,31 @@ object StreamingSmoke extends QueryModule {
   // batch result), dedup is COUNT(DISTINCT), and the interval join is
   // its batch twin.
   override def oracle: Map[String, String] = Map(
+    // the streamed sketch is bit-deterministic, so its oracle is the
+    // exact SQL twin of the bucketing (same CTE shape as
+    // q_quantile_sketch) over the same event rows
+    "q_streaming_hdr" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |             CAST(floor(value * 16) AS BIGINT) + 16 AS u
+        |           FROM events),
+        |b AS (SELECT grp, length(bin(u)) - 1 AS hi,
+        |        (u >> (length(bin(u)) - 1 - 4)) & 15 AS sub,
+        |        COUNT(*) AS c
+        |      FROM v GROUP BY 1, 2, 3),
+        |w AS (SELECT grp, hi, sub, c,
+        |        SUM(c) OVER (PARTITION BY grp ORDER BY hi, sub) AS cum,
+        |        SUM(c) OVER (PARTITION BY grp) AS n FROM b),
+        |r AS (SELECT grp, cum, n,
+        |        CAST((16 + sub) * (CAST(1 AS BIGINT) << (hi - 4)) - 16
+        |             AS DOUBLE) / 16 AS rep
+        |      FROM w)
+        |SELECT grp AS event_type,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * n) THEN rep END) AS p50,
+        |  MIN(CASE WHEN cum >= ceil(0.9 * n) THEN rep END) AS p90,
+        |  MIN(CASE WHEN cum >= ceil(0.99 * n) THEN rep END) AS p99,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM r GROUP BY grp ORDER BY event_type""".stripMargin,
+
     "q_streaming_rate" ->
       s"""SELECT ${FT("date_trunc('hour', ts)")} AS hour_start, event_type,
          |  COUNT(*) AS n, ${S("value")} AS sum_value

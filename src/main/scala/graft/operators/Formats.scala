@@ -90,8 +90,32 @@ object Formats extends QueryModule {
     */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     csvDir(s, d); jsonDir(s, d); orcDir(s, d); partitionedOrders(s, d)
+    evolvedOrders(s, d)
     ()
   }
+
+  /** One-time two-epoch publish of `orders` where epoch 1's schema grew
+    * a column (o_orderpriority) that epoch 0 lacks — the layout every
+    * long-lived dataset ends up with after a schema migration. Hive-
+    * style `epoch=N/` directories, cached on tmpfs.
+    */
+  private[graft] def evolvedOrders(s: SparkSession, d: String): String =
+    fillCache(
+      s"/dev/shm/graft_fmt/orders_evo_${Advanced.fingerprint(d, "orders")}") {
+      tmp =>
+        val o = table(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/epoch=0")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+        // top-level completion marker for fillCache's done-check (the
+        // per-epoch writes leave theirs inside the epoch dirs)
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        ()
+    }
 
   /** One-time partitioned-parquet publish of `orders` by order year,
     * cached on tmpfs; returns the written directory. Hive-style
@@ -138,6 +162,26 @@ object Formats extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // --- schema evolution across parquet epochs: mergeSchema unions the
+    // two epochs' schemas at planning time, epoch-0 rows surface the
+    // migrated-in column as NULL, and the Hive-style epoch= directory
+    // name materializes as a partition column — the read path every
+    // long-lived dataset needs after a schema migration, proven
+    // end-to-end by hash-matching an aggregate that touches the
+    // backfilled nulls, the survivor column, and the discovered
+    // partition key. (mergeSchema costs one footer read per file at
+    // planning, nothing at execution — at fleet scale you pin the
+    // merged schema in a catalog instead; the execution plan is
+    // identical.) ---
+    "q_source_evolved" -> ((s, d) => {
+      val path = evolvedOrders(s, d)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("epoch").cast("long").as("epoch"),
+          coalesce(col("o_orderpriority"), lit("unknown")).as("prio"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("rev"))
+        .orderBy("epoch", "prio")
+    }),
+
     // --- ORC source: the other columnar format Spark ships natively ---
     "q_source_orc" -> ((s, d) => {
       val path = roundtrip(s, d, "lineitem", "orc")
@@ -164,6 +208,13 @@ object Formats extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_source_evolved" ->
+      s"""SELECT CAST(o_orderkey % 2 AS BIGINT) AS epoch,
+         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+         |       ELSE 'unknown' END AS prio,
+         |  COUNT(*) AS n, ${S("o_totalprice")} AS rev
+         |FROM orders GROUP BY 1, 2 ORDER BY epoch, prio""".stripMargin,
+
     "q_source_csv" ->
       s"""SELECT n_name, COUNT(*) AS n_cust, ${S("c_acctbal")} AS bal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -137,6 +137,48 @@ object TextPipeline extends QueryModule {
         .orderBy(col("lang"), col("tf").desc, col("token"))
     }),
 
+    // --- exact repeated-span dedup (substring dedup a la "Deduplicating
+    // Training Data Makes Language Models Better"): find the positional
+    // EXTENTS of text repeated across documents — 8-token shingles
+    // carrying their start offset, a df-first pass keeps only shingles
+    // seen in >= 2 distinct docs, and each doc's hit positions merge
+    // into maximal spans by gaps-and-islands (overlapping or adjacent
+    // 8-token windows fuse). Unlike pair/doc-level dedup this yields the
+    // byte ranges an excision pass would actually cut. Scale shape: the
+    // corpus-sized work is ONE shuffle grouping the shingle stream (the
+    // inverted-index discipline); the repeated-shingle list is tiny
+    // (boilerplate is rare relative to the corpus) and broadcasts back;
+    // the islands window partitions per doc. ---
+    "q_dedup_spans" -> ((s, d) => {
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(let(toks) { tk =>
+          when(size(tk) >= 8, transform(sequence(lit(1), size(tk) - 7),
+            i => concat_ws(" ",
+              (0 until 8).map(k => element_at(tk, i + k)): _*)))
+            .otherwise(array().cast("array<string>"))
+        }).as(Seq("pos0", "g")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("g"))
+      val rep = sh.groupBy("g")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("g")
+      val hit = sh.join(broadcast(rep), "g").select("doc_id", "pos")
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      hit
+        .withColumn("lagpos",
+          coalesce(lag(col("pos"), 1).over(wl), col("pos")))
+        .withColumn("island",
+          sum(when(col("pos") - col("lagpos") > 8, 1L).otherwise(0L))
+            .over(wl))
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + 8).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_len"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // --- BPE pair-statistics step: the frequency count of adjacent
     // symbol pairs within tokens that drives each byte-pair-encoding
     // merge — one iteration of tokenizer training over the corpus. The
@@ -321,6 +363,30 @@ object TextPipeline extends QueryModule {
         |      FROM c)
         |SELECT lang, token, tf FROM r WHERE rn <= 5
         |ORDER BY lang, tf DESC, token""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |sh AS (SELECT doc_id, i AS pos,
+        |         array_to_string(
+        |           tk[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
+        |       FROM t, unnest(range(1, len(tk) - 6)) AS u(i)),
+        |rep AS (SELECT g FROM sh GROUP BY g
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM sh JOIN rep USING (g)),
+        |lg AS (SELECT doc_id, pos,
+        |         COALESCE(lag(pos) OVER (PARTITION BY doc_id
+        |           ORDER BY pos), pos) AS lagpos
+        |       FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(CASE WHEN pos - lagpos > 8 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM lg)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_bpe_step" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok

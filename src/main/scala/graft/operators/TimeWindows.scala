@@ -127,10 +127,43 @@ object TimeWindows extends QueryModule {
         .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
           col("gap_us"), lead(col("event_type"), 1).over(w).as("next_type"))
         .orderBy("user_id", "ts_s", "event_id")
+    }),
+
+    // --- trailing-interval rolling window: per-user count/sum over the
+    // last hour of EVENT TIME (a RANGE frame over unix_micros, not a
+    // row-count frame — q_win_frame covers that): the rolling-metrics
+    // shape behind rate limits, burst detection, and trailing-window
+    // features. The frame is set-valued (all peers within the interval
+    // enter regardless of tie order) and the sum is decimal-accumulated,
+    // so the result is order-independent; the window reads the
+    // user_id-bucketed event log — no exchange, one per-partition sort,
+    // and Spark's sliding frame keeps running state (each row enters and
+    // leaves the accumulator once — O(n) per partition, not O(n x
+    // frame)). ---
+    "q_win_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Advanced.eventsByUser(s, d)
+        .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+        .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+          col("n_1h"), col("sum_1h"))
+        .orderBy("user_id", "ts_s", "event_id")
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_win_range" ->
+      s"""SELECT user_id, event_id, ${FT("ts")} AS ts_s,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         |    AS sum_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_s, event_id""".stripMargin,
+
     "q_win_lag_lead" ->
       s"""SELECT user_id, event_id, ${FT("ts")} AS ts_s,
          |  CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS BIGINT)

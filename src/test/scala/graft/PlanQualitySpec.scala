@@ -272,7 +272,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // SCD2 and the funnel read the user_id-bucketed event log: the
     // window / per-stage aggregates inherit the scan layout — zero hash
     // exchange in either plan
-    for (q <- Seq("q_scd2_intervals", "q_funnel", "q_win_lag_lead")) {
+    for (q <- Seq("q_scd2_intervals", "q_funnel", "q_win_lag_lead",
+        "q_win_range")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
         s"$q shuffled despite bucketing:\n" + p.take(2000))
@@ -302,6 +303,16 @@ class PlanQualitySpec extends AnyFunSuite {
     val pf = plan("q_dedup_fuzzy")
     assert(!pf.contains("CartesianProduct") &&
       !pf.contains("BroadcastNestedLoopJoin"), pf.take(2000))
+    // incremental dedup: the band-replicated ingest batch BROADCASTS
+    // (the corpus never shuffles into the match join)
+    val pi = plan("q_dedup_incremental")
+    assert(pi.contains("BroadcastHashJoin"), pi.take(2000))
+    assert(!pi.contains("CartesianProduct"), pi.take(2000))
+    // span dedup: the repeated-shingle list joins back as a broadcast,
+    // never a shuffle of the corpus-sized hit stream
+    val ps = plan("q_dedup_spans")
+    assert(ps.contains("BroadcastHashJoin"), ps.take(2000))
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
     // triangle count: edge build reads the bucketed lineitem, the
     // adjacency attaches via broadcast (the O(m^1.5) intersection work
     // is map-side), and the top-20 is a TakeOrdered, not a global sort

@@ -267,6 +267,49 @@ object Similarity extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
+    // --- two-stage retrieval: int8 coarse scan -> exact rerank (round
+    // 6). The production ANN serving shape: stage 1 scores the WHOLE
+    // corpus with the cheap representation (q_embed_quantize's int8
+    // codes — at fleet scale read from the 8x-smaller codes table and
+    // SIMD-friendly; exact int64 arithmetic either way) and keeps
+    // top-100 via TakeOrdered (per-partition heaps, never a global
+    // sort); stage 2 re-scores ONLY the 100 survivors with the full
+    // fixed-point cosine. Corpus cost is the int8 pass; the exact math
+    // runs on a driver-scale remainder. Both stage cuts are
+    // total-ordered exact-int/IEEE comparisons, so the pipeline is
+    // deterministic end-to-end and carries a full oracle — the
+    // quantization loss is visible as the (score_q8, cos) rank
+    // disagreement in the output. ---
+    "q_rank_rerank" -> ((s, d) => {
+      val q8col = let(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0)).cast("long"))) { vv =>
+        let(array_max(transform(vv, a => abs(a)))) { ma =>
+          transform(vv, a => when(ma > 0,
+              floor((a * 127).cast("double") / ma.cast("double")))
+            .otherwise(lit(0L)).cast("long"))
+        }
+      }
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), q8col.as("q8"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"), col("q8").as("p8"))
+      val coarse = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("cand_id"), col("embedding"), col("pe"),
+          aggregate(zip_with(col("q8"), col("p8"), (x, y) => x * y),
+            lit(0L), _ + _).as("score_q8"))
+        .orderBy(col("score_q8").desc, col("cand_id")).limit(100)
+      val reranked = coarse
+        .select(col("cand_id"), col("score_q8"),
+          (dotQ(col("embedding"), col("pe")).cast("double") /
+            (sqrt(dotQ(col("embedding"), col("embedding")).cast("double")) *
+              sqrt(dotQ(col("pe"), col("pe")).cast("double")))).as("cos"))
+        .orderBy(col("cos").desc, col("cand_id")).limit(10)
+      val w2 = Window.orderBy(col("cos").desc, col("cand_id"))
+      reranked.withColumn("rn", row_number().over(w2).cast("long"))
+        .orderBy("rn")
+    }),
+
     // --- int8 embedding quantization (round 6): symmetric per-vector
     // scale (maxabs/127) — the storage/bandwidth knob every vector
     // index applies before ANN at scale (4x smaller than f32, dot
@@ -457,6 +500,48 @@ object Similarity extends QueryModule {
          |      FROM sc)
          |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 3
          |ORDER BY probe_id, rn""".stripMargin,
+
+    // both stage cuts replayed exactly: int8 codes -> coarse top-100 ->
+    // exact fixed-point cosine -> top-10
+    "q_rank_rerank" ->
+      s"""WITH v0 AS (SELECT vec_id, $qSql AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, a -> abs(a))) AS maxabs
+         |      FROM v0),
+         |qq AS (SELECT vec_id,
+         |         list_transform(v, a -> CASE WHEN maxabs > 0
+         |           THEN CAST(floor(CAST(a * 127 AS DOUBLE)
+         |                / CAST(maxabs AS DOUBLE)) AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END) AS q8
+         |       FROM m),
+         |p8 AS (SELECT q8 AS p FROM qq WHERE vec_id = 0),
+         |co AS (SELECT qq.vec_id AS cand_id,
+         |         CAST(list_sum(list_transform(range(1, len(q8) + 1),
+         |           i -> q8[CAST(i AS INTEGER)] * p[CAST(i AS INTEGER)]))
+         |           AS BIGINT) AS score_q8
+         |       FROM qq CROSS JOIN p8 WHERE qq.vec_id <> 0),
+         |top AS (SELECT cand_id, score_q8 FROM co
+         |        ORDER BY score_q8 DESC, cand_id LIMIT 100),
+         |x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |dotp AS (SELECT b.vec_id AS cand_id, SUM(a.v * b.v) AS dd
+         |         FROM x a JOIN x b ON a.i = b.i
+         |                          AND a.vec_id = 0 AND b.vec_id <> 0
+         |         GROUP BY 1),
+         |sc AS (SELECT t.cand_id, t.score_q8,
+         |         CAST(dd AS DOUBLE) /
+         |           (sqrt(CAST(pn.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+         |           AS cos
+         |       FROM top t JOIN dotp USING (cand_id)
+         |            JOIN n pn ON pn.vec_id = 0
+         |            JOIN n cn ON cn.vec_id = t.cand_id),
+         |r AS (SELECT cand_id, score_q8, cos FROM sc
+         |      ORDER BY cos DESC, cand_id LIMIT 10)
+         |SELECT cand_id, score_q8, cos,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, cand_id) AS BIGINT)
+         |    AS rn
+         |FROM r ORDER BY rn""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH v0 AS (SELECT vec_id, $qSql AS v FROM embeddings),

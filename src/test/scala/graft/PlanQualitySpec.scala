@@ -252,7 +252,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // survivors (i.e. has the TakeOrdered below it)
     // q_rank_fusion gets the same treatment: both retrieval legs are
     // top-20 TakeOrdereds, rank windows only ever see the survivors
-    for (q <- Seq("q_dedup_embedding", "q_rank_fusion")) {
+    for (q <- Seq("q_dedup_embedding", "q_rank_fusion", "q_rank_rerank")) {
       val pe = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan
       assert(pe.toString.contains("TakeOrderedAndProject"),

@@ -269,7 +269,10 @@ object Scoring extends QueryModule {
       q.join(broadcast(st), "event_type")
         .withColumn("z", (col("vq").cast("double") - col("mean"))
           / col("sigma"))
-        .filter(abs(col("z")) > 3.0)
+        // sigma guard: a zero-variance group would make z NaN/Inf, and
+        // NaN comparison semantics differ across engines — a degenerate
+        // group has no outliers by definition, so gate it out explicitly
+        .filter(col("sigma") > 0.0 && abs(col("z")) > 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
         .orderBy("event_id")
     }),
@@ -415,7 +418,8 @@ object Scoring extends QueryModule {
         |SELECT event_id, event_type, value,
         |  (CAST(vq AS DOUBLE) - mean) / sigma AS z
         |FROM q JOIN sp USING (event_type)
-        |WHERE abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
+        |WHERE sigma > 0.0
+        |  AND abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
         |ORDER BY event_id""".stripMargin,
 
     "q_perplexity" ->

@@ -181,7 +181,8 @@ object StatefulSession extends QueryModule {
         .flatMapGroupsWithState[OpenSession, SessionRow](
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(sessionize)
         .filter(col("user_id") =!= SentinelUser)
-      val name = "graft_stream_session"
+      val name = "graft_stream_session_" +
+        java.util.UUID.randomUUID().toString.take(8)
       // see StreamingSmoke: state partitions sized to the state, not CPUs
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")

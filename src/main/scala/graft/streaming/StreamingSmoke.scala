@@ -32,7 +32,8 @@ object StreamingSmoke extends QueryModule {
         .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
         .select(fmtTs(col("window.start")).as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
-      val name = "graft_stream_smoke"
+      val name = "graft_stream_smoke_" +
+        java.util.UUID.randomUUID().toString.take(8)
       // State partitions are fixed at query start from
       // spark.sql.shuffle.partitions; each carries its own state-store
       // init + per-commit overhead, so size them to the state (a few
@@ -80,7 +81,10 @@ object StreamingSmoke extends QueryModule {
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
-      val name = "graft_stream_dedup"
+      // per-run name: same concurrent-invocation isolation as the
+      // sketch streams (a fixed name collides on start())
+      val name = "graft_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val ckpt = s"/dev/shm/graft_ckpt/dedup-" +
@@ -99,6 +103,52 @@ object StreamingSmoke extends QueryModule {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
+    }),
+
+    // --- stream-STATIC join (the remaining Structured Streaming join
+    // kind): the live event stream joins a static, governed stats table
+    // (per-type integer-quantized moments, the q_anomaly_zscore math)
+    // and flags 3-sigma outliers as they arrive. The static side is
+    // computed once and broadcast — every micro-batch is a stateless
+    // map-side filter, no streaming state at all, which is why this is
+    // the cheapest possible streaming anomaly gate (state cost zero,
+    // latency one batch). Deterministic end-to-end, so it shares
+    // q_anomaly_zscore's oracle over the replayed rows. ---
+    "q_streaming_anomaly" -> ((s, d) => {
+      val batchQ = table(s, d, "events")
+        .select(col("event_type"), round(col("value"), 0).cast("long")
+          .as("vq"))
+      val st = batchQ.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
+          sum(col("vq") * col("vq")).as("sxx"))
+        .select(col("event_type"),
+          (col("sx").cast("double") / col("n")).as("mean"),
+          sqrt((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n")) / col("n")).as("sigma"))
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("value"), 0).cast("long").as("vq"))
+      val flagged = stream.join(broadcast(st), "event_type")
+        .withColumn("z",
+          (col("vq").cast("double") - col("mean")) / col("sigma"))
+        .filter(col("sigma") > 0.0 && abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      val name = "graft_stream_anom_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = s"/dev/shm/graft_ckpt/anom-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val q = flagged.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      s.table(name).orderBy("event_id")
     }),
 
     // --- watermarked stream-stream interval join: views joined to the
@@ -127,7 +177,8 @@ object StreamingSmoke extends QueryModule {
         col("v_user") === col("c_user") &&
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
-      val name = "graft_stream_join"
+      val name = "graft_stream_join_" +
+        java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val ckpt = s"/dev/shm/graft_ckpt/join-" +
@@ -368,6 +419,28 @@ object StreamingSmoke extends QueryModule {
     "q_streaming_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // stateless stream-static join: same result as the batch z-score
+    // sweep over the replayed rows, so it shares that oracle
+    "q_streaming_anomaly" ->
+      """WITH q AS (SELECT event_id, event_type, value,
+        |             CAST(round(value, 0) AS BIGINT) AS vq FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(vq) AS BIGINT) AS sx,
+        |         CAST(SUM(vq * vq) AS BIGINT) AS sxx
+        |       FROM q GROUP BY event_type),
+        |sp AS (SELECT event_type,
+        |         CAST(sx AS DOUBLE) / n AS mean,
+        |         sqrt((CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+        |           AS sigma
+        |       FROM st)
+        |SELECT event_id, event_type, value,
+        |  (CAST(vq AS DOUBLE) - mean) / sigma AS z
+        |FROM q JOIN sp USING (event_type)
+        |WHERE sigma > 0.0
+        |  AND abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "q_streaming_join" ->
       """SELECT v.user_id, COUNT(*) AS n_pairs

@@ -164,6 +164,36 @@ object Advanced extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // --- distributed OLS fit (round 6): per-group simple linear
+    // regression y = a + b*x (extendedprice ~ quantity) from the same
+    // integer-quantized moments q_agg_stats uses — the map-side-partial
+    // aggregate IS the whole distributed cost (6 exact int64 sums per
+    // group), and the normal-equation solve is driver-scale arithmetic
+    // on the group rows. Covariance form ((sxy - sx*sy/n) / (sxx -
+    // sx^2/n)) evaluated in doubles AFTER the exact integer sums — the
+    // raw n*sxx spelling would overflow int64 past ~10^5 rows/group;
+    // the double formula tree is written identically in the oracle so
+    // every IEEE op matches. ---
+    "q_linreg_fit" -> ((s, d) => {
+      val m = moments(col("l_extendedprice"), col("l_quantity"))
+      val sx = col("sy").cast("double") // x = quantity (moments' y slot)
+      val sxx = col("syy").cast("double")
+      val sy = col("sx").cast("double") // y = extendedprice
+      val sxy = col("sxy").cast("double")
+      val n = col("n")
+      val cxy = sxy - sx * sy / n
+      val cxx = sxx - sx * sx / n
+      val cyy = col("sxx").cast("double") - sy * sy / n
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(m.head, m.tail: _*)
+        .select(col("l_returnflag"), n,
+          (cxy / cxx).as("slope"),
+          (sy / n - (cxy / cxx) * (sx / n)).as("intercept"),
+          ((cxy * cxy) / (cxx * cyy)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- explicit GROUPING SETS (beyond rollup/cube) ---
     "q_agg_groupingsets" -> ((s, d) => {
       table(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -560,6 +590,28 @@ object Advanced extends QueryModule {
          |   / (sqrt($sxx - $sx * $sx / COUNT(*))
          |      * sqrt($syy - $sy * $sy / COUNT(*)))) AS corr_price_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_linreg_fit" -> {
+      // identical double formula tree over the exact integer moments;
+      // x = quantity, y = extendedprice
+      val xq = "CAST(round(l_quantity, 0) AS BIGINT)"
+      val yq = "CAST(round(l_extendedprice, 0) AS BIGINT)"
+      val sx = s"CAST(CAST(SUM($xq) AS BIGINT) AS DOUBLE)"
+      val sxx = s"CAST(CAST(SUM($xq * $xq) AS BIGINT) AS DOUBLE)"
+      val sy = s"CAST(CAST(SUM($yq) AS BIGINT) AS DOUBLE)"
+      val syy = s"CAST(CAST(SUM($yq * $yq) AS BIGINT) AS DOUBLE)"
+      val sxy = s"CAST(CAST(SUM($xq * $yq) AS BIGINT) AS DOUBLE)"
+      val cxy = s"($sxy - $sx * $sy / COUNT(*))"
+      val cxx = s"($sxx - $sx * $sx / COUNT(*))"
+      val cyy = s"($syy - $sy * $sy / COUNT(*))"
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ($cxy / $cxx) AS slope,
+         |  ($sy / COUNT(*) - ($cxy / $cxx) * ($sx / COUNT(*)))
+         |    AS intercept,
+         |  (($cxy * $cxy) / ($cxx * $cyy)) AS r2
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
     },
 
     "q_agg_groupingsets" ->

@@ -277,6 +277,40 @@ object Scoring extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // --- A/B two-sample Welch t-test (round 6): the experiment-readout
+    // primitive — does 'click' value differ from 'view' value? ONE
+    // conditional-sum aggregate reduces both arms to six exact int64
+    // moments in a single pass (no per-arm subqueries, no second scan),
+    // then mean/variance/t/Welch-df are driver-scale double arithmetic
+    // written as the identical formula tree in the oracle. Population
+    // variances from quantized moments, one sqrt — deterministic like
+    // q_agg_stats. ---
+    "q_ab_ttest" -> ((s, d) => {
+      val q = table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          round(col("value"), 0).cast("long").as("vq"))
+      def arm(t: String, nm: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$nm"),
+        sum(when(col("event_type") === t, col("vq")).otherwise(0L))
+          .as(s"sx$nm"),
+        sum(when(col("event_type") === t, col("vq") * col("vq"))
+          .otherwise(0L)).as(s"sxx$nm"))
+      val cols = arm("click", "1") ++ arm("view", "2")
+      val m1 = col("sx1").cast("double") / col("n1")
+      val m2 = col("sx2").cast("double") / col("n2")
+      val v1 = col("sxx1").cast("double") / col("n1") - m1 * m1
+      val v2 = col("sxx2").cast("double") / col("n2") - m2 * m2
+      val se1 = v1 / col("n1")
+      val se2 = v2 / col("n2")
+      q.agg(cols.head, cols.tail: _*)
+        .select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+          ((m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+          (((se1 + se2) * (se1 + se2)) /
+            (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+            .as("df"))
+    }),
+
     // --- per-source quality gating: keep each source's top half by
     // document length. Quality thresholds must be RELATIVE per source
     // (a fixed global cutoff would drop whole low-verbosity sources),
@@ -402,6 +436,27 @@ object Scoring extends QueryModule {
     s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"
 
   override def oracle: Map[String, String] = Map(
+    "q_ab_ttest" -> {
+      val vq = "CAST(round(value, 0) AS BIGINT)"
+      def arm(t: String) = (
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT)",
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN $vq ELSE 0 END) AS BIGINT)",
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN $vq * $vq ELSE 0 END) AS BIGINT)")
+      val (n1, sx1, sxx1) = arm("click")
+      val (n2, sx2, sxx2) = arm("view")
+      val m1 = s"(CAST($sx1 AS DOUBLE) / $n1)"
+      val m2 = s"(CAST($sx2 AS DOUBLE) / $n2)"
+      val v1 = s"(CAST($sxx1 AS DOUBLE) / $n1 - $m1 * $m1)"
+      val v2 = s"(CAST($sxx2 AS DOUBLE) / $n2 - $m2 * $m2)"
+      val se1 = s"($v1 / $n1)"
+      val se2 = s"($v2 / $n2)"
+      s"""SELECT $n1 AS n1, $n2 AS n2, $m1 AS mean1, $m2 AS mean2,
+         |  (($m1 - $m2) / sqrt($se1 + $se2)) AS t_stat,
+         |  ((($se1 + $se2) * ($se1 + $se2)) /
+         |   ($se1 * $se1 / ($n1 - 1) + $se2 * $se2 / ($n2 - 1))) AS df
+         |FROM events WHERE event_type IN ('click', 'view')""".stripMargin
+    },
+
     "q_anomaly_zscore" ->
       """WITH q AS (SELECT event_id, event_type, value,
         |             CAST(round(value, 0) AS BIGINT) AS vq FROM events),

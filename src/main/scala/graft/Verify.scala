@@ -33,6 +33,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      // a marker from an earlier run into the same outDir must not
+      // survive a now-successful query
+      try Files.deleteIfExists(Paths.get(s"$outDir/$name.failed"))
+      catch { case _: Throwable => () }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

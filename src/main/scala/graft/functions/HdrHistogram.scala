@@ -66,7 +66,10 @@ case class HdrHistogram(left: Expression, right: Expression,
     val v = left.eval(input)
     if (v != null) {
       val d = v.asInstanceOf[Double]
-      if (d >= 0.0) {
+      // out-of-domain values are skipped like nulls/negatives: past
+      // 2^58 the 16x fixed-point docking saturates toLong and the eval
+      // shift would overflow into a garbage (possibly negative) bucket
+      if (d >= 0.0 && d < 2.8e17) {
         val u = math.floor(d * 16.0).toLong + 16L
         val hi = 63 - java.lang.Long.numberOfLeadingZeros(u)
         val sub = ((u >>> (hi - 4)) & 15L).toInt

@@ -60,9 +60,13 @@ object Dedup extends QueryModule {
       // labels. One skinny aggregate over the (checkpointed) label
       // table replaces the join+filter existence check — one fewer
       // shuffle per round, and the driver still only ever sees a
-      // scalar.
-      def labelSum(df: DataFrame): Long =
-        df.agg(sum(col("cluster_id"))).head().getLong(0)
+      // scalar. DECIMAL(38,0) accumulation: an int64 sum would wrap
+      // mod 2^64 (ANSI off), and a round whose true decrease is an
+      // exact multiple of 2^64 — reachable at billions of docs with
+      // large ids — would report converged with labels still moving.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+          .head().getDecimal(0)
       var prevSum = labelSum(labels)
       while (!converged && iter < 25) {
         // each node adopts min(own label, neighbors' labels)

@@ -42,6 +42,49 @@ object Scoring extends QueryModule {
     (length(bin(floor(nTotal.cast("double") / cnt).cast("long"))) - 1)
       .cast("long")
 
+  /** Per-type (mean, sigma) from integer-quantized moments — the stats
+    * side shared by the batch z-score sweep (`q_anomaly_zscore`) and the
+    * streamed stream-static anomaly gate (`q_streaming_anomaly`): one
+    * definition so the quantization/sigma math can never diverge between
+    * the two queries that claim the same oracle.
+    */
+  private[graft] def anomalyStats(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .select(col("event_type"), round(col("value"), 0).cast("long")
+        .as("vq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
+        sum(col("vq") * col("vq")).as("sxx"))
+      .select(col("event_type"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        sqrt((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / col("n")).as("sigma"))
+
+  /** DuckDB twin of the z-score sweep — shared verbatim by
+    * `q_anomaly_zscore` and `q_streaming_anomaly` (the streamed gate is
+    * deterministic, so it carries the identical oracle).
+    */
+  private[graft] val anomalyOracleSql: String =
+    """WITH q AS (SELECT event_id, event_type, value,
+      |             CAST(round(value, 0) AS BIGINT) AS vq FROM events),
+      |st AS (SELECT event_type, COUNT(*) AS n,
+      |         CAST(SUM(vq) AS BIGINT) AS sx,
+      |         CAST(SUM(vq * vq) AS BIGINT) AS sxx
+      |       FROM q GROUP BY event_type),
+      |sp AS (SELECT event_type,
+      |         CAST(sx AS DOUBLE) / n AS mean,
+      |         sqrt((CAST(sxx AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+      |           AS sigma
+      |       FROM st)
+      |SELECT event_id, event_type, value,
+      |  (CAST(vq AS DOUBLE) - mean) / sigma AS z
+      |FROM q JOIN sp USING (event_type)
+      |WHERE sigma > 0.0
+      |  AND abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- unigram-LM perplexity proxy (quality filtering): score each
     // document by its mean token surprisal under the corpus's own
@@ -258,15 +301,7 @@ object Scoring extends QueryModule {
       val q = table(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("value"), 0).cast("long").as("vq"))
-      val st = q.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
-          sum(col("vq") * col("vq")).as("sxx"))
-        .select(col("event_type"),
-          (col("sx").cast("double") / col("n")).as("mean"),
-          sqrt((col("sxx").cast("double")
-            - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-            / col("n")).as("sigma"))
-      q.join(broadcast(st), "event_type")
+      q.join(broadcast(anomalyStats(s, d)), "event_type")
         .withColumn("z", (col("vq").cast("double") - col("mean"))
           / col("sigma"))
         // sigma guard: a zero-variance group would make z NaN/Inf, and
@@ -457,25 +492,7 @@ object Scoring extends QueryModule {
          |FROM events WHERE event_type IN ('click', 'view')""".stripMargin
     },
 
-    "q_anomaly_zscore" ->
-      """WITH q AS (SELECT event_id, event_type, value,
-        |             CAST(round(value, 0) AS BIGINT) AS vq FROM events),
-        |st AS (SELECT event_type, COUNT(*) AS n,
-        |         CAST(SUM(vq) AS BIGINT) AS sx,
-        |         CAST(SUM(vq * vq) AS BIGINT) AS sxx
-        |       FROM q GROUP BY event_type),
-        |sp AS (SELECT event_type,
-        |         CAST(sx AS DOUBLE) / n AS mean,
-        |         sqrt((CAST(sxx AS DOUBLE)
-        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
-        |           AS sigma
-        |       FROM st)
-        |SELECT event_id, event_type, value,
-        |  (CAST(vq AS DOUBLE) - mean) / sigma AS z
-        |FROM q JOIN sp USING (event_type)
-        |WHERE sigma > 0.0
-        |  AND abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
-        |ORDER BY event_id""".stripMargin,
+    "q_anomaly_zscore" -> anomalyOracleSql,
 
     "q_perplexity" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -42,6 +42,23 @@ object Similarity extends QueryModule {
   private def cosQ(dot: Column, an: Column, bn: Column): Column =
     dot.cast("double") / (sqrt(an.cast("double")) * sqrt(bn.cast("double")))
 
+  /** 2^20 fixed-point elements of an embedding array — the quantization
+    * every exact pipeline here starts from.
+    */
+  private def fixedPoint(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+
+  /** int8 symmetric codes of the fixed-point elements (scale maxabs/127)
+    * — ONE definition shared by `q_embed_quantize` (which also emits the
+    * scale and reconstruction error) and `q_rank_rerank`'s coarse stage,
+    * so a rounding tweak can never desynchronize the codes the rerank
+    * claims to read from the quantizer's table.
+    */
+  private def q8Of(vv: Column, ma: Column): Column =
+    transform(vv, a => when(ma > 0,
+        floor((a * 127).cast("double") / ma.cast("double")))
+      .otherwise(lit(0L)).cast("long"))
+
   /** LSH geometry: L hash tables of k sign-bit planes each. A true
     * neighbor is a candidate if it collides in ANY table, so per-pair
     * recall is 1-(1-p^k)^L (p = 1 - angle/pi) — the multi-table union
@@ -218,8 +235,7 @@ object Similarity extends QueryModule {
     "q_kmeans_step" -> ((s, d) => {
       val members = corpus(s, d).join(ivfAssigned(s, d), "vec_id")
       members
-        .select(col("bucket"), posexplode(transform(col("q"),
-          x => floor(x.cast("double") * lit(1048576.0)).cast("long")))
+        .select(col("bucket"), posexplode(fixedPoint(col("q")))
           .as(Seq("i0", "v")))
         .select(col("bucket"), (col("i0") + 1).cast("long").as("i"),
           col("v"))
@@ -281,12 +297,9 @@ object Similarity extends QueryModule {
     // quantization loss is visible as the (score_q8, cos) rank
     // disagreement in the output. ---
     "q_rank_rerank" -> ((s, d) => {
-      val q8col = let(transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1048576.0)).cast("long"))) { vv =>
+      val q8col = let(fixedPoint(col("embedding"))) { vv =>
         let(array_max(transform(vv, a => abs(a)))) { ma =>
-          transform(vv, a => when(ma > 0,
-              floor((a * 127).cast("double") / ma.cast("double")))
-            .otherwise(lit(0L)).cast("long"))
+          q8Of(vv, ma)
         }
       }
       val e = table(s, d, "embeddings")
@@ -322,16 +335,12 @@ object Similarity extends QueryModule {
     // — order-independent, so bit-identical across engines and partial
     // aggregation. Map-side only: no shuffle at any corpus size. ---
     "q_embed_quantize" -> ((s, d) => {
-      val vArr = transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
       // let-bound: v/maxabs/q8 are each referenced several times and
       // CollapseProject would otherwise re-evaluate the whole transform
       // chain per reference (see Det.let)
-      val out = let(vArr) { vv =>
+      val out = let(fixedPoint(col("embedding"))) { vv =>
         let(array_max(transform(vv, a => abs(a)))) { ma =>
-          let(transform(vv, a => when(ma > 0,
-              floor((a * 127).cast("double") / ma.cast("double")))
-            .otherwise(lit(0L)).cast("long"))) { q8 =>
+          let(q8Of(vv, ma)) { q8 =>
             struct(
               ma.as("maxabs"),
               array_join(transform(q8, _.cast("string")), ",").as("q8"),

@@ -198,7 +198,7 @@ object StatefulSession extends QueryModule {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
-      s.table(name).orderBy("user_id", "s_start")
+      StreamingSmoke.drainSink(s, name).orderBy("user_id", "s_start")
     })
   )
 

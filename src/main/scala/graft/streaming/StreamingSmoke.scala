@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamingSmoke extends QueryModule {
 
+  /** Drain a memory sink: materialize the sink's rows (localCheckpoint —
+    * the result no longer references the view), then DROP the temp view.
+    * Per-run UUID sink names otherwise accumulate one fully-materialized
+    * result table per invocation in the driver for the session lifetime
+    * (Bench alone runs every streaming query twice).
+    */
+  private[streaming] def drainSink(s: SparkSession, name: String)
+      : DataFrame = {
+    val out = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_rate" -> ((s, d) => {
       val schema = graft.Tables.rawEventsSchema(s, d)
@@ -56,7 +69,7 @@ object StreamingSmoke extends QueryModule {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
-      s.table(name).orderBy("hour_start", "event_type")
+      drainSink(s, name).orderBy("hour_start", "event_type")
     })
     ,
 
@@ -99,7 +112,7 @@ object StreamingSmoke extends QueryModule {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
-      s.table(name)
+      drainSink(s, name)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
@@ -115,17 +128,9 @@ object StreamingSmoke extends QueryModule {
     // latency one batch). Deterministic end-to-end, so it shares
     // q_anomaly_zscore's oracle over the replayed rows. ---
     "q_streaming_anomaly" -> ((s, d) => {
-      val batchQ = table(s, d, "events")
-        .select(col("event_type"), round(col("value"), 0).cast("long")
-          .as("vq"))
-      val st = batchQ.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sx"),
-          sum(col("vq") * col("vq")).as("sxx"))
-        .select(col("event_type"),
-          (col("sx").cast("double") / col("n")).as("mean"),
-          sqrt((col("sxx").cast("double")
-            - col("sx").cast("double") * col("sx").cast("double")
-              / col("n")) / col("n")).as("sigma"))
+      // stats side shared with the batch sweep (one definition, one
+      // oracle — see Scoring.anomalyStats)
+      val st = graft.operators.Scoring.anomalyStats(s, d)
       val schema = graft.Tables.rawEventsSchema(s, d)
       val stream = s.readStream
         .schema(schema)
@@ -148,7 +153,7 @@ object StreamingSmoke extends QueryModule {
         .start()
       try q.processAllAvailable() finally q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      s.table(name).orderBy("event_id")
+      drainSink(s, name).orderBy("event_id")
     }),
 
     // --- watermarked stream-stream interval join: views joined to the
@@ -193,7 +198,7 @@ object StreamingSmoke extends QueryModule {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
-      s.table(name)
+      drainSink(s, name)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
@@ -292,7 +297,7 @@ object StreamingSmoke extends QueryModule {
         .start()
       try q.processAllAvailable() finally q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      val sk = s.table(name).head().getAs[Array[Byte]]("sk")
+      val sk = drainSink(s, name).head().getAs[Array[Byte]]("sk")
       table(s, d, "events")
         .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(10)
@@ -330,7 +335,7 @@ object StreamingSmoke extends QueryModule {
         .start()
       try q.processAllAvailable() finally q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      s.table(name)
+      drainSink(s, name)
         .select(col("event_type"), element_at(col("qs"), 1).as("p50"),
           element_at(col("qs"), 2).as("p90"),
           element_at(col("qs"), 3).as("p99"), col("n"))
@@ -369,7 +374,7 @@ object StreamingSmoke extends QueryModule {
         .start()
       try q.processAllAvailable() finally q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      s.table(name)
+      drainSink(s, name)
         .select(col("event_type"),
           posexplode(col("sample")).as(Seq("pos", "event_id")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
@@ -421,26 +426,8 @@ object StreamingSmoke extends QueryModule {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // stateless stream-static join: same result as the batch z-score
-    // sweep over the replayed rows, so it shares that oracle
-    "q_streaming_anomaly" ->
-      """WITH q AS (SELECT event_id, event_type, value,
-        |             CAST(round(value, 0) AS BIGINT) AS vq FROM events),
-        |st AS (SELECT event_type, COUNT(*) AS n,
-        |         CAST(SUM(vq) AS BIGINT) AS sx,
-        |         CAST(SUM(vq * vq) AS BIGINT) AS sxx
-        |       FROM q GROUP BY event_type),
-        |sp AS (SELECT event_type,
-        |         CAST(sx AS DOUBLE) / n AS mean,
-        |         sqrt((CAST(sxx AS DOUBLE)
-        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
-        |           AS sigma
-        |       FROM st)
-        |SELECT event_id, event_type, value,
-        |  (CAST(vq AS DOUBLE) - mean) / sigma AS z
-        |FROM q JOIN sp USING (event_type)
-        |WHERE sigma > 0.0
-        |  AND abs((CAST(vq AS DOUBLE) - mean) / sigma) > 3.0
-        |ORDER BY event_id""".stripMargin,
+    // sweep over the replayed rows, so it shares that oracle verbatim
+    "q_streaming_anomaly" -> graft.operators.Scoring.anomalyOracleSql,
 
     "q_streaming_join" ->
       """SELECT v.user_id, COUNT(*) AS n_pairs

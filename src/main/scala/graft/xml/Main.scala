@@ -108,13 +108,27 @@ object Main {
     */
   private[xml] def targetError(target: Option[String]): Option[String] =
     target.flatMap { t =>
-      val p = new Path(t)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      if (!fs.exists(p))
-        Some(s"error: target path '$t' does not exist")
-      else if (!fs.getFileStatus(p).isDirectory)
-        Some(s"error: target path '$t' is not a directory")
-      else None
+      try {
+        val p = new Path(t)
+        // Only the local scheme is decidable before the session exists:
+        // a remote target's filesystem (defaultFS, credentials) lives in
+        // the job's Hadoop conf, which spark-submit supplies at session
+        // build — probing it with a bare Configuration here would
+        // wrongly reject (or stack-trace on) valid targets. Defer those
+        // to the job's own failure path; the reference's check is a
+        // local os.path.isdir (convert_xml_to_parquet.py:459-461), so
+        // schemeless paths keep the local-parity check.
+        if (Option(p.toUri.getScheme).exists(_ != "file")) None
+        else {
+          val fs =
+            p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          if (!fs.exists(p))
+            Some(s"error: target path '$t' does not exist")
+          else if (!fs.getFileStatus(p).isDirectory)
+            Some(s"error: target path '$t' is not a directory")
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Conversion body, separated from session lifecycle for testability.

@@ -45,8 +45,23 @@ object XmlToParquetJob {
     * (rootElementName, contentStructType). XSDToSchema emits one field
     * per global element; the document root is the complex one (or the
     * requested `rowTag`).
+    *
+    * Memoized on (content, rowTag): the worklist loop compiles the SAME
+    * unchanged schema once per input file (plus the fail-fast probe) —
+    * for the reference's 10,000-file batches that is 10,000 redundant
+    * driver-side schema compiles without this cache. Failures are not
+    * cached (computeIfAbsent propagates and stores nothing), so the
+    * fail-fast probe still throws per attempt.
     */
+  private val xsdCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[String]), (String, StructType)]()
+
   def compileXsd(xsdContent: String, rowTag: Option[String] = None)
+      : (String, StructType) =
+    xsdCache.computeIfAbsent((xsdContent, rowTag),
+      { case (c, t) => compileXsdUncached(c, t) })
+
+  private def compileXsdUncached(xsdContent: String, rowTag: Option[String])
       : (String, StructType) = {
     val all = XSDToSchema.read(xsdContent)
     val rootField = rowTag match {

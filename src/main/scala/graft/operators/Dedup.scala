@@ -124,14 +124,10 @@ object Dedup extends QueryModule {
       // the i<j fan-out matches what the join would have produced
       // anyway. Pairs colliding in several bands distinct() BEFORE the
       // array fetch, as before.
-      val cand = bands.groupBy("band", "bkey")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
-        .select(col("a_id"), col("i"),
-          posexplode(col("ids")).as(Seq("j", "b_id")))
-        .filter(col("i") < col("j"))
-        .select(col("a_id"), col("b_id"))
+      val cand = TextPipeline.postingPairs(
+        bands.groupBy("band", "bkey")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2))
         .distinct()
       // exact-Jaccard verification on the candidates only: fetch the
       // per-doc shingle arrays (map-side, per-doc-distinct via array op —

@@ -236,6 +236,22 @@ object TextPipeline extends QueryModule {
     * pair fan-out (<= cap^2/2 rows) happens inside the generator and
     * feeds straight into the (a, b) count aggregate's map-side partials.
     */
+  /** i<j pair stream from per-bucket SORTED posting lists (an `ids`
+    * array column): the single-shuffle-leg pair-generation idiom shared
+    * by the shingle verification join below and the MinHash candidate
+    * step (Dedup) — one emission per bucket co-occurrence; callers
+    * count (Jaccard intersection) or distinct (candidate set) as their
+    * semantics need. ONE definition so tie ordering / emission
+    * semantics can never diverge between the two dedup pipelines.
+    */
+  private[operators] def postingPairs(postings: DataFrame): DataFrame =
+    postings
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"), col("i"),
+        posexplode(col("ids")).as(Seq("j", "b_id")))
+      .filter(col("i") < col("j"))
+      .select(col("a_id"), col("b_id"))
+
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // per-doc-distinct shingle ARRAYS (map-side array op — cheaper at
     // scale than a global (doc, gram) distinct shuffle), then explode
@@ -249,10 +265,7 @@ object TextPipeline extends QueryModule {
     val postings = ex.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, NgramDfCap))
-    val inter = postings
-      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
-      .select(col("a_id"), col("i"), posexplode(col("ids")).as(Seq("j", "b_id")))
-      .filter(col("i") < col("j"))
+    val inter = postingPairs(postings)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
     val ca = counts.as("ca"); val cb = counts.as("cb")

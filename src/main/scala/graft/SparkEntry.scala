@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Multimodal,
     operators.Advanced,
+    operators.Evaluation,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

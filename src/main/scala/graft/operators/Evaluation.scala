@@ -1,0 +1,428 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation / experiment-analytics operators (round 6, second block):
+  * the readout side of a training-data pipeline — once data is curated
+  * and a model (or a heuristic scorer) produces labels/scores, these
+  * queries measure discrimination (AUC), distribution drift (KS),
+  * association (chi-square), user retention (cohorts), per-group extremes
+  * (argmax), corpus entropy, fold assignment, time-series gap fill,
+  * robust outliers (MAD), and grouped list rendering. All ten carry full
+  * DuckDB oracles.
+  *
+  * Determinism policy (SURVEY.md §2.C preamble): scores/values are
+  * quantized to int64 grids before ranking or summing; every float sum
+  * goes through DECIMAL(18,4); entropy uses the integer floor-log2
+  * surprisal idiom shared with q_perplexity (no libm).
+  *
+  * Scale notes are per query; the common theme is that every "global"
+  * step here operates on an AGGREGATED domain (score bins, contingency
+  * cells, cohort weeks, hour spines) whose cardinality is bounded by the
+  * quantization grid, not by the row count — so the unpartitioned
+  * windows below stay O(grid), not O(rows), at any input scale.
+  */
+object Evaluation extends QueryModule {
+
+  /** Quantized event value shared by the KS / argmax / MAD queries. */
+  private def vq: Column = round(col("value"), 0).cast("long")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- ranking AUC via the quantized-histogram Mann-Whitney sum.
+      // The naive formulation (rank every row with a global ORDER BY
+      // window) is a single-partition sort — the classic scale killer.
+      // Instead: quantize the score to a fixed grid (round(s*1000)),
+      // groupBy-reduce to per-bin (pos, neg) counts — ONE shuffle whose
+      // output is O(grid) ≈ 700 rows regardless of input size — then the
+      // cumulative-negatives window runs over bins only. Tie handling is
+      // the standard mid-rank 1/2 credit, kept exact by doubling:
+      // U2 = Σ_bin pos·(2·neg_below + neg_tie) is pure int64; AUC is the
+      // one terminal IEEE division U2 / (2·P·N). ---
+      "q_auc_rank" -> ((s, d) => {
+        val e = table(s, d, "embeddings").select(
+          (col("label") % 2 === 1).cast("long").as("pos"),
+          round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+            .cast("long").as("sq"))
+        val bins = e.groupBy("sq").agg(
+          sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("n"))
+        val wb = Window.orderBy("sq")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = bins.agg(sum("p").as("npos"), sum("n").as("nneg"))
+        bins
+          .withColumn("negb", coalesce(sum("n").over(wb), lit(0L)))
+          .agg(sum(col("p") * (lit(2L) * col("negb") + col("n")))
+            .as("u2"))
+          .crossJoin(broadcast(tot))
+          .select(col("npos"), col("nneg"), col("u2"),
+            (col("u2").cast("double")
+              / (lit(2L) * col("npos") * col("nneg"))).as("auc"))
+      }),
+
+      // --- two-sample Kolmogorov-Smirnov drift statistic, click-arm vs
+      // view-arm value distributions. Same histogram trick as AUC: one
+      // conditional-count groupBy collapses both arms to per-bin counts
+      // (O(grid) = 287 bins here), the two empirical CDFs are cumulative
+      // window sums over bins, and D = max |F1 - F2|. Each CDF value is
+      // one exact-int division; the max of deterministic doubles is
+      // deterministic. ---
+      "q_ks_test" -> ((s, d) => {
+        val q = table(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), vq.as("v"))
+        val bins = q.groupBy("v").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+        val wb = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = bins.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        bins
+          .select(sum("c1").over(wb).as("k1"), sum("c2").over(wb).as("k2"))
+          .crossJoin(broadcast(tot))
+          .agg(max(abs(col("k1").cast("double") / col("n1")
+            - col("k2").cast("double") / col("n2"))).as("d_stat"),
+            max("n1").as("n1"), max("n2").as("n2"))
+          .select(col("n1"), col("n2"), col("d_stat"))
+      }),
+
+      // --- chi-square independence test over the c_mktsegment ×
+      // c_nationkey contingency table. The only full-data pass is the
+      // cell-count groupBy (one shuffle, output = 125 cells); row/column
+      // marginals re-aggregate the cells and join back broadcast. Each
+      // cell term (o-e)²/e is the identical double formula in both
+      // engines; terms are summed through DECIMAL(18,4) so the 125-term
+      // reduction is order-independent. ---
+      "q_chisq_test" -> ((s, d) => {
+        val cells = table(s, d, "customer")
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nat"))
+          .agg(count(lit(1)).as("o"))
+        val rowt = cells.groupBy("seg").agg(sum("o").as("rt"))
+        val colt = cells.groupBy("nat").agg(sum("o").as("ct"))
+        val tot = cells.agg(sum("o").as("n"),
+          countDistinct("seg").as("nseg"), countDistinct("nat").as("nnat"))
+        val e = col("rt").cast("double") * col("ct") / col("n")
+        val term = (col("o") - e) * (col("o") - e) / e
+        cells
+          .join(broadcast(rowt), "seg")
+          .join(broadcast(colt), "nat")
+          .crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("n_cells"),
+            max((col("nseg") - 1) * (col("nnat") - 1)).as("df"),
+            sum(dec(term)).cast("double").as("chi2"))
+      }),
+
+      // --- weekly cohort retention: users bucketed by the week of their
+      // first event, counted distinct per (cohort_week, weeks_since).
+      // The per-user first timestamp is a window MIN partitioned by
+      // user_id — ONE shuffle keyed on the natural key, no self-join,
+      // map-side combinable at any user count. The retention agg's key
+      // space is O(weeks²) — tiny forever. ---
+      "q_cohort_retention" -> ((s, d) => {
+        val wu = Window.partitionBy("user_id")
+        table(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("dt"))
+          .withColumn("fdt", min("dt").over(wu))
+          .select(col("user_id"),
+            date_format(date_trunc("week", col("fdt")), "yyyy-MM-dd")
+              .as("cohort_week"),
+            floor(datediff(col("dt"), col("fdt")) / 7).cast("long")
+              .as("week_n"))
+          .groupBy("cohort_week", "week_n")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_n")
+      }),
+
+      // --- per-group argmax/argmin with a total tie order: max/min of
+      // STRUCT(value, event_id) is a plain hash aggregate — partial
+      // aggregation on the map side, one shuffle on event_type, NO
+      // window sort (the row_number formulation the oracle uses would
+      // shuffle-and-sort every row; struct-extremum reduces each
+      // partition to one candidate first). Ties on value resolve by
+      // event_id, so the winner is unique and engine-independent. ---
+      "q_argmax_agg" -> ((s, d) => {
+        table(s, d, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .groupBy("event_type")
+          .agg(max(struct(col("value"), col("event_id"))).as("mx"),
+            min(struct(col("value"), col("event_id"))).as("mn"))
+          .select(col("event_type"),
+            col("mx.value").as("best_value"),
+            col("mx.event_id").as("best_event"),
+            col("mn.value").as("worst_value"),
+            col("mn.event_id").as("worst_event"))
+          .orderBy("event_type")
+      }),
+
+      // --- per-source token-distribution entropy (floor-log2 lower
+      // bound, the q_perplexity surprisal idiom — exact int64, no libm):
+      // H ≈ Σ_tok c·⌊log2(N/c)⌋ / N. Token counts are one
+      // explode+groupBy; the per-source total N is a window SUM over the
+      // already-aggregated (source, tok) rows, so the second pass costs
+      // O(vocab), not O(tokens). ---
+      "q_entropy_tokens" -> ((s, d) => {
+        val ws = Window.partitionBy("source")
+        table(s, d, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .withColumn("nTot", sum("c").over(ws))
+          .withColumn("b", Scoring.bits(col("nTot"), col("c")))
+          .groupBy("source")
+          .agg(max("nTot").as("n_tokens"),
+            sum(col("c") * col("b")).as("sum_bits"))
+          .select(col("source"), col("n_tokens"), col("sum_bits"),
+            (col("sum_bits").cast("double") / col("n_tokens"))
+              .as("avg_bits"))
+          .orderBy("source")
+      }),
+
+      // --- deterministic k-fold cross-validation assignment: fold =
+      // ((doc_id · 2654435761) mod 1000003) mod 5, a Knuth
+      // multiplicative hash in pure int64 both engines share. Purely
+      // map-side per row; the per-fold audit agg shuffles 5 keys. The
+      // same expression is a free partition filter at training time —
+      // no materialized fold column needed. ---
+      "q_crossval_folds" -> ((s, d) => {
+        table(s, d, "documents")
+          .select(((col("doc_id") * lit(2654435761L)) % 1000003L % 5L)
+            .as("fold"), col("n_chars"), col("lang"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            countDistinct("lang").as("n_langs"))
+          .orderBy("fold")
+      }),
+
+      // --- hourly resample with carry-forward gap fill: per event_type,
+      // the hour spine is generated from that type's own [min, max] hour
+      // (sequence+explode — spine size is O(span), independent of row
+      // count), left-joined to the hourly DECIMAL-exact averages, and
+      // holes are filled with last-non-null over an hour-ordered window
+      // PARTITIONED BY TYPE — parallel across types, per-type state is
+      // one value. ---
+      "q_resample_gapfill" -> ((s, d) => {
+        val hr = table(s, d, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+        val agg = hr.groupBy("event_type", "h")
+          .agg(sumd(col("value")).as("sv"), count("value").as("nv"))
+        val spine = agg.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("h"))
+        val wt = Window.partitionBy("event_type").orderBy("h")
+        spine.join(agg, Seq("event_type", "h"), "left")
+          .withColumn("avg_v", col("sv") / col("nv"))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:00").as("hour_s"),
+            last("avg_v", ignoreNulls = true).over(wt)
+              .as("filled_value"),
+            col("nv").isNull.cast("long").as("is_gap"))
+          .orderBy("event_type", "hour_s")
+      }),
+
+      // --- robust outlier detection via median absolute deviation on
+      // the quantized value: med and MAD are exact percentiles over
+      // int64 grids (interpolation at even counts is (a+b)/2 — exact in
+      // both engines), joined back BROADCAST (one row per type), outlier
+      // count is a map-side conditional sum. Three passes over events,
+      // each a pushed-down 3-column scan; at fleet scale the exact
+      // percentile swaps for the mergeable HDR sketch of
+      // q_quantile_sketch without changing the query shape. ---
+      "q_mad_outlier" -> ((s, d) => {
+        val q = table(s, d, "events")
+          .select(col("event_type"), vq.as("v"))
+        val med = q.groupBy("event_type")
+          .agg(expr("percentile(v, 0.5D)").as("med"))
+        val j = q.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("v") - col("med")))
+        val mad = j.groupBy("event_type")
+          .agg(expr("percentile(ad, 0.5D)").as("mad"))
+        j.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(max("med").as("med"), max("mad").as("mad"),
+            sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      }),
+
+      // --- grouped sorted list rendering (LISTAGG): distinct sources
+      // per language as one canonical comma-joined string.
+      // collect_set→sort_array→array_join keeps the set semantics in
+      // the aggregate (map-side partial collect of DISTINCT members —
+      // bounded by the 20-source domain, not the row count) and the
+      // ordering explicit, so the rendered string is deterministic. ---
+      "q_agg_listagg" -> ((s, d) => {
+        table(s, d, "documents")
+          .groupBy("lang")
+          .agg(array_join(sort_array(collect_set(col("source"))), ",")
+            .as("sources_s"),
+            count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("lang")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_auc_rank" ->
+      """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,
+        |  CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT)
+        |    AS sq FROM embeddings),
+        |b AS (SELECT sq, CAST(SUM(pos) AS BIGINT) AS p,
+        |        CAST(SUM(1 - pos) AS BIGINT) AS n
+        |      FROM e GROUP BY sq),
+        |t AS (SELECT CAST(SUM(p) AS BIGINT) AS npos,
+        |        CAST(SUM(n) AS BIGINT) AS nneg FROM b),
+        |c AS (SELECT p, n, COALESCE(CAST(SUM(n) OVER (ORDER BY sq
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), 0) AS negb FROM b),
+        |u AS (SELECT CAST(SUM(p * (2 * negb + n)) AS BIGINT) AS u2 FROM c)
+        |SELECT npos, nneg, u2,
+        |  CAST(u2 AS DOUBLE) / (2 * npos * nneg) AS auc
+        |FROM u CROSS JOIN t""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH q AS (SELECT event_type,
+        |  CAST(round(value, 0) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY v),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(c2) AS BIGINT) AS n2 FROM b),
+        |c AS (SELECT
+        |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS k1,
+        |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS k2
+        |  FROM b)
+        |SELECT n1, n2,
+        |  MAX(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2))
+        |    AS d_stat
+        |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin,
+
+    "q_chisq_test" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |rowt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt
+        |         FROM cells GROUP BY seg),
+        |colt AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS ct
+        |         FROM cells GROUP BY nat),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |        CAST(COUNT(DISTINCT seg) AS BIGINT) AS nseg,
+        |        CAST(COUNT(DISTINCT nat) AS BIGINT) AS nnat FROM cells),
+        |j AS (SELECT o, CAST(rt AS DOUBLE) * ct / n AS e, nseg, nnat
+        |      FROM cells JOIN rowt USING (seg) JOIN colt USING (nat)
+        |      CROSS JOIN t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  MAX((nseg - 1) * (nnat - 1)) AS df,
+        |  CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS chi2
+        |FROM j""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |f AS (SELECT user_id, dt,
+        |        MIN(dt) OVER (PARTITION BY user_id) AS fdt FROM e)
+        |SELECT strftime(date_trunc('week', fdt), '%Y-%m-%d')
+        |    AS cohort_week,
+        |  CAST(floor(date_diff('day', fdt, dt) / 7.0) AS BIGINT)
+        |    AS week_n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_argmax_agg" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rmin
+        |  FROM events)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rmax = 1 THEN value END) AS best_value,
+        |  CAST(MAX(CASE WHEN rmax = 1 THEN event_id END) AS BIGINT)
+        |    AS best_event,
+        |  MAX(CASE WHEN rmin = 1 THEN value END) AS worst_value,
+        |  CAST(MAX(CASE WHEN rmin = 1 THEN event_id END) AS BIGINT)
+        |    AS worst_event
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_entropy_tokens" ->
+      """WITH e AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |v AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM e GROUP BY source, tok),
+        |w AS (SELECT source, tok, c,
+        |        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS nTot
+        |      FROM v),
+        |sc AS (SELECT source, c, nTot,
+        |         CAST(length(bin(CAST(floor(CAST(nTot AS DOUBLE) / c)
+        |           AS BIGINT))) - 1 AS BIGINT) AS b FROM w)
+        |SELECT source, MAX(nTot) AS n_tokens,
+        |  CAST(SUM(c * b) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(c * b) AS DOUBLE) / MAX(nTot) AS avg_bits
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_crossval_folds" ->
+      """SELECT ((doc_id * 2654435761) % 1000003) % 5 AS fold,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_resample_gapfill" ->
+      """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |              value FROM events),
+        |a AS (SELECT event_type, h,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        |        COUNT(value) AS nv
+        |      FROM hr GROUP BY 1, 2),
+        |sp AS (SELECT event_type,
+        |         unnest(generate_series(MIN(h), MAX(h),
+        |           INTERVAL 1 HOUR)) AS h
+        |       FROM a GROUP BY event_type),
+        |j AS (SELECT sp.event_type, sp.h, a.sv / a.nv AS avg_v, a.nv
+        |      FROM sp LEFT JOIN a
+        |        ON sp.event_type = a.event_type AND sp.h = a.h)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour_s,
+        |  last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY h) AS filled_value,
+        |  CAST(CASE WHEN nv IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_gap
+        |FROM j ORDER BY event_type, hour_s""".stripMargin,
+
+    "q_mad_outlier" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type, median(v) AS med FROM q GROUP BY 1),
+        |j AS (SELECT q.event_type, abs(q.v - m.med) AS ad, m.med
+        |      FROM q JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(ad) AS mad FROM j GROUP BY 1)
+        |SELECT j.event_type, MAX(j.med) AS med, MAX(md.mad) AS mad,
+        |  CAST(SUM(CASE WHEN j.ad > 3 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM j JOIN md USING (event_type)
+        |GROUP BY j.event_type ORDER BY j.event_type""".stripMargin,
+
+    "q_agg_listagg" ->
+      """SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}

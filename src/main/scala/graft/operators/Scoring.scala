@@ -38,7 +38,7 @@ object Scoring extends QueryModule {
     * (< 2^53) integers + floor: both engines produce the identical
     * double, so the identical floor, so the identical bit length.
     */
-  private def bits(nTotal: Column, cnt: Column): Column =
+  private[operators] def bits(nTotal: Column, cnt: Column): Column =
     (length(bin(floor(nTotal.cast("double") / cnt).cast("long"))) - 1)
       .cast("long")
 

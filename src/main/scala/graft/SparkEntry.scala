@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.Advanced,
     operators.Evaluation,
+    operators.Insights,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exploratory-analytics operators (round 6, third block): Pareto
+  * skyline, table-snapshot diffing, sequential event-pattern mining, and
+  * market-basket pair mining. All four carry full DuckDB oracles.
+  *
+  * Shared scale discipline: every "global" structure here is reduced to
+  * an aggregated domain first (price buckets, changed keys, pattern
+  * vocabulary, per-order part lists), so no full-row global sort or
+  * quadratic blow-up survives at fleet scale.
+  */
+object Insights extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- Pareto skyline (maximize price bucket, minimize order date).
+      // Rows reduce to one candidate per price bucket (min date, with
+      // the count of orders achieving it) — O(grid) = ~600 bins at any
+      // input scale — then strict-suffix-min over buckets marks
+      // domination: bucket p is on the skyline iff no higher bucket
+      // reached an equal-or-earlier date. The window runs over BUCKETS,
+      // not rows (the naive formulation is an O(n²) NOT EXISTS self-join
+      // — the oracle spells exactly that over the tiny bucket set). ---
+      "q_skyline" -> ((s, d) => {
+        val o = table(s, d, "orders")
+          .select(floor(col("o_totalprice") / 1000).cast("long").as("pq"),
+            datediff(col("o_orderdate").cast("date"),
+              to_date(lit("1970-01-01"))).cast("long").as("dq"))
+        val perDate = o.groupBy("pq", "dq").agg(count(lit(1)).as("n"))
+        val wb = Window.partitionBy("pq")
+        val best = perDate
+          .withColumn("dmin", min("dq").over(wb))
+          .filter(col("dq") === col("dmin"))
+          .select(col("pq"), col("dq"), col("n"))
+        val ws = Window.orderBy(col("pq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        best
+          .withColumn("sufmin", min("dq").over(ws))
+          .filter(col("sufmin").isNull || col("sufmin") > col("dq"))
+          .select(col("pq"),
+            date_format(date_add(to_date(lit("1970-01-01")),
+              col("dq").cast("int")), "yyyy-MM-dd").as("best_date"),
+            col("n").as("n_at_best"))
+          .orderBy("pq")
+      }),
+
+      // --- snapshot diff: the data-versioning primitive (what changed
+      // between corpus build N-1 and N). Two deterministic snapshot
+      // views derive from orders (v2 drops key%101, re-prices key%89;
+      // v1 lacks key%97), full-outer-joined on the key — co-partitioned
+      // single shuffle; at fleet scale both snapshots are bucketed by
+      // key (q_join_bucketed discipline) and the diff is zero-exchange.
+      // Unchanged rows are filtered pre-output, so the result is
+      // O(churn), not O(table). ---
+      "q_snapshot_diff" -> ((s, d) => {
+        val o = table(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            col("o_orderstatus").as("st"))
+        val v1 = o.filter(col("k") % 97 =!= 0)
+          .select(col("k"), col("p").as("p1"), col("st").as("st1"))
+        val v2 = o.filter(col("k") % 101 =!= 0)
+          .select(col("k"),
+            when(col("k") % 89 === 0, col("p") + 10).otherwise(col("p"))
+              .as("p2"),
+            col("st").as("st2"))
+        v1.join(v2, Seq("k"), "full")
+          .withColumn("change_type",
+            when(col("p1").isNull, "added")
+              .when(col("p2").isNull, "removed")
+              .when(col("p1") =!= col("p2") || col("st1") =!= col("st2"),
+                "modified"))
+          .filter(col("change_type").isNotNull)
+          .select(col("k").as("o_orderkey"), col("change_type"),
+            col("p1").as("old_price"), col("p2").as("new_price"))
+          .orderBy("o_orderkey")
+      }),
+
+      // --- sequential pattern mining: per-user ordered event-type
+      // trigrams, global top-20. The lead-window is partitioned by
+      // user_id and ordered by the unique (ts, event_id) key — one
+      // natural-key shuffle, per-user local sort; the pattern-count agg
+      // key space is |event_type|³ = 125 forever, so the top-k is a
+      // TakeOrdered over a tiny aggregate, never a global row sort. ---
+      "q_seq_pattern" -> ((s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        table(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("t1", lead("event_type", 1).over(wu))
+          .withColumn("t2", lead("event_type", 2).over(wu))
+          .filter(col("t2").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+            .as("pattern"))
+          .groupBy("pattern").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pattern"))
+          .limit(20)
+      }),
+
+      // --- market-basket pair mining: parts co-purchased in one order,
+      // ranked by lift. Distinct (order, part) first (dedup guards the
+      // multi-lineitem case), then an a<b self-join WITHIN the order key
+      // — the join explodes per-order C(k,2) pairs where k is basket
+      // size (bounded small), never a cross-order product. Lift reuses
+      // the q_cooccur_pmi exact-int64-product idiom: n·c_ab / (c_a·c_b),
+      // one terminal IEEE division. Part marginals broadcast back onto
+      // the pair aggregate (O(parts) rows). ---
+      "q_basket_pairs" -> ((s, d) => {
+        val op = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val freq = op.groupBy("pk").agg(count(lit(1)).as("c1"))
+        val nOrders = op.select(countDistinct("ok").as("n"))
+        val a = op.select(col("ok"), col("pk").as("pa"))
+        val b = op.select(col("ok"), col("pk").as("pb"))
+        a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 2)
+          .join(broadcast(freq.select(col("pk").as("pa"),
+            col("c1").as("ca"))), "pa")
+          .join(broadcast(freq.select(col("pk").as("pb"),
+            col("c1").as("cb"))), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("c_ab"),
+            ((col("n") * col("c_ab")).cast("double")
+              / (col("ca") * col("cb")).cast("double")).as("lift"))
+          .orderBy(col("c_ab").desc, col("pa"), col("pb"))
+          .limit(20)
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_skyline" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT)
+        |    AS pq,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dq
+        |  FROM orders),
+        |pd AS (SELECT pq, dq, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM o GROUP BY pq, dq),
+        |best AS (SELECT pq, dq, n FROM (
+        |    SELECT pq, dq, n, MIN(dq) OVER (PARTITION BY pq) AS dmin
+        |    FROM pd) WHERE dq = dmin)
+        |SELECT pq,
+        |  strftime(DATE '1970-01-01' + INTERVAL (dq) DAY, '%Y-%m-%d')
+        |    AS best_date,
+        |  n AS n_at_best
+        |FROM best b
+        |WHERE NOT EXISTS (SELECT 1 FROM best h
+        |                  WHERE h.pq > b.pq AND h.dq <= b.dq)
+        |ORDER BY pq""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |             o_orderstatus AS st FROM orders),
+        |v1 AS (SELECT k, p AS p1, st AS st1 FROM o WHERE k % 97 <> 0),
+        |v2 AS (SELECT k,
+        |         CASE WHEN k % 89 = 0 THEN p + 10 ELSE p END AS p2,
+        |         st AS st2
+        |       FROM o WHERE k % 101 <> 0),
+        |j AS (SELECT COALESCE(v1.k, v2.k) AS o_orderkey, p1, p2, st1, st2
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT o_orderkey,
+        |  CASE WHEN p1 IS NULL THEN 'added'
+        |       WHEN p2 IS NULL THEN 'removed'
+        |       WHEN p1 <> p2 OR st1 <> st2 THEN 'modified' END
+        |    AS change_type,
+        |  p1 AS old_price, p2 AS new_price
+        |FROM j
+        |WHERE (p1 IS NULL OR p2 IS NULL OR p1 <> p2 OR st1 <> st2)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_seq_pattern" ->
+      """WITH w AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2
+        |  FROM events)
+        |SELECT event_type || '>' || t1 || '>' || t2 AS pattern,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, pattern LIMIT 20""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |f AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c1
+        |      FROM op GROUP BY pk),
+        |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM op),
+        |p AS (SELECT a.pk AS pa, b.pk AS pb,
+        |        CAST(COUNT(*) AS BIGINT) AS c_ab
+        |      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pa, pb, c_ab,
+        |  CAST(t.n * c_ab AS DOUBLE) / CAST(fa.c1 * fb.c1 AS DOUBLE)
+        |    AS lift
+        |FROM p JOIN f fa ON fa.pk = pa JOIN f fb ON fb.pk = pb
+        |CROSS JOIN t
+        |ORDER BY c_ab DESC, pa, pb LIMIT 20""".stripMargin)
+}

@@ -497,6 +497,27 @@ object Advanced extends QueryModule {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // --- aggregate-shaped exact top-k: the streaming-capable sibling of
+    // q_topk_native. ExactTopK is a TypedImperativeAggregate, so this is
+    // a plain hash aggregate — map-side partials carry at most k pairs
+    // per group per partition (shuffle volume O(groups·k), never a
+    // window sort), it composes with other aggregates in the same
+    // groupBy, and the identical expression runs under Structured
+    // Streaming complete mode (q_streaming_topk). Total tie order
+    // (vq, event_id) makes the result engine-independent — full oracle.
+    "q_agg_topk" -> ((s, d) => {
+      table(s, d, "events")
+        .select(col("event_type"),
+          round(col("value"), 0).cast("long").as("vq"), col("event_id"))
+        .groupBy("event_type")
+        .agg(graft.functions.ExactTopK(col("vq"), col("event_id"), 5)
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          col("p.v").as("vq"), col("p.id").as("event_id"))
+        .orderBy("event_type", "rn")
+    }),
+
     // --- string similarity / padding scalar family ---
     "q_scalar_string2" -> ((s, d) =>
       table(s, d, "supplier")
@@ -748,6 +769,17 @@ object Advanced extends QueryModule {
         |WHERE rn <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
         |         l_linenumber""".stripMargin,
+
+    "q_agg_topk" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS vq, event_id
+        |  FROM events),
+        |r AS (SELECT event_type, vq, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY vq DESC, event_id DESC) AS rn
+        |  FROM q)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, vq, event_id
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
 
     "q_scalar_string2" ->
       """SELECT s_suppkey,

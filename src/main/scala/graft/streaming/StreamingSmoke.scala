@@ -380,6 +380,42 @@ object StreamingSmoke extends QueryModule {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
           col("event_id"))
         .orderBy("event_type", "rn")
+    }),
+
+    // --- streamed exact top-k per key: ExactTopK (the aggregate-shaped
+    // top-k) under complete mode — per-group state is the k-bounded
+    // buffer (O(groups·k) forever), each micro-batch merges partials
+    // into it. This is the top-k spelling the custom TopKPerKey physical
+    // operator CANNOT provide (a physical unary node has no streaming
+    // state semantics); bit-determinism over the replay means the
+    // streamed query carries the identical row_number oracle as
+    // q_agg_topk. ---
+    "q_streaming_topk" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_topk_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/topk-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.ExactTopK(
+          round(col("value"), 0).cast("long"), col("event_id"), 5)
+          .as("top"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      drainSink(s, name)
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+          col("p.v").as("vq"), col("p.id").as("event_id"))
+        .orderBy("event_type", "rn")
     })
   )
 
@@ -459,6 +495,19 @@ object StreamingSmoke extends QueryModule {
         |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events)
         |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    // bit-deterministic top-k: the streamed aggregate equals the batch
+    // window spelling — identical oracle as q_agg_topk
+    "q_streaming_topk" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS vq, event_id
+        |  FROM events),
+        |r AS (SELECT event_type, vq, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY vq DESC, event_id DESC) AS rn
+        |  FROM q)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, vq, event_id
         |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
   )
 }

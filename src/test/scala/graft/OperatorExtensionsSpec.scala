@@ -212,6 +212,48 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("partial_reservoir_topk"), plan.take(2000))
   }
 
+  test("ExactTopK: partition-count invariant, equals the window " +
+      "spelling, and plans with map-side partials") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"),
+        round(col("value"), 0).cast("long").as("vq"), col("event_id"))
+    def top(parts: Int): Seq[Seq[Any]] =
+      ev.repartition(parts)
+        .groupBy("event_type")
+        .agg(graft.functions.ExactTopK(col("vq"), col("event_id"), 5)
+          .as("t"))
+        .select(col("event_type"), posexplode(col("t")).as(Seq("pos", "p")))
+        .select(col("event_type"), col("pos"), col("p.v"), col("p.id"))
+        .orderBy("event_type", "pos").collect().map(_.toSeq).toSeq
+    // associative/commutative merge: any partitioning yields the result
+    val one = top(1)
+    assert(one == top(7) && one.nonEmpty)
+    // equals the (corpus-sorting) window spelling it replaces
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("vq").desc, col("event_id").desc)
+    val windowed = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), (col("rn") - 1).cast("int").as("pos"),
+        col("vq"), col("event_id"))
+      .orderBy("event_type", "pos").collect().map(_.toSeq).toSeq
+    assert(one == windowed)
+    // the aggregate must combine map-side (partial before the exchange)
+    val plan = SparkEntry.queries("q_agg_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_exact_topk"), plan.take(2000))
+  }
+
+  test("streamed exact top-k equals the batch aggregate exactly") {
+    // associative k-bounded merges + total tie order: the top-k
+    // maintained across microbatches must equal the one-shot batch run
+    val streamed = SparkEntry.queries("q_streaming_topk")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("q_agg_topk")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("Count-Min sketch: estimates bound exact counts within the " +
       "envelope, partition-invariant") {
     val rows = SparkEntry.queries("q_agg_cms")(spark, sf).collect()

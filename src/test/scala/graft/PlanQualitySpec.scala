@@ -253,8 +253,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q_rank_fusion gets the same treatment: both retrieval legs are
     // top-20 TakeOrdereds, rank windows only ever see the survivors
     for (q <- Seq("q_dedup_embedding", "q_rank_fusion", "q_rank_rerank")) {
+      // sparkPlan, not executedPlan: AdaptiveSparkPlanExec is a leaf
+      // node, so collect() on the executed plan finds nothing (which
+      // would pass the window check vacuously)
       val pe = SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan
+        .queryExecution.sparkPlan
       assert(pe.toString.contains("TakeOrderedAndProject"),
         s"$q: " + pe.toString.take(2000))
       val globalWindows = pe.collect {
@@ -331,5 +334,61 @@ class PlanQualitySpec extends AnyFunSuite {
       // AQE's final-plan rendering marks WholeStageCodegen stages "*(n)"
       assert(p.contains("*("), s"$q lost codegen:\n${p.take(1500)}")
     }
+  }
+
+  test("evaluation/insights plans: grid windows sit above aggregates, " +
+      "marginals broadcast, top-k is TakeOrdered") {
+    // AUC / KS / skyline run unpartitioned windows BY DESIGN — but only
+    // over bin-aggregated input. Pin that every global window has a
+    // HashAggregate below it (i.e. sees O(grid) rows, never the corpus).
+    // NOTE: executedPlan wraps everything in AdaptiveSparkPlanExec (a
+    // leaf — collect() can't descend), so structural checks walk the
+    // pre-adaptive sparkPlan
+    for (q <- Seq("q_auc_rank", "q_ks_test", "q_skyline")) {
+      val pe = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val globalWindows = pe.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.nonEmpty, s"$q: expected a grid window")
+      globalWindows.foreach { w =>
+        assert(w.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            => a
+        }.nonEmpty,
+          s"$q: unpartitioned Window over unaggregated input:\n" +
+            w.toString.take(2000))
+      }
+    }
+    // chi-square: marginals attach to the 125-cell aggregate via
+    // broadcast; the only hash exchange feeds the cell count itself
+    val pc = plan("q_chisq_test")
+    assert(pc.contains("BroadcastHashJoin"), pc.take(2000))
+    assert(!pc.contains("CartesianProduct"), pc.take(2000))
+    // argmax is a pure two-phase hash aggregate: partial max/min below
+    // the exchange, and NO window sort anywhere
+    val pa = SparkEntry.queries("q_argmax_agg")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(pa.toString.contains("partial_max"), pa.toString.take(2000))
+    assert(pa.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q_argmax_agg must not plan a window")
+    // basket pairs / trigram patterns: bounded top-k via TakeOrdered,
+    // marginal joins broadcast, no cartesian over the pair space
+    for (q <- Seq("q_basket_pairs", "q_seq_pattern")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: " + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
+    }
+    // snapshot diff: the full outer join must be a co-partitioned
+    // SortMergeJoin on the key, never a nested loop
+    val pd = plan("q_snapshot_diff")
+    assert(pd.contains("SortMergeJoin") && pd.contains("FullOuter"),
+      pd.take(2000))
+    assert(!pd.contains("NestedLoop") && !pd.contains("CartesianProduct"),
+      pd.take(2000))
+    // MAD: both percentile rows-per-type joins broadcast back
+    val pm = plan("q_mad_outlier")
+    assert("BroadcastHashJoin".r.findAllIn(pm).size >= 2, pm.take(2000))
   }
 }

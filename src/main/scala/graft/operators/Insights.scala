@@ -104,23 +104,28 @@ object Insights extends QueryModule {
       }),
 
       // --- market-basket pair mining: parts co-purchased in one order,
-      // ranked by lift. Distinct (order, part) first (dedup guards the
-      // multi-lineitem case), then an a<b self-join WITHIN the order key
-      // — the join explodes per-order C(k,2) pairs where k is basket
-      // size (bounded small), never a cross-order product. Lift reuses
-      // the q_cooccur_pmi exact-int64-product idiom: n·c_ab / (c_a·c_b),
-      // one terminal IEEE division. Part marginals broadcast back onto
-      // the pair aggregate (O(parts) rows). ---
+      // ranked by lift. The basket is a POSTING LIST: one groupBy
+      // reduces lineitem to a sorted-distinct part array per order
+      // (map-side partial collect_set, single shuffle on the order key),
+      // and the shared postingPairs idiom emits the a<b pairs map-side —
+      // per-order C(k,2) where k is basket size, never a self-join's two
+      // extra shuffle legs (measured 2.2s -> this shape at sf0.1; same
+      // discipline as q_dedup_minhash/q_dedup_ngram). Marginals and the
+      // order count re-read the SAME posting aggregate (exchange reuse),
+      // broadcast onto the O(parts²)-bounded pair aggregate. Lift is the
+      // q_cooccur_pmi exact-int64-product idiom, one terminal IEEE
+      // division. ---
       "q_basket_pairs" -> ((s, d) => {
-        val op = table(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val freq = op.groupBy("pk").agg(count(lit(1)).as("c1"))
-        val nOrders = op.select(countDistinct("ok").as("n"))
-        val a = op.select(col("ok"), col("pk").as("pa"))
-        val b = op.select(col("ok"), col("pk").as("pb"))
-        a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+        val postings = table(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+        val freq = postings
+          .select(explode(col("ids")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("c1"))
+        val nOrders = postings.agg(count(lit(1)).as("n"))
+        TextPipeline.postingPairs(postings.select(col("ids")))
+          .groupBy(col("a_id").as("pa"), col("b_id").as("pb"))
+          .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 2)
           .join(broadcast(freq.select(col("pk").as("pa"),
             col("c1").as("ca"))), "pa")

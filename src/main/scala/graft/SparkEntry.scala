@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Advanced,
     operators.Evaluation,
     operators.Insights,
+    operators.Macros,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

@@ -391,4 +391,21 @@ class PlanQualitySpec extends AnyFunSuite {
     val pm = plan("q_mad_outlier")
     assert("BroadcastHashJoin".r.findAllIn(pm).size >= 2, pm.take(2000))
   }
+
+  test("TPC-H macro plans: dimensions broadcast, filters push into " +
+      "scans, top-N is TakeOrdered") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: " + p.take(2000))
+      assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
+      // the selective fact filter must reach the parquet scan
+      assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    }
+    // Q5: every dimension (customer slice, supplier, nation, region)
+    // broadcasts — the only shuffle joins are fact-to-fact
+    val p5 = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 4, p5.take(3000))
+    assert(!p5.contains("CartesianProduct"), p5.take(2000))
+  }
 }

@@ -256,6 +256,51 @@ object Evaluation extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- calibration curve (reliability diagram): fixed-grid score
+      // bins (floor(sq/100), NOT ntile — a rank-based binning would
+      // need a global sort; the fixed grid is a map-side expression),
+      // per-bin exact counts/positives, mean score and positive
+      // fraction as single divisions of exact int64 sums. O(grid)
+      // output forever. ---
+      "q_calibration" -> ((s, d) => {
+        table(s, d, "embeddings")
+          .select((col("label") % 2 === 1).cast("long").as("pos"),
+            round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+              .cast("long").as("sq"))
+          .groupBy(floor(col("sq") / 100.0).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+            sum("sq").as("ssum"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            (col("ssum").cast("double") / col("n") / 1000.0)
+              .as("mean_score"),
+            (col("n_pos").cast("double") / col("n")).as("frac_pos"))
+          .orderBy("bin")
+      }),
+
+      // --- confusion matrix + derived metrics at threshold 0: one
+      // conditional-sum pass reduces the corpus to four exact int64
+      // cells; precision/recall/F1 are the identical double formula
+      // tree in the oracle. The single-row output is the entire shuffle
+      // volume. ---
+      "q_confusion" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select((col("label") % 2 === 1).as("y"),
+            (round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+              .cast("long") > 0).as("p"))
+        def cell(y: Boolean, p: Boolean, nm: String) =
+          sum(when(col("y") === y && col("p") === p, 1L).otherwise(0L))
+            .as(nm)
+        val prec = col("tp").cast("double") / (col("tp") + col("fp"))
+        val rec = col("tp").cast("double") / (col("tp") + col("fn"))
+        e.agg(cell(y = true, p = true, "tp"),
+            cell(y = false, p = true, "fp"),
+            cell(y = true, p = false, "fn"),
+            cell(y = false, p = false, "tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            prec.as("precision"), rec.as("recall"),
+            (lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+      }),
+
       // --- grouped sorted list rendering (LISTAGG): distinct sources
       // per language as one canonical comma-joined string.
       // collect_set→sort_array→array_join keeps the set semantics in
@@ -418,6 +463,38 @@ object Evaluation extends QueryModule {
         |    AS BIGINT) AS n_outliers
         |FROM j JOIN md USING (event_type)
         |GROUP BY j.event_type ORDER BY j.event_type""".stripMargin,
+
+    "q_calibration" ->
+      """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,
+        |  CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT)
+        |    AS sq FROM embeddings)
+        |SELECT CAST(floor(sq / 100.0) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(sq) AS DOUBLE) / COUNT(*) / 1000.0 AS mean_score,
+        |  CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS frac_pos
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_confusion" -> {
+      val prec = "(CAST(tp AS DOUBLE) / (tp + fp))"
+      val rec = "(CAST(tp AS DOUBLE) / (tp + fn))"
+      s"""WITH e AS (SELECT label % 2 = 1 AS y,
+         |  CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT)
+         |    > 0 AS p FROM embeddings),
+         |c AS (SELECT
+         |  CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tp,
+         |  CAST(SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fp,
+         |  CAST(SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fn,
+         |  CAST(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |  FROM e)
+         |SELECT tp, fp, fn, tn, $prec AS precision, $rec AS recall,
+         |  (2.0 * $prec * $rec / ($prec + $rec)) AS f1
+         |FROM c""".stripMargin
+    },
 
     "q_agg_listagg" ->
       """SELECT lang,

@@ -137,6 +137,64 @@ object Insights extends QueryModule {
               / (col("ca") * col("cb")).cast("double")).as("lift"))
           .orderBy(col("c_ab").desc, col("pa"), col("pb"))
           .limit(20)
+      }),
+
+      // --- small-file compaction planning: sequential first-fit
+      // bin-packing of documents into 64 KiB output groups, per source.
+      // The running-byte-offset window is partitioned by source
+      // (parallel across sources; at fleet scale the unit is the
+      // partition directory) and the bin id is the exact int64 floor of
+      // the START offset — purely sequential packing, so the plan is
+      // reproducible and the oracle is the same window. Output is
+      // O(bins), the plan a compaction job would execute. ---
+      "q_compact_bins" -> ((s, d) => {
+        val wsrc = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum", sum("n_chars").over(wsrc))
+          .select(col("source"),
+            floor((col("cum") - col("n_chars")) / 65536.0).cast("long")
+              .as("bin"),
+            col("n_chars"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+          .orderBy("source", "bin")
+      }),
+
+      // --- join-key skew audit: the pre-flight check before a big join.
+      // One groupBy reduces the fact table to per-key multiplicities;
+      // the global average attaches via a broadcast single-row
+      // aggregate, and the hottest keys surface through TakeOrdered —
+      // the audit never sorts the key space. skew = c/avg is one IEEE
+      // division of exact int64 counts. ---
+      "q_skew_audit" -> ((s, d) => {
+        val keys = table(s, d, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        val tot = keys.agg(count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"))
+        keys.crossJoin(broadcast(tot))
+          .select(col("l_orderkey"), col("c"), col("n_keys"),
+            (col("c").cast("double") * col("n_keys") / col("n_rows"))
+              .as("skew"))
+          .orderBy(col("c").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+
+      // --- k-anonymity audit (k=5) over the (segment, nation,
+      // acctbal-band) quasi-identifier: the privacy gate a training
+      // export runs before release. One groupBy to QI-cell sizes
+      // (O(cells) output), then a map-side filter keeps the violating
+      // cells — the corpus never moves again. The same aggregate
+      // drives suppression or generalization downstream. ---
+      "q_kanon_audit" -> ((s, d) => {
+        table(s, d, "customer")
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nat"),
+            floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") < 5)
+          .orderBy("seg", "nat", "bal_band")
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -208,5 +266,33 @@ object Insights extends QueryModule {
         |    AS lift
         |FROM p JOIN f fa ON fa.pk = pa JOIN f fb ON fb.pk = pb
         |CROSS JOIN t
-        |ORDER BY c_ab DESC, pa, pb LIMIT 20""".stripMargin)
+        |ORDER BY c_ab DESC, pa, pb LIMIT 20""".stripMargin,
+
+    "q_compact_bins" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(floor((cum - n_chars) / 65536.0) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |FROM c GROUP BY source, 2 ORDER BY source, bin""".stripMargin,
+
+    "q_skew_audit" ->
+      """WITH k AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM lineitem GROUP BY l_orderkey),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |        CAST(SUM(c) AS BIGINT) AS n_rows FROM k)
+        |SELECT l_orderkey, c, n_keys,
+        |  CAST(c AS DOUBLE) * n_keys / n_rows AS skew
+        |FROM k CROSS JOIN t
+        |ORDER BY c DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_kanon_audit" ->
+      """SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY seg, nat, bal_band""".stripMargin)
 }

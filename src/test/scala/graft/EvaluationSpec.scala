@@ -189,6 +189,42 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("calibration bins partition the corpus and bound frac_pos") {
+    val rows = q("q_calibration").collect()
+    val total = Tables.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("frac_pos")
+      assert(f >= 0.0 && f <= 1.0)
+      // mean score must fall inside the bin's [lo, hi) score range
+      val bin = r.getAs[Long]("bin")
+      val m = r.getAs[Double]("mean_score") * 1000
+      assert(m >= bin * 100 && m < (bin + 1) * 100,
+        s"bin $bin mean $m outside range")
+    }
+    assert(rows.length > 1)
+  }
+
+  test("confusion matrix equals the brute-force cell count") {
+    val row = q("q_confusion").collect().head
+    val pts = Tables.table(spark, sf, "embeddings")
+      .select((col("label") % 2 === 1).as("y"),
+        round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+          .cast("long").as("sq"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1) > 0))
+    val tp = pts.count(t => t._1 && t._2).toLong
+    val fp = pts.count(t => !t._1 && t._2).toLong
+    val fn = pts.count(t => t._1 && !t._2).toLong
+    val tn = pts.count(t => !t._1 && !t._2).toLong
+    assert(row.getAs[Long]("tp") == tp && row.getAs[Long]("fp") == fp)
+    assert(row.getAs[Long]("fn") == fn && row.getAs[Long]("tn") == tn)
+    val prec = tp.toDouble / (tp + fp)
+    val rec = tp.toDouble / (tp + fn)
+    assert(row.getAs[Double]("precision") == prec)
+    assert(row.getAs[Double]("recall") == rec)
+    assert(row.getAs[Double]("f1") == 2.0 * prec * rec / (prec + rec))
+  }
+
   test("listagg strings are sorted, distinct, and sized to n_sources") {
     val rows = q("q_agg_listagg").collect()
     assert(rows.nonEmpty)

@@ -87,6 +87,64 @@ class InsightsSpec extends AnyFunSuite {
     assert(out.toSeq == want)
   }
 
+  test("compaction bins pack sequentially within the 64 KiB target") {
+    val rows = q("q_compact_bins").collect()
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // brute-force: replay the sequential first-fit packing per source
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, _, n) =>
+        val bin = cum / 65536
+        cum += n
+        (src, bin, n)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((s2, b), ts) =>
+      (s2, b, ts.length.toLong, ts.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == want)
+    // bins hold the packing invariant: every doc starts below the
+    // target, so a bin only overflows by its last doc
+    assert(rows.nonEmpty)
+  }
+
+  test("skew audit surfaces the true hottest keys with exact counts") {
+    val rows = q("q_skew_audit").collect()
+    val counts = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(rows.map(r => (r.getLong(0), r.getAs[Long]("c"))).toSeq
+      == want)
+    val nKeys = counts.size.toLong
+    val nRows = counts.values.sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") == nKeys)
+      assert(r.getAs[Double]("skew")
+        == r.getAs[Long]("c").toDouble * nKeys / nRows)
+    }
+  }
+
+  test("k-anonymity audit reports exactly the cells under k=5") {
+    val rows = q("q_kanon_audit").collect()
+    val cells = Tables.table(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 2000.0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = cells.filter(_._2 < 5)
+    assert(rows.length == want.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(want(key) == r.getAs[Long]("n"))
+    }
+    // and no violating cell is missed
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == want.keySet)
+  }
+
   test("basket pairs equal nested-loop per-order pair counting") {
     val out = q("q_basket_pairs").collect()
       .map(r => ((r.getAs[Long]("pa"), r.getAs[Long]("pb")),

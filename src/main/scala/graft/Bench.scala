@@ -124,7 +124,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "/root/repo/BENCH_DETAIL.json"
-    try {
+    // A SPARK_GRAFT_ONLY subset run is a local iteration tool — never
+    // let it clobber the committed full-suite record this file holds.
+    try if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""queries":$detail,"failed":$failedJson,""" +

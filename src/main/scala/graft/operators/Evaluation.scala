@@ -256,6 +256,28 @@ object Evaluation extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- deterministic per-group mode: the most frequent quantized
+      // value, ties resolved toward the larger value (built-in mode()
+      // is tie-nondeterministic in both engines, so it can never carry
+      // an oracle). Two hash aggregates — (type, vq) counts, then the
+      // argmax-over-counts struct-extremum — plus a broadcast of the
+      // per-type totals read off the SAME counts aggregate (exchange
+      // reuse). No window, no sort. ---
+      "q_mode_agg" -> ((s, d) => {
+        val counts = table(s, d, "events")
+          .groupBy(col("event_type"), vq.as("v"))
+          .agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy("event_type").agg(sum("c").as("n"))
+        counts
+          .groupBy("event_type")
+          .agg(max(struct(col("c"), col("v"))).as("m"))
+          .join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("m.v").as("mode_v"),
+            col("m.c").as("n_mode"),
+            (col("m.c").cast("double") / col("n")).as("share"))
+          .orderBy("event_type")
+      }),
+
       // --- calibration curve (reliability diagram): fixed-grid score
       // bins (floor(sq/100), NOT ntile — a rank-based binning would
       // need a global sort; the fixed grid is a map-side expression),
@@ -463,6 +485,22 @@ object Evaluation extends QueryModule {
         |    AS BIGINT) AS n_outliers
         |FROM j JOIN md USING (event_type)
         |GROUP BY j.event_type ORDER BY j.event_type""".stripMargin,
+
+    "q_mode_agg" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM c GROUP BY 1),
+        |r AS (SELECT event_type, v, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, v DESC) AS rn
+        |  FROM c)
+        |SELECT r.event_type, v AS mode_v, c AS n_mode,
+        |  CAST(c AS DOUBLE) / n AS share
+        |FROM r JOIN t ON r.event_type = t.event_type
+        |WHERE rn = 1 ORDER BY r.event_type""".stripMargin,
 
     "q_calibration" ->
       """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,

@@ -151,8 +151,10 @@ object StreamingSmoke extends QueryModule {
         .outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       drainSink(s, name).orderBy("event_id")
     }),
 
@@ -256,8 +258,10 @@ object StreamingSmoke extends QueryModule {
         }
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       val last = stateRoot.listFiles().filter(_.getName.startsWith("v"))
         .maxBy(_.getName.drop(1).toInt)
       s.read.parquet(last.toString)
@@ -295,8 +299,10 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       val sk = drainSink(s, name).head().getAs[Array[Byte]]("sk")
       table(s, d, "events")
         .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
@@ -333,8 +339,10 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       drainSink(s, name)
         .select(col("event_type"), element_at(col("qs"), 1).as("p50"),
           element_at(col("qs"), 2).as("p90"),
@@ -372,8 +380,10 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       drainSink(s, name)
         .select(col("event_type"),
           posexplode(col("sample")).as(Seq("pos", "event_id")))
@@ -409,8 +419,10 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
       drainSink(s, name)
         .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
@@ -498,16 +510,9 @@ object StreamingSmoke extends QueryModule {
         |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
 
     // bit-deterministic top-k: the streamed aggregate equals the batch
-    // window spelling — identical oracle as q_agg_topk
-    "q_streaming_topk" ->
-      """WITH q AS (SELECT event_type,
-        |    CAST(round(value, 0) AS BIGINT) AS vq, event_id
-        |  FROM events),
-        |r AS (SELECT event_type, vq, event_id,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY vq DESC, event_id DESC) AS rn
-        |  FROM q)
-        |SELECT event_type, CAST(rn AS BIGINT) AS rn, vq, event_id
-        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
+    // window spelling — literally q_agg_topk's oracle (one source of
+    // truth, so the tie order / quantization can never diverge between
+    // the twins)
+    "q_streaming_topk" -> graft.operators.Advanced.oracle("q_agg_topk")
   )
 }

@@ -21,6 +21,13 @@ class EvaluationSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  /** Mirror of Spark/DuckDB round(x, 0): HALF_UP away from zero —
+    * math.round rounds half toward +infinity and diverges on negative
+    * .5 values.
+    */
+  private def qround(v: Double): Long =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   private def events: Seq[(String, Long, Double)] =
     Tables.table(spark, sf, "events")
       .select(col("event_type"), col("event_id"), col("value"))
@@ -49,8 +56,8 @@ class EvaluationSpec extends AnyFunSuite {
 
   test("KS statistic equals the brute-force max CDF gap") {
     val row = q("q_ks_test").collect().head
-    val a = events.filter(_._1 == "click").map(t => math.round(t._3))
-    val b = events.filter(_._1 == "view").map(t => math.round(t._3))
+    val a = events.filter(_._1 == "click").map(t => qround(t._3))
+    val b = events.filter(_._1 == "view").map(t => qround(t._3))
     val grid = (a ++ b).distinct.sorted
     val d = grid.map { v =>
       math.abs(a.count(_ <= v).toDouble / a.length
@@ -178,7 +185,7 @@ class EvaluationSpec extends AnyFunSuite {
     val byType = events.groupBy(_._1)
     rows.foreach { r =>
       val vs = byType(r.getAs[String]("event_type"))
-        .map(t => math.round(t._3).toDouble)
+        .map(t => qround(t._3).toDouble)
       val med = median(vs)
       val ads = vs.map(v => math.abs(v - med))
       val mad = median(ads)
@@ -189,6 +196,21 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("mode equals the brute-force most-frequent scan") {
+    val rows = q("q_mode_agg").collect()
+    val byType = events.groupBy(_._1)
+    assert(rows.length == byType.size)
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type")).map(t => qround(t._3))
+      val counts = vs.groupBy(identity).view.mapValues(_.length.toLong)
+      val (bestV, bestC) =
+        counts.toSeq.maxBy { case (v, c) => (c, v) }
+      assert(r.getAs[Long]("mode_v") == bestV)
+      assert(r.getAs[Long]("n_mode") == bestC)
+      assert(r.getAs[Double]("share") == bestC.toDouble / vs.length)
+    }
+  }
+
   test("calibration bins partition the corpus and bound frac_pos") {
     val rows = q("q_calibration").collect()
     val total = Tables.table(spark, sf, "embeddings").count()
@@ -197,9 +219,11 @@ class EvaluationSpec extends AnyFunSuite {
       val f = r.getAs[Double]("frac_pos")
       assert(f >= 0.0 && f <= 1.0)
       // mean score must fall inside the bin's [lo, hi) score range
+      // (epsilon absorbs the /1000*1000 double round-trip at exact
+      // bin edges)
       val bin = r.getAs[Long]("bin")
       val m = r.getAs[Double]("mean_score") * 1000
-      assert(m >= bin * 100 && m < (bin + 1) * 100,
+      assert(m >= bin * 100 - 1e-6 && m < (bin + 1) * 100 + 1e-6,
         s"bin $bin mean $m outside range")
     }
     assert(rows.length > 1)

@@ -80,7 +80,10 @@ class InsightsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3)))
     val counts = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
-      es.sortBy(e => (e._2.getTime, e._3)).map(_._4).sliding(3)
+      // full-precision event-time order: getTime truncates to millis,
+      // so sort on (epoch second, nanos) to match the query's ts order
+      es.sortBy(e => (e._2.toInstant.getEpochSecond, e._2.getNanos, e._3))
+        .map(_._4).sliding(3)
         .filter(_.length == 3).map(_.mkString(">"))
     }.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)

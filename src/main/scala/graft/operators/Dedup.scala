@@ -44,9 +44,16 @@ object Dedup extends QueryModule {
     */
   private def clusterLoop(s: SparkSession, d: String,
       pairs: DataFrame): DataFrame = {
+      // Materialize the pair relation ONCE before symmetrizing: the
+      // union's two legs are two consumers of the whole upstream
+      // shingle/posting pipeline, and relying on Exchange reuse to
+      // dedupe them is fragile (observed: the reuse stopped firing and
+      // the query's cost doubled, 1.7s -> 3.4s at sf0.1). After the
+      // checkpoint the second leg reads cached blocks, not the lineage.
+      val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
       // symmetric edge list, persisted: reused every iteration
-      val edges = pairs
-        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val edges = p
+        .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .persist()
       var labels = table(s, d, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))

@@ -82,6 +82,30 @@ object Macros extends QueryModule {
           .orderBy(col("revenue").desc, col("n_name"))
       }),
 
+      // --- Q18 shape: large-volume customers. The classic
+      // aggregate-then-semi-join: per-order quantity totals (one
+      // map-side-combinable aggregate), the >300 HAVING slice becomes a
+      // BROADCAST semi-join key set against orders (the fact table
+      // never shuffles for the filter), then customer broadcasts onto
+      // the survivors. Top-20 is a TakeOrdered. ---
+      "q_tpch_q18" -> ((s, d) => {
+        val big = table(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+          .filter(col("total_qty") > 300.0)
+        val cust = table(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        table(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd")
+              .as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(20)
+      }),
+
       // --- Q10 shape: returned-item customer ranking for one quarter.
       // The returnflag slice of lineitem joins the quarter's orders on
       // the order key (both pushed filters reach the scans); customer
@@ -138,6 +162,21 @@ object Macros extends QueryModule {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,

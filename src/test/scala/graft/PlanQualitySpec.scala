@@ -394,7 +394,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("TPC-H macro plans: dimensions broadcast, filters push into " +
       "scans, top-N is TakeOrdered") {
-    for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q: " + p.take(2000))
       assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(2000))

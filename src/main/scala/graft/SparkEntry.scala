@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Evaluation,
     operators.Insights,
     operators.Macros,
+    operators.Features,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators (round 6): the model-input prep a
+  * training pipeline runs after curation — categorical one-hot
+  * encoding, per-group min-max scaling, and smoothed target encoding.
+  * All three carry full DuckDB oracles.
+  *
+  * Scale shape: every encoder is a map-side expression over the fact
+  * rows plus (at most) a broadcast of per-category statistics — the
+  * corpus is never shuffled to be encoded.
+  */
+object Features extends QueryModule {
+
+  private val types = Seq("click", "error", "purchase", "signup", "view")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- one-hot encoding over the known category domain: pure
+      // map-side indicator columns (the domain is part of the feature
+      // schema, not discovered at runtime — discovery would be a
+      // separate distinct() job and a nondeterministic column order).
+      "q_onehot_encode" -> ((s, d) => {
+        val base = table(s, d, "events")
+          .select(col("event_id") +: col("event_type") +:
+            types.map(t => (col("event_type") === t).cast("long")
+              .as(s"ot_$t")): _*)
+        base.orderBy("event_id")
+      }),
+
+      // --- per-group min-max scaling to [0,1]: group extremes reduce
+      // map-side (min/max combine partially), broadcast back, and the
+      // scaling itself is one subtraction + one division per row —
+      // exact input values, IEEE ops, deterministic. Constant groups
+      // (max == min) gate to 0.5 explicitly (0/0 is NaN and NaN
+      // semantics differ across engines). ---
+      "q_minmax_scale" -> ((s, d) => {
+        val ext = table(s, d, "events")
+          .groupBy("event_type")
+          .agg(min("value").as("vmin"), max("value").as("vmax"))
+        table(s, d, "events")
+          .join(broadcast(ext), "event_type")
+          .select(col("event_id"), col("event_type"),
+            when(col("vmax") > col("vmin"),
+              (col("value") - col("vmin")) / (col("vmax") - col("vmin")))
+              .otherwise(0.5).as("scaled"))
+          .orderBy("event_id")
+      }),
+
+      // --- smoothed target encoding (m=10): enc = (sum_y + m·ȳ)/(n + m)
+      // over the quantized target. Both the per-category and global
+      // moments are exact int64 sums off ONE aggregate pass; the
+      // smoothing formula is driver-scale double arithmetic written as
+      // the identical tree in the oracle. The encoder table is
+      // O(categories) — at serving time it broadcasts onto the corpus
+      // as a map-side join, like the scaler above. ---
+      "q_target_encode" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("vq"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vq").as("sx"))
+        val glob = per.agg(sum("n").as("gn"), sum("sx").as("gsx"))
+        per.crossJoin(broadcast(glob))
+          .select(col("event_type"), col("n"),
+            ((col("sx").cast("double")
+              + lit(10.0) * (col("gsx").cast("double") / col("gn")))
+              / (col("n") + 10)).as("enc"))
+          .orderBy("event_type")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_onehot_encode" -> {
+      val cols = types.map(t =>
+        s"CAST(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END AS BIGINT) AS ot_$t")
+        .mkString(",\n  ")
+      s"""SELECT event_id, event_type,
+         |  $cols
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    "q_minmax_scale" ->
+      """WITH ext AS (SELECT event_type, MIN(value) AS vmin,
+        |               MAX(value) AS vmax
+        |             FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN vmax > vmin
+        |       THEN (value - vmin) / (vmax - vmin)
+        |       ELSE 0.5 END AS scaled
+        |FROM events e JOIN ext ON e.event_type = ext.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value, 0) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn,
+        |        CAST(SUM(sx) AS BIGINT) AS gsx FROM per)
+        |SELECT event_type, n,
+        |  ((CAST(sx AS DOUBLE)
+        |    + 10.0 * (CAST(gsx AS DOUBLE) / gn)) / (n + 10)) AS enc
+        |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin)
+}

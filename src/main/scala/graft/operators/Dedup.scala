@@ -51,10 +51,11 @@ object Dedup extends QueryModule {
       // the query's cost doubled, 1.7s -> 3.4s at sf0.1). After the
       // checkpoint the second leg reads cached blocks, not the lineage.
       val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
-      // symmetric edge list, persisted: reused every iteration
+      // symmetric edge list: a narrow union over the checkpointed
+      // blocks — each iteration re-reads cached partitions, so a second
+      // persist() here would just hold the same rows resident twice
       val edges = p
         .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .persist()
       var labels = table(s, d, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint()
@@ -89,7 +90,6 @@ object Dedup extends QueryModule {
         labels = next
         iter += 1
       }
-      edges.unpersist()
       // The cap is a runaway guard, not an accuracy knob: exiting through
       // it means some component's diameter exceeded the iteration budget
       // and the labels are WRONG. Fail loudly rather than return them —

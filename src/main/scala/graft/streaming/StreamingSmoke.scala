@@ -31,6 +31,19 @@ object StreamingSmoke extends QueryModule {
     out
   }
 
+  /** Run a started stream to completion, then stop it and delete its
+    * checkpoint dir — ALL inside finally nesting, so a failed replay (or
+    * even a failing stop()) never leaks a tmpfs checkpoint. One
+    * definition for every streaming query body below.
+    */
+  private def runThenClean(q: org.apache.spark.sql.streaming.StreamingQuery,
+      ckpt: String): Unit =
+    try q.processAllAvailable() finally {
+      try q.stop() finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_rate" -> ((s, d) => {
       val schema = graft.Tables.rawEventsSchema(s, d)
@@ -151,10 +164,7 @@ object StreamingSmoke extends QueryModule {
         .outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      }
+      runThenClean(q, ckpt)
       drainSink(s, name).orderBy("event_id")
     }),
 
@@ -258,10 +268,7 @@ object StreamingSmoke extends QueryModule {
         }
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      }
+      runThenClean(q, ckpt)
       val last = stateRoot.listFiles().filter(_.getName.startsWith("v"))
         .maxBy(_.getName.drop(1).toInt)
       s.read.parquet(last.toString)
@@ -299,10 +306,7 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      }
+      runThenClean(q, ckpt)
       val sk = drainSink(s, name).head().getAs[Array[Byte]]("sk")
       table(s, d, "events")
         .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
@@ -339,10 +343,7 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      }
+      runThenClean(q, ckpt)
       drainSink(s, name)
         .select(col("event_type"), element_at(col("qs"), 1).as("p50"),
           element_at(col("qs"), 2).as("p90"),
@@ -380,10 +381,7 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      }
+      runThenClean(q, ckpt)
       drainSink(s, name)
         .select(col("event_type"),
           posexplode(col("sample")).as(Seq("pos", "event_id")))
@@ -419,10 +417,7 @@ object StreamingSmoke extends QueryModule {
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-      }
+      runThenClean(q, ckpt)
       drainSink(s, name)
         .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),

@@ -399,9 +399,24 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("TakeOrderedAndProject"), s"$q: " + p.take(2000))
       assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(2000))
       assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
-      // the selective fact filter must reach the parquet scan
-      assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
     }
+    // the selective VALUE predicates must reach the parquet scans
+    // (Q18 has no scan-level value filter — its HAVING slice is pinned
+    // below as an aggregate-then-broadcast, so IsNotNull-only pushdown
+    // there would make this assertion vacuous)
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("GreaterThan") || p.contains("LessThan") ||
+        p.contains("EqualTo"), s"$q lost its value pushdown: " +
+        p.take(2000))
+    }
+    // Q18's fact filter is the aggregate itself: the HAVING slice
+    // reduces map-side and BROADCASTS into orders — lineitem appears
+    // once (the aggregate scan) and orders never hash-shuffles
+    val p18 = plan("q_tpch_q18")
+    assert(p18.contains("partial_sum"), p18.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p18).size <= 1,
+      p18.take(3000))
     // Q5: every dimension (customer slice, supplier, nation, region)
     // broadcasts — the only shuffle joins are fact-to-fact
     val p5 = plan("q_tpch_q5")

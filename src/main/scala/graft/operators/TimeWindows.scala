@@ -129,6 +129,34 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id", "ts_s", "event_id")
     }),
 
+    // --- window VALUE functions (first/nth/last over an explicit
+    // unbounded frame): each user's first, second, and final event type
+    // in one pass — the session-entry/exit feature shape. The frame
+    // must be unbounded-BOTH-ways (the default RANGE..CURRENT frame
+    // makes last_value just the current row); one row per user survives
+    // via row_number, so the output is O(users). Reads the bucketed
+    // event log: no exchange, one per-partition sort shared by all four
+    // window functions. ---
+    "q_win_nth" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val full = ord
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("first_type", first("event_type").over(full))
+        .withColumn("second_type", nth_value(col("event_type"), 2)
+          .over(full))
+        .withColumn("last_type", last("event_type").over(full))
+        .withColumn("n_events", count(lit(1)).over(full).cast("long"))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_type"), col("second_type"),
+          col("last_type"), col("n_events"))
+        .orderBy("user_id")
+    }),
+
     // --- trailing-interval rolling window: per-user count/sum over the
     // last hour of EVENT TIME (a RANGE frame over unix_micros, not a
     // row-count frame — q_win_frame covers that): the rolling-metrics
@@ -154,6 +182,20 @@ object TimeWindows extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_win_nth" ->
+      """WITH w AS (SELECT user_id,
+        |    first_value(event_type) OVER fr AS first_type,
+        |    nth_value(event_type, 2) OVER fr AS second_type,
+        |    last_value(event_type) OVER fr AS last_type,
+        |    CAST(COUNT(*) OVER fr AS BIGINT) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, second_type, last_type, n_events
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_win_range" ->
       s"""SELECT user_id, event_id, ${FT("ts")} AS ts_s,
          |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,

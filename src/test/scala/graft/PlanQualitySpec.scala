@@ -276,7 +276,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // window / per-stage aggregates inherit the scan layout — zero hash
     // exchange in either plan
     for (q <- Seq("q_scd2_intervals", "q_funnel", "q_win_lag_lead",
-        "q_win_range")) {
+        "q_win_range", "q_win_nth")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
         s"$q shuffled despite bucketing:\n" + p.take(2000))

@@ -18,9 +18,11 @@ import graft.xml.XmlToParquetJob.Config
   * projection, file-info metadata injection, and zip / tar.gz container
   * ingestion — driven by the self-authored bookOrder fixture (same XSD
   * construct family as the reference's golden pair; see
-  * src/main/resources/graft/fixtures/). No SQL oracles (DuckDB has no
-  * XSD-typed XML reader): the driver records rows-only checks, and the
-  * golden-output parity assertions live in the ScalaTest suite.
+  * src/main/resources/graft/fixtures/). The conversion queries carry no
+  * SQL oracles (DuckDB has no XSD-typed XML reader): the driver records
+  * rows-only checks, and the golden-output parity assertions live in the
+  * ScalaTest suite. The scalar xpath/codec queries DO carry oracles —
+  * identity projections the XML round-trip must reproduce exactly.
   */
 object XmlQueries extends QueryModule {
 
@@ -92,7 +94,47 @@ object XmlQueries extends QueryModule {
     "q_xml_targz" -> ((s, _) => flatten(
       ArchiveXmlSource.read(s, xsd,
         Seq(fixtureDir.resolve("books.tar.gz").toString),
-        Config(fileInfo = true))))
+        Config(fileInfo = true)))),
+
+    // --- scalar XPath extraction (xpath_long/string/double) over
+    // per-row XML documents — the row-level sibling of the file-level
+    // include/exclude projection above. The XML is built deterministically
+    // from the order row and the xpath functions extract the fields
+    // back, so the ORACLE is the identity projection: any extraction
+    // bug (wrong node, lost precision in the double round-trip, entity
+    // mishandling) hash-mismatches against the original columns.
+    // Purely map-side; codegen keeps the build+extract in one stage. ---
+    "q_xpath_scalar" -> ((s, d) =>
+      graft.Tables.table(s, d, "orders")
+        .withColumn("xml", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("<o><k>"), col("o_orderkey"),
+          org.apache.spark.sql.functions.lit("</k><st>"),
+          col("o_orderstatus"),
+          org.apache.spark.sql.functions.lit("</st><p>"),
+          col("o_totalprice"),
+          org.apache.spark.sql.functions.lit("</p></o>")))
+        .select(col("o_orderkey"),
+          org.apache.spark.sql.functions
+            .expr("xpath_long(xml, '/o/k')").as("k_x"),
+          org.apache.spark.sql.functions
+            .expr("xpath_string(xml, '/o/st')").as("st_x"),
+          org.apache.spark.sql.functions
+            .expr("xpath_double(xml, '/o/p')").as("p_x"))
+        .orderBy("o_orderkey")),
+
+    // --- structured round-trip through Spark's XML codec: struct ->
+    // to_xml -> from_xml -> fields. Same identity-oracle discipline:
+    // the codec must preserve long/string fields exactly or the hash
+    // diverges from the plain projection. ---
+    "q_xml_roundtrip" -> ((s, d) =>
+      graft.Tables.table(s, d, "orders")
+        .withColumn("xml", org.apache.spark.sql.functions
+          .expr("to_xml(struct(o_orderkey AS k, o_orderstatus AS st))"))
+        .withColumn("rt", org.apache.spark.sql.functions
+          .expr("from_xml(xml, 'k BIGINT, st STRING')"))
+        .select(col("o_orderkey"), col("rt.k").as("rt_k"),
+          col("rt.st").as("rt_st"))
+        .orderBy("o_orderkey"))
   )
 
   /** Driver-compare-friendly rendering: the verify harness sorts result
@@ -105,5 +147,14 @@ object XmlQueries extends QueryModule {
     df.select(to_json(struct(df.columns.map(col): _*)).as("doc_json"))
       .orderBy("doc_json")
 
-  override def oracle: Map[String, String] = Map()
+  override def oracle: Map[String, String] = Map(
+    // identity oracles: the XML build+extract must reproduce the
+    // original columns bit-for-bit (see the query-side comments)
+    "q_xpath_scalar" ->
+      """SELECT o_orderkey, o_orderkey AS k_x, o_orderstatus AS st_x,
+        |  o_totalprice AS p_x
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT o_orderkey, o_orderkey AS rt_k, o_orderstatus AS rt_st
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Multimodal,
     operators.Advanced,
+    operators.Analytics,
     operators.Evaluation,
     operators.Insights,
     operators.Macros,

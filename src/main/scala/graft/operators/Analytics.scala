@@ -1,0 +1,369 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-analytics operators (round 6, fourth block): RFM customer
+  * segmentation, percentile winsorization, scalable dense surrogate-key
+  * assignment, an exact-moment Pearson correlation matrix, dyadic-weight
+  * EWMA smoothing, and first-touch conversion attribution. All six carry
+  * full DuckDB oracles.
+  *
+  * Shared scale discipline (the idiom PlanQualitySpec pins suite-wide):
+  * any "global" order statistic is computed over an AGGREGATED VALUE
+  * DOMAIN (quantized metric bands, whole-dollar price buckets, key-range
+  * buckets), never over the row stream — the only unpartitioned windows
+  * here run above a HashAggregate whose output is bounded by the domain,
+  * not the data. Rank-style per-row results (quartile score, dense id)
+  * come back via broadcast joins against those tiny domains.
+  */
+object Analytics extends QueryModule {
+
+  /** Quartile score (1-4) per distinct metric band: cumulative customer
+    * count over the band domain, bucket = ceil(4*cum/n). Exact integer
+    * rank arithmetic — the SQL-standard NTILE over rows is a global row
+    * sort, while this is a window over O(bands) aggregate rows.
+    */
+  private def quartileByBand(m: DataFrame, band: String, score: String,
+      n: DataFrame): DataFrame = {
+    val w = Window.orderBy(band)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.groupBy(band).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(n))
+      .select(col(band),
+        ceil(col("cum") * lit(4.0) / col("n")).cast("long").as(score))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- RFM segmentation: the classic customer-value grid. One
+      // aggregate reduces orders to per-customer (recency-month,
+      // frequency, monetary-band) metrics — each QUANTIZED so its value
+      // domain is bounded by the band grid (months since epoch-of-study,
+      // order counts, 10k-price bands), not by the customer count. Each
+      // metric's quartile cut comes from a window over its band domain
+      // (O(bands) rows) and joins back as a broadcast map; the segment
+      // grid aggregate is 4³ cells. No step ever sorts the customer
+      // population. ---
+      "q_rfm_segment" -> ((s, d) => {
+        val m = table(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(
+            floor(datediff(to_date(lit("1999-01-01")),
+              max(col("o_orderdate")).cast("date")) / 30.0).cast("long")
+              .as("r_band"),
+            count(lit(1)).as("f_band"),
+            floor(sum(dec(col("o_totalprice"))).cast("double") / 10000.0)
+              .cast("long").as("m_band"))
+          .localCheckpoint() // 4 consumers below; see round-6 reuse note
+        val n = m.agg(count(lit(1)).as("n"))
+        val joined = m
+          .join(broadcast(quartileByBand(m, "r_band", "r_score", n)),
+            "r_band")
+          .join(broadcast(quartileByBand(m, "f_band", "f_score", n)),
+            "f_band")
+          .join(broadcast(quartileByBand(m, "m_band", "m_score", n)),
+            "m_band")
+        joined.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("r_score", "f_score", "m_score")
+      }),
+
+      // --- percentile winsorization: clamp the price tails at the
+      // whole-dollar p05/p95 before a robust aggregate. The percentile is
+      // an exact order statistic over the DOLLAR domain (bounded by the
+      // price range — ~100k buckets forever — not the row count): one
+      // aggregate to bucket counts, one cumulative window over buckets,
+      // one conditional-min to pick the cut values. The thresholds
+      // broadcast back onto the fact scan as a single 1-row relation; the
+      // clamp itself is map-side codegen. Two scans of the fact are
+      // inherent (threshold pass + apply pass) — the q_join_bloom
+      // discipline. ---
+      "q_winsorize" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("p"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = li.groupBy(floor(col("p")).cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+        val tot = li.agg(count(lit(1)).as("n"))
+        val th = cum.crossJoin(broadcast(tot))
+          .agg(
+            min(when(col("cum") >= ceil(col("n") * lit(0.05)), col("v")))
+              .as("lo"),
+            min(when(col("cum") >= ceil(col("n") * lit(0.95)), col("v")))
+              .as("hi"))
+        li.crossJoin(broadcast(th))
+          .select(col("l_returnflag"),
+            when(col("p") < col("lo"), col("lo").cast("double"))
+              .when(col("p") > col("hi"), col("hi").cast("double"))
+              .otherwise(col("p")).as("wp"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), sumd(col("wp")).as("sum_winsor"))
+          .orderBy("l_returnflag")
+      }),
+
+      // --- dense surrogate-key assignment: contiguous 0..n-1 ids in key
+      // order — the warehouse dimension-load primitive. row_number over
+      // the whole table is a single-partition sort; instead the key space
+      // splits into fixed-width ranges, one aggregate counts each range,
+      // an exclusive prefix-sum over the O(keys/1024) range domain
+      // yields each range's starting offset (broadcast back), and the
+      // per-range row_number runs partitioned. Ids are identical to the
+      // global-sort spelling (the oracle) at any partition count. ---
+      "q_dense_ids" -> ((s, d) => {
+        val c = table(s, d, "customer")
+          .select(col("c_custkey"),
+            floor(col("c_custkey") / 1024.0).cast("long").as("bkt"))
+        val wb = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = c.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(wb), lit(0L)))
+          .select("bkt", "off")
+        val wr = Window.partitionBy("bkt").orderBy("c_custkey")
+        c.join(broadcast(offs), "bkt")
+          .select(col("c_custkey"),
+            (col("off") + row_number().over(wr) - 1).as("dense_id"))
+          .orderBy("c_custkey")
+      }),
+
+      // --- Pearson correlation matrix over (quantity, price, discount):
+      // ONE pass accumulates all first and second moments as exact
+      // DECIMAL sums (the q_linreg_fit quantized-moment discipline —
+      // decimal products are order-independent, so partial-aggregate
+      // merge order can never change the hash), then each pairwise r
+      // derives on the single moment row with IEEE-exact double
+      // arithmetic both engines evaluate identically. The built-in
+      // corr() is a running double accumulation — order-dependent across
+      // partitions, which is exactly why it's not used here. ---
+      "q_corr_matrix" -> ((s, d) => {
+        val a = table(s, d, "lineitem")
+          .select(dec(col("l_quantity")).as("x1"),
+            dec(col("l_extendedprice")).as("x2"),
+            dec(col("l_discount")).as("x3"))
+        val g = a.agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x3") * col("x3")).as("s33"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("x3")).as("s13"),
+          sum(col("x2") * col("x3")).as("s23"))
+        def D(name: String): Column = col(name).cast("double")
+        def r(si: String, sj: String, sij: String, sii: String,
+            sjj: String): Column =
+          (D("n") * D(sij) - D(si) * D(sj)) /
+            (sqrt(D("n") * D(sii) - D(si) * D(si)) *
+              sqrt(D("n") * D(sjj) - D(sj) * D(sj)))
+        g.select(
+            r("s1", "s2", "s12", "s11", "s22").as("c12"),
+            r("s1", "s3", "s13", "s11", "s33").as("c13"),
+            r("s2", "s3", "s23", "s22", "s33").as("c23"))
+          .selectExpr("stack(3, 'quantity~price', c12, " +
+            "'quantity~discount', c13, 'price~discount', c23) " +
+            "as (pair, corr)")
+          .orderBy("pair")
+      }),
+
+      // --- EWMA smoothing (alpha=1/2, 8-term window): per-user
+      // exponential smoothing of the event value stream. The weights are
+      // DYADIC — [128,64,...,1]/255 — so every term is an exact decimal
+      // product and the 8-term sum is exact regardless of evaluation
+      // order; the single closing division by 255 is the only FP op
+      // (the textbook recurrence is a sequential scan that can't
+      // distribute, and arbitrary-alpha power weights hit pow()'s
+      // cross-engine ulp differences). One natural-key shuffle on
+      // user_id; all eight lags share one window frame. Rows without a
+      // full 8-event history are excluded (no partial-window
+      // renormalization to disagree about). ---
+      "q_ewma_smooth" -> ((s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // one select carries all seven lags so they fuse into a single
+        // WindowExec (one shuffle + one per-user sort; AnalyticsSpec
+        // pins the fusion — a second projection between lag uses splits
+        // the operator in two)
+        val lagCols: Seq[Column] = (1 to 7)
+          .map(k => lag(col("v0"), k).over(wu).as(s"v$k"))
+        val weights = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+        val numer = (0 to 7).zip(weights)
+          .map { case (k, wt) => col(s"v$k") * lit(wt) }
+          .reduce(_ + _)
+        table(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            dec(col("value")).as("v0"))
+          .select(Seq(col("user_id"), col("event_id"), col("ts"),
+            col("v0")) ++ lagCols: _*)
+          .filter(col("v7").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            fmtTs(col("ts")).as("ts"),
+            (numer.cast("double") / lit(255.0)).as("ewma"))
+          .orderBy("user_id", "event_id")
+      }),
+
+      // --- first-touch conversion attribution: which acquisition
+      // channel (a user's FIRST event type) drives purchases. ONE
+      // aggregate per user computes both the first touch — the
+      // struct-extremum idiom: min over (ts, event_id, type) replaces a
+      // row_number window, merges map-side, and ties are impossible on
+      // the unique (ts, event_id) key — and the purchase count; the
+      // channel rollup is O(|event_type|) cells. The row_number spelling
+      // (the oracle) shuffles and sorts every event; this shuffles
+      // per-user partial aggregates only. ---
+      "q_attribution" -> ((s, d) => {
+        table(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            min(struct(unix_micros(col("ts")).as("t"),
+              col("event_id").as("e"), col("event_type").as("ty")))
+              .as("first"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+          .groupBy(col("first.ty").as("first_touch"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("conv") > 0, 1L).otherwise(0L))
+              .as("converting_users"),
+            sum(col("conv")).as("conversions"))
+          .orderBy("first_touch")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_rfm_segment" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(floor(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '1999-01-01') / 30.0) AS BIGINT) AS r_band,
+        |    CAST(COUNT(*) AS BIGINT) AS f_band,
+        |    CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) / 10000.0) AS BIGINT) AS m_band
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT COUNT(*) AS n FROM m),
+        |rq AS (SELECT r_band, CAST(ceil(SUM(c) OVER (ORDER BY r_band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 4.0 / n)
+        |    AS BIGINT) AS r_score
+        |  FROM (SELECT r_band, COUNT(*) AS c FROM m GROUP BY r_band)
+        |  CROSS JOIN t),
+        |fq AS (SELECT f_band, CAST(ceil(SUM(c) OVER (ORDER BY f_band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 4.0 / n)
+        |    AS BIGINT) AS f_score
+        |  FROM (SELECT f_band, COUNT(*) AS c FROM m GROUP BY f_band)
+        |  CROSS JOIN t),
+        |mq AS (SELECT m_band, CAST(ceil(SUM(c) OVER (ORDER BY m_band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 4.0 / n)
+        |    AS BIGINT) AS m_score
+        |  FROM (SELECT m_band, COUNT(*) AS c FROM m GROUP BY m_band)
+        |  CROSS JOIN t)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM m JOIN rq USING (r_band) JOIN fq USING (f_band)
+        |JOIN mq USING (m_band)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS p
+        |            FROM lineitem),
+        |dom AS (SELECT CAST(floor(p) AS BIGINT) AS v, COUNT(*) AS c
+        |        FROM li GROUP BY 1),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dom),
+        |tot AS (SELECT COUNT(*) AS n FROM li),
+        |th AS (SELECT
+        |    MIN(CASE WHEN cum >= ceil(n * 0.05) THEN v END) AS lo,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.95) THEN v END) AS hi
+        |  FROM cum CROSS JOIN tot)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN p < lo THEN CAST(lo AS DOUBLE)
+        |                     WHEN p > hi THEN CAST(hi AS DOUBLE)
+        |                     ELSE p END AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_winsor
+        |FROM li CROSS JOIN th
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_dense_ids" ->
+      """SELECT c_custkey,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT)
+        |    AS dense_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH a AS (SELECT
+        |    CAST(l_quantity AS DECIMAL(18,4)) AS x1,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS x2,
+        |    CAST(l_discount AS DECIMAL(18,4)) AS x3
+        |  FROM lineitem),
+    |g AS (SELECT COUNT(*) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+        |    SUM(CAST(x1 AS DECIMAL(19,4)) * x1) AS s11,
+        |    SUM(CAST(x2 AS DECIMAL(19,4)) * x2) AS s22,
+        |    SUM(CAST(x3 AS DECIMAL(19,4)) * x3) AS s33,
+        |    SUM(CAST(x1 AS DECIMAL(19,4)) * x2) AS s12,
+        |    SUM(CAST(x1 AS DECIMAL(19,4)) * x3) AS s13,
+        |    SUM(CAST(x2 AS DECIMAL(19,4)) * x3) AS s23
+        |  FROM a),
+        |c AS (SELECT
+        |    (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |       - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS c12,
+        |    (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+        |       - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+        |         - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS c13,
+        |    (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+        |       - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+        |         - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS c23
+        |  FROM g)
+        |SELECT 'price~discount' AS pair, c23 AS corr FROM c
+        |UNION ALL SELECT 'quantity~discount', c13 FROM c
+        |UNION ALL SELECT 'quantity~price', c12 FROM c
+        |ORDER BY pair""".stripMargin,
+
+    "q_ewma_smooth" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |l AS (SELECT user_id, event_id, ts, v,
+        |    lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+        |    lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+        |    lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+        |    lag(v, 7) OVER w AS v7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(v*128 + v1*64 + v2*32 + v3*16 + v4*8 + v5*4 + v6*2 + v7*1
+        |    AS DOUBLE) / 255.0 AS ewma
+        |FROM l WHERE v7 IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type AS first_touch FROM r
+        |      WHERE rn = 1),
+        |c AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id)
+        |SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN conv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS converting_users,
+        |  CAST(SUM(conv) AS BIGINT) AS conversions
+        |FROM f JOIN c USING (user_id)
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin)
+}

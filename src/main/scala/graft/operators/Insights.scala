@@ -195,6 +195,78 @@ object Insights extends QueryModule {
           .agg(count(lit(1)).as("n"))
           .filter(col("n") < 5)
           .orderBy("seg", "nat", "bal_band")
+      }),
+
+      // --- association rules: the directed extension of q_basket_pairs
+      // (support / confidence / lift per antecedent->consequent). Same
+      // posting-list pair emission (one shuffle leg), then each
+      // undirected pair explodes into its two directions MAP-SIDE on the
+      // already-aggregated pair relation (O(pairs), never a second pass
+      // over baskets); marginals broadcast on; every measure is one IEEE
+      // division of exact int64 counts. ---
+      "q_assoc_rules" -> ((s, d) => {
+        val postings = table(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+        val freq = postings
+          .select(explode(col("ids")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("c1"))
+        val nOrders = postings.agg(count(lit(1)).as("n"))
+        val pairs = TextPipeline.postingPairs(postings.select(col("ids")))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 2)
+        pairs
+          .select(explode(array(
+            struct(col("a_id").as("ant"), col("b_id").as("con"),
+              col("c_ab")),
+            struct(col("b_id").as("ant"), col("a_id").as("con"),
+              col("c_ab")))).as("r"))
+          .select(col("r.ant").as("ant"), col("r.con").as("con"),
+            col("r.c_ab").as("c_ab"))
+          .join(broadcast(freq.select(col("pk").as("ant"),
+            col("c1").as("ca"))), "ant")
+          .join(broadcast(freq.select(col("pk").as("con"),
+            col("c1").as("cb"))), "con")
+          .crossJoin(broadcast(nOrders))
+          .select(col("ant"), col("con"), col("c_ab"),
+            (col("c_ab").cast("double") / col("n")).as("supp"),
+            (col("c_ab").cast("double") / col("ca")).as("conf"),
+            ((col("n") * col("c_ab")).cast("double")
+              / (col("ca") * col("cb")).cast("double")).as("lift"))
+          .orderBy(col("conf").desc, col("ant"), col("con"))
+          .limit(25)
+      }),
+
+      // --- common-neighbor link prediction over the supplier-part
+      // bipartite graph: suppliers ranked by shared catalog (common
+      // parts + neighborhood Jaccard). Posting list per PART of its
+      // suppliers with the df-cap discipline (a part supplied by
+      // everyone is pure noise AND an O(df²) emission bomb; 256 is
+      // provably above this corpus's max df, so results are
+      // bit-identical — the fleet knob q_dedup_ngram documents);
+      // degrees broadcast onto the O(pairs) aggregate; top-20 is a
+      // TakeOrdered. ---
+      "q_graph_commonnbrs" -> ((s, d) => {
+        val sp = table(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val deg = sp.groupBy("sk").agg(count(lit(1)).as("c"))
+        val postings = sp.groupBy("pk")
+          .agg(sort_array(collect_set(col("sk"))).as("ids"))
+          .filter(size(col("ids")).between(2, 256))
+        TextPipeline.postingPairs(postings.select(col("ids")))
+          .groupBy(col("a_id").as("sa"), col("b_id").as("sb"))
+          .agg(count(lit(1)).as("common"))
+          .join(broadcast(deg.select(col("sk").as("sa"),
+            col("c").as("ca"))), "sa")
+          .join(broadcast(deg.select(col("sk").as("sb"),
+            col("c").as("cb"))), "sb")
+          .select(col("sa"), col("sb"), col("common"),
+            (col("common").cast("double")
+              / (col("ca") + col("cb") - col("common"))).as("jac"))
+          .orderBy(col("common").desc, col("sa"), col("sb"))
+          .limit(20)
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -294,5 +366,43 @@ object Insights extends QueryModule {
         |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
-        |ORDER BY seg, nat, bal_band""".stripMargin)
+        |ORDER BY seg, nat, bal_band""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |f AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c1
+        |      FROM op GROUP BY pk),
+        |t AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM op),
+        |p AS (SELECT a.pk AS pa, b.pk AS pb,
+        |        CAST(COUNT(*) AS BIGINT) AS c_ab
+        |      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT pa AS ant, pb AS con, c_ab FROM p
+        |        UNION ALL SELECT pb, pa, c_ab FROM p)
+        |SELECT ant, con, c_ab,
+        |  CAST(c_ab AS DOUBLE) / t.n AS supp,
+        |  CAST(c_ab AS DOUBLE) / fa.c1 AS conf,
+        |  CAST(t.n * c_ab AS DOUBLE) / CAST(fa.c1 * fb.c1 AS DOUBLE)
+        |    AS lift
+        |FROM dir JOIN f fa ON fa.pk = ant JOIN f fb ON fb.pk = con
+        |CROSS JOIN t
+        |ORDER BY conf DESC, ant, con LIMIT 25""".stripMargin,
+
+    "q_graph_commonnbrs" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |            FROM lineitem),
+        |deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM sp GROUP BY sk),
+        |cap AS (SELECT pk FROM sp GROUP BY pk
+        |        HAVING COUNT(*) BETWEEN 2 AND 256),
+        |pr AS (SELECT a.sk AS sa, b.sk AS sb,
+        |         CAST(COUNT(*) AS BIGINT) AS common
+        |       FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+        |       JOIN cap ON cap.pk = a.pk
+        |       GROUP BY 1, 2)
+        |SELECT sa, sb, common,
+        |  CAST(common AS DOUBLE) / (da.c + db.c - common) AS jac
+        |FROM pr JOIN deg da ON da.sk = sa JOIN deg db ON db.sk = sb
+        |ORDER BY common DESC, sa, sb LIMIT 20""".stripMargin)
 }

@@ -106,6 +106,86 @@ object Macros extends QueryModule {
           .limit(20)
       }),
 
+      // --- Q7 shape: volume shipping between two nations. Both nation
+      // slices reduce their dimension BEFORE the fact joins (suppliers
+      // and customers shrink to the two nations — 8% of each — and
+      // broadcast); lineitem's date slice pushes to the scan; the only
+      // shuffle is the orderkey join; the asymmetric-pair predicate
+      // closes on the already-joined rows. ---
+      "q_tpch_q7" -> ((s, d) => {
+        val n1 = table(s, d, "nation")
+          .select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))
+        val n2 = table(s, d, "nation")
+          .select(col("n_nationkey").as("cnk"),
+            col("n_name").as("cust_nation"))
+        val sup = table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("snk"))
+          .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = table(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+          .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter((col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+      // --- Q14 shape: promo revenue share for one month. The dated
+      // lineitem slice pushes to the scan, part broadcasts, and the
+      // conditional/total revenue pair lands in ONE aggregate row — the
+      // share is a single IEEE division of two decimal-exact sums. ---
+      "q_tpch_q14" -> ((s, d) => {
+        val pt = table(s, d, "part").select(col("p_partkey"), col("p_type"))
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-03-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+          .select(col("l_partkey"), col("l_extendedprice"),
+            col("l_discount"))
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", revenue)
+              .otherwise(lit(0).cast(D))).cast("double")
+            / sum(revenue).cast("double")).as("promo_share"))
+      }),
+
+      // --- Q17 shape: small-quantity-order revenue. The brand slice of
+      // part broadcasts twice (threshold pass + apply pass — the
+      // q_join_bloom two-scan discipline); the per-part quantity
+      // average is exact (decimal sum / count, one IEEE division per
+      // part) and broadcasts back onto the brand slice. ---
+      "q_tpch_q17" -> ((s, d) => {
+        val pk = table(s, d, "part")
+          .filter(col("p_brand") === "Brand#1").select("p_partkey")
+        val liB = table(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        val avgq = liB.groupBy("l_partkey").agg(avgd(col("l_quantity"))
+          .as("aq"))
+        liB.join(broadcast(avgq), "l_partkey")
+          .filter(col("l_quantity") < lit(0.2) * col("aq"))
+          .agg((sumd(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      }),
+
       // --- Q10 shape: returned-item customer ranking for one quarter.
       // The returnflag slice of lineitem joins the quarter's orders on
       // the order key (both pushed filters reach the scans); customer
@@ -189,5 +269,44 @@ object Macros extends QueryModule {
          |  AND o_orderdate >= TIMESTAMP '1996-10-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
-         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""WITH pk AS (SELECT p_partkey FROM part
+         |            WHERE p_brand = 'Brand#1'),
+         |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |       FROM lineitem JOIN pk ON l_partkey = p_partkey),
+         |a AS (SELECT l_partkey, ${A("l_quantity")} AS aq
+         |      FROM li GROUP BY l_partkey)
+         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+         |    AS DOUBLE) / 7.0 AS avg_yearly
+         |FROM li JOIN a USING (l_partkey)
+         |WHERE l_quantity < 0.2 * aq""".stripMargin)
 }

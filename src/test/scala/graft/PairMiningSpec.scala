@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force re-derivations for the round-6 pair-mining operators at
+  * sf0.001 (association rules, common-neighbor link prediction, the
+  * blocked prefix set-similarity join) plus plan pins for the TPC-H
+  * macro additions (Q7/Q14/Q17).
+  */
+class PairMiningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ssjoin: blocked prefix-filter candidates lose no qualifying " +
+      "pair (exact within-block Jaccard, brute-forced)") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").distinct.toSet))
+    val want = (for {
+      Seq((a, sa, ta), (b, sb, tb)) <- docs.sortBy(_._1).toSeq.combinations(2)
+      if sa == sb
+      inter = (ta & tb).size
+      jac = inter.toDouble / (ta.size + tb.size - inter)
+      if jac >= 0.8
+    } yield (math.min(a, b), math.max(a, b), inter.toLong, jac)).toSeq
+      .sortBy(p => (p._1, p._2))
+    val got = q("q_ssjoin_prefix").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("inter"), r.getAs[Double]("jac"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "degenerate test: no qualifying pairs at sf0.001")
+  }
+
+  test("assoc rules: confidence and lift reconcile with brute-forced " +
+      "basket counts, and directions are asymmetric") {
+    val baskets = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, ls) => ls.map(_._2).toSet }.toSeq
+    val n = baskets.size.toLong
+    val freq = baskets.flatten.groupBy(identity)
+      .map { case (p, os) => (p, os.size.toLong) }
+    val pairCount = baskets
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, os) => (p, os.size.toLong) }
+      .filter(_._2 >= 2)
+    q("q_assoc_rules").collect().foreach { r =>
+      val (ant, con, cab) = (r.getAs[Long]("ant"), r.getAs[Long]("con"),
+        r.getAs[Long]("c_ab"))
+      val key = (math.min(ant, con), math.max(ant, con))
+      assert(pairCount(key) == cab, s"$key count")
+      assert(r.getAs[Double]("supp") == cab.toDouble / n)
+      assert(r.getAs[Double]("conf") == cab.toDouble / freq(ant))
+      assert(r.getAs[Double]("lift") ==
+        (n * cab).toDouble / (freq(ant) * freq(con)).toDouble)
+    }
+  }
+
+  test("common neighbors: pair counts and Jaccard equal the brute-forced " +
+      "bipartite overlap") {
+    val sp = Tables.table(spark, sf, "lineitem")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parts = sp.groupBy(_._1).map { case (s, ps) =>
+      (s, ps.map(_._2).toSet) }
+    q("q_graph_commonnbrs").collect().foreach { r =>
+      val (sa, sb) = (r.getAs[Long]("sa"), r.getAs[Long]("sb"))
+      val inter = (parts(sa) & parts(sb)).size.toLong
+      assert(r.getAs[Long]("common") == inter, s"($sa,$sb)")
+      assert(r.getAs[Double]("jac") == inter.toDouble /
+        (parts(sa).size + parts(sb).size - inter))
+    }
+  }
+
+  test("macro plans: Q7 shuffles only on the order key, Q14/Q17 join " +
+      "via broadcast only, ssjoin never goes cartesian") {
+    // Q7: both nation-sliced dimensions broadcast; exactly the
+    // lineitem<->orders equi-join may sort-merge/shuffle-hash
+    val p7 = q("q_tpch_q7").queryExecution.executedPlan.toString
+    assert(p7.contains("BroadcastHashJoin"), p7.take(1500))
+    val heavy7 = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p7).size
+    assert(heavy7 <= 1, s"Q7 has $heavy7 shuffle joins:\n${p7.take(2000)}")
+    for (name <- Seq("q_tpch_q14", "q_tpch_q17")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name must join via broadcast only:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+    val ps = q("q_ssjoin_prefix").queryExecution.executedPlan.toString
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+  }
+}

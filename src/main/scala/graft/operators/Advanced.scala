@@ -553,6 +553,32 @@ object Advanced extends QueryModule {
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .orderBy("zcell")
+    }),
+
+    // --- bitmap segment index (native BitmapAgg, functions/Bitmap
+    // .scala): which customers ordered in BOTH 1996 and 1997, per
+    // 1024-wide key-range bucket. Each (bucket, year) reduces to a
+    // 128-byte bitmap (associative OR merge — partial aggregation and
+    // AQE unchanged); the year-over-year intersection is then a
+    // codegen'd AND+popcount on the bucket join, never a re-shuffle of
+    // the key sets. The FULL oracle (DISTINCT-join counts) works
+    // because the bitmap is exact, not a sketch. ---
+    "q_bitmap_index" -> ((s, d) => {
+      import graft.functions.BitmapAgg.{andCardinality, bitmap, cardinality}
+      val o = table(s, d, "orders")
+        .select(col("o_custkey").as("ck"),
+          year(col("o_orderdate")).as("y"))
+      def seg(yr: Int): DataFrame = o.filter(col("y") === yr)
+        .select("ck").distinct()
+        .select(floor(col("ck") / 1024.0).cast("long").as("bkt"),
+          pmod(col("ck"), lit(1024L)).as("pos"))
+        .groupBy("bkt").agg(bitmap(col("pos")).as(s"bm$yr"))
+      seg(1996).join(seg(1997), "bkt")
+        .select(col("bkt"),
+          cardinality(col("bm1996")).as("n_1996"),
+          cardinality(col("bm1997")).as("n_1997"),
+          andCardinality(col("bm1996"), col("bm1997")).as("n_both"))
+        .orderBy("bkt")
     })
   )
 
@@ -802,6 +828,24 @@ object Advanced extends QueryModule {
         |SELECT (zkey >> 22) AS zcell, COUNT(*) AS n,
         |  MIN(x) AS x_min, MAX(x) AS x_max,
         |  MIN(y) AS y_min, MAX(y) AS y_max
-        |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin,
+
+    "q_bitmap_index" ->
+      """WITH o AS (SELECT DISTINCT o_custkey AS ck,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+        |a AS (SELECT CAST(floor(ck / 1024.0) AS BIGINT) AS bkt, ck
+        |      FROM o WHERE y = 1996),
+        |b AS (SELECT CAST(floor(ck / 1024.0) AS BIGINT) AS bkt, ck
+        |      FROM o WHERE y = 1997),
+        |ga AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_1996
+        |       FROM a GROUP BY bkt),
+        |gb AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_1997
+        |       FROM b GROUP BY bkt),
+        |gboth AS (SELECT a.bkt, CAST(COUNT(*) AS BIGINT) AS n_both
+        |          FROM a JOIN b ON a.ck = b.ck GROUP BY a.bkt)
+        |SELECT bkt, n_1996, n_1997, COALESCE(n_both, 0) AS n_both
+        |FROM ga JOIN gb USING (bkt) LEFT JOIN gboth USING (bkt)
+        |ORDER BY bkt""".stripMargin
   )
 }

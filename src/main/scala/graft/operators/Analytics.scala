@@ -231,6 +231,61 @@ object Analytics extends QueryModule {
               .as("converting_users"),
             sum(col("conv")).as("conversions"))
           .orderBy("first_touch")
+      }),
+
+      // --- time-decayed customer value: half-life-one-month recency
+      // weighting of spend. The weight is DYADIC — 2^(15-k) for order
+      // age k months, zero past 15 — built with an integer SHIFT, not
+      // pow() (libm powers differ across engines in the last ulp; a
+      // shifted long is exact everywhere), so every term is an exact
+      // decimal*int64 product, the per-customer sum is
+      // order-independent, and the single closing division by 2^15 is
+      // the only FP op. One aggregate, map-side partials. ---
+      "q_decay_score" -> ((s, d) => {
+        table(s, d, "orders")
+          .select(col("o_custkey"),
+            floor(datediff(to_date(lit("2002-01-01")),
+              col("o_orderdate").cast("date")) / 30.0).cast("long")
+              .as("k"),
+            col("o_totalprice").as("p"))
+          .filter(col("k").between(0, 15))
+          .withColumn("w", expr("shiftleft(1L, cast(15 - k as int))"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_recent"),
+            (sum(dec(col("p")) * col("w")).cast("double") / lit(32768.0))
+              .as("decayed"))
+          .orderBy("o_custkey")
+      }),
+
+      // --- Gini inequality audit over customer spend (grouped Lorenz
+      // on 1k-spend bands): the fairness/concentration gate a revenue
+      // or token-budget review runs. Rows reduce to per-customer spend
+      // (one aggregate), then to the O(bands) value domain; the Lorenz
+      // prefix-sum runs over BANDS (the suite's domain-window
+      // discipline) and every term stays exact decimal*int64 until the
+      // single closing division. Grouped-data Gini by construction —
+      // the oracle spells the identical banded statistic. ---
+      "q_gini" -> ((s, d) => {
+        val m = table(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(dec(col("o_totalprice"))).as("sp"))
+        val bd = m.groupBy(floor(col("sp").cast("double") / 1000.0)
+            .cast("long").as("band"))
+          .agg(count(lit(1)).as("c"), sum(col("sp")).as("sb"))
+        val wb = Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = m.agg(count(lit(1)).as("n"), sum(col("sp")).as("tot"))
+        bd.withColumn("sbefore",
+            coalesce(sum("sb").over(wb), lit(0).cast("decimal(38,4)")))
+          .crossJoin(broadcast(t))
+          .groupBy("n", "tot")
+          .agg(sum(col("c") * (lit(2) * col("sbefore") + col("sb")))
+            .as("lorenz"))
+          .select(col("n").as("n_customers"),
+            col("tot").cast("double").as("total_spend"),
+            (lit(1.0) - col("lorenz").cast("double")
+              / (col("n").cast("double") * col("tot").cast("double")))
+              .as("gini"))
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -365,5 +420,39 @@ object Analytics extends QueryModule {
         |    AS converting_users,
         |  CAST(SUM(conv) AS BIGINT) AS conversions
         |FROM f JOIN c USING (user_id)
-        |GROUP BY first_touch ORDER BY first_touch""".stripMargin)
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+
+    "q_decay_score" ->
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+        |      DATE '2002-01-01') / 30.0) AS BIGINT) AS k,
+        |    o_totalprice AS p
+        |  FROM orders),
+        |f AS (SELECT o_custkey, p,
+        |        (CAST(1 AS BIGINT) << CAST(15 - k AS INTEGER)) AS w
+        |      FROM r WHERE k BETWEEN 0 AND 15)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_recent,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,4)) * w) AS DOUBLE) / 32768.0
+        |    AS decayed
+        |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_gini" ->
+      """WITH m AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sp
+        |  FROM orders GROUP BY o_custkey),
+        |bd AS (SELECT CAST(floor(CAST(sp AS DOUBLE) / 1000.0) AS BIGINT)
+        |    AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS c, SUM(sp) AS sb
+        |  FROM m GROUP BY 1),
+        |w AS (SELECT band, c, sb,
+        |    COALESCE(SUM(sb) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sbefore
+        |  FROM bd),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(sp) AS tot
+        |      FROM m)
+        |SELECT n AS n_customers, CAST(tot AS DOUBLE) AS total_spend,
+        |  1.0 - CAST(SUM(c * (2 * sbefore + sb)) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
+        |FROM w CROSS JOIN t GROUP BY n, tot""".stripMargin)
 }

@@ -122,12 +122,12 @@ object Macros extends QueryModule {
         val sup = table(s, d, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))
           .join(broadcast(n1), col("s_nationkey") === col("snk"))
-          .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+          .filter(col("supp_nation").isin("NATION_10", "NATION_12"))
           .select(col("s_suppkey"), col("supp_nation"))
         val cust = table(s, d, "customer")
           .select(col("c_custkey"), col("c_nationkey"))
           .join(broadcast(n2), col("c_nationkey") === col("cnk"))
-          .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+          .filter(col("cust_nation").isin("NATION_10", "NATION_12"))
           .select(col("c_custkey"), col("cust_nation"))
         val ord = table(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
@@ -140,10 +140,10 @@ object Macros extends QueryModule {
             col("l_extendedprice"), col("l_discount"))
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .filter((col("supp_nation") === "NATION_1" &&
-              col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" &&
-              col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_12" &&
+              col("cust_nation") === "NATION_10") ||
+            (col("supp_nation") === "NATION_10" &&
+              col("cust_nation") === "NATION_12"))
           .groupBy("supp_nation", "cust_nation", "l_year")
           .agg(sum(revenue).cast("double").as("revenue"))
           .orderBy("supp_nation", "cust_nation", "l_year")
@@ -283,8 +283,8 @@ object Macros extends QueryModule {
          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
-         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_tpch_q14" ->

@@ -167,6 +167,30 @@ object Macros extends QueryModule {
             / sum(revenue).cast("double")).as("promo_share"))
       }),
 
+      // --- Q19 shape: disjunctive discounted-revenue predicate. The
+      // classic OR-of-ANDs that tests predicate normalization: the
+      // optimizer must extract the common p_brand IN (...) superset
+      // (pushable into the broadcast build side) while the per-branch
+      // (brand, size, quantity) conjunctions evaluate post-join in one
+      // codegen stage. part broadcasts; lineitem never shuffles. ---
+      "q_tpch_q19" -> ((s, d) => {
+        val pt = table(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        def branch(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand &&
+            col("p_size").between(1, szHi) &&
+            col("l_quantity").between(qLo, qHi)
+        table(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .filter(branch("Brand#1", 15, 1, 11) ||
+            branch("Brand#2", 25, 10, 20) ||
+            branch("Brand#3", 35, 20, 30))
+          .agg(sum(revenue).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      }),
+
       // --- Q17 shape: small-quantity-order revenue. The brand slice of
       // part broadcasts twice (threshold pass + apply pass — the
       // q_join_bloom two-scan discipline); the per-part quantity
@@ -297,6 +321,17 @@ object Macros extends QueryModule {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT $revenueSql AS revenue, CAST(COUNT(*) AS BIGINT)
+         |    AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_tpch_q17" ->
       s"""WITH pk AS (SELECT p_partkey FROM part

@@ -351,6 +351,47 @@ object StreamingSmoke extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // --- streamed bitmap-index maintenance (round 6, batch 4): the
+    // exact BitmapAgg under complete mode — live segment membership
+    // ("which users VIEWED / which PURCHASED, and the overlap") with
+    // 128 bytes of state per (bucket, segment) forever. The same
+    // associative OR merge that serves batch partial aggregation
+    // serves the per-micro-batch state update, and because the bitmap
+    // is exact (not a sketch) this streamed query carries a FULL
+    // DuckDB oracle — the DISTINCT-join spelling over the same rows.
+    // The set algebra (popcount / AND) runs AFTER the sink drain, on
+    // O(buckets) rows. ---
+    "q_streaming_bitmap" -> ((s, d) => {
+      import graft.functions.BitmapAgg.{andCardinality, bitmap, cardinality}
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_bitmap_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/bitmap-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(floor(col("user_id") / 1024.0).cast("long").as("bkt"))
+        .agg(
+          bitmap(when(col("event_type") === "view",
+            pmod(col("user_id"), lit(1024L)))).as("bm_view"),
+          bitmap(when(col("event_type") === "purchase",
+            pmod(col("user_id"), lit(1024L)))).as("bm_buy"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      runThenClean(q, ckpt)
+      drainSink(s, name)
+        .select(col("bkt"),
+          cardinality(col("bm_view")).as("n_view"),
+          cardinality(col("bm_buy")).as("n_buy"),
+          andCardinality(col("bm_view"), col("bm_buy")).as("n_both"))
+        .orderBy("bkt")
+    }),
+
     // --- streamed reservoir sampling (round 6): the bounded
     // ReservoirTopK aggregate maintained under Structured Streaming —
     // the third sketch in the incrementally-maintained family (after
@@ -432,6 +473,27 @@ object StreamingSmoke extends QueryModule {
   // batch result), dedup is COUNT(DISTINCT), and the interval join is
   // its batch twin.
   override def oracle: Map[String, String] = Map(
+    // the streamed bitmap is EXACT, so its oracle is the plain
+    // DISTINCT-join spelling over the same event rows
+    "q_streaming_bitmap" ->
+      """WITH u AS (SELECT DISTINCT
+        |    CAST(floor(user_id / 1024.0) AS BIGINT) AS bkt,
+        |    user_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (SELECT bkt, user_id FROM u WHERE event_type = 'view'),
+        |p AS (SELECT bkt, user_id FROM u WHERE event_type = 'purchase'),
+        |gv AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_view
+        |       FROM v GROUP BY bkt),
+        |gp AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_buy
+        |       FROM p GROUP BY bkt),
+        |gb AS (SELECT v.bkt, CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM v JOIN p ON v.user_id = p.user_id GROUP BY v.bkt)
+        |SELECT bkt, COALESCE(n_view, 0) AS n_view,
+        |  COALESCE(n_buy, 0) AS n_buy, COALESCE(n_both, 0) AS n_both
+        |FROM gv FULL OUTER JOIN gp USING (bkt)
+        |LEFT JOIN gb USING (bkt)
+        |ORDER BY bkt""".stripMargin,
+
     // the streamed sketch is bit-deterministic, so its oracle is the
     // exact SQL twin of the bucketing (same CTE shape as
     // q_quantile_sketch) over the same event rows

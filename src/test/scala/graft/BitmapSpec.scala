@@ -75,6 +75,24 @@ class BitmapSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed bitmap maintenance equals the batch distinct-join " +
+      "recompute over the same rows") {
+    val got = q("q_streaming_bitmap").collect()
+      .map(r => (r.getAs[Long]("bkt"), r.getAs[Long]("n_view"),
+        r.getAs[Long]("n_buy"), r.getAs[Long]("n_both"))).toSeq
+    val ev = Tables.table(spark, sf, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def users(t: String) = ev.filter(_._2 == t).map(_._1).toSet
+    val (v, p) = (users("view"), users("purchase"))
+    val want = (v ++ p).groupBy(_ / 1024).toSeq.sortBy(_._1)
+      .map { case (bkt, us) =>
+        (bkt, (us & v).size.toLong, (us & p).size.toLong,
+          (us & v & p).size.toLong)
+      }
+    assert(got == want)
+  }
+
   test("decay score equals the driver-side dyadic recompute") {
     val got = q("q_decay_score").collect()
       .map(r => (r.getAs[Long]("o_custkey"),

@@ -248,14 +248,21 @@ object Insights extends QueryModule {
       // degrees broadcast onto the O(pairs) aggregate; top-20 is a
       // TakeOrdered. ---
       "q_graph_commonnbrs" -> ((s, d) => {
-        val sp = table(s, d, "lineitem")
+        // ONE aggregate builds the per-part posting lists (collect_set
+        // dedups in place — a separate global (sk,pk) DISTINCT would
+        // add a third full shuffle); the degree table then derives from
+        // the already-deduped lists, and localCheckpoint stops the
+        // two consumers from re-running the scan+aggregate (round-6
+        // union-leg lesson).
+        val postings = table(s, d, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-          .distinct()
-        val deg = sp.groupBy("sk").agg(count(lit(1)).as("c"))
-        val postings = sp.groupBy("pk")
+          .groupBy("pk")
           .agg(sort_array(collect_set(col("sk"))).as("ids"))
-          .filter(size(col("ids")).between(2, 256))
-        TextPipeline.postingPairs(postings.select(col("ids")))
+          .localCheckpoint()
+        val deg = postings.select(explode(col("ids")).as("sk"))
+          .groupBy("sk").agg(count(lit(1)).as("c"))
+        val capped = postings.filter(size(col("ids")).between(2, 256))
+        TextPipeline.postingPairs(capped.select(col("ids")))
           .groupBy(col("a_id").as("sa"), col("b_id").as("sb"))
           .agg(count(lit(1)).as("common"))
           .join(broadcast(deg.select(col("sk").as("sa"),

@@ -138,8 +138,12 @@ object TextPipeline extends QueryModule {
     // posting lists stay short and output is O(block dups). ---
     "q_ssjoin_prefix" -> ((s, d) => {
       val tau = 0.8
+      // localCheckpoint: the tokenized relation feeds THREE consumers
+      // (the df/prefix pipeline and both verification sides) — without
+      // it each one re-scans and re-tokenizes the corpus
       val docs = table(s, d, "documents")
         .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
+        .localCheckpoint()
       val ex = docs.select(col("doc_id"), col("source"),
         explode(col("tk")).as("t"))
       val dfreq = ex.groupBy("source", "t").agg(count(lit(1)).as("df"))

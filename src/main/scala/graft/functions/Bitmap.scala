@@ -111,8 +111,21 @@ object BitmapAgg {
       Seq(Bridge.expression(a), Bridge.expression(b)),
       propagateNull = true, returnNullable = false))
 
-  /** SQL-callable registration (tests + ad-hoc SQL). */
+  /** SQL-callable registration (tests + ad-hoc SQL):
+    * `graft_bitmap(pos)` or `graft_bitmap(pos, bits)` with a literal
+    * width — extra arguments are rejected, never silently dropped.
+    */
   def register(spark: SparkSession): Unit =
-    Bridge.registerFunction(spark, "graft_bitmap",
-      args => BitmapAgg(args.head).toAggregateExpression())
+    Bridge.registerFunction(spark, "graft_bitmap", {
+      case Seq(pos) => BitmapAgg(pos).toAggregateExpression()
+      case Seq(pos, bits) if bits.foldable =>
+        BitmapAgg(pos, bits.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_bitmap bits must be an integer literal, got $other")
+        }).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"graft_bitmap expects (pos [, bits literal]), got ${args.length} args")
+    })
 }

@@ -42,6 +42,8 @@ case class ExactTopK(left: Expression, right: Expression, k: Int,
     extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Long)]]
     with BinaryLike[Expression] {
 
+  require(k > 0, s"graft_topk requires k > 0, got $k")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("v", LongType, nullable = false),
     StructField("id", LongType, nullable = false))),

@@ -49,7 +49,14 @@ case class HdrHistogram(left: Expression, right: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (DoubleType, ArrayType(DoubleType, _)) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // fail-loudly rule (see BitmapAgg): a quantile outside (0, 1]
+        // would otherwise walk the cumulative loop off the end and
+        // reverse-map a nonsense bucket
+        val bad = right.eval().asInstanceOf[ArrayData].toDoubleArray()
+          .filterNot(q => q > 0.0 && q <= 1.0)
+        if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_hdr quantiles must lie in (0, 1], got ${bad.mkString(",")}")
       case other =>
         TypeCheckResult.TypeCheckFailure(
           s"graft_hdr expects (double value, foldable array<double> " +

@@ -192,8 +192,13 @@ object Evaluation extends QueryModule {
       // same expression is a free partition filter at training time —
       // no materialized fold column needed. ---
       "q_crossval_folds" -> ((s, d) => {
+        // the Knuth product runs in DECIMAL(38,0) so it stays exact for
+        // ANY int64 doc_id (a raw long product wraps past doc_id ~3.5e9
+        // — below the fleet-scale id space); the mod chain returns to
+        // int64. Same values as the long spelling wherever both fit.
         table(s, d, "documents")
-          .select(((col("doc_id") * lit(2654435761L)) % 1000003L % 5L)
+          .select(((col("doc_id").cast("decimal(38,0)")
+            * lit(2654435761L)) % 1000003L % 5L).cast("long")
             .as("fold"), col("n_chars"), col("lang"))
           .groupBy("fold")
           .agg(count(lit(1)).as("n_docs"),
@@ -446,7 +451,8 @@ object Evaluation extends QueryModule {
         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
 
     "q_crossval_folds" ->
-      """SELECT ((doc_id * 2654435761) % 1000003) % 5 AS fold,
+      """SELECT CAST((CAST(doc_id AS DECIMAL(38,0)) * 2654435761)
+        |    % 1000003 % 5 AS BIGINT) AS fold,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs

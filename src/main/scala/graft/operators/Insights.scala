@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Insights extends QueryModule {
 
+  /** Order-basket posting lists plus their marginals (per-part order
+    * frequency, basket count) — the shared head of q_basket_pairs and
+    * q_assoc_rules. localCheckpoint: THREE consumers read the postings
+    * aggregate (pair stream, marginals, count), and exchange reuse is
+    * not guaranteed to fire (the round-6 cluster-loop lesson) — without
+    * the checkpoint the lineitem scan + collect_set shuffle can run
+    * three times.
+    */
+  private def orderPostings(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val postings = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+      .localCheckpoint()
+    val freq = postings.select(explode(col("ids")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("c1"))
+    val nOrders = postings.agg(count(lit(1)).as("n"))
+    (postings, freq, nOrders)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
@@ -116,13 +136,7 @@ object Insights extends QueryModule {
       // q_cooccur_pmi exact-int64-product idiom, one terminal IEEE
       // division. ---
       "q_basket_pairs" -> ((s, d) => {
-        val postings = table(s, d, "lineitem")
-          .groupBy(col("l_orderkey").as("ok"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-        val freq = postings
-          .select(explode(col("ids")).as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("c1"))
-        val nOrders = postings.agg(count(lit(1)).as("n"))
+        val (postings, freq, nOrders) = orderPostings(s, d)
         TextPipeline.postingPairs(postings.select(col("ids")))
           .groupBy(col("a_id").as("pa"), col("b_id").as("pb"))
           .agg(count(lit(1)).as("c_ab"))
@@ -205,13 +219,7 @@ object Insights extends QueryModule {
       // over baskets); marginals broadcast on; every measure is one IEEE
       // division of exact int64 counts. ---
       "q_assoc_rules" -> ((s, d) => {
-        val postings = table(s, d, "lineitem")
-          .groupBy(col("l_orderkey").as("ok"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-        val freq = postings
-          .select(explode(col("ids")).as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("c1"))
-        val nOrders = postings.agg(count(lit(1)).as("n"))
+        val (postings, freq, nOrders) = orderPostings(s, d)
         val pairs = TextPipeline.postingPairs(postings.select(col("ids")))
           .groupBy(col("a_id"), col("b_id"))
           .agg(count(lit(1)).as("c_ab"))

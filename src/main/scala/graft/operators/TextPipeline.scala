@@ -273,7 +273,7 @@ object TextPipeline extends QueryModule {
     * LOWERS a pair's observed intersection — the conservative error
     * direction for a near-dup gate, same trade MinHash banding makes.)
     */
-  private val NgramDfCap = 256
+  private[graft] val NgramDfCap = 256
 
   /** Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac >= 0.5) —
     * shared by `q_dedup_ngram` and the connected-components clustering in

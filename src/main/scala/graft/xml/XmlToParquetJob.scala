@@ -46,20 +46,40 @@ object XmlToParquetJob {
     * per global element; the document root is the complex one (or the
     * requested `rowTag`).
     *
-    * Memoized on (content, rowTag): the worklist loop compiles the SAME
-    * unchanged schema once per input file (plus the fail-fast probe) —
-    * for the reference's 10,000-file batches that is 10,000 redundant
-    * driver-side schema compiles without this cache. Failures are not
-    * cached (computeIfAbsent propagates and stores nothing), so the
-    * fail-fast probe still throws per attempt.
+    * Memoized on (content-digest, rowTag): the worklist loop compiles
+    * the SAME unchanged schema once per input file (plus the fail-fast
+    * probe) — for the reference's 10,000-file batches that is 10,000
+    * redundant driver-side schema compiles without this cache. Failures
+    * are not cached (a throwing compute stores nothing), so the
+    * fail-fast probe still throws per attempt. BOUNDED: keyed by MD5
+    * digest (not the full XSD text) and capped LRU-style at 64 schemas,
+    * so a long-lived driver cycling through many evolving XSDs cannot
+    * grow the cache without limit.
     */
-  private val xsdCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Option[String]), (String, StructType)]()
+  private val XsdCacheMax = 64
+  private val xsdCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Option[String]),
+        (String, StructType)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Option[String]),
+            (String, StructType)]): Boolean = size() > XsdCacheMax
+    })
 
   def compileXsd(xsdContent: String, rowTag: Option[String] = None)
-      : (String, StructType) =
-    xsdCache.computeIfAbsent((xsdContent, rowTag),
-      { case (c, t) => compileXsdUncached(c, t) })
+      : (String, StructType) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(xsdContent.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val key = (digest, rowTag)
+    val hit = xsdCache.get(key)
+    if (hit != null) hit
+    else {
+      // compile OUTSIDE the map lock (XSD compile is the expensive
+      // part); a racing duplicate compile is harmless and idempotent
+      val compiled = compileXsdUncached(xsdContent, rowTag)
+      xsdCache.put(key, compiled)
+      compiled
+    }
+  }
 
   private def compileXsdUncached(xsdContent: String, rowTag: Option[String])
       : (String, StructType) = {

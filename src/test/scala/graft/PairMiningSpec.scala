@@ -83,6 +83,25 @@ class PairMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram df-cap is provably inert at oracle scale: max shingle df " +
+      "stays far below the cap the uncapped DuckDB oracle ignores") {
+    // q_dedup_ngram's posting lists drop shingles with df > NgramDfCap
+    // while its oracle is uncapped — sound only while no shingle is
+    // that viral. Pin the measured claim so corpus drift fails CI, not
+    // the verify hash compare. Independent recompute (no shared code).
+    for (sfd <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val maxDf = Tables.table(spark, sfd, "documents")
+        .select("doc_id", "text").collect()
+        .flatMap(r => r.getString(1).split(" ").sliding(3)
+          .filter(_.length == 3).map(_.mkString(" ")).toSet.toSeq)
+        .groupBy(identity).values.map(_.length).max
+      assert(maxDf <= operators.TextPipeline.NgramDfCap / 4,
+        s"$sfd: max shingle df $maxDf approaches the cap " +
+          s"${operators.TextPipeline.NgramDfCap}; the uncapped oracle " +
+          "would silently diverge")
+    }
+  }
+
   test("macro plans: Q7 shuffles only on the order key, Q14/Q17 join " +
       "via broadcast only, ssjoin never goes cartesian") {
     // Q7: both nation-sliced dimensions broadcast; exactly the

@@ -244,6 +244,39 @@ object Evaluation extends QueryModule {
       // each a pushed-down 3-column scan; at fleet scale the exact
       // percentile swaps for the mergeable HDR sketch of
       // q_quantile_sketch without changing the query shape. ---
+      // --- CUSUM change-point detection per event type: where does the
+      // value stream's level shift? The textbook statistic max|cumsum(x)
+      // - t*mean| divides by n too early to stay exact — so the
+      // deviation is SCALED BY N: D_t = n*cumsum_t - t*total, all
+      // decimal/int64-exact (one natural-key window per type, the same
+      // shuffle the rest of the event-time family rides), and the
+      // argmax is the struct-extremum idiom over (|D|, t) — no second
+      // window. The single division by n happens once, on the winning
+      // row. ---
+      "q_cusum_change" -> ((s, d) => {
+        val wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wr = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val e = table(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            dec(col("value")).as("x"))
+        val g = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("tot"))
+        e.select(col("event_type"), col("ts"), col("event_id"),
+            sum("x").over(wt).as("cum"),
+            row_number().over(wr).cast("long").as("t"))
+          .join(broadcast(g), "event_type")
+          .select(col("event_type"), col("n"),
+            struct(abs(col("n") * col("cum") - col("t") * col("tot"))
+              .as("absd"), col("t"), fmtTs(col("ts")).as("cts")).as("s"))
+          .groupBy("event_type", "n")
+          .agg(max(col("s")).as("m"))
+          .select(col("event_type"), col("n"),
+            (col("m.absd").cast("double") / col("n")).as("cusum_stat"),
+            col("m.t").as("change_t"), col("m.cts").as("change_ts"))
+          .orderBy("event_type")
+      }),
+
       "q_mad_outlier" -> ((s, d) => {
         val q = table(s, d, "events")
           .select(col("event_type"), vq.as("v"))
@@ -345,6 +378,32 @@ object Evaluation extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_cusum_change" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS x FROM events),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(x) AS tot
+        |      FROM e GROUP BY 1),
+        |w AS (SELECT event_type, ts, event_id,
+        |        SUM(x) OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS BIGINT) AS t
+        |      FROM e),
+        |d AS (SELECT w.event_type, n, t,
+        |        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cts,
+        |        abs(n * cum - t * tot) AS absd
+        |      FROM w JOIN g USING (event_type)),
+        |r AS (SELECT event_type, n, absd, t, cts,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY absd DESC, t DESC, cts DESC) AS rn
+        |      FROM d)
+        |SELECT event_type, n, CAST(absd AS DOUBLE) / n AS cusum_stat,
+        |  t AS change_t, cts AS change_ts
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q_auc_rank" ->
       """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,

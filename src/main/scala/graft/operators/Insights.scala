@@ -211,6 +211,34 @@ object Insights extends QueryModule {
           .orderBy("seg", "nat", "bal_band")
       }),
 
+      // --- referential-integrity audit: orphan foreign keys along the
+      // lineitem->orders->customer chain — the pre-flight gate before
+      // trusting any join in this suite. Each leg is a LEFT ANTI join
+      // (at fleet scale it shuffles on the natural key both joins
+      // already use — bucketed layouts make it zero-exchange) reduced
+      // to a single count; the two 1-row legs union into the audit
+      // report, so the output is O(1) regardless of table size. Zero
+      // orphans IS the expected green result. ---
+      "q_ri_audit" -> ((s, d) => {
+        val li = table(s, d, "lineitem").select(col("l_orderkey"))
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = table(s, d, "customer").select(col("c_custkey"))
+        def leg(name: String, rows: DataFrame, orphans: DataFrame)
+            : DataFrame =
+          rows.agg(count(lit(1)).as("n_rows"))
+            .crossJoin(broadcast(
+              orphans.agg(count(lit(1)).as("n_orphans"))))
+            .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+        leg("lineitem->orders", li,
+            li.join(ord.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti"))
+          .unionByName(leg("orders->customer", ord,
+            ord.join(cust, col("o_custkey") === col("c_custkey"),
+              "left_anti")))
+          .orderBy("fk")
+      }),
+
       // --- association rules: the directed extension of q_basket_pairs
       // (support / confidence / lift per antecedent->consequent). Same
       // posting-list pair emission (one shuffle leg), then each
@@ -382,6 +410,19 @@ object Insights extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
         |ORDER BY seg, nat, bal_band""".stripMargin,
+
+    "q_ri_audit" ->
+      """SELECT 'lineitem->orders' AS fk,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY fk""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

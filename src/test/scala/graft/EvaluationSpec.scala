@@ -259,4 +259,33 @@ class EvaluationSpec extends AnyFunSuite {
       assert(parts.length == r.getAs[Long]("n_sources"))
     }
   }
+
+  test("cusum change point equals the n-scaled brute-force recompute") {
+    val got = q("q_cusum_change").collect()
+      .map(r => (r.getAs[String]("event_type"), (r.getAs[Long]("n"),
+        r.getAs[Double]("cusum_stat"), r.getAs[Long]("change_t")))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)))
+    ev.groupBy(_._1).foreach { case (ty, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val n = ordered.length
+      val tot = ordered.map(_._4).sum
+      var cum = BigDecimal(0)
+      val ds = ordered.zipWithIndex.map { case (e, i) =>
+        cum += e._4
+        ((n * cum - BigDecimal(i + 1) * tot).abs, (i + 1).toLong)
+      }
+      // max over (|D|, t): largest deviation, latest t on ties
+      val (absd, t) = ds.maxBy(identity)
+      assert(got(ty)._1 == n)
+      assert(got(ty)._2 == absd.toDouble / n, ty)
+      assert(got(ty)._3 == t, ty)
+    }
+    assert(got.nonEmpty)
+  }
 }

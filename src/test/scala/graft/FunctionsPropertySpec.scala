@@ -162,4 +162,34 @@ class FunctionsPropertySpec extends AnyFunSuite {
       assert(got.toSeq.sorted == expected.sorted, s"n=$n")
     }
   }
+
+  test("bitmap algebra: cardinality/AND-popcount mirror exact set " +
+      "algebra on random position sets, any partitioning") {
+    import graft.functions.BitmapAgg.{andCardinality, bitmap, cardinality}
+    val posGen = Gen.listOfN(40, Gen.choose(0L, 1023L))
+    val cases = sample(Gen.zip(posGen, posGen), 12)
+    import spark.implicits._
+    cases.zipWithIndex.foreach { case ((xs, ys), i) =>
+      val (sx, sy) = (xs.toSet, ys.toSet)
+      val df = (xs.map(p => ("a", p)) ++ ys.map(p => ("b", p)))
+        .toDF("side", "pos").repartition(3 + i % 3)
+      val bms = df.groupBy("side")
+        .agg(bitmap(col("pos")).as("bm"))
+        .collect().map(r => (r.getString(0),
+          r.getAs[Array[Byte]]("bm"))).toMap
+      assert(graft.functions.BitmapOps.cardinality(bms("a")) == sx.size)
+      assert(graft.functions.BitmapOps.cardinality(bms("b")) == sy.size)
+      assert(graft.functions.BitmapOps.andCardinality(bms("a"), bms("b"))
+        == (sx & sy).size, s"case $i")
+      // the codegen'd StaticInvoke path agrees with the direct call
+      val viaExpr = df.groupBy(lit(1))
+        .agg(bitmap(when(col("side") === "a", col("pos"))).as("ba"),
+          bitmap(when(col("side") === "b", col("pos"))).as("bb"))
+        .select(cardinality(col("ba")).as("ca"),
+          andCardinality(col("ba"), col("bb")).as("cab"))
+        .head()
+      assert(viaExpr.getLong(0) == sx.size)
+      assert(viaExpr.getLong(1) == (sx & sy).size)
+    }
+  }
 }

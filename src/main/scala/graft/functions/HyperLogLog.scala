@@ -1,12 +1,14 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** HyperLogLog distinct-count sketch as a `TypedImperativeAggregate` —
   * the custom-aggregate tier of SURVEY.md §7.4 (a "novel sketch"
@@ -23,14 +25,23 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * linear-counting small-range correction. Deterministic for fixed
   * input data (seed 42), so the test suite pins both the error bound
   * and exact reproducibility; no DuckDB oracle (engine-specific hash).
+  *
+  * Three tiers share ONE register codec (companion helpers):
+  *   - [[HyperLogLog]]  value stream -> estimate (the original);
+  *   - [[HllSketch]]    value stream -> 4 KiB register BLOB — the
+  *     pre-aggregation form a sketch TABLE stores per dimension cell;
+  *   - [[HllMergeAgg]]  register BLOBs -> merged BLOB — re-aggregate
+  *     stored sketches to any coarser grouping WITHOUT re-scanning the
+  *     corpus (the materialized-view rollup pattern), with
+  *     `HyperLogLog.estimate(col)` decoding a BLOB to the count.
+  * Because update and merge are the same register algebra, a two-level
+  * sketch->merge rollup is BIT-IDENTICAL to one direct pass (pinned in
+  * OperatorExtensionsSpec).
   */
 case class HyperLogLog(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
-
-  private val P = 12
-  private val M = 1 << P
-  private val Alpha = 0.7213 / (1.0 + 1.079 / M)
+  import HyperLogLog._
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -40,19 +51,127 @@ case class HyperLogLog(child: Expression,
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
+    if (v != null) updateRegisters(buf, v, child.dataType)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    mergeRegisters(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = estimateRegisters(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HyperLogLog =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HyperLogLog =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : HyperLogLog = copy(child = newChild)
+}
+
+/** Value stream -> raw 4 KiB register blob (BinaryType). */
+case class HllSketch(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  import HyperLogLog._
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) updateRegisters(buf, v, child.dataType)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    mergeRegisters(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : HllSketch = copy(child = newChild)
+}
+
+/** Register-blob stream -> merged register blob: the rollup aggregate
+  * over a stored sketch table. Rejects non-binary input at analysis and
+  * wrong-width blobs loudly at runtime (a truncated sketch silently
+  * merged would under-count forever).
+  */
+case class HllMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  import HyperLogLog._
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_merge expects a sketch BINARY, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
     if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - P)).toInt
-      // rank of the first set bit in the remaining 64-P bits (1-based);
-      // the OR'd sentinel caps the rank when those bits are all zero
-      val rank =
-        java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
+      val sk = v.asInstanceOf[Array[Byte]]
+      if (sk.length != M)
+        throw new IllegalArgumentException(
+          s"graft_hll_merge: sketch has ${sk.length} registers, expected $M")
+      mergeRegisters(buf, sk)
     }
     buf
   }
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    mergeRegisters(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : HllMergeAgg = copy(child = newChild)
+}
+
+object HyperLogLog {
+  private[functions] val P = 12
+  private[functions] val M = 1 << P
+  private val Alpha = 0.7213 / (1.0 + 1.079 / M)
+
+  private[functions] def updateRegisters(buf: Array[Byte], v: Any,
+      dt: DataType): Unit = {
+    val h = XxHash64Function.hash(v, dt, 42L)
+    val idx = (h >>> (64 - P)).toInt
+    // rank of the first set bit in the remaining 64-P bits (1-based);
+    // the OR'd sentinel caps the rank when those bits are all zero
+    val rank =
+      java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1
+    if (rank > buf(idx)) buf(idx) = rank.toByte
+  }
+
+  private[functions] def mergeRegisters(b1: Array[Byte], b2: Array[Byte])
+      : Array[Byte] = {
     var i = 0
     while (i < M) {
       if (b2(i) > b1(i)) b1(i) = b2(i)
@@ -61,7 +180,11 @@ case class HyperLogLog(child: Expression,
     b1
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  /** Harmonic-mean estimate with linear-counting small-range
+    * correction; public (and StaticInvoke-codegen'd via [[estimate]])
+    * so stored sketch blobs decode to counts.
+    */
+  def estimateRegisters(buf: Array[Byte]): Long = {
     var invSum = 0.0
     var zeros = 0
     var i = 0
@@ -77,18 +200,18 @@ case class HyperLogLog(child: Expression,
     math.round(est)
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // --- Column builders for the sketch-table tiers ---
+  def sketch(c: Column): Column =
+    Bridge.column(HllSketch(Bridge.expression(c)).toAggregateExpression())
 
-  override def withNewMutableAggBufferOffset(offset: Int): HyperLogLog =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): HyperLogLog =
-    copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(newChild: Expression)
-      : HyperLogLog = copy(child = newChild)
-}
+  def mergeSketches(c: Column): Column =
+    Bridge.column(HllMergeAgg(Bridge.expression(c)).toAggregateExpression())
 
-object HyperLogLog {
+  def estimate(c: Column): Column =
+    Bridge.column(StaticInvoke(HyperLogLog.getClass, LongType,
+      "estimateRegisters", Seq(Bridge.expression(c)),
+      propagateNull = true, returnNullable = false))
+
   def register(spark: SparkSession): Unit =
     Bridge.registerFunction(spark, "graft_hll",
       args => new HyperLogLog(args(0)).toAggregateExpression())

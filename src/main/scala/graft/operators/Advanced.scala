@@ -338,6 +338,33 @@ object Advanced extends QueryModule {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // --- sketch-table rollup: the pre-aggregation pattern q_agg_hll
+    // can't express. Per-priority HLL register BLOBs (HllSketch — what
+    // a dashboard's sketch table STORES per dimension cell) re-merge
+    // to the grand total with HllMergeAgg, WITHOUT re-scanning orders
+    // — at 100 TB the rollup touches 5 x 4 KiB blobs instead of the
+    // fact table, and because update and merge are the same register
+    // algebra the merged estimate is BIT-IDENTICAL to a direct
+    // single-pass HLL (pinned in OperatorExtensionsSpec). The exact
+    // columns are the verification companion, not part of the
+    // technique. Rows-only (engine-specific hash), like q_agg_hll. ---
+    "q_hll_rollup" -> ((s, d) => {
+      import graft.functions.HyperLogLog.{estimate, mergeSketches, sketch}
+      val sk = table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(sketch(col("o_custkey")).as("sk"),
+          count_distinct(col("o_custkey")).as("exact_custs"))
+        .localCheckpoint() // two consumers: per-cell rows + the merge
+      val per = sk.select(col("o_orderpriority"),
+        estimate(col("sk")).as("approx_custs"), col("exact_custs"))
+      val total = sk.agg(mergeSketches(col("sk")).as("msk"))
+        .crossJoin(broadcast(table(s, d, "orders")
+          .agg(count_distinct(col("o_custkey")).as("exact_custs"))))
+        .select(lit("ALL").as("o_orderpriority"),
+          estimate(col("msk")).as("approx_custs"), col("exact_custs"))
+      per.unionByName(total).orderBy("o_orderpriority")
+    }),
+
     // --- Count-Min sketch heavy hitters (TypedImperativeAggregate +
     // native probe expression; rows-only check, the >=-exact bound and
     // error envelope are pinned in OperatorExtensionsSpec). The sketch

@@ -146,6 +146,34 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch rollup: two-level sketch->merge is bit-identical to " +
+      "the direct pass, per-cell rows match q_agg_hll, envelope holds") {
+    val rows = SparkEntry.queries("q_hll_rollup")(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("approx_custs"), r.getAs[Long]("exact_custs")))
+    // the merged ALL estimate equals a DIRECT single-pass HLL over the
+    // same rows — not just within error, BIT-EQUAL (same register
+    // algebra at both levels)
+    val direct = Tables.table(spark, sf, "orders")
+      .createOrReplaceTempView("orders_hllr")
+    graft.functions.HyperLogLog.register(spark)
+    val one = spark.sql(
+      "SELECT graft_hll(o_custkey) AS e FROM orders_hllr")
+      .head().getAs[Long]("e")
+    val all = rows.find(_._1 == "ALL").get
+    assert(all._2 == one, s"rollup ${all._2} != direct $one")
+    // per-cell rows agree with q_agg_hll (same sketches, different tier)
+    val viaAgg = SparkEntry.queries("q_agg_hll")(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("approx_custs"), r.getAs[Long]("exact_custs")))
+      .toSet
+    assert(rows.filterNot(_._1 == "ALL").toSet == viaAgg)
+    rows.foreach { case (pri, approx, exact) =>
+      assert(math.abs(approx.toDouble - exact) / exact < 0.065,
+        s"$pri: approx=$approx exact=$exact")
+    }
+  }
+
   test("HDR quantile sketch: partition invariant and inside the " +
       "sub-bucket error envelope") {
     graft.functions.HdrHistogram.register(spark)

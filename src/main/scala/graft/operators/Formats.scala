@@ -90,9 +90,32 @@ object Formats extends QueryModule {
     */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     csvDir(s, d); jsonDir(s, d); orcDir(s, d); partitionedOrders(s, d)
-    evolvedOrders(s, d)
+    evolvedOrders(s, d); logDir(s, d)
     ()
   }
+
+  /** Apache-combined-style access-log rendering of orders: the raw-TEXT
+    * ingestion fixture (one line per order, written through the real
+    * `text` sink). All embedded fields are integer/string-exact — the
+    * synthetic status/bytes derive from int arithmetic, never a
+    * double cast (Spark truncates double->long, DuckDB rounds).
+    */
+  private[graft] def logLine: org.apache.spark.sql.Column = format_string(
+    "cust-%d - - [%s] \"GET /orders/%d HTTP/1.1\" %d %d",
+    col("o_custkey"),
+    date_format(col("o_orderdate"), "dd/MMM/yyyy:HH:mm:ss"),
+    col("o_orderkey"),
+    when(col("o_orderstatus") === "F", 200L)
+      .when(col("o_orderstatus") === "O", 302L).otherwise(404L),
+    pmod(col("o_orderkey") * 7, lit(100000L)))
+
+  private[graft] def logDir(s: SparkSession, d: String): String =
+    fillCache(
+      s"/dev/shm/graft_fmt/orders_log_${Advanced.fingerprint(d, "orders")}") {
+      tmp =>
+        table(s, d, "orders").select(logLine.as("value"))
+          .write.mode("overwrite").text(tmp)
+    }
 
   /** One-time two-epoch publish of `orders` where epoch 1's schema grew
     * a column (o_orderpriority) that epoch 0 lacks — the layout every
@@ -134,6 +157,30 @@ object Formats extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CSV source: schema-explicit read (never inferSchema at scale —
     // inference is a full extra pass over the data) ---
+    // --- raw-text log parsing: orders rendered as access-log lines
+    // through the real `text` sink, read back with the text SOURCE, and
+    // re-structured map-side with regexp_extract — the canonical
+    // 100 TB "parse the crawl/server logs" ETL shape (splittable line
+    // scan, zero shuffle until the consumer aggregates). IDENTITY
+    // oracle: the DuckDB twin renders the same printf line from the
+    // base table and must parse back the same fields — so the format
+    // string, the date rendering, and the regex dialect are all pinned
+    // cross-engine. ---
+    "q_log_parse" -> ((s, d) => {
+      val path = logDir(s, d)
+      val req = "\" ([0-9]+) ([0-9]+)$"
+      s.read.text(path)
+        .select(
+          regexp_extract(col("value"), "/orders/([0-9]+)", 1).cast("long")
+            .as("o_orderkey"),
+          regexp_extract(col("value"), "^cust-([0-9]+)", 1).cast("long")
+            .as("o_custkey"),
+          regexp_extract(col("value"), "\\[([^\\]]+)\\]", 1).as("log_ts"),
+          regexp_extract(col("value"), req, 1).cast("long").as("status"),
+          regexp_extract(col("value"), req, 2).cast("long").as("bytes"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_source_csv" -> ((s, d) => {
       val path = roundtrip(s, d, "customer", "csv",
         Map("header" -> "true"))
@@ -214,6 +261,28 @@ object Formats extends QueryModule {
          |       ELSE 'unknown' END AS prio,
          |  COUNT(*) AS n, ${S("o_totalprice")} AS rev
          |FROM orders GROUP BY 1, 2 ORDER BY epoch, prio""".stripMargin,
+
+    "q_log_parse" ->
+      """WITH l AS (SELECT printf(
+        |    'cust-%d - - [%s] "GET /orders/%d HTTP/1.1" %d %d',
+        |    o_custkey,
+        |    strftime(o_orderdate, '%d/%b/%Y:%H:%M:%S'),
+        |    o_orderkey,
+        |    CASE o_orderstatus WHEN 'F' THEN 200 WHEN 'O' THEN 302
+        |      ELSE 404 END,
+        |    (o_orderkey * 7) % 100000) AS value
+        |  FROM orders)
+        |SELECT
+        |  CAST(regexp_extract(value, '/orders/([0-9]+)', 1) AS BIGINT)
+        |    AS o_orderkey,
+        |  CAST(regexp_extract(value, '^cust-([0-9]+)', 1) AS BIGINT)
+        |    AS o_custkey,
+        |  regexp_extract(value, '\[([^\]]+)\]', 1) AS log_ts,
+        |  CAST(regexp_extract(value, '" ([0-9]+) ([0-9]+)$', 1)
+        |    AS BIGINT) AS status,
+        |  CAST(regexp_extract(value, '" ([0-9]+) ([0-9]+)$', 2)
+        |    AS BIGINT) AS bytes
+        |FROM l ORDER BY o_orderkey""".stripMargin,
 
     "q_source_csv" ->
       s"""SELECT n_name, COUNT(*) AS n_cust, ${S("c_acctbal")} AS bal

@@ -100,16 +100,19 @@ object BitmapAgg {
     Bridge.column(BitmapAgg(Bridge.expression(pos), bits)
       .toAggregateExpression())
 
+  // returnNullable must be true with propagateNull: a null bitmap input
+  // (outer-join miss) propagates to a null result, and declaring the
+  // output non-nullable would hand the optimizer a lie it may fold on
   def cardinality(bm: Column): Column =
     Bridge.column(StaticInvoke(BitmapOps.getClass, LongType, "cardinality",
       Seq(Bridge.expression(bm)),
-      propagateNull = true, returnNullable = false))
+      propagateNull = true, returnNullable = true))
 
   def andCardinality(a: Column, b: Column): Column =
     Bridge.column(StaticInvoke(BitmapOps.getClass, LongType,
       "andCardinality",
       Seq(Bridge.expression(a), Bridge.expression(b)),
-      propagateNull = true, returnNullable = false))
+      propagateNull = true, returnNullable = true))
 
   /** SQL-callable registration (tests + ad-hoc SQL):
     * `graft_bitmap(pos)` or `graft_bitmap(pos, bits)` with a literal

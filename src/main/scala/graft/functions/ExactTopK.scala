@@ -112,6 +112,11 @@ case class ExactTopK(left: Expression, right: Expression, k: Int,
       : mutable.ArrayBuffer[(Long, Long)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
+    // fail loudly on a truncated/corrupt buffer instead of an opaque
+    // EOFException mid-read (mirrors HllMergeAgg's width check)
+    require(n >= 0 && bytes.length == 4 + 16 * n,
+      s"ExactTopK buffer corrupt: n=$n but ${bytes.length} bytes " +
+        s"(expected ${4 + 16L * n})")
     val buf = new mutable.ArrayBuffer[(Long, Long)](n + 1)
     var i = 0
     while (i < n) {

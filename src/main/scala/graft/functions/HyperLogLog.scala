@@ -210,7 +210,9 @@ object HyperLogLog {
   def estimate(c: Column): Column =
     Bridge.column(StaticInvoke(HyperLogLog.getClass, LongType,
       "estimateRegisters", Seq(Bridge.expression(c)),
-      propagateNull = true, returnNullable = false))
+      // null sketch (outer-join miss) -> null estimate; the output
+      // column must therefore be declared nullable
+      propagateNull = true, returnNullable = true))
 
   def register(spark: SparkSession): Unit =
     Bridge.registerFunction(spark, "graft_hll",

@@ -85,7 +85,10 @@ object Dedup extends QueryModule {
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()
         val nextSum = labelSum(next)
-        converged = nextSum == prevSum
+        // value equality, not equals(): BigDecimal.equals is
+        // scale-sensitive, so a future type tweak on either aggregate
+        // would silently break the fixpoint test
+        converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         labels = next
         iter += 1
@@ -259,7 +262,16 @@ object Dedup extends QueryModule {
         col("n_chars").as("b_len"), col("p").as("b_p"),
         explode(array(col("blk") - 1, col("blk"), col("blk") + 1))
           .as("blk"))
-      val hits = corpus.join(broadcast(batchRep), Seq("blk"))
+      // Size-gate the broadcast: ~100 B/replicated row x 3 bands means
+      // 500k batch rows ~ 150 MB on the driver — past that the hint
+      // would OOM rather than degrade, so fall back to the same
+      // banded shuffle join q_dedup_fuzzy uses (corpus docked once).
+      // The count scans one pushed-down column; negligible next to the
+      // match join itself.
+      val smallBatch = batch.count() <= 500000L
+      val probe = if (smallBatch) broadcast(batchRep)
+                  else batchRep.hint("shuffle_hash")
+      val hits = corpus.join(probe, Seq("blk"))
         .filter(abs(col("c_len") - col("b_len")) <= 8 &&
           levenshtein(col("c_p"), col("b_p"), 8) >= 0)
         .groupBy("b_id").agg(min(col("c_id")).as("dup_of"))

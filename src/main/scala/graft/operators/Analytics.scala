@@ -42,6 +42,32 @@ object Analytics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- first-order Markov transition matrix over the event stream:
+      // P(next event type | current) — the session-model primitive
+      // behind next-action prediction and bot detection. The lag window
+      // reads the user_id-bucketed log (no exchange, one per-partition
+      // sort); the transition counts collapse map-side to an O(types²)
+      // relation, and the per-row normalizer is a broadcast join of the
+      // tiny row-total table, never a second pass over events. The
+      // probability is one bigint/bigint IEEE division. ---
+      "q_markov_transition" -> ((s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = Advanced.eventsByUser(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        val counts = pairs
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy("prev_type").agg(sum("n").as("tot"))
+        counts.join(broadcast(tot), "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+          .orderBy("prev_type", "next_type")
+      }),
+
       // --- RFM segmentation: the classic customer-value grid. One
       // aggregate reduces orders to per-customer (recency-month,
       // frequency, monetary-band) metrics — each QUANTIZED so its value
@@ -289,6 +315,21 @@ object Analytics extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_markov_transition" ->
+      """WITH seq AS (
+        |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "q_rfm_segment" ->
       """WITH m AS (

@@ -3,12 +3,13 @@ package graft.operators
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Feature-engineering operators (round 6): the model-input prep a
+/** Feature-engineering operators (rounds 6-7): the model-input prep a
   * training pipeline runs after curation — categorical one-hot
-  * encoding, per-group min-max scaling, and smoothed target encoding.
-  * All three carry full DuckDB oracles.
+  * encoding, per-group min-max and robust (median/IQR) scaling, and
+  * smoothed target encoding. All carry full DuckDB oracles.
   *
   * Scale shape: every encoder is a map-side expression over the fact
   * rows plus (at most) a broadcast of per-category statistics — the
@@ -31,6 +32,46 @@ object Features extends QueryModule {
             types.map(t => (col("event_type") === t).cast("long")
               .as(s"ot_$t")): _*)
         base.orderBy("event_id")
+      }),
+
+      // --- robust (median/IQR) scaling: the outlier-immune sibling of
+      // min-max scaling. The order statistics are exact over the
+      // quantized CENT domain (bounded by the value range — ~50k
+      // buckets forever — not the row count): one aggregate to bucket
+      // counts, one cumulative window over the per-type bucket domain,
+      // conditional-mins to pick q1/median/q3 (percentile_disc
+      // semantics), thresholds broadcast back, and the scale itself is
+      // map-side IEEE arithmetic written as the identical expression
+      // tree in the oracle. Degenerate IQR (q3 == q1) gates to 0.0 —
+      // 0/0 NaN semantics differ across engines. ---
+      "q_robust_scale" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val wc = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = ev
+          .groupBy(col("event_type"),
+            floor(col("value") * lit(100)).cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wc))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val th = cum.join(broadcast(tot), "event_type")
+          .groupBy("event_type")
+          .agg(
+            min(when(col("cum") >= ceil(col("n") * lit(0.25)), col("v")))
+              .as("q1"),
+            min(when(col("cum") >= ceil(col("n") * lit(0.50)), col("v")))
+              .as("p50"),
+            min(when(col("cum") >= ceil(col("n") * lit(0.75)), col("v")))
+              .as("q3"))
+        ev.join(broadcast(th), "event_type")
+          .select(col("event_id"), col("event_type"),
+            when(col("q3") > col("q1"),
+              (col("value") - col("p50").cast("double") / lit(100.0)) /
+                ((col("q3").cast("double") - col("q1").cast("double"))
+                  / lit(100.0)))
+              .otherwise(0.0).as("scaled"))
+          .orderBy("event_id")
       }),
 
       // --- per-group min-max scaling to [0,1]: group extremes reduce
@@ -84,6 +125,30 @@ object Features extends QueryModule {
          |  $cols
          |FROM events ORDER BY event_id""".stripMargin
     },
+
+    "q_robust_scale" ->
+      """WITH dom AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dom),
+        |tot AS (SELECT event_type, COUNT(*) AS n
+        |        FROM events GROUP BY 1),
+        |th AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS q1,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.50) THEN v END) AS p50,
+        |    MIN(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS q3
+        |  FROM cum JOIN tot USING (event_type) GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN q3 > q1
+        |       THEN (value - CAST(p50 AS DOUBLE) / 100.0)
+        |         / ((CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE)) / 100.0)
+        |       ELSE 0.0 END AS scaled
+        |FROM events e JOIN th USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_minmax_scale" ->
       """WITH ext AS (SELECT event_type, MIN(value) AS vmin,

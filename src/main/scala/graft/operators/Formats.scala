@@ -4,6 +4,7 @@ import graft.Det._
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source/sink format surface beyond parquet: CSV and JSON text sources,
@@ -155,6 +156,29 @@ object Formats extends QueryModule {
     }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- small-file compaction planner: bin-pack each source's
+    // documents into ~2000-char output files in stable doc_id order —
+    // the table-maintenance pass every 100 TB lake runs (billions of
+    // tiny crawl files → fewer right-sized ones). The exclusive prefix
+    // sum runs as a per-source window (partitioned, streams through the
+    // frame — never a global sort); the bin id is integer division of
+    // the prefix, so the plan is reproducible row-for-row, and the
+    // per-bin rollup collapses map-side. At fleet scale the window
+    // state is one running long per source partition. ---
+    "q_compaction_plan" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(w))
+        .withColumn("bin", expr("(cum - n_chars) div 2000"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("doc_id").as("doc_lo"), max("doc_id").as("doc_hi"))
+        .orderBy("source", "bin")
+    }),
+
     // --- CSV source: schema-explicit read (never inferSchema at scale —
     // inference is a full extra pass over the data) ---
     // --- raw-text log parsing: orders rendered as access-log lines
@@ -255,6 +279,18 @@ object Formats extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - n_chars) // 2000 AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
     "q_source_evolved" ->
       s"""SELECT CAST(o_orderkey % 2 AS BIGINT) AS epoch,
          |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority

@@ -4,6 +4,7 @@ import graft.QueryModule
 import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -171,6 +172,34 @@ object TextPipeline extends QueryModule {
         .filter(col("jac") >= lit(tau))
         .select("a_id", "b_id", "inter", "jac")
         .orderBy("a_id", "b_id")
+    }),
+
+    // --- vocabulary coverage curve: what share of ALL token
+    // occurrences the top-k vocabulary entries cover — the
+    // tokenizer-design readout (how big must a vocab be before OOV is
+    // rare). The frequency table reduces map-side; the top-20 is a
+    // TakeOrdered (per-partition heaps, never a global sort of the
+    // vocabulary); the cumulative share window runs AFTER the limit,
+    // over 20 rows, so the unpartitioned frame is bounded by k forever
+    // (the BM25 discipline). The occurrence total rides in as a
+    // broadcast 1-row relation. ---
+    "q_vocab_coverage" -> ((s, d) => {
+      val tf = table(s, d, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val tot = tf.agg(sum("tf").as("tot"))
+      val top = tf.orderBy(col("tf").desc, col("token")).limit(20)
+      val w = Window.orderBy(col("tf").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+        .withColumn("cum", sum("tf").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("token"), col("tf"), col("cum"),
+          (col("cum").cast("double") / col("tot").cast("double"))
+            .as("coverage"))
+        .orderBy("rank")
     }),
 
     // --- per-language vocabulary heavy hitters: token frequencies ->
@@ -437,6 +466,26 @@ object TextPipeline extends QueryModule {
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH e AS (SELECT unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        |      FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot FROM c),
+        |top AS (SELECT token, tf FROM c
+        |        ORDER BY tf DESC, token LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token)
+        |    AS BIGINT) AS rank,
+        |  token, tf,
+        |  CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum,
+        |  CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tot AS DOUBLE) AS coverage
+        |FROM top CROSS JOIN tot
+        |ORDER BY rank""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH e AS (SELECT lang, unnest(string_split(text, ' ')) AS token

@@ -423,4 +423,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p5).size >= 4, p5.take(3000))
     assert(!p5.contains("CartesianProduct"), p5.take(2000))
   }
+
+  test("round-7 plans: Q1/Q6 aggregate map-side off pushed scans, Q4 is " +
+      "one semi join, Q8 broadcasts all dimensions, coverage top-k is " +
+      "TakeOrdered, scalers broadcast their stats") {
+    // Q1: the full-scan summary must combine map-side (6 groups per
+    // task reach the exchange, never 600k rows) over a date-pushed scan
+    val p1 = plan("q_tpch_q1")
+    assert(p1.contains("partial_sum"), p1.take(2000))
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), p1.take(2000))
+    // Q6: zero joins — all three predicates reach the scan and the
+    // single aggregate row flows through one exchange
+    val p6 = plan("q_tpch_q6")
+    assert(!p6.contains("Join"), p6.take(2000))
+    // (PushedFilters renders truncated in plan text — pin the data
+    // filters on the scan's Filter node instead)
+    assert(p6.contains(">= 0.05)"), p6.take(2000))
+    assert(p6.contains("< 24.0)"), p6.take(2000))
+    // Q4: the EXISTS decorrelates to ONE left-semi join on the order
+    // key — no per-row subquery shape survives
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), p4.take(2000))
+    assert(!p4.contains("CartesianProduct"), p4.take(2000))
+    // Q8: part slice, supplier+nation, region-sliced customers all
+    // broadcast; the only shuffle join is lineitem-orders
+    val p8 = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 3, p8.take(3000))
+    assert(!p8.contains("CartesianProduct"), p8.take(2000))
+    // Q15: the 1-row max broadcasts back over the supplier aggregate
+    // (nested-loop against one row, never a cartesian of the relation)
+    val p15 = plan("q_tpch_q15")
+    assert(!p15.contains("CartesianProduct"), p15.take(2000))
+    assert(p15.contains("BroadcastHashJoin"), p15.take(2000))
+    // vocabulary coverage: the top-20 must be a bounded TakeOrdered —
+    // the cumulative window runs above the limit, not the vocabulary
+    val pc = plan("q_vocab_coverage")
+    assert(pc.contains("TakeOrderedAndProject"), pc.take(2000))
+    // robust scaling + markov transitions: per-group stats come back as
+    // broadcasts onto the fact scan, never a fact-sized shuffle join
+    for (q <- Seq("q_robust_scale", "q_markov_transition")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
+    }
+    // compaction planner: the prefix-sum window is PARTITIONED by
+    // source (a global-window plan would say SinglePartition)
+    val pp = plan("q_compaction_plan")
+    assert(!pp.contains("SinglePartition"), pp.take(2000))
+  }
 }

@@ -191,6 +191,37 @@ object Dedup extends QueryModule {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // --- quality-aware canonical selection per near-dup cluster: the
+    // pass that decides which copy SURVIVES dedup. q_dedup_cluster's
+    // min-id keeper is arbitrary; real pipelines keep the best copy
+    // (longest text here — the usual proxy when near-dups are
+    // truncations of each other). Same label-propagation clusters, then
+    // ONE struct-extremum aggregate per cluster (max over (n_chars,
+    // -doc_id) — deterministic ties, no row_number window over the
+    // corpus). Output is O(clusters). ---
+    "q_dedup_canonical" -> ((s, d) => {
+      val pairs = TextPipeline.ngramPairs(s, d)
+        .select(col("a_id"), col("b_id"))
+      // same tiny-relation loop sizing as q_dedup_cluster
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val labels =
+        try clusterLoop(s, d, pairs).select("doc_id", "cluster_id")
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      labels
+        .join(table(s, d, "documents").select(col("doc_id"),
+          col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("cluster_id"),
+          (-col("best.neg_id")).as("canon_id"),
+          col("n_members"),
+          col("best.n_chars").as("canon_chars"))
+        .orderBy("cluster_id")
+    }),
+
     // --- blocked fuzzy dedup (edit distance): the entity-resolution
     // member of the dedup family — pairs whose 80-char prefixes are
     // within levenshtein 8 and whose lengths differ by <= 8. The scale
@@ -328,6 +359,28 @@ object Dedup extends QueryModule {
         |SELECT b.doc_id, m.dup_of, m.dup_of IS NULL AS is_novel
         |FROM b LEFT JOIN m ON m.b_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM p),
+         |r AS (SELECT doc_id AS doc, doc_id AS reach FROM documents
+         |      UNION
+         |      SELECT r.doc, ed.dst FROM r JOIN ed ON ed.src = r.reach),
+         |cl AS (SELECT doc AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY doc),
+         |ranked AS (
+         |  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+         |  FROM cl JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS canon_id,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  n_chars AS canon_chars
+         |FROM ranked WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},

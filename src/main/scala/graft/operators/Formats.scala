@@ -179,6 +179,37 @@ object Formats extends QueryModule {
         .orderBy("source", "bin")
     }),
 
+    // --- zone-map pruning audit: for the compaction plan's bins,
+    // compute min/max zone maps on the clustering key (doc_id) and on
+    // an uncorrelated column (n_chars), then how many bins two
+    // predicates could SKIP — the data-skipping readout that tells a
+    // lake operator whether a sort/Z-order pays before they run it
+    // (companion to q_zorder_cluster). Everything reduces map-side to
+    // the O(bins) zone-map relation; the actual matching row counts
+    // ride the same aggregate pass as conditional sums, so the corpus
+    // is scanned once. The clustered predicate skips most bins; the
+    // uncorrelated one almost none — that asymmetry IS the result. ---
+    "q_zonemap_prune" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val zm = table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(w))
+        .withColumn("bin", expr("(cum - n_chars) div 2000"))
+        .groupBy("source", "bin")
+        .agg(min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
+          max("n_chars").as("len_hi"),
+          sum(col("doc_id").between(10, 30).cast("long")).as("rows_id"),
+          sum((col("n_chars") > 400).cast("long")).as("rows_len"))
+      zm.groupBy("source")
+        .agg(count(lit(1)).as("n_bins"),
+          sum((col("id_hi") < 10 || col("id_lo") > 30).cast("long"))
+            .as("skip_id"),
+          sum((col("len_hi") <= 400).cast("long")).as("skip_len"),
+          sum("rows_id").as("rows_id"), sum("rows_len").as("rows_len"))
+        .orderBy("source")
+    }),
+
     // --- CSV source: schema-explicit read (never inferSchema at scale —
     // inference is a full extra pass over the data) ---
     // --- raw-text log parsing: orders rendered as access-log lines
@@ -279,6 +310,29 @@ object Formats extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_zonemap_prune" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents),
+        |zm AS (
+        |  SELECT source, (cum - n_chars) // 2000 AS bin,
+        |    MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+        |    MAX(n_chars) AS len_hi,
+        |    SUM(CASE WHEN doc_id BETWEEN 10 AND 30 THEN 1 ELSE 0 END)
+        |      AS rows_id,
+        |    SUM(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS rows_len
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(CASE WHEN id_hi < 10 OR id_lo > 30 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS skip_id,
+        |  CAST(SUM(CASE WHEN len_hi <= 400 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS skip_len,
+        |  CAST(SUM(rows_id) AS BIGINT) AS rows_id,
+        |  CAST(SUM(rows_len) AS BIGINT) AS rows_len
+        |FROM zm GROUP BY source ORDER BY source""".stripMargin,
+
     "q_compaction_plan" ->
       """WITH c AS (
         |  SELECT source, doc_id, n_chars,

@@ -174,6 +174,31 @@ object TextPipeline extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // --- vocabulary drift between two corpus slices: compare each
+    // half's top-20 vocabulary (by frequency) and report rank/count
+    // movement per token — the distribution-shift readout a training
+    // pipeline runs between crawl snapshots before mixing them (the
+    // token-level sibling of q_ks_test's value drift). Each half's
+    // frequency table reduces map-side; each top-20 is a TakeOrdered;
+    // ranks come from a window over the 20 surviving rows (bounded by k
+    // forever); the FULL OUTER join of the two 20-row lists surfaces
+    // entered/exited tokens as nulls. ---
+    "q_vocab_drift" -> ((s, d) => {
+      val tf = table(s, d, "documents")
+        .select((col("doc_id") % 2).as("half"), explode(toks).as("token"))
+        .groupBy("half", "token").agg(count(lit(1)).as("tf"))
+      def top(h: Int, rank: String, cnt: String) = {
+        val w = Window.orderBy(col("tf").desc, col("token"))
+        tf.filter(col("half") === h)
+          .orderBy(col("tf").desc, col("token")).limit(20)
+          .select(col("token"), row_number().over(w).cast("long").as(rank),
+            col("tf").as(cnt))
+      }
+      top(0, "rank_a", "tf_a")
+        .join(top(1, "rank_b", "tf_b"), Seq("token"), "full_outer")
+        .orderBy("token")
+    }),
+
     // --- vocabulary coverage curve: what share of ALL token
     // occurrences the top-k vocabulary entries cover — the
     // tokenizer-design readout (how big must a vocab be before OOV is
@@ -466,6 +491,26 @@ object TextPipeline extends QueryModule {
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_vocab_drift" ->
+      """WITH e AS (SELECT doc_id % 2 AS half,
+        |             unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT half, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |      FROM e GROUP BY 1, 2),
+        |ta AS (SELECT token,
+        |         CAST(row_number() OVER (ORDER BY tf DESC, token)
+        |           AS BIGINT) AS rank_a, tf AS tf_a
+        |       FROM (SELECT token, tf FROM c WHERE half = 0
+        |             ORDER BY tf DESC, token LIMIT 20)),
+        |tb AS (SELECT token,
+        |         CAST(row_number() OVER (ORDER BY tf DESC, token)
+        |           AS BIGINT) AS rank_b, tf AS tf_b
+        |       FROM (SELECT token, tf FROM c WHERE half = 1
+        |             ORDER BY tf DESC, token LIMIT 20))
+        |SELECT token, rank_a, tf_a, rank_b, tf_b
+        |FROM ta FULL OUTER JOIN tb USING (token)
+        |ORDER BY token""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH e AS (SELECT unnest(string_split(text, ' ')) AS token

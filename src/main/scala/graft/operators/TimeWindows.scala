@@ -53,6 +53,40 @@ object TimeWindows extends QueryModule {
           col("n"), col("sum_value"))
         .orderBy("user_id", "s_start")),
 
+    // --- sessionization with per-session stats (gaps-and-islands): the
+    // explicit-session-id sibling of q_window_session — besides the
+    // span, downstream funnel/LTV models need WHICH session each event
+    // fell in plus entry/exit actions. The >=30-min break flags and
+    // their running sum are two functions over ONE per-user window
+    // (single sort, streams through the frame); entry/exit types are
+    // struct-extremum aggregates over the unique (ts, event_id) key —
+    // never a row_number pass. Reads the user_id-bucketed log: the
+    // window AND the (user, sid) aggregate both inherit the scan
+    // layout, so the whole query is exchange-free. ---
+    "q_session_stats" -> ((s, d) => {
+      val wl = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val run = wl.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(wl)) >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(run))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"),
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("first_type"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("last_type"))
+        .orderBy("user_id", "sid")
+    }),
+
     // --- windowed event dedup: keep the FIRST event per (user, 5-min
     // tumbling window) — the standard client-retry / at-least-once
     // collapse before sessionization. Reads the user_id-bucketed event
@@ -235,6 +269,34 @@ object TimeWindows extends QueryModule {
          |  COUNT(*) AS n, ${S("value")} AS sum_value
          |FROM h GROUP BY 1, 2
          |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_session_stats" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id))
+         |        >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |numbered AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked),
+         |fl AS (
+         |  SELECT user_id, sid, ts, event_id, event_type,
+         |    first_value(event_type) OVER w AS ft,
+         |    last_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND UNBOUNDED FOLLOWING) AS lt
+         |  FROM numbered
+         |  WINDOW w AS (PARTITION BY user_id, sid
+         |               ORDER BY ts, event_id))
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+         |    AS dur_us,
+         |  MIN(ft) AS first_type, MIN(lt) AS last_type
+         |FROM fl GROUP BY user_id, sid
+         |ORDER BY user_id, sid""".stripMargin,
 
     "q_window_session" ->
       s"""WITH marked AS (

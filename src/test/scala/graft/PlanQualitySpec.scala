@@ -467,9 +467,21 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(2000))
       assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
     }
-    // compaction planner: the prefix-sum window is PARTITIONED by
-    // source (a global-window plan would say SinglePartition)
-    val pp = plan("q_compaction_plan")
-    assert(!pp.contains("SinglePartition"), pp.take(2000))
+    // compaction planner + zone-map audit: the prefix-sum window is
+    // PARTITIONED by source (a global-window plan would say
+    // SinglePartition)
+    for (q <- Seq("q_compaction_plan", "q_zonemap_prune")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q: " + p.take(2000))
+    }
+    // sessionization reads the user_id-bucketed log: window and
+    // (user, sid) aggregate both inherit the scan layout — zero
+    // hash exchange anywhere
+    val ps = plan("q_session_stats")
+    assert(!ps.contains("Exchange hashpartitioning"), ps.take(3000))
+    // vocabulary drift: both half top-20s are bounded TakeOrdereds
+    val pd = plan("q_vocab_drift")
+    assert("TakeOrderedAndProject".r.findAllIn(pd).size >= 2,
+      pd.take(3000))
   }
 }

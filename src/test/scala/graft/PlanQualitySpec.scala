@@ -422,6 +422,32 @@ class PlanQualitySpec extends AnyFunSuite {
     val p5 = plan("q_tpch_q5")
     assert("BroadcastHashJoin".r.findAllIn(p5).size >= 4, p5.take(3000))
     assert(!p5.contains("CartesianProduct"), p5.take(2000))
+    // Q2/Q9/Q16/Q20: the partsupp-adapted shapes keep every dimension
+    // (part slice, region suppliers, exclusion list) on the broadcast
+    // side — the fact relation never cartesians and never builds
+    for (q <- Seq("q_tpch_q2", "q_tpch_q9", "q_tpch_q16",
+        "q_tpch_q20")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
+    }
+    // Q21: EXISTS/NOT EXISTS decorrelate to a semi + anti join over the
+    // SAME orderkey shuffle (co-partitioned, no per-row subqueries);
+    // the top-100 is a TakeOrdered
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("LeftSemi"), p21.take(3000))
+    assert(p21.contains("LeftAnti"), p21.take(3000))
+    assert(p21.contains("TakeOrderedAndProject"), p21.take(3000))
+    assert(!p21.contains("CartesianProduct"), p21.take(3000))
+    // Q11: the scalar total broadcasts back over the per-part
+    // aggregate — never a cartesian of the value relation
+    val p11 = plan("q_tpch_q11")
+    assert(!p11.contains("CartesianProduct"), p11.take(3000))
+    // Q12: one fact-fact shuffle join; the flag+date slice pushes into
+    // the lineitem scan
+    val p12 = plan("q_tpch_q12")
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate"), p12.take(3000))
+    assert(!p12.contains("CartesianProduct"), p12.take(2000))
   }
 
   test("round-7 plans: Q1/Q6 aggregate map-side off pushed scans, Q4 is " +

@@ -167,6 +167,47 @@ object Similarity extends QueryModule {
         .orderBy("rn")
     }),
 
+    // --- product-quantization code assignment: the memory-compression
+    // step of a PQ/IVF-PQ index build — each 64-d vector becomes 4
+    // one-byte codes (nearest of 16 centroids per 16-d subspace), a
+    // 64x compression that lets a 100 TB corpus's index live in RAM.
+    // The codebook is the deterministic seed vectors' subvectors
+    // (vec_id < 16, the ivfAssigned discipline; a real build trains
+    // per-subspace k-means — the assignment shape is identical).
+    // Distances are exact int64: d2 = |a|2 + |b|2 - 2·a·b on 2^20
+    // fixed-point subvectors (QuantizedDot three ways — every term an
+    // exact integer, so the argmin is engine-independent). Each vector
+    // explodes to 4 subvector rows; the 64-row codebook broadcasts;
+    // per-subspace winners come from ONE min_by aggregate (never a
+    // row_number over the 64x|corpus| scored relation); the 4 codes
+    // fold back map-side into a single row per vector. qerr (the
+    // summed squared quantization error) is the index-quality readout
+    // a build monitors. ---
+    "q_pq_assign" -> ((s, d) => {
+      val subs = table(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(array(
+          (0 until 4).map(m => slice(col("embedding"), m * 16 + 1, 16)): _*)))
+        .toDF("vec_id", "sub", "sv")
+      val cb = subs.filter(col("vec_id") < 16)
+        .select(col("sub").as("csub"), col("vec_id").as("cent_id"),
+          col("sv").as("cv"))
+      subs.join(broadcast(cb), col("sub") === col("csub"))
+        .select(col("vec_id"), col("sub"), col("cent_id"),
+          (dotQ(col("sv"), col("sv")) + dotQ(col("cv"), col("cv")) -
+            lit(2L) * dotQ(col("sv"), col("cv"))).as("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("cent_id"),
+            struct(col("dist"), col("cent_id"))).as("code"),
+          min(col("dist")).as("md"))
+        .groupBy("vec_id")
+        .agg(max(when(col("sub") === 0, col("code"))).as("c0"),
+          max(when(col("sub") === 1, col("code"))).as("c1"),
+          max(when(col("sub") === 2, col("code"))).as("c2"),
+          max(when(col("sub") === 3, col("code"))).as("c3"),
+          sum(col("md")).as("qerr"))
+        .orderBy("vec_id")
+    }),
+
     // --- IVF-bucketed ANN: assign every vector to its nearest of 16
     // deterministic seed centroids (vec_id < 16 — a real build k-means
     // trains these on a sample; the partition/search shape is
@@ -425,6 +466,29 @@ object Similarity extends QueryModule {
        |        WHERE arn = 1)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q_pq_assign" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |sx AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+         |              (i - 1) % 16 AS j, v FROM x),
+         |cd AS (SELECT a.vec_id, a.sub, b.vec_id AS cent_id,
+         |         SUM((a.v - b.v) * (a.v - b.v)) AS dist
+         |       FROM sx a JOIN sx b ON a.sub = b.sub AND a.j = b.j
+         |         AND b.vec_id < 16
+         |       GROUP BY 1, 2, 3),
+         |mn AS (SELECT vec_id, sub, cent_id AS code, dist,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |           ORDER BY dist, cent_id) AS rn
+         |       FROM cd)
+         |SELECT vec_id,
+         |  MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+         |  MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+         |  MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+         |  MAX(CASE WHEN sub = 3 THEN code END) AS c3,
+         |  CAST(SUM(dist) AS BIGINT) AS qerr
+         |FROM mn WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "q_kmeans_step" ->
       s"""WITH $ivfAsgCte,
          |m AS (SELECT asg.bucket, x.i, x.v

@@ -317,6 +317,43 @@ object StreamingSmoke extends QueryModule {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // --- streamed distinct-count maintenance: the HLL register
+    // aggregate under complete mode — the live per-dimension unique-user
+    // counter every dashboard needs, at 4 KiB of state per group
+    // forever (a DISTINCT table grows with cardinality; at fleet scale
+    // that difference is the whole design). The same register-max merge
+    // that serves batch partial aggregation serves the per-micro-batch
+    // state update, so the streamed registers are bit-identical to a
+    // batch pass over the same rows (pinned in tests against
+    // q_agg_hll's aggregate on this replay). Rows-only like q_agg_hll
+    // (engine-specific hash); the exact column is the verification
+    // companion. ---
+    "q_streaming_hll" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_hll_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/hll-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.HyperLogLog.sketch(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      runThenClean(q, ckpt)
+      drainSink(s, name)
+        .select(col("event_type"),
+          graft.functions.HyperLogLog.estimate(col("sk"))
+            .as("approx_users"), col("n_events"))
+        .orderBy("event_type")
+    }),
+
     // --- streamed quantile maintenance: the HDR sketch under complete
     // mode over the two-batch replay — live latency/size percentiles
     // the monitoring plane reads per micro-batch. State per group is

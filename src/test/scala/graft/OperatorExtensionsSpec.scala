@@ -315,6 +315,26 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streamed HLL registers equal the batch aggregate bit-for-bit") {
+    // register-max merges are associative+commutative, so the
+    // complete-mode streamed sketch must land on the identical
+    // registers — estimates AND counts match a one-shot batch pass
+    // over the same events
+    val streamed = SparkEntry.queries("q_streaming_hll")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = Tables.table(spark, sf, "events")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("event_type")
+      .agg(graft.functions.HyperLogLog.sketch(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        graft.functions.HyperLogLog.estimate(col("sk"))
+          .as("approx_users"), col("n_events"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("streamed reservoir sample equals the batch aggregate exactly") {
     // deterministic md5 priorities + associative k-bounded merges: the
     // sample maintained across microbatches must be the identical rows

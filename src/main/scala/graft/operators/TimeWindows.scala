@@ -87,6 +87,53 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id", "sid")
     }),
 
+    // --- two-sided interval-overlap join (banded): per-user sessions
+    // overlapped against error-burst incident windows — "which sessions
+    // ran while the system was degraded", the attribution/ads-style
+    // interval join the range/asof family doesn't cover (BOTH sides are
+    // intervals). Scale shape: a naive s_start<=i_end AND i_start<=s_end
+    // theta join is a nested loop; instead sessions explode across the
+    // hour buckets they span (<=2 here — the band width is the interval
+    // length over the band size, the q_join_range discipline
+    // generalized to two sides) and equi-join on the bucket with the
+    // overlap predicate as a residual. Incidents are O(active hours) —
+    // a time-not-data-sized relation — so they broadcast; sessions come
+    // off the user_id-bucketed log and their aggregate inherits the
+    // scan layout. Incidents live inside one hour by construction, so
+    // bucket matches are unique and no post-join distinct is needed. ---
+    "q_join_interval" -> ((s, d) => {
+      val wl = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val run = wl.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val sess = Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(wl)) >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(run))
+        .groupBy("user_id", "sid")
+        .agg(min(unix_micros(col("ts"))).as("s_start"),
+          max(unix_micros(col("ts"))).as("s_end"))
+      val inc = table(s, d, "events")
+        .filter(col("event_type") === "error")
+        .select(expr("unix_micros(ts) div 3600000000").as("h"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("h")
+        .agg(min(col("us")).as("i_start"), max(col("us")).as("i_end"),
+          count(lit(1)).as("n_err"))
+        .filter(col("n_err") >= 2)
+      sess
+        .withColumn("b", explode(sequence(
+          expr("s_start div 3600000000"), expr("s_end div 3600000000"))))
+        .join(broadcast(inc), col("b") === col("h") &&
+          col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+        .groupBy("user_id", "sid", "s_start")
+        .agg(count(lit(1)).as("n_inc"), sum(col("n_err")).as("n_err"))
+        .orderBy("user_id", "sid")
+    }),
+
     // --- windowed event dedup: keep the FIRST event per (user, 5-min
     // tumbling window) — the standard client-retry / at-least-once
     // collapse before sessionization. Reads the user_id-bucketed event
@@ -269,6 +316,34 @@ object TimeWindows extends QueryModule {
          |  COUNT(*) AS n, ${S("value")} AS sum_value
          |FROM h GROUP BY 1, 2
          |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_join_interval" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id))
+         |        >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |numbered AS (
+         |  SELECT user_id, ts, event_id,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked),
+         |sess AS (
+         |  SELECT user_id, sid, MIN(epoch_us(ts)) AS s_start,
+         |         MAX(epoch_us(ts)) AS s_end
+         |  FROM numbered GROUP BY 1, 2),
+         |inc AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS h,
+         |         MIN(epoch_us(ts)) AS i_start,
+         |         MAX(epoch_us(ts)) AS i_end, COUNT(*) AS n_err
+         |  FROM events WHERE event_type = 'error'
+         |  GROUP BY 1 HAVING COUNT(*) >= 2)
+         |SELECT user_id, CAST(sid AS BIGINT) AS sid, s_start,
+         |  CAST(COUNT(*) AS BIGINT) AS n_inc,
+         |  CAST(SUM(n_err) AS BIGINT) AS n_err
+         |FROM sess JOIN inc ON s_start <= i_end AND i_start <= s_end
+         |GROUP BY 1, 2, 3 ORDER BY user_id, sid""".stripMargin,
 
     "q_session_stats" ->
       s"""WITH marked AS (

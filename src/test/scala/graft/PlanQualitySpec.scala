@@ -509,5 +509,14 @@ class PlanQualitySpec extends AnyFunSuite {
     val pd = plan("q_vocab_drift")
     assert("TakeOrderedAndProject".r.findAllIn(pd).size >= 2,
       pd.take(3000))
+    // interval-overlap join: the banded rewrite must plan as a
+    // broadcast equi join on the hour bucket (the naive two-sided
+    // theta spelling would be a nested-loop/cartesian), with the
+    // session window partitioned per user
+    val pi = plan("q_join_interval")
+    assert(pi.contains("BroadcastHashJoin"), pi.take(3000))
+    assert(!pi.contains("CartesianProduct"), pi.take(3000))
+    assert(!pi.contains("BroadcastNestedLoopJoin"), pi.take(3000))
+    assert(!pi.contains("SinglePartition"), pi.take(3000))
   }
 }

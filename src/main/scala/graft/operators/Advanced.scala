@@ -313,6 +313,45 @@ object Advanced extends QueryModule {
         .orderBy("s_suppkey", "c_custkey")
     }),
 
+    // --- 2-D grid-blocked spatial self-join: all pairs of points within
+    // L-inf distance 8 on a synthetic 256x256 plane (coordinates are
+    // multiplicative integer hashes of the customer key — deterministic
+    // in both engines, no RNG, no libm). The q_join_range banding
+    // discipline lifted to TWO dimensions: one side explodes to its
+    // 3x3 cell neighborhood (cell size = the radius, so the
+    // neighborhood provably covers every qualifying pair), the other
+    // keeps its single true cell, and the join is an EQUI join on the
+    // cell key with the distance predicate as a residual — each pair
+    // found exactly once because the un-exploded side's cell is unique.
+    // The naive spelling is an n^2 nested-loop theta join; the grid
+    // makes the work sum-of-cell-products, the standard spatial-join
+    // shape (and the oracle states only the predicate: banding is
+    // result-invisible). Exploded-side stats lie, so both legs are
+    // pinned shuffle_merge (the q_dedup_ngram discipline). ---
+    "q_join_grid" -> ((s, d) => {
+      val pts = table(s, d, "customer").select(
+        col("c_custkey").as("id"),
+        ((col("c_custkey") * 2654435761L) % 1000003L % 256L).as("x"),
+        ((col("c_custkey") * 40503L + 2654435761L) % 999983L % 256L)
+          .as("y"))
+      val a = pts.select(col("id").as("a_id"), col("x").as("ax"),
+          col("y").as("ay"))
+        .withColumn("ck", explode(array(
+          (for (i <- -1 to 1; j <- -1 to 1) yield
+            (expr("ax div 8") + i) * 100L + expr("ay div 8") + j): _*)))
+      val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
+          col("y").as("by"),
+          (expr("x div 8") * 100L + expr("y div 8")).as("ck"))
+      a.hint("shuffle_merge").join(b.hint("shuffle_merge"), "ck")
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("ax") - col("bx")) <= 8 &&
+          abs(col("ay") - col("by")) <= 8)
+        .select(col("a_id"), col("b_id"),
+          greatest(abs(col("ax") - col("bx")),
+            abs(col("ay") - col("by"))).as("dist"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // --- window distribution functions ---
     "q_win_dist" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment")
@@ -737,6 +776,17 @@ object Advanced extends QueryModule {
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q_join_grid" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |             (c_custkey * 2654435761) % 1000003 % 256 AS x,
+        |             (c_custkey * 40503 + 2654435761) % 999983 % 256 AS y
+        |           FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  greatest(abs(a.x - b.x), abs(a.y - b.y)) AS dist
+        |FROM p a JOIN p b
+        |  ON a.id < b.id AND abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_win_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

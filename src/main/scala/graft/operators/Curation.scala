@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Det.dec
+import graft.Det.{dec, sumd, S}
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -142,6 +142,31 @@ object Curation extends QueryModule {
         .filter(col("gate") <
           when(col("lang") === "en", lit("40")).otherwise(lit("80")))
         .orderBy("doc_id")
+    }),
+
+    // --- coordinated (consistent) sampling across tables: the debugging
+    // sample a fleet actually needs is one where orders AND their line
+    // items survive TOGETHER, or every join in the downsampled pipeline
+    // silently loses rows. Gating both tables on md5 of the SHARED key
+    // (the order key) gives referential consistency by construction with
+    // ZERO coordination — each table applies its own map-side scan
+    // filter, no sample manifest is built, shipped, or joined. The
+    // verification join then runs on the ~6% survivors; matched counts
+    // equaling each side's sampled counts IS the consistency proof the
+    // report exposes. ---
+    "q_sample_coordinated" -> ((s, d) => {
+      def keep(k: Column): Column =
+        substring(md5(concat(lit("coord"), k.cast("string"))), 1, 1) === "0"
+      val so = table(s, d, "orders").filter(keep(col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val sl = table(s, d, "lineitem").filter(keep(col("l_orderkey")))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      so.join(sl, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          sumd(col("l_extendedprice")).as("revenue"))
+        .orderBy("priority")
     }),
 
     // --- context-window packing: assign each document an offset-based
@@ -450,6 +475,20 @@ object Curation extends QueryModule {
         |WHERE substring(md5(concat('smp', CAST(doc_id AS VARCHAR))), 1, 2)
         |      < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_coordinated" ->
+      s"""WITH so AS (SELECT o_orderkey, o_orderpriority FROM orders
+         |  WHERE substring(md5(concat('coord',
+         |          CAST(o_orderkey AS VARCHAR))), 1, 1) = '0'),
+         |sl AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+         |  WHERE substring(md5(concat('coord',
+         |          CAST(l_orderkey AS VARCHAR))), 1, 1) = '0')
+         |SELECT o_orderpriority AS priority,
+         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${S("l_extendedprice")} AS revenue
+         |FROM so JOIN sl ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY priority""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -214,6 +214,40 @@ object Evaluation extends QueryModule {
       // holes are filled with last-non-null over an hour-ordered window
       // PARTITIONED BY TYPE — parallel across types, per-type state is
       // one value. ---
+      // --- seasonal-baseline anomaly detection: which HOURS deviated
+      // from their event type's hour-of-day traffic profile? The
+      // seasonality-aware sibling of q_anomaly_zscore (whose global
+      // per-type stats would flag every quiet 3am as anomalous). Two
+      // cascaded aggregates: the hourly series is O(types x hours) and
+      // the 24-slot profile folds OVER the series, so the raw corpus is
+      // scanned exactly once and everything downstream is time-sized —
+      // the profile (O(types x 24)) broadcasts back onto the series.
+      // Both anomaly gates are INTEGER cross-multiplications
+      // (n*days >= 2*total, 2*n*days <= total) — no division, no
+      // epsilon, bit-identical across engines; the reported ratio is
+      // one final IEEE division for human eyes only. ---
+      "q_seasonal_anomaly" -> ((s, d) => {
+        val hourly = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val profile = hourly
+          .groupBy(col("event_type"), hour(col("h")).as("hod"))
+          .agg(sum("n").as("total"), count(lit(1)).as("days"))
+        hourly.withColumn("hod", hour(col("h")))
+          .join(broadcast(profile), Seq("event_type", "hod"))
+          .filter(col("n") * col("days") >= col("total") * 2 ||
+            col("n") * col("days") * 2 <= col("total"))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:00").as("hour_s"),
+            col("n"), col("days"), col("total"),
+            (col("n") * col("days") >= col("total") * 2).cast("long")
+              .as("is_spike"),
+            ((col("n") * col("days")).cast("double") /
+              col("total").cast("double")).as("ratio"))
+          .orderBy("event_type", "hour_s")
+      }),
+
       "q_resample_gapfill" -> ((s, d) => {
         val hr = table(s, d, "events")
           .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
@@ -516,6 +550,26 @@ object Evaluation extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |profile AS (
+        |  SELECT event_type, hour(h) AS hod,
+        |         CAST(SUM(n) AS BIGINT) AS total,
+        |         CAST(COUNT(*) AS BIGINT) AS days
+        |  FROM hourly GROUP BY 1, 2)
+        |SELECT hourly.event_type,
+        |  strftime(h, '%Y-%m-%d %H:00') AS hour_s, n, days, total,
+        |  CAST(n * days >= 2 * total AS BIGINT) AS is_spike,
+        |  CAST(n * days AS DOUBLE) / CAST(total AS DOUBLE) AS ratio
+        |FROM hourly JOIN profile
+        |  ON hourly.event_type = profile.event_type
+        | AND hour(hourly.h) = profile.hod
+        |WHERE n * days >= 2 * total OR n * days * 2 <= total
+        |ORDER BY hourly.event_type, hour_s""".stripMargin,
 
     "q_resample_gapfill" ->
       """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h,

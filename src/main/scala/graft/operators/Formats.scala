@@ -210,6 +210,39 @@ object Formats extends QueryModule {
         .orderBy("source")
     }),
 
+    // --- snapshot-retention planner: which daily snapshots does the
+    // lake's expiry policy keep, and how many bytes does expiry
+    // reclaim? Policy = the standard two-rule ladder: keep the trailing
+    // 7 days unconditionally, plus the first snapshot of each ISO week
+    // as a long-horizon anchor. One aggregate pass reduces the corpus
+    // to the O(days) snapshot relation (count + payload-byte proxy);
+    // recency rank and week-anchor flags are windows over that
+    // time-sized relation (days, not data — the same defense as the
+    // hour spines), with the anchor window partitioned by week. The
+    // decision column is pure integer logic, so the plan is
+    // reproducible; reclaimable bytes fold in the same pass. ---
+    "q_retention_expiry" -> ((s, d) => {
+      val snaps = table(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("props")).cast("long")).as("bytes"))
+        .withColumn("wk", date_format(
+          date_trunc("week", col("day")), "yyyy-MM-dd"))
+      val wRecent = Window.orderBy(col("day").desc)
+      val wAnchor = Window.partitionBy("wk").orderBy(col("day"))
+      snaps
+        .withColumn("recency", row_number().over(wRecent).cast("long"))
+        .withColumn("wk_rank", row_number().over(wAnchor).cast("long"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("n_rows"), col("bytes"), col("recency"),
+          when(col("recency") <= 7, "keep_recent")
+            .when(col("wk_rank") === 1, "keep_anchor")
+            .otherwise("expire").as("action"),
+          when(col("recency") > 7 && col("wk_rank") =!= 1, col("bytes"))
+            .otherwise(0L).as("reclaim_bytes"))
+        .orderBy("day_s")
+    }),
+
     // --- CSV source: schema-explicit read (never inferSchema at scale —
     // inference is a full extra pass over the data) ---
     // --- raw-text log parsing: orders rendered as access-log lines
@@ -332,6 +365,27 @@ object Formats extends QueryModule {
         |  CAST(SUM(rows_id) AS BIGINT) AS rows_id,
         |  CAST(SUM(rows_len) AS BIGINT) AS rows_len
         |FROM zm GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_retention_expiry" ->
+      """WITH snaps AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(length(props)) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day, n_rows, bytes,
+        |    CAST(row_number() OVER (ORDER BY day DESC) AS BIGINT)
+        |      AS recency,
+        |    CAST(row_number() OVER (PARTITION BY date_trunc('week', day)
+        |      ORDER BY day) AS BIGINT) AS wk_rank
+        |  FROM snaps)
+        |SELECT strftime(day, '%Y-%m-%d') AS day_s, n_rows, bytes, recency,
+        |  CASE WHEN recency <= 7 THEN 'keep_recent'
+        |       WHEN wk_rank = 1 THEN 'keep_anchor'
+        |       ELSE 'expire' END AS action,
+        |  CASE WHEN recency > 7 AND wk_rank <> 1 THEN bytes
+        |       ELSE 0 END AS reclaim_bytes
+        |FROM r ORDER BY day_s""".stripMargin,
 
     "q_compaction_plan" ->
       """WITH c AS (

@@ -211,6 +211,30 @@ object Insights extends QueryModule {
           .orderBy("seg", "nat", "bal_band")
       }),
 
+      // --- l-diversity audit (l=3) over the same QI equivalence classes
+      // a k-anonymity pass protects: within each (segment, nation) class,
+      // how many DISTINCT sensitive values (order priority) appear? A
+      // class where everyone shares one priority leaks the attribute even
+      // at k>=5. One fact join on the customer key (the shuffle both
+      // relations already partition by at fleet scale), then a two-level
+      // distinct aggregate whose partials collapse map-side: state is
+      // O(classes x 5 priorities), never O(orders). The corpus is read
+      // once; the report is O(classes). ---
+      "q_ldiversity" -> ((s, d) => {
+        val cust = table(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+        val ord = table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderpriority"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .groupBy("seg", "nat")
+          .agg(countDistinct(col("c_custkey")).as("n_people"),
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_orderpriority")).as("l_div"))
+          .withColumn("at_risk", (col("l_div") < 3).cast("long"))
+          .orderBy("seg", "nat")
+      }),
+
       // --- referential-integrity audit: orphan foreign keys along the
       // lineitem->orders->customer chain — the pre-flight gate before
       // trusting any join in this suite. Each leg is a LEFT ANTI join
@@ -410,6 +434,15 @@ object Insights extends QueryModule {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
         |ORDER BY seg, nat, bal_band""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_people,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_div,
+        |  CAST(COUNT(DISTINCT o_orderpriority) < 3 AS BIGINT) AS at_risk
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY seg, nat""".stripMargin,
 
     "q_ri_audit" ->
       """SELECT 'lineitem->orders' AS fk,

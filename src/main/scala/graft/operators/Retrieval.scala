@@ -136,6 +136,42 @@ object Retrieval extends QueryModule {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // --- ranking-quality metrics bundle (nDCG@10 / MRR / P@10) for the
+    // BM25 ranking, with graded relevance rel = min(tf_rare, 3) — the
+    // term-frequency proxy a zero-judgment corpus audit uses. Scale
+    // shape: the ONLY corpus-sized work is the scoring scan + a top-10
+    // TakeOrdered; every metric then derives from windows over the 10
+    // surviving rows (the BM25 discipline — never rank the corpus to
+    // measure the head). Determinism: the DCG discount is the integer
+    // floor-log2 idiom (weight 6/fl(r), fl in {1,2,3} divides 6 — DCG
+    // and ideal-DCG are exact int64), so nDCG and MRR are each ONE
+    // terminal IEEE division; zero-relevance lists gate to 0.0
+    // explicitly rather than 0/0. ---
+    "q_rank_ndcg" -> ((s, d) => {
+      val top10 = bm25Scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("bm25"),
+          least(col("tf_rare"), lit(3L)).as("rel"))
+      val wr = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val wi = Window.orderBy(col("rel").desc, col("doc_id"))
+      val weighted = top10
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("irk", row_number().over(wi).cast("long"))
+        .select(col("rel"), col("rk"),
+          expr("rel * (6 div (length(bin(rk + 1)) - 1))").as("g"),
+          expr("rel * (6 div (length(bin(irk + 1)) - 1))").as("ig"))
+      weighted.agg(
+          sum(col("g")).as("dcg6"), sum(col("ig")).as("idcg6"),
+          min(when(col("rel") > 0, col("rk"))).as("first_rel"),
+          sum((col("rel") > 0).cast("long")).as("n_rel"))
+        .select(col("dcg6"), col("idcg6"),
+          when(col("idcg6") > 0,
+            col("dcg6").cast("double") / col("idcg6").cast("double"))
+            .otherwise(0.0).as("ndcg_at_10"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"),
+          (col("n_rel").cast("double") / 10.0).as("p_at_10"))
+    }),
+
     // --- inverted-index build (trigram postings): the scale shape is
     // df-first — document frequency is a cheap combinable count
     // (map-side partial, one shuffle on the gram), the probe set (here:
@@ -387,6 +423,37 @@ object Retrieval extends QueryModule {
         |        ELSE CAST(0 AS DOUBLE) END) AS rrf
         |FROM lr FULL OUTER JOIN vr USING (doc_id)
         |ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    "q_rank_ndcg" ->
+      s"""WITH $bm25Cte,
+        |sc AS (SELECT doc_id, tf0,
+        |         $bm25ScoreSql
+        |         AS bm25
+        |       FROM w CROSS JOIN s),
+        |t AS (SELECT doc_id, bm25, LEAST(tf0, 3) AS rel FROM sc
+        |      ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |r AS (SELECT rel,
+        |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |          AS BIGINT) AS rk,
+        |        CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+        |          AS BIGINT) AS irk
+        |      FROM t),
+        |a AS (SELECT
+        |        CAST(SUM(rel * (6 // (length(bin(rk + 1)) - 1)))
+        |          AS BIGINT) AS dcg6,
+        |        CAST(SUM(rel * (6 // (length(bin(irk + 1)) - 1)))
+        |          AS BIGINT) AS idcg6,
+        |        MIN(CASE WHEN rel > 0 THEN rk END) AS first_rel,
+        |        CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_rel
+        |      FROM r)
+        |SELECT dcg6, idcg6,
+        |  CASE WHEN idcg6 > 0
+        |       THEN CAST(dcg6 AS DOUBLE) / CAST(idcg6 AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS ndcg_at_10,
+        |  coalesce(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)) AS mrr,
+        |  CAST(n_rel AS DOUBLE) / 10.0 AS p_at_10
+        |FROM a""".stripMargin,
 
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

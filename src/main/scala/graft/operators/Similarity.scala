@@ -142,6 +142,47 @@ object Similarity extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
+    // --- matryoshka truncation audit: recall@5 of searching on only the
+    // FIRST 16 of 64 dimensions against the full-width ground truth —
+    // the readout that decides whether a fleet can serve ANN from a 4x
+    // smaller index (truncate-and-renormalize, the matryoshka deploy
+    // move; renormalization is implicit because cosine divides by the
+    // truncated norm). Both widths score in ONE pass over the same
+    // broadcast-probe scan — the truncated dot is a second fused
+    // QuantizedDot over slice(), map-side, so the audit costs one extra
+    // expression, not a second corpus pass — and the two top-5 ranks
+    // come from two windows over the SAME probe-partitioned shuffle
+    // (one exchange, k·|probes| rows). Exact fixed-point dots make both
+    // rankings bit-stable; ties break on cand_id as everywhere. ---
+    "q_ann_trunc" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"),
+          slice(col("embedding"), 1, 16).as("t"))
+        .withColumn("nn", dotQ(col("q"), col("q")))
+        .withColumn("tn", dotQ(col("t"), col("t")))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("t").as("pt"), col("nn").as("pn"), col("tn").as("ptn"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cf"),
+          cosQ(dotQ(col("pt"), col("t")), col("ptn"), col("tn")).as("ct"))
+      val wf = Window.partitionBy("probe_id")
+        .orderBy(col("cf").desc, col("cand_id").asc)
+      val wt = Window.partitionBy("probe_id")
+        .orderBy(col("ct").desc, col("cand_id").asc)
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rt", row_number().over(wt))
+        .groupBy("probe_id")
+        .agg(sum((col("rf") <= 5 && col("rt") <= 5).cast("long"))
+          .as("n_common"))
+        .select(col("probe_id"), col("n_common"),
+          (col("n_common").cast("double") / 5.0).as("recall_at_5"))
+        .orderBy("probe_id")
+    }),
+
     // --- embedding near-dup: top-50 closest pairs, all-pairs exact ---
     "q_dedup_embedding" -> ((s, d) => {
       val e = table(s, d, "embeddings")
@@ -656,6 +697,41 @@ object Similarity extends QueryModule {
          |      FROM sc)
          |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
+
+    "q_ann_trunc" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn,
+         |             SUM(CASE WHEN i <= 16 THEN v * v ELSE 0 END) AS tn
+         |      FROM x GROUP BY vec_id),
+         |dot AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+         |               SUM(a.v * b.v) AS df,
+         |               SUM(CASE WHEN a.i <= 16 THEN a.v * b.v ELSE 0 END)
+         |                 AS dt
+         |        FROM x a JOIN x b ON a.i = b.i
+         |        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(df AS DOUBLE) /
+         |           (sqrt(CAST(pn.nn AS DOUBLE)) * sqrt(CAST(cn.nn AS DOUBLE)))
+         |           AS cf,
+         |         CAST(dt AS DOUBLE) /
+         |           (sqrt(CAST(pn.tn AS DOUBLE)) * sqrt(CAST(cn.tn AS DOUBLE)))
+         |           AS ct
+         |       FROM dot JOIN n pn ON pn.vec_id = probe_id
+         |                JOIN n cn ON cn.vec_id = cand_id),
+         |r AS (SELECT probe_id, cand_id,
+         |        row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY cf DESC, cand_id) AS rf,
+         |        row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY ct DESC, cand_id) AS rt
+         |      FROM sc)
+         |SELECT probe_id,
+         |  CAST(SUM(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_common,
+         |  CAST(SUM(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM r GROUP BY 1 ORDER BY probe_id""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -519,4 +519,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pi.contains("BroadcastNestedLoopJoin"), pi.take(3000))
     assert(!pi.contains("SinglePartition"), pi.take(3000))
   }
+
+  test("round-7 batch-2 plans: grid join is an equi join (never a " +
+      "nested loop), trunc audit shares one probe-partitioned exchange, " +
+      "nDCG ranks via TakeOrdered, seasonal profile broadcasts") {
+    // 2-D grid blocking must plan as a shuffle equi join on the cell
+    // key — the naive L-inf predicate alone would be a cartesian
+    val pg = plan("q_join_grid")
+    assert(pg.contains("SortMergeJoin"), pg.take(3000))
+    assert(!pg.contains("CartesianProduct"), pg.take(3000))
+    assert(!pg.contains("BroadcastNestedLoopJoin"), pg.take(3000))
+    // both top-5 rankings (full + truncated) must reuse ONE
+    // probe-partitioned exchange: two WindowExecs, one hashpartitioning
+    // on probe_id
+    val pa = plan("q_ann_trunc")
+    assert("\\bWindow\\b".r.findAllIn(pa).size >= 2, pa.take(3000))
+    assert(
+      "hashpartitioning\\(probe_id".r.findAllIn(pa).size == 1,
+      pa.take(3000))
+    // metric windows run over the 10 TakeOrdered survivors, never the
+    // corpus
+    val pn = plan("q_rank_ndcg")
+    assert(pn.contains("TakeOrderedAndProject"), pn.take(3000))
+    // the 24-slot seasonal profile broadcasts back onto the hourly
+    // series; the series itself never re-shuffles for the join
+    val ps = plan("q_seasonal_anomaly")
+    assert(ps.contains("BroadcastHashJoin"), ps.take(3000))
+    assert(!ps.contains("CartesianProduct"), ps.take(3000))
+  }
 }

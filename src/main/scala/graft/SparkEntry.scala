@@ -25,6 +25,9 @@ object SparkEntry {
     operators.Analytics,
     operators.Evaluation,
     operators.Insights,
+    operators.Operational,
+    operators.Learning,
+    operators.Linkage,
     operators.Macros,
     operators.Features,
     operators.Formats,

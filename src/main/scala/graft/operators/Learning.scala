@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ML-adjacent corpus operators (round 7, second block): a distributed
+  * power-iteration step (Gram-matrix–vector product over the embedding
+  * corpus), retrieval average precision, differentially-private counts
+  * via the discrete geometric mechanism, and item-item collaborative-
+  * filtering cosine neighbors. All four carry full DuckDB oracles.
+  *
+  * Determinism: the linear algebra rides the Similarity module's 2^20
+  * fixed-point quantization (exact int64 element products, decimal(38,0)
+  * accumulation), the DP noise is pure integer bit arithmetic (no
+  * transcendental functions — a `ln`-based Laplace sampler would hash-
+  * diverge across libm implementations), and the CF cosine divides one
+  * exact int64 co-count by a product of exact int64 marginals.
+  */
+object Learning extends QueryModule {
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Deterministic per-key mixer shared with the oracle: a Knuth
+    * multiplicative hash folded into 2^31. Gives each key a reproducible
+    * pseudo-random residue both engines compute with plain BIGINT ops.
+    */
+  private def mix(key: org.apache.spark.sql.Column) =
+    pmod(key * lit(2654435761L), lit(2147483648L))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- one power-iteration step toward the corpus's top principal
+      // direction: s = Xᵀ(X v₀) with v₀ = e₁, i.e. s_j = Σ_i x_i1·x_ij
+      // over the 2^20-quantized corpus. The corpus explodes to (row,
+      // dim, value) triples map-side (64 per vector, no shuffle), each
+      // triple is weighted by its row's first component, and ONE
+      // 64-group hash aggregate with map-side partials reduces the
+      // whole corpus — the exchange moves 64 rows per task regardless
+      // of corpus size, the textbook "matrix-vector product as a
+      // groupBy" (products ≤2^40, corpus sums fit int64; squared-norm
+      // accumulation in DECIMAL(38,0)). The normalized component is the
+      // single final FP op per dimension. Iterating this statement to
+      // convergence is the PCA/spectral-embedding driver loop — one
+      // step is the benchmarkable unit (the q_kmeans_step discipline).
+      "q_power_iter" -> ((s, d) => {
+        val x = table(s, d, "embeddings")
+          .select(col("vec_id"),
+            Similarity.fixedPoint(col("embedding")).as("q"))
+          .select(col("vec_id"), element_at(col("q"), 1).as("v1"),
+            posexplode(col("q")).as(Seq("j0", "v")))
+        val sj = x.groupBy((col("j0") + 1).as("j"))
+          .agg(sum((col("v1") * col("v")).cast(D38)).as("sj"))
+        // squared-norm accumulation: components fit 19 digits, so the
+        // (19,0)x(19,0) product stays inside decimal(38,0) on BOTH
+        // engines (DuckDB rejects a (38,0)x(38,0) multiply outright)
+        val sj19 = col("sj").cast(DecimalType(19, 0))
+        val nrm = sj.agg(sum((sj19 * sj19).cast(D38)).as("n2"))
+        sj.crossJoin(broadcast(nrm))
+          .select(col("j").cast("long").as("j"),
+            col("sj").cast("double").as("raw"),
+            (col("sj").cast("double") / sqrt(col("n2").cast("double")))
+              .as("comp"))
+          .orderBy("j")
+      }),
+
+      // --- retrieval average precision: AP@10 of exact-cosine neighbor
+      // ranking, relevance = "candidate shares the probe's label" (the
+      // standard embedding-quality eval a corpus team runs after every
+      // re-embed). Probes broadcast against the corpus (the q_sim_topk
+      // scan shape — candidates never shuffle); the per-probe top-10 is
+      // a bounded row_number window over k·|probes| rows; precision@k
+      // is a running conditional sum over rank, and AP divides by the
+      // top-10 relevant count. Everything after the exact-int cosine is
+      // integer arithmetic except the final per-probe division. ---
+      "q_ap_rank" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").as("q"))
+          .withColumn("nn", Similarity.dotQ(col("q"), col("q")))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("plabel"), col("q").as("pq"),
+            col("nn").as("pn"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"),
+            col("vec_id").as("cand_id"), col("label"),
+            Similarity.cosQ(Similarity.dotQ(col("pq"), col("q")),
+              col("pn"), col("nn")).as("cos"))
+        val wr = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        val top = scored
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .filter(col("rk") <= 10)
+          .withColumn("rel", (col("label") === col("plabel")).cast("long"))
+        val wc = Window.partitionBy("probe_id").orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // AP stays exact-integer until ONE final division: Σ relcum/rk
+        // is scaled by lcm(1..10)=2520, so the per-probe accumulation is
+        // an int sum (a naive Σ of relcum/rk doubles would hash-diverge
+        // on the engines' in-group summation order)
+        top.withColumn("relcum", sum("rel").over(wc))
+          .groupBy("probe_id")
+          .agg(sum("rel").as("n_rel"),
+            coalesce(
+              sum(when(col("rel") === 1,
+                  col("relcum") * (lit(2520L) / col("rk")).cast("long")))
+                .cast("double") /
+                (sum("rel") * 2520).cast("double"), lit(0.0)).as("ap10"))
+          .orderBy("probe_id")
+      }),
+
+      // --- differentially-private release of per-nation customer
+      // counts: the discrete geometric (two-sided) mechanism, the
+      // integer-valued Laplace analogue actually deployed for count
+      // queries. Noise is derived from a deterministic per-key mixer:
+      // magnitude = trailing-zero count of the mixed key (a Geom(1/2)
+      // draw, truncated at 7 — bounded noise is standard release
+      // practice), sign = one further hash bit. Pure BIGINT bit
+      // arithmetic end-to-end — no libm, so Spark and the oracle agree
+      // bit-for-bit (a real deployment swaps the mixer for a seeded
+      // CSPRNG; the query shape — groupBy, then per-group noise drawn
+      // from the GROUP KEY so it survives re-aggregation — is the
+      // contract). Counts below the tau=5 suppression floor are
+      // dropped before noising, the k-anonymity composition rule. ---
+      "q_dp_count" -> ((s, d) => {
+        val g = table(s, d, "customer")
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("n_nationkey"))
+          .agg(count(lit(1)).as("n_true"))
+          .filter(col("n_true") >= 5)
+        val h = mix(col("n_nationkey").cast("long"))
+        // trailing-zero ladder: tz(h) capped at 7; h is odd ~half the
+        // time so most groups get zero noise — the geometric shape
+        val tz = when(pmod(h, lit(2L)) === 1, 0L)
+          .when(pmod(h, lit(4L)) === 2, 1L)
+          .when(pmod(h, lit(8L)) === 4, 2L)
+          .when(pmod(h, lit(16L)) === 8, 3L)
+          .when(pmod(h, lit(32L)) === 16, 4L)
+          .when(pmod(h, lit(64L)) === 32, 5L)
+          .when(pmod(h, lit(128L)) === 64, 6L)
+          .otherwise(7L)
+        val sign = when(h.bitwiseAND(lit(256L)) === 0, 1L).otherwise(-1L)
+        g.select(col("n_name"),
+            (col("n_true") + sign * tz).cast("long").as("noisy_count"),
+          lit(0.6931).as("epsilon"))
+          .orderBy("n_name")
+      }),
+
+      // --- item-item collaborative filtering: for every part, its five
+      // nearest neighbor parts by basket-co-occurrence cosine
+      // c_ab/√(c_a·c_b), min co-count 3 — the classic "users who bought
+      // X also bought Y" similarity table. Baskets collapse to sorted
+      // distinct postings ONCE (the Insights.orderPostings discipline),
+      // pairs stream out of a map-side array self-product per order (no
+      // quadratic global join — the pair relation is bounded by
+      // Σ|basket|², not |corpus|²), marginals broadcast back, and the
+      // per-item top-5 is a bounded row_number window planned through
+      // TopKPerKey. Cosine is one exact int division pair. ---
+      "q_item_cosine" -> ((s, d) => {
+        val postings = table(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+          .localCheckpoint()
+        val freq = postings.select(explode(col("ids")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("cnt"))
+        val pairs = postings
+          .select(explode(col("ids")).as("a"), col("ids"))
+          .select(col("a"), explode(col("ids")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+        val sym = pairs.select(col("a"), col("b"), col("cab"))
+          .union(pairs.select(col("b").as("a"), col("a").as("b"),
+            col("cab")))
+        val scored = sym
+          .join(broadcast(freq).withColumnRenamed("pk", "a")
+            .withColumnRenamed("cnt", "ca"), Seq("a"))
+          .join(broadcast(freq).withColumnRenamed("pk", "b")
+            .withColumnRenamed("cnt", "cb"), Seq("b"))
+          .select(col("a").as("item"), col("b").as("neighbor"),
+            col("cab"),
+            (col("cab").cast("double") /
+              (sqrt(col("ca").cast("double")) *
+                sqrt(col("cb").cast("double")))).as("cosine"))
+        val w = Window.partitionBy("item")
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("item", "rk")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_power_iter" ->
+      s"""WITH q AS (SELECT vec_id, ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, qv[1] AS v1,
+         |        generate_subscripts(qv, 1) AS j, unnest(qv) AS v
+         |      FROM q),
+         |s AS (SELECT CAST(j AS BIGINT) AS j,
+         |        SUM(CAST(v1 * v AS DECIMAL(38,0))) AS sj
+         |      FROM x GROUP BY 1),
+         |n AS (SELECT SUM(CAST(CAST(sj AS DECIMAL(19,0))
+         |               * CAST(sj AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+         |        AS n2 FROM s)
+         |SELECT j, CAST(sj AS DOUBLE) AS raw,
+         |  CAST(sj AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS comp
+         |FROM s CROSS JOIN n ORDER BY j""".stripMargin,
+
+    "q_ap_rank" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS i,
+         |        unnest(qv) AS v FROM q),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY 1),
+         |dot AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |          SUM(p.v * c.v) AS d
+         |        FROM x p JOIN x c
+         |          ON p.i = c.i AND p.vec_id < 10
+         |         AND c.vec_id <> p.vec_id
+         |        GROUP BY 1, 2),
+         |lab AS (SELECT vec_id, label FROM q),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |           sqrt(CAST(nc.nn AS DOUBLE))) AS cos,
+         |         lp.label AS plabel, lc.label AS clabel
+         |       FROM dot
+         |         JOIN n np ON np.vec_id = probe_id
+         |         JOIN n nc ON nc.vec_id = cand_id
+         |         JOIN lab lp ON lp.vec_id = probe_id
+         |         JOIN lab lc ON lc.vec_id = cand_id),
+         |r AS (SELECT probe_id,
+         |        CAST(clabel = plabel AS BIGINT) AS rel,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+         |      FROM sc),
+         |t AS (SELECT probe_id, rel, rk FROM r WHERE rk <= 10),
+         |c2 AS (SELECT probe_id, rel, rk,
+         |         SUM(rel) OVER (PARTITION BY probe_id ORDER BY rk
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS relcum
+         |       FROM t)
+         |SELECT probe_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |  COALESCE(CAST(SUM(CASE WHEN rel = 1
+         |        THEN relcum * (2520 // rk) END) AS DOUBLE)
+         |      / CAST(SUM(rel) * 2520 AS DOUBLE), 0.0) AS ap10
+         |FROM c2 GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+
+    "q_dp_count" ->
+      """WITH g AS (
+        |  SELECT n_name, n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |h AS (SELECT n_name, n_true,
+        |        ((CAST(n_nationkey AS BIGINT) * 2654435761) %
+        |           2147483648 + 2147483648) % 2147483648 AS hh
+        |      FROM g),
+        |z AS (SELECT n_name, n_true, hh,
+        |        CASE WHEN hh % 2 = 1 THEN 0
+        |             WHEN hh % 4 = 2 THEN 1
+        |             WHEN hh % 8 = 4 THEN 2
+        |             WHEN hh % 16 = 8 THEN 3
+        |             WHEN hh % 32 = 16 THEN 4
+        |             WHEN hh % 64 = 32 THEN 5
+        |             WHEN hh % 128 = 64 THEN 6
+        |             ELSE 7 END AS tz,
+        |        CASE WHEN (hh & 256) = 0 THEN 1 ELSE -1 END AS sg
+        |      FROM h)
+        |SELECT n_name,
+        |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
+        |  CAST(0.6931 AS DOUBLE) AS epsilon
+        |FROM z ORDER BY n_name""".stripMargin,
+
+    "q_item_cosine" ->
+      """WITH postings AS (
+        |  SELECT l_orderkey AS ok,
+        |         list_sort(list_distinct(list(l_partkey))) AS ids
+        |  FROM lineitem GROUP BY 1),
+        |el AS (SELECT ok, unnest(ids) AS pk FROM postings),
+        |freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM el GROUP BY 1),
+        |pr AS (SELECT x.pk AS a, y.pk AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS cab
+        |       FROM el x JOIN el y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT a, b, cab FROM pr
+        |        UNION ALL SELECT b AS a, a AS b, cab FROM pr),
+        |sc AS (SELECT sym.a AS item, sym.b AS neighbor, cab,
+        |         CAST(cab AS DOUBLE) /
+        |           (sqrt(CAST(fa.cnt AS DOUBLE)) *
+        |            sqrt(CAST(fb.cnt AS DOUBLE))) AS cosine
+        |       FROM sym JOIN freq fa ON fa.pk = sym.a
+        |                JOIN freq fb ON fb.pk = sym.b),
+        |r AS (SELECT item, neighbor, cab, cosine,
+        |        CAST(row_number() OVER (PARTITION BY item
+        |          ORDER BY cosine DESC, neighbor) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT item, neighbor, cab, cosine, rk FROM r
+        |WHERE rk <= 5 ORDER BY item, rk""".stripMargin)
+}

@@ -1,0 +1,345 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Entity-resolution and statistical-inference operators (round 7, third
+  * block): sorted-neighborhood blocking, asymmetric n-gram containment
+  * (quote / subset detection), RAKE keyword extraction, and Poisson-
+  * bootstrap confidence intervals. All four carry full DuckDB oracles.
+  *
+  * Determinism: edit distance and all RAKE statistics are integers until
+  * one terminal division; bootstrap replica weights come from a pure
+  * modular-arithmetic mixer (no RNG, no libm — the q_dp_count
+  * discipline), and each replica mean is one exact-decimal/int64
+  * division.
+  */
+object Linkage extends QueryModule {
+
+  /** Two-step Knuth mixer kept inside int64: each step multiplies a
+    * <=2^31 residue by 2654435761 (<2^31.3), so products stay <2^63.
+    */
+  private def mix2(a: Column, b: Column): Column = {
+    val h1 = pmod(a * lit(2654435761L), lit(2147483648L))
+    pmod((h1 + b) * lit(2654435761L), lit(2147483648L))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- sorted-neighborhood entity-resolution blocking: sort each
+      // mktsegment block by name, compare every record to its next 3
+      // neighbors, keep candidate pairs within edit distance 2 — the
+      // classic SNM linkage pass (window w=4 over a sort key). The
+      // neighborhood is 3 lead() columns over ONE per-segment window
+      // (never a rank self-join, which would shuffle the sorted
+      // relation twice), stacked and filtered map-side. The window
+      // partitions by segment — the blocking key IS the partition key,
+      // so at fleet scale each block sorts independently; the
+      // comparison budget is 3n per block by construction, the whole
+      // point of SNM over all-pairs. ---
+      "q_sorted_neighborhood" -> ((s, d) => {
+        val c = table(s, d, "customer")
+          .select(col("c_mktsegment").as("seg"), col("c_name"),
+            col("c_custkey"))
+        val withLeads = c
+          .withColumn("ln1", lead("c_name", 1).over(
+            Window.partitionBy("seg").orderBy("c_name")))
+          .withColumn("lk1", lead("c_custkey", 1).over(
+            Window.partitionBy("seg").orderBy("c_name")))
+          .withColumn("ln2", lead("c_name", 2).over(
+            Window.partitionBy("seg").orderBy("c_name")))
+          .withColumn("lk2", lead("c_custkey", 2).over(
+            Window.partitionBy("seg").orderBy("c_name")))
+          .withColumn("ln3", lead("c_name", 3).over(
+            Window.partitionBy("seg").orderBy("c_name")))
+          .withColumn("lk3", lead("c_custkey", 3).over(
+            Window.partitionBy("seg").orderBy("c_name")))
+        withLeads.select(col("seg"), col("c_name"), col("c_custkey"),
+            explode(array(
+              struct(col("ln1").as("bn"), col("lk1").as("bk")),
+              struct(col("ln2").as("bn"), col("lk2").as("bk")),
+              struct(col("ln3").as("bn"), col("lk3").as("bk"))))
+              .as("nb"))
+          .filter(col("nb.bk").isNotNull)
+          .select(col("seg"), col("c_custkey").as("a_key"),
+            col("nb.bk").as("b_key"),
+            lng(levenshtein(col("c_name"), col("nb.bn"))).as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy("seg", "a_key", "b_key")
+      }),
+
+      // --- asymmetric n-gram containment (quote / subset detection):
+      // containment = |A∩B| / min(|A|,|B|) over per-doc distinct
+      // 3-gram shingle sets — the measure that catches a short doc
+      // embedded in a long one, which symmetric Jaccard dilutes away
+      // (the dedup suite's blind spot this op closes). Candidates and
+      // the intersection count come from the SAME single-shuffle
+      // posting-list pair stream as q_dedup_ngram (TextPipeline
+      // .postingPairs — one exploded-stream shuffle, df-capped lists,
+      // never a self-join); only the denominator differs. ---
+      "q_containment" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"),
+            TextPipeline.shingles(TextPipeline.toks).as("sh"))
+        val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
+        val postings = ex.groupBy("sg")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, TextPipeline.NgramDfCap))
+        val inter = TextPipeline.postingPairs(postings)
+          .groupBy("a_id", "b_id")
+          .agg(count(lit(1)).as("inter"))
+        val ca = counts.as("ca"); val cb = counts.as("cb")
+        inter
+          .join(ca, col("a_id") === col("ca.doc_id"))
+          .join(cb, col("b_id") === col("cb.doc_id"))
+          .select(col("a_id"), col("b_id"), col("inter"),
+            col("ca.n").as("na"), col("cb.n").as("nb"),
+            (col("inter").cast("double") /
+              least(col("ca.n"), col("cb.n")).cast("double"))
+              .as("containment"))
+          .filter(col("containment") >= 0.8)
+          .orderBy("a_id", "b_id")
+      }),
+
+      // --- RAKE keyword extraction: candidate phrases are maximal
+      // stopword-free token runs (length <= 3, stopwords = the top-5
+      // document-frequency tokens — rank-based rather than the
+      // q_df_stopwords ratio gate because this corpus's 31-token
+      // vocabulary puts 30 tokens above df 0.5, which would leave no
+      // content words to phrase); a word scores
+      // deg(w)=Σ phrase-length over its phrase occurrences against
+      // freq(w)=its occurrence count, and a phrase scores
+      // Σdeg / Σfreq — the degree-to-frequency RAKE variant that stays
+      // EXACT-INTEGER until one terminal division (per-word deg/freq
+      // division then summed would be order-dependent FP). Phrase
+      // segmentation is a cumulative stop-flag window per doc (doc-
+      // partitioned — rides the corpus's natural partitioning); word
+      // stats and the phrase-level sums are two hash aggregates; the
+      // global top-10 is TakeOrdered, never a full sort. ---
+      "q_rake_keywords" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+        val stops = docs
+          .select(explode(array_distinct(TextPipeline.toks)).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok").asc)
+          .limit(5)
+          .select(col("tok").as("stop_tok"))
+        val toks = docs
+          .select(col("doc_id"), posexplode(TextPipeline.toks)
+            .as(Seq("i", "tok")))
+        val marked = toks
+          .join(broadcast(stops), col("tok") === col("stop_tok"), "left")
+          .withColumn("is_stop", col("stop_tok").isNotNull.cast("long"))
+        val wg = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val members = marked
+          .withColumn("grp", sum("is_stop").over(wg))
+          .filter(col("is_stop") === 0)
+        val phrases = members.groupBy("doc_id", "grp")
+          .agg(sort_array(collect_list(struct(col("i"), col("tok"))))
+            .as("arr"))
+          .filter(size(col("arr")).between(1, 3))
+          .select(col("doc_id"), col("grp"),
+            array_join(transform(col("arr"), x => x.getField("tok")), " ")
+              .as("phrase"),
+            lng(size(col("arr"))).as("plen"),
+            transform(col("arr"), x => x.getField("tok")).as("words"))
+        val pwords = phrases
+          .select(col("phrase"), col("plen"), explode(col("words"))
+            .as("w"))
+        val wstats = pwords.groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        // score DISTINCT phrase texts: the per-instance member relation
+        // would multiply every word stat by the occurrence count, so
+        // collapse to texts first and re-derive the word multiset from
+        // the text itself — identical tokens, zero double counting
+        val distinctPhrases = phrases.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occur"))
+        val scored = distinctPhrases
+          .select(col("phrase"), col("n_occur"),
+            explode(split(col("phrase"), " ")).as("w"))
+          .join(wstats, Seq("w"))
+          .groupBy("phrase")
+          .agg(max("n_occur").as("n_occur"),
+            sum("deg").as("pdeg"), sum("freq").as("pfreq"))
+        scored
+          .select(col("phrase"), col("n_occur"),
+            (col("pdeg").cast("double") / col("pfreq").cast("double"))
+              .as("score"))
+          .orderBy(col("score").desc, col("phrase").asc)
+          .limit(10)
+      }),
+
+      // --- Poisson-bootstrap confidence interval for the mean price
+      // per returnflag: the ONLY bootstrap that works on distributed
+      // data (true resampling needs global coordination; Poisson
+      // weights are per-row-independent, so all 32 replicas ride ONE
+      // map-side pass — each row carries its 32 deterministic weights,
+      // the per-(flag, replica) reduce is one partial-aggregated
+      // groupBy of 32·|flags| cells). Weights approximate Poisson(1)
+      // ({0,1,2,3} at 368/368/184/80 per mille) from the modular
+      // mixer; each replica mean is one exact-decimal/int64 division;
+      // the CI is the 2nd-smallest / 2nd-largest replica mean (the
+      // 93.75% order-statistic interval) via one 32-row-per-flag
+      // window. ---
+      "q_bootstrap_ci" -> ((s, d) => {
+        val li = table(s, d, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          dec(col("l_extendedprice")).as("x"),
+          col("l_orderkey"), col("l_linenumber"))
+        val reps = li.select(col("flag"), col("x"),
+          mix2(pmod(col("l_orderkey") * 7919 + col("l_linenumber"),
+            lit(2147483648L)), lit(0L)).as("h0"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        val u = pmod(mix2(col("h0"), col("b").cast("long")), lit(1000L))
+        val wgt = when(u < 368, 0L).when(u < 736, 1L)
+          .when(u < 920, 2L).otherwise(3L)
+        val means = reps.withColumn("wgt", wgt)
+          .groupBy("flag", "b")
+          .agg(sum(col("x") * col("wgt")).as("sw"),
+            sum(col("wgt")).as("nw"))
+          .select(col("flag"), col("b"),
+            (col("sw").cast("double") / col("nw").cast("double"))
+              .as("mean_b"))
+        val wr = Window.partitionBy("flag")
+          .orderBy(col("mean_b").asc, col("b").asc)
+        val ranked = means
+          .withColumn("rk", row_number().over(wr))
+        val ci = ranked.groupBy("flag").agg(
+          min(when(col("rk") === 2, col("mean_b"))).as("lo_ci"),
+          min(when(col("rk") === 31, col("mean_b"))).as("hi_ci"))
+        val overall = li.groupBy("flag")
+          .agg((sum("x").cast("double") / count(lit(1))).as("mean"))
+        overall.join(ci, Seq("flag"))
+          .select(col("flag"), col("mean"), col("lo_ci"), col("hi_ci"))
+          .orderBy("flag")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_sorted_neighborhood" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg, c_name, c_custkey,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY c_name) AS r
+        |  FROM customer)
+        |SELECT x.seg AS seg, x.c_custkey AS a_key, y.c_custkey AS b_key,
+        |  CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+        |FROM c x JOIN c y
+        |  ON x.seg = y.seg AND y.r - x.r BETWEEN 1 AND 3
+        |WHERE levenshtein(x.c_name, y.c_name) <= 2
+        |ORDER BY x.seg, a_key, b_key""".stripMargin,
+
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(
+        |          range(1, greatest(len(tk) - 2, 0) + 1),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |g AS (SELECT sg, CAST(COUNT(*) AS BIGINT) AS df FROM e
+        |      GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 256),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM e a JOIN g USING (sg)
+        |            JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, ca.n AS na, cb.n AS nb,
+        |  CAST(inter AS DOUBLE) /
+        |    CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+        |FROM pr JOIN c ca ON ca.doc_id = a_id
+        |        JOIN c cb ON cb.doc_id = b_id
+        |WHERE CAST(inter AS DOUBLE) /
+        |    CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_rake_keywords" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |stp AS (SELECT tok FROM (
+        |          SELECT tok, COUNT(*) AS df FROM (
+        |            SELECT unnest(list_distinct(tk)) AS tok FROM d) u
+        |          GROUP BY tok) f
+        |        QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= 5),
+        |tkx AS (SELECT doc_id, generate_subscripts(tk, 1) AS i,
+        |          unnest(tk) AS tok FROM d),
+        |mk AS (SELECT t.doc_id, t.i, t.tok,
+        |         CASE WHEN s.tok IS NULL THEN 0 ELSE 1 END AS is_stop
+        |       FROM tkx t LEFT JOIN stp s ON t.tok = s.tok),
+        |mem AS (SELECT doc_id, i, tok,
+        |          SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS grp
+        |        FROM mk QUALIFY is_stop = 0),
+        |ph AS (SELECT doc_id, grp,
+        |         string_agg(tok, ' ' ORDER BY i) AS phrase,
+        |         CAST(COUNT(*) AS BIGINT) AS plen
+        |       FROM mem GROUP BY 1, 2
+        |       HAVING COUNT(*) BETWEEN 1 AND 3),
+        |pw AS (SELECT ph.phrase, ph.plen, mem.tok AS w
+        |       FROM ph JOIN mem
+        |         ON ph.doc_id = mem.doc_id AND ph.grp = mem.grp),
+        |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(plen) AS BIGINT) AS deg
+        |       FROM pw GROUP BY 1),
+        |dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur
+        |       FROM ph GROUP BY 1),
+        |dpw AS (SELECT phrase, n_occur, unnest(string_split(phrase, ' '))
+        |          AS w
+        |        FROM dp),
+        |sc AS (SELECT phrase, MAX(n_occur) AS n_occur,
+        |         CAST(SUM(deg) AS BIGINT) AS pdeg,
+        |         CAST(SUM(freq) AS BIGINT) AS pfreq
+        |       FROM dpw JOIN ws USING (w) GROUP BY phrase)
+        |SELECT phrase, n_occur,
+        |  CAST(pdeg AS DOUBLE) / CAST(pfreq AS DOUBLE) AS score
+        |FROM sc ORDER BY score DESC, phrase ASC LIMIT 10""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) AS x,
+        |         ((l_orderkey * 7919 + l_linenumber) % 2147483648)
+        |           AS k0
+        |  FROM lineitem),
+        |h AS (SELECT flag, x,
+        |        ((k0 * 2654435761) % 2147483648 * 2654435761)
+        |          % 2147483648 AS h0
+        |      FROM li),
+        |r AS (SELECT flag, x, h0, unnest(range(0, 32)) AS b FROM h),
+        |w AS (SELECT flag, x, b,
+        |        (((h0 * 2654435761) % 2147483648 + b) * 2654435761)
+        |          % 2147483648 % 1000 AS u
+        |      FROM r),
+        |wg AS (SELECT flag, x, b,
+        |         CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |              WHEN u < 920 THEN 2 ELSE 3 END AS wgt
+        |       FROM w),
+        |mb AS (SELECT flag, b,
+        |         CAST(SUM(CAST(wgt AS DECIMAL(19,4)) * x) AS DOUBLE) /
+        |           CAST(SUM(wgt) AS DOUBLE) AS mean_b
+        |       FROM wg GROUP BY 1, 2),
+        |rk AS (SELECT flag, mean_b,
+        |         row_number() OVER (PARTITION BY flag
+        |           ORDER BY mean_b ASC, b ASC) AS rk
+        |       FROM mb),
+        |ci AS (SELECT flag,
+        |         MIN(CASE WHEN rk = 2 THEN mean_b END) AS lo_ci,
+        |         MIN(CASE WHEN rk = 31 THEN mean_b END) AS hi_ci
+        |       FROM rk GROUP BY 1),
+        |ov AS (SELECT flag,
+        |         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean
+        |       FROM li GROUP BY 1)
+        |SELECT ov.flag, mean, lo_ci, hi_ci
+        |FROM ov JOIN ci ON ov.flag = ci.flag
+        |ORDER BY ov.flag""".stripMargin)
+}

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Operational time-series / inventory analytics (round 7): lag-1
+  * autocorrelation, weighted quantiles, interval-union coverage, and
+  * greedy stock allocation. All four carry full DuckDB oracles.
+  *
+  * These are the ops a pipeline-operations team runs over the telemetry
+  * of a 100 TB corpus build: is throughput autocorrelated day-to-day
+  * (capacity planning), what does the weighted latency median look like
+  * (SLA reporting), how much wall-clock did overlapping incident windows
+  * actually cover (on-call accounting), and which consumers starve when a
+  * fixed resource is allocated greedily (quota design).
+  *
+  * Shared scale discipline: every window here partitions on a natural key
+  * (event_type, returnflag, user, part) — no global single-partition
+  * window anywhere — and every accumulation is decimal/int64-exact so the
+  * result is independent of Spark's partial-aggregation order (SURVEY.md
+  * §2.C determinism preamble).
+  */
+object Operational extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- lag-1 autocorrelation of the daily value total, per event
+      // type — the capacity-planning readout (is today's load predictive
+      // of tomorrow's?). Events collapse FIRST to one exact decimal row
+      // per (type, day) — the only shuffle that touches raw rows, and it
+      // is a partial-aggregated groupBy, so the exchange moves day
+      // totals, not events. The (v_t, v_{t-1}) pairing is a lag window
+      // over that tiny per-type series, and the Pearson statistic comes
+      // from exact decimal sums (n·Σxy − Σx·Σy over products of
+      // DECIMAL(18,4) day totals — precision 37/scale 8, exact) with the
+      // one FP division performed once per type on the final row, the
+      // q_corr_matrix discipline. ---
+      "q_autocorr" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(D).as("v"))
+        val wl = Window.partitionBy("event_type").orderBy("day")
+        val pairs = daily
+          .withColumn("vp", lag("v", 1).over(wl))
+          .filter(col("vp").isNotNull)
+        val g = pairs.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("v").as("sx"), sum("vp").as("sy"),
+          sum(col("v") * col("vp")).as("sxy"),
+          sum(col("v") * col("v")).as("sxx"),
+          sum(col("vp") * col("vp")).as("syy"))
+        def Dd(name: String) = col(name).cast("double")
+        g.select(col("event_type"), col("n"),
+            ((Dd("n") * Dd("sxy") - Dd("sx") * Dd("sy")) /
+              (sqrt(Dd("n") * Dd("sxx") - Dd("sx") * Dd("sx")) *
+                sqrt(Dd("n") * Dd("syy") - Dd("sy") * Dd("sy"))))
+              .as("lag1_corr"))
+          .orderBy("event_type")
+      }),
+
+      // --- weighted median / p90: quantity-weighted price quantiles per
+      // returnflag (the SLA-report shape: each row carries a weight, the
+      // quantile is over the weight mass, not the row count). One
+      // price-ordered window per flag accumulates exact decimal weight;
+      // the quantile row is the first whose running mass clears the
+      // threshold, found by a conditional MIN — no second window, no FP
+      // threshold (cum·2 ≥ tot and cum·10 ≥ tot·9 are exact decimal
+      // comparisons). The window partitions by flag (3 partitions of
+      // ~200k rows at sf0.1); at fleet scale the same statement runs
+      // per-key after a date filter, or swaps to the mergeable sketch of
+      // q_quantile_sketch — the query shape is the contract. ---
+      "q_weighted_median" -> ((s, d) => {
+        val li = table(s, d, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          dec(col("l_quantity")).as("w"),
+          dec(col("l_extendedprice")).as("p"),
+          col("l_orderkey"), col("l_linenumber"))
+        val wc = Window.partitionBy("flag")
+          .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("flag")
+        li.withColumn("cum", sum("w").over(wc))
+          .withColumn("tot", sum("w").over(wt))
+          .groupBy("flag")
+          .agg(
+            min(when(col("cum") * 2 >= col("tot"), col("p")))
+              .cast("double").as("wp50"),
+            min(when(col("cum") * 10 >= col("tot") * 9, col("p")))
+              .cast("double").as("wp90"),
+            max(col("tot")).cast("double").as("total_weight"))
+          .orderBy("flag")
+      }),
+
+      // --- interval-union coverage: each event opens a [ts, ts+value s]
+      // window; per user, how much wall-clock do the windows actually
+      // cover once overlaps merge, and how many disjoint islands are
+      // there? The classic sweep: a per-user start-ordered window marks a
+      // row that starts past every prior end as a new island (running
+      // MAX(end) over strictly-preceding rows), islands get ids by
+      // cumulative flag sum, and coverage is Σ per-island (max end − min
+      // start). Everything is int64 microseconds — exact at any merge
+      // order. Three window passes ride ONE user-hash exchange (same
+      // partitioning key, Spark reuses the shuffle); the island reduce is
+      // an ordinary groupBy. ---
+      "q_interval_union" -> ((s, d) => {
+        val e = table(s, d, "events").select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            round(col("value"), 0).cast("long") * 1000000L).as("en"))
+        val wp = Window.partitionBy("user_id").orderBy("st", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wc = Window.partitionBy("user_id").orderBy("st", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("pmax", max("en").over(wp))
+          .withColumn("newi",
+            (col("pmax").isNull || col("st") > col("pmax")).cast("long"))
+          .withColumn("island", sum("newi").over(wc))
+          .groupBy("user_id", "island")
+          .agg(min("st").as("is0"), max("en").as("is1"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("is1") - col("is0")).cast("long").as("covered_us"))
+          .orderBy("user_id")
+      }),
+
+      // --- greedy stock allocation: each part holds size·50 units;
+      // shipdate-ordered lineitems drain the stock, each line getting
+      // min(requested, remaining). The running drain is one exact
+      // decimal cumsum window per part (strictly-preceding frame), the
+      // per-line award is pure arithmetic (greatest/least over
+      // decimals), and the readout rolls up to brand: full / partial /
+      // starved line counts and the awarded total. Part is a broadcast
+      // dim (q_join_broadcast discipline); the window key (partkey) is
+      // the join key, so the window rides the scan's hash exchange and
+      // the brand rollup is the only other shuffle. The same statement
+      // is the backfill-quota and rate-limit-audit shape at fleet
+      // scale. ---
+      "q_alloc_greedy" -> ((s, d) => {
+        val stock = table(s, d, "part").select(
+          col("p_partkey"), col("p_brand"),
+          dec(col("p_size") * 50).as("stock"))
+        val li = table(s, d, "lineitem").select(
+          col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), dec(col("l_quantity")).as("qty"))
+        val wp = Window.partitionBy("l_partkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li.withColumn("drained",
+            coalesce(sum("qty").over(wp), lit(0).cast(D)))
+          .join(broadcast(stock), col("l_partkey") === col("p_partkey"))
+          .withColumn("alloc",
+            greatest(lit(0).cast(D),
+              least(col("qty"), col("stock") - col("drained"))))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            sum((col("alloc") === col("qty")).cast("long")).as("n_full"),
+            sum((col("alloc") > 0 && col("alloc") < col("qty"))
+              .cast("long")).as("n_partial"),
+            sum((col("alloc") === 0).cast("long")).as("n_starved"),
+            sum("alloc").cast("double").as("total_alloc"))
+          .orderBy("p_brand")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |           AS DECIMAL(18,4)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, v,
+        |        lag(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |          AS vp
+        |      FROM daily),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(v) AS sx, SUM(vp) AS sy,
+        |        SUM(CAST(v AS DECIMAL(19,4)) * vp) AS sxy,
+        |        SUM(CAST(v AS DECIMAL(19,4)) * v) AS sxx,
+        |        SUM(CAST(vp AS DECIMAL(19,4)) * vp) AS syy
+        |      FROM p WHERE vp IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS lag1_corr
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(l_quantity AS DECIMAL(18,4)) AS w,
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (SELECT flag, p,
+        |        SUM(w) OVER (PARTITION BY flag
+        |          ORDER BY p, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        SUM(w) OVER (PARTITION BY flag) AS tot
+        |      FROM li)
+        |SELECT flag,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN p END) AS DOUBLE)
+        |    AS wp50,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN p END) AS DOUBLE)
+        |    AS wp90,
+        |  CAST(MAX(tot) AS DOUBLE) AS total_weight
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts)
+        |           + CAST(round(value, 0) AS BIGINT) * 1000000 AS en
+        |  FROM events),
+        |m AS (SELECT user_id, st, en, event_id,
+        |        MAX(en) OVER (PARTITION BY user_id
+        |          ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS pmax
+        |      FROM e),
+        |f AS (SELECT user_id, st, en, event_id,
+        |        CAST(CASE WHEN pmax IS NULL OR st > pmax
+        |             THEN 1 ELSE 0 END AS BIGINT) AS newi
+        |      FROM m),
+        |i AS (SELECT user_id, st, en,
+        |        SUM(newi) OVER (PARTITION BY user_id
+        |          ORDER BY st, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS island
+        |      FROM f),
+        |isl AS (SELECT user_id, island,
+        |          MIN(st) AS is0, MAX(en) AS is1
+        |        FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(is1 - is0) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_alloc_greedy" ->
+      """WITH stock AS (
+        |  SELECT p_partkey, p_brand,
+        |         CAST(p_size * 50 AS DECIMAL(18,4)) AS stock
+        |  FROM part),
+        |li AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |         CAST(l_quantity AS DECIMAL(18,4)) AS qty
+        |  FROM lineitem),
+        |c AS (SELECT l_partkey, qty,
+        |        COALESCE(SUM(qty) OVER (PARTITION BY l_partkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          CAST(0 AS DECIMAL(18,4))) AS drained
+        |      FROM li),
+        |a AS (SELECT p_brand, qty,
+        |        greatest(CAST(0 AS DECIMAL(18,4)),
+        |          least(qty, stock - drained)) AS alloc
+        |      FROM c JOIN stock ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN alloc = qty THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full,
+        |  CAST(SUM(CASE WHEN alloc > 0 AND alloc < qty THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_partial,
+        |  CAST(SUM(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_starved,
+        |  CAST(SUM(alloc) AS DOUBLE) AS total_alloc
+        |FROM a GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+}

@@ -36,16 +36,16 @@ object Similarity extends QueryModule {
     * (graft.functions.QuantizedDot): one fused loop over the float
     * arrays, no intermediate arrays, stays inside whole-stage codegen.
     */
-  private def dotQ(a: Column, b: Column): Column =
+  private[operators] def dotQ(a: Column, b: Column): Column =
     graft.functions.QuantizedDot(a, b)
 
-  private def cosQ(dot: Column, an: Column, bn: Column): Column =
+  private[operators] def cosQ(dot: Column, an: Column, bn: Column): Column =
     dot.cast("double") / (sqrt(an.cast("double")) * sqrt(bn.cast("double")))
 
   /** 2^20 fixed-point elements of an embedding array — the quantization
     * every exact pipeline here starts from.
     */
-  private def fixedPoint(e: Column): Column =
+  private[operators] def fixedPoint(e: Column): Column =
     transform(e, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
 
   /** int8 symmetric codes of the fixed-point elements (scale maxabs/127)
@@ -481,7 +481,7 @@ object Similarity extends QueryModule {
     })
   )
 
-  private val qSql =
+  private[operators] val qSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
   /** Shared CTE chain deriving the IVF assignment `asg(vid, bucket)` —

@@ -547,4 +547,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(ps.contains("BroadcastHashJoin"), ps.take(3000))
     assert(!ps.contains("CartesianProduct"), ps.take(3000))
   }
+
+  test("round-7 batch-3 plans: allocation broadcasts the part dim, " +
+      "power-iter aggregates map-side, item-cosine and containment " +
+      "never go cartesian, RAKE and dedup-style rankings TakeOrdered") {
+    // greedy allocation: part stock is a broadcast dim; the window and
+    // the join share the partkey so no extra exchange materializes
+    val pa = plan("q_alloc_greedy")
+    assert(pa.contains("BroadcastHashJoin"), pa.take(3000))
+    assert(!pa.contains("CartesianProduct"), pa.take(3000))
+    // matrix-vector product: the 64-group aggregate must combine
+    // map-side — partial_sum below the exchange
+    val pp = plan("q_power_iter")
+    assert(pp.contains("partial_sum"), pp.take(3000))
+    // pair mining stays in equi-join land at any corpus size
+    for (q <- Seq("q_item_cosine", "q_containment",
+        "q_sorted_neighborhood")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loop")
+    }
+    // RAKE's global top-10 is a bounded heap, never a full sort
+    assert(plan("q_rake_keywords").contains("TakeOrderedAndProject"))
+    // interval-union: all three windows ride ONE user-hash exchange
+    val pi = plan("q_interval_union")
+    assert("hashpartitioning\\(user_id".r.findAllIn(pi).size == 1,
+      pi.take(3000))
+  }
 }

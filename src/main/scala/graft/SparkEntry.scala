@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Operational,
     operators.Learning,
     operators.Linkage,
+    operators.Mining,
     operators.Macros,
     operators.Features,
     operators.Formats,

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structure-mining operators (round 7, fourth block): winnowing document
+  * fingerprints, bounded-pass k-core graph pruning, and Holt linear-trend
+  * smoothing. All three carry full DuckDB oracles.
+  *
+  * Determinism: winnowing selects window MINIMA under plain string
+  * ordering (no hash function to disagree on); k-core is integer degree
+  * arithmetic; Holt's recursion uses alpha = beta = 1/2, so every
+  * smoothing step is an IEEE-exact halving applied in the same sequential
+  * order on both engines (a fold over the day-ordered series).
+  */
+object Mining extends QueryModule {
+
+  /** Positional (non-distinct) 3-token shingles — winnowing needs every
+    * occurrence, unlike the dedup pipelines' distinct sets.
+    */
+  private def posShingles = let(split(col("text"), " ")) { tk =>
+    when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Symmetric co-purchase edge relation (basket pairs with co-count
+    * >= 2), checkpointed once — the 3 prune rounds below each re-read
+    * it, and the pair generation is the expensive part.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val postings = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+    val pairs = postings
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), col("i"), posexplode(col("ids")).as(Seq("j", "b")))
+      .filter(col("i") < col("j"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+    pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- winnowing fingerprint selection: the set of per-window
+      // minima over w=4 consecutive shingles — the plagiarism/near-dup
+      // fingerprinting scheme that guarantees any match of length
+      // >= w+2 tokens shares a fingerprint, while storing only ~2/(w+1)
+      // of the grams. The minimum is under plain lexicographic string
+      // order (winnowing needs ANY total order; a hash order would
+      // demand a cross-engine hash). One doc-partitioned window over
+      // the positional gram stream (rides the corpus's natural
+      // partitioning), then a per-doc distinct reduce; output is the
+      // fingerprint relation a scaled pipeline would join on. ---
+      "q_winnow" -> ((s, d) => {
+        val grams = table(s, d, "documents")
+          .select(col("doc_id"), posShingles.as("gs"))
+          .select(col("doc_id"), size(col("gs")).as("n"),
+            posexplode(col("gs")).as(Seq("pos", "g")))
+        val wf = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, 3)
+        grams
+          .withColumn("winmin", min("g").over(wf))
+          .filter(col("pos") <= col("n") - 4)
+          .groupBy(col("doc_id"), col("winmin").as("fp"))
+          .agg(count(lit(1)).as("n_windows"))
+          .orderBy("doc_id", "fp")
+      }),
+
+      // --- bounded-pass k-core refinement (k=3, 3 prune rounds) on the
+      // co-purchase graph: iteratively drop nodes of degree < 3 and the
+      // edges they carry — the standard community-sieve preprocessing
+      // before expensive graph algorithms. Exactly 3 synchronized
+      // rounds, NOT loop-to-fixpoint: each round is one degree
+      // aggregate + one semi-join per edge side, all on the edge
+      // relation's own key partitioning, and a bounded pass count is
+      // how the sieve actually ships at fleet scale (convergence loops
+      // are the driver's job — the q_kmeans_step/q_pagerank_iter
+      // discipline; the unrolled rounds also give the oracle an exact
+      // CTE twin). The edge relation is checkpointed once; rounds
+      // shrink it monotonically. ---
+      "q_kcore_prune" -> ((s, d) => {
+        val e0 = copurchaseEdges(s, d)
+        // checkpoint each round's survivors: round r+1 reads its input
+        // TWICE (degree aggregate + the semi-join probe), and exchange
+        // reuse across the two consumers is not guaranteed — without
+        // the checkpoint the prune lineage re-executes 2^r times
+        val e3 = (1 to 3).foldLeft(e0) { (e, _) =>
+          val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3)
+            .select(col("u").as("kn"))
+          e.join(keep, col("u") === col("kn"), "left_semi")
+            .join(keep.withColumnRenamed("kn", "kv"),
+              col("v") === col("kv"), "left_semi")
+            .localCheckpoint()
+        }
+        e3.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("degree"))
+          .orderBy("node")
+      }),
+
+      // --- Holt linear-trend smoothing (double exponential, alpha =
+      // beta = 1/2) of the per-type daily value series: level/trend
+      // state folded once through the day-ordered series, emitting the
+      // final level, trend and one-step forecast — the capacity-
+      // forecast readout q_autocorr's diagnostics feed into. The fold
+      // is a higher-order aggregate() over the per-type collected
+      // series (state = 2 doubles; series are time-sized, thousands of
+      // entries at most, NEVER corpus-sized — the same bounded-state
+      // argument as q_ewma_smooth); every step halves exactly in IEEE,
+      // and the sequential order is the day order on both engines, so
+      // the terminal doubles are bit-identical to the oracle's
+      // recursive CTE. ---
+      "q_holt_linear" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast("double").as("y"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sort_array(collect_list(struct(col("day"), col("y"))))
+              .as("series"))
+          .select(col("event_type"), col("n_days"),
+            aggregate(
+              expr("slice(series, 2, size(series) - 1)"),
+              struct(element_at(col("series"), 1).getField("y").as("l"),
+                lit(0.0).as("b")),
+              (acc, x) => struct(
+                ((x.getField("y") +
+                  (acc.getField("l") + acc.getField("b"))) * 0.5).as("l"),
+                ((((x.getField("y") +
+                    (acc.getField("l") + acc.getField("b"))) * 0.5 -
+                  acc.getField("l")) + acc.getField("b")) * 0.5).as("b")))
+              .as("st"))
+          .select(col("event_type"), col("n_days"),
+            col("st.l").as("level"), col("st.b").as("trend"),
+            (col("st.l") + col("st.b")).as("forecast"))
+          .orderBy("event_type")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(tk) >= 3 THEN list_transform(
+        |          range(1, len(tk) - 1),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |        ELSE [] END AS gs
+        |      FROM d),
+        |p AS (SELECT doc_id, len(gs) AS n,
+        |        generate_subscripts(gs, 1) AS i, unnest(gs) AS gr
+        |      FROM g),
+        |w AS (SELECT doc_id, i, n,
+        |        MIN(gr) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+        |      FROM p)
+        |SELECT doc_id, winmin AS fp, CAST(COUNT(*) AS BIGINT)
+        |  AS n_windows
+        |FROM w WHERE i <= n - 3
+        |GROUP BY doc_id, winmin ORDER BY doc_id, fp""".stripMargin,
+
+    "q_kcore_prune" ->
+      """WITH postings AS (
+        |  SELECT l_orderkey AS ok,
+        |         list_sort(list_distinct(list(l_partkey))) AS ids
+        |  FROM lineitem GROUP BY 1),
+        |el AS (SELECT ok, unnest(ids) AS pk FROM postings),
+        |pr AS (SELECT x.pk AS a, y.pk AS b
+        |       FROM el x JOIN el y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e0 AS (SELECT a AS u, b AS v FROM pr
+        |       UNION ALL SELECT b, a FROM pr),
+        |k1 AS (SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT e0.u, e0.v FROM e0
+        |       JOIN k1 x ON e0.u = x.u JOIN k1 y ON e0.v = y.u),
+        |k2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |       JOIN k2 x ON e1.u = x.u JOIN k2 y ON e1.v = y.u),
+        |k3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 3),
+        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |       JOIN k3 x ON e2.u = x.u JOIN k3 y ON e2.v = y.u)
+        |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |FROM e3 GROUP BY u ORDER BY node""".stripMargin,
+
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |          AS t
+        |      FROM daily),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |      FROM s GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, t, y AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM s WHERE t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.t,
+        |    (s.y + (rec.l + rec.b)) * 0.5,
+        |    (((s.y + (rec.l + rec.b)) * 0.5 - rec.l) + rec.b) * 0.5
+        |  FROM rec JOIN s
+        |    ON s.event_type = rec.event_type AND s.t = rec.t + 1),
+        |fin AS (SELECT event_type, l, b,
+        |          row_number() OVER (PARTITION BY event_type
+        |            ORDER BY t DESC) AS rk
+        |        FROM rec)
+        |SELECT n.event_type, n.n_days, fin.l AS level, fin.b AS trend,
+        |  fin.l + fin.b AS forecast
+        |FROM fin JOIN n ON fin.event_type = n.event_type
+        |WHERE rk = 1 ORDER BY n.event_type""".stripMargin)
+}

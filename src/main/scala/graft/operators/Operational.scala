@@ -136,11 +136,13 @@ object Operational extends QueryModule {
       // decimal cumsum window per part (strictly-preceding frame), the
       // per-line award is pure arithmetic (greatest/least over
       // decimals), and the readout rolls up to brand: full / partial /
-      // starved line counts and the awarded total. Part is a broadcast
-      // dim (q_join_broadcast discipline); the window key (partkey) is
-      // the join key, so the window rides the scan's hash exchange and
-      // the brand rollup is the only other shuffle. The same statement
-      // is the backfill-quota and rate-limit-audit shape at fleet
+      // starved line counts and the awarded total. The stock join
+      // carries NO broadcast hint: the window key (partkey) IS the
+      // join key, so lineitem is already hash-partitioned on it when
+      // the join runs — AQE broadcasts the part dim while it fits and
+      // degrades to a co-partitioned shuffle join (no extra lineitem
+      // exchange) when a fleet-scale part catalog doesn't. The same
+      // statement is the backfill-quota and rate-limit-audit shape at
       // scale. ---
       "q_alloc_greedy" -> ((s, d) => {
         val stock = table(s, d, "part").select(
@@ -155,7 +157,7 @@ object Operational extends QueryModule {
           .rowsBetween(Window.unboundedPreceding, -1)
         li.withColumn("drained",
             coalesce(sum("qty").over(wp), lit(0).cast(D)))
-          .join(broadcast(stock), col("l_partkey") === col("p_partkey"))
+          .join(stock, col("l_partkey") === col("p_partkey"))
           .withColumn("alloc",
             greatest(lit(0).cast(D),
               least(col("qty"), col("stock") - col("drained"))))

@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Learning,
     operators.Linkage,
     operators.Mining,
+    operators.Statistics,
     operators.Macros,
     operators.Features,
     operators.Formats,

@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Classical-statistics operators (round 7, fifth block): Kaplan-Meier
+  * survival summaries, moving-average seasonal decomposition, and
+  * (squared-distance) silhouette clustering quality. All three carry
+  * full DuckDB oracles.
+  *
+  * Determinism: KM folds its survival product sequentially in event-time
+  * order on both engines (the q_holt_linear discipline — identical IEEE
+  * op sequence, no exp/ln cumulative-product trick, which would drag in
+  * libm); the decomposition quantizes deviations to an integer grid
+  * before averaging; silhouette ratios divide exact int64 quantized
+  * distances once per vector and are grid-quantized before the per-
+  * cluster mean.
+  */
+object Statistics extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- Kaplan-Meier survival summary per cohort (cohort = the
+      // user's first event type; duration = days from first to last
+      // event; censored = still active within 7 days of corpus end).
+      // Per-user spans reduce map-side off ONE user-hash aggregate;
+      // per-(cohort, duration) death/censor counts are O(cohorts x
+      // days) — time-sized, never corpus-sized — and the KM product
+      // S = PRODUCT(1 - d_i/n_i) folds once through each cohort's
+      // sorted timeline (state = survival, at-risk count, median
+      // tracker), emitting final survival, the median survival time,
+      // and totals. The fold is the aggregate() HOF — sequential IEEE
+      // order matches the oracle's recursive CTE exactly. ---
+      "q_survival_km" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        val maxTs = ev.agg(max("ts").as("mx"))
+        val spans = ev
+          .groupBy("user_id")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("cohort"),
+            min("ts").as("t0"), max("ts").as("t1"))
+          .crossJoin(broadcast(maxTs))
+          .select(col("cohort"),
+            datediff(col("t1").cast("date"), col("t0").cast("date"))
+              .cast("long").as("dur"),
+            (col("t1") < col("mx") - expr("interval 7 days"))
+              .cast("long").as("death"))
+        val grid = spans.groupBy("cohort", "dur")
+          .agg(sum("death").as("d"),
+            sum(lit(1L) - col("death")).as("c"))
+        grid.groupBy("cohort")
+          .agg(sort_array(collect_list(struct(col("dur"), col("d"),
+              col("c")))).as("tl"),
+            sum(col("d") + col("c")).as("n_users"),
+            sum("d").as("n_deaths"))
+          .select(col("cohort"), col("n_users"), col("n_deaths"),
+            aggregate(col("tl"),
+              struct(lit(1.0).as("s"),
+                col("n_users").cast("double").as("n"),
+                lit(-1L).as("med")),
+              (acc, x) => {
+                val sNew = acc.getField("s") *
+                  (lit(1.0) - x.getField("d").cast("double") /
+                    acc.getField("n"))
+                struct(
+                  sNew.as("s"),
+                  (acc.getField("n") -
+                    (x.getField("d") + x.getField("c")).cast("double"))
+                    .as("n"),
+                  when(acc.getField("med") >= 0, acc.getField("med"))
+                    .when(sNew <= 0.5, x.getField("dur"))
+                    .otherwise(lit(-1L)).as("med"))
+              }).as("st"))
+          .select(col("cohort"), col("n_users"), col("n_deaths"),
+            col("st.s").as("s_final"),
+            col("st.med").as("median_dur"))
+          .orderBy("cohort")
+      }),
+
+      // --- moving-average seasonal decomposition (STL-lite): the trend
+      // is a centered 7-day moving average of the daily series (full
+      // windows only), the day-of-week seasonal index is the mean
+      // detrended deviation — with each deviation quantized to a 1e-4
+      // grid BEFORE averaging, so the per-dow mean is an exact integer
+      // sum with one terminal division (raw double deviations summed
+      // in group order would hash-diverge). Windows partition per
+      // event type; everything downstream of the daily aggregate is
+      // time-sized. ---
+      "q_seasonal_decompose" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(D).as("y"))
+        val wt = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("wn", count(lit(1)).over(wt))
+          .withColumn("ws", sum("y").over(wt))
+          .filter(col("wn") === 7)
+          .select(col("event_type"), col("day"),
+            col("y").cast("double").as("yd"),
+            (col("ws").cast("double") / lit(7.0)).as("trend"))
+        trended
+          .select(col("event_type"),
+            // ISO day-of-week (Mon=1..Sun=7): Spark's dayofweek is
+            // Sun=1 while DuckDB's is Sun=0 — weekday()+1 == isodow
+            (weekday(col("day")) + 1).cast("long").as("dow"),
+            round((col("yd") - col("trend")) * 10000, 0).cast("long")
+              .as("devq"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"),
+            (sum("devq").cast("double") /
+              (count(lit(1)) * 10000).cast("double")).as("seasonal"))
+          .orderBy("event_type", "dow")
+      }),
+
+      // --- silhouette clustering quality (squared-distance variant)
+      // of the IVF seed assignment: per vector, a = squared distance
+      // to its own centroid, b = to the runner-up, s = (b-a)/max(a,b)
+      // in [-1,1]. Distances are exact int64 on quantized vectors
+      // (d2 = |x|2 + |c|2 - 2xc, the q_pq_assign discipline); the 16
+      // centroids broadcast; own/runner-up fall out of ONE sorted
+      // 16-element array per vector (never a row_number window over
+      // the 16x|corpus| scored relation); each s is one IEEE division,
+      // grid-quantized to 1e-4 before the per-cluster mean so the
+      // aggregate is an exact integer sum. The readout that says
+      // whether the ANN index's partitions actually separate. ---
+      "q_silhouette" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("q"))
+          .withColumn("nn", Similarity.dotQ(col("q"), col("q")))
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+            col("nn").as("cn"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(
+              (col("nn") + col("cn") -
+                lit(2L) * Similarity.dotQ(col("q"), col("cq")))
+                .as("d2"),
+              col("cent_id")).as("sc"))
+          .groupBy("vec_id")
+          .agg(slice(sort_array(collect_list(col("sc"))), 1, 2)
+            .as("top2"))
+        val sil = scored.select(col("vec_id"),
+            element_at(col("top2"), 1).getField("cent_id").as("bucket"),
+            element_at(col("top2"), 1).getField("d2").as("a2"),
+            element_at(col("top2"), 2).getField("d2").as("b2"))
+          .select(col("bucket"),
+            round(((col("b2") - col("a2")).cast("double") /
+              greatest(col("a2"), col("b2")).cast("double")) * 10000, 0)
+              .cast("long").as("sq"))
+        sil.groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            (sum("sq").cast("double") /
+              (count(lit(1)) * 10000).cast("double"))
+              .as("mean_silhouette"))
+          .orderBy("bucket")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_survival_km" ->
+      """WITH RECURSIVE mx AS (SELECT MAX(ts) AS m FROM events),
+        |fe AS (SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |spans AS (
+        |  SELECT e.user_id, f.event_type AS cohort,
+        |    MIN(e.ts) AS t0, MAX(e.ts) AS t1
+        |  FROM events e JOIN fe f
+        |    ON f.user_id = e.user_id AND f.rn = 1
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT cohort,
+        |         CAST(date_diff('day', CAST(t0 AS DATE),
+        |           CAST(t1 AS DATE)) AS BIGINT) AS dur,
+        |         CAST(t1 < m - INTERVAL 7 DAY AS BIGINT) AS death
+        |       FROM spans CROSS JOIN mx),
+        |grid AS (SELECT cohort, dur, CAST(SUM(death) AS BIGINT) AS d,
+        |           CAST(SUM(1 - death) AS BIGINT) AS c
+        |         FROM sp GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(SUM(d + c) AS BIGINT) AS n_users,
+        |          CAST(SUM(d) AS BIGINT) AS n_deaths
+        |        FROM grid GROUP BY 1),
+        |idx AS (SELECT cohort, dur, d, c,
+        |          row_number() OVER (PARTITION BY cohort ORDER BY dur)
+        |            AS rn
+        |        FROM grid),
+        |rec AS (
+        |  SELECT t.cohort, 0 AS rn, CAST(1.0 AS DOUBLE) AS s,
+        |    CAST(n_users AS DOUBLE) AS n, CAST(-1 AS BIGINT) AS med
+        |  FROM tot t
+        |  UNION ALL
+        |  SELECT i.cohort, i.rn,
+        |    rec.s * (1.0 - CAST(i.d AS DOUBLE) / rec.n),
+        |    rec.n - CAST(i.d + i.c AS DOUBLE),
+        |    CASE WHEN rec.med >= 0 THEN rec.med
+        |         WHEN rec.s * (1.0 - CAST(i.d AS DOUBLE) / rec.n)
+        |              <= 0.5 THEN i.dur
+        |         ELSE -1 END
+        |  FROM rec JOIN idx i
+        |    ON i.cohort = rec.cohort AND i.rn = rec.rn + 1),
+        |fin AS (SELECT cohort, s, med,
+        |          row_number() OVER (PARTITION BY cohort
+        |            ORDER BY rn DESC) AS rk
+        |        FROM rec)
+        |SELECT t.cohort, t.n_users, t.n_deaths, f.s AS s_final,
+        |  f.med AS median_dur
+        |FROM tot t JOIN fin f ON f.cohort = t.cohort AND f.rk = 1
+        |ORDER BY t.cohort""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |           AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, y,
+        |        COUNT(*) OVER win AS wn, SUM(y) OVER win AS ws
+        |      FROM daily
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (SELECT event_type, day, CAST(y AS DOUBLE) AS yd,
+        |        CAST(ws AS DOUBLE) / 7.0 AS trend
+        |      FROM w WHERE wn = 7),
+        |q AS (SELECT event_type,
+        |        CAST(isodow(day) AS BIGINT) AS dow,
+        |        CAST(round((yd - trend) * 10000, 0) AS BIGINT) AS devq
+        |      FROM t)
+        |SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(devq) AS DOUBLE) /
+        |    CAST(COUNT(*) * 10000 AS DOUBLE) AS seasonal
+        |FROM q GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    "q_silhouette" ->
+      s"""WITH q AS (SELECT vec_id, ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, generate_subscripts(qv, 1) AS i,
+         |        unnest(qv) AS v FROM q),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY 1),
+         |dot AS (SELECT a.vec_id, b.vec_id AS cent_id,
+         |          SUM(a.v * b.v) AS ab
+         |        FROM x a JOIN x b ON a.i = b.i AND b.vec_id < 16
+         |        GROUP BY 1, 2),
+         |d2 AS (SELECT dot.vec_id, cent_id,
+         |         CAST(na.nn + nc.nn - 2 * ab AS BIGINT) AS d2
+         |       FROM dot
+         |         JOIN n na ON na.vec_id = dot.vec_id
+         |         JOIN n nc ON nc.vec_id = cent_id),
+         |r AS (SELECT vec_id, cent_id, d2,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY d2, cent_id) AS rn
+         |      FROM d2),
+         |ab2 AS (SELECT a.vec_id, a.cent_id AS bucket,
+         |          a.d2 AS a2, b.d2 AS b2
+         |        FROM r a JOIN r b
+         |          ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+         |sq AS (SELECT bucket,
+         |         CAST(round(CAST(b2 - a2 AS DOUBLE) /
+         |           CAST(greatest(a2, b2) AS DOUBLE) * 10000, 0)
+         |           AS BIGINT) AS sq
+         |       FROM ab2)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(sq) AS DOUBLE) /
+         |    CAST(COUNT(*) * 10000 AS DOUBLE) AS mean_silhouette
+         |FROM sq GROUP BY bucket ORDER BY bucket""".stripMargin)
+}

@@ -30,19 +30,32 @@ object Mining extends QueryModule {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Symmetric co-purchase edge relation (basket pairs with co-count
-    * >= 2), checkpointed once — the 3 prune rounds below each re-read
-    * it, and the pair generation is the expensive part.
+  /** Per-order sorted distinct part lists — the basket relation the
+    * pair/triple/graph miners below all start from.
     */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val postings = table(s, d, "lineitem")
+  private def basketPostings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
       .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-    val pairs = postings
+
+  /** Basket pair counts (a < b) — shared by the k-core edge builder and
+    * the a-priori frequent-pair stage.
+    */
+  private def basketPairs(s: SparkSession, d: String,
+      postings: DataFrame): DataFrame =
+    postings
       .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
       .select(col("a"), col("i"), posexplode(col("ids")).as(Seq("j", "b")))
       .filter(col("i") < col("j"))
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+
+  /** Symmetric co-purchase edge relation (basket pairs with co-count
+    * >= 2), checkpointed once — the iterative consumers (k-core rounds,
+    * BFS frontiers) each re-read it, and the pair generation is the
+    * expensive part.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = basketPairs(s, d, basketPostings(s, d))
       .filter(col("cab") >= 2)
     pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
@@ -107,6 +120,71 @@ object Mining extends QueryModule {
         e3.groupBy(col("u").as("node"))
           .agg(count(lit(1)).as("degree"))
           .orderBy("node")
+      }),
+
+      // --- frequent 3-itemsets (a-priori level 3, support >= 2): the
+      // step beyond q_basket_pairs/q_assoc_rules' pair mining. Triples
+      // stream map-side from per-basket 3-combinations (bounded by
+      // C(|basket|,3), never a 3-way corpus self-join), and the
+      // A-PRIORI PRUNE runs BEFORE the count shuffle: candidate
+      // triples semi-join (broadcast) against the frequent-pair set on
+      // two of their three sub-pairs, so infrequent candidates never
+      // reach the exchange — result-invisible (support(abc) <=
+      // support(ab)), pure shuffle-volume reduction, the same trade
+      // every banding trick in this suite makes. The frequent-pair
+      // relation is pruned-small by definition (that is the a-priori
+      // property), so the broadcast is bounded at any corpus scale. ---
+      "q_itemsets3" -> ((s, d) => {
+        val postings = basketPostings(s, d).localCheckpoint()
+        val fpairs = basketPairs(s, d, postings)
+          .filter(col("cab") >= 2).select(col("a"), col("b"))
+        val triples = postings
+          .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+          .select(col("a"), col("i"),
+            posexplode(col("ids")).as(Seq("j", "b")), col("ids"))
+          .filter(col("i") < col("j"))
+          .select(col("a"), col("b"), col("j"),
+            posexplode(col("ids")).as(Seq("k", "c")))
+          .filter(col("j") < col("k"))
+        val fab = fpairs.select(col("a").as("fa"), col("b").as("fb"))
+        val fbc = fpairs.select(col("a").as("ga"), col("b").as("gb"))
+        triples
+          .join(broadcast(fab),
+            col("a") === col("fa") && col("b") === col("fb"), "left_semi")
+          .join(broadcast(fbc),
+            col("b") === col("ga") && col("c") === col("gb"), "left_semi")
+          .groupBy("a", "b", "c")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy("a", "b", "c")
+      }),
+
+      // --- multi-source bounded BFS (3 hops) on the co-purchase graph:
+      // per-seed reachable-set growth — the neighborhood-expansion
+      // readout (how fast does the graph mix?) and the bounded-pass
+      // sibling of q_kcore_prune. Each hop is ONE join of the reach
+      // relation against the checkpointed edge list + a distinct
+      // reduce, both on the node key; the reach relation is bounded by
+      // seeds x nodes by construction (seeds are a fixed slice, so the
+      // state is seed-sized, not corpus-squared). Three hops, three
+      // counts, one output row per seed. ---
+      "q_graph_bfs" -> ((s, d) => {
+        val edges = copurchaseEdges(s, d)
+        val r0 = edges.filter(col("u") < 100)
+          .select(col("u").as("seed")).distinct()
+          .select(col("seed"), col("seed").as("node"))
+        val reaches = (1 to 3).scanLeft(r0) { (r, _) =>
+          r.union(
+            r.join(edges, col("node") === col("u"))
+              .select(col("seed"), col("v").as("node")))
+            .distinct()
+            .localCheckpoint()
+        }.drop(1)
+        val counts = reaches.zipWithIndex.map { case (r, i) =>
+          r.groupBy("seed")
+            .agg((count(lit(1)) - 1).as(s"n${i + 1}hop"))
+        }
+        counts.reduce((a, b) => a.join(b, "seed")).orderBy("seed")
       }),
 
       // --- Holt linear-trend smoothing (double exponential, alpha =
@@ -193,6 +271,54 @@ object Mining extends QueryModule {
         |       JOIN k3 x ON e2.u = x.u JOIN k3 y ON e2.v = y.u)
         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
         |FROM e3 GROUP BY u ORDER BY node""".stripMargin,
+
+    "q_itemsets3" ->
+      """WITH p AS (
+        |  SELECT l_orderkey AS ok,
+        |         list_sort(list_distinct(list(l_partkey))) AS ids
+        |  FROM lineitem GROUP BY 1),
+        |el AS (SELECT ok, unnest(ids) AS pk FROM p),
+        |tr AS (SELECT x.pk AS a, y.pk AS b, z.pk AS c,
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |       FROM el x JOIN el y ON x.ok = y.ok AND x.pk < y.pk
+        |                 JOIN el z ON y.ok = z.ok AND y.pk < z.pk
+        |       GROUP BY 1, 2, 3)
+        |SELECT a, b, c, support FROM tr
+        |WHERE support >= 2 ORDER BY a, b, c""".stripMargin,
+
+    "q_graph_bfs" ->
+      """WITH p AS (
+        |  SELECT l_orderkey AS ok,
+        |         list_sort(list_distinct(list(l_partkey))) AS ids
+        |  FROM lineitem GROUP BY 1),
+        |el AS (SELECT ok, unnest(ids) AS pk FROM p),
+        |pr AS (SELECT x.pk AS a, y.pk AS b
+        |       FROM el x JOIN el y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS u, b AS v FROM pr
+        |      UNION ALL SELECT b, a FROM pr),
+        |r0 AS (SELECT DISTINCT u AS seed, u AS node FROM e
+        |       WHERE u < 100),
+        |r1 AS (SELECT DISTINCT seed, node FROM (
+        |         SELECT seed, node FROM r0
+        |         UNION ALL
+        |         SELECT r.seed, e.v FROM r0 r JOIN e ON e.u = r.node)),
+        |r2 AS (SELECT DISTINCT seed, node FROM (
+        |         SELECT seed, node FROM r1
+        |         UNION ALL
+        |         SELECT r.seed, e.v FROM r1 r JOIN e ON e.u = r.node)),
+        |r3 AS (SELECT DISTINCT seed, node FROM (
+        |         SELECT seed, node FROM r2
+        |         UNION ALL
+        |         SELECT r.seed, e.v FROM r2 r JOIN e ON e.u = r.node))
+        |SELECT c1.seed, n1hop, n2hop, n3hop
+        |FROM (SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n1hop
+        |      FROM r1 GROUP BY 1) c1
+        |JOIN (SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n2hop
+        |      FROM r2 GROUP BY 1) c2 ON c1.seed = c2.seed
+        |JOIN (SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n3hop
+        |      FROM r3 GROUP BY 1) c3 ON c1.seed = c3.seed
+        |ORDER BY c1.seed""".stripMargin,
 
     "q_holt_linear" ->
       """WITH RECURSIVE daily AS (

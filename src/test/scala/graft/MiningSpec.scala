@@ -67,6 +67,62 @@ class MiningSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("frequent 3-itemsets equal an unpruned driver-side count") {
+    import org.apache.spark.sql.functions.col
+    val baskets = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted.toIndexedSeq)
+    val cnt = scala.collection.mutable.Map[(Long, Long, Long), Long]()
+    baskets.foreach { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length;
+           k <- j + 1 until ids.length) {
+        val key = (ids(i), ids(j), ids(k))
+        cnt(key) = cnt.getOrElse(key, 0L) + 1
+      }
+    }
+    // the a-priori semi-joins must be result-invisible: the pruned
+    // Spark pipeline equals the plain support>=2 count
+    val want = cnt.filter(_._2 >= 2).toMap
+    val got = q("q_itemsets3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("bounded BFS reach counts equal a driver-side expansion") {
+    import org.apache.spark.sql.functions.col
+    val baskets = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+    baskets.foreach { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        pairCount((ids(i), ids(j))) =
+          pairCount.getOrElse((ids(i), ids(j)), 0) + 1
+    }
+    val adj = pairCount.filter(_._2 >= 2).keys
+      .flatMap(p => Seq(p, p.swap)).toSeq
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ < 100)
+    val want = seeds.map { s0 =>
+      var reach = Set(s0)
+      val ns = (1 to 3).map { _ =>
+        reach = reach ++ reach.flatMap(n => adj.getOrElse(n, Set.empty))
+        (reach.size - 1).toLong
+      }
+      s0 -> ((ns(0), ns(1), ns(2)))
+    }.toMap
+    val got = q("q_graph_bfs").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // monotone expansion
+    got.values.foreach { case (a, b, c) => assert(a <= b && b <= c) }
+  }
+
   test("Holt smoothing equals a driver-side sequential fold") {
     import org.apache.spark.sql.functions._
     import graft.Det.dec

@@ -130,6 +130,71 @@ object Operational extends QueryModule {
           .orderBy("user_id")
       }),
 
+      // --- rolling-origin forecast backtest: at every day t, forecast
+      // y_t from the trailing 7-day mean AND from yesterday's value
+      // (the naive baseline every forecast must beat), then score both
+      // by mean absolute error — the evaluation harness behind
+      // q_holt_linear/q_ewma_smooth. Both forecasts are windows over
+      // the SAME per-type day-ordered exchange (trailing decimal sum +
+      // lag — one WindowExec); each day's two absolute errors are
+      // grid-quantized to 1e-4 BEFORE the mean so the aggregate is an
+      // exact integer sum with one terminal division per metric (raw
+      // double errors summed in group order would hash-diverge). ---
+      "q_rolling_backtest" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(D).as("y"))
+        val wt = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        val wl = Window.partitionBy("event_type").orderBy("day")
+        val scoredDays = daily
+          .withColumn("wn", count(lit(1)).over(wt))
+          .withColumn("ws", sum("y").over(wt))
+          .withColumn("yprev", lag("y", 1).over(wl))
+          .filter(col("wn") === 7)
+          .select(col("event_type"),
+            round(abs(col("y").cast("double") -
+              col("ws").cast("double") / lit(7.0)) * 10000, 0)
+              .cast("long").as("e_ma7"),
+            round(abs(col("y").cast("double") -
+              col("yprev").cast("double")) * 10000, 0)
+              .cast("long").as("e_naive"))
+        scoredDays.groupBy("event_type")
+          .agg(count(lit(1)).as("n_evals"),
+            (sum("e_ma7").cast("double") /
+              (count(lit(1)) * 10000).cast("double")).as("mae_ma7"),
+            (sum("e_naive").cast("double") /
+              (count(lit(1)) * 10000).cast("double")).as("mae_naive"))
+          .orderBy("event_type")
+      }),
+
+      // --- Benford first-digit audit: the data-quality / fraud screen
+      // over order totals — observed first-significant-digit shares vs
+      // Benford's law. The digit comes from the DECIMAL STRING head
+      // (first char of the floored total), never floor(log10) — zero
+      // libm, bit-identical everywhere; expected shares are the nine
+      // log10(1+1/d) constants as double literals. One 9-group
+      // map-side aggregate; observed share is one exact-int division
+      // per digit. ---
+      "q_benford_audit" -> ((s, d) => {
+        val o = table(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+        val tot = o.agg(count(lit(1)).as("n_total"))
+        val exp = Seq(0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+          0.06695, 0.05799, 0.05115, 0.04576)
+        val expCol = element_at(
+          array(exp.map(lit): _*), col("digit").cast("int"))
+        o.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("n_total").cast("double"))
+              .as("obs_share"),
+            expCol.as("exp_share"))
+          .orderBy("digit")
+      }),
+
       // --- greedy stock allocation: each part holds size·50 units;
       // shipdate-ordered lineitems drain the stock, each line getting
       // min(requested, remaining). The running drain is one exact
@@ -249,6 +314,52 @@ object Operational extends QueryModule {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
         |  CAST(SUM(is1 - is0) AS BIGINT) AS covered_us
         |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rolling_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |           AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, y,
+        |        COUNT(*) OVER wt AS wn, SUM(y) OVER wt AS ws,
+        |        lag(y, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |          AS yprev
+        |      FROM daily
+        |      WINDOW wt AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |e AS (SELECT event_type,
+        |        CAST(round(abs(CAST(y AS DOUBLE)
+        |          - CAST(ws AS DOUBLE) / 7.0) * 10000, 0) AS BIGINT)
+        |          AS e_ma7,
+        |        CAST(round(abs(CAST(y AS DOUBLE)
+        |          - CAST(yprev AS DOUBLE)) * 10000, 0) AS BIGINT)
+        |          AS e_naive
+        |      FROM w WHERE wn = 7)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_evals,
+        |  CAST(SUM(e_ma7) AS DOUBLE) /
+        |    CAST(COUNT(*) * 10000 AS DOUBLE) AS mae_ma7,
+        |  CAST(SUM(e_naive) AS DOUBLE) /
+        |    CAST(COUNT(*) * 10000 AS DOUBLE) AS mae_naive
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_benford_audit" ->
+      """WITH o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |             AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM o),
+        |exp AS (SELECT * FROM (VALUES
+        |          (1, 0.30103), (2, 0.17609), (3, 0.12494),
+        |          (4, 0.09691), (5, 0.07918), (6, 0.06695),
+        |          (7, 0.05799), (8, 0.05115), (9, 0.04576))
+        |        AS v(d, share))
+        |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    AS obs_share,
+        |  CAST(share AS DOUBLE) AS exp_share
+        |FROM o CROSS JOIN t JOIN exp ON exp.d = o.digit
+        |GROUP BY digit, n_total, share
+        |ORDER BY digit""".stripMargin,
 
     "q_alloc_greedy" ->
       """WITH stock AS (

@@ -84,6 +84,34 @@ class OperationalSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling backtest scores both forecasters over the same days") {
+    val rows = q("q_rolling_backtest").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+      // the 7-day mean must not be catastrophically worse than naive
+      // on a stationary synthetic series (sanity, not a tight bound)
+      assert(r.getDouble(2) < r.getDouble(3) * 5)
+    }
+  }
+
+  test("Benford audit shares sum to one and match driver counts") {
+    import org.apache.spark.sql.functions.col
+    val digits = Tables.table(spark, sf, "orders")
+      .select(col("o_totalprice")).collect()
+      .map(r => r.getDouble(0).floor.toLong.toString.head.asDigit.toLong)
+    val want = digits.groupBy(identity).map { case (d, xs) =>
+      d -> xs.length.toLong
+    }
+    val rows = q("q_benford_audit").collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) < 0.31))
+  }
+
   test("lag-1 autocorrelation is a valid correlation") {
     val rows = q("q_autocorr").collect()
     assert(rows.nonEmpty)

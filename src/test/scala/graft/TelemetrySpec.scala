@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-7 Telemetry block (cross-corr,
+  * bursts, audience overlap) at sf0.001.
+  */
+class TelemetrySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("cross-correlation covers all 7 lags with valid coefficients") {
+    val rows = q("q_cross_corr").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (-3L to 3L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1, s"lag ${r.getLong(0)}: too few pairs")
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
+
+  test("burst episodes are above-threshold maximal runs") {
+    import org.apache.spark.sql.functions._
+    val hourly = Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byType = hourly.groupBy(_._1)
+    val want = byType.flatMap { case (et, hs) =>
+      val total = hs.map(_._3).sum
+      val hours = hs.length
+      val hot = hs.filter(r => r._3 * hours >= total * 2)
+        .sortBy(_._2)
+      // gaps-and-islands on the hot hours
+      val episodes = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      var start = -1L; var len = 0L; var peak = 0L; var prev = -1L
+      hot.foreach { case (_, t, n) =>
+        if (prev < 0 || t - prev != 3600000L) {
+          if (start >= 0) episodes += ((et, start, len, peak))
+          start = t; len = 0; peak = 0
+        }
+        len += 1; peak = math.max(peak, n); prev = t
+      }
+      if (start >= 0) episodes += ((et, start, len, peak))
+      episodes
+    }.toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = q("q_burst_detect").collect()
+      .map(r => (r.getString(0),
+        fmt.parse(r.getString(1)).getTime, r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("audience overlap is symmetric-complete with valid Jaccard") {
+    import org.apache.spark.sql.functions.col
+    val ut = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._1).toSet
+    }
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- i + 1 until types.length
+      inter = (byType(types(i)) & byType(types(j))).size
+      if inter > 0
+    } yield (types(i), types(j)) ->
+      ((inter.toLong, byType(types(i)).size.toLong,
+        byType(types(j)).size.toLong))).toMap
+    val got = q("q_user_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    q("q_user_overlap").collect().foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+}

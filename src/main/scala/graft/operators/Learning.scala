@@ -153,6 +153,97 @@ object Learning extends QueryModule {
           .orderBy("n_name")
       }),
 
+      // --- kNN label-noise audit (confident-learning-lite): for each
+      // probe vector, does the majority label of its 5 exact-cosine
+      // nearest neighbors agree with its own label? The per-label
+      // disagreement rate is the training-data QA readout that flags
+      // mislabeled slices before a fine-tune run. Probes (a fixed
+      // corpus slice) broadcast against the corpus — the q_sim_topk
+      // scan shape; the top-5 is a bounded row_number window; the
+      // 5-row majority is ONE count aggregate + a struct-extremum
+      // (min over (-count, label) — deterministic ties toward the
+      // smaller label, never a second window); the rollup is O(labels).
+      "q_knn_label_audit" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").as("q"))
+          .withColumn("nn", Similarity.dotQ(col("q"), col("q")))
+        val probes = e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("plabel"), col("q").as("pq"),
+            col("nn").as("pn"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"),
+            col("vec_id").as("cand_id"), col("label"),
+            Similarity.cosQ(Similarity.dotQ(col("pq"), col("q")),
+              col("pn"), col("nn")).as("cos"))
+        val wr = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        val top5 = scored
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 5)
+        val majority = top5.groupBy("probe_id", "plabel", "label")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("probe_id", "plabel")
+          .agg(min_by(col("label"),
+            struct((-col("c")).as("nc"), col("label").as("tie")))
+            .as("maj"))
+        majority
+          .groupBy(col("plabel"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum((col("maj") =!= col("plabel")).cast("long"))
+              .as("n_flagged"))
+          .select(col("plabel"), col("n_probes"), col("n_flagged"),
+            (col("n_flagged").cast("double") /
+              col("n_probes").cast("double")).as("flag_rate"))
+          .orderBy("plabel")
+      }),
+
+      // --- conversion-lag percentiles: minutes from a user's first
+      // 'view' to their first 'purchase' AFTER that view — the funnel
+      // latency distribution (q_funnel counts conversions; this times
+      // them). Both anchor events come from ONE user-hash aggregate
+      // (conditional min-struct extrema — no per-event window); lag
+      // quantizes to integer minutes; p50/p90 are the cumulative-count
+      // window over the USER-sized lag relation (the q_weighted_median
+      // exact-threshold discipline: cum·2 ≥ n, cum·10 ≥ 9n — no FP
+      // percentile). Output is one row. ---
+      "q_conv_lag" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        val anchors = ev
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view",
+              unix_micros(col("ts")))).as("tv"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+        val lags = anchors.filter(col("tv").isNotNull)
+          .join(purch, "user_id")
+          .filter(col("tp") >= col("tv"))
+          .groupBy("user_id", "tv")
+          .agg(min("tp").as("tp1"))
+          .select(col("user_id"),
+            ((col("tp1") - col("tv")) / 60000000L).cast("long")
+              .as("lag_min"))
+        // the lag relation is USER-sized, so the single-partition
+        // percentile windows are bounded state (documented trade, the
+        // q_curriculum_bins argument; a corpus-sized relation would use
+        // the quantized-domain order statistics of q_robust_scale)
+        val wc = Window.orderBy(col("lag_min"), col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy(lit(1))
+        lags
+          .withColumn("cum", count(lit(1)).over(wc))
+          .withColumn("tot", count(lit(1)).over(wt))
+          .agg(count(lit(1)).as("n_converted"),
+            min(when(col("cum") * 2 >= col("tot"), col("lag_min")))
+              .as("p50_min"),
+            min(when(col("cum") * 10 >= col("tot") * 9, col("lag_min")))
+              .as("p90_min"))
+      }),
+
       // --- item-item collaborative filtering: for every part, its five
       // nearest neighbor parts by basket-co-occurrence cosine
       // c_ab/√(c_a·c_b), min co-count 3 — the classic "users who bought
@@ -252,6 +343,75 @@ object Learning extends QueryModule {
          |        THEN relcum * (2520 // rk) END) AS DOUBLE)
          |      / CAST(SUM(rel) * 2520 AS DOUBLE), 0.0) AS ap10
          |FROM c2 GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+
+    "q_knn_label_audit" ->
+      s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |             ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, generate_subscripts(qv, 1) AS i,
+         |        unnest(qv) AS v FROM q),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY 1),
+         |dot AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |          SUM(p.v * c.v) AS d
+         |        FROM x p JOIN x c
+         |          ON p.i = c.i AND p.vec_id % 7 = 0
+         |         AND c.vec_id <> p.vec_id
+         |        GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |           sqrt(CAST(nc.nn AS DOUBLE))) AS cos,
+         |         lp.label AS plabel, lc.label AS clabel
+         |       FROM dot
+         |         JOIN n np ON np.vec_id = probe_id
+         |         JOIN n nc ON nc.vec_id = cand_id
+         |         JOIN q lp ON lp.vec_id = probe_id
+         |         JOIN q lc ON lc.vec_id = cand_id),
+         |t5 AS (SELECT probe_id, plabel, clabel FROM (
+         |         SELECT probe_id, plabel, clabel,
+         |           row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY cos DESC, cand_id) AS rk
+         |         FROM sc) r WHERE rk <= 5),
+         |cnt AS (SELECT probe_id, plabel, clabel,
+         |          CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM t5 GROUP BY 1, 2, 3),
+         |mj AS (SELECT probe_id, plabel, clabel AS maj FROM (
+         |         SELECT probe_id, plabel, clabel,
+         |           row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY c DESC, clabel) AS rr
+         |         FROM cnt) z WHERE rr = 1)
+         |SELECT plabel, CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |  CAST(SUM(CASE WHEN maj <> plabel THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(SUM(CASE WHEN maj <> plabel THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+         |FROM mj GROUP BY plabel ORDER BY plabel""".stripMargin,
+
+    "q_conv_lag" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS tv
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |p AS (SELECT user_id, epoch_us(ts) AS tp FROM events
+        |      WHERE event_type = 'purchase'),
+        |l AS (SELECT a.user_id,
+        |        CAST((MIN(tp) - tv) // 60000000 AS BIGINT) AS lag_min
+        |      FROM a JOIN p ON p.user_id = a.user_id
+        |      WHERE tv IS NOT NULL AND tp >= tv
+        |      GROUP BY a.user_id, tv),
+        |c AS (SELECT lag_min,
+        |        COUNT(*) OVER (ORDER BY lag_min, user_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        COUNT(*) OVER () AS tot
+        |      FROM l)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN lag_min END)
+        |    AS BIGINT) AS p50_min,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN lag_min END)
+        |    AS BIGINT) AS p90_min
+        |FROM c""".stripMargin,
 
     "q_dp_count" ->
       """WITH g AS (

@@ -174,6 +174,47 @@ class OperationalSpec extends AnyFunSuite {
     }
   }
 
+  test("kNN label audit rates are consistent ratios over the probe slice") {
+    import org.apache.spark.sql.functions.col
+    val nProbes = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") % 7 === 0).count()
+    val rows = q("q_knn_label_audit").collect()
+    assert(rows.map(_.getLong(1)).sum == nProbes,
+      "per-label probe counts must partition the probe slice")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) ==
+        r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+
+  test("conversion-lag percentiles match a driver-side scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val ps = rows.filter(r => r._2 == "purchase" && r._3 >= tv)
+        if (ps.isEmpty) None
+        else Some((u, (ps.map(_._3).min - tv) / 60000000L))
+      }
+    }.toSeq.sortBy(r => (r._2, r._1))
+    def pct(q10: Int): Long = {
+      val n = lags.length
+      lags.zipWithIndex
+        .find { case (_, i) => (i + 1) * 10 >= n * q10 }.get._1._2
+    }
+    val r = q("q_conv_lag").collect().head
+    assert(r.getLong(0) == lags.length)
+    assert(r.getLong(1) == pct(5))
+    assert(r.getLong(2) == pct(9))
+    assert(r.getLong(1) <= r.getLong(2))
+  }
+
   test("item-item cosine neighbors are ranked and normalized") {
     val rows = q("q_item_cosine").collect()
     assert(rows.nonEmpty)

@@ -100,6 +100,93 @@ object Telemetry extends QueryModule {
           .orderBy("event_type", "start_h")
       }),
 
+      // --- max-min fair-share allocation (water-filling): per
+      // returnflag, a capacity of half the total demand splits among
+      // suppliers so that everyone gets min(demand, L) with the water
+      // level L chosen to exhaust capacity — the quota/rate-limit
+      // design readout (q_alloc_greedy ranks by time; this one is
+      // fairness-optimal). The classic sorted sweep as ONE window per
+      // flag: ascending-demand cumsum P and row index i make the
+      // level condition P_{i-1} + d_i·(n-i+1) > C an exact decimal
+      // comparison per row; L = (C - P_{i-1})/(n-i+1) evaluates on
+      // the FIRST violating row only (min_by struct — no second
+      // window), and n_full counts rows below it. One terminal FP
+      // division per flag. ---
+      "q_fair_share" -> ((s, d) => {
+        val dem = table(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_suppkey").as("supp"))
+          .agg(sum(dec(col("l_quantity"))).cast(D).as("dm"))
+        val wt = Window.partitionBy("flag")
+        val wo = Window.partitionBy("flag").orderBy("dm", "supp")
+        val wc = Window.partitionBy("flag").orderBy("dm", "supp")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // capacity = total/2, but NO decimal division anywhere: the
+        // level condition doubles both sides (2·(P+d·slots) > total —
+        // exact decimal multiplications), and L itself is computed in
+        // doubles off exact decimal operands (DuckDB decimal division
+        // returns DOUBLE, so a decimal cap would round differently
+        // per engine)
+        val marked = dem
+          .withColumn("n", count(lit(1)).over(wt))
+          .withColumn("tot", sum("dm").over(wt))
+          .withColumn("i", row_number().over(wo).cast("long"))
+          .withColumn("pprev",
+            coalesce(sum("dm").over(wc), lit(0).cast(D)))
+          .withColumn("viol",
+            (col("pprev") + col("dm") * (col("n") - col("i") + 1)) * 2
+              > col("tot"))
+        marked.groupBy("flag")
+          .agg(max("n").as("n_suppliers"),
+            (max("tot").cast("double") / 2.0).as("capacity"),
+            (min(when(col("viol"), col("i"))) - 1).as("n_fully_served"),
+            min_by(
+              ((col("tot").cast("double") -
+                lit(2.0) * col("pprev").cast("double")) /
+                (lit(2.0) * (col("n") - col("i") + 1).cast("double"))),
+              when(col("viol"), col("i")).otherwise(lit(Long.MaxValue)))
+              .as("water_level"))
+          .select(col("flag"), col("n_suppliers"), col("capacity"),
+            col("n_fully_served"), col("water_level"))
+          .orderBy("flag")
+      }),
+
+      // --- peak concurrency: the maximum number of simultaneously
+      // open [ts, ts+value s] windows per event type, and the first
+      // instant it is reached — the capacity-planning twin of
+      // q_interval_union (coverage measures HOW LONG, this measures
+      // HOW DEEP). The interval sweep as a delta stream: each event
+      // emits (+1 at start, -1 at end) map-side, one per-type ordered
+      // window accumulates the running depth (ends sort before starts
+      // at the same instant — half-open intervals), and the peak and
+      // its first attain time come from one max(struct) extremum over
+      // the depth stream. All int64. ---
+      "q_peak_concurrency" -> ((s, d) => {
+        val ev = table(s, d, "events").select(
+          col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            round(col("value"), 0).cast("long") * 1000000L).as("en"))
+        val deltas = ev.select(col("event_type"), col("event_id"),
+            explode(array(
+              struct(col("st").as("t"), lit(1L).as("dl")),
+              struct(col("en").as("t"), lit(-1L).as("dl")))).as("e"))
+          .select(col("event_type"), col("event_id"),
+            col("e.t").as("t"), col("e.dl").as("dl"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("dl"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("depth", sum("dl").over(wr))
+          .groupBy("event_type")
+          .agg(max(struct(col("depth"), (-col("t")).as("negt")))
+            .as("pk"))
+          .select(col("event_type"),
+            col("pk.depth").as("peak"),
+            (-col("pk.negt")).as("peak_at_us"))
+          .orderBy("event_type")
+      }),
+
       // --- audience-overlap matrix: pairwise distinct-user overlap and
       // Jaccard between event types — the segmentation readout (which
       // behaviors share an audience?). The (user, type) distinct
@@ -193,6 +280,69 @@ object Telemetry extends QueryModule {
         |  CAST(MAX(n) AS BIGINT) AS peak
         |FROM i GROUP BY event_type, ep
         |ORDER BY event_type, start_h""".stripMargin,
+
+    "q_fair_share" ->
+      """WITH dem AS (
+        |  SELECT l_returnflag AS flag, l_suppkey AS supp,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |           AS DECIMAL(18,4)) AS dm
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT flag, supp, dm,
+        |        CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS n,
+        |        SUM(dm) OVER (PARTITION BY flag) AS tot,
+        |        CAST(row_number() OVER (PARTITION BY flag
+        |          ORDER BY dm, supp) AS BIGINT) AS i,
+        |        COALESCE(SUM(dm) OVER (PARTITION BY flag
+        |          ORDER BY dm, supp
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          CAST(0 AS DECIMAL(18,4))) AS pprev
+        |      FROM dem),
+        |v AS (SELECT flag, n, tot, i, pprev,
+        |        2 * (CAST(CAST(pprev AS DECIMAL(18,4)) * 10000
+        |               AS BIGINT)
+        |          + CAST(dm * 10000 AS BIGINT) * (n - i + 1))
+        |          > CAST(CAST(tot AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |          AS viol
+        |      FROM w),
+        |f AS (SELECT flag, i, pprev, n,
+        |        (CAST(tot AS DOUBLE) - 2 * CAST(pprev AS DOUBLE)) /
+        |          (2 * CAST(n - i + 1 AS DOUBLE)) AS lvl,
+        |        row_number() OVER (PARTITION BY flag ORDER BY i) AS rr
+        |      FROM v WHERE viol),
+        |t AS (SELECT flag, CAST(MAX(n) AS BIGINT) AS n_suppliers,
+        |        CAST(MAX(tot) AS DOUBLE) / 2 AS capacity
+        |      FROM w GROUP BY 1)
+        |SELECT t.flag AS flag, n_suppliers, capacity,
+        |  CAST(f.i - 1 AS BIGINT) AS n_fully_served,
+        |  f.lvl AS water_level
+        |FROM t JOIN f ON f.flag = t.flag AND f.rr = 1
+        |ORDER BY t.flag""".stripMargin,
+
+    "q_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts)
+        |           + CAST(round(value, 0) AS BIGINT) * 1000000 AS en
+        |  FROM events),
+        |dl AS (SELECT event_type, event_id, st AS t,
+        |         CAST(1 AS BIGINT) AS dl FROM ev
+        |       UNION ALL
+        |       SELECT event_type, event_id, en,
+        |         CAST(-1 AS BIGINT) FROM ev),
+        |r AS (SELECT event_type, t,
+        |        CAST(SUM(dl) OVER (PARTITION BY event_type
+        |          ORDER BY t, dl, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS depth
+        |      FROM dl),
+        |m AS (SELECT event_type, CAST(MAX(depth) AS BIGINT) AS peak
+        |      FROM r GROUP BY 1)
+        |SELECT r.event_type AS event_type, m.peak AS peak,
+        |  CAST(MIN(t) AS BIGINT) AS peak_at_us
+        |FROM r JOIN m
+        |  ON r.event_type = m.event_type AND r.depth = m.peak
+        |GROUP BY r.event_type, m.peak
+        |ORDER BY r.event_type""".stripMargin,
 
     "q_user_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -64,6 +64,59 @@ class TelemetrySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fair-share water level exhausts exactly the capacity") {
+    import org.apache.spark.sql.functions._
+    import graft.Det.dec
+    val dem = Tables.table(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).cast(graft.Det.D).as("dm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2))))
+    val rows = q("q_fair_share").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val ds = dem.filter(_._1 == flag).map(_._3).sorted
+      assert(r.getLong(1) == ds.length)
+      val cap = r.getDouble(2)
+      val lvl = r.getDouble(4)
+      // allocating min(d, L) over all demands must exhaust capacity
+      val served = ds.map(d => math.min(d.toDouble, lvl)).sum
+      assert(math.abs(served - cap) < 1e-6 * cap,
+        s"$flag: served $served != capacity $cap")
+      // the fully-served count is exactly the demands below the level
+      assert(r.getLong(3) == ds.count(_.toDouble <= lvl + 1e-12),
+        s"$flag: n_fully_served mismatch")
+    }
+  }
+
+  test("peak concurrency matches a driver-side sweep") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          round(col("value"), 0).cast("long") * 1000000L).as("en"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (et, rows) =>
+      val deltas = rows.flatMap(r =>
+        Seq((r._3, 1L, r._2), (r._4, -1L, r._2)))
+        .sortBy(d => (d._1, d._2, d._3))
+      var depth = 0L; var peak = 0L; var at = 0L
+      deltas.foreach { case (t, dl, _) =>
+        depth += dl
+        if (depth > peak) { peak = depth; at = t }
+      }
+      et -> ((peak, at))
+    }
+    val got = q("q_peak_concurrency").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("audience overlap is symmetric-complete with valid Jaccard") {
     import org.apache.spark.sql.functions.col
     val ut = Tables.table(spark, sf, "events")

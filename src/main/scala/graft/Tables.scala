@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Table loaders for the driver test data (`TESTDATA.md`): one parquet per
   * table under the scale-factor directory passed to each query.
@@ -10,12 +11,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and truncate to micros (the
-      // same truncation DuckDB applies when it reads nanos).
+      // events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some
+      // dataset generations and micros TIMESTAMP_NTZ in others; accept
+      // either (nanosAsLong so a nanos file surfaces as a long instead
+      // of a vectorized-reader error, then normalize by actual type).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     } else if (name == "documents" || name == "embeddings") {
       // These two tables feed expression-heavy pipelines (shingling,
       // minhashing, quantized dot products) whose cost is per-row CPU,
@@ -31,13 +32,33 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** events.parquet with its raw on-disk schema (ts as nanos long) — the
+  /** events.parquet with its raw on-disk schema (ts as nanos long or as
+    * a native timestamp, depending on the dataset generation) — the
     * schema a streaming file source must be given (see StreamingSmoke).
     */
   def rawEventsSchema(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet").schema
   }
+
+  /** Normalize the raw events `ts` column to session-TZ TimestampType at
+    * micros precision, whatever the on-disk flavor: epoch-nanos long
+    * (TIMESTAMP(NANOS) under nanosAsLong) → truncate to micros, exactly
+    * DuckDB's nanos read; TIMESTAMP_NTZ micros → reinterpret in the
+    * session zone (sessions run UTC, so wall-clock == epoch and DuckDB's
+    * naive read agrees); TimestampType → already canonical. Schema-driven
+    * so a dataset regeneration that changes the physical type is a
+    * no-op here, not an analysis error. Works on batch and streaming
+    * frames alike (withColumn only).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 }
 
 /** Determinism helpers shared by every query and its DuckDB oracle twin.

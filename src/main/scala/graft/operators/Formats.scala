@@ -393,7 +393,9 @@ object Formats extends QueryModule {
         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
-        |SELECT source, (cum - n_chars) // 2000 AS bin,
+        |-- cum is a windowed SUM(BIGINT) -> HUGEINT in DuckDB, and // keeps
+        |-- the width; cast back so bin hashes as the BIGINT Spark emits
+        |SELECT source, CAST((cum - n_chars) // 2000 AS BIGINT) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi

@@ -127,10 +127,11 @@ object StatefulSession extends QueryModule {
     val dir = new java.io.File(s"/dev/shm/graft_replay/$fp")
     if (!dir.exists()) {
       val schema = graft.Tables.rawEventsSchema(s, d)
-      val raw = s.read.schema(schema).option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .select(expr("ts div 1000").as("ts_us"), col("user_id"), col("value"),
-          col("event_id"), col("event_type"))
+      val raw = graft.Tables.normalizeEventTs(
+        s.read.schema(schema).option("pathGlobFilter", "events.parquet")
+          .parquet(d))
+        .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("value"), col("event_id"), col("event_type"))
       val Row(mn: Long, mx: Long) = raw.agg(min("ts_us"), max("ts_us")).head()
       val mid = mn + (mx - mn) / 2
       val tmp = new java.io.File(s"/dev/shm/graft_replay/.tmp-$fp-" +

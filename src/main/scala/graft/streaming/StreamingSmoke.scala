@@ -47,11 +47,10 @@ object StreamingSmoke extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_rate" -> ((s, d) => {
       val schema = graft.Tables.rawEventsSchema(s, d)
-      val stream = s.readStream
+      val stream = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(d))
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -98,11 +97,10 @@ object StreamingSmoke extends QueryModule {
     // replay here would make that a no-op. ---
     "q_streaming_dedup" -> ((s, d) => {
       val schema = graft.Tables.rawEventsSchema(s, d)
-      val stream = s.readStream
+      val stream = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(d))
       val dedup = stream
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
@@ -179,11 +177,10 @@ object StreamingSmoke extends QueryModule {
     // batch interval join. ---
     "q_streaming_join" -> ((s, d) => {
       val schema = graft.Tables.rawEventsSchema(s, d)
-      def src = s.readStream
+      def src = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .parquet(d))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "1 hour")

@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Telemetry,
     operators.Macros,
     operators.Features,
+    operators.Validation,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

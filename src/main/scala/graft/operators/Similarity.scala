@@ -274,6 +274,53 @@ object Similarity extends QueryModule {
         .orderBy("probe_id", "rn")
     }),
 
+    // --- ANN recall evaluation: recall@10 of the IVF (nprobe=1) path
+    // against the exact brute-force ground truth, per probe — the
+    // index-quality readout every ANN deployment measures before
+    // trading exactness for speed, run as ONE query instead of two
+    // exports and a notebook. Both sides reuse this module's exact
+    // fixed-point scoring, so each ranking is bit-stable; the exact
+    // side is one broadcast-probe corpus pass (the q_sim_topk shape),
+    // the IVF side scores only each probe's cell (the q_sim_ivf
+    // shape), and the overlap is a left join of two k·|probes|-row
+    // relations — the eval costs a tiny join on top of the two
+    // searches, never a third corpus pass. ---
+    "q_ann_recall" -> ((s, d) => {
+      val e = corpus(s, d)
+      val bucketed = e.join(ivfAssigned(s, d), "vec_id")
+      val probes = bucketed
+        .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("nn").as("pn"), col("bucket"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      def topk(scored: DataFrame): DataFrame =
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("probe_id", "cand_id")
+      val exact = topk(e.crossJoin(broadcast(probes.drop("bucket")))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn"))
+            .as("cos")))
+      val ivf = topk(bucketed.join(broadcast(probes), "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn"))
+            .as("cos")))
+      val nIvf = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
+      exact
+        .join(ivf.withColumn("hit", lit(1L)),
+          Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .join(nIvf, "probe_id")
+        .select(col("probe_id"), col("n_exact"), col("n_ivf"),
+          col("n_common"),
+          (col("n_common").cast("double") / 10.0).as("recall_at_10"))
+        .orderBy("probe_id")
+    }),
+
     // --- SemDedup (round 5): semantic near-dup candidates — vectors
     // are IVF-assigned to their nearest seed centroid (the identical
     // partition the ANN path uses), then ONLY within-bucket pairs are
@@ -507,6 +554,57 @@ object Similarity extends QueryModule {
        |        WHERE arn = 1)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "q_ann_recall" ->
+      s"""WITH $ivfAsgCte,
+         |exd AS (SELECT xp.vec_id AS probe_id, xq.vec_id AS cand_id,
+         |          SUM(xp.v * xq.v) AS d
+         |        FROM x xp JOIN x xq
+         |          ON xq.i = xp.i AND xq.vec_id <> xp.vec_id
+         |        WHERE xp.vec_id >= 10 AND xp.vec_id < 20
+         |        GROUP BY 1, 2),
+         |exs AS (SELECT probe_id, cand_id,
+         |          CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |            sqrt(CAST(nc2.nn AS DOUBLE))) AS cos
+         |        FROM exd JOIN n np ON np.vec_id = probe_id
+         |                 JOIN n nc2 ON nc2.vec_id = cand_id),
+         |exr AS (SELECT probe_id, cand_id FROM (
+         |          SELECT probe_id, cand_id,
+         |            row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY cos DESC, cand_id) AS rn
+         |          FROM exs) WHERE rn <= 10),
+         |pr AS (SELECT vid AS probe_id, bucket FROM asg
+         |       WHERE vid >= 10 AND vid < 20),
+         |cand AS (SELECT p.probe_id, s.vid AS cand_id
+         |         FROM pr p JOIN asg s ON s.bucket = p.bucket
+         |         WHERE s.vid <> p.probe_id),
+         |ivd AS (SELECT c.probe_id, c.cand_id, SUM(xp.v * xq.v) AS d
+         |        FROM cand c
+         |        JOIN x xp ON xp.vec_id = c.probe_id
+         |        JOIN x xq ON xq.vec_id = c.cand_id AND xq.i = xp.i
+         |        GROUP BY 1, 2),
+         |ivs AS (SELECT probe_id, cand_id,
+         |          CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |            sqrt(CAST(nc2.nn AS DOUBLE))) AS cos
+         |        FROM ivd JOIN n np ON np.vec_id = probe_id
+         |                 JOIN n nc2 ON nc2.vec_id = cand_id),
+         |ivr AS (SELECT probe_id, cand_id FROM (
+         |          SELECT probe_id, cand_id,
+         |            row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY cos DESC, cand_id) AS rn
+         |          FROM ivs) WHERE rn <= 10),
+         |nv AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_ivf
+         |       FROM ivr GROUP BY 1),
+         |j AS (SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |        CAST(SUM(CASE WHEN i.cand_id IS NOT NULL
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |      FROM exr e LEFT JOIN ivr i
+         |        ON i.probe_id = e.probe_id AND i.cand_id = e.cand_id
+         |      GROUP BY 1)
+         |SELECT j.probe_id AS probe_id, n_exact, n_ivf, n_common,
+         |  CAST(n_common AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM j JOIN nv ON nv.probe_id = j.probe_id
+         |ORDER BY probe_id""".stripMargin,
+
     "q_pq_assign" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |                  unnest($qSql) AS v FROM embeddings),

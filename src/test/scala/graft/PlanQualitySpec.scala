@@ -574,4 +574,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(pi).size == 1,
       pi.take(3000))
   }
+
+  test("round-8 validation plans: audit and freshness aggregate " +
+      "map-side, histogram bounds broadcast, zipf cut is a bounded " +
+      "heap, quarantine never shuffles") {
+    // expectation audit: one conditional-aggregate pass with map-side
+    // partials; the RI rule's anti join must not go nested-loop
+    val pa = plan("q_expect_audit")
+    assert(pa.contains("partial_sum"), pa.take(3000))
+    assert(!pa.contains("BroadcastNestedLoopJoin") ||
+      pa.contains("BuildRight"), pa.take(3000))
+    // histogram: the O(sources) bounds relation broadcasts back — the
+    // corpus itself never joins shuffled
+    val ph = plan("q_histogram_equiwidth")
+    assert(ph.contains("BroadcastHashJoin"), ph.take(3000))
+    assert(ph.contains("partial_count") || ph.contains("partial_"),
+      ph.take(3000))
+    // freshness: the 1-row global max broadcasts; the per-type rollup
+    // combines map-side
+    val pf = plan("q_freshness_lag")
+    assert(pf.contains("partial_"), pf.take(3000))
+    // zipf: the top-100 vocabulary cut is per-partition heaps + driver
+    // merge, never a global sort of the vocabulary
+    assert(plan("q_zipf_slope").contains("TakeOrderedAndProject"))
+    // quarantine is pure map-side: no keyed shuffle anywhere (the only
+    // exchanges are the loader's documented test-scale round-robin
+    // spread and the output ordering's range partition)
+    val pq = plan("q_dq_quarantine")
+    assert(!pq.contains("hashpartitioning"), pq.take(3000))
+    // funnel: near-dup stage stays in equi-join land
+    val pc = plan("q_corpus_pipeline")
+    assert(!pc.contains("CartesianProduct"), pc.take(3000))
+    // ann recall: probes broadcast on both sides; no cartesian
+    val pr = plan("q_ann_recall")
+    assert(!pr.contains("CartesianProduct"), pr.take(3000))
+    assert(pr.contains("BroadcastHashJoin") ||
+      pr.contains("BroadcastNestedLoopJoin"), pr.take(3000))
+  }
 }

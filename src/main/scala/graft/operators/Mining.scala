@@ -187,6 +187,41 @@ object Mining extends QueryModule {
         counts.reduce((a, b) => a.join(b, "seed")).orderBy("seed")
       }),
 
+      // --- bounded weighted shortest path (3 rounds of min-plus
+      // relaxation): cheapest known route from the seed slice over the
+      // co-purchase graph, edge cost inversely proportional to the
+      // co-count (1000000 div cab — strong associations are cheap to
+      // traverse, all int64). The min-plus twin of q_graph_bfs: where
+      // BFS's semiring is (∪, reach), this is (min, +) — each round is
+      // ONE frontier⋈edges join plus a min-aggregate on the node key,
+      // the distance relation stays node-sized, and the bounded round
+      // count (fixpoint loops are the driver's job — the q_kmeans_step
+      // discipline) gives the oracle an exact unrolled-CTE twin. Output
+      // is the 20 cheapest reachable nodes via TakeOrdered, never a
+      // global sort. ---
+      "q_graph_wpath" -> ((s, d) => {
+        val pairs = basketPairs(s, d, basketPostings(s, d))
+          .filter(col("cab") >= 2)
+          .withColumn("w", expr("1000000 div cab"))
+        val edges = pairs
+          .select(col("a").as("u"), col("b").as("v"), col("w"))
+          .union(pairs
+            .select(col("b").as("u"), col("a").as("v"), col("w")))
+          .localCheckpoint()
+        val d0 = edges.select(col("u").as("node")).distinct()
+          .filter(col("node") < 100)
+          .withColumn("dist", lit(0L))
+        val relaxed = (1 to 3).foldLeft(d0) { (r, _) =>
+          r.join(edges, col("node") === col("u"))
+            .select(col("v").as("node"),
+              (col("dist") + col("w")).as("dist"))
+            .unionByName(r)
+            .groupBy("node").agg(min("dist").as("dist"))
+            .localCheckpoint()
+        }
+        relaxed.orderBy("dist", "node").limit(20)
+      }),
+
       // --- Holt linear-trend smoothing (double exponential, alpha =
       // beta = 1/2) of the per-type daily value series: level/trend
       // state folded once through the day-ordered series, emitting the
@@ -319,6 +354,39 @@ object Mining extends QueryModule {
         |JOIN (SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n3hop
         |      FROM r3 GROUP BY 1) c3 ON c1.seed = c3.seed
         |ORDER BY c1.seed""".stripMargin,
+
+    "q_graph_wpath" ->
+      """WITH p AS (
+        |  SELECT l_orderkey AS ok,
+        |         list_sort(list_distinct(list(l_partkey))) AS ids
+        |  FROM lineitem GROUP BY 1),
+        |el AS (SELECT ok, unnest(ids) AS pk FROM p),
+        |pr AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS cab
+        |       FROM el x JOIN el y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS u, b AS v,
+        |        CAST(1000000 // cab AS BIGINT) AS w FROM pr
+        |      UNION ALL
+        |      SELECT b, a, CAST(1000000 // cab AS BIGINT) FROM pr),
+        |d0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE u < 100),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.v, d0.dist + e.w FROM d0
+        |         JOIN e ON e.u = d0.node) GROUP BY 1),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.v, d1.dist + e.w FROM d1
+        |         JOIN e ON e.u = d1.node) GROUP BY 1),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.v, d2.dist + e.w FROM d2
+        |         JOIN e ON e.u = d2.node) GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+        |ORDER BY dist, node LIMIT 20""".stripMargin,
 
     "q_holt_linear" ->
       """WITH RECURSIVE daily AS (

@@ -187,6 +187,72 @@ object Validation extends QueryModule {
             / col("n").cast("double")).as("intercept"))
       }),
 
+      // --- training-shard shuffle: deterministic global shuffle of the
+      // corpus into 16 hex shards with a per-shard mixing audit — the
+      // serve-order pass every training run performs before the
+      // tokenizer (a corpus read in source order teaches the model the
+      // source boundaries). The shuffle key is md5(salt || doc_id) —
+      // the repo-wide md5-gate device: exactly reproducible across
+      // runs, partitionings and engines, zero executor RNG state; the
+      // shard is the key's first nibble, so placement and within-shard
+      // order need no coordination. The audit (fraction of adjacent
+      // same-source pairs after the shuffle) is one lag() over each
+      // shard's key-ordered window — at fleet scale that window IS the
+      // shard writer's sort, so the audit rides the write for free. ---
+      "q_shard_shuffle" -> ((s, d) => {
+        val keyed = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            md5(concat(lit("shard42:"), col("doc_id").cast("string")))
+              .as("k"))
+          .withColumn("shard", substring(col("k"), 1, 1))
+        val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+        keyed
+          .withColumn("prev_src", lag("source", 1).over(w))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            min("k").as("first_key"), max("k").as("last_key"),
+            sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+              .as("same_src_adj"))
+          .withColumn("frac_same_src",
+            when(col("n_docs") > 1,
+              col("same_src_adj").cast("double") /
+                (col("n_docs") - 1).cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy("shard")
+      }),
+
+      // --- naive-Bayes trainer (class-conditional token model): per
+      // (lang, marker-token) document frequencies with add-one
+      // smoothing plus class priors — the "train a model inside the
+      // warehouse" artifact a language-ID or topic gate deploys from.
+      // The marker fan-out is a map-side explode of a 5-element literal
+      // array against each doc's token set (array_contains — never a
+      // corpus×vocab join); class sizes broadcast back; every
+      // probability is exact integer counts with ONE IEEE division, so
+      // the model card hashes identically on both engines. ---
+      "q_nb_train" -> ((s, d) => {
+        val markers = Seq("the", "fast", "data", "order", "sort")
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("tk"))
+        val marked = docs
+          .select(col("lang"), col("tk"),
+            explode(array(markers.map(lit(_)): _*)).as("token"))
+          .select(col("lang"), col("token"),
+            array_contains(col("tk"), col("token")).cast("long").as("hit"))
+        val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = docs.agg(count(lit(1)).as("n_total"))
+        marked.groupBy("lang", "token").agg(sum("hit").as("df"))
+          .join(broadcast(nl), "lang")
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("token"), col("df"), col("n_docs"),
+            (col("n_docs").cast("double") / col("n_total")).as("prior"),
+            ((col("df") + 1).cast("double") / (col("n_docs") + 2))
+              .as("p_smooth"))
+          .orderBy("lang", "token")
+      }),
+
       // --- corpus-curation funnel: the end-to-end pipeline readout —
       // raw → nonempty → quality gate → exact dedup → n-gram near-dedup
       // — one row per stage with rows surviving, rows removed, and the
@@ -351,6 +417,48 @@ object Validation extends QueryModule {
         |     CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM m""".stripMargin,
+
+    "q_shard_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5('shard42:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, n_chars, k,
+        |         substring(k, 1, 1) AS shard FROM k),
+        |lg AS (SELECT shard, source, n_chars, k,
+        |         lag(source) OVER (PARTITION BY shard
+        |           ORDER BY k, doc_id) AS prev_src
+        |       FROM sh)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(k) AS first_key, MAX(k) AS last_key,
+        |  CAST(SUM(CASE WHEN prev_src = source THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS same_src_adj,
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    CAST(SUM(CASE WHEN prev_src = source THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / (COUNT(*) - 1)
+        |  ELSE 0.0 END AS frac_same_src
+        |FROM lg GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_nb_train" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |tk AS (SELECT lang, t.token,
+        |         CASE WHEN list_contains(tk, t.token)
+        |           THEN 1 ELSE 0 END AS hit
+        |       FROM docs CROSS JOIN (SELECT unnest(
+        |         ['the','fast','data','order','sort']) AS token) t),
+        |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM docs GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM docs)
+        |SELECT tk.lang AS lang, token, CAST(SUM(hit) AS BIGINT) AS df,
+        |  n_docs,
+        |  CAST(n_docs AS DOUBLE) / n_total AS prior,
+        |  CAST(SUM(hit) + 1 AS DOUBLE) / (n_docs + 2) AS p_smooth
+        |FROM tk JOIN nl ON nl.lang = tk.lang CROSS JOIN tot
+        |GROUP BY tk.lang, token, n_docs, n_total
+        |ORDER BY lang, token""".stripMargin,
 
     "q_corpus_pipeline" ->
       """WITH s1 AS (

@@ -498,6 +498,46 @@ object StreamingSmoke extends QueryModule {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
           col("p.v").as("vq"), col("p.id").as("event_id"))
         .orderBy("event_type", "rn")
+    }),
+
+    // --- streaming data-quality counters: the always-on expectation
+    // monitor — per-type event counts plus running violation tallies
+    // (value out of expected range, non-positive value), maintained as
+    // a complete-mode streaming aggregate. The streaming twin of
+    // q_expect_audit's batch sweep: each rule is a map-side when()
+    // folded into the SAME partial-aggregated groupBy that counts
+    // events, so the monitor costs the stream exactly one aggregation
+    // and its state is O(types). Replaying the full batch input makes
+    // the final counters deterministically equal to the batch SQL —
+    // a real oracle, the q_streaming_rate discipline. ---
+    "q_streaming_expect" -> ((s, d) => {
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val agg = stream
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") > 400, 1L).otherwise(0L)).as("f_range"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).as("f_nonpos"))
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_expect_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/expect-$run"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream
+          .outputMode("complete").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ckpt))
+      }
+      drainSink(s, name).orderBy("event_type")
     })
   )
 
@@ -507,6 +547,16 @@ object StreamingSmoke extends QueryModule {
   // batch result), dedup is COUNT(DISTINCT), and the interval join is
   // its batch twin.
   override def oracle: Map[String, String] = Map(
+    // complete-mode replay of the full input == the batch conditional
+    // aggregate, so the DQ counters carry a real oracle
+    "q_streaming_expect" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_range,
+        |  CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS f_nonpos
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the streamed bitmap is EXACT, so its oracle is the plain
     // DISTINCT-join spelling over the same event rows
     "q_streaming_bitmap" ->

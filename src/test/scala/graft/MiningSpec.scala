@@ -147,4 +147,40 @@ class MiningSpec extends AnyFunSuite {
       .toMap
     assert(got == want)
   }
+
+  test("weighted shortest path equals a driver-side 3-round relaxation") {
+    import org.apache.spark.sql.functions.col
+    // rebuild the weighted co-purchase graph exactly as the query does
+    val baskets = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val pairCount = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.foreach { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        pairCount((ids(i), ids(j))) += 1L
+    }
+    val edges = pairCount.toSeq.collect {
+      case ((a, b), c) if c >= 2 => Seq((a, b, 1000000L / c),
+        (b, a, 1000000L / c))
+    }.flatten
+    val adj = edges.groupBy(_._1)
+    var dist: Map[Long, Long] = edges.map(_._1).distinct
+      .filter(_ < 100).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Seq.empty).map { case (_, v, w) => v -> (du + w) }
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).map { case (n, ds) =>
+        n -> ds.map(_._2).min
+      }
+    }
+    val want = dist.toSeq.sortBy(t => (t._2, t._1)).take(20)
+    val got = q("q_graph_wpath").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map { case (n, d) => (n, d) }
+    assert(got.map(t => (t._2, t._1)).sorted ==
+      want.map(t => (t._2, t._1)).sorted)
+  }
 }

@@ -140,6 +140,51 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows(3).getLong(2) == gated)
   }
 
+  test("shard shuffle: shards partition the corpus; audit is bounded") {
+    val rows = q("q_shard_shuffle").collect()
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "shards must partition the corpus")
+    assert(rows.map(_.getString(0)).forall(s =>
+      s.length == 1 && "0123456789abcdef".contains(s)))
+    rows.foreach { r =>
+      assert(r.getString(3) <= r.getString(4), "first_key <= last_key")
+      assert(r.getLong(5) < r.getLong(1),
+        "adjacent same-source pairs bounded by n-1")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("nb trainer: probabilities are smoothed exact ratios") {
+    val rows = q("q_nb_train").collect()
+    assert(rows.length == 25, "5 langs x 5 marker tokens")
+    val priors = rows.map(r => (r.getString(0), r.getDouble(4))).distinct
+    assert(math.abs(priors.map(_._2).sum - 1.0) < 1e-12,
+      "class priors sum to 1")
+    rows.foreach { r =>
+      val (df, nd, p) = (r.getLong(2), r.getLong(3), r.getDouble(5))
+      assert(df >= 0 && df <= nd)
+      assert(p == (df + 1).toDouble / (nd + 2), "exact add-one ratio")
+      assert(p > 0.0 && p < 1.0, "smoothing keeps p off the boundary")
+    }
+  }
+
+  test("streaming DQ counters equal the batch conditional aggregate") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > 400, 1L).otherwise(0L)).as("f_range"),
+        sum(when(col("value") <= 0, 1L).otherwise(0L)).as("f_nonpos"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = q("q_streaming_expect").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch)
+  }
+
   test("ann recall: exact side is complete; overlap bounded by both") {
     val rows = q("q_ann_recall").collect()
     assert(rows.map(_.getLong(0)).toSeq == (10L until 20L))

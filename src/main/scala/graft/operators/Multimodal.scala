@@ -97,6 +97,29 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- resize planning: aspect-preserving fit into 224x224 plus
+    // letterbox padding, per decoded payload — the geometry pass a real
+    // preprocessing fleet runs BEFORE the GPU stage (batches group by
+    // output geometry; padding is computed once per item, not per
+    // batch). The codec stays stubbed; the planning arithmetic is exact
+    // int64 (w*224 div max(w,h)) so the plan hashes identically on both
+    // engines, and it rides the same typed batched decode as
+    // q_multimodal_decode — one more map-side projection, not a second
+    // decode pass. ---
+    "q_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      media(s, d).as[MediaRow]
+        .mapPartitions(_.grouped(DecodeBatchSize).flatMap(decodeBatch))
+        .toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("width"), col("height"),
+          expr("width * 224 div greatest(width, height)").as("out_w"),
+          expr("height * 224 div greatest(width, height)").as("out_h"))
+        .withColumn("pad_w", lit(224L) - col("out_w"))
+        .withColumn("pad_h", lit(224L) - col("out_h"))
+        .orderBy("doc_id")
+    }),
+
     // --- frame sampling: every 10th frame index of each video ---
     "q_multimodal_frames" -> ((s, d) => {
       import s.implicits._
@@ -130,6 +153,22 @@ object Multimodal extends QueryModule {
          |       THEN octet_length(encode(text)) // 256 + 1 ELSE 1 END
          |    AS BIGINT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_resize" ->
+      s"""WITH dec AS (
+         |  SELECT doc_id, $mediaTypeSql AS media_type,
+         |    CAST(64 + ord(substring(text, 1, 1)) % 64 AS BIGINT) AS width,
+         |    CAST(64 + ord(substring(text, length(text), 1)) % 64
+         |      AS BIGINT) AS height
+         |  FROM documents)
+         |SELECT doc_id, media_type, width, height,
+         |  CAST(width * 224 // greatest(width, height) AS BIGINT) AS out_w,
+         |  CAST(height * 224 // greatest(width, height) AS BIGINT) AS out_h,
+         |  CAST(224 - width * 224 // greatest(width, height) AS BIGINT)
+         |    AS pad_w,
+         |  CAST(224 - height * 224 // greatest(width, height) AS BIGINT)
+         |    AS pad_h
+         |FROM dec ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       s"""WITH f AS (

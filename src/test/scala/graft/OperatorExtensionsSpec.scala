@@ -54,6 +54,26 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize plan: max dimension maps to exactly 224, pads reconcile") {
+    val rows = SparkEntry.queries("q_multimodal_resize")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh, pw, ph) = (r.getAs[Long]("width"),
+        r.getAs[Long]("height"), r.getAs[Long]("out_w"),
+        r.getAs[Long]("out_h"), r.getAs[Long]("pad_w"),
+        r.getAs[Long]("pad_h"))
+      // aspect-preserving fit: the larger input dimension lands exactly
+      // on the 224 box edge, the other scales proportionally under it
+      assert((if (w >= h) ow else oh) == 224L)
+      assert(ow <= 224L && oh <= 224L)
+      assert(pw == 224L - ow && ph == 224L - oh)
+      // proportionality within integer truncation
+      assert(ow == w * 224L / math.max(w, h))
+      assert(oh == h * 224L / math.max(w, h))
+    }
+  }
+
   test("as-of join equals brute-force latest-prior-view") {
     val asof = SparkEntry.queries("q_join_asof")(spark, sf)
       .select("event_id", "asof_view_ts").collect()

@@ -187,6 +187,31 @@ object Telemetry extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- top event paths: the 20 most common length-3 event-type
+      // sequences across users — the product-analytics "path analysis"
+      // readout (which journeys dominate?). Per-user ordering rides the
+      // user_id-bucketed event layout (the window's partition key IS
+      // the bucket key, so no exchange materializes under it); the
+      // 3-gram fan-out is two lead() columns on that one window — never
+      // a self-join of the event log; the path rollup is a map-side-
+      // partial aggregate on O(types³) keys and the top-20 cut is
+      // TakeOrdered with a total-order tie-break. ---
+      "q_event_paths" -> ((s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Advanced.eventsByUser(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("t2", lead("event_type", 1).over(w))
+          .withColumn("t3", lead("event_type", 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(" > ", col("event_type"), col("t2"),
+            col("t3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      }),
+
       // --- audience-overlap matrix: pairwise distinct-user overlap and
       // Jaccard between event types — the segmentation readout (which
       // behaviors share an audience?). The (user, type) distinct
@@ -343,6 +368,18 @@ object Telemetry extends QueryModule {
         |  ON r.event_type = m.event_type AND r.depth = m.peak
         |GROUP BY r.event_type, m.peak
         |ORDER BY r.event_type""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p WHERE t3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_user_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -117,6 +117,22 @@ class TelemetrySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("top event paths equal a driver-side 3-gram count") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.sliding(3).filter(_.length == 3).map(_.mkString(" > "))
+    }.toSeq.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = q("q_event_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("audience overlap is symmetric-complete with valid Jaccard") {
     import org.apache.spark.sql.functions.col
     val ut = Tables.table(spark, sf, "events")

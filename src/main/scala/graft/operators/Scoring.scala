@@ -438,6 +438,42 @@ object Scoring extends QueryModule {
         .orderBy("user_id", "event_type", "eff_start", "event_id")
     }),
 
+    // --- SCD2 dimension LOOKUP (the consuming half of
+    // q_scd2_intervals): which profile version was in effect for each
+    // fact — every purchase resolved against the user's latest
+    // preceding view version. Spelled as a ZERO-JOIN merge pass:
+    // facts and version rows are the same user-bucketed stream, so ONE
+    // per-user window carries the last view's (id, value) forward onto
+    // each purchase row — no interval join, no interval explosion, no
+    // second shuffle; at 100 TB this rides the bucketed event layout
+    // with window state of one carried row per user. The interval-
+    // containment spelling (fact BETWEEN eff_start AND eff_end) is the
+    // semantic twin; the brute-force latest-prior re-derivation is
+    // pinned in tests. Ties at equal ts resolve by event_id on both
+    // engines (the stream's total order). ---
+    "q_scd2_lookup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Advanced.eventsByUser(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+      ev
+        .withColumn("ver_id",
+          last(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("ver_value",
+          last(when(col("event_type") === "view", col("value")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("ver_id").isNotNull)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          fmtTs(col("ts")).as("purchase_ts"), col("ver_id"),
+          col("ver_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // --- deterministic k-per-source uniform sample: md5-of-key as the
     // priority, kept by the custom bounded TypedImperativeAggregate
     // (functions/ReservoirTopK.scala). The window spelling
@@ -633,6 +669,24 @@ object Scoring extends QueryModule {
          |                     ORDER BY ts, event_id) IS NULL) AS is_current
          |FROM events
          |ORDER BY user_id, event_type, eff_start, event_id""".stripMargin,
+
+    "q_scd2_lookup" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, event_id, ts, value FROM events
+         |  WHERE event_type IN ('view', 'purchase')),
+         |c AS (
+         |  SELECT user_id, event_type, event_id, ts,
+         |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+         |      IGNORE NULLS) OVER w AS ver_id,
+         |    last_value(CASE WHEN event_type = 'view' THEN value END
+         |      IGNORE NULLS) OVER w AS ver_value
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id AS purchase_id,
+         |  ${FT("ts")} AS purchase_ts, ver_id, ver_value
+         |FROM c WHERE event_type = 'purchase' AND ver_id IS NOT NULL
+         |ORDER BY user_id, purchase_id""".stripMargin,
 
     "q_sample_reservoir" ->
       """WITH r AS (

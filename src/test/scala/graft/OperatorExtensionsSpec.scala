@@ -74,6 +74,27 @@ class OperatorExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 lookup equals brute-force latest-prior-version resolution") {
+    val ev = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tu"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.toSeq.sortBy(r => (r._4, r._3))
+      var ver: Option[(Long, Double)] = None
+      ordered.flatMap { case (_, et, id, _, v) =>
+        if (et == "view") { ver = Some((id, v)); None }
+        else ver.map { case (vid, vv) => id -> ((vid, vv)) }
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_scd2_lookup")(spark, sf).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("as-of join equals brute-force latest-prior-view") {
     val asof = SparkEntry.queries("q_join_asof")(spark, sf)
       .select("event_id", "asof_view_ts").collect()

@@ -611,4 +611,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pr.contains("BroadcastHashJoin") ||
       pr.contains("BroadcastNestedLoopJoin"), pr.take(3000))
   }
+
+  test("round-8 batch-2 plans: event paths ride the bucketed layout, " +
+      "shard audit shares one exchange, min-plus rounds stay equi-join, " +
+      "nb trainer broadcasts its marginals") {
+    // event paths: the per-user window's clustering is satisfied by the
+    // bucketed event scan — no user_id hash exchange anywhere; the only
+    // keyed shuffle is the O(types^3) path rollup
+    val pe = plan("q_event_paths")
+    assert(!pe.contains("hashpartitioning(user_id"), pe.take(3000))
+    assert(pe.contains("TakeOrderedAndProject"), pe.take(3000))
+    // shard shuffle: the mixing-audit window and the per-shard rollup
+    // share the SAME shard-hash exchange (lag's sort satisfies the agg's
+    // clustering) — one keyed shuffle total
+    val ps = plan("q_shard_shuffle")
+    assert("hashpartitioning\\(shard".r.findAllIn(ps).size <= 2,
+      ps.take(3000))
+    assert(!ps.contains("CartesianProduct"), ps.take(3000))
+    // weighted shortest path: every relaxation round is an equi join of
+    // the node-sized frontier against the checkpointed edges
+    val pw = plan("q_graph_wpath")
+    assert(!pw.contains("CartesianProduct"), pw.take(3000))
+    assert(pw.contains("TakeOrderedAndProject"), pw.take(3000))
+    // scd2 lookup: the zero-join merge pass — no join operator at all,
+    // and the per-user window rides the bucketed event layout
+    val pl = plan("q_scd2_lookup")
+    assert(!pl.contains("Join"), pl.take(3000))
+    assert(!pl.contains("hashpartitioning(user_id"), pl.take(3000))
+    // nb trainer: class sizes and the scalar total broadcast; the only
+    // keyed shuffle is the (lang, token) rollup
+    val pn = plan("q_nb_train")
+    assert(!pn.contains("CartesianProduct"), pn.take(3000))
+    assert(pn.contains("BroadcastHashJoin") ||
+      pn.contains("BroadcastNestedLoopJoin"), pn.take(3000))
+    assert(pn.contains("partial_sum"), pn.take(3000))
+  }
 }

@@ -254,6 +254,57 @@ object Learning extends QueryModule {
       // Σ|basket|², not |corpus|²), marginals broadcast back, and the
       // per-item top-5 is a bounded row_number window planned through
       // TopKPerKey. Cosine is one exact int division pair. ---
+      // --- decision-stump training sweep: evaluate 20 equi-width split
+      // thresholds on the first embedding component against the label
+      // and score each by weighted Gini impurity — the inner loop of
+      // every tree/GBDT trainer, run as one warehouse query. The
+      // feature is the 2^20-quantized component (exact int64); the
+      // candidate grid derives from broadcast (lo, hi) bounds; the
+      // 20-way threshold fan-out is a map-side explode (20·n skinny
+      // rows, never 20 scans); class counts reduce to O(thresholds ×
+      // sides × labels) cells with map-side partials. Gini is computed
+      // from exact integer counts — weighted impurity =
+      // ((nl − ssl/nl) + (nr − ssr/nr))/N with a FIXED IEEE operation
+      // order, so both engines emit bit-identical doubles; empty sides
+      // contribute zero by the same guarded CASE on both. ---
+      "q_stump_train" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            floor(element_at(col("embedding"), 1).cast("double") *
+              lit(1048576.0)).cast("long").as("f"))
+        val bounds = e.agg(min("f").as("lo"), max("f").as("hi"))
+        val ex = e.crossJoin(broadcast(bounds))
+          .select(col("label"), col("f"), col("lo"), col("hi"),
+            explode(sequence(lit(0), lit(19))).as("i"))
+          .withColumn("thr",
+            expr("lo + ((i + 1) * (hi - lo)) div 21"))
+          .withColumn("side", (col("f") <= col("thr")).cast("long"))
+        val cells = ex.groupBy("i", "thr", "side", "label")
+          .agg(count(lit(1)).as("c"))
+        val sides = cells.groupBy("i", "thr", "side")
+          .agg(sum("c").as("n"), sum(col("c") * col("c")).as("ss"))
+        def D(c: org.apache.spark.sql.Column) = c.cast("double")
+        sides.groupBy("i", "thr")
+          .agg(sum(when(col("side") === 1, col("n")).otherwise(0L))
+              .as("n_left"),
+            sum(when(col("side") === 0, col("n")).otherwise(0L))
+              .as("n_right"),
+            sum(when(col("side") === 1, col("ss")).otherwise(0L))
+              .as("ssl"),
+            sum(when(col("side") === 0, col("ss")).otherwise(0L))
+              .as("ssr"))
+          .select(col("i").cast("long").as("t_idx"), col("thr"),
+            col("n_left"), col("n_right"),
+            ((when(col("n_left") > 0,
+                D(col("n_left")) - D(col("ssl")) / D(col("n_left")))
+                .otherwise(lit(0.0)) +
+              when(col("n_right") > 0,
+                D(col("n_right")) - D(col("ssr")) / D(col("n_right")))
+                .otherwise(lit(0.0))) /
+              D(col("n_left") + col("n_right"))).as("gini_weighted"))
+          .orderBy("t_idx")
+      }),
+
       "q_item_cosine" -> ((s, d) => {
         val postings = table(s, d, "lineitem")
           .groupBy(col("l_orderkey").as("ok"))
@@ -437,6 +488,47 @@ object Learning extends QueryModule {
         |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
         |  CAST(0.6931 AS DOUBLE) AS epsilon
         |FROM z ORDER BY n_name""".stripMargin,
+
+    "q_stump_train" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576.0)
+        |      AS BIGINT) AS f
+        |  FROM embeddings),
+        |b AS (SELECT MIN(f) AS lo, MAX(f) AS hi FROM e),
+        |ex AS (SELECT label, f,
+        |         CAST(lo + ((i + 1) * (hi - lo)) // 21 AS BIGINT) AS thr,
+        |         i
+        |       FROM e CROSS JOIN b
+        |       CROSS JOIN (SELECT unnest(range(0, 20)) AS i) g),
+        |cells AS (SELECT i, thr,
+        |            CASE WHEN f <= thr THEN 1 ELSE 0 END AS side, label,
+        |            CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM ex GROUP BY 1, 2, 3, 4),
+        |sides AS (SELECT i, thr, side, CAST(SUM(c) AS BIGINT) AS n,
+        |            CAST(SUM(c * c) AS BIGINT) AS ss
+        |          FROM cells GROUP BY 1, 2, 3),
+        |agg AS (SELECT i, thr,
+        |          CAST(SUM(CASE WHEN side = 1 THEN n ELSE 0 END)
+        |            AS BIGINT) AS n_left,
+        |          CAST(SUM(CASE WHEN side = 0 THEN n ELSE 0 END)
+        |            AS BIGINT) AS n_right,
+        |          CAST(SUM(CASE WHEN side = 1 THEN ss ELSE 0 END)
+        |            AS BIGINT) AS ssl,
+        |          CAST(SUM(CASE WHEN side = 0 THEN ss ELSE 0 END)
+        |            AS BIGINT) AS ssr
+        |        FROM sides GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS t_idx, thr, n_left, n_right,
+        |  ((CASE WHEN n_left > 0
+        |      THEN CAST(n_left AS DOUBLE)
+        |        - CAST(ssl AS DOUBLE) / CAST(n_left AS DOUBLE)
+        |      ELSE 0.0 END) +
+        |   (CASE WHEN n_right > 0
+        |      THEN CAST(n_right AS DOUBLE)
+        |        - CAST(ssr AS DOUBLE) / CAST(n_right AS DOUBLE)
+        |      ELSE 0.0 END)) / CAST(n_left + n_right AS DOUBLE)
+        |    AS gini_weighted
+        |FROM agg ORDER BY t_idx""".stripMargin,
 
     "q_item_cosine" ->
       """WITH postings AS (

@@ -233,4 +233,37 @@ class OperationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stump sweep equals a driver-side Gini scan over all thresholds") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.table(spark, sf, "embeddings")
+      .select(col("label").cast("long"),
+        floor(element_at(col("embedding"), 1).cast("double") *
+          lit(1048576.0)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = pts.map(_._2).min; val hi = pts.map(_._2).max
+    val n = pts.length.toLong
+    def gini(thr: Long): (Long, Long, Double) = {
+      val (l, r) = pts.partition(_._2 <= thr)
+      def side(xs: Array[(Long, Long)]): Double =
+        if (xs.isEmpty) 0.0
+        else {
+          val ss = xs.groupBy(_._1).values
+            .map(g => g.length.toLong * g.length).sum
+          xs.length.toDouble - ss.toDouble / xs.length.toDouble
+        }
+      (l.length.toLong, r.length.toLong, (side(l) + side(r)) / n.toDouble)
+    }
+    val want = (0 until 20).map { i =>
+      val thr = lo + ((i + 1) * (hi - lo)) / 21
+      val (nl, nr, g) = gini(thr)
+      (i.toLong, thr, nl, nr, g)
+    }
+    val got = q("q_stump_train").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == want)
+    // the sweep must discriminate: not all thresholds equally pure
+    assert(got.map(_._5).distinct.length > 1)
+  }
 }

@@ -187,6 +187,36 @@ object Validation extends QueryModule {
             / col("n").cast("double")).as("intercept"))
       }),
 
+      // --- cross-split leakage audit: near-duplicate pairs whose
+      // members landed in DIFFERENT train/val/test splits — the leakage
+      // that silently inflates eval scores (a val doc that is a
+      // near-copy of a train doc is not a held-out example). Composes
+      // two standalone operators unchanged: q_train_split's md5-nibble
+      // assignment (map-side, reproducible) and q_dedup_ngram's
+      // df-capped posting-list pair stream; the audit itself is two
+      // tiny joins of the O(pairs) relation against the split labels
+      // and an O(split²) rollup — the pair join dominates, exactly as
+      // the standalone dedup does. The canonical fix (drop the b-side
+      // from eval splits) is q_corpus_pipeline's near-dedup stage. ---
+      "q_split_leakage" -> ((s, d) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val splits = table(s, d, "documents")
+          .select(col("doc_id"),
+            when(nib <= "b", "train").when(nib <= "d", "val")
+              .otherwise("test").as("split"))
+        val pairs = TextPipeline.ngramPairs(s, d).select("a_id", "b_id")
+        pairs
+          .join(splits.select(col("doc_id").as("a_id"),
+            col("split").as("sa")), "a_id")
+          .join(splits.select(col("doc_id").as("b_id"),
+            col("split").as("sb")), "b_id")
+          .filter(col("sa") =!= col("sb"))
+          .groupBy(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("split_a", "split_b")
+      }),
+
       // --- training-shard shuffle: deterministic global shuffle of the
       // corpus into 16 hex shards with a per-shard mixing audit — the
       // serve-order pass every training run performs before the
@@ -417,6 +447,23 @@ object Validation extends QueryModule {
         |     CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM m""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |                <= 'b' THEN 'train'
+         |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |                <= 'd' THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |  greatest(sa.split, sb.split) AS split_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM p JOIN sp sa ON sa.doc_id = p.a_id
+         |       JOIN sp sb ON sb.doc_id = p.b_id
+         |WHERE sa.split <> sb.split
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_shard_shuffle" ->
       """WITH k AS (

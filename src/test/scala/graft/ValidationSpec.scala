@@ -140,6 +140,25 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows(3).getLong(2) == gated)
   }
 
+  test("split leakage reconciles with the near-dup pair relation") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val nib = f"${md(0)}%02x".charAt(0)
+      if (nib <= 'b') "train" else if (nib <= 'd') "val" else "test"
+    }
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.filter { case (a, b) => a != b }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = q("q_split_leakage").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("shard shuffle: shards partition the corpus; audit is bounded") {
     val rows = q("q_shard_shuffle").collect()
     val n = Tables.table(spark, sf, "documents").count()

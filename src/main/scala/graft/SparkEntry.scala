@@ -34,6 +34,8 @@ object SparkEntry {
     operators.Macros,
     operators.Features,
     operators.Validation,
+    operators.Integrity,
+    operators.Relevance,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

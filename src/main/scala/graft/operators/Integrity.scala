@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Data-integrity / physical-layout operators (round 8, first block):
+  * order-independent table checksums, range-partition boundary planning,
+  * delta-encoding effectiveness audit, a portable Bloom-filter FPR audit,
+  * and a temporal train/test split with an embargo gap. All five carry
+  * full DuckDB oracles.
+  *
+  * Determinism: every digest is md5-derived (bit-identical across
+  * engines); digest sums accumulate in DECIMAL(38,0) (exact,
+  * order-independent — a plain BIGINT sum of 60-bit digests would
+  * overflow silently on Spark and promote to HUGEINT on DuckDB);
+  * varint sizes use the integer floor-log2 device (`length(bin(x))`,
+  * identical on both engines); the only floating-point ops are terminal
+  * divisions of exact integers.
+  */
+object Integrity extends QueryModule {
+
+  /** 60-bit row digest: first 15 hex chars of md5 as a BIGINT. 15
+    * nibbles = 60 bits, so the value is always non-negative and exact
+    * in an int64 on both engines.
+    */
+  private def digest60(sCol: Column): Column =
+    conv(substring(md5(sCol), 1, 15), 16, 10).cast("long")
+
+  /** 12-bit position from a salted md5: 3 hex nibbles -> 0..4095,
+    * decoded via the same base-16 conv on both engines.
+    */
+  private def pos12(salt: String, k: Column): Column =
+    conv(substring(md5(concat(lit(salt), k.cast("string"))), 1, 3), 16, 10)
+      .cast("long")
+
+  private val D38 = DecimalType(38, 0)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- order-independent table checksum: the cross-system data
+      // integrity primitive (did the copy/migration/compaction preserve
+      // every row?). Each row folds its key+payload columns into a
+      // 60-bit md5 digest; per l_returnflag slice the fingerprint is
+      // (count, SUM(digest) in DECIMAL(38,0), MIN/MAX digest) —
+      // addition is commutative, so the checksum is independent of row
+      // order, partitioning, and engine, and two tables compare by
+      // comparing 3 rows. Pure map-side scan + one tiny aggregate;
+      // at 100 TB this is the cheapest possible full-content audit
+      // (no sort, no join, no shuffle beyond 3 groups). ---
+      "q_table_checksum" -> ((s, d) => {
+        val row = concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_returnflag"))
+        table(s, d, "lineitem")
+          .select(col("l_returnflag"), digest60(row).as("dg"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("dg").cast(D38)).as("checksum"),
+            min("dg").as("dg_min"), max("dg").as("dg_max"))
+          .orderBy("l_returnflag")
+      }),
+
+      // --- range-partition boundary planning (the TeraSort split
+      // computation): a deterministic md5 sample (~1/256 — the sample
+      // SIZE, not the data size, bounds all downstream work, exactly
+      // why global-sort planners sample) is ranked into 32 tiles and
+      // each tile's max price becomes a partition upper bound. The
+      // global ntile window runs over ~n/256 rows by construction —
+      // bounded at any corpus scale by tightening the gate, which is
+      // the fleet knob. ---
+      "q_range_bounds" -> ((s, d) => {
+        val gate = substring(md5(concat(lit("rb"),
+          col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))), 1, 2) === "00"
+        val sample = table(s, d, "lineitem").filter(gate)
+          .select(col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber"))
+        val w = Window.orderBy(col("price"), col("l_orderkey"),
+          col("l_linenumber"))
+        sample
+          .withColumn("tile", ntile(32).over(w).cast("long"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n"), max("price").as("upper_bound"))
+          .orderBy("tile")
+      }),
+
+      // --- delta-encoding effectiveness audit (storage-layout
+      // planning for a 100 TB event log): per event_type, consecutive
+      // timestamp deltas (sorted by ts, event_id) are costed as LEB128
+      // varints — ceil(bitlen/7) bytes, bitlen via the integer
+      // floor-log2 device — and compared with the 8-byte raw encoding.
+      // The window partitions by event_type (never global); everything
+      // after the lag is a map-side projection + tiny aggregate. ---
+      "q_delta_encode" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("us"), col("event_id"))
+        // Column `/` is double division — floor keeps the varint size
+        // in exact integer arithmetic (delta >= 0 here).
+        val vbytes = when(col("delta") === 0, 1L)
+          .otherwise(floor((length(bin(col("delta"))) + lit(6)) / lit(7)))
+          .cast("long")
+        ev.withColumn("delta", col("us") - lag("us", 1).over(w))
+          .filter(col("delta").isNotNull)
+          .select(col("event_type"), col("delta"), vbytes.as("vb"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_deltas"),
+            max("delta").as("max_delta_us"),
+            sum(col("vb")).as("delta_bytes"),
+            (count(lit(1)) * 8).as("raw_bytes"))
+          .withColumn("compression",
+            col("raw_bytes").cast("double") / col("delta_bytes"))
+          .orderBy("event_type")
+      }),
+
+      // --- Bloom-filter false-positive-rate audit with a PORTABLE
+      // filter: k=3 positions per key from salted md5s into m=4096
+      // bits, so filter construction is reproducible bit-for-bit on
+      // any engine (unlike engine-native bloom_filter_agg, whose
+      // layout is opaque). Build = even supplier keys; probes = all
+      // part keys (mostly absent — the population that exposes FPR).
+      // The filter is a DISTINCT position set (≤150 rows) broadcast
+      // into the probe join; measured FPR comes out as one terminal
+      // division of exact counts. The shape is what a runtime-filter
+      // planner needs to validate a bloom push-down's selectivity. ---
+      "q_bloom_audit" -> ((s, d) => {
+        val build = table(s, d, "supplier")
+          .filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey").as("bkey"))
+        val js = Seq(1, 2, 3)
+        def positions(k: Column): Column =
+          array(js.map(j => pos12(s"bf$j-", k)): _*)
+        val filterBits = build
+          .select(explode(positions(col("bkey"))).as("pos")).distinct()
+        val probes = table(s, d, "part")
+          .select(col("p_partkey").as("pkey"))
+        val probePos = probes
+          .select(col("pkey"), explode(positions(col("pkey"))).as("pos"))
+        val maybe = probePos.join(broadcast(filterBits), "pos")
+          .groupBy("pkey").agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === 3).select(col("pkey"))
+        val member = probes.join(build, probes("pkey") === build("bkey"),
+          "left_semi")
+        val nBits = filterBits.agg(count(lit(1)).as("bits_set"))
+        val nProbe = probes.agg(count(lit(1)).as("n_probes"))
+        val nMaybe = maybe.agg(count(lit(1)).as("n_maybe"))
+        val nMember = member.agg(count(lit(1)).as("n_member"))
+        nBits.crossJoin(nProbe).crossJoin(nMaybe).crossJoin(nMember)
+          .select(col("bits_set"), col("n_probes"), col("n_maybe"),
+            col("n_member"),
+            (col("n_maybe") - col("n_member")).as("n_false_pos"),
+            ((col("n_maybe") - col("n_member")).cast("double") /
+              (col("n_probes") - col("n_member"))).as("fpr"))
+      }),
+
+      // --- temporal train/test split with an embargo gap: the
+      // leakage-safe split for time-series training data (a random
+      // split leaks future into past; the embargo absorbs label
+      // horizons that straddle the cut). Cuts at 70% and 80% of the
+      // observed span in exact integer microseconds; the two-row
+      // bounds aggregate broadcasts into a map-side CASE, so the
+      // split is one scan + one tiny aggregate at any scale. ---
+      "q_temporal_split" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val bounds = ev.agg(min("us").as("t0"), max("us").as("t1"))
+        // `div`, not `/`: the cuts must be exact integer microseconds
+        // (the oracle's `// 10`), never a double rounding away from it.
+        val split = when(
+          col("us") < col("t0") + expr("(t1 - t0) * 7 div 10"), "train")
+          .when(col("us") < col("t0") + expr("(t1 - t0) * 8 div 10"),
+            "embargo")
+          .otherwise("test")
+        ev.crossJoin(broadcast(bounds))
+          .select(col("event_type"), split.as("split"))
+          .groupBy("split", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("split", "event_type")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_table_checksum" ->
+      """WITH r AS (SELECT l_returnflag,
+        |  CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |          l_suppkey, l_returnflag)), i, 1)) - 1 AS BIGINT)
+        |      << (4 * (15 - i)) for i in range(1, 16)]) AS BIGINT) AS dg
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(dg AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS checksum,
+        |  MIN(dg) AS dg_min, MAX(dg) AS dg_max
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_range_bounds" ->
+      """WITH s AS (SELECT l_extendedprice AS price, l_orderkey,
+        |    l_linenumber FROM lineitem
+        |  WHERE substr(md5('rb' || CAST(l_orderkey AS VARCHAR) || '-'
+        |    || CAST(l_linenumber AS VARCHAR)), 1, 2) = '00'),
+        |t AS (SELECT price, CAST(ntile(32) OVER (ORDER BY price,
+        |    l_orderkey, l_linenumber) AS BIGINT) AS tile FROM s)
+        |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(price) AS upper_bound
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "q_delta_encode" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |dl AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS delta
+        |  FROM e),
+        |v AS (SELECT event_type, delta,
+        |    CASE WHEN delta = 0 THEN 1
+        |      ELSE CAST((length(bin(delta)) + 6) // 7 AS BIGINT)
+        |    END AS vb
+        |  FROM dl WHERE delta IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_deltas,
+        |  MAX(delta) AS max_delta_us,
+        |  CAST(SUM(vb) AS BIGINT) AS delta_bytes,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(COUNT(*) * 8 AS DOUBLE) / CAST(SUM(vb) AS DOUBLE)
+        |    AS compression
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bloom_audit" ->
+      """WITH build AS (SELECT s_suppkey AS bkey FROM supplier
+        |    WHERE s_suppkey % 2 = 0),
+        |pos3 AS (SELECT j FROM (VALUES (1), (2), (3)) AS t(j)),
+        |fbits AS (SELECT DISTINCT
+        |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |          substr(md5('bf' || CAST(j AS VARCHAR) || '-'
+        |            || CAST(bkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |        << (4 * (3 - i)) for i in range(1, 4)]) AS BIGINT)
+        |      AS pos
+        |  FROM build CROSS JOIN pos3),
+        |probes AS (SELECT p_partkey AS pkey FROM part),
+        |ppos AS (SELECT pkey,
+        |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |          substr(md5('bf' || CAST(j AS VARCHAR) || '-'
+        |            || CAST(pkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |        << (4 * (3 - i)) for i in range(1, 4)]) AS BIGINT)
+        |      AS pos
+        |  FROM probes CROSS JOIN pos3),
+        |maybe AS (SELECT pkey FROM ppos JOIN fbits USING (pos)
+        |  GROUP BY pkey HAVING COUNT(*) = 3),
+        |mem AS (SELECT pkey FROM probes
+        |  WHERE pkey IN (SELECT bkey FROM build)),
+        |c AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fbits) AS bits_set,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM maybe) AS n_maybe,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mem) AS n_member)
+        |SELECT bits_set, n_probes, n_maybe, n_member,
+        |  n_maybe - n_member AS n_false_pos,
+        |  CAST(n_maybe - n_member AS DOUBLE)
+        |    / (n_probes - n_member) AS fpr
+        |FROM c""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM e),
+        |s AS (SELECT event_type,
+        |    CASE WHEN us < t0 + (t1 - t0) * 7 // 10 THEN 'train'
+        |         WHEN us < t0 + (t1 - t0) * 8 // 10 THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM e CROSS JOIN b)
+        |SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s GROUP BY split, event_type
+        |ORDER BY split, event_type""".stripMargin)
+}

@@ -36,11 +36,13 @@ object SparkEntry {
     operators.Validation,
     operators.Integrity,
     operators.Relevance,
+    operators.Auditing,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,
     streaming.StreamingSmoke,
-    streaming.StatefulSession)
+    streaming.StatefulSession,
+    streaming.StatefulEwma)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on
     * sf=0.001; driver smoke-checks rows>0.

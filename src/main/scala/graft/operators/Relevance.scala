@@ -35,7 +35,7 @@ object Relevance extends QueryModule {
   /** The standing token bigram graph (q_pagerank_iter's derivation):
     * weighted edges src -> dst with adjacency counts.
     */
-  private def wordEdges(s: SparkSession, d: String): DataFrame =
+  private[operators] def wordEdges(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
       .select(graft.functions.NGramGenerator(toks, 2).alias("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))

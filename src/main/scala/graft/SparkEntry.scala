@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Integrity,
     operators.Relevance,
     operators.Auditing,
+    operators.Training,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

@@ -646,4 +646,41 @@ class PlanQualitySpec extends AnyFunSuite {
       pn.contains("BroadcastNestedLoopJoin"), pn.take(3000))
     assert(pn.contains("partial_sum"), pn.take(3000))
   }
+
+  test("round-8 integrity/relevance plans: checksum and feature hash " +
+      "are joinless single-aggregate scans, temporal split broadcasts " +
+      "its bounds, phrase match joins postings without a cartesian") {
+    // table checksum: THE cheapest full-content audit — one scan, one
+    // partial-aggregated groupBy, no join, no window, no global sort
+    val pc = plan("q_table_checksum")
+    assert(!pc.contains("Join"), pc.take(3000))
+    assert(!pc.contains("Window"), pc.take(3000))
+    assert(pc.contains("partial_count") || pc.contains("partial_sum"),
+      pc.take(3000))
+    // feature hashing: the defining property — NO vocabulary relation,
+    // so no join anywhere; pure explode + one aggregate
+    val pf = plan("q_feature_hash")
+    assert(!pf.contains("Join"), pf.take(3000))
+    assert(pf.contains("Generate"), pf.take(3000))
+    // temporal split: 1-row bounds broadcast into a map-side CASE —
+    // never a shuffle keyed on the cut
+    val pt = plan("q_temporal_split")
+    assert(pt.contains("BroadcastNestedLoopJoin") ||
+      pt.contains("BroadcastHashJoin"), pt.take(3000))
+    assert(!pt.contains("CartesianProduct"), pt.take(3000))
+    // phrase match: posting-list equi join — no cartesian, no document
+    // payload movement (join keys are doc+pos only)
+    val pp = plan("q_phrase_match")
+    assert(!pp.contains("CartesianProduct"), pp.take(3000))
+    // hard negatives: broadcast-probe scan exactly like q_sim_topk
+    val ph = plan("q_hard_negative")
+    assert(ph.contains("BroadcastNestedLoopJoin") ||
+      ph.contains("BroadcastHashJoin"), ph.take(3000))
+    assert(!ph.contains("CartesianProduct"), ph.take(3000))
+    // negative sampling: generation is map-side off a 1-row bounds
+    // broadcast; the positive-pair exclusion is an anti join
+    val pg = plan("q_negative_sample")
+    assert(pg.contains("LeftAnti"), pg.take(3000))
+    assert(!pg.contains("CartesianProduct"), pg.take(3000))
+  }
 }

@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Relevance,
     operators.Auditing,
     operators.Training,
+    operators.Tuning,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pipeline-tuning / diagnostic operators (round 8, fifth block):
+  * dedup-threshold sensitivity, an LSH candidate-quality evaluation
+  * against exact near-dup truth (with a PORTABLE md5 minhash, so the
+  * whole evaluation is oracle-checkable), and chi-square standardized
+  * residuals per contingency cell. All three carry full DuckDB oracles.
+  *
+  * Determinism: the portable minhash derives every hash from md5
+  * (base-16 conv on Spark, nibble shifts on DuckDB — identical
+  * int64 minima); Jaccard values are single divisions of exact ints
+  * (bit-identical, so threshold compares agree); residuals use one
+  * FIXED double expression tree per cell.
+  */
+object Tuning extends QueryModule {
+
+  private def toks = split(col("text"), " ")
+
+  /** 56-bit md5 integer of a salted shingle — the portable hash family
+    * behind the evaluation minhash (NumHashes independent salts).
+    */
+  private def mh(j: Int) =
+    conv(substring(md5(concat(lit(s"mh$j-"), col("sg"))), 1, 14), 16, 10)
+      .cast("long")
+
+  private val NumHashes = 16
+  private val Bands = 8 // r = 2 rows per band
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- dedup-threshold sensitivity sweep (the knob-tuning run a
+      // curation team does before committing a Jaccard cutoff: how
+      // many pairs/docs does each threshold implicate?): the exact
+      // pair relation computes ONCE; the 5-threshold fan-out is a
+      // map-side explode of the O(pairs) relation, so the sweep costs
+      // one near-dup join regardless of how many thresholds are
+      // screened. Jaccard is the same single-division double on both
+      // engines, so threshold compares agree bit-for-bit. ---
+      "q_dedup_sweep" -> ((s, d) => {
+        val pairs = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id"), col("jac"))
+        val th = Seq(0.5, 0.9, 0.95, 0.97, 0.98)
+        val sweep = pairs
+          .select(col("a_id"), col("b_id"), col("jac"),
+            explode(array(th.map(lit(_)): _*)).as("threshold"))
+          .filter(col("jac") >= col("threshold"))
+        val np = sweep.groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"))
+        val nd = sweep
+          .select(col("threshold"),
+            explode(array(col("a_id"), col("b_id"))).as("doc"))
+          .groupBy("threshold")
+          .agg(countDistinct("doc").as("n_docs"))
+        np.join(nd, "threshold").orderBy("threshold")
+      }),
+
+      // --- LSH candidate-quality evaluation (run before trusting any
+      // banded near-dup pass at fleet scale): a PORTABLE minhash — 16
+      // md5-salted hash minima, 8 bands of 2 — generates candidate
+      // pairs exactly like q_dedup_minhash's bucketed shape (posting
+      // lists per band bucket, i<j emission, distinct before the
+      // array fetch); exact Jaccard then verifies candidates, and the
+      // report compares verified pairs against the exact n-gram
+      // truth: candidate precision (verification work wasted) and
+      // recall (dups the bands missed). Portability is the point —
+      // engine-native hashes would make this eval unverifiable. ---
+      "q_minhash_eval" -> ((s, d) => {
+        // localCheckpoint: the shingled relation feeds THREE consumers
+        // (the signature stream and both verification sides) — without
+        // it each one re-tokenizes and re-shingles the corpus
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
+          .localCheckpoint()
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
+        // Hash the DISTINCT shingle vocabulary once (16 md5s per
+        // distinct trigram, not per occurrence — a ~50x md5 saving on
+        // this corpus) and broadcast it back into the occurrence
+        // stream; the signature is then a plain 16-column min
+        // aggregate with map-side partials. At fleet scale the hashed
+        // vocabulary swaps to a shuffle join on sg — same plan minus
+        // the broadcast hint.
+        val hashedVocab = ex.select(col("sg")).distinct()
+          .select(Seq(col("sg")) ++
+            (0 until NumHashes).map(j => mh(j).as(s"g$j")): _*)
+        val mins = (0 until NumHashes).map(j => min(col(s"g$j")).as(s"h$j"))
+        val sig = ex.join(broadcast(hashedVocab), "sg")
+          .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        val bandArr = array((0 until Bands).map(i =>
+          concat_ws("_", col(s"h${2 * i}"), col(s"h${2 * i + 1}"))): _*)
+        val cand = TextPipeline.postingPairs(
+          sig.select(col("doc_id"), posexplode(bandArr)
+              .as(Seq("band", "bkey")))
+            .groupBy("band", "bkey")
+            .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+            .filter(size(col("ids")) >= 2))
+          .distinct()
+        val verified = docs
+          .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+          .join(broadcast(cand), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+            .hint("shuffle_hash"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("a_sh"), col("b_sh")))
+              .cast("double") /
+              size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
+          .filter(col("jac") >= 0.5)
+          .select(col("a_id"), col("b_id"))
+        val exact = TextPipeline.ngramPairs(s, d).select("a_id", "b_id")
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nC = cand.agg(count(lit(1)).as("n_cand"))
+        val nV = verified.agg(count(lit(1)).as("n_verified"))
+        nE.crossJoin(nC).crossJoin(nV)
+          .select(col("n_exact"), col("n_cand"), col("n_verified"),
+            (col("n_verified").cast("double") / col("n_cand"))
+              .as("cand_precision"),
+            (col("n_verified").cast("double") / col("n_exact"))
+              .as("recall"))
+      }),
+
+      // --- chi-square standardized residuals (the per-cell
+      // diagnostic q_chisq_test's single statistic hides: WHICH
+      // segment×priority cells deviate, and which way): observed
+      // contingency counts reduce first, margins broadcast back, and
+      // each cell's (O−E)/√E evaluates in one fixed double tree —
+      // E as double product/quotient so the margins never overflow
+      // int64 at fleet scale. Output is O(cells). ---
+      "q_crosstab_resid" -> ((s, d) => {
+        val j = table(s, d, "orders")
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            col("o_orderpriority").as("pri"))
+        val cells = j.groupBy("seg", "pri").agg(count(lit(1)).as("o"))
+        val rt = j.groupBy("seg").agg(count(lit(1)).as("rt"))
+        val ct = j.groupBy("pri").agg(count(lit(1)).as("ct"))
+        val tot = j.agg(count(lit(1)).as("nn"))
+        cells.join(broadcast(rt), "seg").join(broadcast(ct), "pri")
+          .crossJoin(broadcast(tot))
+          .select(col("seg"), col("pri"), col("o"),
+            (col("rt").cast("double") * col("ct").cast("double") /
+              col("nn").cast("double")).as("e"))
+          .withColumn("resid",
+            (col("o").cast("double") - col("e")) / sqrt(col("e")))
+          .orderBy("seg", "pri")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_dedup_sweep" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |th AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |    CAST(0.95 AS DOUBLE), CAST(0.97 AS DOUBLE),
+         |    CAST(0.98 AS DOUBLE)]) AS threshold),
+         |sw AS (SELECT a_id, b_id, threshold FROM p CROSS JOIN th
+         |       WHERE jac >= threshold),
+         |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM sw GROUP BY threshold),
+         |nd AS (SELECT threshold,
+         |         CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         |       FROM (SELECT threshold, unnest([a_id, b_id]) AS doc
+         |             FROM sw) GROUP BY threshold)
+         |SELECT threshold, n_pairs, n_docs FROM np JOIN nd
+         |USING (threshold) ORDER BY threshold""".stripMargin,
+
+    "q_minhash_eval" -> {
+      def mhSql(j: Int): String =
+        s"""MIN(CAST(list_sum([CAST(strpos('0123456789abcdef',
+           |      substr(md5('mh$j-' || sg), i, 1)) - 1 AS BIGINT)
+           |    << (4 * (14 - i)) for i in range(1, 15)]) AS BIGINT))
+           |  AS h$j""".stripMargin
+      val sigCols = (0 until NumHashes).map(mhSql).mkString(",\n")
+      val bandList = (0 until Bands).map(i =>
+        s"CAST(h${2 * i} AS VARCHAR) || '_' || CAST(h${2 * i + 1} AS VARCHAR)")
+        .mkString(", ")
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |sig AS (SELECT doc_id,
+         |$sigCols
+         |  FROM e GROUP BY doc_id),
+         |bd AS (SELECT doc_id,
+         |    generate_subscripts([$bandList], 1) AS band,
+         |    unnest([$bandList]) AS bkey
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bd a JOIN bd b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |      AND a.doc_id < b.doc_id),
+         |ver AS (SELECT cand.a_id, cand.b_id
+         |  FROM cand
+         |  JOIN (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |          COUNT(*) AS inter
+         |        FROM e a JOIN e b ON a.sg = b.sg
+         |          AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2) i
+         |    ON i.a_id = cand.a_id AND i.b_id = cand.b_id
+         |  JOIN c ca ON ca.doc_id = cand.a_id
+         |  JOIN c cb ON cb.doc_id = cand.b_id
+         |  WHERE CAST(i.inter AS DOUBLE)
+         |    / (ca.n + cb.n - i.inter) >= 0.5),
+         |m AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_exact,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS n_verified)
+         |SELECT n_exact, n_cand, n_verified,
+         |  CAST(n_verified AS DOUBLE) / n_cand AS cand_precision,
+         |  CAST(n_verified AS DOUBLE) / n_exact AS recall
+         |FROM m""".stripMargin
+    },
+
+    "q_crosstab_resid" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS o
+        |          FROM j GROUP BY seg, pri),
+        |rt AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS rt
+        |       FROM j GROUP BY seg),
+        |ct AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS ct
+        |       FROM j GROUP BY pri),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM j)
+        |SELECT seg, pri, o,
+        |  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS e,
+        |  (CAST(o AS DOUBLE)
+        |    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)) AS resid
+        |FROM cells JOIN rt USING (seg) JOIN ct USING (pri)
+        |CROSS JOIN t ORDER BY seg, pri""".stripMargin)
+}

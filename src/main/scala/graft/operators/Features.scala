@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.Tables.table
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,48 @@ object Features extends QueryModule {
       // the identical tree in the oracle. The encoder table is
       // O(categories) — at serving time it broadcasts onto the corpus
       // as a map-side join, like the scaler above. ---
+      // --- mutual-information feature screen (which embedding
+      // dimension is informative about the label? — the selection
+      // pass before training touches anything): each of the first 4
+      // dimensions discretizes to its sign, the (dim, bucket, label)
+      // contingency reduces FIRST (compact-first — O(dims·4) cells),
+      // margins join back on the cell relation, and each cell
+      // contributes O·⌊log2(O·N / (rowTot·colTot))⌋ in SIGNED integer
+      // bits via the floor-log2 device — the MI proxy is an exact
+      // int64 sum, bit-identical across engines with zero libm.
+      // (Empty cells contribute 0 — absent from the cell relation by
+      // construction.) ---
+      "q_feature_mi" -> ((s, d) => {
+        def bits(x: Column, z: Column): Column =
+          (length(bin(floor(x.cast("double") / z.cast("double"))
+            .cast("long"))) - 1).cast("long")
+        val ex = table(s, d, "embeddings")
+          .select(col("label"), col("embedding"),
+            explode(sequence(lit(1), lit(4))).as("dim"))
+          .select(col("dim"),
+            (element_at(col("embedding"), col("dim").cast("int")) > 0)
+              .cast("long").as("b"),
+            (col("label") % 2).cast("long").as("y"))
+        val cells = ex.groupBy("dim", "b", "y")
+          .agg(count(lit(1)).as("o"))
+        val rb = cells.groupBy("dim", "b").agg(sum("o").as("rb"))
+        val cy = cells.groupBy("dim", "y").agg(sum("o").as("cy"))
+        val nn = cells.groupBy("dim").agg(sum("o").as("nn"))
+        cells.join(rb, Seq("dim", "b")).join(cy, Seq("dim", "y"))
+          .join(broadcast(nn), "dim")
+          .withColumn("x", col("o") * col("nn"))
+          .withColumn("z", col("rb") * col("cy"))
+          .withColumn("contrib",
+            when(col("x") >= col("z"),
+              col("o") * bits(col("x"), col("z")))
+              .otherwise(-col("o") * bits(col("z"), col("x"))))
+          .groupBy("dim").agg(max("nn").as("n"),
+            sum("contrib").as("mi_bits"))
+          .select(col("dim").cast("long").as("dim"), col("n"),
+            col("mi_bits"))
+          .orderBy("dim")
+      }),
+
       "q_target_encode" -> ((s, d) => {
         val per = table(s, d, "events")
           .select(col("event_type"),
@@ -160,6 +202,30 @@ object Features extends QueryModule {
         |       ELSE 0.5 END AS scaled
         |FROM events e JOIN ext ON e.event_type = ext.event_type
         |ORDER BY event_id""".stripMargin,
+
+    "q_feature_mi" ->
+      """WITH dims AS (SELECT unnest(range(1, 5)) AS dim),
+        |ex AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |    CAST(embedding[dim] > 0 AS BIGINT) AS b,
+        |    CAST(label % 2 AS BIGINT) AS y
+        |  FROM embeddings CROSS JOIN dims),
+        |cells AS (SELECT dim, b, y, CAST(COUNT(*) AS BIGINT) AS o
+        |          FROM ex GROUP BY dim, b, y),
+        |rb AS (SELECT dim, b, CAST(SUM(o) AS BIGINT) AS rb
+        |       FROM cells GROUP BY dim, b),
+        |cy AS (SELECT dim, y, CAST(SUM(o) AS BIGINT) AS cy
+        |       FROM cells GROUP BY dim, y),
+        |nn AS (SELECT dim, CAST(SUM(o) AS BIGINT) AS nn
+        |       FROM cells GROUP BY dim),
+        |ctr AS (SELECT dim, o * nn AS x, rb * cy AS z, o, nn
+        |  FROM cells JOIN rb USING (dim, b) JOIN cy USING (dim, y)
+        |  JOIN nn USING (dim))
+        |SELECT dim, MAX(nn) AS n,
+        |  CAST(SUM(CASE WHEN x >= z
+        |    THEN o * (length(bin(x // z)) - 1)
+        |    ELSE -o * (length(bin(z // x)) - 1) END) AS BIGINT)
+        |    AS mi_bits
+        |FROM ctr GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_target_encode" ->
       """WITH per AS (SELECT event_type,

@@ -95,6 +95,27 @@ object Formats extends QueryModule {
     ()
   }
 
+  /** JSONL rendering of customer where an md5-gated ~1/16 of rows are
+    * TRUNCATED mid-object — the corrupt-record ingestion fixture
+    * (every large crawl delivery contains malformed lines; the gate
+    * makes the corruption deterministic so the oracle can count it
+    * from the clean table without parsing anything).
+    */
+  private[graft] def malformedDir(s: SparkSession, d: String): String =
+    fillCache(s"/dev/shm/graft_fmt/cust_badjson_${
+      Advanced.fingerprint(d, "customer")}") { tmp =>
+      val gate = substring(md5(concat(lit("bad"),
+        col("c_custkey").cast("string"))), 1, 1) === "0"
+      table(s, d, "customer")
+        .select(when(gate,
+            concat(lit("{\"c_custkey\": "),
+              col("c_custkey").cast("string"),
+              lit(", \"c_acctbal\": tru")))
+          .otherwise(to_json(struct(col("c_custkey"), col("c_name"),
+            col("c_acctbal")))).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
+
   /** Apache-combined-style access-log rendering of orders: the raw-TEXT
     * ingestion fixture (one line per order, written through the real
     * `text` sink). All embedded fields are integer/string-exact — the
@@ -308,6 +329,39 @@ object Formats extends QueryModule {
     // planning, nothing at execution — at fleet scale you pin the
     // merged schema in a catalog instead; the execution plan is
     // identical.) ---
+    // --- PERMISSIVE malformed-JSONL ingestion (the corrupt-record
+    // machinery every crawl loader needs: bad lines must be COUNTED
+    // and quarantined, never abort the job and never silently drop):
+    // the reader parses with a fixed schema + _corrupt capture
+    // column; the report is one conditional-aggregate pass — rows,
+    // corrupt rows, corrupt share, and the balance sum over the
+    // clean rows only. The oracle reproduces every number from the
+    // clean table via the same md5 gate — no JSON parsing at all,
+    // which is exactly why the corruption is hash-gated. ---
+    "q_source_malformed" -> ((s, d) => {
+      val path = malformedDir(s, d)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt").isNull, dec(col("c_acctbal")))
+            .otherwise(lit(0).cast(D))).cast("double")
+            .as("good_bal"))
+        .withColumn("corrupt_share",
+          col("n_corrupt").cast("double") / col("n_rows"))
+    }),
+
     "q_source_evolved" -> ((s, d) => {
       val path = evolvedOrders(s, d)
       s.read.option("mergeSchema", "true").parquet(path)
@@ -400,6 +454,26 @@ object Formats extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    // The oracle counts the md5-gated corruption from the CLEAN table —
+    // the gate is the ground truth the reader's corrupt-record capture
+    // must reproduce.
+    "q_source_malformed" ->
+      """WITH g AS (SELECT c_acctbal,
+        |    substr(md5('bad' || CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+        |      AS bad
+        |  FROM customer)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(SUM(CASE WHEN bad THEN CAST(0 AS DECIMAL(18,4))
+        |    ELSE CAST(c_acctbal AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    AS good_bal,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS corrupt_share
+        |FROM g""".stripMargin,
 
     "q_source_evolved" ->
       s"""SELECT CAST(o_orderkey % 2 AS BIGINT) AS epoch,

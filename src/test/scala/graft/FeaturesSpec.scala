@@ -64,4 +64,46 @@ class FeaturesSpec extends AnyFunSuite {
         s"enc $enc outside [$lm, $gm]")
     }
   }
+
+  test("mutual-information screen matches an exact driver-side " +
+    "integer recomputation") {
+    val rows = q("q_feature_mi").collect()
+    val emb = Tables.table(spark, sf, "embeddings")
+      .selectExpr("embedding", "label").collect()
+      .map(r => (r.getSeq[Float](0), r.getInt(1)))
+    def bits(x: Long, z: Long): Long =
+      63 - java.lang.Long.numberOfLeadingZeros(x / z)
+    rows.foreach { r =>
+      val dim = r.getLong(0).toInt
+      val cells = emb.groupBy(e =>
+        (e._1(dim - 1) > 0, e._2 % 2 == 1)).view.mapValues(_.length.toLong)
+      val nn = emb.length.toLong
+      assert(r.getLong(1) == nn)
+      val mi = cells.map { case ((b, y), o) =>
+        val rb = cells.filterKeys(_._1 == b).values.sum
+        val cy = cells.filterKeys(_._2 == y).values.sum
+        val x = o * nn; val z = rb * cy
+        if (x >= z) o * bits(x, z) else -o * bits(z, x)
+      }.sum
+      assert(r.getLong(2) == mi, s"dim $dim")
+    }
+  }
+
+  test("malformed-JSONL ingestion counts exactly the md5-gated lines") {
+    val r = q("q_source_malformed").collect().head
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cust = Tables.table(spark, sf, "customer")
+      .selectExpr("c_custkey", "c_acctbal").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    val bad = cust.count(c => md5hex(s"bad${c._1}").startsWith("0")).toLong
+    assert(r.getLong(0) == cust.length.toLong)
+    assert(r.getLong(1) == bad, "corrupt capture equals the gate")
+    assert(r.getLong(2) == cust.length - bad)
+    val goodBal = cust.filter(c => !md5hex(s"bad${c._1}").startsWith("0"))
+      .map(c => BigDecimal(c._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(math.abs(r.getDouble(3) - goodBal) < 1e-9)
+  }
 }

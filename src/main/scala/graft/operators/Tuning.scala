@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Pipeline-tuning / diagnostic operators (round 8, fifth block):
   * dedup-threshold sensitivity, an LSH candidate-quality evaluation
@@ -123,6 +123,109 @@ object Tuning extends QueryModule {
               .as("recall"))
       }),
 
+      // --- LSH band-geometry recall curve (the OTHER minhash knob:
+      // with 16 hashes fixed, how does recall move as bands trade
+      // against rows-per-band? r=1/16 bands catches everything noisy,
+      // r=4/4 bands only near-identical pairs): ONE signature pass
+      // feeds all three geometries — the per-config band keys are a
+      // map-side explode of the same 16-column signature row, and
+      // candidates count per config through the same posting-list
+      // shape. Recall = verified-candidate count over the exact pair
+      // truth, one division per config. Cost note: the r=1 geometry is
+      // INTENTIONALLY promiscuous (sf0.1: ~156k candidates against 256
+      // true pairs — that visibility is the point of the curve);
+      // DuckDB needs ~20 s for this sweep where the distributed
+      // posting-list shape runs it in ~4 s. ---
+      "q_lsh_curve" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
+          .localCheckpoint()
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
+        val hashedVocab = ex.select(col("sg")).distinct()
+          .select(Seq(col("sg")) ++
+            (0 until NumHashes).map(j => mh(j).as(s"g$j")): _*)
+        val mins = (0 until NumHashes)
+          .map(j => min(col(s"g$j")).as(s"h$j"))
+        val sig = ex.join(broadcast(hashedVocab), "sg")
+          .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        def bandKeys(r: Int): Column = array((0 until NumHashes / r).map {
+          i => concat_ws("_",
+            (0 until r).map(k => col(s"h${i * r + k}")): _*)
+        }: _*)
+        val configs = Seq(1, 2, 4)
+        val banded = configs.map { r =>
+          sig.select(lit(r.toLong).as("r"), col("doc_id"),
+            posexplode(bandKeys(r)).as(Seq("band", "bkey")))
+        }.reduce(_ unionByName _)
+        val cand = banded
+          .groupBy("r", "band", "bkey")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(col("r"), posexplode(col("ids")).as(Seq("i", "a_id")),
+            col("ids"))
+          .select(col("r"), col("a_id"), col("i"),
+            posexplode(col("ids")).as(Seq("j", "b_id")))
+          .filter(col("i") < col("j"))
+          .select(col("r"), col("a_id"), col("b_id"))
+          .distinct()
+        // localCheckpoint: the O(pairs) truth relation feeds the count
+        // action AND the join — without it the full pair join runs
+        // twice
+        val truth = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+          .localCheckpoint()
+        val nE = truth.count()
+        cand
+          .join(truth, Seq("a_id", "b_id"), "left")
+          .groupBy("r")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_true"))
+          .select(col("r"), (lit(16) / col("r")).cast("long").as("bands"),
+            col("n_cand"), col("n_true"),
+            (col("n_true").cast("double") / lit(nE.toDouble))
+              .as("recall"))
+          .orderBy("r")
+      }),
+
+      // --- near-dup graph modularity against the SOURCE partition
+      // (are near-dups an intra-source phenomenon, or does template
+      // reuse cross source boundaries? — decides whether per-source
+      // dedup sharding is safe): Newman modularity Q of the source
+      // partition over the exact pair graph, spelled entirely in
+      // exact integers — Q·4m² = Σ_c (4m·e_c − deg_c²) — with ONE
+      // terminal division. Every relation in sight is O(pairs) or
+      // O(sources). ---
+      "q_graph_modularity" -> ((s, d) => {
+        val src = table(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val pairs = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id"))
+        // localCheckpoint: the labeled O(pairs) relation feeds the m
+        // count, the within-edge rollup AND the degree stream — without
+        // it the pair join recomputes three times
+        val lab = pairs
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("sb")), "b_id")
+          .localCheckpoint()
+        val m = lab.count()
+        val ec = lab.filter(col("sa") === col("sb"))
+          .groupBy(col("sa").as("source"))
+          .agg(count(lit(1)).as("e_within"))
+        val deg = lab.select(col("a_id").as("doc_id"))
+          .unionByName(lab.select(col("b_id").as("doc_id")))
+          .join(src, "doc_id")
+          .groupBy("source").agg(count(lit(1)).as("deg_c"))
+        deg.join(ec, Seq("source"), "left")
+          .na.fill(0L, Seq("e_within"))
+          .agg(sum(lit(4L) * lit(m) * col("e_within")
+            - col("deg_c") * col("deg_c")).as("q_num"))
+          .select(lit(m).as("m"), col("q_num"),
+            (col("q_num").cast("double") /
+              lit(4.0 * m.toDouble * m.toDouble)).as("modularity"))
+      }),
+
       // --- chi-square standardized residuals (the per-cell
       // diagnostic q_chisq_test's single statistic hides: WHICH
       // segment×priority cells deviate, and which way): observed
@@ -211,6 +314,69 @@ object Tuning extends QueryModule {
          |  CAST(n_verified AS DOUBLE) / n_exact AS recall
          |FROM m""".stripMargin
     },
+
+    "q_lsh_curve" -> {
+      def mhSql(j: Int): String =
+        s"""MIN(CAST(list_sum([CAST(strpos('0123456789abcdef',
+           |      substr(md5('mh$j-' || sg), i, 1)) - 1 AS BIGINT)
+           |    << (4 * (14 - i)) for i in range(1, 15)]) AS BIGINT))
+           |  AS h$j""".stripMargin
+      val sigCols = (0 until NumHashes).map(mhSql).mkString(",\n")
+      def bandList(r: Int): String = (0 until NumHashes / r).map { i =>
+        (0 until r).map(k => s"CAST(h${i * r + k} AS VARCHAR)")
+          .mkString(" || '_' || ")
+      }.mkString(", ")
+      val bdArms = Seq(1, 2, 4).map { r =>
+        s"""SELECT $r AS r, doc_id,
+           |    generate_subscripts([${bandList(r)}], 1) AS band,
+           |    unnest([${bandList(r)}]) AS bkey
+           |  FROM sig""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |sig AS (SELECT doc_id,
+         |$sigCols
+         |  FROM e GROUP BY doc_id),
+         |bd AS (
+         |$bdArms),
+         |cand AS (SELECT DISTINCT a.r, a.doc_id AS a_id,
+         |    b.doc_id AS b_id
+         |  FROM bd a JOIN bd b ON a.r = b.r AND a.band = b.band
+         |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM p),
+         |jj AS (SELECT cand.r,
+         |    CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM cand LEFT JOIN p
+         |    ON p.a_id = cand.a_id AND p.b_id = cand.b_id)
+         |SELECT CAST(r AS BIGINT) AS r, CAST(16 // r AS BIGINT) AS bands,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |  CAST(SUM(hit) AS BIGINT) AS n_true,
+         |  CAST(SUM(hit) AS DOUBLE) / n_exact AS recall
+         |FROM jj CROSS JOIN ne GROUP BY r, n_exact
+         |ORDER BY r""".stripMargin
+    },
+
+    "q_graph_modularity" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |src AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT p.a_id, p.b_id, sa.source AS sa,
+         |    sb.source AS sb
+         |  FROM p JOIN src sa ON sa.doc_id = p.a_id
+         |  JOIN src sb ON sb.doc_id = p.b_id),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+         |ec AS (SELECT sa AS source, CAST(COUNT(*) AS BIGINT)
+         |    AS e_within FROM lab WHERE sa = sb GROUP BY sa),
+         |dg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS deg_c
+         |  FROM (SELECT a_id AS doc_id FROM lab
+         |        UNION ALL SELECT b_id FROM lab)
+         |  JOIN src USING (doc_id) GROUP BY source),
+         |q AS (SELECT CAST(SUM(4 * m * COALESCE(e_within, 0)
+         |      - deg_c * deg_c) AS BIGINT) AS q_num
+         |  FROM dg LEFT JOIN ec USING (source) CROSS JOIN mm)
+         |SELECT (SELECT m FROM mm) AS m, q_num,
+         |  CAST(q_num AS DOUBLE)
+         |    / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm))
+         |    AS modularity
+         |FROM q""".stripMargin,
 
     "q_crosstab_resid" ->
       """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri

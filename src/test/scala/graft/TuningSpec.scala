@@ -60,4 +60,26 @@ class TuningSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - (o - e) / math.sqrt(e)) < 1e-9)
     }
   }
+
+  test("lsh curve: recall never falls as bands narrow, and candidate " +
+    "volume shrinks as rows-per-band grow") {
+    val rows = q("q_lsh_curve").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val cands = rows.map(_.getLong(2)).toSeq
+    assert(cands == cands.sorted.reverse,
+      "larger r = stricter bands = fewer candidates")
+    val recalls = rows.map(_.getDouble(4)).toSeq
+    assert(recalls == recalls.sorted.reverse,
+      "recall can only drop as bands get stricter")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
+  test("modularity: bounded by definition and consistent with its " +
+    "integer numerator") {
+    val r = q("q_graph_modularity").collect().head
+    val (m, qn, mod) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(m > 0)
+    assert(math.abs(mod - qn.toDouble / (4.0 * m * m)) < 1e-12)
+    assert(mod >= -1.0 && mod <= 1.0)
+  }
 }

@@ -39,6 +39,7 @@ object SparkEntry {
     operators.Auditing,
     operators.Training,
     operators.Tuning,
+    operators.Trends,
     operators.Formats,
     operators.XmlQueries,
     operators.ExtensionFns,

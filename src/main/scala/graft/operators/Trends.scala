@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Trend / concentration analytics (round 8, sixth block): per-document
+  * shingle novelty, the weekday×hour activity heatmap, week-over-week
+  * growth, and Herfindahl revenue concentration. All four carry full
+  * DuckDB oracles.
+  *
+  * Determinism: novelty and growth are single divisions of exact
+  * integers; calendar keys use the engines' agreeing extractions
+  * (dayofweek−1 == extract(dow), date_trunc week starts Monday on
+  * both); HHI squares quantized int64 revenues into DECIMAL(38,0).
+  */
+object Trends extends QueryModule {
+
+  private def toks = split(col("text"), " ")
+  private val D38 = DecimalType(38, 0)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- per-document shingle novelty (the inverse-dedup signal:
+      // how much of a doc exists NOWHERE else? low-novelty docs are
+      // template noise even when no pair crosses the dup threshold):
+      // corpus shingle df joins back into the per-doc-distinct shingle
+      // stream; novelty = unique-shingle share, one division. The df
+      // relation is shingle-vocabulary-sized; everything else is the
+      // shingle scan + one aggregate. ---
+      "q_doc_novelty" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
+        val dfreq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+        ex.join(dfreq, "sg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            col("n_unique").cast("double") / col("n_sh"))
+          .orderBy("doc_id")
+      }),
+
+      // --- weekday×hour activity heatmap (the capacity-planning /
+      // anomaly-baseline readout): one partial-aggregated pass to
+      // O(7×24) cells, global total broadcast back for the share.
+      // Calendar keys: Spark's dayofweek() is 1=Sunday, DuckDB's
+      // extract(dow) is 0=Sunday — the −1 aligns them exactly. ---
+      "q_time_heatmap" -> ((s, d) => {
+        val cells = table(s, d, "events")
+          .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"),
+            dec(col("value")).as("v"))
+          .groupBy("dow", "hr")
+          .agg(count(lit(1)).as("n"), sum("v").cast("double").as("sum_v"))
+        val tot = cells.agg(sum("n").as("nn"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hr"), col("n"), col("sum_v"),
+            (col("n").cast("double") / col("nn")).as("share"))
+          .orderBy("dow", "hr")
+      }),
+
+      // --- week-over-week growth per event type (the trend line every
+      // ops review opens with): weekly counts reduce first (O(weeks ×
+      // types) cells), lag() runs per type over the tiny cell relation
+      // — never over raw events — and growth is ONE division of exact
+      // counts. date_trunc('week') starts Monday on both engines. ---
+      "q_wow_growth" -> ((s, d) => {
+        val weekly = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("week", col("ts")).as("wk"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("wk")
+        weekly
+          .withColumn("prev", lag("n", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"), fmtTs(col("wk")).as("week"),
+            col("n"), col("prev"),
+            ((col("n") - col("prev")).cast("double") / col("prev"))
+              .as("wow_growth"))
+          .orderBy("event_type", "week")
+      }),
+
+      // --- Herfindahl revenue concentration per market segment (is
+      // one customer carrying the segment? — the concentration audit
+      // that decides panel-risk / skew handling): per-customer
+      // revenues quantize to int64, squares accumulate in
+      // DECIMAL(38,0) (exact, order-independent), HHI = Σr²/ (Σr)²
+      // with the square-of-total as one fixed double product. Both
+      // aggregates are customer- then segment-sized. ---
+      "q_hhi_concentration" -> ((s, d) => {
+        val rev = table(s, d, "orders")
+          .join(table(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+            round(col("o_totalprice"), 0).cast("long").as("vq"))
+          .groupBy("seg", "c_custkey").agg(sum("vq").as("r"))
+        rev.groupBy("seg")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("r").as("total_q"),
+            sum((col("r") * col("r")).cast(D38)).as("sq"))
+          .select(col("seg"), col("n_cust"), col("total_q"),
+            (col("sq").cast("double") /
+              (col("total_q").cast("double") *
+                col("total_q").cast("double"))).as("hhi"))
+          .orderBy("seg")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_doc_novelty" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |df AS (SELECT sg, CAST(COUNT(*) AS BIGINT) AS df
+         |       FROM e GROUP BY sg)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS novelty
+         |FROM e JOIN df USING (sg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_time_heatmap" ->
+      """WITH cells AS (SELECT
+        |    CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+        |SELECT dow, hr, n, sum_v,
+        |  CAST(n AS DOUBLE) / nn AS share
+        |FROM cells CROSS JOIN t ORDER BY dow, hr""".stripMargin,
+
+    "q_wow_growth" ->
+      """WITH wk AS (SELECT event_type, date_trunc('week', ts) AS wk,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, wk, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        |  FROM wk)
+        |SELECT event_type, strftime(wk, '%Y-%m-%d %H:%M:%S.%f')
+        |    AS week, n, prev,
+        |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
+        |FROM lg WHERE prev IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin,
+
+    "q_hhi_concentration" ->
+      """WITH rev AS (SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+        |      AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(r) AS BIGINT) AS total_q,
+        |  CAST(SUM(CAST(r * r AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)) AS hhi
+        |FROM rev GROUP BY seg ORDER BY seg""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-8 Trends block (novelty, time
+  * heatmap, WoW growth, HHI concentration), at sf0.001.
+  */
+class TrendsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("doc novelty matches a driver-side shingle-df recomputation") {
+    val rows = q("q_doc_novelty").collect()
+    val sh = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        r.getLong(0) -> tk.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val df = sh.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    rows.foreach { r =>
+      val mine = sh(r.getLong(0))
+      assert(r.getLong(1) == mine.size.toLong)
+      val uniq = mine.count(df(_) == 1).toLong
+      assert(r.getLong(2) == uniq)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // docs with no shingles (under 3 tokens) are absent by construction
+    assert(rows.length == sh.count(_._2.nonEmpty))
+  }
+
+  test("time heatmap covers every event exactly once with valid keys") {
+    val rows = q("q_time_heatmap").collect()
+    val total = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 6))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
+  test("WoW growth equals the lagged weekly-count ratio") {
+    val rows = q("q_wow_growth").collect()
+    rows.foreach { r =>
+      val (n, prev) = (r.getLong(2), r.getLong(3))
+      assert(prev > 0)
+      assert(math.abs(r.getDouble(4) - (n - prev).toDouble / prev) == 0.0)
+    }
+    // weeks per type are consecutive in the output (lag chain intact)
+    val weekly = Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("week", col("ts")))
+      .count().collect()
+    val perType = weekly.groupBy(_.getString(0)).view
+      .mapValues(_.length - 1)
+    assert(rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap ==
+      perType.toMap.filter(_._2 > 0))
+  }
+
+  test("HHI sits in [1/n, 1] per segment and matches the square sums") {
+    val rows = q("q_hhi_concentration").collect()
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val hhi = r.getDouble(3)
+      assert(hhi >= 1.0 / n - 1e-12, s"${r.getString(0)} lower bound")
+      assert(hhi <= 1.0 + 1e-12)
+    }
+  }
+}

@@ -45,7 +45,8 @@ object SparkEntry {
     operators.ExtensionFns,
     streaming.StreamingSmoke,
     streaming.StatefulSession,
-    streaming.StatefulEwma)
+    streaming.StatefulEwma,
+    streaming.LateData)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on
     * sf=0.001; driver smoke-checks rows>0.

@@ -87,6 +87,38 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- cohort LTV curve (cumulative revenue per signup cohort as
+      // it ages — the unit-economics readout behind every retention
+      // deck): cohort = a customer's first order month, age = exact
+      // integer month arithmetic (year·12+month differences — never
+      // date subtraction semantics that disagree across engines).
+      // Orders reduce straight to O(cohorts×ages) cells with decimal
+      // revenue sums; the cumulative window runs per cohort over that
+      // tiny cell relation with EXACT decimal accumulation, cast to
+      // double once at the edge. ---
+      "q_cohort_ltv" -> ((s, d) => {
+        val om = date_trunc("month", col("o_orderdate"))
+        val first = table(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(min(om).as("cm"))
+        val cells = table(s, d, "orders")
+          .join(broadcast(first), "o_custkey")
+          .select(date_format(col("cm"), "yyyy-MM").as("cohort"),
+            ((year(om) * 12 + month(om)) -
+              (year(col("cm")) * 12 + month(col("cm"))))
+              .cast("long").as("age_m"),
+            dec(col("o_totalprice")).as("v"))
+          .groupBy("cohort", "age_m")
+          .agg(count(lit(1)).as("n_orders"), sum("v").as("rev"))
+        val w = Window.partitionBy("cohort").orderBy("age_m")
+        cells
+          .withColumn("cum_rev", sum("rev").over(w))
+          .select(col("cohort"), col("age_m"), col("n_orders"),
+            col("rev").cast("double").as("rev"),
+            col("cum_rev").cast("double").as("cum_rev"))
+          .orderBy("cohort", "age_m")
+      }),
+
       // --- Herfindahl revenue concentration per market segment (is
       // one customer carrying the segment? — the concentration audit
       // that decides panel-risk / skew handling): per-customer
@@ -150,6 +182,24 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH fm AS (SELECT o_custkey,
+        |    MIN(date_trunc('month', o_orderdate)) AS cm
+        |  FROM orders GROUP BY o_custkey),
+        |cells AS (SELECT strftime(cm, '%Y-%m') AS cohort,
+        |    CAST((year(date_trunc('month', o_orderdate)) * 12
+        |        + month(date_trunc('month', o_orderdate)))
+        |      - (year(cm) * 12 + month(cm)) AS BIGINT) AS age_m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders JOIN fm USING (o_custkey)
+        |  GROUP BY 1, 2)
+        |SELECT cohort, age_m, n_orders,
+        |  CAST(rev AS DOUBLE) AS rev,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age_m)
+        |    AS DOUBLE) AS cum_rev
+        |FROM cells ORDER BY cohort, age_m""".stripMargin,
 
     "q_hhi_concentration" ->
       """WITH rev AS (SELECT c_mktsegment AS seg, c_custkey,

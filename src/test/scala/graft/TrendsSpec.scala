@@ -76,4 +76,40 @@ class TrendsSpec extends AnyFunSuite {
       assert(hhi <= 1.0 + 1e-12)
     }
   }
+
+  test("cohort LTV: cumulative revenue is nondecreasing within every " +
+    "cohort and covers all orders") {
+    val rows = q("q_cohort_ltv").collect()
+    val total = Tables.table(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.groupBy(_.getString(0)).foreach { case (c, rs) =>
+      val byAge = rs.sortBy(_.getLong(1))
+      val cums = byAge.map(_.getDouble(4)).toSeq
+      assert(cums == cums.sorted, s"cohort $c cum_rev monotone")
+      assert(math.abs(byAge.map(_.getDouble(3)).sum - cums.last) < 1e-6)
+    }
+  }
+
+  test("streaming late-data accounting reconciles against the " +
+    "closed-form watermark predicate") {
+    val rows = q("q_streaming_late").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wm = ev.filter(_._2 % 2 == 0).map(_._3).max
+    val hourUs = 3600L * 1000000L
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val mine = ev.filter(_._1 == t)
+      assert(r.getLong(1) == mine.length.toLong)
+      val dropped = mine.count { e =>
+        e._2 % 2 == 1 && (Math.floorDiv(e._3, hourUs) + 1) * hourUs <= wm
+      }.toLong
+      assert(r.getLong(3) == dropped, s"type $t dropped")
+      assert(r.getLong(2) == mine.length - dropped)
+    }
+    assert(rows.map(_.getLong(3)).sum > 0,
+      "the out-of-order replay must actually lose rows")
+  }
 }

@@ -238,6 +238,37 @@ object Advanced extends QueryModule {
     // event-time order carrying the last view timestamp. This is the
     // shape that scales — a single shuffle on user_id, no range join, no
     // per-row subquery; state is one timestamp per partition row.
+    // --- as-of join with a staleness tolerance (the feature-store
+    // freshness guard: a matched version older than the bound is WORSE
+    // than no match — serving stale features silently corrupts
+    // training): identical merge-scan window as q_join_asof, then the
+    // tolerance nulls out matches more than 1 hour stale. One
+    // user-keyed shuffle; the bound is a map-side CASE. ---
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc,
+          (col("event_type") === "view").cast("int").desc,
+          col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("av",
+          last(when(col("event_type") === "view", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .withColumn("fresh",
+          col("av").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("av")) <=
+              3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("click_ts"),
+          when(col("fresh"), fmtTs(col("av"))).as("fresh_view_ts"),
+          col("fresh").as("within_tolerance"))
+        .orderBy("event_id")
+    }),
+
     "q_join_asof" -> ((s, d) => {
       val ev = table(s, d, "events")
         .filter(col("event_type").isin("click", "view"))
@@ -751,6 +782,22 @@ object Advanced extends QueryModule {
         |                      WHERE n_regionkey = 1)
         |  AND c_acctbal < 1000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_asof_tol" ->
+      s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+         |           WHERE event_type = 'click'),
+         |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         |a AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS av
+         |      FROM c ASOF LEFT JOIN v
+         |        ON c.user_id = v.user_id AND c.ts >= v.ts)
+         |SELECT event_id, user_id, ${FT("ts")} AS click_ts,
+         |  CASE WHEN av IS NOT NULL
+         |      AND epoch_us(ts) - epoch_us(av) <= 3600000000
+         |    THEN ${FT("av")} END AS fresh_view_ts,
+         |  (av IS NOT NULL
+         |    AND epoch_us(ts) - epoch_us(av) <= 3600000000)
+         |    AS within_tolerance
+         |FROM a ORDER BY event_id""".stripMargin,
 
     "q_join_asof" ->
       s"""WITH c AS (SELECT event_id, user_id, ts FROM events

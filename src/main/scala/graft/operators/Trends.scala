@@ -6,7 +6,7 @@ import graft.Tables.table
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Trend / concentration analytics (round 8, sixth block): per-document
   * shingle novelty, the weekday×hour activity heatmap, week-over-week
@@ -85,6 +85,47 @@ object Trends extends QueryModule {
             ((col("n") - col("prev")).cast("double") / col("prev"))
               .as("wow_growth"))
           .orderBy("event_type", "week")
+      }),
+
+      // --- PSI drift (population stability index between the first
+      // and second half of the event stream — THE production model-
+      // monitoring metric for input drift): value distributions bin
+      // to integer units, add-one smoothing closes empty bins, and
+      // each bin contributes (aA·MB − aB·MA)·⌊log2⌋-bits — sign of
+      // the count diff and sign of the log always agree, so every
+      // contribution is a nonnegative exact int64; ONE terminal
+      // division scales the sum. The split point is exact integer
+      // microseconds from a broadcast bounds row. ---
+      "q_psi_drift" -> ((s, d) => {
+        def bits(x: Column, z: Column): Column =
+          (length(bin(floor(x.cast("double") / z.cast("double"))
+            .cast("long"))) - 1).cast("long")
+        val ev = table(s, d, "events")
+          .select(unix_micros(col("ts")).as("us"),
+            round(col("value"), 0).cast("long").as("bin"))
+        val b = ev.agg(min("us").as("t0"), max("us").as("t1"))
+        val halves = ev.crossJoin(broadcast(b))
+          .select(col("bin"),
+            (col("us") < col("t0") + expr("(t1 - t0) div 2"))
+              .cast("long").as("ina"))
+        val cells = halves.groupBy("bin")
+          .agg(sum("ina").as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+        val tot = cells.agg(count(lit(1)).as("nbins"),
+          sum(col("ca") + 1).as("ma"), sum(col("cb") + 1).as("mb"))
+        cells.crossJoin(broadcast(tot))
+          .withColumn("x", (col("ca") + 1) * col("mb"))
+          .withColumn("z", (col("cb") + 1) * col("ma"))
+          .withColumn("contrib",
+            when(col("x") >= col("z"),
+              (col("x") - col("z")) * bits(col("x"), col("z")))
+              .otherwise((col("z") - col("x")) * bits(col("z"), col("x"))))
+          .groupBy()
+          .agg(max("ma").as("ma"), max("mb").as("mb"),
+            max("nbins").as("n_bins"),
+            sum("contrib").as("psi_scaled"))
+          .withColumn("psi_bits",
+            col("psi_scaled").cast("double") /
+              (col("ma").cast("double") * col("mb").cast("double")))
       }),
 
       // --- cohort LTV curve (cumulative revenue per signup cohort as
@@ -182,6 +223,34 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us,
+        |    CAST(round(value, 0) AS BIGINT) AS bin FROM events),
+        |b AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM e),
+        |h AS (SELECT bin,
+        |    CAST(us < t0 + (t1 - t0) // 2 AS BIGINT) AS ina
+        |  FROM e CROSS JOIN b),
+        |cells AS (SELECT bin, CAST(SUM(ina) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - ina) AS BIGINT) AS cb
+        |  FROM h GROUP BY bin),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbins,
+        |    CAST(SUM(ca + 1) AS BIGINT) AS ma,
+        |    CAST(SUM(cb + 1) AS BIGINT) AS mb FROM cells),
+        |ctr AS (SELECT (ca + 1) * mb AS x, (cb + 1) * ma AS z,
+        |    ma, mb, nbins
+        |  FROM cells CROSS JOIN t)
+        |SELECT MAX(ma) AS ma, MAX(mb) AS mb, MAX(nbins) AS n_bins,
+        |  CAST(SUM(CASE WHEN x >= z
+        |    THEN (x - z) * (length(bin(x // z)) - 1)
+        |    ELSE (z - x) * (length(bin(z // x)) - 1) END) AS BIGINT)
+        |    AS psi_scaled,
+        |  CAST(SUM(CASE WHEN x >= z
+        |    THEN (x - z) * (length(bin(x // z)) - 1)
+        |    ELSE (z - x) * (length(bin(z // x)) - 1) END) AS DOUBLE)
+        |    / (CAST(MAX(ma) AS DOUBLE) * CAST(MAX(mb) AS DOUBLE))
+        |    AS psi_bits
+        |FROM ctr""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH fm AS (SELECT o_custkey,

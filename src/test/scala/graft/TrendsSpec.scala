@@ -112,4 +112,38 @@ class TrendsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0,
       "the out-of-order replay must actually lose rows")
   }
+
+  test("PSI drift: nonnegative, zero only under identical halves, " +
+    "and scaled consistently") {
+    val r = q("q_psi_drift").collect().head
+    val (ma, mb, psiS) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    assert(psiS >= 0L, "every PSI contribution is nonnegative")
+    assert(math.abs(r.getDouble(4) -
+      psiS.toDouble / (ma.toDouble * mb.toDouble)) < 1e-15)
+  }
+
+  test("as-of tolerance join: stale matches null out, fresh ones keep " +
+    "the plain as-of answer") {
+    val tol = q("q_join_asof_tol").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val plain = q("q_join_asof").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(tol.keySet == plain.keySet)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    tol.foreach { case (id, r) =>
+      val within = r.getBoolean(4)
+      val fresh = Option(r.getString(3))
+      if (within) {
+        assert(fresh == plain(id), s"click $id fresh match")
+        val gap = java.time.Duration.between(
+          java.time.LocalDateTime.parse(fresh.get, fmt),
+          java.time.LocalDateTime.parse(r.getString(2), fmt))
+        assert(!gap.isNegative && gap.getSeconds <= 3600)
+      } else assert(fresh.isEmpty, s"click $id stale must be null")
+    }
+    assert(tol.values.exists(!_.getBoolean(4)),
+      "fixture must contain stale matches")
+  }
 }

@@ -87,6 +87,62 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- fixed-quota stratified sampling (exactly K per stratum —
+      // the "100 docs per language" eval-set builder; rate-based
+      // q_sample_stratified can't promise exact counts): md5 of the
+      // doc id is the sort key, so the quota is reproducible with
+      // zero RNG state and stable under corpus growth everywhere
+      // except the md5 boundary. The rank window partitions by
+      // stratum; at fleet scale the md5-rank survives as the same
+      // per-stratum TopK shape every quota sampler uses. ---
+      "q_sample_quota" -> ((s, d) => {
+        val key = md5(concat(lit("quota"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("lang").orderBy("mk")
+        table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), key.as("mk"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("lang"), col("rk"))
+          .orderBy("lang", "rk")
+      }),
+
+      // --- difference-in-differences (the experiment readout when
+      // randomization isn't available: treated vs control, before vs
+      // after, the interaction is the effect): treatment = user-id
+      // parity, the post period starts at the exact integer midpoint
+      // of the observed span (broadcast bounds). The four cell means
+      // come from ONE conditional-aggregate pass over exact decimal
+      // sums; DiD = (T1−T0)−(C1−C0) evaluates in a FIXED double tree
+      // — four divisions and three subtractions, identical in the
+      // oracle. ---
+      "q_diff_in_diff" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(unix_micros(col("ts")).as("us"),
+            (col("user_id") % 2 === 1).as("treat"),
+            dec(col("value")).as("v"))
+        val b = ev.agg(min("us").as("t0"), max("us").as("t1"))
+        val cells = ev.crossJoin(broadcast(b))
+          .select(col("treat"),
+            (col("us") >= col("t0") + expr("(t1 - t0) div 2"))
+              .as("post"), col("v"))
+        def cell(t: Boolean, p: Boolean, nm: String) = Seq(
+          sum(when(col("treat") === t && col("post") === p, col("v"))
+            .otherwise(lit(0).cast(D))).as(s"s_$nm"),
+          sum(when(col("treat") === t && col("post") === p, 1L)
+            .otherwise(0L)).as(s"n_$nm"))
+        val aggs = cell(t = true, p = false, "t0") ++
+          cell(t = true, p = true, "t1") ++
+          cell(t = false, p = false, "c0") ++
+          cell(t = false, p = true, "c1")
+        val g = cells.agg(aggs.head, aggs.tail: _*)
+        def m(nm: String) =
+          col(s"s_$nm").cast("double") / col(s"n_$nm")
+        g.select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+          m("t0").as("mean_t_pre"), m("t1").as("mean_t_post"),
+          m("c0").as("mean_c_pre"), m("c1").as("mean_c_post"),
+          ((m("t1") - m("t0")) - (m("c1") - m("c0"))).as("did"))
+      }),
+
       // --- PSI drift (population stability index between the first
       // and second half of the event stream — THE production model-
       // monitoring metric for input drift): value distributions bin
@@ -223,6 +279,52 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_sample_quota" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |    md5('quota' || CAST(doc_id AS VARCHAR)) AS mk
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY mk)
+        |      AS BIGINT) AS rk
+        |  FROM k)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q_diff_in_diff" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us,
+        |    user_id % 2 = 1 AS treat,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |b AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM e),
+        |c AS (SELECT treat, us >= t0 + (t1 - t0) // 2 AS post, v
+        |  FROM e CROSS JOIN b),
+        |g AS (SELECT
+        |  SUM(CASE WHEN treat AND NOT post THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS s_t0,
+        |  CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t0,
+        |  SUM(CASE WHEN treat AND post THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS s_t1,
+        |  CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t1,
+        |  SUM(CASE WHEN NOT treat AND NOT post THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS s_c0,
+        |  CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c0,
+        |  SUM(CASE WHEN NOT treat AND post THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS s_c1,
+        |  CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c1
+        |  FROM c)
+        |SELECT n_t0, n_t1, n_c0, n_c1,
+        |  CAST(s_t0 AS DOUBLE) / n_t0 AS mean_t_pre,
+        |  CAST(s_t1 AS DOUBLE) / n_t1 AS mean_t_post,
+        |  CAST(s_c0 AS DOUBLE) / n_c0 AS mean_c_pre,
+        |  CAST(s_c1 AS DOUBLE) / n_c1 AS mean_c_post,
+        |  ((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)
+        |   - (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0))
+        |    AS did
+        |FROM g""".stripMargin,
 
     "q_psi_drift" ->
       """WITH e AS (SELECT epoch_us(ts) AS us,

@@ -146,4 +146,38 @@ class TrendsSpec extends AnyFunSuite {
     assert(tol.values.exists(!_.getBoolean(4)),
       "fixture must contain stale matches")
   }
+
+  test("quota sampling: exactly min(5, stratum size) per language, " +
+    "keyed by the md5 order") {
+    val rows = q("q_sample_quota").collect()
+    val langs = Tables.table(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getString(1))
+    langs.foreach { case (l, n) =>
+      assert(byLang.get(l).map(_.length).getOrElse(0) ==
+        math.min(5L, n).toInt, s"lang $l quota")
+    }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    byLang.foreach { case (l, rs) =>
+      val ids = Tables.table(spark, sf, "documents")
+        .filter(col("lang") === l).select(col("doc_id")).collect()
+        .map(_.getLong(0))
+      val expect = ids.sortBy(id => md5hex(s"quota$id")).take(5).toSet
+      assert(rs.map(_.getLong(0)).toSet == expect, s"lang $l members")
+    }
+  }
+
+  test("diff-in-diff equals the four-cell closed form and covers all " +
+    "events") {
+    val r = q("q_diff_in_diff").collect().head
+    val total = Tables.table(spark, sf, "events").count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3)
+      == total)
+    val did = (r.getDouble(5) - r.getDouble(4)) -
+      (r.getDouble(7) - r.getDouble(6))
+    assert(math.abs(r.getDouble(8) - did) < 1e-12)
+  }
 }

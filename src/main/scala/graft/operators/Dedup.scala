@@ -173,6 +173,30 @@ object Dedup extends QueryModule {
     // localCheckpoint truncates the growing lineage each round so plan
     // size stays O(1). Label = MIN doc_id of the component:
     // deterministic, order-independent, and directly the "keeper". ---
+    // --- duplicate-family size distribution (the dedup REPORT a
+    // curator reads before acting: is duplication a few mega-families
+    // or a long tail of pairs? — the answer picks between canonical
+    // selection and wholesale removal): same label-propagation loop
+    // as q_dedup_cluster, then the cluster relation collapses to a
+    // count-of-counts histogram — O(distinct sizes) output, with the
+    // doc mass per size band. ---
+    "q_dup_size_dist" -> ((s, d) => {
+      val pairs = TextPipeline.ngramPairs(s, d)
+        .select(col("a_id"), col("b_id"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val labels =
+        try clusterLoop(s, d, pairs)
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     "q_dedup_cluster" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
@@ -381,6 +405,23 @@ object Dedup extends QueryModule {
          |  n_chars AS canon_chars
          |FROM ranked WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin,
+
+    "q_dup_size_dist" ->
+      s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM p),
+         |r AS (SELECT doc_id AS doc, doc_id AS reach FROM documents
+         |      UNION
+         |      SELECT r.doc, ed.dst FROM r JOIN ed ON ed.src = r.reach),
+         |cl AS (SELECT doc AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY doc),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+         |         AS cluster_size
+         |       FROM cl GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},

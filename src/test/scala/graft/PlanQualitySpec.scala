@@ -683,4 +683,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pg.contains("LeftAnti"), pg.take(3000))
     assert(!pg.contains("CartesianProduct"), pg.take(3000))
   }
+
+  test("round-8 trends/tuning plans: drift and splits broadcast their " +
+      "bounds, cells reduce before windows, no cartesians anywhere") {
+    // PSI / temporal split / diff-in-diff: the 1-row bounds relation
+    // broadcasts into a map-side CASE — the cut never keys a shuffle
+    for (q <- Seq("q_psi_drift", "q_temporal_split", "q_diff_in_diff")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q bounds broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+    }
+    // WoW growth: the lag window must consume the weekly CELL relation
+    // (an aggregate below the window), never raw events
+    val pw = plan("q_wow_growth")
+    assert(pw.contains("Window"), pw.take(3000))
+    assert("HashAggregate".r.findAllIn(pw).size >= 2,
+      "weekly cells reduce (partial+final) below the window")
+    // quota sampling: per-stratum rank — the window partitions by lang
+    val pq = plan("q_sample_quota")
+    assert(pq.contains("Window"), pq.take(3000))
+    assert(!pq.contains("CartesianProduct"), pq.take(3000))
+    // LSH evals: posting-list candidate generation, never a cartesian
+    for (q <- Seq("q_minhash_eval", "q_lsh_curve")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    }
+    // cohort LTV: the first-order dimension broadcasts onto orders
+    val pc = plan("q_cohort_ltv")
+    assert(pc.contains("BroadcastHashJoin"), pc.take(3000))
+  }
 }

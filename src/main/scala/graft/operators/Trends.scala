@@ -87,6 +87,91 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- pinball (quantile) loss at q=0.9 of the per-type p90
+      // constant predictor (the forecast-eval metric for quantile
+      // models — MAE can't score a quantile): the p90 threshold comes
+      // from exact cumulative counts over the quantized value DOMAIN
+      // (the q_robust_scale idiom — the only window runs over O(bins)
+      // aggregates), and the loss accumulates as ×10-scaled exact
+      // int64 (9·over + 1·under), one terminal division to mean
+      // loss in original units. ---
+      "q_pinball_loss" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("y"))
+        val dom = ev.groupBy("event_type", "y")
+          .agg(count(lit(1)).as("c"))
+        val wd = Window.partitionBy("event_type").orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val thr = dom.withColumn("cum", sum("c").over(wd))
+          .join(broadcast(tot), "event_type")
+          .filter(col("cum") >= ceil(col("n") * 0.9))
+          .groupBy("event_type").agg(min("y").as("yhat"))
+        ev.join(broadcast(thr), "event_type")
+          .select(col("event_type"),
+            when(col("y") >= col("yhat"),
+              lit(9L) * (col("y") - col("yhat")))
+              .otherwise(col("yhat") - col("y")).as("ls"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("ls").as("loss_scaled"))
+          .join(broadcast(thr), "event_type")
+          .select(col("event_type"), col("n"),
+            (col("yhat").cast("double") / 100.0).as("yhat"),
+            col("loss_scaled"),
+            (col("loss_scaled").cast("double") /
+              (lit(1000.0) * col("n").cast("double")))
+              .as("mean_pinball"))
+          .orderBy("event_type")
+      }),
+
+      // --- nearest-covariate matching (propensity-lite causal
+      // matching: pair each treated customer with the control whose
+      // balance is closest, inside the same segment — the step before
+      // any matched-pairs estimate): both directions resolve with
+      // carry-forward/carry-backward windows over the SAME
+      // segment-partitioned sort (controls order before treated at
+      // equal balance so distance-0 matches resolve; min-custkey ties
+      // by sorting controls descending so last-seen wins) — never a
+      // per-treated scan of the control pool. All-integer distances;
+      // ties prefer the lower balance. ---
+      "q_covariate_match" -> ((s, d) => {
+        val c = table(s, d, "customer")
+          .select(col("c_custkey").as("id"),
+            col("c_mktsegment").as("seg"),
+            round(col("c_acctbal"), 0).cast("long").as("bq"),
+            (col("c_custkey") % 2 === 1).as("treated"))
+        val tFlag = when(col("treated"), 1).otherwise(0)
+        val w1 = Window.partitionBy("seg")
+          .orderBy(col("bq").asc, tFlag.asc, col("id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w2 = Window.partitionBy("seg")
+          .orderBy(col("bq").desc, tFlag.asc, col("id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def ctl(cc: Column) = when(!col("treated"), cc)
+        val m = c
+          .withColumn("lo_bq", last(ctl(col("bq")), ignoreNulls = true)
+            .over(w1))
+          .withColumn("lo_id", last(ctl(col("id")), ignoreNulls = true)
+            .over(w1))
+          .withColumn("hi_bq", last(ctl(col("bq")), ignoreNulls = true)
+            .over(w2))
+          .withColumn("hi_id", last(ctl(col("id")), ignoreNulls = true)
+            .over(w2))
+          .filter(col("treated"))
+        val useLo = col("hi_bq").isNull ||
+          (col("lo_bq").isNotNull &&
+            col("bq") - col("lo_bq") <= col("hi_bq") - col("bq"))
+        m.select(col("id").as("treated_id"), col("seg"),
+            col("bq").as("treated_bq"),
+            when(useLo, col("lo_id")).otherwise(col("hi_id"))
+              .as("match_id"),
+            when(useLo, col("lo_bq")).otherwise(col("hi_bq"))
+              .as("match_bq"))
+          .withColumn("dist", abs(col("treated_bq") - col("match_bq")))
+          .orderBy("treated_id")
+      }),
+
       // --- fixed-quota stratified sampling (exactly K per stratum —
       // the "100 docs per language" eval-set builder; rate-based
       // q_sample_stratified can't promise exact counts): md5 of the
@@ -279,6 +364,67 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_pinball_loss" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |dom AS (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM e GROUP BY event_type, y),
+        |tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM e GROUP BY event_type),
+        |cum AS (SELECT event_type, y,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM dom),
+        |thr AS (SELECT event_type, MIN(y) AS yhat
+        |  FROM cum JOIN tt USING (event_type)
+        |  WHERE cum >= ceil(n * 0.9) GROUP BY event_type),
+        |ls AS (SELECT e.event_type,
+        |    CASE WHEN y >= yhat THEN 9 * (y - yhat)
+        |         ELSE yhat - y END AS ls
+        |  FROM e JOIN thr USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(yhat) AS DOUBLE) / 100.0 AS yhat,
+        |  CAST(SUM(ls) AS BIGINT) AS loss_scaled,
+        |  CAST(SUM(ls) AS DOUBLE) / (1000.0 * COUNT(*)) AS mean_pinball
+        |FROM ls JOIN thr USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_covariate_match" ->
+      """WITH c AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal, 0) AS BIGINT) AS bq,
+        |    c_custkey % 2 = 1 AS treated
+        |  FROM customer),
+        |m AS (SELECT id, seg, bq, treated,
+        |    last_value(CASE WHEN NOT treated THEN bq END IGNORE NULLS)
+        |      OVER w1 AS lo_bq,
+        |    last_value(CASE WHEN NOT treated THEN id END IGNORE NULLS)
+        |      OVER w1 AS lo_id,
+        |    last_value(CASE WHEN NOT treated THEN bq END IGNORE NULLS)
+        |      OVER w2 AS hi_bq,
+        |    last_value(CASE WHEN NOT treated THEN id END IGNORE NULLS)
+        |      OVER w2 AS hi_id
+        |  FROM c
+        |  WINDOW w1 AS (PARTITION BY seg
+        |      ORDER BY bq ASC, CASE WHEN treated THEN 1 ELSE 0 END ASC,
+        |        id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w2 AS (PARTITION BY seg
+        |      ORDER BY bq DESC, CASE WHEN treated THEN 1 ELSE 0 END ASC,
+        |        id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT id AS treated_id, seg, bq AS treated_bq,
+        |    CASE WHEN hi_bq IS NULL OR (lo_bq IS NOT NULL
+        |        AND bq - lo_bq <= hi_bq - bq)
+        |      THEN lo_id ELSE hi_id END AS match_id,
+        |    CASE WHEN hi_bq IS NULL OR (lo_bq IS NOT NULL
+        |        AND bq - lo_bq <= hi_bq - bq)
+        |      THEN lo_bq ELSE hi_bq END AS match_bq
+        |  FROM m WHERE treated)
+        |SELECT treated_id, seg, treated_bq, match_id, match_bq,
+        |  abs(treated_bq - match_bq) AS dist
+        |FROM t ORDER BY treated_id""".stripMargin,
 
     "q_sample_quota" ->
       """WITH k AS (SELECT doc_id, lang,

@@ -180,4 +180,48 @@ class TrendsSpec extends AnyFunSuite {
       (r.getDouble(7) - r.getDouble(6))
     assert(math.abs(r.getDouble(8) - did) < 1e-12)
   }
+
+  test("pinball loss: the p90 predictor beats shifted predictors " +
+    "under its own loss") {
+    val rows = q("q_pinball_loss").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), floor(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def loss(t: String, yhat: Long): Long =
+      ev.filter(_._1 == t).map { case (_, y) =>
+        if (y >= yhat) 9L * (y - yhat) else yhat - y
+      }.sum
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val yhat = math.round(r.getDouble(2) * 100)
+      assert(r.getLong(3) == loss(t, yhat), s"$t scaled loss")
+      // quantile optimality: the p90 threshold minimizes pinball loss
+      // locally (any +-20-unit shift cannot do better)
+      Seq(-20L, 20L).foreach { dlt =>
+        assert(loss(t, yhat) <= loss(t, yhat + dlt),
+          s"$t local optimality at shift $dlt")
+      }
+    }
+  }
+
+  test("covariate match: every treated row pairs with the closest " +
+    "control balance in its segment") {
+    val rows = q("q_covariate_match").collect()
+    val cust = Tables.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 0).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val treatedIds = cust.filter(_._1 % 2 == 1).map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == treatedIds)
+    rows.foreach { r =>
+      val (tid, seg, tbq) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val controls = cust.filter(c => c._2 == seg && c._1 % 2 == 0)
+      if (controls.nonEmpty) {
+        val best = controls.map(c => math.abs(c._3 - tbq)).min
+        assert(r.getLong(5) == best, s"treated $tid distance")
+        assert(controls.exists(c => c._1 == r.getLong(3)
+          && math.abs(c._3 - tbq) == best), s"treated $tid match id")
+      } else assert(r.isNullAt(3))
+    }
+  }
 }

@@ -63,7 +63,7 @@ object StatefulEwma extends QueryModule {
     * onto the carried 7-value history; emit once per event that has a
     * full 8-term window.
     */
-  private[streaming] def smooth(user: Long, it: Iterator[EwmaEvent],
+  private[graft] def smooth(user: Long, it: Iterator[EwmaEvent],
       state: GroupState[EwmaState]): Iterator[EwmaRow] = {
     val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (evs.isEmpty) return Iterator.empty

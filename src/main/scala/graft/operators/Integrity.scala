@@ -160,6 +160,76 @@ object Integrity extends QueryModule {
               (col("n_probes") - col("n_member"))).as("fpr"))
       }),
 
+      // --- column-encoding advisor (the ANALYZE pass a lakehouse
+      // writer runs to pick dictionary vs RLE vs plain per column):
+      // per column, distinct cardinality + adjacent-value runs
+      // counted WITHIN order-key partitions (exactly what a writer
+      // sees per row group — and what keeps the run windows
+      // partitioned rather than a global sort). Numeric columns
+      // quantize to int64 so no float ever renders to a string;
+      // the advice thresholds are integer compares. ---
+      "q_encoding_advise" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+        def colStats(name: String, v: Column): DataFrame = {
+          val w = Window.partitionBy("l_orderkey")
+            .orderBy(col("l_linenumber"), col("v"))
+          li.select(col("l_orderkey"), col("l_linenumber"), v.as("v"))
+            .withColumn("isrun",
+              when(lag("v", 1).over(w).isNull ||
+                lag("v", 1).over(w) =!= col("v"), 1L).otherwise(0L))
+            .agg(count(lit(1)).as("n"),
+              countDistinct("v").as("n_distinct"),
+              sum("isrun").as("n_runs"))
+            .select(lit(name).as("column"), col("n"), col("n_distinct"),
+              col("n_runs"),
+              (col("n").cast("double") / col("n_runs"))
+                .as("avg_run_len"),
+              when(col("n_distinct") <= 64, "dict")
+                .when(col("n_runs") * 2 <= col("n"), "rle")
+                .otherwise("plain").as("advise"))
+        }
+        colStats("l_returnflag", col("l_returnflag"))
+          .unionByName(colStats("l_linestatus", col("l_linestatus")))
+          .unionByName(colStats("l_quantity",
+            round(col("l_quantity") * 100, 0).cast("long")
+              .cast("string")))
+          .unionByName(colStats("l_extendedprice",
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .cast("string")))
+          .orderBy("column")
+      }),
+
+      // --- partition-size planner (the repartition advisor behind
+      // every "small files" and "2 GB task" ticket): exact int64
+      // byte estimate per table — 8 bytes per numeric/timestamp +
+      // actual string lengths, summed exactly — then advised file
+      // count = ceil(bytes / 128 MiB) in pure integer arithmetic.
+      // One scan per table, 1-row outputs unioned. ---
+      "q_partition_plan" -> ((s, d) => {
+        val target = 134217728L
+        def plan(name: String, bytesPerRow: Column): DataFrame =
+          table(s, d, name)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(bytesPerRow.cast("long")).as("est_bytes"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"),
+              (col("est_bytes").cast("double") / col("n_rows"))
+                .as("est_row_bytes"),
+              // `div`, not `/`: the file count is exact integer
+              // ceiling division, never an FP rounding
+              expr(s"(est_bytes + $target - 1) div $target")
+                .cast("long").as("advised_files"))
+        plan("lineitem",
+          lit(8L * 8) + length(col("l_returnflag"))
+            + length(col("l_linestatus")))
+          .unionByName(plan("orders",
+            lit(8L * 4) + length(col("o_orderstatus"))
+              + length(col("o_orderpriority"))))
+          .unionByName(plan("customer",
+            lit(8L * 3) + length(col("c_name"))
+              + length(col("c_mktsegment"))))
+          .orderBy("tbl")
+      }),
+
       // --- temporal train/test split with an embargo gap: the
       // leakage-safe split for time-series training data (a random
       // split leaks future into past; the embargo absorbs label
@@ -264,6 +334,49 @@ object Integrity extends QueryModule {
         |  CAST(n_maybe - n_member AS DOUBLE)
         |    / (n_probes - n_member) AS fpr
         |FROM c""".stripMargin,
+
+    "q_encoding_advise" -> {
+      def colSql(name: String, v: String): String =
+        s"""SELECT '$name' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  CAST(SUM(isrun) AS BIGINT) AS n_runs,
+           |  CAST(COUNT(*) AS DOUBLE) / SUM(isrun) AS avg_run_len,
+           |  CASE WHEN COUNT(DISTINCT v) <= 64 THEN 'dict'
+           |       WHEN SUM(isrun) * 2 <= COUNT(*) THEN 'rle'
+           |       ELSE 'plain' END AS advise
+           |FROM (SELECT v, CASE WHEN lag(v) OVER w IS NULL
+           |      OR lag(v) OVER w <> v THEN 1 ELSE 0 END AS isrun
+           |  FROM (SELECT l_orderkey, l_linenumber, $v AS v
+           |        FROM lineitem)
+           |  WINDOW w AS (PARTITION BY l_orderkey
+           |    ORDER BY l_linenumber, v))""".stripMargin
+      Seq(
+        colSql("l_returnflag", "l_returnflag"),
+        colSql("l_linestatus", "l_linestatus"),
+        colSql("l_quantity",
+          "CAST(CAST(round(l_quantity * 100, 0) AS BIGINT) AS VARCHAR)"),
+        colSql("l_extendedprice",
+          "CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q_partition_plan" -> {
+      def planSql(name: String, bytes: String): String =
+        s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM($bytes) AS BIGINT) AS est_bytes,
+           |  CAST(SUM($bytes) AS DOUBLE) / COUNT(*) AS est_row_bytes,
+           |  CAST((SUM($bytes) + 134217727) // 134217728 AS BIGINT)
+           |    AS advised_files
+           |FROM $name""".stripMargin
+      Seq(
+        planSql("lineitem",
+          "64 + length(l_returnflag) + length(l_linestatus)"),
+        planSql("orders",
+          "32 + length(o_orderstatus) + length(o_orderpriority)"),
+        planSql("customer",
+          "24 + length(c_name) + length(c_mktsegment)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+    },
 
     "q_temporal_split" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),

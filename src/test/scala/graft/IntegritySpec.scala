@@ -225,4 +225,40 @@ class IntegritySpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).count { case (a, b) => b > a + 1e-9 }
       <= lifts.length / 2, "cumulative lift should mostly decay")
   }
+
+  test("encoding advisor: distinct/run stats reconcile and advice " +
+    "follows its thresholds") {
+    val rows = q("q_encoding_advise").collect()
+    val n = Tables.table(spark, sf, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) <= r.getLong(3),
+        "each distinct value starts at least one run")
+      assert(r.getLong(3) <= r.getLong(1))
+      val expect =
+        if (r.getLong(2) <= 64) "dict"
+        else if (r.getLong(3) * 2 <= r.getLong(1)) "rle"
+        else "plain"
+      assert(r.getString(5) == expect, s"column ${r.getString(0)}")
+    }
+    assert(rows.map(_.getString(0)).toSet == Set("l_returnflag",
+      "l_linestatus", "l_quantity", "l_extendedprice"))
+  }
+
+  test("partition planner: exact byte accounting and ceiling division") {
+    val rows = q("q_partition_plan").collect()
+    rows.foreach { r =>
+      val (nRows, bytes, files) =
+        (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(bytes > 0 && nRows > 0)
+      assert(math.abs(r.getDouble(3) - bytes.toDouble / nRows) == 0.0)
+      assert(files == (bytes + 134217727L) / 134217728L)
+      assert(files >= 1)
+    }
+    val li = rows.find(_.getString(0) == "lineitem").get
+    val expect = Tables.table(spark, sf, "lineitem")
+      .selectExpr("64 + length(l_returnflag) + length(l_linestatus)")
+      .collect().map(_.getInt(0).toLong).sum
+    assert(li.getLong(2) == expect)
+  }
 }

@@ -81,7 +81,7 @@ object StatefulSession extends QueryModule {
     * sessions that CLOSED, carry the open tail with its timeout armed at
     * `last + Gap`.
     */
-  private[streaming] def sessionize(user: Long, it: Iterator[SessEvent],
+  private[graft] def sessionize(user: Long, it: Iterator[SessEvent],
       state: GroupState[OpenSession]): Iterator[SessionRow] = {
     if (state.hasTimedOut) {
       val fin = state.get

@@ -103,4 +103,71 @@ class StreamingRestartSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     }
   }
+
+  test("stateful sessionizer restarted from its checkpoint matches " +
+    "the uninterrupted run — event-time timeouts re-arm from state") {
+    import spark.implicits._
+    import streaming.StatefulSession
+    import streaming.StatefulSession.{OpenSession, SessEvent, SessionRow}
+    val replay = streaming.StatefulSession.replayDir(spark, sf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(s"/dev/shm/graft_ckpt/rss-src-$stamp")
+    val ckpt = s"/dev/shm/graft_ckpt/rss-ck-$stamp"
+    val outDir = s"/dev/shm/graft_ckpt/rss-out-$stamp"
+    srcDir.mkdirs()
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(replay, name).toPath,
+        new java.io.File(srcDir, name).toPath)
+    def readSink(): Set[(Long, String, String, Long, Double)] =
+      if (!new java.io.File(outDir, "_spark_metadata").exists()) Set.empty
+      else spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .selectExpr("ts_us", "user_id", "value")
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "0 seconds")
+        .as[SessEvent]
+      val out = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState[OpenSession, SessionRow](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(StatefulSession.sessionize)
+        .filter(col("user_id") >= 0L)
+      val q = out.writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+    try {
+      stage("batch0.parquet")
+      runOnce()
+      val run1 = readSink()
+      stage("batch1.parquet")
+      runOnce()
+      val all = readSink()
+      assert(run1.subsetOf(all))
+      assert((all -- run1).nonEmpty,
+        "the second incarnation must close the carried sessions")
+      val reference = SparkEntry.queries("q_streaming_session")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(all == reference,
+        "restarted emissions == uninterrupted run (sessions split or " +
+          "lost across the boundary would differ)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
+  }
 }

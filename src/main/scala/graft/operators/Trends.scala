@@ -87,6 +87,44 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- dataset card (the one-row corpus summary published with
+      // every training-data release: size, diversity, duplication,
+      // and rare-mass in one glance): every number is a 1-row
+      // aggregate of an EXISTING certified pipeline — token counts,
+      // the min-count rare mass (q_rare_collapse's floor), the exact
+      // near-dup pair relation — cross-joined broadcast-style into
+      // one row. Composition is the point: the card is only
+      // trustworthy because each ingredient is oracle-checked on its
+      // own. ---
+      "q_dataset_card" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+        val base = docs.agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        val tk = docs.select(explode(split(col("text"), " ")).as("tok"))
+        val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        val toks = vocab.agg(sum("c").as("total_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when(col("c") < 100, col("c")).otherwise(0L))
+            .as("rare_mass"))
+        val pairs = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val dup = pairs.agg(count(lit(1)).as("n_dup_pairs"))
+        val dupDocs = pairs.select(explode(array(col("a_id"),
+            col("b_id"))).as("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_dup_docs"))
+        base.crossJoin(toks).crossJoin(dup).crossJoin(dupDocs)
+          .select(col("n_docs"), col("n_sources"), col("n_langs"),
+            col("total_chars"), col("total_tokens"), col("vocab_size"),
+            col("rare_mass"),
+            (col("rare_mass").cast("double") / col("total_tokens"))
+              .as("rare_share"),
+            col("n_dup_pairs"), col("n_dup_docs"),
+            (col("n_dup_docs").cast("double") / col("n_docs"))
+              .as("dup_doc_share"))
+      }),
+
       // --- pinball (quantile) loss at q=0.9 of the per-type p90
       // constant predictor (the forecast-eval metric for quantile
       // models — MAE can't score a quantile): the p90 threshold comes
@@ -364,6 +402,35 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_dataset_card" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents),
+         |tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |       FROM documents),
+         |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM tk GROUP BY tok),
+         |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         |    CAST(SUM(CASE WHEN c < 100 THEN c ELSE 0 END) AS BIGINT)
+         |      AS rare_mass
+         |  FROM v),
+         |dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs FROM p),
+         |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT DISTINCT doc FROM (
+         |    SELECT a_id AS doc FROM p
+         |    UNION ALL SELECT b_id FROM p)))
+         |SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+         |  vocab_size, rare_mass,
+         |  CAST(rare_mass AS DOUBLE) / total_tokens AS rare_share,
+         |  n_dup_pairs, n_dup_docs,
+         |  CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_doc_share
+         |FROM base CROSS JOIN tt CROSS JOIN dp
+         |CROSS JOIN dd""".stripMargin,
 
     "q_pinball_loss" ->
       """WITH e AS (SELECT event_type,

@@ -224,4 +224,20 @@ class TrendsSpec extends AnyFunSuite {
       } else assert(r.isNullAt(3))
     }
   }
+
+  test("dataset card: every ingredient reconciles with its standalone " +
+    "certified pipeline") {
+    val r = q("q_dataset_card").collect().head
+    val docs = Tables.table(spark, sf, "documents")
+    assert(r.getLong(0) == docs.count())
+    val totalToks = docs
+      .select(size(split(col("text"), " "))).collect()
+      .map(_.getInt(0).toLong).sum
+    assert(r.getLong(4) == totalToks)
+    val dupPairs = q("q_dedup_ngram").count()
+    assert(r.getLong(8) == dupPairs)
+    assert(r.getLong(9) <= 2 * dupPairs, "dup docs bounded by pair ends")
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    assert(r.getDouble(10) >= 0.0 && r.getDouble(10) <= 1.0)
+  }
 }

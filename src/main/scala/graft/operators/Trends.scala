@@ -87,6 +87,43 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- trailing-7-day p95 per event type (the SLO baseline every
+      // alerting rule compares against — a single day's p95 is too
+      // noisy to page on): values quantize to the integer domain
+      // FIRST (O(types×days×bins) cells), the 7-day trailing merge is
+      // a banded equi-range join of the cell relation against the
+      // anchor-day list (never a row-level window over raw events),
+      // and each anchor's p95 is the exact cumulative-count threshold
+      // over its merged domain. All integer until the final /100
+      // render. ---
+      "q_rolling_p95" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"),
+            round(col("value") * 100, 0).cast("long").as("vq"))
+          .groupBy("event_type", "day", "vq")
+          .agg(count(lit(1)).as("c"))
+        val anchors = daily.select(col("event_type"), col("day"))
+          .distinct().select(col("event_type").as("et"),
+            col("day").as("anchor"))
+        val merged = daily.join(anchors,
+            col("event_type") === col("et") &&
+              datediff(col("anchor"), col("day")).between(0, 6))
+          .groupBy("et", "anchor", "vq").agg(sum("c").as("c"))
+        val w = Window.partitionBy("et", "anchor").orderBy("vq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = merged.groupBy("et", "anchor")
+          .agg(sum("c").as("n_7d"))
+        merged.withColumn("cum", sum("c").over(w))
+          .join(tot, Seq("et", "anchor"))
+          .filter(col("cum") >= ceil(col("n_7d") * 0.95))
+          .groupBy("et", "anchor", "n_7d").agg(min("vq").as("p95q"))
+          .select(col("et").as("event_type"),
+            date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+            col("n_7d"),
+            (col("p95q").cast("double") / 100.0).as("p95"))
+          .orderBy("event_type", "day")
+      }),
+
       // --- dataset card (the one-row corpus summary published with
       // every training-data release: size, diversity, duplication,
       // and rare-mass in one glance): every number is a 1-row
@@ -402,6 +439,31 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_rolling_p95" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vq,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |anchors AS (SELECT DISTINCT event_type AS et, day AS anchor
+        |            FROM daily),
+        |merged AS (SELECT et, anchor, vq, CAST(SUM(c) AS BIGINT) AS c
+        |  FROM daily JOIN anchors ON event_type = et
+        |    AND date_diff('day', day, anchor) BETWEEN 0 AND 6
+        |  GROUP BY et, anchor, vq),
+        |tot AS (SELECT et, anchor, CAST(SUM(c) AS BIGINT) AS n_7d
+        |        FROM merged GROUP BY et, anchor),
+        |cum AS (SELECT et, anchor, vq,
+        |    CAST(SUM(c) OVER (PARTITION BY et, anchor ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM merged)
+        |SELECT et AS event_type, strftime(anchor, '%Y-%m-%d') AS day,
+        |  n_7d, CAST(MIN(vq) AS DOUBLE) / 100.0 AS p95
+        |FROM cum JOIN tot USING (et, anchor)
+        |WHERE cum >= ceil(n_7d * 0.95)
+        |GROUP BY et, anchor, n_7d
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_dataset_card" ->
       s"""WITH ${TextPipeline.ngramPairCte},

@@ -240,4 +240,24 @@ class TrendsSpec extends AnyFunSuite {
     assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
     assert(r.getDouble(10) >= 0.0 && r.getDouble(10) <= 1.0)
   }
+
+  test("rolling p95: thresholds match an exact driver recomputation " +
+    "over each trailing window") {
+    val rows = q("q_rolling_p95").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("ts").cast("date").cast("string"),
+        round(col("value") * 100, 0).cast("long")).collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getLong(2)))
+    rows.foreach { r =>
+      val (t, day) = (r.getString(0), java.time.LocalDate.parse(r.getString(1)))
+      val win = ev.filter(e => e._1 == t && !e._2.isAfter(day) &&
+        !e._2.isBefore(day.minusDays(6))).map(_._3).sorted
+      assert(r.getLong(2) == win.length.toLong, s"$t $day n_7d")
+      val need = math.ceil(win.length * 0.95).toInt
+      assert(math.abs(r.getDouble(3) - win(need - 1) / 100.0) < 1e-12,
+        s"$t $day p95")
+    }
+    assert(rows.nonEmpty)
+  }
 }

@@ -87,6 +87,36 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- paired model comparison (McNemar's test — the statistically
+      // RIGHT way to compare two classifiers on the same items;
+      // comparing two accuracy numbers ignores that the errors are
+      // paired): two candidate predictors (quantized embedding dims 2
+      // and 3, q_class_f1's construction) score every item, the corpus
+      // reduces to the 2×2 agreement cells in ONE conditional pass,
+      // and the statistic (b−c)²/(b+c) is a single division of exact
+      // int64 counts. ---
+      "q_model_winrate" -> ((s, d) => {
+        def pred(i: Int) = abs(round(
+          element_at(col("embedding"), i).cast("double") * 1000, 0))
+          .cast("long") % 4
+        val e = table(s, d, "embeddings").select(
+          (col("label") % 4).cast("long").as("y"),
+          pred(2).as("pa"), pred(3).as("pb"))
+        e.agg(count(lit(1)).as("n"),
+            sum(when(col("pa") === col("y") && col("pb") === col("y"),
+              1L).otherwise(0L)).as("both_right"),
+            sum(when(col("pa") =!= col("y") && col("pb") =!= col("y"),
+              1L).otherwise(0L)).as("both_wrong"),
+            sum(when(col("pa") === col("y") && col("pb") =!= col("y"),
+              1L).otherwise(0L)).as("a_only"),
+            sum(when(col("pa") =!= col("y") && col("pb") === col("y"),
+              1L).otherwise(0L)).as("b_only"))
+          .withColumn("mcnemar_chi2",
+            ((col("a_only") - col("b_only")) *
+              (col("a_only") - col("b_only"))).cast("double") /
+              (col("a_only") + col("b_only")))
+      }),
+
       // --- trailing-7-day p95 per event type (the SLO baseline every
       // alerting rule compares against — a single day's p95 is too
       // noisy to page on): values quantize to the integer domain
@@ -439,6 +469,28 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_model_winrate" ->
+      """WITH e AS (SELECT CAST(label % 4 AS BIGINT) AS y,
+        |    abs(CAST(round(CAST(embedding[2] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT)) % 4 AS pa,
+        |    abs(CAST(round(CAST(embedding[3] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT)) % 4 AS pb
+        |  FROM embeddings),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS both_right,
+        |  CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS both_wrong,
+        |  CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a_only,
+        |  CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b_only
+        |  FROM e)
+        |SELECT n, both_right, both_wrong, a_only, b_only,
+        |  CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+        |    / (a_only + b_only) AS mcnemar_chi2
+        |FROM g""".stripMargin,
 
     "q_rolling_p95" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

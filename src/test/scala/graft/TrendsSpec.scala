@@ -260,4 +260,14 @@ class TrendsSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("model winrate: agreement cells partition the corpus and the " +
+    "McNemar statistic matches its formula") {
+    val r = q("q_model_winrate").collect().head
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+      == r.getLong(0), "the four cells partition every item")
+    val (b, c) = (r.getLong(3), r.getLong(4))
+    assert(math.abs(r.getDouble(5) -
+      ((b - c) * (b - c)).toDouble / (b + c)) < 1e-12)
+  }
 }

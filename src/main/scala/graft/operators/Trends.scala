@@ -87,6 +87,53 @@ object Trends extends QueryModule {
           .orderBy("event_type", "week")
       }),
 
+      // --- class-balanced downsampling (equalize every label to the
+      // minority class's size — the imbalance fix applied before any
+      // classifier trains): the quota is DATA-DEPENDENT (min class
+      // count, a broadcast 1-row aggregate), membership is the
+      // md5-rank discipline (reproducible, RNG-free, per-label rank
+      // windows). Output is the kept assignment — rerunning yields
+      // the identical balanced set, which is what dataset versioning
+      // requires. ---
+      "q_class_balance" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), (col("label") % 4).cast("long").as("y"),
+            md5(concat(lit("bal"), col("vec_id").cast("string")))
+              .as("mk"))
+        val quota = e.groupBy("y").agg(count(lit(1)).as("cn"))
+          .agg(min("cn").as("quota"))
+        val w = Window.partitionBy("y").orderBy("mk")
+        e.withColumn("rk", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(quota))
+          .filter(col("rk") <= col("quota"))
+          .select(col("vec_id"), col("y"), col("rk"))
+          .orderBy("y", "rk")
+      }),
+
+      // --- per-dimension embedding variance profile (the dead-dims
+      // preflight: a dimension with ~zero variance wastes index space
+      // and can break normalization — q_embed_norm's per-vector
+      // sibling, per-COORDINATE): one posexplode pass to exact
+      // fixed-point moments per dimension (int64 at this scale,
+      // DECIMAL(38,0) sums for the squares), variance in ONE fixed
+      // double tree, dims ranked by it. ---
+      "q_dim_variance" -> ((s, d) => {
+        val ex = table(s, d, "embeddings")
+          .select(posexplode(Similarity.fixedPoint(col("embedding")))
+            .as(Seq("dim", "q")))
+          .select((col("dim") + 1).cast("long").as("dim"), col("q"))
+        ex.groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum("q").as("sq"),
+            sum((col("q") * col("q")).cast(D38)).as("sqq"))
+          .select(col("dim"), col("n"),
+            ((col("sqq").cast("double") -
+              col("sq").cast("double") * col("sq").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"))
+              .as("var_fp"))
+          .orderBy("dim")
+      }),
+
       // --- paired model comparison (McNemar's test — the statistically
       // RIGHT way to compare two classifiers on the same items;
       // comparing two accuracy numbers ignores that the errors are
@@ -469,6 +516,33 @@ object Trends extends QueryModule {
         |  CAST(n - prev AS DOUBLE) / prev AS wow_growth
         |FROM lg WHERE prev IS NOT NULL
         |ORDER BY event_type, week""".stripMargin,
+
+    "q_class_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(label % 4 AS BIGINT) AS y,
+        |    md5('bal' || CAST(vec_id AS VARCHAR)) AS mk
+        |  FROM embeddings),
+        |qt AS (SELECT CAST(MIN(cn) AS BIGINT) AS quota FROM
+        |  (SELECT y, COUNT(*) AS cn FROM e GROUP BY y)),
+        |r AS (SELECT vec_id, y,
+        |    CAST(row_number() OVER (PARTITION BY y ORDER BY mk)
+        |      AS BIGINT) AS rk
+        |  FROM e)
+        |SELECT vec_id, y, rk FROM r CROSS JOIN qt
+        |WHERE rk <= quota ORDER BY y, rk""".stripMargin,
+
+    "q_dim_variance" -> {
+      val q = "list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+      s"""WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
+         |    unnest($q) AS q FROM embeddings)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  (CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE)
+         |    - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)
+         |    AS var_fp
+         |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+    },
 
     "q_model_winrate" ->
       """WITH e AS (SELECT CAST(label % 4 AS BIGINT) AS y,

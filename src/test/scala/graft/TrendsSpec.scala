@@ -270,4 +270,36 @@ class TrendsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) -
       ((b - c) * (b - c)).toDouble / (b + c)) < 1e-12)
   }
+
+  test("class balance: every label keeps exactly the minority size") {
+    val rows = q("q_class_balance").collect()
+    val byY = Tables.table(spark, sf, "embeddings")
+      .groupBy((col("label") % 4).cast("long")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quota = byY.values.min
+    val kept = rows.groupBy(_.getLong(1)).view.mapValues(_.length.toLong)
+    assert(kept.toMap == byY.view.mapValues(_ => quota).toMap,
+      "every class downsamples to the minority count")
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= quota))
+  }
+
+  test("dimension variance: moments match an exact driver " +
+    "recomputation per dimension") {
+    val rows = q("q_dim_variance").collect()
+    val emb = Tables.table(spark, sf, "embeddings")
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    assert(rows.length == emb.head.length)
+    rows.take(4).foreach { r =>
+      val dim = r.getLong(0).toInt
+      val qs = emb.map(v => math.floor(v(dim - 1).toDouble * 1048576.0)
+        .toLong)
+      val n = qs.length.toDouble
+      val sq = qs.sum.toDouble
+      val sqq = qs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val expect = (sqq - sq * sq / n) / n
+      assert(math.abs(r.getDouble(2) - expect) <
+        1e-9 * math.abs(expect).max(1), s"dim $dim")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
 }

@@ -33,16 +33,29 @@ object Bench {
     // the amortized steady state, which is the fleet-scale number: the
     // bucketed tables are written once and queried forever, and the
     // streaming replay split is harness scaffolding, not the query.
-    operators.Advanced.bucketize(spark, sfDir, "lineitem", "l_orderkey")
-    operators.Advanced.bucketize(spark, sfDir, "orders", "o_orderkey")
-    operators.Advanced.bucketize(spark, sfDir, "events", "user_id")
-    operators.Formats.prewarm(spark, sfDir)
-    val replay: String = streaming.StatefulSession.replayDir(spark, sfDir)
+    //
+    // Every warm-up step is best-effort: a failure here (stale tmpfs
+    // cache, transient IO) must degrade to "the first timed query pays
+    // the setup cost", never to an aborted run with no bench artifact —
+    // the per-query sampler below has its own rebuild-and-retry path.
+    def warm(tag: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup '$tag' failed (non-fatal): $e")
+      }
+    warm("bucketize") {
+      operators.Advanced.bucketize(spark, sfDir, "lineitem", "l_orderkey")
+      operators.Advanced.bucketize(spark, sfDir, "orders", "o_orderkey")
+      operators.Advanced.bucketize(spark, sfDir, "events", "user_id")
+      ()
+    }
+    warm("formats")(operators.Formats.prewarm(spark, sfDir))
     // One throwaway stateful streaming query: the first streaming query
     // in a session pays StreamExecution/state-store-coordinator init
     // that is none of any individual query's cost.
-    locally {
+    warm("streaming") {
       import org.apache.spark.sql.functions.count
+      val replay: String = streaming.StatefulSession.replayDir(spark, sfDir)
       val warmCkpt = "/dev/shm/graft_ckpt/warm-" +
         java.util.UUID.randomUUID().toString.take(8)
       val q = spark.readStream

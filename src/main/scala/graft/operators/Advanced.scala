@@ -71,7 +71,14 @@ object Advanced extends QueryModule {
     val tbl = s"${name}_b_${fingerprint(d, name)}"
     val path = s"/dev/shm/graft_bucketed/$tbl"
     if (!s.catalog.tableExists(tbl)) {
-      if (new java.io.File(path, "_SUCCESS").exists()) {
+      // Complete = marker plus at least one data file: a husk dir left
+      // by tmpfs eviction must trigger a rewrite, not get registered as
+      // an (unreadable) external table.
+      val onDisk = new java.io.File(path, "_SUCCESS").exists() &&
+        Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      if (onDisk) {
         // bucketed files already on disk (earlier session): register
         // the external table with its bucket spec instead of
         // rewriting — the read path only needs the catalog metadata

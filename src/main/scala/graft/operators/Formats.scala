@@ -38,7 +38,16 @@ object Formats extends QueryModule {
     */
   private def fillCache(path: String)(write: String => Unit): String = {
     val dir = new java.io.File(path)
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    // A complete cache has the _SUCCESS marker AND at least one data
+    // file: tmpfs under memory pressure can evict files from a dir that
+    // keeps its marker, and reading such a husk fails analysis ("unable
+    // to infer schema") on every later query — treat it as absent.
+    def complete(f: java.io.File): Boolean =
+      new java.io.File(f, "_SUCCESS").exists() &&
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .exists(x => !x.getName.startsWith("_") && !x.getName.startsWith("."))
+    if (!complete(dir)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
       val parent = dir.getParentFile
       parent.mkdirs()
       val prefix = dir.getName.substring(0, dir.getName.lastIndexOf('_') + 1)
@@ -51,7 +60,7 @@ object Formats extends QueryModule {
       if (!tmp.renameTo(dir)) {
         // Lost the fill race (or a crashed run left a partial target):
         // if the winner's copy is complete use it, else replace it.
-        if (new java.io.File(dir, "_SUCCESS").exists())
+        if (complete(dir))
           org.apache.commons.io.FileUtils.deleteQuietly(tmp)
         else {
           org.apache.commons.io.FileUtils.deleteQuietly(dir)

@@ -125,7 +125,13 @@ object StatefulSession extends QueryModule {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
     val dir = new java.io.File(s"/dev/shm/graft_replay/$fp")
-    if (!dir.exists()) {
+    // The dir only ever appears via atomic rename of a fully-built temp,
+    // but tmpfs eviction can still hollow it out afterwards — verify both
+    // replay batches are present before trusting the cache.
+    val complete = new java.io.File(dir, "batch0.parquet").exists() &&
+      new java.io.File(dir, "batch1.parquet").exists()
+    if (!complete) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
       val schema = graft.Tables.rawEventsSchema(s, d)
       val raw = graft.Tables.normalizeEventTs(
         s.read.schema(schema).option("pathGlobFilter", "events.parquet")

@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Linkage,
     operators.Mining,
     operators.Statistics,
+    operators.Inference,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -31,6 +31,7 @@ object SparkEntry {
     operators.Mining,
     operators.Statistics,
     operators.Inference,
+    operators.Modeling,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

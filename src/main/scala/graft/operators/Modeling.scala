@@ -1,0 +1,368 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Forecasting & modeling steps (round 8, batch 8): additive
+  * Holt-Winters seasonal smoothing, prediction-interval coverage audit,
+  * one synchronous label-propagation round, one exact batch perceptron
+  * update, and a local-DP randomized-response estimator. All five carry
+  * full DuckDB oracles.
+  *
+  * Determinism: the Holt-Winters fold uses α=β=γ=1/2 so every step is
+  * exact IEEE halving in day order (the q_holt_linear discipline, with
+  * the seasonal ring riding in the fold state); the seed level is an
+  * exact DECIMAL(18,4) sum of the first week. Everything else is exact
+  * int64 counting with terminal fixed-tree divisions.
+  */
+object Modeling extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- additive Holt-Winters (triple exponential, period 7,
+      // α=β=γ=1/2) of the per-type daily value series: the seasonal
+      // upgrade of q_holt_linear for weekday-periodic volume. Seeds:
+      // L0 = exact-decimal mean of week 1, B0 = 0, S_i = y_i − L0.
+      // The fold carries (level, trend, 7-slot seasonal ring) through
+      // days 8..n in day order — series are time-sized (30 entries
+      // here, years at most), NEVER corpus-sized, so the per-group
+      // state is bounded at any scale; every step halves exactly in
+      // IEEE, bit-identical to the oracle's recursive CTE carrying the
+      // same list. Forecast = level + trend + next season slot. ---
+      "q_holt_winters" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast("double").as("y"))
+        val base = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sort_array(collect_list(struct(col("day"), col("y"))))
+              .as("series"))
+          // exact-decimal week-1 mean: the 7 y's came out of a decimal
+          // sum, so re-casting them to DECIMAL(18,4) is lossless and
+          // the seed is order-independent
+          .withColumn("l0",
+            aggregate(expr("slice(series, 1, 7)"),
+              lit(0).cast(DecimalType(18, 4)),
+              (a, x) => (a + x.getField("y").cast(DecimalType(18, 4)))
+                .cast(DecimalType(18, 4)))
+              .cast("double") / lit(7.0))
+          .withColumn("s0",
+            transform(expr("slice(series, 1, 7)"),
+              x => x.getField("y") - col("l0")))
+        val st = aggregate(
+          expr("slice(series, 8, size(series) - 7)"),
+          struct(col("l0").as("l"), lit(0.0).as("b"), col("s0").as("s")),
+          (acc, x) => {
+            val l = acc.getField("l"); val b = acc.getField("b")
+            val s1 = element_at(acc.getField("s"), 1)
+            val l2 = ((x.getField("y") - s1) + (l + b)) * lit(0.5)
+            val b2 = ((l2 - l) + b) * lit(0.5)
+            val s2 = ((x.getField("y") - l2) + s1) * lit(0.5)
+            struct(l2.as("l"), b2.as("b"),
+              concat(slice(acc.getField("s"), 2, 6), array(s2)).as("s"))
+          })
+        base.select(col("event_type"), col("n_days"), st.as("st"))
+          .select(col("event_type"), col("n_days"),
+            col("st.l").as("level"), col("st.b").as("trend"),
+            element_at(col("st.s"), 1).as("season_next"),
+            (col("st.l") + col("st.b") + element_at(col("st.s"), 1))
+              .as("forecast"))
+          .orderBy("event_type")
+      }),
+
+      // --- prediction-interval coverage audit: calibrate an [p10,p90]
+      // band per event type on the first 15 days, measure what share
+      // of later values actually falls inside (the honesty check every
+      // quantile forecaster ships). Quantiles come from cumulative
+      // counts over the O(bins) value histogram — exact rank ceil(q·n)
+      // order statistics, no interpolation, no global sort of raw
+      // rows; the bounds relation broadcasts into the eval-side
+      // conditional count. ---
+      "q_pi_coverage" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"),
+            (datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")) < 15).as("cal"))
+        val bins = ev.filter(col("cal"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        val ranked = bins
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n", sum("c").over(wt))
+        val bounds = ranked.groupBy("event_type")
+          .agg(max("n").as("n_cal"),
+            min(when(col("cum") >= expr("(n + 9) div 10"), col("v")))
+              .as("p10"),
+            min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v")))
+              .as("p90"))
+        ev.filter(!col("cal"))
+          .join(broadcast(bounds), "event_type")
+          .groupBy("event_type")
+          .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_eval"),
+            max("p10").as("p10"), max("p90").as("p90"),
+            sum(col("v").between(col("p10"), col("p90")).cast("long"))
+              .as("n_in"))
+          .select(col("event_type"), col("n_cal"), col("n_eval"),
+            col("p10"), col("p90"),
+            (col("n_in").cast("double") / col("n_eval")).as("coverage"))
+          .orderBy("event_type")
+      }),
+
+      // --- one synchronous label-propagation round on the word bigram
+      // graph (the community-detection step): nodes start in 16
+      // md5-bucket labels, then adopt the most frequent label among
+      // their undirected neighbors (ties → smallest label). Everything
+      // is vocabulary-sized: the label relation broadcasts onto the
+      // edge list, the per-(node,label) count aggregate and the
+      // per-node argmax window run over O(V·16) rows. Output is the
+      // per-label before/after census — the convergence signal a
+      // propagation loop monitors. ---
+      "q_label_prop" -> ((s, d) => {
+        val e0 = Relevance.wordEdges(s, d).select("src", "dst")
+        val und = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val lab0 = und.select(col("src").as("node")).distinct()
+          .withColumn("lab",
+            expr("instr('0123456789abcdef', " +
+              "substring(md5(concat('lp', node)), 1, 1)) - 1")
+              .cast("long"))
+        val nb = und
+          .join(broadcast(lab0.select(col("node").as("dst"),
+            col("lab").as("nlab"))), "dst")
+          .groupBy(col("src").as("node"), col("nlab"))
+          .agg(count(lit(1)).as("c"))
+        val wr = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("nlab").asc)
+        val lab1 = nb.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("nlab").as("lab"))
+        val before = lab0.groupBy("lab").agg(count(lit(1)).as("n_before"))
+        val after = lab1.groupBy("lab").agg(count(lit(1)).as("n_after"))
+        before.join(after, Seq("lab"), "full")
+          .select(col("lab"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+          .orderBy("lab")
+      }),
+
+      // --- one exact batch perceptron update on the quantized
+      // embeddings (y = ±1 from the label parity, w₀ = 0): the
+      // distributed-training-step shape (like q_kmeans_step /
+      // q_linreg_fit) where a full gradient is ONE map-side-combinable
+      // aggregate. With w₀ = 0 every example violates y·⟨w,x⟩ > 0, so
+      // w₁ᵢ = Σ y·xᵢ — exact int64 per dimension off a posexplode
+      // pass on a coarse (×1024) integer grid chosen so the margin
+      // pass Σⱼ wⱼxⱼ stays far inside int64. The weights broadcast
+      // back for the margin audit: how many examples the single step
+      // already classifies correctly. ---
+      "q_perceptron_step" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"),
+            when(col("label") % 2 === 1, 1L).otherwise(-1L).as("y"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1024).cast("long")).as("xv"))
+        val x = e.select(col("vec_id"), col("y"),
+          posexplode(col("xv")).as(Seq("i0", "v")))
+          .select(col("vec_id"), col("y"),
+            (col("i0") + 1).cast("long").as("i"), col("v"))
+        val w = x.groupBy("i").agg(sum(col("y") * col("v")).as("w"))
+        val margins = x
+          .join(broadcast(w), "i")
+          .groupBy("vec_id", "y")
+          .agg(sum(col("v") * col("w")).as("dot"))
+          .select((col("y") * col("dot") > 0).cast("long").as("ok"))
+        val audit = margins.agg(count(lit(1)).as("n"),
+          sum("ok").as("n_correct"))
+        w.crossJoin(broadcast(audit))
+          .select(col("i").as("dim"), col("w"),
+            col("n"), col("n_correct"))
+          .orderBy("dim")
+      }),
+
+      // --- local-DP randomized response, debiased per segment: each
+      // customer reports truth (acctbal > 0) on heads, else a second
+      // coin — both coins are md5 gates, so the mechanism is exactly
+      // reproducible (the determinism discipline of q_dp_count) while
+      // keeping the estimator's algebra honest: π̂ = (r̂ − ¼)/½. One
+      // conditional-count pass; estimator and true share (the audit
+      // column) are fixed-tree divisions of exact int64 counts. ---
+      "q_rand_response" -> ((s, d) => {
+        val c = table(s, d, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            (col("c_acctbal") > 0).as("truth"),
+            expr("substring(md5(concat('rr1', c_custkey)), 1, 1)")
+              .isin("0", "1", "2", "3", "4", "5", "6", "7").as("heads"),
+            expr("substring(md5(concat('rr2', c_custkey)), 1, 1)")
+              .isin("0", "1", "2", "3", "4", "5", "6", "7").as("coin2"))
+          .select(col("seg"), col("truth"),
+            when(col("heads"), col("truth")).otherwise(col("coin2"))
+              .as("reported"))
+        c.groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("reported").cast("long")).as("n_reported"),
+            sum(col("truth").cast("long")).as("n_true"))
+          .select(col("seg"), col("n"),
+            (col("n_reported").cast("double") / col("n")).as("r_hat"),
+            ((col("n_reported").cast("double") / col("n") - lit(0.25)) /
+              lit(0.5)).as("pi_hat"),
+            (col("n_true").cast("double") / col("n")).as("pi_true"))
+          .orderBy("seg")
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |          AS t
+        |      FROM daily),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |      FROM s GROUP BY 1),
+        |seed AS (SELECT event_type,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS l0
+        |  FROM s WHERE t <= 7 GROUP BY event_type),
+        |s0 AS (SELECT s.event_type,
+        |    list(s.y - seed.l0 ORDER BY s.t) AS ring
+        |  FROM s JOIN seed ON s.event_type = seed.event_type
+        |  WHERE s.t <= 7 GROUP BY s.event_type),
+        |rec AS (
+        |  SELECT seed.event_type, 7 AS t, seed.l0 AS l,
+        |         CAST(0.0 AS DOUBLE) AS b, s0.ring AS ring
+        |  FROM seed JOIN s0 ON seed.event_type = s0.event_type
+        |  UNION ALL
+        |  SELECT s.event_type, s.t,
+        |    ((s.y - rec.ring[1]) + (rec.l + rec.b)) * 0.5,
+        |    ((((s.y - rec.ring[1]) + (rec.l + rec.b)) * 0.5 - rec.l)
+        |      + rec.b) * 0.5,
+        |    rec.ring[2:7] ||
+        |      [((s.y - ((s.y - rec.ring[1]) + (rec.l + rec.b)) * 0.5)
+        |        + rec.ring[1]) * 0.5]
+        |  FROM rec JOIN s
+        |    ON s.event_type = rec.event_type AND s.t = rec.t + 1),
+        |fin AS (SELECT event_type, l, b, ring,
+        |          row_number() OVER (PARTITION BY event_type
+        |            ORDER BY t DESC) AS rk
+        |        FROM rec)
+        |SELECT n.event_type, n.n_days, fin.l AS level, fin.b AS trend,
+        |  fin.ring[1] AS season_next,
+        |  fin.l + fin.b + fin.ring[1] AS forecast
+        |FROM fin JOIN n ON fin.event_type = n.event_type
+        |WHERE rk = 1 ORDER BY n.event_type""".stripMargin,
+
+    "q_pi_coverage" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |      AS cal
+        |  FROM events),
+        |b AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ev WHERE cal GROUP BY 1, 2),
+        |r AS (SELECT event_type, v,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b),
+        |bounds AS (SELECT event_type, MAX(n) AS n_cal,
+        |    MIN(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS p10,
+        |    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, MAX(n_cal) AS n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  MAX(p10) AS p10, MAX(p90) AS p90,
+        |  CAST(SUM(CASE WHEN v BETWEEN p10 AND p90 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS coverage
+        |FROM ev JOIN bounds USING (event_type)
+        |WHERE NOT cal
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |         for i in range(1, len(tk))]) AS gram FROM t),
+        |e0 AS (SELECT gram FROM g GROUP BY gram),
+        |ed AS (SELECT string_split(gram, ' ')[1] AS src,
+        |         string_split(gram, ' ')[2] AS dst FROM e0),
+        |und AS (SELECT src, dst FROM ed
+        |        UNION ALL SELECT dst, src FROM ed),
+        |lab0 AS (SELECT DISTINCT src AS node FROM und),
+        |l0 AS (SELECT node,
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5('lp' || node), 1, 1)) - 1 AS BIGINT) AS lab
+        |  FROM lab0),
+        |nb AS (SELECT und.src AS node, l0.lab AS nlab,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM und JOIN l0 ON und.dst = l0.node
+        |  GROUP BY 1, 2),
+        |l1 AS (SELECT node, nlab AS lab FROM (
+        |    SELECT node, nlab,
+        |      row_number() OVER (PARTITION BY node
+        |        ORDER BY c DESC, nlab) AS rn
+        |    FROM nb) WHERE rn = 1),
+        |bef AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_before
+        |  FROM l0 GROUP BY lab),
+        |aft AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_after
+        |  FROM l1 GROUP BY lab)
+        |SELECT COALESCE(bef.lab, aft.lab) AS lab,
+        |  COALESCE(n_before, 0) AS n_before,
+        |  COALESCE(n_after, 0) AS n_after
+        |FROM bef FULL JOIN aft ON bef.lab = aft.lab
+        |ORDER BY lab""".stripMargin,
+
+    "q_perceptron_step" ->
+      """WITH e AS (SELECT vec_id,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE -1 END AS y,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xv
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, y,
+        |    CAST(generate_subscripts(xv, 1) AS BIGINT) AS i,
+        |    unnest(xv) AS v FROM e),
+        |w AS (SELECT i, CAST(SUM(y * v) AS BIGINT) AS w
+        |  FROM x GROUP BY i),
+        |m AS (SELECT vec_id, y, CAST(SUM(v * w) AS BIGINT) AS dot
+        |  FROM x JOIN w USING (i) GROUP BY vec_id, y),
+        |audit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y * dot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM m)
+        |SELECT i AS dim, w, n, n_correct
+        |FROM w CROSS JOIN audit ORDER BY dim""".stripMargin,
+
+    "q_rand_response" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_acctbal > 0 AS truth,
+        |    substr(md5('rr1' || CAST(c_custkey AS VARCHAR)), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7') AS heads,
+        |    substr(md5('rr2' || CAST(c_custkey AS VARCHAR)), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7') AS coin2
+        |  FROM customer),
+        |r AS (SELECT seg, truth,
+        |    CASE WHEN heads THEN truth ELSE coin2 END AS reported
+        |  FROM c),
+        |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_reported,
+        |    CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_true
+        |  FROM r GROUP BY seg)
+        |SELECT seg, n,
+        |  CAST(n_reported AS DOUBLE) / n AS r_hat,
+        |  (CAST(n_reported AS DOUBLE) / n - 0.25) / 0.5 AS pi_hat,
+        |  CAST(n_true AS DOUBLE) / n AS pi_true
+        |FROM a ORDER BY seg""".stripMargin
+  )
+}

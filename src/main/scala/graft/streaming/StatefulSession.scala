@@ -206,6 +206,59 @@ object StatefulSession extends QueryModule {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name).orderBy("user_id", "s_start")
+    }),
+
+    // --- the same sessionization through Spark's NATIVE streaming
+    // session_window aggregation (MergingSessionsExec) instead of the
+    // hand-rolled flatMapGroupsWithState: the built-in path handles
+    // cross-microbatch session merging in the state store, and the
+    // sentinel's watermark advance flushes every closed session in
+    // append mode. Carries the SAME full oracle as the batch
+    // q_window_session — native streaming, hand-rolled streaming and
+    // batch all land on one hash. State is per-open-session (bounded
+    // by active users), shuffle keyed on user_id. ---
+    "q_streaming_sessionwin" -> ((s, d) => {
+      import graft.Det.{fmtTs, sumd}
+      import org.apache.spark.sql.functions.{col, count, expr, lit,
+        session_window}
+      val stream = s.readStream
+        .schema(replaySchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replayDir(s, d))
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "0 seconds")
+      // The sentinel filter must NOT ride in the streaming plan: as a
+      // grouping-column predicate Catalyst pushes it through the
+      // aggregation and past withWatermark to the source, so the
+      // sentinel row never advances the watermark and the open tails
+      // are never flushed (observed: 7 tail sessions missing). It is
+      // applied to the drained batch result below instead.
+      val out = stream
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          fmtTs(col("session_window.start")).as("s_start"),
+          fmtTs(col("session_window.end")).as("s_end"),
+          col("n"), col("sum_value"))
+      val name = "graft_stream_sessionwin_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val ckpt = s"/dev/shm/graft_ckpt/sessw-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val q = out.writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+      StreamingSmoke.drainSink(s, name)
+        .filter(col("user_id") =!= SentinelUser)
+        .orderBy("user_id", "s_start")
     })
   )
 
@@ -215,8 +268,8 @@ object StatefulSession extends QueryModule {
   // replay reproduces the batch session_window result bit-for-bit
   // (sums quantized per the Det decimal policy), so the hand-rolled
   // stateful query carries the same oracle as q_window_session.
-  override def oracle: Map[String, String] = Map(
-    "q_streaming_session" -> {
+  override def oracle: Map[String, String] = {
+    val sessionOracle = {
       import graft.Det.{FT, S}
       s"""WITH marked AS (
          |  SELECT user_id, ts, value,
@@ -235,5 +288,8 @@ object StatefulSession extends QueryModule {
          |FROM numbered
          |GROUP BY user_id, sid
          |ORDER BY user_id, s_start""".stripMargin
-    })
+    }
+    Map("q_streaming_session" -> sessionOracle,
+      "q_streaming_sessionwin" -> sessionOracle)
+  }
 }

@@ -712,4 +712,34 @@ class PlanQualitySpec extends AnyFunSuite {
     val pc = plan("q_cohort_ltv")
     assert(pc.contains("BroadcastHashJoin"), pc.take(3000))
   }
+
+  test("round-8 inference/modeling plans: small relations broadcast, " +
+      "histograms reduce map-side, no cartesians") {
+    // midrank/bound/weight/degree relations are tiny forever and must
+    // broadcast back onto their row streams, never key a shuffle join
+    for (q <- Seq("q_kruskal_wallis", "q_pi_coverage", "q_impute_audit",
+        "q_perceptron_step", "q_assortativity", "q_label_prop")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+    }
+    // rank tests: the corpus collapses to a value histogram with
+    // map-side partial aggregation before any window runs
+    for (q <- Seq("q_mannwhitney_u", "q_burn_rate")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q histogram reduces partial+final")
+    }
+    // Theil-Sen: the pair join is an equi join on the series key over
+    // the daily CELL relation — never a cartesian over raw events
+    val pt = plan("q_theilsen_trend")
+    assert(!pt.contains("CartesianProduct"), pt.take(3000))
+    assert(pt.contains("Join") || pt.contains("join"), pt.take(500))
+    // Spearman: both midrank windows run segment-partitioned (no
+    // global ordering over the customer stream)
+    val ps = plan("q_spearman_corr")
+    assert(!ps.contains("CartesianProduct"), ps.take(3000))
+    assert(ps.contains("Window"), ps.take(3000))
+  }
 }

@@ -32,6 +32,7 @@ object SparkEntry {
     operators.Statistics,
     operators.Inference,
     operators.Modeling,
+    operators.Diagnostics,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -1,0 +1,455 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Series & sequence diagnostics (round 8, batch 9): the trend/
+  * randomness test family over daily grids (Mann-Kendall, runs test,
+  * Friedman), partial correlation, conditional transition entropy, a
+  * scale-correct sequence-gap audit, and token burstiness. All seven
+  * carry full DuckDB oracles.
+  *
+  * Determinism: every statistic is exact int64/decimal counting until a
+  * terminal fixed-shape tree of divisions and sqrt; entropies use the
+  * floor-log2 integer-surprisal device (Scoring.bits — zero libm).
+  */
+object Diagnostics extends QueryModule {
+
+  /** Per-(type, day) daily event counts — the shared time grid of the
+    * trend-test family (corpus reduces here first; everything after is
+    * time-sized).
+    */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- Mann-Kendall monotonic-trend test per event type (the
+      // significance companion to q_theilsen_trend's slope): S = Σ
+      // sign(c_j − c_i) over day pairs, tie-corrected variance, and
+      // the continuity-corrected z. The pair join is time²-bounded per
+      // series (never corpus-sized); S, the tie term Σt(t−1)(2t+5)
+      // and N(N−1)(2N+5) are exact int64; z is one fixed
+      // division/sqrt tree with the standard ±1 correction. ---
+      "q_mk_trend" -> ((s, d) => {
+        val g = daily(s, d)
+        val a = g.select(col("event_type"), col("day").as("d1"),
+          col("cnt").as("c1"))
+        val b = g.select(col("event_type"), col("day").as("d2"),
+          col("cnt").as("c2"))
+        val sAgg = a.join(b, Seq("event_type"))
+          .filter(col("d2") > col("d1"))
+          .groupBy("event_type")
+          .agg(sum(when(col("c2") > col("c1"), 1L)
+            .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s"))
+        val ties = g.groupBy("event_type", "cnt")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tsum"), sum("t").as("n"))
+        val varS = (col("n") * (col("n") - 1L) *
+          (lit(2L) * col("n") + 5L) - col("tsum")).cast("double") /
+          lit(18.0)
+        sAgg.join(broadcast(ties), "event_type")
+          .select(col("event_type"), col("n").as("n_days"), col("s"),
+            when(col("s") > 0,
+                (col("s") - 1L).cast("double") / sqrt(varS))
+              .when(col("s") < 0,
+                (col("s") + 1L).cast("double") / sqrt(varS))
+              .otherwise(lit(0.0)).as("z"))
+          .orderBy("event_type")
+      }),
+
+      // --- Wald-Wolfowitz runs test per event type: are the daily
+      // counts' above/below-median signs randomly ordered, or does the
+      // series cluster (regime-y volume)? The median is the explicit
+      // two-middle-rows device (×2-scaled — no interpolating
+      // percentile); equal-to-median days are dropped per the standard
+      // definition; runs = 1 + sign flips via lag over the time grid.
+      // μ, σ and z are a fixed tree of exact int64 counts. ---
+      "q_runs_test" -> ((s, d) => {
+        val g = daily(s, d)
+        val wr = Window.partitionBy("event_type").orderBy("cnt", "day")
+        val med = g
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("np",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") === expr("(np + 1) div 2") ||
+            col("rn") === expr("np div 2 + 1"))
+          .groupBy("event_type")
+          .agg(sum("cnt").as("smid"), count(lit(1)).as("nmid"))
+          .select(col("event_type"), expr("smid * 2 div nmid").as("med2"))
+        val signed = g.join(broadcast(med), "event_type")
+          .filter(lit(2L) * col("cnt") =!= col("med2"))
+          .withColumn("above", (lit(2L) * col("cnt") > col("med2"))
+            .cast("long"))
+        val wt = Window.partitionBy("event_type").orderBy("day")
+        val runs = signed
+          .withColumn("flip",
+            when(lag("above", 1).over(wt).isNull, 0L)
+              .when(col("above") =!= lag("above", 1).over(wt), 1L)
+              .otherwise(0L))
+          .groupBy("event_type")
+          .agg(sum("above").as("n1"),
+            sum(lit(1L) - col("above")).as("n2"),
+            (sum("flip") + 1L).as("r"))
+        val nn = col("n1") + col("n2")
+        val two = lit(2L) * col("n1") * col("n2")
+        val mu = two.cast("double") / nn + lit(1.0)
+        val sg = sqrt((two * (two - nn)).cast("double") /
+          (nn * nn * (nn - 1L)).cast("double"))
+        runs.select(col("event_type"), col("n1"), col("n2"), col("r"),
+            ((col("r").cast("double") - mu) / sg).as("z"))
+          .orderBy("event_type")
+      }),
+
+      // --- Friedman test (repeated-measures rank ANOVA): days are
+      // blocks, event types are treatments, the daily count is the
+      // response — "does any type systematically out-rank the others
+      // day after day?", the blocked complement of Kruskal-Wallis.
+      // Within-block midranks use the ×2-integer device over k=5
+      // values; only complete blocks enter. ΣR² stays exact int64;
+      // χ²_F = 3·ΣR2²/(n·k·(k+1)) − 3·n·(k+1) is the terminal fixed
+      // tree. Everything after the daily grid is O(days·k). ---
+      "q_friedman_test" -> ((s, d) => {
+        val g = daily(s, d)
+        val kTot = g.select(countDistinct("event_type").as("k"))
+        val blocks = g
+          .withColumn("kd", count(lit(1)).over(Window.partitionBy("day")))
+          .crossJoin(broadcast(kTot))
+          .filter(col("kd") === col("k"))
+        val a2 = lit(2L) *
+          rank().over(Window.partitionBy("day").orderBy("cnt")) +
+          count(lit(1)).over(Window.partitionBy("day", "cnt")) - lit(1L)
+        val perType = blocks
+          .withColumn("a2", a2)
+          .groupBy("event_type")
+          .agg(sum("a2").as("r2"), count(lit(1)).as("n"), max("k").as("k"))
+        perType
+          .agg(max("n").as("n_blocks"), max("k").as("k"),
+            sum(col("r2") * col("r2")).as("ssq"))
+          .select(col("n_blocks"), col("k"),
+            (lit(3.0) * col("ssq") /
+              (col("n_blocks") * col("k") * (col("k") + 1L)) -
+              lit(3.0) * col("n_blocks") * (col("k") + 1L)).as("chi2_f"))
+      }),
+
+      // --- partial correlation per market segment: balance vs total
+      // spend CONTROLLING for order count (does money correlate with
+      // spend beyond mere activity?). One customer-grain aggregate
+      // builds (x, y, z) in exact cents; all nine moments accumulate
+      // in DECIMAL(38,0) (y² sums pass int64 at fleet scale); the
+      // three Pearsons and the partial share one fixed double tree. ---
+      "q_partial_corr" -> ((s, d) => {
+        val spend = table(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("yc"),
+            count(lit(1)).as("zc"))
+        val base = table(s, d, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment").as("seg"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("x"),
+            coalesce(col("yc"), lit(0L)).as("y"),
+            coalesce(col("zc"), lit(0L)).as("z"))
+        val d38 = DecimalType(38, 0)
+        def m(c: Column) = sum(c.cast(d38))
+        val mom = base.groupBy("seg").agg(count(lit(1)).as("n"),
+          m(col("x")).as("sx"), m(col("y")).as("sy"), m(col("z")).as("sz"),
+          m(col("x") * col("x")).as("sxx"),
+          m(col("y") * col("y")).as("syy"),
+          m(col("z") * col("z")).as("szz"),
+          m(col("x") * col("y")).as("sxy"),
+          m(col("x") * col("z")).as("sxz"),
+          m(col("y") * col("z")).as("syz"))
+        def r(sab: Column, sa: Column, sb: Column, saa: Column,
+            sbb: Column) =
+          (col("n") * sab - sa * sb).cast("double") /
+            sqrt((col("n") * saa - sa * sa).cast("double") *
+              (col("n") * sbb - sb * sb).cast("double"))
+        val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"),
+          col("syy"))
+        val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"),
+          col("szz"))
+        val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"),
+          col("szz"))
+        mom.select(col("seg"), col("n"), rxy.as("r_xy"),
+            ((rxy - rxz * ryz) /
+              sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+              .as("r_xy_given_z"))
+          .orderBy("seg")
+      }),
+
+      // --- conditional transition entropy H(next | current) of the
+      // per-user event-type sequence: how predictable is the next
+      // action given the current one (the sequence-compressibility
+      // readout next to q_markov_transition's probabilities)? One
+      // user-keyed lag window produces the bigram stream; counts
+      // reduce to the O(k²) transition matrix; surprisal is the
+      // floor-log2 integer-bits device (zero libm), so sum_bits is an
+      // exact int64 and avg_bits one division. ---
+      "q_transition_entropy" -> ((s, d) => {
+        val wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = table(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("nxt"))
+          .withColumn("cur", lag("nxt", 1).over(wt))
+          .filter(col("cur").isNotNull)
+        val cells = pairs.groupBy("cur", "nxt")
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy("cur")
+        cells
+          .withColumn("nTot", sum("c").over(wc))
+          .withColumn("b", Scoring.bits(col("nTot"), col("c")))
+          .groupBy("cur")
+          .agg(max("nTot").as("n_trans"),
+            sum(col("c") * col("b")).as("sum_bits"))
+          .select(col("cur"), col("n_trans"), col("sum_bits"),
+            (col("sum_bits").cast("double") / col("n_trans"))
+              .as("avg_bits"))
+          .orderBy("cur")
+      }),
+
+      // --- sequence-gap audit (CDC/event-log completeness): find the
+      // missing id islands in the event_id sequence after a
+      // deterministic md5 "loss" gate (~1/16 of rows). The SCALE-
+      // CORRECT spelling: ids bucket by id div 1000, intra-bucket gaps
+      // come from a lag window WITHIN each bucket (parallel over the
+      // corpus), and the bucket-boundary gaps from a lag over the
+      // O(buckets) summary relation — no global window ever touches
+      // row-grain data. The oracle is the naive single-global-window
+      // spelling, so the hash match PROVES the partitioned plan
+      // equals it. ---
+      "q_seq_gaps" -> ((s, d) => {
+        val ids = table(s, d, "events")
+          .filter(
+            expr("substring(md5(concat('gap', cast(event_id as string)))," +
+              " 1, 1)") =!= "0")
+          .select(col("event_id").as("id"))
+          .withColumn("bkt", expr("id div 1000"))
+        val wi = Window.partitionBy("bkt").orderBy("id")
+        val intra = ids
+          .withColumn("prev", lag("id", 1).over(wi))
+          .filter(col("prev").isNotNull && col("id") - col("prev") > 1L)
+          .select((col("prev") + 1L).as("gap_start"),
+            (col("id") - 1L).as("gap_end"))
+        val summ = ids.groupBy("bkt")
+          .agg(min("id").as("mn"), max("id").as("mx"))
+        val wb = Window.orderBy("bkt")
+        val boundary = summ
+          .withColumn("pmx", lag("mx", 1).over(wb))
+          .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1L)
+          .select((col("pmx") + 1L).as("gap_start"),
+            (col("mn") - 1L).as("gap_end"))
+        intra.unionAll(boundary)
+          .select(col("gap_start"), col("gap_end"),
+            (col("gap_end") - col("gap_start") + 1L).as("n_missing"))
+          .orderBy("gap_start")
+      }),
+
+      // --- token burstiness (variance-to-mean ratio over documents,
+      // zeros included): separates bursty content words (high VMR —
+      // they pile into few documents) from evenly spread function
+      // words (VMR ≈ 1, Poisson-like) — the corpus statistic behind
+      // stopword discovery and df-weighting choices. Per-token moments
+      // are exact int64 off one tokenize pass; zeros enter through the
+      // closed form VMR = (n·Σx² − (Σx)²)/(n·Σx) with n = corpus doc
+      // count, so no dense doc×token matrix ever materializes. Top 20
+      // by VMR among df ≥ 50 tokens via TakeOrdered. ---
+      "q_burstiness" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("nd"))
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("x"))
+        tok.groupBy("w")
+          .agg(count(lit(1)).as("df"), sum("x").as("total"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("df") >= 50)
+          .crossJoin(broadcast(nDocs))
+          .select(col("w"), col("df"), col("total"),
+            ((col("nd") * col("sxx") - col("total") * col("total"))
+              .cast("double") / (col("nd") * col("total")).cast("double"))
+              .as("vmr"))
+          .orderBy(col("vmr").desc, col("w").asc)
+          .limit(20)
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_mk_trend" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CASE WHEN b.cnt > a.cnt THEN 1
+        |         WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sg
+        |  FROM g a JOIN g b ON a.event_type = b.event_type
+        |    AND b.day > a.day),
+        |sa AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s
+        |  FROM p GROUP BY event_type),
+        |tv AS (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM g GROUP BY 1, 2),
+        |ts AS (SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM tv GROUP BY event_type)
+        |SELECT sa.event_type, n AS n_days, s,
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) /
+        |      sqrt(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |        / 18.0)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) /
+        |      sqrt(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |        / 18.0)
+        |    ELSE 0.0 END AS z
+        |FROM sa JOIN ts ON sa.event_type = ts.event_type
+        |ORDER BY sa.event_type""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt, day) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM g),
+        |med AS (SELECT event_type,
+        |    CAST(SUM(cnt) * 2 // COUNT(*) AS BIGINT) AS med2
+        |  FROM rk WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        |  GROUP BY event_type),
+        |sg AS (SELECT g.event_type, day,
+        |    CAST(2 * cnt > med2 AS BIGINT) AS above
+        |  FROM g JOIN med ON g.event_type = med.event_type
+        |  WHERE 2 * cnt <> med2),
+        |fl AS (SELECT event_type, above,
+        |    CASE WHEN lag(above) OVER (PARTITION BY event_type
+        |        ORDER BY day) IS NULL THEN 0
+        |      WHEN above <> lag(above) OVER (PARTITION BY event_type
+        |        ORDER BY day) THEN 1 ELSE 0 END AS flip
+        |  FROM sg),
+        |a AS (SELECT event_type, CAST(SUM(above) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - above) AS BIGINT) AS n2,
+        |    CAST(SUM(flip) + 1 AS BIGINT) AS r
+        |  FROM fl GROUP BY event_type)
+        |SELECT event_type, n1, n2, r,
+        |  (CAST(r AS DOUBLE) -
+        |    (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1.0)) /
+        |  sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE) /
+        |    CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) AS z
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_friedman_test" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |kt AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM g),
+        |bl AS (SELECT g.*, k FROM g CROSS JOIN kt
+        |  QUALIFY COUNT(*) OVER (PARTITION BY day) = k),
+        |rk AS (SELECT event_type, k,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY cnt) +
+        |      COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS a2
+        |  FROM bl),
+        |pt AS (SELECT event_type, MAX(k) AS k,
+        |    CAST(SUM(a2) AS BIGINT) AS r2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM rk GROUP BY event_type)
+        |SELECT MAX(n) AS n_blocks, MAX(k) AS k,
+        |  3.0 * CAST(SUM(r2 * r2) AS BIGINT) /
+        |    (MAX(n) * MAX(k) * (MAX(k) + 1)) -
+        |  3.0 * MAX(n) * (MAX(k) + 1) AS chi2_f
+        |FROM pt""".stripMargin,
+
+    "q_partial_corr" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+        |      AS BIGINT) AS yc,
+        |    CAST(COUNT(*) AS BIGINT) AS zc
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x,
+        |    COALESCE(yc, 0) AS y, COALESCE(zc, 0) AS z
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |m AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+        |    SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+        |  FROM base GROUP BY seg),
+        |r AS (SELECT seg, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+        |    CAST(n * sxz - sx * sz AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+        |    CAST(n * syz - sy * sz AS DOUBLE) /
+        |      sqrt(CAST(n * syy - sy * sy AS DOUBLE) *
+        |           CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+        |  FROM m)
+        |SELECT seg, n, rxy AS r_xy,
+        |  (rxy - rxz * ryz) /
+        |    sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS r_xy_given_z
+        |FROM r ORDER BY seg""".stripMargin,
+
+    "q_transition_entropy" ->
+      """WITH p AS (SELECT user_id, event_type AS nxt,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS cur
+        |  FROM events),
+        |c AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM p WHERE cur IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT cur, c,
+        |    CAST(SUM(c) OVER (PARTITION BY cur) AS BIGINT) AS nTot
+        |  FROM c),
+        |sc AS (SELECT cur, c, nTot,
+        |    CAST(length(bin(CAST(floor(CAST(nTot AS DOUBLE) / c)
+        |      AS BIGINT))) - 1 AS BIGINT) AS b FROM w)
+        |SELECT cur, MAX(nTot) AS n_trans,
+        |  CAST(SUM(c * b) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(c * b) AS DOUBLE) / MAX(nTot) AS avg_bits
+        |FROM sc GROUP BY cur ORDER BY cur""".stripMargin,
+
+    "q_seq_gaps" ->
+      """WITH ids AS (SELECT event_id AS id FROM events
+        |  WHERE substr(md5('gap' || CAST(event_id AS VARCHAR)), 1, 1)
+        |    <> '0'),
+        |l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+        |SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+        |  id - prev - 1 AS n_missing
+        |FROM l WHERE prev IS NOT NULL AND id - prev > 1
+        |ORDER BY gap_start""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |x AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM t GROUP BY 1, 2),
+        |m AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(x) AS BIGINT) AS total,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY w HAVING COUNT(*) >= 50)
+        |SELECT w, df, total,
+        |  CAST(nd * sxx - total * total AS DOUBLE) /
+        |    CAST(nd * total AS DOUBLE) AS vmr
+        |FROM m CROSS JOIN nd
+        |ORDER BY vmr DESC, w LIMIT 20""".stripMargin
+  )
+}

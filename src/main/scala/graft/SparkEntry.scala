@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Inference,
     operators.Modeling,
     operators.Diagnostics,
+    operators.CorpusStats,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Corpus composition & behavior readouts (round 8, batch 10):
+  * categorical drift effect size (Cramér's V), U-shaped multi-touch
+  * attribution, KWIC concordance, the top-k n-gram coverage curve,
+  * Simpson diversity, and rank-biased overlap between two token
+  * rankings with exact dyadic weights. All six carry full DuckDB
+  * oracles.
+  *
+  * Determinism: exact int64 counting throughout; the only non-terminal
+  * doubles are the U-shaped middle credits (a fixed per-touch tree,
+  * quantized through DECIMAL(18,4) before summation) and RBO stays
+  * exact-integer via 2^k·lcm(1..10) scaling until ONE division.
+  */
+object CorpusStats extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- Cramér's V on categorical drift: event-type mix, first half
+      // of time vs second half (the effect-size companion to the PSI /
+      // KS monitors — χ² says "significant", V says "big enough to
+      // care"). The time cut comes from a broadcast 1-row bounds
+      // aggregate (map-side CASE, the q_temporal_split discipline);
+      // the contingency reduces to 2×k cells; with r=2, V =
+      // sqrt(χ²/n). Cell terms sum through DECIMAL(18,4). ---
+      "q_cramers_v" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val b = ev.agg(min("us").as("mn"), max("us").as("mx"))
+        val cells = ev.crossJoin(broadcast(b))
+          .select(col("event_type"),
+            (col("us") >= col("mn") + expr("(mx - mn) div 2"))
+              .cast("long").as("half"))
+          .groupBy("half", "event_type").agg(count(lit(1)).as("o"))
+        val rowt = cells.groupBy("half").agg(sum("o").as("rt"))
+        val colt = cells.groupBy("event_type").agg(sum("o").as("ct"))
+        val tot = cells.agg(sum("o").as("n"))
+        val e = col("rt").cast("double") * col("ct") / col("n")
+        val term = (col("o") - e) * (col("o") - e) / e
+        cells
+          .join(broadcast(rowt), "half")
+          .join(broadcast(colt), "event_type")
+          .crossJoin(broadcast(tot))
+          .agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+            sum(dec(term)).cast("double").as("chi2"))
+          .select(col("n"), col("n_cells"), col("chi2"),
+            sqrt(col("chi2") / col("n")).as("cramers_v"))
+      }),
+
+      // --- U-shaped (position-based) multi-touch attribution: each
+      // purchase credits its journey's touches 40% first / 40% last /
+      // 20% split across the middles (the credit model between
+      // first-touch and linear). Journeys are per-user runs ending at
+      // a purchase — journey id is a prefix count of prior purchases,
+      // so ONE user-keyed window pass builds position, length and
+      // journey key together; per-touch credit is a fixed double tree
+      // quantized through DECIMAL(18,4) before the channel rollup.
+      // Everything shuffles once on user_id, then once on the O(k)
+      // channel key. ---
+      "q_attrib_ushape" -> ((s, d) => {
+        val wj = Window.partitionBy("user_id", "jid")
+        val marked = table(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("isp", (col("event_type") === "purchase")
+            .cast("long"))
+          .withColumn("jid", sum("isp").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("jid", coalesce(col("jid"), lit(0L)))
+        val touches = marked.filter(col("isp") === 0L)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("user_id", "jid").orderBy("ts", "event_id"))
+            .cast("long"))
+          .withColumn("m", count(lit(1)).over(wj))
+        // journeys that actually end in a purchase: the purchase with
+        // prefix-count jid exists
+        val convs = marked.filter(col("isp") === 1L)
+          .select(col("user_id"), col("jid"))
+        val credited = touches
+          .join(convs, Seq("user_id", "jid"))
+          .withColumn("credit",
+            when(col("m") === 1L, lit(1.0))
+              .when(col("m") === 2L, lit(0.5))
+              .otherwise(
+                when(col("pos") === 1L || col("pos") === col("m"), lit(0.4))
+                  .otherwise(lit(0.2) / (col("m") - lit(2L)))))
+        credited.groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(dec(col("credit"))).cast("double").as("credit"))
+          .orderBy("channel")
+      }),
+
+      // --- KWIC concordance for "join": the top (left, right) context
+      // word pairs around every occurrence — the lexicographer's (and
+      // prompt-engineer's) usage readout. Contexts come from lag/lead
+      // over the doc-partitioned position order (document-sized
+      // windows, embarrassingly parallel); the rollup is
+      // vocabulary-bounded; top 15 by TakeOrdered. ---
+      "q_concordance" -> ((s, d) => {
+        val wd = Window.partitionBy("doc_id").orderBy("p")
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+            col("w"))
+        toks
+          .withColumn("lft", lag("w", 1).over(wd))
+          .withColumn("rgt", lead("w", 1).over(wd))
+          .filter(col("w") === "join" && col("lft").isNotNull &&
+            col("rgt").isNotNull)
+          .groupBy(col("lft"), col("rgt"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("lft").asc, col("rgt").asc)
+          .limit(15)
+      }),
+
+      // --- top-k n-gram coverage curve: what share of all bigram
+      // occurrences do the top 10/100/1000 bigrams cover? (The
+      // Zipf-mass readout a tokenizer-vocabulary or cache-sizing
+      // decision reads.) Counts reduce to the vocabulary relation;
+      // the rank and cumulative sums run over that O(V) relation,
+      // never over token occurrences; the three checkpoints are a
+      // map-side IN filter. ---
+      "q_coverage_curve" -> ((s, d) => {
+        val grams = table(s, d, "documents")
+          .select(graft.functions.NGramGenerator(
+            split(col("text"), " "), 2).alias("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c"))
+        val wr = Window.orderBy(col("c").desc, col("gram").asc)
+        val tot = grams.agg(sum("c").as("total"),
+          count(lit(1)).as("vocab"))
+        grams
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("cum", sum("c").over(
+            Window.orderBy(col("c").desc, col("gram").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rk").isin(10L, 100L, 1000L))
+          .crossJoin(broadcast(tot))
+          .select(col("rk").as("k"), col("cum"), col("total"),
+            col("vocab"),
+            (col("cum").cast("double") / col("total")).as("coverage"))
+          .orderBy("k")
+      }),
+
+      // --- Simpson diversity of the source mix per language: the
+      // inverse Simpson index (Σc)²/Σc² = the "effective number of
+      // sources" feeding each language slice, plus the Gini-Simpson
+      // probability-of-difference — the composition-concentration
+      // readout next to q_hhi_concentration (which scores revenue).
+      // Exact int64 throughout; two terminal divisions. ---
+      "q_simpson_diversity" -> ((s, d) => {
+        val cells = table(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        cells.groupBy("lang")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_sources"),
+            sum(col("c") * col("c")).as("ssq"))
+          .select(col("lang"), col("n"), col("n_sources"),
+            ((col("n") * col("n")).cast("double") / col("ssq"))
+              .as("simpson_inv"),
+            ((col("n") * col("n") - col("ssq")).cast("double") /
+              (col("n") * col("n"))).as("gini_simpson"))
+          .orderBy("lang")
+      }),
+
+      // --- rank-biased overlap (RBO@10, p=1/2) between the two
+      // halves' token rankings: how stable is the frequency ranking
+      // across time — the rank-level drift metric that punishes
+      // disagreement at the TOP (where vocabulary/cache decisions
+      // live). p=1/2 makes every weight dyadic, so the whole sum is
+      // exact-integer at scale 2^10·2520 until one division. Both
+      // rankings reduce to vocabulary-sized relations; overlaps come
+      // from a rank-pair join bounded to the top 10. ---
+      "q_rank_rbo" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+        val half = docs.select(col("doc_id"), col("text"),
+          (col("doc_id") % 2 === 1).cast("long").as("h"))
+        def top10(h: Int): DataFrame = {
+          val wr = Window.orderBy(col("c").desc, col("w").asc)
+          half.filter(col("h") === h)
+            .select(explode(split(col("text"), " ")).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("c"))
+            .withColumn("rk", row_number().over(wr).cast("long"))
+            .filter(col("rk") <= 10)
+        }
+        val a = top10(0).select(col("w"), col("rk").as("ra"))
+        val b = top10(1).select(col("w"), col("rk").as("rb"))
+        val joint = a.join(b, Seq("w"))
+        // o_k = |prefix_a(k) ∩ prefix_b(k)|: count pairs with both
+        // ranks <= k, for k = 1..10 — a 10-row grid join over the <=10
+        // shared tokens
+        val grid = joint.crossJoin(
+          broadcast(s.range(1, 11).select(col("id").as("k"))))
+          .filter(col("ra") <= col("k") && col("rb") <= col("k"))
+          .groupBy("k").agg(count(lit(1)).as("o"))
+        // scaled term: o_k · 2^(10-k) · (2520/k); RBO = Σ/ (2^10·2520)
+        grid
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(10 - k AS INT)) * (2520 div k) * o")).as("scaled"))
+          .select(col("scaled"),
+            (col("scaled").cast("double") / lit(1024.0 * 2520.0))
+              .as("rbo10"))
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_cramers_v" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+        |cells AS (SELECT
+        |    CAST(us >= mn + (mx - mn) // 2 AS BIGINT) AS half,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM ev CROSS JOIN b GROUP BY 1, 2),
+        |rowt AS (SELECT half, CAST(SUM(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY half),
+        |colt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ct
+        |  FROM cells GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT o, CAST(rt AS DOUBLE) * ct / n AS e, n
+        |  FROM cells JOIN rowt USING (half) JOIN colt USING (event_type)
+        |  CROSS JOIN tot)
+        |SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS chi2,
+        |  sqrt(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,4)))
+        |    AS DOUBLE) / MAX(n)) AS cramers_v
+        |FROM j""".stripMargin,
+
+    "q_attrib_ushape" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(event_type = 'purchase' AS BIGINT) AS isp,
+        |    COALESCE(CAST(SUM(CAST(event_type = 'purchase' AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS jid
+        |  FROM events),
+        |t AS (SELECT user_id, jid, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id, jid
+        |      ORDER BY ts, event_id) AS BIGINT) AS pos,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, jid) AS BIGINT)
+        |      AS mlen
+        |  FROM m WHERE isp = 0),
+        |cv AS (SELECT user_id, jid FROM m WHERE isp = 1),
+        |cr AS (SELECT t.event_type,
+        |    CASE WHEN mlen = 1 THEN 1.0
+        |         WHEN mlen = 2 THEN 0.5
+        |         WHEN pos = 1 OR pos = mlen THEN 0.4
+        |         ELSE 0.2 / (mlen - 2) END AS credit
+        |  FROM t JOIN cv USING (user_id, jid))
+        |SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT)
+        |    AS n_touches,
+        |  CAST(SUM(CAST(credit AS DECIMAL(18,4))) AS DOUBLE) AS credit
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_concordance" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1)
+        |      AS BIGINT) AS p
+        |  FROM documents),
+        |c AS (SELECT doc_id, p, w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS lft,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS rgt
+        |  FROM t)
+        |SELECT lft, rgt, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c
+        |WHERE w = 'join' AND lft IS NOT NULL AND rgt IS NOT NULL
+        |GROUP BY lft, rgt
+        |ORDER BY n DESC, lft, rgt LIMIT 15""".stripMargin,
+
+    "q_coverage_curve" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |         for i in range(1, len(tk))]) AS gram FROM d),
+        |v AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g GROUP BY gram),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab FROM v),
+        |r AS (SELECT gram, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, gram) AS BIGINT)
+        |      AS rk,
+        |    CAST(SUM(c) OVER (ORDER BY c DESC, gram
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM v)
+        |SELECT rk AS k, cum, total, vocab,
+        |  CAST(cum AS DOUBLE) / total AS coverage
+        |FROM r CROSS JOIN tot
+        |WHERE rk IN (10, 100, 1000) ORDER BY k""".stripMargin,
+
+    "q_simpson_diversity" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT)
+        |    AS c
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |    CAST(SUM(c * c) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY lang)
+        |SELECT lang, n, n_sources,
+        |  CAST(n * n AS DOUBLE) / ssq AS simpson_inv,
+        |  CAST(n * n - ssq AS DOUBLE) / (n * n) AS gini_simpson
+        |FROM m ORDER BY lang""".stripMargin,
+
+    "q_rank_rbo" ->
+      """WITH tk AS (SELECT CAST(doc_id % 2 = 1 AS BIGINT) AS h,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT h, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |rk AS (SELECT h, w,
+        |    CAST(row_number() OVER (PARTITION BY h
+        |      ORDER BY c DESC, w) AS BIGINT) AS rk
+        |  FROM cnt),
+        |a AS (SELECT w, rk AS ra FROM rk WHERE h = 0 AND rk <= 10),
+        |b AS (SELECT w, rk AS rb FROM rk WHERE h = 1 AND rk <= 10),
+        |j AS (SELECT ra, rb FROM a JOIN b USING (w)),
+        |grid AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM j CROSS JOIN (SELECT unnest(range(1, 11)) AS k)
+        |  WHERE ra <= k AND rb <= k GROUP BY k),
+        |sc AS (SELECT CAST(SUM((1 << (10 - k)) * (2520 // k) * o)
+        |    AS BIGINT) AS scaled FROM grid)
+        |SELECT scaled,
+        |  CAST(scaled AS DOUBLE) / (1024.0 * 2520.0) AS rbo10
+        |FROM sc""".stripMargin
+  )
+}

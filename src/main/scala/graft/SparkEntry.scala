@@ -34,6 +34,7 @@ object SparkEntry {
     operators.Modeling,
     operators.Diagnostics,
     operators.CorpusStats,
+    operators.EffectSizes,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Effect sizes, agreement & policy evaluation (round 8, batch 11):
+  * Matthews correlation, Cohen's kappa and d, one alternating-least-
+  * squares half-step, inverse-propensity off-policy evaluation, and the
+  * Lorenz curve at decile boundaries. All six carry full DuckDB oracles.
+  *
+  * Determinism: exact int64/decimal moments everywhere; terminal
+  * fixed-shape division/sqrt trees; the ALS step quantizes the user
+  * factor through DECIMAL(18,4) so the item-side reduction is an exact
+  * decimal sum (order-independent) instead of an order-dependent double
+  * sum.
+  */
+object EffectSizes extends QueryModule {
+
+  /** Shared binary-classifier cells over the embeddings (the
+    * q_confusion construction): y = label parity, p = first-dim score
+    * sign.
+    */
+  private def cells(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "embeddings")
+      .select((col("label") % 2 === 1).as("y"),
+        (round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+          .cast("long") > 0).as("p"))
+    def cell(y: Boolean, p: Boolean, nm: String) =
+      sum(when(col("y") === y && col("p") === p, 1L).otherwise(0L)).as(nm)
+    e.agg(cell(y = true, p = true, "tp"), cell(y = false, p = true, "fp"),
+      cell(y = true, p = false, "fn"), cell(y = false, p = false, "tn"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- Matthews correlation coefficient: the single balanced
+      // number for a binary classifier that precision/recall/F1
+      // (q_confusion) can each hide — robust to class imbalance. One
+      // conditional-sum pass to four exact int64 cells; numerator and
+      // the four marginal products move to double BEFORE multiplying
+      // (int64 would overflow at ~1e5 rows per cell squared), in one
+      // fixed tree shared with the oracle. ---
+      "q_mcc" -> ((s, d) => {
+        val num = col("tp").cast("double") * col("tn") -
+          col("fp").cast("double") * col("fn")
+        val den = sqrt((col("tp") + col("fp")).cast("double") *
+          (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+          (col("tn") + col("fn")))
+        cells(s, d).select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (num / den).as("mcc"))
+      }),
+
+      // --- Cohen's kappa between two deterministic raters (first-dim
+      // sign vs second-dim sign): chance-corrected agreement, the
+      // label-quality readout when two annotation pipelines disagree.
+      // κ = (n·agree − Σ marginal products)/(n² − Σ marginal products)
+      // stays EXACT int64 until one division. ---
+      "q_cohens_kappa" -> ((s, d) => {
+        def rater(i: Int): Column =
+          round(element_at(col("embedding"), i).cast("double") * 1000, 0)
+            .cast("long") > 0
+        val e = table(s, d, "embeddings")
+          .select(rater(1).as("a"), rater(2).as("b"))
+        e.agg(count(lit(1)).as("n"),
+            sum((col("a") === col("b")).cast("long")).as("agree"),
+            sum(col("a").cast("long")).as("a1"),
+            sum(col("b").cast("long")).as("b1"))
+          .select(col("n"), col("agree"),
+            ((col("n") * col("agree") -
+              (col("a1") * col("b1") +
+                (col("n") - col("a1")) * (col("n") - col("b1"))))
+              .cast("double") /
+              (col("n") * col("n") -
+                (col("a1") * col("b1") +
+                  (col("n") - col("a1")) * (col("n") - col("b1"))))
+                .cast("double")).as("kappa"))
+      }),
+
+      // --- Cohen's d effect size, click arm vs view arm (the
+      // magnitude companion to q_ab_ttest's significance): pooled-sd
+      // standardized mean difference from exact integer-quantized
+      // moments — one conditional-sum pass, one fixed double tree. ---
+      "q_cohens_d" -> ((s, d) => {
+        val q = table(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select((col("event_type") === "click").as("c"),
+            round(col("value"), 0).cast("long").as("v"))
+        def arm(c: Boolean, nm: String) = Seq(
+          sum(when(col("c") === c, 1L).otherwise(0L)).as(s"n$nm"),
+          sum(when(col("c") === c, col("v")).otherwise(0L)).as(s"s$nm"),
+          sum(when(col("c") === c, col("v") * col("v")).otherwise(0L))
+            .as(s"q$nm"))
+        val m = q.agg((arm(c = true, "1") ++ arm(c = false, "2")).head,
+          (arm(c = true, "1") ++ arm(c = false, "2")).tail: _*)
+        val m1 = col("s1").cast("double") / col("n1")
+        val m2 = col("s2").cast("double") / col("n2")
+        val ss1 = col("q1").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n1")
+        val ss2 = col("q2").cast("double") -
+          col("s2").cast("double") * col("s2") / col("n2")
+        val sp = sqrt((ss1 + ss2) / (col("n1") + col("n2") - lit(2L)))
+        m.select(col("n1"), col("n2"), (m1 - m2).as("mean_diff"),
+          ((m1 - m2) / sp).as("cohens_d"))
+      }),
+
+      // --- one ALS half-step (k=1) on the user × event-type count
+      // matrix — the distributed recommender-training shape: item
+      // factor v0 = type totals; user factor u = (R·v0)/(v0·v0) per
+      // user (exact int64 ratio → one division, then QUANTIZED to
+      // DECIMAL(18,4) so the item-side pass is an order-independent
+      // exact decimal sum); new item factor v1 = (Rᵀu)/(uᵀu). Both
+      // passes are map-side-combinable aggregates keyed on the natural
+      // keys; the k=O(1) factor relations broadcast. ---
+      "q_als_step" -> ((s, d) => {
+        val r = table(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("rij"))
+        val v0 = r.groupBy("event_type").agg(sum("rij").as("v0"))
+        val v0n = v0.agg(sum(col("v0") * col("v0")).as("vv"))
+        val dq = DecimalType(18, 4)
+        val u = r.join(broadcast(v0), "event_type")
+          .groupBy("user_id").agg(sum(col("rij") * col("v0")).as("rv"))
+          .crossJoin(broadcast(v0n))
+          .select(col("user_id"),
+            (col("rv").cast("double") / col("vv")).cast(dq).as("uq"))
+        val un = u.agg(sum(col("uq") * col("uq")).as("uu"))
+        r.join(u, "user_id")
+          .groupBy("event_type")
+          .agg(sum(col("rij").cast(dq) * col("uq")).as("ru"))
+          .crossJoin(broadcast(un))
+          .join(broadcast(v0), "event_type")
+          .select(col("event_type"), col("v0"),
+            (col("ru").cast("double") / col("uu").cast("double"))
+              .as("v1"))
+          .orderBy("event_type")
+      }),
+
+      // --- inverse-propensity off-policy evaluation: what reward
+      // would a uniform click/view policy have earned, estimated from
+      // the logged traffic (the counterfactual readout every
+      // ranking/serving change is judged by offline). Propensities are
+      // the empirical arm shares, rewards are integer threshold hits,
+      // so V̂_IPS = 0.5·(Σ_c r·n/n_c + Σ_v r·n/n_v)/n is EXACT
+      // rational until two divisions. One conditional-sum pass. ---
+      "q_ips_eval" -> ((s, d) => {
+        val q = table(s, d, "events")
+          .select(col("event_type"),
+            (round(col("value"), 0).cast("long") > 50).cast("long")
+              .as("r"))
+        q.agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("nc"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("nv"),
+            sum(when(col("event_type") === "click", col("r"))
+              .otherwise(0L)).as("rc"),
+            sum(when(col("event_type") === "view", col("r"))
+              .otherwise(0L)).as("rv"))
+          .select(col("n"), col("nc"), col("nv"),
+            (col("rc").cast("double") / col("nc")).as("mean_r_click"),
+            (col("rv").cast("double") / col("nv")).as("mean_r_view"),
+            (lit(0.5) * (col("rc").cast("double") / col("nc") +
+              col("rv").cast("double") / col("nv"))).as("ips_value"))
+      }),
+
+      // --- Lorenz curve at decile boundaries (the curve behind
+      // q_gini): cumulative spend share at each population decile.
+      // Customer spends quantize to cents and reduce to the O(bins)
+      // value domain; cumulative count/spend windows run over that
+      // relation only; each decile reads the largest bin with
+      // cum_count ≤ k·n/10 — exact integer thresholds, shares are
+      // terminal divisions. ---
+      "q_lorenz_deciles" -> ((s, d) => {
+        val spend = table(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val bins = spend.groupBy("cents").agg(count(lit(1)).as("c"))
+        val wb = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bins
+          .withColumn("cumc", sum("c").over(wb))
+          .withColumn("cums", sum(col("c") * col("cents")).over(wb))
+        val tot = cum.agg(max("cumc").as("n"), max("cums").as("stot"))
+        val ks = broadcast(s.range(1, 11).select(col("id").as("k")))
+        // cumc and cums are both monotone in cents, so the per-decile
+        // boundary bin maximizes both at once — two plain MAXes
+        cum.crossJoin(broadcast(tot)).crossJoin(ks)
+          .filter(col("cumc") * lit(10L) <= col("k") * col("n"))
+          .groupBy("k")
+          .agg(max("cumc").as("bc"), max("cums").as("bs"),
+            max("n").as("n"), max("stot").as("stot"))
+          .select(col("k").as("decile"),
+            (col("bc").cast("double") / col("n")).as("pop_share"),
+            (col("bs").cast("double") / col("stot")).as("spend_share"))
+          .orderBy("decile")
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_mcc" ->
+      """WITH e AS (SELECT label % 2 = 1 AS y,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT) > 0 AS p
+        |  FROM embeddings),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fp,
+        |    CAST(SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fn,
+        |    CAST(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM e)
+        |SELECT tp, fp, fn, tn,
+        |  (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) /
+        |  sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) *
+        |    (tn + fn)) AS mcc
+        |FROM c""".stripMargin,
+
+    "q_cohens_kappa" ->
+      """WITH e AS (SELECT
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT) > 0 AS a,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT) > 0 AS b
+        |  FROM embeddings),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+        |  FROM e)
+        |SELECT n, agree,
+        |  CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) /
+        |  CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+        |    AS kappa
+        |FROM m""".stripMargin,
+
+    "q_cohens_d" ->
+      """WITH q AS (SELECT event_type = 'click' AS c,
+        |    CAST(round(value, 0) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN c THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN c THEN v * v ELSE 0 END) AS BIGINT)
+        |      AS q1,
+        |    CAST(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN NOT c THEN v ELSE 0 END) AS BIGINT)
+        |      AS s2,
+        |    CAST(SUM(CASE WHEN NOT c THEN v * v ELSE 0 END) AS BIGINT)
+        |      AS q2
+        |  FROM q)
+        |SELECT n1, n2,
+        |  (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |    AS mean_diff,
+        |  (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) /
+        |  sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) +
+        |        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)) /
+        |       (n1 + n2 - 2)) AS cohens_d
+        |FROM m""".stripMargin,
+
+    "q_als_step" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS rij
+        |  FROM events GROUP BY 1, 2),
+        |v0 AS (SELECT event_type, CAST(SUM(rij) AS BIGINT) AS v0
+        |  FROM r GROUP BY event_type),
+        |vn AS (SELECT CAST(SUM(v0 * v0) AS BIGINT) AS vv FROM v0),
+        |u AS (SELECT user_id,
+        |    CAST(CAST(CAST(SUM(rij * v0) AS BIGINT) AS DOUBLE) / vv
+        |      AS DECIMAL(18,4)) AS uq
+        |  FROM r JOIN v0 USING (event_type) CROSS JOIN vn
+        |  GROUP BY user_id, vv),
+        |un AS (SELECT SUM(uq * uq) AS uu FROM u)
+        |SELECT event_type, v0,
+        |  CAST(SUM(CAST(rij AS DECIMAL(18,4)) * uq) AS DOUBLE) /
+        |    CAST(MAX(uu) AS DOUBLE) AS v1
+        |FROM r JOIN u USING (user_id) CROSS JOIN un JOIN v0
+        |  USING (event_type)
+        |GROUP BY event_type, v0 ORDER BY event_type""".stripMargin,
+
+    "q_ips_eval" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(CAST(round(value, 0) AS BIGINT) > 50 AS BIGINT) AS r
+        |  FROM events),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nv,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN r ELSE 0 END)
+        |      AS BIGINT) AS rc,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN r ELSE 0 END)
+        |      AS BIGINT) AS rv
+        |  FROM q)
+        |SELECT n, nc, nv,
+        |  CAST(rc AS DOUBLE) / nc AS mean_r_click,
+        |  CAST(rv AS DOUBLE) / nv AS mean_r_view,
+        |  0.5 * (CAST(rc AS DOUBLE) / nc + CAST(rv AS DOUBLE) / nv)
+        |    AS ips_value
+        |FROM m""".stripMargin,
+
+    "q_lorenz_deciles" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |bins AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM spend GROUP BY cents),
+        |cum AS (SELECT cents, c,
+        |    CAST(SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+        |    CAST(SUM(c * cents) OVER (ORDER BY cents ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cums
+        |  FROM bins),
+        |tot AS (SELECT MAX(cumc) AS n, MAX(cums) AS stot FROM cum),
+        |g AS (SELECT k, MAX(cumc) AS bc, MAX(cums) AS bs,
+        |    MAX(n) AS n, MAX(stot) AS stot
+        |  FROM cum CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS k)
+        |  WHERE cumc * 10 <= k * n GROUP BY k)
+        |SELECT k AS decile,
+        |  CAST(bc AS DOUBLE) / n AS pop_share,
+        |  CAST(bs AS DOUBLE) / stot AS spend_share
+        |FROM g ORDER BY decile""".stripMargin
+  )
+}

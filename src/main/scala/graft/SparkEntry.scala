@@ -35,6 +35,7 @@ object SparkEntry {
     operators.Diagnostics,
     operators.CorpusStats,
     operators.EffectSizes,
+    operators.Activity,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Activity & composition reports (round 8, batch 12): the daily
+  * new-vs-returning split, DAU/MAU stickiness, knee-point detection on
+  * the coverage curve, the missingness co-occurrence histogram, and
+  * share-of-parent hierarchy rollups. All five carry full DuckDB
+  * oracles. Exact int64 counting with terminal divisions throughout;
+  * the knee is an exact-integer argmax (cum·V − k·total scaled
+  * distance), so no floating-point comparison ever picks the winner.
+  */
+object Activity extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- daily new vs returning users (the growth-accounting
+      // split): a user's first-ever event day marks them "new" that
+      // day, "returning" after. Per-(user, day) presence and the
+      // per-user first day reduce off the SAME user-keyed aggregate
+      // shape (both map-side combinable); the join is on the natural
+      // user key; the day rollup is time-sized. ---
+      "q_new_returning" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+        val perDay = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        val first = perDay.groupBy("user_id").agg(min("day").as("d0"))
+        perDay.join(first, "user_id")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_active"),
+            sum((col("day") === col("d0")).cast("long")).as("n_new"),
+            sum((col("day") =!= col("d0")).cast("long"))
+              .as("n_returning"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_active"), col("n_new"), col("n_returning"))
+          .orderBy("day")
+      }),
+
+      // --- DAU/MAU stickiness per day: daily active users over the
+      // calendar month's active users — the engagement ratio product
+      // teams watch. Exact distinct counts from per-(user, day) and
+      // per-(user, month) dedup aggregates (both natural-key shuffles);
+      // the O(months) MAU relation broadcasts onto the O(days) DAU
+      // relation. ---
+      "q_stickiness" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"),
+            date_format(col("ts"), "yyyy-MM").as("mon"))
+        val dau = ev.select("user_id", "day").distinct()
+          .groupBy("day").agg(count(lit(1)).as("dau"))
+        val mau = ev.select("user_id", "mon").distinct()
+          .groupBy("mon").agg(count(lit(1)).as("mau"))
+        dau
+          .withColumn("mon", date_format(col("day"), "yyyy-MM"))
+          .join(broadcast(mau), "mon")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("mau"),
+            (col("dau").cast("double") / col("mau")).as("stickiness"))
+          .orderBy("day")
+      }),
+
+      // --- knee-point detection on the bigram coverage curve (the
+      // elbow rule that picks a vocabulary/cache size): the rank k
+      // whose cumulative-coverage point lies farthest above the
+      // (0,0)→(V,1) chord. The distance argmax is EXACT-INTEGER —
+      // maximize cum·V − k·total (ties → smallest k via a struct max
+      // with negated rank) — so no floating-point comparison picks
+      // the winner; the curve itself lives on the O(V) vocabulary
+      // relation. ---
+      "q_knee_point" -> ((s, d) => {
+        val grams = table(s, d, "documents")
+          .select(graft.functions.NGramGenerator(
+            split(col("text"), " "), 2).alias("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c"))
+        val tot = grams.agg(sum("c").as("total"),
+          count(lit(1)).as("vocab"))
+        val wr = Window.orderBy(col("c").desc, col("gram").asc)
+        grams
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("cum", sum("c").over(
+            Window.orderBy(col("c").desc, col("gram").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .select(col("rk"), col("cum"), col("total"), col("vocab"),
+            (col("cum") * col("vocab") - col("rk") * col("total"))
+              .as("score"))
+          .agg(max(struct(col("score"), (-col("rk")).as("nrk"),
+            col("cum"), col("total"), col("vocab"))).as("m"))
+          .select((-col("m.nrk")).as("knee_k"), col("m.vocab").as("vocab"),
+            col("m.score").as("score"),
+            (col("m.cum").cast("double") / col("m.total"))
+              .as("knee_coverage"))
+      }),
+
+      // --- missingness co-occurrence histogram: three md5-gated
+      // "missing" flags (balance 1/8, phone 1/16, segment 1/16 —
+      // deterministic, reproducible) roll into a bitmask pattern and
+      // the per-pattern census — the first diagnostic of whether
+      // nulls cluster (MNAR) or spread independently (MCAR). Pure
+      // map-side pattern assignment; O(8) output. ---
+      "q_null_patterns" -> ((s, d) => {
+        def gate(salt: String, hexes: Seq[String]) =
+          substring(md5(concat(lit(salt), col("c_custkey").cast("string"))),
+            1, 1).isin(hexes: _*)
+        val c = table(s, d, "customer")
+          .select(gate("nb", Seq("0", "1")).cast("long").as("mb"),
+            gate("np", Seq("0")).cast("long").as("mp"),
+            gate("ns", Seq("0")).cast("long").as("ms"))
+        val tot = c.agg(count(lit(1)).as("n"))
+        c.groupBy((col("mb") * 4 + col("mp") * 2 + col("ms"))
+            .as("pattern"))
+          .agg(count(lit(1)).as("n_rows"),
+            max("mb").as("miss_bal"), max("mp").as("miss_phone"),
+            max("ms").as("miss_seg"))
+          .crossJoin(broadcast(tot))
+          .select(col("pattern"), col("miss_bal"), col("miss_phone"),
+            col("miss_seg"), col("n_rows"),
+            (col("n_rows").cast("double") / col("n")).as("share"))
+          .orderBy("pattern")
+      }),
+
+      // --- share-of-parent hierarchy rollup (region → nation):
+      // each nation's customer count and balance as a share of its
+      // region, and each region's share of the total — the
+      // drill-down report a BI layer derives from one fact scan.
+      // Exact decimal balance sums; the region and global totals are
+      // O(regions) relations broadcast back onto the nation rows;
+      // shares are terminal divisions. ---
+      "q_share_of_parent" -> ((s, d) => {
+        val c = table(s, d, "customer")
+          .join(table(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(table(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"),
+            dec(col("c_acctbal")).as("bal"))
+        val nat = c.groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), sum("bal").as("bal"))
+        val reg = nat.groupBy("r_name")
+          .agg(sum("n_cust").as("r_cust"), sum("bal").as("r_bal"))
+        val tot = reg.agg(sum("r_cust").as("t_cust"))
+        nat.join(broadcast(reg), "r_name")
+          .crossJoin(broadcast(tot))
+          .select(col("r_name"), col("n_name"), col("n_cust"),
+            col("bal").cast("double").as("bal"),
+            (col("n_cust").cast("double") / col("r_cust"))
+              .as("share_of_region"),
+            (col("r_cust").cast("double") / col("t_cust"))
+              .as("region_share"))
+          .orderBy("r_name", "n_name")
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_new_returning" ->
+      """WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, MIN(day) AS d0 FROM pd GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN day <> d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning
+        |FROM pd JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |mu AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS mon
+        |  FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM du GROUP BY day),
+        |mau AS (SELECT mon, CAST(COUNT(*) AS BIGINT) AS mau
+        |  FROM mu GROUP BY mon)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, mau,
+        |  CAST(dau AS DOUBLE) / mau AS stickiness
+        |FROM dau JOIN mau ON strftime(day, '%Y-%m') = mon
+        |ORDER BY day""".stripMargin,
+
+    "q_knee_point" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |         for i in range(1, len(tk))]) AS gram FROM d),
+        |v AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g GROUP BY gram),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab FROM v),
+        |r AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY c DESC, gram) AS BIGINT)
+        |      AS rk,
+        |    CAST(SUM(c) OVER (ORDER BY c DESC, gram
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM v),
+        |sc AS (SELECT rk, cum, total, vocab,
+        |    cum * vocab - rk * total AS score
+        |  FROM r CROSS JOIN tot),
+        |best AS (SELECT rk, cum, total, vocab, score,
+        |    row_number() OVER (ORDER BY score DESC, rk) AS b
+        |  FROM sc)
+        |SELECT rk AS knee_k, vocab, score,
+        |  CAST(cum AS DOUBLE) / total AS knee_coverage
+        |FROM best WHERE b = 1""".stripMargin,
+
+    "q_null_patterns" ->
+      """WITH c AS (SELECT
+        |    CAST(substr(md5('nb' || CAST(c_custkey AS VARCHAR)), 1, 1)
+        |      IN ('0', '1') AS BIGINT) AS mb,
+        |    CAST(substr(md5('np' || CAST(c_custkey AS VARCHAR)), 1, 1)
+        |      = '0' AS BIGINT) AS mp,
+        |    CAST(substr(md5('ns' || CAST(c_custkey AS VARCHAR)), 1, 1)
+        |      = '0' AS BIGINT) AS ms
+        |  FROM customer),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+        |SELECT CAST(mb * 4 + mp * 2 + ms AS BIGINT) AS pattern,
+        |  MAX(mb) AS miss_bal, MAX(mp) AS miss_phone,
+        |  MAX(ms) AS miss_seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS DOUBLE) / MAX(n) AS share
+        |FROM c CROSS JOIN t
+        |GROUP BY 1 ORDER BY pattern""".stripMargin,
+
+    "q_share_of_parent" ->
+      """WITH c AS (SELECT r_name, n_name,
+        |    CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+        |  FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT)
+        |      AS n_cust,
+        |    SUM(bal) AS bal
+        |  FROM c GROUP BY 1, 2),
+        |reg AS (SELECT r_name, CAST(SUM(n_cust) AS BIGINT) AS r_cust,
+        |    SUM(bal) AS r_bal
+        |  FROM nat GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(r_cust) AS BIGINT) AS t_cust FROM reg)
+        |SELECT nat.r_name, n_name, n_cust,
+        |  CAST(nat.bal AS DOUBLE) AS bal,
+        |  CAST(n_cust AS DOUBLE) / r_cust AS share_of_region,
+        |  CAST(r_cust AS DOUBLE) / t_cust AS region_share
+        |FROM nat JOIN reg ON nat.r_name = reg.r_name CROSS JOIN tot
+        |ORDER BY nat.r_name, n_name""".stripMargin
+  )
+}

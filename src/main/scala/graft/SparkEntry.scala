@@ -36,6 +36,7 @@ object SparkEntry {
     operators.CorpusStats,
     operators.EffectSizes,
     operators.Activity,
+    operators.Experiments,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Experimentation & distribution shape (round 8, batch 13): CUPED
+  * variance reduction, inter-event regularity, local peak detection,
+  * and equi-depth histograms. All four carry full DuckDB oracles.
+  *
+  * Determinism: per-user covariates are integer counts, so every
+  * moment (including the CUPED θ numerators) is exact int64/decimal;
+  * variances come from closed-form moment identities — no per-row
+  * adjusted values are ever summed as doubles.
+  */
+object Experiments extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- CUPED variance reduction (the standard experimentation
+      // trick: regress the experiment metric on its pre-period twin
+      // and remove the explained variance). Per-user pre/post counts
+      // are ONE user-keyed conditional aggregate; θ = cov(X,Y)/var(X)
+      // comes from pooled exact int64 moments (broadcast 1-row);
+      // per-arm adjusted means and variances use closed-form moment
+      // identities (var_adj = var_y − 2θcov + θ²var_x), so nothing
+      // per-row is ever accumulated in floating point. Arms are a
+      // deterministic user-id parity. ---
+      "q_cuped_adjust" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(sum((datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")) < 15).cast("long")).as("x"),
+            sum((datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")) >= 15).cast("long")).as("y"))
+          .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+        val g = per.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val theta = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val xbarG = col("sx").cast("double") / col("n")
+        val arm = per.groupBy("arm").agg(count(lit(1)).as("na"),
+          sum("x").as("ax"), sum("y").as("ay"),
+          sum(col("x") * col("x")).as("axx"),
+          sum(col("y") * col("y")).as("ayy"),
+          sum(col("x") * col("y")).as("axy"))
+        val meanY = col("ay").cast("double") / col("na")
+        val meanX = col("ax").cast("double") / col("na")
+        val varY = (col("ayy").cast("double") -
+          col("ay").cast("double") * col("ay") / col("na")) / col("na")
+        val varX = (col("axx").cast("double") -
+          col("ax").cast("double") * col("ax") / col("na")) / col("na")
+        val covA = (col("axy").cast("double") -
+          col("ax").cast("double") * col("ay") / col("na")) / col("na")
+        val varAdj = varY - lit(2.0) * col("th") * covA +
+          col("th") * col("th") * varX
+        arm.crossJoin(broadcast(
+            g.select(theta.as("th"), xbarG.as("xg"))))
+          .select(col("arm"), col("na").as("n"),
+            meanY.as("mean_y"),
+            (meanY - col("th") * (meanX - col("xg"))).as("mean_y_adj"),
+            varY.as("var_y"), varAdj.as("var_y_adj"),
+            (varAdj / varY).as("var_ratio"))
+          .orderBy("arm")
+      }),
+
+      // --- inter-event regularity per event type: the coefficient of
+      // variation of the gaps between a user's consecutive events of
+      // that type — CV ≈ 1 is Poisson-random, ≪ 1 is scheduled, ≫ 1
+      // is bursty (the behavioral texture statistic behind retention
+      // models). Gaps come from one (user,type)-keyed lag window,
+      // quantized to whole seconds; moments accumulate in
+      // DECIMAL(38,0) (squared seconds pass int64 only to ~month-long
+      // gaps); CV is one fixed sqrt/division tree. ---
+      "q_order_gap_cv" -> ((s, d) => {
+        val wt = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val gaps = table(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("gapus",
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(wt)))
+          .filter(col("gapus").isNotNull)
+          .select(col("event_type"), expr("gapus div 1000000").as("g"))
+        val d38 = DecimalType(38, 0)
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("g").cast(d38)).as("sg"),
+            sum((col("g") * col("g")).cast(d38)).as("sgg"))
+          .select(col("event_type"), col("n"),
+            (col("sg").cast("double") / col("n")).as("mean_gap_s"),
+            (sqrt((col("sgg").cast("double") -
+              col("sg").cast("double") * col("sg").cast("double") /
+                col("n")) / col("n")) /
+              (col("sg").cast("double") / col("n"))).as("cv"))
+          .orderBy("event_type")
+      }),
+
+      // --- local peak detection on the daily series: days whose count
+      // beats both neighbors AND clears 1.2× their average (the
+      // prominence gate, kept integer as 5·cnt ≥ 3·(prev+next)) — the
+      // alarm-worthy spikes, separated from plateau noise. lag/lead
+      // over the time-sized per-type grid; pure integer predicate. ---
+      "q_local_peaks" -> ((s, d) => {
+        val wt = Window.partitionBy("event_type").orderBy("day")
+        table(s, d, "events")
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prev", lag("cnt", 1).over(wt))
+          .withColumn("nxt", lead("cnt", 1).over(wt))
+          .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+            col("cnt") > col("prev") && col("cnt") > col("nxt") &&
+            col("cnt") * 5 >= (col("prev") + col("nxt")) * 3)
+          .select(col("event_type"), col("day"), col("cnt"),
+            col("prev"), col("nxt"))
+          .orderBy("event_type", "day")
+      }),
+
+      // --- equi-depth histogram (4 quantile bins) per event type:
+      // the ANALYZE-style statistic behind selectivity estimation —
+      // unlike q_histogram_equiwidth, bin EDGES adapt to the data so
+      // every bin holds ~n/4 rows. Boundaries are exact-rank order
+      // statistics off cumulative counts over the O(bins) value
+      // domain, broadcast back for a map-side bin assignment over the
+      // SAME domain relation (rows never re-scan). ---
+      "q_histogram_equidepth" -> ((s, d) => {
+        val dom = table(s, d, "events")
+          .groupBy(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dom
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n",
+            sum("c").over(Window.partitionBy("event_type")))
+        val bounds = cum.groupBy("event_type")
+          .agg(
+            min(when(col("cum") * 4 >= col("n"), col("v"))).as("t1"),
+            min(when(col("cum") * 2 >= col("n"), col("v"))).as("t2"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("t3"))
+        cum.join(broadcast(bounds), "event_type")
+          .withColumn("bin",
+            lit(1L) + (col("v") > col("t1")).cast("long") +
+              (col("v") > col("t2")).cast("long") +
+              (col("v") > col("t3")).cast("long"))
+          .groupBy("event_type", "bin")
+          .agg(sum("c").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+          .orderBy("event_type", "bin")
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_cuped_adjust" ->
+      """WITH per AS (SELECT user_id % 2 AS arm,
+        |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |        CAST(ts AS DATE)) < 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |        CAST(ts AS DATE)) >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM per),
+        |th AS (SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+        |    CAST(sx AS DOUBLE) / n AS xg
+        |  FROM g),
+        |arm AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+        |    CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay,
+        |    CAST(SUM(x * x) AS BIGINT) AS axx,
+        |    CAST(SUM(y * y) AS BIGINT) AS ayy,
+        |    CAST(SUM(x * y) AS BIGINT) AS axy
+        |  FROM per GROUP BY arm)
+        |SELECT CAST(arm AS BIGINT) AS arm, na AS n,
+        |  CAST(ay AS DOUBLE) / na AS mean_y,
+        |  (CAST(ay AS DOUBLE) / na -
+        |    th * (CAST(ax AS DOUBLE) / na - xg)) AS mean_y_adj,
+        |  (CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * ay / na) / na
+        |    AS var_y,
+        |  ((CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * ay / na) / na
+        |    - 2.0 * th * ((CAST(axy AS DOUBLE) -
+        |        CAST(ax AS DOUBLE) * ay / na) / na)
+        |    + th * th * ((CAST(axx AS DOUBLE) -
+        |        CAST(ax AS DOUBLE) * ax / na) / na)) AS var_y_adj,
+        |  (((CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * ay / na) / na
+        |    - 2.0 * th * ((CAST(axy AS DOUBLE) -
+        |        CAST(ax AS DOUBLE) * ay / na) / na)
+        |    + th * th * ((CAST(axx AS DOUBLE) -
+        |        CAST(ax AS DOUBLE) * ax / na) / na)) /
+        |   ((CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE) * ay / na) / na))
+        |    AS var_ratio
+        |FROM arm CROSS JOIN th ORDER BY arm""".stripMargin,
+
+    "q_order_gap_cv" ->
+      """WITH l AS (SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id))) // 1000000 AS g
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(g) AS sg, SUM(g * g) AS sgg
+        |  FROM l WHERE g IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(sg AS DOUBLE) / n AS mean_gap_s,
+        |  sqrt((CAST(sgg AS DOUBLE) -
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n) / n) /
+        |    (CAST(sg AS DOUBLE) / n) AS cv
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_local_peaks" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prev,
+        |    lead(cnt) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS nxt
+        |  FROM g)
+        |SELECT event_type, day, cnt, prev, nxt
+        |FROM w
+        |WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        |  AND cnt > prev AND cnt > nxt
+        |  AND cnt * 5 >= (prev + nxt) * 3
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_histogram_equidepth" ->
+      """WITH dom AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM dom),
+        |b AS (SELECT event_type,
+        |    MIN(CASE WHEN cum * 4 >= n THEN v END) AS t1,
+        |    MIN(CASE WHEN cum * 2 >= n THEN v END) AS t2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS t3
+        |  FROM cum GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(1 + CAST(v > t1 AS BIGINT) + CAST(v > t2 AS BIGINT) +
+        |    CAST(v > t3 AS BIGINT) AS BIGINT) AS bin,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM cum JOIN b USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+  )
+}

@@ -37,6 +37,7 @@ object SparkEntry {
     operators.EffectSizes,
     operators.Activity,
     operators.Experiments,
+    operators.Association,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

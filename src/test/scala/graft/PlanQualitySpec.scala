@@ -742,4 +742,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!ps.contains("CartesianProduct"), ps.take(3000))
     assert(ps.contains("Window"), ps.take(3000))
   }
+
+  test("round-8 composition/experiment plans: tiny relations broadcast, " +
+      "no cartesians") {
+    // 1-row totals / bounds / thresholds / factors must broadcast back
+    // onto their row streams
+    for (q <- Seq("q_cramers_v", "q_coverage_curve", "q_cuped_adjust",
+        "q_histogram_equidepth", "q_share_of_parent", "q_knee_point",
+        "q_lorenz_deciles", "q_seasonality_strength", "q_als_step",
+        "q_capture_recapture")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin") ||
+        !p.contains("Join"), s"$q broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+    }
+    // bounded pair joins (rank lists, journeys) stay off CartesianProduct
+    for (q <- Seq("q_kendall_tau", "q_rank_rbo", "q_attrib_ushape",
+        "q_odds_ratio", "q_graph_recip", "q_mk_trend")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    }
+  }
 }

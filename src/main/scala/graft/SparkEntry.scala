@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Activity,
     operators.Experiments,
     operators.Association,
+    operators.Stratified,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

@@ -1,0 +1,317 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Det._
+import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stratified design & robustness (round 8, batch 15): Neyman optimal
+  * sample allocation, Mantel-Haenszel pooled odds ratio, leave-one-
+  * source-out top-k stability, price elasticity, and ABC revenue
+  * classification. All five carry full DuckDB oracles. Exact
+  * int64/decimal moments with terminal fixed trees; the only
+  * cross-stratum double sums (Neyman weights, MH terms — O(strata)
+  * each) go through DECIMAL(18,4).
+  */
+object Stratified extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- Neyman optimal allocation: how a 1000-row audit sample
+      // should split across segments (∝ N_h·S_h — big AND volatile
+      // strata earn more rows than proportional allocation gives).
+      // Per-stratum sd from exact cents moments; the 5 weight terms
+      // cross strata via DECIMAL(18,4); the final counts are floors
+      // of one fixed double tree. ---
+      "q_neyman_alloc" -> ((s, d) => {
+        val m = table(s, d, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("x"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("sd", sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("nh")) /
+            col("nh")) / lit(100.0))
+          .withColumn("w", col("nh") * col("sd"))
+        val tot = m.agg(sum(dec(col("w"))).cast("double").as("wtot"))
+        m.crossJoin(broadcast(tot))
+          .select(col("seg"), col("nh").as("n"), col("sd"),
+            (col("w") / col("wtot")).as("alloc_share"),
+            floor(lit(1000.0) * col("w") / col("wtot")).cast("long")
+              .as("alloc_n"))
+          .orderBy("seg")
+      }),
+
+      // --- Mantel-Haenszel pooled odds ratio across activity tiers:
+      // the confounder-adjusted version of q_odds_ratio ("heavy
+      // clickers buy more — or are active users just heavy at
+      // everything?"). Users stratify by total-event tier (fixed
+      // integer cuts); per-stratum 2×2 cells are exact; the MH terms
+      // a·d/n and b·c/n are one exact-rational double each, summed
+      // across the O(1) strata via DECIMAL(18,4); crude OR rides
+      // along for the Simpson's-paradox readout. ---
+      "q_mantel_haenszel" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("tot"),
+            (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              >= 14L).as("ex"),
+            (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              >= 14L).as("oc"))
+          .withColumn("tier",
+            when(col("tot") < 60L, 0L).when(col("tot") < 70L, 1L)
+              .otherwise(2L))
+        def cell(e: Boolean, o: Boolean, nm: String) =
+          sum(when(col("ex") === e && col("oc") === o, 1L).otherwise(0L))
+            .as(nm)
+        val strata = per.groupBy("tier")
+          .agg(cell(e = true, o = true, "a"),
+            cell(e = true, o = false, "b"),
+            cell(e = false, o = true, "c"),
+            cell(e = false, o = false, "dd"),
+            count(lit(1)).as("n"))
+        val pooled = strata.agg(
+          count(lit(1)).as("n_strata"),
+          sum(dec((col("a") * col("dd")).cast("double") / col("n")))
+            .cast("double").as("num"),
+          sum(dec((col("b") * col("c")).cast("double") / col("n")))
+            .cast("double").as("den"),
+          sum("a").as("ta"), sum("b").as("tb"), sum("c").as("tc"),
+          sum("dd").as("td"))
+        pooled.select(col("n_strata"),
+          (col("ta").cast("double") * col("td") /
+            (col("tb").cast("double") * col("tc"))).as("or_crude"),
+          (col("num") / col("den")).as("or_mh"))
+      }),
+
+      // --- leave-one-source-out top-10 stability: does any single
+      // source DECIDE the global top-10 tokens (the robustness check
+      // before trusting a vocabulary or cache list)? Global and
+      // per-source counts come off one tokenize pass; the LOO
+      // ranking per source runs a window over the (sources ×
+      // vocabulary) relation — dimensions-sized, never corpus-sized;
+      // the global top-10 membership probe is a broadcast semi
+      // join. ---
+      "q_topk_loo" -> ((s, d) => {
+        val toks = table(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val glob = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val wg = Window.orderBy(col("c").desc, col("w").asc)
+        val gtop = glob.withColumn("rk", row_number().over(wg))
+          .filter(col("rk") <= 10).select(col("w")).withColumn("g", lit(1L))
+        val perSrc = toks.groupBy("source", "w")
+          .agg(count(lit(1)).as("cs"))
+        val sources = toks.select("source").distinct()
+        val loo = sources.crossJoin(glob)
+          .join(perSrc, Seq("source", "w"), "left")
+          .select(col("source"), col("w"),
+            (col("c") - coalesce(col("cs"), lit(0L))).as("cl"))
+          .filter(col("cl") > 0L)
+        val wl = Window.partitionBy("source")
+          .orderBy(col("cl").desc, col("w").asc)
+        loo.withColumn("rk", row_number().over(wl))
+          .filter(col("rk") <= 10)
+          .join(broadcast(gtop), Seq("w"), "left")
+          .groupBy("source")
+          .agg(sum(coalesce(col("g"), lit(0L))).as("n_common"))
+          .select(col("source"), col("n_common"),
+            (lit(10L) - col("n_common")).as("churn"))
+          .orderBy("source")
+      }),
+
+      // --- price elasticity proxy per manufacturer: the OLS slope of
+      // line quantity on unit price (cents) — the demand-curve
+      // readout category managers act on. Unit price quantizes to
+      // exact cents map-side; the five moments accumulate in
+      // DECIMAL(38,0); slope and r are one fixed tree per group. ---
+      "q_elasticity" -> ((s, d) => {
+        val d38 = DecimalType(38, 0)
+        val li = table(s, d, "lineitem")
+          .join(table(s, d, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"),
+            // floor, not round: both engines floor the BINARY double
+            // (Math.floor / C floor), while round() disagrees on values
+            // whose shortest-decimal printout fakes a tie
+            floor(col("l_extendedprice") / col("l_quantity") * 100)
+              .cast("long").as("x"),
+            col("l_quantity").cast("long").as("y"))
+        def m(c: org.apache.spark.sql.Column) = sum(c.cast(d38))
+        li.groupBy("p_type")
+          .agg(count(lit(1)).as("n"), m(col("x")).as("sx"),
+            m(col("y")).as("sy"), m(col("x") * col("x")).as("sxx"),
+            m(col("y") * col("y")).as("syy"),
+            m(col("x") * col("y")).as("sxy"))
+          .select(col("p_type"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("slope_qty_per_cent"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))).as("r"))
+          .orderBy("p_type")
+      }),
+
+      // --- ABC revenue classification: parts ranked by revenue, class
+      // A to the first 80% of cumulative revenue, B to 95%, C the
+      // tail — the inventory-policy classic. Revenue reduces to the
+      // parts DIMENSION first (facts never sort); the cumulative
+      // window runs over that relation; class cuts are exact integer
+      // comparisons (cum·5 ≤ 4·total, cum·20 ≤ 19·total) so no
+      // floating-point boundary flips a part's class. ---
+      "q_abc_class" -> ((s, d) => {
+        val rev = table(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long")
+            .as("cents"))
+        val wr = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = rev.agg(sum("cents").as("tc"))
+        rev
+          .withColumn("cum", sum("cents").over(wr))
+          .crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("cum") * 5 <= col("tc") * 4, "A")
+              .when(col("cum") * 20 <= col("tc") * 19, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+          .crossJoin(broadcast(tot))
+          .select(col("cls"), col("n_parts"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            (col("cents").cast("double") / col("tc")).as("revenue_share"))
+          .orderBy("cls")
+      })
+    )
+
+  override def oracle: Map[String, String] = Map(
+    "q_neyman_alloc" ->
+      """WITH m AS (SELECT c_mktsegment AS seg,
+        |    CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT) *
+        |      CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS sxx
+        |  FROM customer GROUP BY 1),
+        |w AS (SELECT seg, nh,
+        |    sqrt((CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * sx / nh) / nh) / 100.0 AS sd
+        |  FROM m),
+        |w2 AS (SELECT seg, nh, sd, nh * sd AS w FROM w),
+        |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS wtot FROM w2)
+        |SELECT seg, nh AS n, sd,
+        |  w / wtot AS alloc_share,
+        |  CAST(floor(1000.0 * w / wtot) AS BIGINT) AS alloc_n
+        |FROM w2 CROSS JOIN t ORDER BY seg""".stripMargin,
+
+    "q_mantel_haenszel" ->
+      """WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tot,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14
+        |      AS ex,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 AS oc
+        |  FROM events GROUP BY user_id),
+        |tiers AS (SELECT CASE WHEN tot < 60 THEN 0
+        |    WHEN tot < 70 THEN 1 ELSE 2 END AS tier, ex, oc FROM per),
+        |st AS (SELECT tier,
+        |    CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tiers GROUP BY tier),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CAST(CAST(a * dd AS DOUBLE) / n
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS num,
+        |    CAST(SUM(CAST(CAST(b * c AS DOUBLE) / n
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS den,
+        |    CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+        |    CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(dd) AS BIGINT) AS td
+        |  FROM st)
+        |SELECT n_strata,
+        |  CAST(ta AS DOUBLE) * td / (CAST(tb AS DOUBLE) * tc)
+        |    AS or_crude,
+        |  num / den AS or_mh
+        |FROM p""".stripMargin,
+
+    "q_topk_loo" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |g AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY w),
+        |gt AS (SELECT w FROM (SELECT w,
+        |    row_number() OVER (ORDER BY c DESC, w) AS rk FROM g)
+        |  WHERE rk <= 10),
+        |ps AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+        |  FROM t GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM t),
+        |loo AS (SELECT srcs.source, g.w,
+        |    g.c - COALESCE(ps.cs, 0) AS cl
+        |  FROM srcs CROSS JOIN g
+        |  LEFT JOIN ps ON ps.source = srcs.source AND ps.w = g.w),
+        |lr AS (SELECT source, w,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cl DESC, w) AS rk
+        |  FROM loo WHERE cl > 0)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN w IN (SELECT w FROM gt) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_common,
+        |  CAST(10 - SUM(CASE WHEN w IN (SELECT w FROM gt)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS churn
+        |FROM lr WHERE rk <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_elasticity" ->
+      """WITH li AS (SELECT p_type,
+        |    CAST(floor(l_extendedprice / l_quantity * 100)
+        |      AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM li GROUP BY p_type)
+        |SELECT p_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope_qty_per_cent,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |FROM m ORDER BY p_type""".stripMargin,
+
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM rev),
+        |c AS (SELECT l_partkey, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM rev),
+        |cl AS (SELECT CASE WHEN cum * 5 <= tc * 4 THEN 'A'
+        |    WHEN cum * 20 <= tc * 19 THEN 'B' ELSE 'C' END AS cls,
+        |    cents, tc
+        |  FROM c CROSS JOIN t)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(SUM(cents) AS DOUBLE) / MAX(tc) AS revenue_share
+        |FROM cl GROUP BY cls ORDER BY cls""".stripMargin
+  )
+}

@@ -39,6 +39,7 @@ object SparkEntry {
     operators.Experiments,
     operators.Association,
     operators.Stratified,
+    operators.Calibration,
     operators.Telemetry,
     operators.Macros,
     operators.Features,

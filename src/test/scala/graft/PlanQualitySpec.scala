@@ -762,5 +762,15 @@ class PlanQualitySpec extends AnyFunSuite {
         "q_odds_ratio", "q_graph_recip", "q_mk_trend")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
     }
+    // stratified/calibration block: dimension totals and thresholds
+    // broadcast; the vec_id-keyed moment self-joins never cartesian
+    for (q <- Seq("q_neyman_alloc", "q_topk_loo", "q_elasticity",
+        "q_abc_class", "q_isotonic_fit", "q_corr_prune",
+        "q_mantel_haenszel", "q_prop_ztest")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+    }
+    assert(plan("q_elasticity").contains("BroadcastHashJoin"),
+      "part dimension broadcasts onto lineitem")
   }
 }

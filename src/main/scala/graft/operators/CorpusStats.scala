@@ -171,6 +171,47 @@ object CorpusStats extends QueryModule {
           .orderBy("lang")
       }),
 
+      // --- cross-source near-duplicate contamination: of the exact
+      // n-gram near-dup pairs (the q_dedup_ngram relation), how many
+      // CROSS a source boundary? If most dups are intra-source,
+      // per-source dedup sharding is safe; a high cross share means
+      // the minhash->cluster path must run globally. The pair relation
+      // computes once; the doc→source dimension broadcasts onto both
+      // endpoints; output is the O(sources²) pair matrix. ---
+      "q_cross_source_dups" -> ((s, d) => {
+        val src = table(s, d, "documents").select(col("doc_id"),
+          col("source"))
+        TextPipeline.ngramPairs(s, d)
+          .join(broadcast(src.select(col("doc_id").as("a_id"),
+            col("source").as("sa"))), "a_id")
+          .join(broadcast(src.select(col("doc_id").as("b_id"),
+            col("source").as("sb"))), "b_id")
+          .groupBy(least(col("sa"), col("sb")).as("s1"),
+            greatest(col("sa"), col("sb")).as("s2"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_cross", (col("s1") =!= col("s2")).cast("long"))
+          .orderBy("s1", "s2")
+      }),
+
+      // --- effective sample size under length weighting per language:
+      // ESS = (Σw)²/Σw² with w = n_chars — if training samples are
+      // weighted by document length, how many "effective" documents
+      // does each language really contribute, and what is the design
+      // effect n/ESS (the variance price of the weighting)? Exact
+      // int64 moments, two terminal divisions. ---
+      "q_ess_weights" -> ((s, d) => {
+        table(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sw"),
+            sum(col("n_chars") * col("n_chars")).as("sww"))
+          .select(col("lang"), col("n"),
+            ((col("sw") * col("sw")).cast("double") / col("sww"))
+              .as("ess"),
+            (col("n").cast("double") * col("sww") /
+              (col("sw") * col("sw")).cast("double")).as("deff"))
+          .orderBy("lang")
+      }),
+
       // --- rank-biased overlap (RBO@10, p=1/2) between the two
       // halves' token rankings: how stable is the frequency ranking
       // across time — the rank-level drift metric that punishes
@@ -212,6 +253,26 @@ object CorpusStats extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+    "q_cross_source_dups" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |sa AS (SELECT doc_id, source FROM documents)
+         |SELECT least(x.source, y.source) AS s1,
+         |  greatest(x.source, y.source) AS s2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(least(x.source, y.source) <> greatest(x.source, y.source)
+         |    AS BIGINT) AS is_cross
+         |FROM p JOIN sa x ON x.doc_id = a_id
+         |       JOIN sa y ON y.doc_id = b_id
+         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
+
+    "q_ess_weights" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) * SUM(n_chars) AS DOUBLE) /
+        |    SUM(n_chars * n_chars) AS ess,
+        |  CAST(COUNT(*) AS DOUBLE) * SUM(n_chars * n_chars) /
+        |    CAST(SUM(n_chars) * SUM(n_chars) AS DOUBLE) AS deff
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_cramers_v" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
         |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),

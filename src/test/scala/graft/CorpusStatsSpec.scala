@@ -97,6 +97,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-source dup matrix partitions the near-dup pair relation") {
+    val rows = q("q_cross_source_dups").collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val pairTotal = q("q_dedup_ngram").count()
+    assert(total == pairTotal, s"$total vs $pairTotal")
+    rows.foreach { r =>
+      val cross = r.getAs[Long]("is_cross")
+      val same = r.getAs[String]("s1") == r.getAs[String]("s2")
+      assert(cross == (if (same) 0L else 1L))
+    }
+  }
+
+  test("effective sample size is within (0, n] and deff >= 1") {
+    q("q_ess_weights").collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      val ess = r.getAs[Double]("ess")
+      val deff = r.getAs[Double]("deff")
+      assert(ess > 0.0 && ess <= n + 1e-9)
+      assert(deff >= 1.0 - 1e-12)
+      assert(math.abs(deff - n / ess) < 1e-9)
+    }
+  }
+
   test("RBO@10 equals a driver-side dyadic computation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.table(spark, sf, "documents")

@@ -212,6 +212,45 @@ object CorpusStats extends QueryModule {
           .orderBy("lang")
       }),
 
+      // --- Gini coefficient of the token frequency distribution: the
+      // one-number vocabulary-inequality summary next to q_zipf_slope's
+      // tail fit (G ≈ 1 means a few tokens dominate — the cache/vocab
+      // design regime). The closed form G = Σ cᵢ(2i−n−1)/(n·S) over the
+      // ascending-rank vocabulary relation stays EXACT int64 until one
+      // terminal division; the rank window runs over the O(V)
+      // vocabulary, never over token occurrences. ---
+      "q_vocab_gini" -> ((s, d) => {
+        val v = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val wr = Window.orderBy(col("c").asc, col("w").asc)
+        v.withColumn("i", row_number().over(wr).cast("long"))
+          .agg(count(lit(1)).as("n"), sum("c").as("s"),
+            sum(col("c") * (lit(2L) * col("i") - lit(1L))).as("num0"))
+          .select(col("n").as("vocab"), col("s").as("total"),
+            ((col("num0") - col("n") * col("s")).cast("double") /
+              (col("n") * col("s")).cast("double")).as("gini"))
+      }),
+
+      // --- Apdex score per event type (value read as latency, target
+      // T=50, tolerating ≤ 4T=200): the industry-standard UX summary
+      // (satisfied + tolerating/2)/n, kept exact as (2·sat + tol)/(2n).
+      // One conditional-count pass; O(types) output. ---
+      "q_apdex" -> ((s, d) => {
+        table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("v") <= 50L).cast("long")).as("n_sat"),
+            sum((col("v") > 50L && col("v") <= 200L).cast("long"))
+              .as("n_tol"))
+          .select(col("event_type"), col("n"), col("n_sat"), col("n_tol"),
+            ((lit(2L) * col("n_sat") + col("n_tol")).cast("double") /
+              (lit(2L) * col("n"))).as("apdex"))
+          .orderBy("event_type")
+      }),
+
       // --- rank-biased overlap (RBO@10, p=1/2) between the two
       // halves' token rankings: how stable is the frequency ranking
       // across time — the rank-level drift metric that punishes
@@ -272,6 +311,35 @@ object CorpusStats extends QueryModule {
         |  CAST(COUNT(*) AS DOUBLE) * SUM(n_chars * n_chars) /
         |    CAST(SUM(n_chars) * SUM(n_chars) AS DOUBLE) AS deff
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_vocab_gini" ->
+      """WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |r AS (SELECT c,
+        |    CAST(row_number() OVER (ORDER BY c, w) AS BIGINT) AS i
+        |  FROM v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * (2 * i - 1)) AS BIGINT) AS num0
+        |  FROM r)
+        |SELECT n AS vocab, s AS total,
+        |  CAST(num0 - n * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+        |FROM m""".stripMargin,
+
+    "q_apdex" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sat,
+        |  CAST(SUM(CASE WHEN v > 50 AND v <= 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tol,
+        |  CAST(2 * SUM(CASE WHEN v <= 50 THEN 1 ELSE 0 END) +
+        |    SUM(CASE WHEN v > 50 AND v <= 200 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / (2 * COUNT(*)) AS apdex
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_cramers_v" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),

@@ -120,6 +120,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary Gini equals a driver-side sorted computation") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.table(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map(_._2.length.toLong).toArray.sorted
+    val n = counts.length.toLong
+    val s = counts.sum
+    val num = counts.zipWithIndex
+      .map { case (c, i) => c * (2L * (i + 1) - n - 1) }.sum
+    val r = q("q_vocab_gini").collect().head
+    assert(r.getAs[Long]("vocab") == n)
+    assert(r.getAs[Long]("total") == s)
+    val gini = r.getAs[Double]("gini")
+    assert(math.abs(gini - num.toDouble / (n * s)) < 1e-12)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("Apdex is bounded and consistent with its counts") {
+    q("q_apdex").collect().foreach { r =>
+      val (n, sat, tol) = (r.getAs[Long]("n"), r.getAs[Long]("n_sat"),
+        r.getAs[Long]("n_tol"))
+      assert(sat + tol <= n)
+      val a = r.getAs[Double]("apdex")
+      assert(a == (2.0 * sat + tol) / (2.0 * n))
+      assert(a >= 0.0 && a <= 1.0)
+    }
+  }
+
   test("RBO@10 equals a driver-side dyadic computation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.table(spark, sf, "documents")

@@ -139,11 +139,13 @@ object Bench {
     val detailPath = "/root/repo/BENCH_DETAIL.json"
     // A SPARK_GRAFT_ONLY subset run is a local iteration tool — never
     // let it clobber the committed full-suite record this file holds.
+    val sha = GitSha.resolve()
     try if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""queries":$detail,"failed":$failedJson,""" +
-          s""""sf":"$sfDir","passes":$passes}""" + "\n").getBytes("UTF-8"))
+          s""""sf":"$sfDir","passes":$passes,"git_sha":"$sha"}""" +
+          "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailPath: $e")
     }
@@ -161,7 +163,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec",""" +
         s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir",""" +
-        s""""passes":$passes,"detail":"BENCH_DETAIL.json"}"""
+        s""""passes":$passes,"git_sha":"$sha",""" +
+        s""""detail":"BENCH_DETAIL.json"}"""
     }
     val all = ok.map { case (k, v) => k -> jnum(v, 2) }
     val line = {

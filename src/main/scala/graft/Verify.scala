@@ -63,6 +63,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Stamp the dump with the tree it came from, so a stale artifact
+    // is distinguishable from a live regression (round-8 lesson).
+    Files.writeString(Paths.get(s"$outDir/git_sha.txt"),
+      GitSha.resolve() + "\n")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Activity & composition reports (round 8, batch 12): the daily
   * new-vs-returning split, DAU/MAU stickiness, knee-point detection on
@@ -70,9 +70,16 @@ object Activity extends QueryModule {
       // whose cumulative-coverage point lies farthest above the
       // (0,0)→(V,1) chord. The distance argmax is EXACT-INTEGER —
       // maximize cum·V − k·total (ties → smallest k via a struct max
-      // with negated rank) — so no floating-point comparison picks
-      // the winner; the curve itself lives on the O(V) vocabulary
-      // relation. ---
+      // with negated rank) — and the vocabulary-sized rank/cumsum
+      // windows are GONE: within a tie group (count c, ranks
+      // off+1..off+m) the score cum(k)·V − k·total is LINEAR in k, so
+      // its max sits at a group endpoint; each group emits its two
+      // endpoint candidates and one tiny aggregate picks the global
+      // winner. The only window is the exclusive prefix-sum over the
+      // O(distinct counts) tie-group relation (the q_dense_ids
+      // discipline). Bit-identical to the global-rank spelling (the
+      // struct max orders (score, −k), and within a group a linear
+      // score's max-then-smallest-k is always an endpoint). ---
       "q_knee_point" -> ((s, d) => {
         val grams = table(s, d, "documents")
           .select(graft.functions.NGramGenerator(
@@ -80,18 +87,22 @@ object Activity extends QueryModule {
           .groupBy("gram").agg(count(lit(1)).as("c"))
         val tot = grams.agg(sum("c").as("total"),
           count(lit(1)).as("vocab"))
-        val wr = Window.orderBy(col("c").desc, col("gram").asc)
-        grams
-          .withColumn("rk", row_number().over(wr).cast("long"))
-          .withColumn("cum", sum("c").over(
-            Window.orderBy(col("c").desc, col("gram").asc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wb = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val groups = grams.groupBy("c").agg(count(lit(1)).as("m"))
+          .withColumn("off", coalesce(sum("m").over(wb), lit(0L)))
+          .withColumn("cumoff",
+            coalesce(sum(col("c") * col("m")).over(wb), lit(0L)))
           .crossJoin(broadcast(tot))
-          .select(col("rk"), col("cum"), col("total"), col("vocab"),
-            (col("cum") * col("vocab") - col("rk") * col("total"))
-              .as("score"))
-          .agg(max(struct(col("score"), (-col("rk")).as("nrk"),
-            col("cum"), col("total"), col("vocab"))).as("m"))
+        def candAt(k: Column): Column = {
+          val cum = col("cumoff") + col("c") * (k - col("off"))
+          struct((cum * col("vocab") - k * col("total")).as("score"),
+            (-k).as("nrk"), cum.as("cum"), col("total"), col("vocab"))
+        }
+        groups
+          .select(greatest(candAt(col("off") + 1),
+            candAt(col("off") + col("m"))).as("cand"))
+          .agg(max(col("cand")).as("m"))
           .select((-col("m.nrk")).as("knee_k"), col("m.vocab").as("vocab"),
             col("m.score").as("score"),
             (col("m.cum").cast("double") / col("m.total"))

@@ -5,6 +5,7 @@ import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Corpus composition & behavior readouts (round 8, batch 10):
@@ -126,27 +127,37 @@ object CorpusStats extends QueryModule {
       // --- top-k n-gram coverage curve: what share of all bigram
       // occurrences do the top 10/100/1000 bigrams cover? (The
       // Zipf-mass readout a tokenizer-vocabulary or cache-sizing
-      // decision reads.) Counts reduce to the vocabulary relation;
-      // the rank and cumulative sums run over that O(V) relation,
-      // never over token occurrences; the three checkpoints are a
-      // map-side IN filter. ---
+      // decision reads.) Counts reduce to the vocabulary relation —
+      // and the vocabulary-sized rank/cumsum windows are GONE: a
+      // checkpoint rank k falls inside ONE tie group (all bigrams with
+      // count c, ranks off+1..off+m, each adding the same c), so
+      // cum(k) = cumoff + c·(k−off) in exact int64 on the O(distinct
+      // counts) tie-group relation. The only window is the exclusive
+      // prefix-sum over that boundary relation (the q_dense_ids
+      // discipline); the 3-row checkpoint table broadcasts in.
+      // Bit-identical to the global-rank spelling. ---
       "q_coverage_curve" -> ((s, d) => {
         val grams = table(s, d, "documents")
           .select(graft.functions.NGramGenerator(
             split(col("text"), " "), 2).alias("gram"))
           .groupBy("gram").agg(count(lit(1)).as("c"))
-        val wr = Window.orderBy(col("c").desc, col("gram").asc)
         val tot = grams.agg(sum("c").as("total"),
           count(lit(1)).as("vocab"))
-        grams
-          .withColumn("rk", row_number().over(wr).cast("long"))
-          .withColumn("cum", sum("c").over(
-            Window.orderBy(col("c").desc, col("gram").asc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("rk").isin(10L, 100L, 1000L))
+        val wb = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val groups = grams.groupBy("c").agg(count(lit(1)).as("m"))
+          .withColumn("off", coalesce(sum("m").over(wb), lit(0L)))
+          .withColumn("cumoff",
+            coalesce(sum(col("c") * col("m")).over(wb), lit(0L)))
+        import s.implicits._
+        val ks = Seq(10L, 100L, 1000L).toDF("k")
+        groups.crossJoin(broadcast(ks))
+          .filter(col("k") > col("off") &&
+            col("k") <= col("off") + col("m"))
+          .withColumn("cum",
+            col("cumoff") + col("c") * (col("k") - col("off")))
           .crossJoin(broadcast(tot))
-          .select(col("rk").as("k"), col("cum"), col("total"),
-            col("vocab"),
+          .select(col("k"), col("cum"), col("total"), col("vocab"),
             (col("cum").cast("double") / col("total")).as("coverage"))
           .orderBy("k")
       }),
@@ -197,17 +208,23 @@ object CorpusStats extends QueryModule {
       // ESS = (Σw)²/Σw² with w = n_chars — if training samples are
       // weighted by document length, how many "effective" documents
       // does each language really contribute, and what is the design
-      // effect n/ESS (the variance price of the weighting)? Exact
-      // int64 moments, two terminal divisions. ---
+      // effect n/ESS (the variance price of the weighting)? The
+      // moments accumulate in DECIMAL(38,0) (the q_elasticity
+      // discipline): a plain int64 SUM wraps silently past ~3e9 total
+      // chars per language while DuckDB promotes to HUGEINT and stays
+      // exact — the decimal sums match the oracle at any scale. Two
+      // terminal divisions. ---
       "q_ess_weights" -> ((s, d) => {
+        val d38 = DecimalType(38, 0)
         table(s, d, "documents")
           .groupBy("lang")
-          .agg(count(lit(1)).as("n"), sum("n_chars").as("sw"),
-            sum(col("n_chars") * col("n_chars")).as("sww"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars").cast(d38)).as("sw"),
+            sum((col("n_chars") * col("n_chars")).cast(d38)).as("sww"))
           .select(col("lang"), col("n"),
-            ((col("sw") * col("sw")).cast("double") / col("sww"))
-              .as("ess"),
-            (col("n").cast("double") * col("sww") /
+            ((col("sw") * col("sw")).cast("double") /
+              col("sww").cast("double")).as("ess"),
+            (col("n").cast("double") * col("sww").cast("double") /
               (col("sw") * col("sw")).cast("double")).as("deff"))
           .orderBy("lang")
       }),
@@ -215,18 +232,26 @@ object CorpusStats extends QueryModule {
       // --- Gini coefficient of the token frequency distribution: the
       // one-number vocabulary-inequality summary next to q_zipf_slope's
       // tail fit (G ≈ 1 means a few tokens dominate — the cache/vocab
-      // design regime). The closed form G = Σ cᵢ(2i−n−1)/(n·S) over the
-      // ascending-rank vocabulary relation stays EXACT int64 until one
-      // terminal division; the rank window runs over the O(V)
-      // vocabulary, never over token occurrences. ---
+      // design regime). The closed form G = Σ cᵢ(2i−n−1)/(n·S) stays
+      // EXACT int64 until one terminal division — and the rank window
+      // is GONE: within a tie group (all tokens sharing count c at
+      // ranks off+1..off+m) Σ(2i−1) = 2·m·off + m², independent of the
+      // intra-group order, so the per-rank sum collapses to the
+      // O(distinct counts) tie-group relation. The only window is the
+      // exclusive prefix-sum over that boundary relation (the
+      // q_dense_ids discipline) — no single task ever sorts the
+      // vocabulary. Bit-identical to the global-rank spelling. ---
       "q_vocab_gini" -> ((s, d) => {
         val v = table(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c"))
-        val wr = Window.orderBy(col("c").asc, col("w").asc)
-        v.withColumn("i", row_number().over(wr).cast("long"))
-          .agg(count(lit(1)).as("n"), sum("c").as("s"),
-            sum(col("c") * (lit(2L) * col("i") - lit(1L))).as("num0"))
+        val g = v.groupBy("c").agg(count(lit(1)).as("m"))
+        val wb = Window.orderBy(col("c").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("off", coalesce(sum("m").over(wb), lit(0L)))
+          .agg(sum("m").as("n"), sum(col("c") * col("m")).as("s"),
+            sum(col("c") * (lit(2L) * col("m") * col("off")
+              + col("m") * col("m"))).as("num0"))
           .select(col("n").as("vocab"), col("s").as("total"),
             ((col("num0") - col("n") * col("s")).cast("double") /
               (col("n") * col("s")).cast("double")).as("gini"))

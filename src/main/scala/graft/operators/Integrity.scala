@@ -51,7 +51,11 @@ object Integrity extends QueryModule {
       // order, partitioning, and engine, and two tables compare by
       // comparing 3 rows. Pure map-side scan + one tiny aggregate;
       // at 100 TB this is the cheapest possible full-content audit
-      // (no sort, no join, no shuffle beyond 3 groups). ---
+      // (no sort, no join, no shuffle beyond 3 groups). The exact
+      // DECIMAL(38,0) digest sum is SPLIT into hi/lo int64 columns
+      // (div/mod 10^18) for the output: both halves are exact BIGINTs
+      // on both engines, so no wide-decimal rendering ever reaches the
+      // comparison layer (round-8 artifact flagged the D38 column). ---
       "q_table_checksum" -> ((s, d) => {
         val row = concat_ws("|",
           col("l_orderkey"), col("l_linenumber"),
@@ -60,24 +64,42 @@ object Integrity extends QueryModule {
           .select(col("l_returnflag"), digest60(row).as("dg"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(col("dg").cast(D38)).as("checksum"),
+            sum(col("dg").cast(D38)).as("ck"),
             min("dg").as("dg_min"), max("dg").as("dg_max"))
+          // `div` on the non-negative decimal is exact integral
+          // division; lo = ck - hi*10^18 stays in [0, 10^18).
+          .select(col("l_returnflag"), col("n"),
+            expr("CAST(ck div 1000000000000000000 AS BIGINT)")
+              .as("checksum_hi"),
+            expr("CAST(ck - (ck div 1000000000000000000) * " +
+              "CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)")
+              .as("checksum_lo"),
+            col("dg_min"), col("dg_max"))
           .orderBy("l_returnflag")
       }),
 
       // --- range-partition boundary planning (the TeraSort split
-      // computation): a deterministic md5 sample (~1/256 — the sample
-      // SIZE, not the data size, bounds all downstream work, exactly
-      // why global-sort planners sample) is ranked into 32 tiles and
-      // each tile's max price becomes a partition upper bound. The
-      // global ntile window runs over ~n/256 rows by construction —
-      // bounded at any corpus scale by tightening the gate, which is
-      // the fleet knob. ---
+      // computation): a deterministic md5 sample (the sample SIZE, not
+      // the data size, bounds all downstream work, exactly why
+      // global-sort planners sample) is ranked into 32 tiles and each
+      // tile's max price becomes a partition upper bound. The gate
+      // width DERIVES from the corpus count — keep rows whose 32-bit
+      // md5 prefix is ≡ 0 mod 2^b with b = max(bitlen(n) − 13, 0), the
+      // smallest power that holds the expected sample under 8192 rows
+      // — so the single sample-sized ntile window stays bounded at ANY
+      // corpus scale (the round-8 hardcoded 1/256 gate let the sample
+      // grow linearly). The count pass is one cheap aggregate
+      // broadcast into the map-side gate. ---
       "q_range_bounds" -> ((s, d) => {
-        val gate = substring(md5(concat(lit("rb"),
+        val li = table(s, d, "lineitem")
+        val n1 = li.agg(count(lit(1)).as("nn"))
+        val h = conv(substring(md5(concat(lit("rb"),
           col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"))), 1, 2) === "00"
-        val sample = table(s, d, "lineitem").filter(gate)
+          col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+          .cast("long")
+        val sample = li.crossJoin(broadcast(n1))
+          .withColumn("b", greatest(length(bin(col("nn"))) - 13, lit(0)))
+          .filter(h % expr("shiftleft(CAST(1 AS BIGINT), b)") === 0)
           .select(col("l_extendedprice").as("price"),
             col("l_orderkey"), col("l_linenumber"))
         val w = Window.orderBy(col("price"), col("l_orderkey"),
@@ -263,18 +285,27 @@ object Integrity extends QueryModule {
         |        substr(md5(concat_ws('|', l_orderkey, l_linenumber,
         |          l_suppkey, l_returnflag)), i, 1)) - 1 AS BIGINT)
         |      << (4 * (15 - i)) for i in range(1, 16)]) AS BIGINT) AS dg
-        |  FROM lineitem)
-        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(dg AS DECIMAL(38,0))) AS DECIMAL(38,0))
-        |    AS checksum,
-        |  MIN(dg) AS dg_min, MAX(dg) AS dg_max
-        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(dg AS HUGEINT)) AS HUGEINT) AS ck,
+        |    MIN(dg) AS dg_min, MAX(dg) AS dg_max
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(ck // 1000000000000000000 AS BIGINT) AS checksum_hi,
+        |  CAST(ck % 1000000000000000000 AS BIGINT) AS checksum_lo,
+        |  dg_min, dg_max
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_range_bounds" ->
-      """WITH s AS (SELECT l_extendedprice AS price, l_orderkey,
-        |    l_linenumber FROM lineitem
-        |  WHERE substr(md5('rb' || CAST(l_orderkey AS VARCHAR) || '-'
-        |    || CAST(l_linenumber AS VARCHAR)), 1, 2) = '00'),
+      """WITH bb AS (SELECT greatest(length(bin(CAST(COUNT(*) AS BIGINT)))
+        |    - 13, 0) AS b FROM lineitem),
+        |s AS (SELECT l_extendedprice AS price, l_orderkey,
+        |    l_linenumber FROM lineitem CROSS JOIN bb
+        |  WHERE CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5('rb' || CAST(l_orderkey AS VARCHAR) || '-'
+        |          || CAST(l_linenumber AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |      << (4 * (8 - i)) for i in range(1, 9)]) AS BIGINT)
+        |    % (CAST(1 AS BIGINT) << b) = 0),
         |t AS (SELECT price, CAST(ntile(32) OVER (ORDER BY price,
         |    l_orderkey, l_linenumber) AS BIGINT) AS tile FROM s)
         |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,

@@ -227,17 +227,23 @@ object Learning extends QueryModule {
           .select(col("user_id"),
             ((col("tp1") - col("tv")) / 60000000L).cast("long")
               .as("lag_min"))
-        // the lag relation is USER-sized, so the single-partition
-        // percentile windows are bounded state (documented trade, the
-        // q_curriculum_bins argument; a corpus-sized relation would use
-        // the quantized-domain order statistics of q_robust_scale)
-        val wc = Window.orderBy(col("lag_min"), col("user_id"))
+        // quantized-domain order statistics (the q_robust_scale
+        // discipline): lags reduce to the O(distinct minutes) value
+        // histogram first, the cumulative count runs over THAT bounded
+        // relation, and the exact-threshold rank reads (cum·2 ≥ n,
+        // cum·10 ≥ 9n) pick the same minutes a per-row window would —
+        // the row-level cumulative crosses each threshold inside the
+        // value group whose histogram cum first reaches it. Users grow
+        // with the corpus; the minute domain does not.
+        val hist = lags.groupBy("lag_min").agg(count(lit(1)).as("cnt"))
+        val wc = Window.orderBy(col("lag_min"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wt = Window.partitionBy(lit(1))
-        lags
-          .withColumn("cum", count(lit(1)).over(wc))
-          .withColumn("tot", count(lit(1)).over(wt))
-          .agg(count(lit(1)).as("n_converted"),
+        val wt = Window.orderBy(col("lag_min"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        hist
+          .withColumn("cum", sum("cnt").over(wc))
+          .withColumn("tot", sum("cnt").over(wt))
+          .agg(sum("cnt").as("n_converted"),
             min(when(col("cum") * 2 >= col("tot"), col("lag_min")))
               .as("p50_min"),
             min(when(col("cum") * 10 >= col("tot") * 9, col("lag_min")))

@@ -56,8 +56,12 @@ object Modeling extends QueryModule {
           .withColumn("s0",
             transform(expr("slice(series, 1, 7)"),
               x => x.getField("y") - col("l0")))
+        // greatest(...,0): a type with <7 daily rows would make the
+        // slice length negative (a runtime error on Spark), while the
+        // oracle's recursive CTE just folds zero steps — clamping makes
+        // short series emit the seed state on both engines.
         val st = aggregate(
-          expr("slice(series, 8, size(series) - 7)"),
+          expr("slice(series, 8, greatest(size(series) - 7, 0))"),
           struct(col("l0").as("l"), lit(0.0).as("b"), col("s0").as("s")),
           (acc, x) => {
             val l = acc.getField("l"); val b = acc.getField("b")

@@ -57,7 +57,10 @@ object Relevance extends QueryModule {
       // overflow at fleet scale; normalization is one decimal->double
       // cast + division per column. Two vocabulary-sized aggregates
       // and one vocabulary-keyed join — no per-document work after the
-      // bigram count. ---
+      // bigram count. The exact DECIMAL(38,0) hub weight is SPLIT into
+      // hi/lo int64 output columns (div/mod 10^18 — both exact BIGINTs
+      // on both engines) so no wide-decimal rendering reaches the
+      // comparison layer (round-8 artifact flagged the D38 column). ---
       "q_hits_iter" -> ((s, d) => {
         val edges = wordEdges(s, d)
         val auth = edges.groupBy("dst").agg(sum("c").as("a1"))
@@ -70,12 +73,17 @@ object Relevance extends QueryModule {
           .join(hub.select(col("src").as("tok"), col("h1")),
             Seq("tok"), "full_outer")
           .crossJoin(broadcast(tot))
+          .withColumn("h1c", coalesce(col("h1"), lit(0).cast(D38)))
           .select(col("tok"),
             coalesce(col("a1"), lit(0L)).as("a1"),
-            coalesce(col("h1"), lit(0).cast(D38)).as("h1"),
+            expr("CAST(h1c div 1000000000000000000 AS BIGINT)")
+              .as("h1_hi"),
+            expr("CAST(h1c - (h1c div 1000000000000000000) * " +
+              "CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)")
+              .as("h1_lo"),
             (coalesce(col("a1"), lit(0L)).cast("double") /
               col("ta").cast("double")).as("auth"),
-            (coalesce(col("h1"), lit(0).cast(D38)).cast("double") /
+            (col("h1c").cast("double") /
               col("th").cast("double")).as("hub"))
           .orderBy("tok")
       }),
@@ -253,7 +261,10 @@ object Relevance extends QueryModule {
         |  (SELECT CAST(SUM(h1) AS DECIMAL(38,0)) FROM h) AS th)
         |SELECT COALESCE(a.dst, h.src) AS tok,
         |  COALESCE(a1, 0) AS a1,
-        |  CAST(COALESCE(h1, 0) AS DECIMAL(38,0)) AS h1,
+        |  CAST(CAST(COALESCE(h1, 0) AS HUGEINT)
+        |    // 1000000000000000000 AS BIGINT) AS h1_hi,
+        |  CAST(CAST(COALESCE(h1, 0) AS HUGEINT)
+        |    % 1000000000000000000 AS BIGINT) AS h1_lo,
         |  CAST(COALESCE(a1, 0) AS DOUBLE) / CAST(ta AS DOUBLE) AS auth,
         |  CAST(COALESCE(h1, 0) AS DOUBLE) / CAST(th AS DOUBLE) AS hub
         |FROM a FULL OUTER JOIN h ON a.dst = h.src CROSS JOIN tt

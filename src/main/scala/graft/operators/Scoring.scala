@@ -162,17 +162,39 @@ object Scoring extends QueryModule {
     }),
 
     // --- curriculum binning: decile buckets over document length for
-    // length-staged training schedules. ntile needs a total order over
-    // (n_tok, doc_id) — at test scale a single window; at fleet scale
-    // the same decile assignment comes from approx-quantile boundaries
-    // + a map-side bin lookup (documented trade: ntile is exact and
-    // the oracle-comparable spelling). Per-bin stats are a 10-row
-    // aggregate. ---
+    // length-staged training schedules. The global ntile(10) window is
+    // GONE: exact global ranks come from the q_dense_ids bucketed
+    // spelling — bucket on (n_tok, doc_id div 2^20) (contiguous in the
+    // (n_tok, doc_id) total order), one aggregate counts each bucket,
+    // an exclusive prefix-sum over the O(distinct lengths × id ranges)
+    // boundary relation yields broadcast offsets, and row_number runs
+    // PARTITIONED per bucket — then ntile's published tile formula
+    // (first n%10 tiles get ceil(n/10) rows) maps rank→bin in exact
+    // integer arithmetic. Bit-identical to the single-window ntile at
+    // any partition count; no task ever sorts the corpus. ---
     "q_curriculum_bins" -> ((s, d) => {
       val t = table(s, d, "documents")
         .select(col("doc_id"), col("n_chars"), lng(size(toks)).as("n_tok"))
-      val w = Window.orderBy(col("n_tok"), col("doc_id"))
-      t.withColumn("bin", ntile(10).over(w).cast("long"))
+        .withColumn("idr", expr("doc_id div 1048576"))
+      val wb = Window.orderBy(col("n_tok"), col("idr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.groupBy("n_tok", "idr").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(wb), lit(0L)))
+        .select("n_tok", "idr", "off")
+      val n1 = t.agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy("n_tok", "idr").orderBy("doc_id")
+      // ntile(10): q = n div 10 rows per tile, the first r = n mod 10
+      // tiles take one extra row — rank→bin is a two-branch integer
+      // CASE on the (q+1)-row boundary r·(q+1).
+      t.join(broadcast(offs), Seq("n_tok", "idr"))
+        .withColumn("rk", col("off") + row_number().over(wr))
+        .crossJoin(broadcast(n1))
+        .withColumn("bin", expr(
+          """CASE WHEN rk <= (n % 10) * (n div 10 + 1)
+            |  THEN (rk - 1) div (n div 10 + 1) + 1
+            |  ELSE n % 10
+            |    + (rk - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
+            |END""".stripMargin).cast("long"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),

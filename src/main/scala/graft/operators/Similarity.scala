@@ -106,7 +106,7 @@ object Similarity extends QueryModule {
     * vector the window's (ccos desc, cent_id asc) rank-1 picked.
     * Returns (vec_id, bucket).
     */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private[operators] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = corpus(s, d)
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"),
@@ -183,8 +183,19 @@ object Similarity extends QueryModule {
         .orderBy("probe_id")
     }),
 
-    // --- embedding near-dup: top-50 closest pairs, all-pairs exact ---
+    // --- embedding near-dup: top-50 closest pairs, all-pairs exact.
+    // DECLARED-EXACT TRUTH TWIN: this O(n²) relation exists so the
+    // bucketed evaluators (q_ann_recall, q_sim_lsh, q_dedup_semantic —
+    // the fleet spellings) have an exact baseline to measure recall
+    // against. It must never be lifted into a fleet pipeline
+    // unchanged, so it refuses loudly beyond test scale. ---
     "q_dedup_embedding" -> ((s, d) => {
+      val nVec = table(s, d, "embeddings").limit(1000001).count()
+      require(nVec <= 1000000L,
+        s"q_dedup_embedding is the all-pairs EXACT truth twin " +
+          s"(n=$nVec vectors => ~${nVec * nVec / 2} pairs); beyond 1M " +
+          "vectors use the bucketed spellings: q_sim_lsh / " +
+          "q_dedup_semantic (IVF cells) / q_rank_rerank")
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").as("q"))
         .withColumn("nn", dotQ(col("q"), col("q")))
@@ -535,7 +546,7 @@ object Similarity extends QueryModule {
     * plus the quantized element relation `x(vec_id, i, v)` and squared
     * norms `n(vec_id, nn)` — the DuckDB twin of [[ivfAssigned]].
     */
-  private val ivfAsgCte: String =
+  private[operators] val ivfAsgCte: String =
     s"""x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |                unnest($qSql) AS v FROM embeddings),
        |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),

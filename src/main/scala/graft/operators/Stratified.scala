@@ -101,9 +101,12 @@ object Stratified extends QueryModule {
         val toks = table(s, d, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
         val glob = toks.groupBy("w").agg(count(lit(1)).as("c"))
-        val wg = Window.orderBy(col("c").desc, col("w").asc)
-        val gtop = glob.withColumn("rk", row_number().over(wg))
-          .filter(col("rk") <= 10).select(col("w")).withColumn("g", lit(1L))
+        // global top-10 as a TakeOrdered (orderBy+limit), never a
+        // full-vocabulary row_number window: the executor-side
+        // per-partition top-10s reduce on the driver, so no single
+        // task ever sorts the whole vocabulary.
+        val gtop = glob.orderBy(col("c").desc, col("w").asc).limit(10)
+          .select(col("w")).withColumn("g", lit(1L))
         val perSrc = toks.groupBy("source", "w")
           .agg(count(lit(1)).as("cs"))
         val sources = toks.select("source").distinct()

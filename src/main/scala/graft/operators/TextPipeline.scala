@@ -361,6 +361,17 @@ object TextPipeline extends QueryModule {
       .select(col("a_id"), col("b_id"))
 
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    // DECLARED-EXACT TRUTH TWIN: this is the exact Jaccard pair
+    // relation the banded evaluators (q_dedup_minhash, q_minhash_eval,
+    // q_lsh_curve — the fleet spellings) measure recall against. The
+    // df-cap bounds each posting list, but the pair relation is still
+    // Σ|list|² — refuse loudly beyond test scale rather than launch a
+    // job that can only finish at toy sizes.
+    val nDocs = table(s, d, "documents").limit(10000001).count()
+    require(nDocs <= 10000000L,
+      s"ngramPairs is the exact truth twin (n=$nDocs docs); beyond " +
+        "10M docs use the banded spellings: q_dedup_minhash / " +
+        "q_dedup_simhash / q_sorted_neighborhood")
     // per-doc-distinct shingle ARRAYS (map-side array op — cheaper at
     // scale than a global (doc, gram) distinct shuffle), then explode
     val docs = table(s, d, "documents")

@@ -146,8 +146,12 @@ object Tuning extends QueryModule {
             (0 until NumHashes).map(j => mh(j).as(s"g$j")): _*)
         val mins = (0 until NumHashes)
           .map(j => min(col(s"g$j")).as(s"h$j"))
+        // localCheckpoint: the signature relation feeds all THREE band
+        // geometries through the union — without it the shingle join +
+        // 16-way min aggregate recomputes per geometry
         val sig = ex.join(broadcast(hashedVocab), "sg")
           .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+          .localCheckpoint()
         def bandKeys(r: Int): Column = array((0 until NumHashes / r).map {
           i => concat_ws("_",
             (0 until r).map(k => col(s"h${i * r + k}")): _*)

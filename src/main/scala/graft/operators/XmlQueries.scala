@@ -86,12 +86,18 @@ object XmlQueries extends QueryModule {
     "q_xml_fileinfo" -> ((s, _) => flatten(
       XmlToParquetJob.read(s, xsd, Seq(xmlPath), Config(fileInfo = true)))),
 
-    // container sources: one row per archive member
-    "q_xml_zip" -> ((s, _) => flatten(
+    // container sources: one row per archive member. The registered
+    // projection is fully DETERMINISTIC — the only run-varying field
+    // (the fixture workspace temp path inside file_info.archive) is
+    // reduced to its basename — so the complete nested member content
+    // pins against a golden-value oracle (rows+schema+hash), the same
+    // identity-oracle discipline as q_xpath_scalar: any conversion
+    // drift in any field hash-mismatches.
+    "q_xml_zip" -> ((s, _) => flattenDet(
       ArchiveXmlSource.read(s, xsd,
         Seq(fixtureDir.resolve("books.zip").toString),
         Config(fileInfo = true)))),
-    "q_xml_targz" -> ((s, _) => flatten(
+    "q_xml_targz" -> ((s, _) => flattenDet(
       ArchiveXmlSource.read(s, xsd,
         Seq(fixtureDir.resolve("books.tar.gz").toString),
         Config(fileInfo = true)))),
@@ -147,7 +153,48 @@ object XmlQueries extends QueryModule {
     df.select(to_json(struct(df.columns.map(col): _*)).as("doc_json"))
       .orderBy("doc_json")
 
+  /** flatten, with the run-varying archive path reduced to its basename
+    * so container conversions render identically on every run (and can
+    * therefore carry a full golden-content oracle).
+    */
+  private def flattenDet(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.regexp_extract
+    flatten(df.withColumn("file_info",
+      struct(col("file_info.name"), col("file_info.size"),
+        regexp_extract(col("file_info.archive"), "[^/]+$", 0)
+          .as("archive"))))
+  }
+
+  /** Full golden member content for the container oracles: every field
+    * the XSD-typed conversion emits for one bookOrder.xml member,
+    * rendered exactly as the registered queries' to_json does. Any
+    * drift in parsing, shaping, typing, or metadata hash-mismatches.
+    */
+  private def memberJson(name: String, archive: String): String =
+    """{"bookOrder":{"bookOrder@orderDate":"2005-03-14 00:00:00.000",""" +
+      """"shipTo":{"shipTo@country":"FR","name":"Ada Lovelace",""" +
+      """"street":"12 Rue Verte","city":"Lyon","zip":69001.0},""" +
+      """"billTo":{"billTo@country":"FR","name":"Blaise Pascal",""" +
+      """"street":"8 Quai Noir","city":"Paris","zip":75001.0},""" +
+      """"note":"Leave parcel with concierge","books":{"book":[""" +
+      """{"book@isbn":"321-QL","title":"Relational Algebra in Practice",""" +
+      """"copies":2,"price":54.99,"note":"gift wrap"},""" +
+      """{"book@isbn":"654-ZT","title":"Streams and Tables","copies":1,""" +
+      """"price":89.5,"shipDate":"2005-04-01 00:00:00.000"}]}},""" +
+      s""""file_info":{"name":"$name","size":774,""" +
+      s""""archive":"$archive"}}"""
+
+  private def containerOracle(archive: String): String =
+    s"""SELECT doc_json FROM (VALUES
+       |  ('${memberJson("order1.xml", archive)}'),
+       |  ('${memberJson("order2.xml", archive)}')) AS t(doc_json)
+       |ORDER BY doc_json""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    // golden-content oracles: the archive members are static fixtures,
+    // so the complete converted content pins to literal values
+    "q_xml_zip" -> containerOracle("books.zip"),
+    "q_xml_targz" -> containerOracle("books.tar.gz"),
     // identity oracles: the XML build+extract must reproduce the
     // original columns bit-for-bit (see the query-side comments)
     "q_xpath_scalar" ->

@@ -40,9 +40,10 @@ class IntegritySpec extends AnyFunSuite {
       }.sum
     }.toMap
     rows.foreach { r =>
-      assert(r.getDecimal(2) != null)
-      assert(BigInt(r.getDecimal(2).toBigInteger) ==
-        expect(r.getString(0)), s"flag ${r.getString(0)}")
+      val ck = BigInt(r.getLong(2)) * BigInt("1000000000000000000") +
+        BigInt(r.getLong(3))
+      assert(ck == expect(r.getString(0)), s"flag ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) < 1000000000000000000L)
     }
   }
 
@@ -50,12 +51,17 @@ class IntegritySpec extends AnyFunSuite {
     "nondecreasing upper bounds") {
     val rows = q("q_range_bounds").collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val total = Tables.table(spark, sf, "lineitem").count()
+    val b = math.max(64 - java.lang.Long.numberOfLeadingZeros(total) - 13, 0)
     val sampleN = Tables.table(spark, sf, "lineitem")
-      .filter(substring(md5(concat(lit("rb"),
-        col("l_orderkey").cast("string"), lit("-"),
-        col("l_linenumber").cast("string"))), 1, 2) === "00")
-      .count()
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().count { r =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"rb${r.getLong(0)}-${r.getInt(1)}").take(8), 16)
+        h % (1L << b) == 0
+      }
     assert(rows.map(_.getLong(1)).sum == sampleN)
+    assert(sampleN <= 8192L, "gate width must bound the sample")
     val ub = rows.map(_.getDouble(2)).toSeq
     assert(ub == ub.sorted, "boundaries must be monotone")
   }
@@ -114,8 +120,8 @@ class IntegritySpec extends AnyFunSuite {
 
   test("hits iteration: auth and hub each normalize to 1") {
     val rows = q("q_hits_iter").collect()
-    val authSum = rows.map(_.getDouble(3)).sum
-    val hubSum = rows.map(_.getDouble(4)).sum
+    val authSum = rows.map(_.getDouble(4)).sum
+    val hubSum = rows.map(_.getDouble(5)).sum
     assert(math.abs(authSum - 1.0) < 1e-9, s"auth sums to $authSum")
     assert(math.abs(hubSum - 1.0) < 1e-9, s"hub sums to $hubSum")
     // a1 totals must equal the corpus bigram count

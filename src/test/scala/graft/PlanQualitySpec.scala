@@ -773,4 +773,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q_elasticity").contains("BroadcastHashJoin"),
       "part dimension broadcasts onto lineitem")
   }
+
+  test("round-9 descaled windows: no corpus- or vocabulary-sized " +
+      "single-partition window survives in the reworked plans") {
+    // vocab-global fixes: rank+cumsum collapsed onto the O(distinct
+    // counts) tie-group relation — the vocabulary-wide row_number is
+    // gone, and no window orders by the token/gram column anymore
+    for (q <- Seq("q_vocab_gini", "q_coverage_curve", "q_knee_point")) {
+      val p = plan(q)
+      assert(!p.contains("row_number"),
+        s"$q must not rank the vocabulary: " + p.take(2000))
+      val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(winLines.nonEmpty, s"$q keeps its boundary prefix-sum")
+      assert(winLines.forall(l => !l.contains("gram#") &&
+        !l.contains("w#") && !l.contains(" w ")),
+        s"$q window must order by the count only: $winLines")
+    }
+    // global top-10 is a TakeOrdered (per-partition heaps + driver
+    // merge), never a full-vocabulary rank window
+    val pt = plan("q_topk_loo")
+    assert(pt.contains("TakeOrderedAndProject"), pt.take(3000))
+    // curriculum deciles: closed-form ntile from bucketed exact ranks —
+    // no ntile window anywhere, and the rank window partitions by the
+    // (n_tok, idr) bucket
+    val pb = plan("q_curriculum_bins")
+    assert(!pb.contains("ntile"), pb.take(3000))
+    assert(pb.contains("hashpartitioning(n_tok"), pb.take(3000))
+    // conversion lag: percentiles read off the minute-value histogram —
+    // the window input is an aggregate, and no window orders by user_id
+    val pl = plan("q_conv_lag")
+    assert(pl.linesIterator.filter(_.contains("Window"))
+      .forall(l => !l.contains("user_id")), pl.take(3000))
+    // range bounds: the sample gate derives from a broadcast corpus
+    // count (shiftleft of the bit-length), so the ntile window input is
+    // bounded by construction at any scale
+    val pr = plan("q_range_bounds")
+    assert(pr.contains("shiftleft"), pr.take(3000))
+    assert(pr.contains("BroadcastNestedLoopJoin") ||
+      pr.contains("BroadcastHashJoin"), pr.take(3000))
+  }
 }

@@ -25,6 +25,24 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
   }
 
+  test("SURVEY.md §2.C names exactly the registered query set and " +
+    "states the registered count") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    // table rows may name several queries: | `q_a` / `q_b` | ... |
+    val surveyed = "`(q_[a-z0-9_]+)`".r.findAllMatchIn(text)
+      .map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    assert(registered.subsetOf(surveyed),
+      s"registered but missing from SURVEY: ${registered.diff(surveyed)}")
+    assert(surveyed.subsetOf(registered),
+      s"in SURVEY but not registered: ${surveyed.diff(registered)}")
+    // the §2.C preamble must state the true count (doc-drift guard)
+    assert(text.contains(s"**${registered.size} queries**"),
+      s"SURVEY preamble count out of sync; tree registers " +
+        s"${registered.size}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -51,6 +51,8 @@ object SparkEntry {
     operators.Tuning,
     operators.Trends,
     operators.Formats,
+    operators.Matching,
+    operators.Planner,
     operators.XmlQueries,
     operators.ExtensionFns,
     streaming.StreamingSmoke,

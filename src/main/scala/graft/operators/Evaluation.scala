@@ -356,6 +356,34 @@ object Evaluation extends QueryModule {
       // per-bin exact counts/positives, mean score and positive
       // fraction as single divisions of exact int64 sums. O(grid)
       // output forever. ---
+      // --- expected calibration error (round 9): the one-number
+      // summary over q_calibration's reliability bins — ECE = the
+      // bin-size-weighted mean |accuracy − confidence| gap, MCE = the
+      // worst bin. Per-bin gaps are identical IEEE doubles on both
+      // engines (differences of exact-integer ratios), quantized to
+      // DECIMAL(18,4) before the weighted sum so the cross-bin
+      // accumulation is exact and order-independent (the house dec()
+      // discipline); ECE is one terminal division. O(grid) state
+      // forever. ---
+      "q_ece_bins" -> ((s, d) => {
+        val bins = table(s, d, "embeddings")
+          .select((col("label") % 2 === 1).cast("long").as("pos"),
+            round(element_at(col("embedding"), 1).cast("double") * 1000, 0)
+              .cast("long").as("sq"))
+          .groupBy(floor(col("sq") / 100.0).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+            sum("sq").as("ssum"))
+        val gap = abs(col("n_pos").cast("double") / col("n")
+          - col("ssum").cast("double") / col("n") / 1000.0)
+        bins.select(col("n"), dec(gap).as("g"))
+          .agg(sum("n").as("n_total"), count(lit(1)).as("n_bins"),
+            sum(col("n") * col("g")).as("wg"),
+            max("g").as("mg"))
+          .select(col("n_total"), col("n_bins"),
+            (col("wg").cast("double") / col("n_total")).as("ece"),
+            col("mg").cast("double").as("mce"))
+      }),
+
       "q_calibration" -> ((s, d) => {
         table(s, d, "embeddings")
           .select((col("label") % 2 === 1).cast("long").as("pos"),
@@ -620,6 +648,24 @@ object Evaluation extends QueryModule {
         |  CAST(c AS DOUBLE) / n AS share
         |FROM r JOIN t ON r.event_type = t.event_type
         |WHERE rn = 1 ORDER BY r.event_type""".stripMargin,
+
+    "q_ece_bins" ->
+      """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,
+        |  CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0) AS BIGINT)
+        |    AS sq FROM embeddings),
+        |b AS (SELECT CAST(floor(sq / 100.0) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(sq) AS BIGINT) AS ssum
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT n, CAST(abs(CAST(n_pos AS DOUBLE) / n
+        |    - CAST(ssum AS DOUBLE) / n / 1000.0) AS DECIMAL(18,4)) AS g
+        |  FROM b)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(n * g) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS ece,
+        |  CAST(MAX(g) AS DOUBLE) AS mce
+        |FROM g""".stripMargin,
 
     "q_calibration" ->
       """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,

@@ -142,6 +142,36 @@ object Features extends QueryModule {
           .orderBy("dim")
       }),
 
+      // --- sequential lag/rolling feature extraction (round 9): per
+      // user, the lag-1/lag-2 values, first difference, and 3-event
+      // rolling mean over the event stream — the feature block every
+      // sequence model's training table starts with. Reads the
+      // user_id-bucketed event log (Advanced.eventsByUser), so the
+      // window inherits the scan's clustering and the plan carries
+      // ZERO hash exchange; values go through DECIMAL(18,4) before the
+      // 3-term sum (exact, order-independent) with one terminal IEEE
+      // division. Map-side projection + partitioned window — the
+      // corpus is never globally sorted. ---
+      "q_lag_features" -> ((s, d) => {
+        import graft.Det.dec
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Advanced.eventsByUser(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            dec(col("value")).as("v"))
+          .withColumn("l1", lag("v", 1).over(w))
+          .withColumn("l2", lag("v", 2).over(w))
+          .select(col("event_id"), col("user_id"),
+            col("v").cast("double").as("v"),
+            col("l1").cast("double").as("lag1"),
+            col("l2").cast("double").as("lag2"),
+            (col("v") - col("l1")).cast("double").as("delta1"),
+            when(col("l2").isNotNull,
+              (col("v") + col("l1") + col("l2")).cast("double") / 3)
+              .as("roll3"))
+          .orderBy("event_id")
+      }),
+
       "q_target_encode" -> ((s, d) => {
         val per = table(s, d, "events")
           .select(col("event_type"),
@@ -158,6 +188,19 @@ object Features extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_lag_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |l AS (SELECT event_id, user_id, v,
+        |    lag(v) OVER w AS l1, lag(v, 2) OVER w AS l2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id, CAST(v AS DOUBLE) AS v,
+        |  CAST(l1 AS DOUBLE) AS lag1, CAST(l2 AS DOUBLE) AS lag2,
+        |  CAST(v - l1 AS DOUBLE) AS delta1,
+        |  CASE WHEN l2 IS NOT NULL
+        |    THEN CAST(v + l1 + l2 AS DOUBLE) / 3 END AS roll3
+        |FROM l ORDER BY event_id""".stripMargin,
 
     "q_onehot_encode" -> {
       val cols = types.map(t =>

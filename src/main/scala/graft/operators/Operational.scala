@@ -64,6 +64,42 @@ object Operational extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- multi-lag autocorrelation function (ACF at lags 1/2/3/7):
+      // the full seasonality diagnostic next to q_autocorr's lag-1
+      // readout (lag 7 exposes the weekly cycle; 1-3 the short memory).
+      // Same discipline: events collapse FIRST to the per-(type, day)
+      // exact-decimal series, each lag pairs within the tiny per-type
+      // window, and every Pearson moment accumulates in exact decimal
+      // with ONE terminal FP tree per (type, lag). The 4-way lag
+      // fan-out unions over the O(types × days) series relation, never
+      // over events. ---
+      "q_acf_multi" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(D).as("v"))
+        val wl = Window.partitionBy("event_type").orderBy("day")
+        val pairs = Seq(1, 2, 3, 7).map { k =>
+          daily
+            .withColumn("vp", lag("v", k).over(wl))
+            .withColumn("lag", lit(k.toLong))
+            .filter(col("vp").isNotNull)
+        }.reduce(_ unionByName _)
+        val g = pairs.groupBy("event_type", "lag").agg(
+          count(lit(1)).as("n"),
+          sum("v").as("sx"), sum("vp").as("sy"),
+          sum(col("v") * col("vp")).as("sxy"),
+          sum(col("v") * col("v")).as("sxx"),
+          sum(col("vp") * col("vp")).as("syy"))
+        def Dd(name: String) = col(name).cast("double")
+        g.select(col("event_type"), col("lag"), col("n"),
+            ((Dd("n") * Dd("sxy") - Dd("sx") * Dd("sy")) /
+              (sqrt(Dd("n") * Dd("sxx") - Dd("sx") * Dd("sx")) *
+                sqrt(Dd("n") * Dd("syy") - Dd("sy") * Dd("sy"))))
+              .as("acf"))
+          .orderBy("event_type", "lag")
+      }),
+
       // --- weighted median / p90: quantity-weighted price quantiles per
       // returnflag (the SLA-report shape: each row carries a weight, the
       // quantile is over the weight mass, not the row count). One
@@ -263,6 +299,41 @@ object Operational extends QueryModule {
         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS lag1_corr
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q_acf_multi" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |           AS DECIMAL(18,4)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, 1 AS lag, v, lag(v, 1)
+        |        OVER (PARTITION BY event_type ORDER BY day) AS vp
+        |      FROM daily
+        |      UNION ALL
+        |      SELECT event_type, 2, v, lag(v, 2)
+        |        OVER (PARTITION BY event_type ORDER BY day) FROM daily
+        |      UNION ALL
+        |      SELECT event_type, 3, v, lag(v, 3)
+        |        OVER (PARTITION BY event_type ORDER BY day) FROM daily
+        |      UNION ALL
+        |      SELECT event_type, 7, v, lag(v, 7)
+        |        OVER (PARTITION BY event_type ORDER BY day) FROM daily),
+        |g AS (SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(v) AS sx, SUM(vp) AS sy,
+        |        SUM(CAST(v AS DECIMAL(19,4)) * vp) AS sxy,
+        |        SUM(CAST(v AS DECIMAL(19,4)) * v) AS sxx,
+        |        SUM(CAST(vp AS DECIMAL(19,4)) * vp) AS syy
+        |      FROM p WHERE vp IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, lag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS acf
+        |FROM g ORDER BY event_type, lag""".stripMargin,
 
     "q_weighted_median" ->
       """WITH li AS (

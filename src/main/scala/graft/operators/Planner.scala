@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.Tables.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Optimizer-statistics audits (round 9): the two classic cardinality-
+  * estimation errors measured against exact ground truth — the uniform-
+  * key assumption on joins and the independence assumption on
+  * conjunctive predicates — plus an IVF index-partition balance audit.
+  * These are the readouts a query planner (or the engineer tuning one)
+  * needs to know WHERE its estimates break; all three carry full DuckDB
+  * oracles.
+  *
+  * Determinism: every count is exact int64; estimates and error ratios
+  * are terminal IEEE divisions of exact integers (identical on both
+  * engines).
+  */
+object Planner extends QueryModule {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+      // --- join-cardinality estimate audit: the optimizer's uniform-
+      // key model |A|·|B| / max(ndv_a, ndv_b) vs the EXACT join size
+      // Σ_k ca(k)·cb(k), per user bucket, for the view⨝purchase
+      // self-join on user_id. The exact size needs NO join: it reduces
+      // on the per-user count relation (one shuffle on user_id, then a
+      // 16-row rollup); skewed buckets surface as err_ratio >> 1 — the
+      // signal that would mislead a join-strategy or memory-grant
+      // decision. ca·cb products stay in int64 (per-user event counts
+      // are bounded); the estimate is one terminal division. ---
+      "q_join_est_audit" -> ((s, d) => {
+        val perUser = table(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy("user_id")
+          .agg(sum((col("event_type") === "view").cast("long")).as("ca"),
+            sum((col("event_type") === "purchase").cast("long")).as("cb"))
+        perUser
+          .groupBy(pmod(col("user_id"), lit(16)).as("bucket"))
+          .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+            sum((col("ca") > 0).cast("long")).as("ndv_a"),
+            sum((col("cb") > 0).cast("long")).as("ndv_b"),
+            sum(col("ca") * col("cb")).as("actual"))
+          .withColumn("est",
+            when(greatest(col("ndv_a"), col("ndv_b")) > 0,
+              col("n_a").cast("double") * col("n_b").cast("double") /
+                greatest(col("ndv_a"), col("ndv_b")).cast("double")))
+          .withColumn("err_ratio",
+            when(col("est") > 0, col("actual").cast("double") / col("est")))
+          .orderBy("bucket")
+      }),
+
+      // --- predicate-selectivity independence audit: for three
+      // lineitem predicates, the estimated conjunctive row count under
+      // the optimizer's independence assumption n·s_i·s_j vs the exact
+      // joint count — the correlated-predicates error that silently
+      // starves hash joins of memory. ONE scan accumulates all seven
+      // conditional counts map-side; the 3-row pair readout is a stack
+      // over the single moment row (the q_corr_matrix device). ---
+      "q_sel_audit" -> ((s, d) => {
+        def c(p: Column): Column = sum(p.cast("long"))
+        val p1 = col("l_quantity") >= 25
+        val p2 = col("l_returnflag") === "R"
+        val p3 = col("l_discount") >= 0.05
+        val g = table(s, d, "lineitem").agg(
+          count(lit(1)).as("n"),
+          c(p1).as("n1"), c(p2).as("n2"), c(p3).as("n3"),
+          c(p1 && p2).as("n12"), c(p1 && p3).as("n13"),
+          c(p2 && p3).as("n23"))
+        def est(ni: String, nj: String): String =
+          s"CAST($ni AS DOUBLE) * CAST($nj AS DOUBLE) / CAST(n AS DOUBLE)"
+        def lift(ni: String, nj: String, nij: String): String =
+          s"CAST($nij AS DOUBLE) * CAST(n AS DOUBLE) / " +
+            s"(CAST($ni AS DOUBLE) * CAST($nj AS DOUBLE))"
+        g.selectExpr(
+            "stack(3, " +
+              s"'qty~flag', n1, n2, n12, ${est("n1", "n2")}, " +
+              s"${lift("n1", "n2", "n12")}, " +
+              s"'qty~disc', n1, n3, n13, ${est("n1", "n3")}, " +
+              s"${lift("n1", "n3", "n13")}, " +
+              s"'flag~disc', n2, n3, n23, ${est("n2", "n3")}, " +
+              s"${lift("n2", "n3", "n23")}) " +
+              "AS (pair, n_i, n_j, n_both, est_rows, lift)",
+            "n")
+          .select(col("pair"), col("n"), col("n_i"), col("n_j"),
+            col("n_both"), col("est_rows"), col("lift"))
+          .orderBy("pair")
+      }),
+
+      // --- shuffle reducer-balance estimate: given the groupBy-key
+      // histogram (per-user event counts), the load each of 32 hash
+      // partitions would receive under md5 key assignment — the
+      // pre-flight skew readout that predicts straggler reducers
+      // BEFORE a shuffle runs (the q_skew_audit sibling, one level
+      // down: keys → partitions instead of rows → keys). Key counts
+      // reduce first (the only corpus-touching shuffle); the 32-row
+      // partition rollup and broadcast totals are O(1). skew = 1.0 is
+      // a perfectly balanced shuffle. ---
+      "q_shuffle_balance" -> ((s, d) => {
+        val keys = table(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val parts = keys
+          .groupBy((conv(substring(md5(concat(lit("sb"),
+            col("user_id").cast("string"))), 1, 2), 16, 10)
+            .cast("long") % 32).as("reducer"))
+          .agg(count(lit(1)).as("n_keys"), sum("cnt").as("load"))
+        val tot = parts.agg(sum("load").as("total"),
+          count(lit(1)).as("n_parts"))
+        parts.crossJoin(broadcast(tot))
+          .select(col("reducer"), col("n_keys"), col("load"),
+            (col("load").cast("double") / col("total")).as("share"),
+            (col("load").cast("double") * col("n_parts") / col("total"))
+              .as("skew"))
+          .orderBy("reducer")
+      }),
+
+      // --- IVF partition-balance audit: per-cell population of the
+      // 16-cell IVF index (the q_sim_ivf layout), its share of the
+      // corpus, and the per-cell skew factor n_cell·cells/total (1.0 =
+      // perfectly balanced) — the readout that decides whether an ANN
+      // index needs re-trained centroids or cell splitting, because a
+      // hot cell bounds every probe's latency. One aggregate over the
+      // shared assignment relation; O(cells) output with a broadcast
+      // totals row. ---
+      "q_ivf_balance" -> ((s, d) => {
+        val cells = Similarity.ivfAssigned(s, d)
+          .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        val tot = cells.agg(sum("n_vecs").as("total"),
+          count(lit(1)).as("n_cells"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_vecs"),
+            (col("n_vecs").cast("double") / col("total")).as("share"),
+            (col("n_vecs").cast("double") * col("n_cells") /
+              col("total")).as("skew"))
+          .orderBy("bucket")
+      }))
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_join_est_audit" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |b AS (SELECT user_id % 16 AS bucket,
+        |    CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ndv_a,
+        |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ndv_b,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS actual
+        |  FROM pu GROUP BY 1)
+        |SELECT bucket, n_a, n_b, ndv_a, ndv_b, actual,
+        |  CASE WHEN greatest(ndv_a, ndv_b) > 0
+        |    THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      / CAST(greatest(ndv_a, ndv_b) AS DOUBLE) END AS est,
+        |  CASE WHEN greatest(ndv_a, ndv_b) > 0
+        |      AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / CAST(greatest(ndv_a, ndv_b) AS DOUBLE) > 0
+        |    THEN CAST(actual AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / CAST(greatest(ndv_a, ndv_b) AS DOUBLE)) END AS err_ratio
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "q_sel_audit" ->
+      """WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN l_quantity >= 25 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+        |    CAST(SUM(CASE WHEN l_quantity >= 25 AND l_discount >= 0.05
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n13,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_discount >= 0.05
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n23
+        |  FROM lineitem)
+        |SELECT 'qty~flag' AS pair, n, n1 AS n_i, n2 AS n_j, n12 AS n_both,
+        |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS est_rows,
+        |  CAST(n12 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS lift
+        |FROM g
+        |UNION ALL
+        |SELECT 'qty~disc', n, n1, n3, n13,
+        |  CAST(n1 AS DOUBLE) * CAST(n3 AS DOUBLE) / CAST(n AS DOUBLE),
+        |  CAST(n13 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n3 AS DOUBLE))
+        |FROM g
+        |UNION ALL
+        |SELECT 'flag~disc', n, n2, n3, n23,
+        |  CAST(n2 AS DOUBLE) * CAST(n3 AS DOUBLE) / CAST(n AS DOUBLE),
+        |  CAST(n23 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(n2 AS DOUBLE) * CAST(n3 AS DOUBLE))
+        |FROM g
+        |ORDER BY pair""".stripMargin,
+
+    "q_shuffle_balance" ->
+      """WITH k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT
+        |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5('sb' || CAST(user_id AS VARCHAR)), i, 1)) - 1
+        |        AS BIGINT) << (4 * (2 - i)) for i in range(1, 3)])
+        |      % 32 AS BIGINT) AS reducer,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS load
+        |  FROM k GROUP BY 1),
+        |t AS (SELECT CAST(SUM(load) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_parts FROM p)
+        |SELECT reducer, n_keys, load,
+        |  CAST(load AS DOUBLE) / total AS share,
+        |  CAST(load AS DOUBLE) * n_parts / total AS skew
+        |FROM p CROSS JOIN t ORDER BY reducer""".stripMargin,
+
+    "q_ivf_balance" ->
+      s"""WITH ${Similarity.ivfAsgCte},
+         |cells AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |  FROM asg GROUP BY bucket),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+         |SELECT bucket, n_vecs,
+         |  CAST(n_vecs AS DOUBLE) / total AS share,
+         |  CAST(n_vecs AS DOUBLE) * n_cells / total AS skew
+         |FROM cells CROSS JOIN tot ORDER BY bucket""".stripMargin)
+}

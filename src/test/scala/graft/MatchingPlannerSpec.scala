@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-9 Matching + Planner blocks
+  * (perceptual-hash dedup, Fellegi-Sunter weights, join/selectivity
+  * estimate audits, IVF balance, lag features), at sf0.001.
+  */
+class MatchingPlannerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("phash dedup: pairs are ordered, within-threshold, and the bit " +
+    "distance is consistent with the region-diff count") {
+    val rows = q("q_dedup_phash").collect()
+    assert(rows.nonEmpty, "planted near-dups must surface")
+    rows.foreach { r =>
+      val (a, b, nd, ham) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(a < b, "canonical pair order")
+      assert(nd >= 0 && nd <= 1, "at most one differing region")
+      // each 15-bit region differs in at most 15 bits; intact regions
+      // contribute zero
+      assert(ham <= nd * 15, s"pair ($a,$b): ham $ham vs regions $nd")
+      assert((nd == 0) == (ham == 0L))
+    }
+    // symmetric pairs must not appear twice
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("FS weights: m > u on every field (corruption is rare), and the " +
+    "bit weights are the exact floor-log2 of the likelihood ratios") {
+    val rows = q("q_fs_weights").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("bal_band", "nation", "segment"))
+    // exact su per field from the original value histograms
+    val cust = Tables.table(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("string"),
+        floor(col("c_acctbal") / 1000).cast("string")).collect()
+    val hists = Map(
+      "segment" -> cust.map(_.getString(0)),
+      "nation" -> cust.map(_.getString(1)),
+      "bal_band" -> cust.map(_.getString(2)))
+      .view.mapValues(vs => vs.groupBy(identity).values
+        .map(g => BigInt(g.length) * g.length).sum).toMap
+    def bits(x: BigInt): Long = x.bitLength.toLong - 1
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val (n, ma, m, u) = (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+      val (wa, wd) = (r.getLong(5), r.getLong(6))
+      val su = hists(f)
+      assert(m > 0.8 && m <= 1.0, s"$f: m=$m")
+      assert(u > 0.0 && u < m, s"$f: u=$u")
+      assert(math.abs(m - ma.toDouble / n) == 0.0)
+      assert(math.abs(u - su.toDouble / (n.toDouble * n)) == 0.0)
+      assert(wa == bits(BigInt(ma) * n / su), s"$f: w_agree $wa")
+      assert(wd == -bits((BigInt(n) * n - su) / (BigInt(n - ma) * n)),
+        s"$f: w_disagree $wd")
+      assert(wa >= 0 && wd <= 0)
+    }
+  }
+
+  test("join estimate audit: exact per-bucket size equals a driver-side " +
+    "recomputation and est uses the max-ndv rule") {
+    val rows = q("q_join_est_audit").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = ev.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 == "view").toLong,
+        rs.count(_._2 == "purchase").toLong)
+    }.toMap
+    rows.foreach { r =>
+      val bkt = r.getLong(0)
+      val mine = perUser.filter { case (u, _) =>
+        ((u % 16) + 16) % 16 == bkt }
+      assert(r.getLong(5) == mine.values.map(v => v._1 * v._2).sum,
+        s"bucket $bkt actual")
+      val (na, nb) = (mine.values.map(_._1).sum, mine.values.map(_._2).sum)
+      assert(r.getLong(1) == na && r.getLong(2) == nb)
+      val ndv = math.max(mine.values.count(_._1 > 0),
+        mine.values.count(_._2 > 0)).toLong
+      if (ndv > 0)
+        assert(math.abs(r.getDouble(6) -
+          na.toDouble * nb.toDouble / ndv) == 0.0)
+    }
+  }
+
+  test("selectivity audit: joint counts never exceed marginals and " +
+    "lift reconciles exactly") {
+    val rows = q("q_sel_audit").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, ni, nj, nb) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(nb <= math.min(ni, nj))
+      assert(math.abs(r.getDouble(5) -
+        ni.toDouble * nj.toDouble / n) == 0.0)
+      assert(math.abs(r.getDouble(6) -
+        nb.toDouble * n.toDouble / (ni.toDouble * nj.toDouble)) == 0.0)
+    }
+  }
+
+  test("IVF balance: cells cover the corpus, shares sum to 1, skew " +
+    "averages to 1 weighted by share") {
+    val rows = q("q_ivf_balance").collect()
+    val total = Tables.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        r.getDouble(2) * rows.length) < 1e-12)
+    }
+  }
+
+  test("tfidf dedup: pairs are canonical, cosine in (0,1] and consistent " +
+    "with the exact integer dot/norm arithmetic") {
+    val rows = q("q_dedup_tfidf").collect()
+    assert(rows.nonEmpty, "template near-dups must surface")
+    rows.foreach { r =>
+      val (a, b, dot, cos) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      assert(a < b)
+      assert(dot > 0)
+      assert(cos >= 0.6 && cos <= 1.0 + 1e-12, s"pair ($a,$b) cos $cos")
+    }
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("shuffle balance: loads cover all events, shares sum to 1, and " +
+    "the skew factor is share x partitions") {
+    val rows = q("q_shuffle_balance").collect()
+    val total = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 32)
+      assert(math.abs(r.getDouble(4) - r.getDouble(3) * rows.length)
+        < 1e-12)
+    }
+  }
+
+  test("multi-lag ACF: lag-1 row equals q_autocorr exactly and every " +
+    "acf is in [-1, 1]") {
+    val rows = q("q_acf_multi").collect()
+    assert(rows.map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 7L))
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9,
+      s"${r.getString(0)} lag ${r.getLong(1)}"))
+    val lag1 = rows.filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    q("q_autocorr").collect().foreach { r =>
+      assert(lag1(r.getString(0)) == r.getDouble(2),
+        s"${r.getString(0)}: acf lag-1 must equal q_autocorr bit-exactly")
+    }
+  }
+
+  test("ECE summary: reconciles exactly against the q_calibration bins") {
+    val r = q("q_ece_bins").collect().head
+    val bins = q("q_calibration").collect()
+    assert(r.getLong(0) == Tables.table(spark, sf, "embeddings").count())
+    assert(r.getLong(1) == bins.length)
+    def d4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val gaps = bins.map(b =>
+      (b.getLong(1), d4(math.abs(b.getDouble(4) - b.getDouble(3)))))
+    val ece = gaps.map { case (n, g) => g * n }.sum.toDouble / r.getLong(0)
+    assert(math.abs(r.getDouble(2) - ece) == 0.0)
+    assert(r.getDouble(3) == gaps.map(_._2).max.toDouble)
+    assert(r.getDouble(2) <= r.getDouble(3))
+  }
+
+  test("lag features: per-user lags match a driver-side scan and the " +
+    "rolling mean is the exact 3-term decimal mean") {
+    val rows = q("q_lag_features").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == ev.length)
+    val byUser = ev.groupBy(_._2).view.mapValues(
+      _.sortBy(e => (e._3, e._1))).toMap
+    def d4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val lagOf = byUser.values.flatMap { seq =>
+      seq.zipWithIndex.map { case (e, i) =>
+        e._1 -> (if (i >= 1) Some(seq(i - 1)._4) else None,
+          if (i >= 2) Some(seq(i - 2)._4) else None)
+      }
+    }.toMap
+    rows.take(2000).foreach { r =>
+      val id = r.getLong(0)
+      val (l1, l2) = lagOf(id)
+      assert(Option(r.get(3)).map(_.asInstanceOf[Double]) ==
+        l1.map(v => d4(v).toDouble), s"event $id lag1")
+      if (l1.isDefined && l2.isDefined) {
+        val exp = (d4(r.getDouble(2)) + d4(l1.get) + d4(l2.get)).toDouble / 3
+        assert(math.abs(r.getDouble(6) - exp) == 0.0, s"event $id roll3")
+      } else assert(r.isNullAt(6))
+    }
+  }
+}

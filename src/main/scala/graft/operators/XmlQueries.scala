@@ -68,23 +68,35 @@ object XmlQueries extends QueryModule {
   private def xmlPath: String = fixtureDir.resolve("bookOrder.xml").toString
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // flagship conversion: 1 document -> 1 row, root-wrapped struct
-    "q_xml_shape" -> ((s, _) =>
-      XmlToParquetJob.read(s, xsd, Seq(xmlPath))),
+    // flagship conversion: 1 document -> 1 row, root-wrapped struct.
+    // Registered as the flattened JSON rendering (presentation only —
+    // the nested-struct API is golden-tested in XmlConversionSpec), so
+    // the COMPLETE converted content pins against a golden-value
+    // oracle: rows+schema+hash instead of the old rows-only check.
+    "q_xml_shape" -> ((s, _) => flatten(
+      XmlToParquetJob.read(s, xsd, Seq(xmlPath)))),
 
     // XPath include: only /bookOrder/books/book (+ root attrs) survive
-    "q_xml_include" -> ((s, _) =>
+    "q_xml_include" -> ((s, _) => flatten(
       XmlToParquetJob.read(s, xsd, Seq(xmlPath),
-        Config(includes = Seq("/bookOrder/books/book")))),
+        Config(includes = Seq("/bookOrder/books/book"))))),
 
     // XPath exclude: note + books subtrees removed
-    "q_xml_exclude" -> ((s, _) =>
+    "q_xml_exclude" -> ((s, _) => flatten(
       XmlToParquetJob.read(s, xsd, Seq(xmlPath),
-        Config(excludes = Seq("/bookOrder/note", "/bookOrder/books")))),
+        Config(excludes = Seq("/bookOrder/note", "/bookOrder/books"))))),
 
-    // file-info metadata column from Spark's hidden _metadata struct
-    "q_xml_fileinfo" -> ((s, _) => flatten(
-      XmlToParquetJob.read(s, xsd, Seq(xmlPath), Config(fileInfo = true)))),
+    // file-info metadata column from Spark's hidden _metadata struct;
+    // the registered projection keeps the deterministic fields (name,
+    // size — mtime is the temp file's creation instant, asserted
+    // non-null in the golden tests instead) so the row pins to a
+    // golden-content oracle
+    "q_xml_fileinfo" -> ((s, _) => {
+      val df = XmlToParquetJob.read(s, xsd, Seq(xmlPath),
+        Config(fileInfo = true))
+      flatten(df.withColumn("file_info",
+        struct(col("file_info.name"), col("file_info.size"))))
+    }),
 
     // container sources: one row per archive member. The registered
     // projection is fully DETERMINISTIC — the only run-varying field
@@ -165,34 +177,56 @@ object XmlQueries extends QueryModule {
           .as("archive"))))
   }
 
-  /** Full golden member content for the container oracles: every field
-    * the XSD-typed conversion emits for one bookOrder.xml member,
+  /** Full golden document content for the conversion oracles: every
+    * field the XSD-typed conversion emits for one bookOrder.xml,
     * rendered exactly as the registered queries' to_json does. Any
     * drift in parsing, shaping, typing, or metadata hash-mismatches.
     */
-  private def memberJson(name: String, archive: String): String =
-    """{"bookOrder":{"bookOrder@orderDate":"2005-03-14 00:00:00.000",""" +
-      """"shipTo":{"shipTo@country":"FR","name":"Ada Lovelace",""" +
+  private val addresses: String =
+    """"shipTo":{"shipTo@country":"FR","name":"Ada Lovelace",""" +
       """"street":"12 Rue Verte","city":"Lyon","zip":69001.0},""" +
       """"billTo":{"billTo@country":"FR","name":"Blaise Pascal",""" +
-      """"street":"8 Quai Noir","city":"Paris","zip":75001.0},""" +
-      """"note":"Leave parcel with concierge","books":{"book":[""" +
+      """"street":"8 Quai Noir","city":"Paris","zip":75001.0}"""
+
+  private val booksJson: String =
+    """"books":{"book":[""" +
       """{"book@isbn":"321-QL","title":"Relational Algebra in Practice",""" +
       """"copies":2,"price":54.99,"note":"gift wrap"},""" +
       """{"book@isbn":"654-ZT","title":"Streams and Tables","copies":1,""" +
-      """"price":89.5,"shipDate":"2005-04-01 00:00:00.000"}]}},""" +
-      s""""file_info":{"name":"$name","size":774,""" +
+      """"price":89.5,"shipDate":"2005-04-01 00:00:00.000"}]}"""
+
+  private val docCore: String =
+    """{"bookOrder@orderDate":"2005-03-14 00:00:00.000",""" +
+      addresses + ""","note":"Leave parcel with concierge",""" + booksJson +
+      "}"
+
+  private def memberJson(name: String, archive: String): String =
+    s"""{"bookOrder":$docCore,"file_info":{"name":"$name","size":774,""" +
       s""""archive":"$archive"}}"""
 
+  private def goldenOracle(rows: Seq[String]): String =
+    rows.map(r => s"  ('$r')")
+      .mkString("SELECT doc_json FROM (VALUES\n", ",\n",
+        ") AS t(doc_json)\nORDER BY doc_json")
+
   private def containerOracle(archive: String): String =
-    s"""SELECT doc_json FROM (VALUES
-       |  ('${memberJson("order1.xml", archive)}'),
-       |  ('${memberJson("order2.xml", archive)}')) AS t(doc_json)
-       |ORDER BY doc_json""".stripMargin
+    goldenOracle(Seq(memberJson("order1.xml", archive),
+      memberJson("order2.xml", archive)))
 
   override def oracle: Map[String, String] = Map(
-    // golden-content oracles: the archive members are static fixtures,
-    // so the complete converted content pins to literal values
+    // golden-content oracles: the fixtures are static, so the complete
+    // converted content of every conversion variant pins to literal
+    // values (rows+schema+hash, not rows-only)
+    "q_xml_shape" -> goldenOracle(Seq(s"""{"bookOrder":$docCore}""")),
+    "q_xml_include" -> goldenOracle(Seq(
+      """{"bookOrder":{"bookOrder@orderDate":"2005-03-14 00:00:00.000",""" +
+        booksJson + "}}")),
+    "q_xml_exclude" -> goldenOracle(Seq(
+      """{"bookOrder":{"bookOrder@orderDate":"2005-03-14 00:00:00.000",""" +
+        addresses + "}}")),
+    "q_xml_fileinfo" -> goldenOracle(Seq(
+      s"""{"bookOrder":$docCore,""" +
+        """"file_info":{"name":"bookOrder.xml","size":774}}""")),
     "q_xml_zip" -> containerOracle("books.zip"),
     "q_xml_targz" -> containerOracle("books.tar.gz"),
     // identity oracles: the XML build+extract must reproduce the

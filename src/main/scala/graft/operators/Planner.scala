@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.Tables.table
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -116,6 +117,39 @@ object Planner extends QueryModule {
           .orderBy("reducer")
       }),
 
+      // --- cluster-purity audit (round 9): per IVF cell, its majority
+      // label, the cell purity, and the corpus-level purity
+      // Σ max_label / N — the external-validity check (do the
+      // geometric cells agree with the labels?) that complements
+      // q_silhouette's internal score and q_ivf_balance's size view.
+      // Everything reduces to the O(cells × labels) contingency
+      // relation; the majority pick is a rank-1 window over that tiny
+      // relation with an exact (count desc, label asc) total order. ---
+      "q_cluster_purity" -> ((s, d) => {
+        val cells = Similarity.ivfAssigned(s, d)
+          .join(table(s, d, "embeddings")
+            .select(col("vec_id"), col("label").cast("long").as("label")),
+            "vec_id")
+          .groupBy("bucket", "label").agg(count(lit(1)).as("c"))
+        val wr = Window.partitionBy("bucket")
+          .orderBy(col("c").desc, col("label").asc)
+        val top = cells.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("bucket"), col("label").as("top_label"),
+            col("c").as("top_n"))
+        val sizes = cells.groupBy("bucket").agg(sum("c").as("n_vecs"))
+        val tot = top.agg(sum("top_n").as("sum_top"))
+          .crossJoin(sizes.agg(sum("n_vecs").as("total")))
+        sizes.join(top, "bucket").crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_vecs"), col("top_label"),
+            col("top_n"),
+            (col("top_n").cast("double") / col("n_vecs"))
+              .as("cell_purity"),
+            (col("sum_top").cast("double") / col("total"))
+              .as("overall_purity"))
+          .orderBy("bucket")
+      }),
+
       // --- IVF partition-balance audit: per-cell population of the
       // 16-cell IVF index (the q_sim_ivf layout), its share of the
       // corpus, and the per-cell skew factor n_cell·cells/total (1.0 =
@@ -220,6 +254,27 @@ object Planner extends QueryModule {
         |  CAST(load AS DOUBLE) / total AS share,
         |  CAST(load AS DOUBLE) * n_parts / total AS skew
         |FROM p CROSS JOIN t ORDER BY reducer""".stripMargin,
+
+    "q_cluster_purity" ->
+      s"""WITH ${Similarity.ivfAsgCte},
+         |cl AS (SELECT bucket, CAST(e.label AS BIGINT) AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM asg JOIN embeddings e ON e.vec_id = asg.vid
+         |  GROUP BY 1, 2),
+         |tp AS (SELECT bucket, label AS top_label, c AS top_n FROM (
+         |    SELECT bucket, label, c, row_number() OVER (
+         |      PARTITION BY bucket ORDER BY c DESC, label) AS rn
+         |    FROM cl) WHERE rn = 1),
+         |sz AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_vecs
+         |  FROM cl GROUP BY 1),
+         |tt AS (SELECT
+         |    (SELECT CAST(SUM(top_n) AS BIGINT) FROM tp) AS sum_top,
+         |    (SELECT CAST(SUM(n_vecs) AS BIGINT) FROM sz) AS total)
+         |SELECT bucket, n_vecs, top_label, top_n,
+         |  CAST(top_n AS DOUBLE) / n_vecs AS cell_purity,
+         |  CAST(sum_top AS DOUBLE) / total AS overall_purity
+         |FROM sz JOIN tp USING (bucket) CROSS JOIN tt
+         |ORDER BY bucket""".stripMargin,
 
     "q_ivf_balance" ->
       s"""WITH ${Similarity.ivfAsgCte},

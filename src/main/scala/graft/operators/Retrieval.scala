@@ -33,12 +33,12 @@ object Retrieval extends QueryModule {
     * dominates) and two high-df terms whose idf correctly rounds to ~0,
     * the stopword behavior BM25 is designed to have.
     */
-  private val Terms = Seq("dup", "spark", "vector")
+  private[operators] val Terms = Seq("dup", "spark", "vector")
 
   /** floor(log2(num/den)) for exact int64 operands, via binary-string
     * length (shared spelling with Scoring.bits — no libm).
     */
-  private def idfBits(num: Column, den: Column): Column =
+  private[operators] def idfBits(num: Column, den: Column): Column =
     (length(bin(floor(num.cast("double") / den).cast("long"))) - 1)
       .cast("long")
 
@@ -47,7 +47,12 @@ object Retrieval extends QueryModule {
     * one-pass corpus stats broadcast as a 1-row relation, then pure
     * map-side projection. Returns (doc_id, dl, tf_rare, bm25).
     */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  /** (per-doc tf relation, 1-row corpus stats) — the BM25 corpus pass
+    * shared by the scorer below and Tuning's k1/b sweep (one tokenize
+    * pass feeds every parameterization).
+    */
+  private[operators] def bm25Corpus(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = table(s, d, "documents")
       .select(col("doc_id"), size(toks).cast("long").as("dl"),
         toks.as("tk"))
@@ -60,20 +65,33 @@ object Retrieval extends QueryModule {
       (sum(col("dl")).as("a") +:
         Terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
-    val scored = withTf.crossJoin(broadcast(stats))
-    val termScore = Terms.indices.map { i =>
+    (withTf, stats)
+  }
+
+  /** Per-term BM25 score columns for the integer-rational coefficient
+    * set (cNum·a·tf) / (cDen0·a·tf + cDenA·a + cDenDl·dl·n) — the
+    * (k1, b) pair scaled to exact int64 coefficients. Shared with
+    * Tuning's k1/b sweep.
+    */
+  private[operators] def bm25Score(cNum: Long, cDen0: Long, cDenA: Long,
+      cDenDl: Long): Column =
+    Terms.indices.map { i =>
       val idf = idfBits(
         lit(2) * col("n") - lit(2) * col(s"df$i") + 1,
         lit(2) * col(s"df$i") + 1)
       // tf = 0 zeroes the numerator, so absent terms contribute
       // exactly 0.0 with no branch
       idf.cast("double") *
-        ((lit(22) * col("a") * col(s"tf$i")).cast("double") /
-          (lit(10) * col("a") * col(s"tf$i") + lit(3) * col("a") +
-            lit(9) * col("dl") * col("n")).cast("double"))
-    }
-    scored.select(col("doc_id"), col("dl"), col("tf0").as("tf_rare"),
-      termScore.reduceLeft(_ + _).as("bm25"))
+        ((lit(cNum) * col("a") * col(s"tf$i")).cast("double") /
+          (lit(cDen0) * col("a") * col(s"tf$i") + lit(cDenA) * col("a") +
+            lit(cDenDl) * col("dl") * col("n")).cast("double"))
+    }.reduceLeft(_ + _)
+
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val (withTf, stats) = bm25Corpus(s, d)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("tf0").as("tf_rare"),
+        bm25Score(22, 10, 3, 9).as("bm25"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -336,7 +354,7 @@ object Retrieval extends QueryModule {
   /** DuckDB CTE block `d/w/s` + score expression for the BM25 scoring
     * pipeline — shared by the `q_rank_bm25` and `q_rank_fusion` oracles.
     */
-  private val bm25Cte: String = {
+  private[operators] val bm25Cte: String = {
     val stats = Terms.indices.map(i =>
       s"""SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i""")
       .mkString(",\n|           ")
@@ -354,13 +372,17 @@ object Retrieval extends QueryModule {
        |      FROM w)""".stripMargin
   }
 
-  private val bm25ScoreSql: String = Terms.indices.map { i =>
+  /** SQL twin of [[bm25Score]] for an integer coefficient set. */
+  private[operators] def bm25ScoreSqlFor(cNum: Long, cDen0: Long,
+      cDenA: Long, cDenDl: Long): String = Terms.indices.map { i =>
     s"""CAST(length(bin(CAST(floor(CAST(2*n - 2*df$i + 1 AS DOUBLE)
        |      / (2*df$i + 1)) AS BIGINT))) - 1 AS DOUBLE)
-       |    * (CAST(22*a*tf$i AS DOUBLE)
-       |       / CAST(10*a*tf$i + 3*a + 9*dl*n AS DOUBLE))"""
+       |    * (CAST($cNum*a*tf$i AS DOUBLE)
+       |       / CAST($cDen0*a*tf$i + $cDenA*a + $cDenDl*dl*n AS DOUBLE))"""
       .stripMargin
   }.mkString("\n|  + ")
+
+  private val bm25ScoreSql: String = bm25ScoreSqlFor(22, 10, 3, 9)
 
   override def oracle: Map[String, String] = Map(
     // naive id-ordered triple join: each triangle (a < b < c) appears

@@ -25,6 +25,38 @@ object Statistics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- quantile-profile grid (round 9): p10/p25/p50/p75/p90 of
+      // the event value per type in ONE histogram pass — the
+      // monitoring profile a latency/size dashboard reads. The order
+      // statistics are exact over the quantized CENT domain (the
+      // q_robust_scale discipline: the cumulative window runs over the
+      // O(types × cents) bucket relation, never rows) with the
+      // exact-integer threshold read cum·100 ≥ n·q — percentile_disc
+      // semantics with zero FP in the rank compare. ---
+      "q_percentile_grid" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), col("value"))
+        val wc = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = ev
+          .groupBy(col("event_type"),
+            floor(col("value") * lit(100)).cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wc))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val qs = Seq(10, 25, 50, 75, 90)
+        cum.join(broadcast(tot), "event_type")
+          .groupBy("event_type")
+          .agg(max("n").as("n"),
+            qs.map(q =>
+              min(when(col("cum") * 100 >= col("n") * q, col("v")))
+                .as(s"c$q")): _*)
+          .select(col("event_type") +: col("n") +:
+            qs.map(q => (col(s"c$q").cast("double") / 100.0)
+              .as(s"p$q")): _*)
+          .orderBy("event_type")
+      }),
+
       // --- Kaplan-Meier survival summary per cohort (cohort = the
       // user's first event type; duration = days from first to last
       // event; censored = still active within 7 days of corpus end).
@@ -165,6 +197,26 @@ object Statistics extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_percentile_grid" -> {
+      val picks = Seq(10, 25, 50, 75, 90).map(q =>
+        s"""CAST(MIN(CASE WHEN cum * 100 >= n * $q THEN v END)
+           |    AS DOUBLE) / 100.0 AS p$q""".stripMargin).mkString(",\n|  ")
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(floor(value * 100) AS BIGINT) AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |cm AS (SELECT event_type, v, c,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+         |      AS BIGINT) AS cum
+         |  FROM b),
+         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, MAX(n) AS n,
+         |  $picks
+         |FROM cm JOIN t USING (event_type)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     "q_survival_km" ->
       """WITH RECURSIVE mx AS (SELECT MAX(ts) AS m FROM events),

@@ -34,6 +34,42 @@ object Tuning extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- BM25 parameter sweep (round 9 — the OTHER retrieval knob
+      // next to q_lsh_curve's band sweep: how does the top-10 move as
+      // (k1, b) trade term-frequency saturation against length
+      // normalization?): ONE tokenize/stats pass (Retrieval.bm25Corpus)
+      // feeds all three parameterizations — each (k1, b) is an exact
+      // int64 coefficient set, so the sweep is 3 map-side score
+      // projections over the same scan, 3 bounded top-10 ranks (the
+      // TopKPerKey window shape), and one broadcast overlap join
+      // against the baseline list. Output is O(configs). ---
+      "q_bm25_tuning" -> ((s, d) => {
+        val (tf, stats) = Retrieval.bm25Corpus(s, d)
+        val scored = tf.crossJoin(broadcast(stats))
+        // (k1, b) -> exact rational coefficients of
+        // num/den = s(k1+1)·a·tf / (s·a·tf + s·k1(1−b)·a + s·k1·b·dl·n)
+        val cfgs = Seq(
+          ("k120_b075", 120L, 75L, 22L, 10L, 3L, 9L),
+          ("k080_b030", 80L, 30L, 45L, 25L, 14L, 6L),
+          ("k200_b100", 200L, 100L, 30L, 10L, 0L, 20L))
+        val perCfg = cfgs.map { case (label, k1x, bx, cn, cd0, cda, cdd) =>
+          scored.select(lit(label).as("cfg"), lit(k1x).as("k1_x100"),
+            lit(bx).as("b_x100"), col("doc_id"),
+            Retrieval.bm25Score(cn, cd0, cda, cdd).as("bm25"))
+        }.reduce(_ unionByName _)
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("cfg").orderBy(col("bm25").desc, col("doc_id"))
+        val tops = perCfg.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 10)
+        val baseTop = tops.filter(col("cfg") === "k120_b075")
+          .select(col("doc_id")).withColumn("hit", lit(1L))
+        tops.join(broadcast(baseTop), Seq("doc_id"), "left")
+          .groupBy("cfg", "k1_x100", "b_x100")
+          .agg(count(lit(1)).as("n_top"),
+            sum(coalesce(col("hit"), lit(0L))).as("overlap_base"))
+          .orderBy("cfg")
+      }),
+
       // --- dedup-threshold sensitivity sweep (the knob-tuning run a
       // curation team does before committing a Jaccard cutoff: how
       // many pairs/docs does each threshold implicate?): the exact
@@ -258,6 +294,33 @@ object Tuning extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_bm25_tuning" -> {
+      def branch(label: String, k1x: Long, bx: Long, cn: Long, cd0: Long,
+          cda: Long, cdd: Long): String =
+        s"""SELECT '$label' AS cfg, CAST($k1x AS BIGINT) AS k1_x100,
+           |  CAST($bx AS BIGINT) AS b_x100, doc_id,
+           |  ${Retrieval.bm25ScoreSqlFor(cn, cd0, cda, cdd)}
+           |  AS bm25
+           |FROM w CROSS JOIN s""".stripMargin
+      s"""WITH ${Retrieval.bm25Cte},
+         |sc AS (${branch("k120_b075", 120, 75, 22, 10, 3, 9)}
+         |UNION ALL
+         |${branch("k080_b030", 80, 30, 45, 25, 14, 6)}
+         |UNION ALL
+         |${branch("k200_b100", 200, 100, 30, 10, 0, 20)}),
+         |r AS (SELECT cfg, k1_x100, b_x100, doc_id,
+         |    row_number() OVER (PARTITION BY cfg
+         |      ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM sc),
+         |t AS (SELECT * FROM r WHERE rn <= 10),
+         |bt AS (SELECT doc_id FROM t WHERE cfg = 'k120_b075')
+         |SELECT cfg, k1_x100, b_x100,
+         |  CAST(COUNT(*) AS BIGINT) AS n_top,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bt)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS overlap_base
+         |FROM t GROUP BY 1, 2, 3 ORDER BY cfg""".stripMargin
+    },
 
     "q_dedup_sweep" ->
       s"""WITH ${TextPipeline.ngramPairCte},

@@ -183,6 +183,56 @@ class MatchingPlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) <= r.getDouble(3))
   }
 
+  test("bm25 tuning: baseline overlaps itself fully, every config " +
+    "keeps 10 rows, and overlap never exceeds the list size") {
+    val rows = q("q_bm25_tuning").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 10L, s"${r.getString(0)} n_top")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 10L)
+    }
+    val base = rows.find(_.getString(0) == "k120_b075").get
+    assert(base.getLong(4) == 10L, "baseline is its own top-10")
+    // the baseline config must reproduce q_rank_bm25's top-10 exactly
+    // (same integer coefficients through the shared scorer)
+  }
+
+  test("percentile grid: quantiles are nondecreasing and match " +
+    "driver-side exact order statistics on the cent domain") {
+    val rows = q("q_percentile_grid").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), floor(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = ev.filter(_._1 == t).map(_._2).sorted
+      assert(r.getLong(1) == vs.length)
+      val ps = (2 to 6).map(r.getDouble)
+      assert(ps == ps.sorted, s"$t: grid must be monotone")
+      Seq(10, 25, 50, 75, 90).zipWithIndex.foreach { case (qq, i) =>
+        // smallest v with cum*100 >= n*q == element at ceil(n*q/100)-1
+        val k = (vs.length.toLong * qq + 99) / 100
+        assert(ps(i) == vs((k - 1).toInt).toDouble / 100.0,
+          s"$t p$qq")
+      }
+    }
+  }
+
+  test("cluster purity: contingency reconciles, purity in (0,1], and " +
+    "the overall figure is the top-label mass over the corpus") {
+    val rows = q("q_cluster_purity").collect()
+    val total = Tables.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val sumTop = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(3).toDouble / r.getLong(1)) == 0.0)
+      assert(math.abs(r.getDouble(5) -
+        sumTop.toDouble / total) == 0.0)
+    }
+  }
+
   test("lag features: per-user lags match a driver-side scan and the " +
     "rolling mean is the exact 3-term decimal mean") {
     val rows = q("q_lag_features").collect()

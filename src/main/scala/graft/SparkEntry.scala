@@ -58,6 +58,7 @@ object SparkEntry {
     streaming.StreamingSmoke,
     streaming.StatefulSession,
     streaming.StatefulEwma,
+    streaming.StatefulLag,
     streaming.LateData)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on

@@ -233,6 +233,23 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming lag features equal the batch window bit-for-bit " +
+    "across a multi-batch replay") {
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Double,
+        Option[Double], Option[Double], Option[Double], Option[Double]) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+    val batch = q("q_lag_features").collect().map(key)
+    val stream = q("q_streaming_lagfeat").collect().map(key)
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (s1, b1) =>
+      assert(s1 == b1, s"stream $s1 != batch $b1")
+    }
+  }
+
   test("lag features: per-user lags match a driver-side scan and the " +
     "rolling mean is the exact 3-term decimal mean") {
     val rows = q("q_lag_features").collect()

@@ -812,4 +812,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pr.contains("BroadcastNestedLoopJoin") ||
       pr.contains("BroadcastHashJoin"), pr.take(3000))
   }
+
+  test("round-9 matching/planner plans: candidate joins stay off " +
+      "cartesians, lag features ride the bucketed layout, tuning ranks " +
+      "are bounded heaps") {
+    // banded/posting candidate generation must never go cartesian
+    for (q <- Seq("q_dedup_phash", "q_dedup_tfidf", "q_fs_weights",
+        "q_cluster_purity", "q_ivf_balance", "q_shuffle_balance",
+        "q_join_est_audit", "q_acf_multi", "q_percentile_grid")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    }
+    // lag features inherit the user_id-bucketed scan: zero hash
+    // exchange anywhere in the plan
+    val pl = plan("q_lag_features")
+    assert(!pl.contains("Exchange hashpartitioning"), pl.take(3000))
+    assert(pl.contains("Window"), pl.take(3000))
+    // the bm25 sweep's per-config top-10 plans through the bounded-heap
+    // operator (TopKPerKey) or a TakeOrdered, never a full sort rank
+    val pb = plan("q_bm25_tuning")
+    assert(pb.contains("TopKPerKey") || pb.contains("TakeOrdered"),
+      pb.take(3000))
+    // percentile grid: the cumulative window consumes the bucket
+    // histogram (an aggregate below the window), never raw events
+    val pg = plan("q_percentile_grid")
+    assert(pg.contains("Window"), pg.take(3000))
+    assert("HashAggregate".r.findAllIn(pg).size >= 2, pg.take(3000))
+    // selectivity audit: one scan, map-side partial aggregation, no join
+    // below the moment row
+    val ps = plan("q_sel_audit")
+    assert(ps.contains("partial_count") || ps.contains("partial_sum"),
+      ps.take(3000))
+  }
 }

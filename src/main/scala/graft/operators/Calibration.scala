@@ -145,10 +145,53 @@ object Calibration extends QueryModule {
           .select(col("dim"), coalesce(col("dropped"), lit(0L))
             .as("dropped"), col("witness_dim"), col("witness_corr"))
           .orderBy("dim")
+      }),
+
+      // --- Wilson 95% score interval per event type (round 9): the
+      // small-sample-safe success-rate interval every SRE/experiment
+      // dashboard should use instead of the Wald +-1.96*se (which
+      // collapses at p near 0/1). Success = the apdex satisfied gate
+      // (value <= 50). One conditional-count pass to exact (n, k) per
+      // type; the interval is ONE fixed IEEE expression tree (z =
+      // 1.96, z^2 = 3.8416 exact decimal literals) rendered
+      // identically in both dialects. O(types) output. ---
+      "q_wilson_ci" -> ((s, d) => {
+        val g = table(s, d, "events")
+          .select(col("event_type"),
+            (round(col("value"), 0).cast("long") <= 50L).cast("long")
+              .as("ok"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("ok").as("k"))
+        g.selectExpr("event_type", "n", "k",
+            "CAST(k AS DOUBLE) / n AS p_hat",
+            s"${wilsonSql("-")} AS lo",
+            s"${wilsonSql("+")} AS hi")
+          .orderBy("event_type")
       })
     )
 
+  /** The Wilson-interval IEEE expression tree, written ONCE and
+    * rendered into both dialects (identical parenthesization =
+    * identical doubles): z = 1.96, z^2 = 3.8416 exactly.
+    */
+  private def wilsonSql(sign: String): String =
+    "(CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)) / (1 + 3.8416 / n) " +
+      s"$sign 1.96 * sqrt((CAST(k AS DOUBLE) / n) * " +
+      "(1 - CAST(k AS DOUBLE) / n) / n + " +
+      "3.8416 / (4 * CAST(n AS DOUBLE) * n)) / (1 + 3.8416 / n)"
+
   override def oracle: Map[String, String] = Map(
+
+    "q_wilson_ci" ->
+      s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN CAST(round(value, 0) AS BIGINT) <= 50
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, n, k,
+         |  CAST(k AS DOUBLE) / n AS p_hat,
+         |  ${wilsonSql("-")} AS lo,
+         |  ${wilsonSql("+")} AS hi
+         |FROM g ORDER BY event_type""".stripMargin,
     "q_isotonic_fit" ->
       """WITH e AS (SELECT CAST(label % 2 = 1 AS BIGINT) AS pos,
         |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0)

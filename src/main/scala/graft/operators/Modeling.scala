@@ -81,6 +81,37 @@ object Modeling extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- seasonal-naive forecast evaluation (MASE, round 9): the
+      // scale-free accuracy readout that closes the forecasting block
+      // (q_holt_winters produces forecasts; this scores the seasonal-
+      // naive baseline against the one-step-naive denominator — MASE
+      // < 1 means the weekly pattern beats copy-yesterday). Daily
+      // exact-decimal series per type; lag-1/lag-7 errors as exact
+      // decimal |differences| (order-independent sums); two terminal
+      // divisions. The window runs over the tiny per-type series. ---
+      "q_mase_eval" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(DecimalType(18, 4)).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val g = daily
+          .withColumn("l1", lag("v", 1).over(w))
+          .withColumn("l7", lag("v", 7).over(w))
+          .filter(col("l7").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("v") - col("l1"))).as("ae1"),
+            sum(abs(col("v") - col("l7"))).as("ae7"))
+        g.select(col("event_type"), col("n_eval"),
+            (col("ae1").cast("double") / col("n_eval")).as("mae_naive1"),
+            (col("ae7").cast("double") / col("n_eval")).as("mae_snaive7"),
+            when(col("ae1") > 0,
+              col("ae7").cast("double") / col("ae1").cast("double"))
+              .as("mase"))
+          .orderBy("event_type")
+      }),
+
       // --- prediction-interval coverage audit: calibrate an [p10,p90]
       // band per event type on the first 15 days, measure what share
       // of later values actually falls inside (the honesty check every
@@ -225,6 +256,24 @@ object Modeling extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_mase_eval" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 7) OVER w AS l7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    SUM(abs(v - l1)) AS ae1, SUM(abs(v - l7)) AS ae7
+        |  FROM l WHERE l7 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |  CAST(ae1 AS DOUBLE) / n_eval AS mae_naive1,
+        |  CAST(ae7 AS DOUBLE) / n_eval AS mae_snaive7,
+        |  CASE WHEN ae1 > 0 THEN CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE)
+        |    END AS mase
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_holt_winters" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

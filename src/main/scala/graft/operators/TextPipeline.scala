@@ -108,6 +108,28 @@ object TextPipeline extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- language-ID confusion matrix (round 9): per (actual,
+    // predicted) cell counts and the within-language share — the
+    // per-class evaluation readout for the q_lang_id heuristic (which
+    // languages leak into which). Predictions are the same map-side
+    // marker-count CASE; cells reduce to the O(langs²) contingency
+    // with a broadcast per-language total. ---
+    "q_lang_confusion" -> ((s, d) => {
+      val Seq(en, es, de, fr) = langMarkers.map(m => markerCount(m._2))
+      val pred = when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+      val cells = table(s, d, "documents")
+        .select(col("lang"), pred.as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val per = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      cells.join(broadcast(per), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast("double") / col("n_lang")).as("share"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // --- content fingerprint (md5 of normalized text) ---
     "q_fingerprint" -> ((s, d) =>
       table(s, d, "documents")
@@ -473,6 +495,24 @@ object TextPipeline extends QueryModule {
          |        WHEN $de >= $fr THEN 'de'
          |        ELSE 'fr' END) = lang AS is_match
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_confusion" -> {
+      val Seq(en, es, de, fr) = langMarkers.map(m => markerSql(m._2))
+      s"""WITH p AS (SELECT lang,
+         |    CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         |         WHEN $es >= $de AND $es >= $fr THEN 'es'
+         |         WHEN $de >= $fr THEN 'de'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM documents),
+         |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+         |  FROM c GROUP BY 1)
+         |SELECT lang, pred_lang, n,
+         |  CAST(n AS DOUBLE) / n_lang AS share
+         |FROM c JOIN t USING (lang)
+         |ORDER BY lang, pred_lang""".stripMargin
     },
 
     "q_fingerprint" ->

@@ -259,10 +259,55 @@ object TimeWindows extends QueryModule {
         .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
           col("n_1h"), col("sum_1h"))
         .orderBy("user_id", "ts_s", "event_id")
-    })
+    }),
+
+    "q_rollup_calendar" -> ((s, d) => rollupCalendarQuery(s, d))
   )
 
+  /** Calendar multi-grain rollup (round 9): day/week/month volume and
+    * exact-decimal value totals in ONE scan via GROUPING SETS — the
+    * Expand-based single-pass OLAP calendar rollup (a 3-branch union
+    * would scan the corpus three times; the grouping-sets plan scans
+    * once and expands rows map-side). Week truncation is ISO-Monday on
+    * both engines; bucket labels render as strings so the output is a
+    * plain comparable relation.
+    */
+  private val rollupCalendarQuery: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      table(s, d, "events").createOrReplaceTempView("events_graft_cal")
+      s.sql(
+        s"""WITH e AS (SELECT
+           |    date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+           |    date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week,
+           |    date_format(date_trunc('month', ts), 'yyyy-MM-dd')
+           |      AS month,
+           |    value
+           |  FROM events_graft_cal)
+           |SELECT CASE WHEN day IS NOT NULL THEN 'day'
+           |            WHEN week IS NOT NULL THEN 'week'
+           |            ELSE 'month' END AS grain,
+           |  COALESCE(day, week, month) AS bucket,
+           |  COUNT(*) AS n, ${S("value")} AS total
+           |FROM e GROUP BY GROUPING SETS ((day), (week), (month))
+           |ORDER BY grain, bucket""".stripMargin)
+    }
+
   override def oracle: Map[String, String] = Map(
+
+    "q_rollup_calendar" ->
+      s"""WITH e AS (SELECT
+         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |    strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+         |    value
+         |  FROM events)
+         |SELECT CASE WHEN day IS NOT NULL THEN 'day'
+         |            WHEN week IS NOT NULL THEN 'week'
+         |            ELSE 'month' END AS grain,
+         |  COALESCE(day, week, month) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${S("value")} AS total
+         |FROM e GROUP BY GROUPING SETS ((day), (week), (month))
+         |ORDER BY grain, bucket""".stripMargin,
     "q_win_nth" ->
       """WITH w AS (SELECT user_id,
         |    first_value(event_type) OVER fr AS first_type,

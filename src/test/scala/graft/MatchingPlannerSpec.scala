@@ -233,6 +233,63 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar rollup: each grain's totals cover every event and " +
+    "buckets nest (weeks sum to the month mass)") {
+    val rows = q("q_rollup_calendar").collect()
+    val n = Tables.table(spark, sf, "events").count()
+    Seq("day", "week", "month").foreach { g =>
+      val mine = rows.filter(_.getString(0) == g)
+      assert(mine.map(_.getLong(2)).sum == n, s"$g covers all events")
+      val buckets = mine.map(_.getString(1))
+      assert(buckets.distinct.length == buckets.length)
+    }
+    val dayTotal = rows.filter(_.getString(0) == "day")
+      .map(_.getDouble(3)).sum
+    val monthTotal = rows.filter(_.getString(0) == "month")
+      .map(_.getDouble(3)).sum
+    assert(math.abs(dayTotal - monthTotal) < 1e-6,
+      "grain masses agree (decimal-exact sums)")
+  }
+
+  test("Wilson interval: brackets p_hat, stays in [0,1], and narrows " +
+    "with n") {
+    val rows = q("q_wilson_ci").collect()
+    rows.foreach { r =>
+      val (n, k, p, lo, hi) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(p - k.toDouble / n) == 0.0)
+      assert(lo <= p && p <= hi, s"${r.getString(0)}")
+      assert(lo >= 0.0 - 1e-12 && hi <= 1.0 + 1e-12)
+      assert(hi - lo < 0.2, "sf0.001 groups are large enough for a " +
+        "sub-0.2 interval")
+    }
+  }
+
+  test("lang confusion: cells cover the corpus, shares sum to 1 per " +
+    "language, diagonal matches q_lang_id's is_match count") {
+    val rows = q("q_lang_confusion").collect()
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_.getDouble(3)).sum - 1.0) < 1e-9, lang)
+    }
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val matches = q("q_lang_id").collect().count(_.getBoolean(7))
+    assert(diag == matches)
+  }
+
+  test("MASE: error sums reconcile against a driver-side recomputation " +
+    "of the daily series") {
+    val rows = q("q_mase_eval").collect()
+    rows.foreach { r =>
+      val (n, mae1, mae7) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0 && mae1 >= 0 && mae7 >= 0)
+      if (!r.isNullAt(4))
+        assert(math.abs(r.getDouble(4) - mae7 * n / (mae1 * n)) < 1e-9)
+    }
+  }
+
   test("streaming lag features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row): (Long, Long, Double,

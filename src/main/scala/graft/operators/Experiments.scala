@@ -31,6 +31,31 @@ object Experiments extends QueryModule {
       // identities (var_adj = var_y − 2θcov + θ²var_x), so nothing
       // per-row is ever accumulated in floating point. Arms are a
       // deterministic user-id parity. ---
+      // --- sample-ratio mismatch gate (round 9): the experiment-
+      // hygiene check every A/B platform runs before reading a result —
+      // chi-square of the OBSERVED train/val/test assignment counts
+      // (q_train_split's md5 nibble gate, weights 12/2/2 of 16) against
+      // the DECLARED ratios. One conditional-count scan to exact
+      // (n, n_train, n_val, n_test); each chi-square component is the
+      // identical fixed IEEE tree on both engines ((16·O − w·n)² /
+      // (16·w·n), summed in written order); the 5.991 flag is the 95%
+      // chi-square(2) critical value. One-row output. ---
+      "q_ab_srm" -> ((s, d) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val g = table(s, d, "documents").agg(
+          count(lit(1)).as("n"),
+          sum((nib <= "b").cast("long")).as("n_train"),
+          sum((nib > "b" && nib <= "d").cast("long")).as("n_val"),
+          sum((nib > "d").cast("long")).as("n_test"))
+        def comp(o: String, w: Int): String =
+          s"CAST(16 * $o - $w * n AS DOUBLE) * " +
+            s"CAST(16 * $o - $w * n AS DOUBLE) / (16.0 * $w * n)"
+        g.selectExpr("n", "n_train", "n_val", "n_test",
+            s"${comp("n_train", 12)} + ${comp("n_val", 2)} + " +
+              s"${comp("n_test", 2)} AS chi2")
+          .withColumn("srm_detected", col("chi2") > 5.991)
+      }),
+
       "q_cuped_adjust" -> ((s, d) => {
         val per = table(s, d, "events")
           .groupBy(col("user_id"))
@@ -161,6 +186,28 @@ object Experiments extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_ab_srm" -> {
+      def comp(o: String, w: Int): String =
+        s"CAST(16 * $o - $w * n AS DOUBLE) * " +
+          s"CAST(16 * $o - $w * n AS DOUBLE) / (16.0 * $w * n)"
+      s"""WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |      <= 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |      > 'b' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |    CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |      > 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM documents),
+         |c AS (SELECT n, n_train, n_val, n_test,
+         |    ${comp("n_train", 12)} + ${comp("n_val", 2)}
+         |      + ${comp("n_test", 2)} AS chi2
+         |  FROM g)
+         |SELECT n, n_train, n_val, n_test, chi2,
+         |  chi2 > 5.991 AS srm_detected
+         |FROM c""".stripMargin
+    },
     "q_cuped_adjust" ->
       """WITH per AS (SELECT user_id % 2 AS arm,
         |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',

@@ -115,10 +115,11 @@ object Scoring extends QueryModule {
     // pairs with support >= 5. Bigram counts stream out of the
     // NGramGenerator (codegen'd, no intermediate gram arrays); the two
     // unigram joins hit the same AQE-broadcast vocab as q_perplexity.
-    // The final top-k windows over the SUPPORT-FILTERED aggregate —
-    // a relation of heavy-hitter bigrams, vocabulary-sized at worst,
-    // so the single-partition rank sort is bounded; the raw bigram
-    // stream itself is never globally sorted. ---
+    // The global top-25 is a TakeOrdered (orderBy+limit: per-partition
+    // heaps + driver merge — the q_vocab_coverage discipline); the rank
+    // column derives from a window over the 25 survivors only, so no
+    // task ever sorts the support-filtered bigram relation (which is
+    // vocabulary-sized at fleet scale). ---
     "q_cooccur_pmi" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val uni = docs.select(explode(toks).as("tok"))
@@ -138,9 +139,10 @@ object Scoring extends QueryModule {
         .select(col("w1"), col("w2"), col("c2"),
           ((col("c2") * col("n_total")).cast("double") /
             (col("ca") * col("cb")).cast("double")).as("lift"))
+      val top = scored
+        .orderBy(col("lift").desc, col("w1"), col("w2")).limit(25)
       val w = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
-      scored.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 25)
+      top.withColumn("rn", row_number().over(w).cast("long"))
         .orderBy("rn")
     }),
 

@@ -22,6 +22,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Statistics extends QueryModule {
 
+  /** The p10..p90 quantile grid per event type over the quantized cent
+    * domain (q_robust_scale discipline) — shared by q_percentile_grid
+    * and the QQ drift readout.
+    */
+  private def quantGrid(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+      .select(col("event_type"), col("value"))
+    val wc = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ev
+      .groupBy(col("event_type"),
+        floor(col("value") * lit(100)).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wc))
+    val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val qs = Seq(10, 25, 50, 75, 90)
+    cum.join(broadcast(tot), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        qs.map(q =>
+          min(when(col("cum") * 100 >= col("n") * q, col("v")))
+            .as(s"c$q")): _*)
+      .select(col("event_type") +: col("n") +:
+        qs.map(q => (col(s"c$q").cast("double") / 100.0)
+          .as(s"p$q")): _*)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
@@ -33,28 +60,27 @@ object Statistics extends QueryModule {
       // O(types × cents) bucket relation, never rows) with the
       // exact-integer threshold read cum·100 ≥ n·q — percentile_disc
       // semantics with zero FP in the rank compare. ---
-      "q_percentile_grid" -> ((s, d) => {
-        val ev = table(s, d, "events")
-          .select(col("event_type"), col("value"))
-        val wc = Window.partitionBy("event_type").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = ev
-          .groupBy(col("event_type"),
-            floor(col("value") * lit(100)).cast("long").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum("c").over(wc))
-        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-        val qs = Seq(10, 25, 50, 75, 90)
-        cum.join(broadcast(tot), "event_type")
-          .groupBy("event_type")
-          .agg(max("n").as("n"),
-            qs.map(q =>
-              min(when(col("cum") * 100 >= col("n") * q, col("v")))
-                .as(s"c$q")): _*)
-          .select(col("event_type") +: col("n") +:
-            qs.map(q => (col(s"c$q").cast("double") / 100.0)
-              .as(s"p$q")): _*)
-          .orderBy("event_type")
+      "q_percentile_grid" -> ((s, d) => quantGrid(s, d)
+        .orderBy("event_type")),
+
+      // --- QQ drift grid (round 9): each event type's quantile grid
+      // side-by-side with the 'view' baseline — the quantile-domain
+      // drift readout (a PSI/KS complement that says WHERE in the
+      // distribution two types diverge, not just that they do). One
+      // shared cent-histogram grid pass; the 5-row baseline broadcasts
+      // into the stacked (type, q) relation; gaps are exact-cent
+      // double differences. ---
+      "q_qq_grid" -> ((s, d) => {
+        val longG = quantGrid(s, d).selectExpr("event_type",
+          "stack(5, 10, p10, 25, p25, 50, p50, 75, p75, 90, p90) " +
+            "AS (q, v)")
+        val base = longG.filter(col("event_type") === "view")
+          .select(col("q"), col("v").as("v_base"))
+        longG.join(broadcast(base), "q")
+          .select(col("event_type"), col("q").cast("long").as("q"),
+            col("v"), col("v_base"),
+            (col("v") - col("v_base")).as("gap"))
+          .orderBy("event_type", "q")
       }),
 
       // --- Kaplan-Meier survival summary per cohort (cohort = the
@@ -196,27 +222,45 @@ object Statistics extends QueryModule {
           .orderBy("bucket")
       }))
 
+  /** DuckDB CTE `g(event_type, n, p10..p90)` — twin of [[quantGrid]]. */
+  private val quantGridCte: String = {
+    val picks = Seq(10, 25, 50, 75, 90).map(q =>
+      s"""CAST(MIN(CASE WHEN cum * 100 >= n * $q THEN v END)
+         |    AS DOUBLE) / 100.0 AS p$q""".stripMargin).mkString(",\n|  ")
+    s"""b AS (SELECT event_type,
+       |    CAST(floor(value * 100) AS BIGINT) AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cm AS (SELECT event_type, v, c,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+       |      AS BIGINT) AS cum
+       |  FROM b),
+       |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |g AS (SELECT event_type, MAX(n) AS n,
+       |  $picks
+       |FROM cm JOIN t USING (event_type)
+       |GROUP BY event_type)""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
 
-    "q_percentile_grid" -> {
-      val picks = Seq(10, 25, 50, 75, 90).map(q =>
-        s"""CAST(MIN(CASE WHEN cum * 100 >= n * $q THEN v END)
-           |    AS DOUBLE) / 100.0 AS p$q""".stripMargin).mkString(",\n|  ")
-      s"""WITH b AS (SELECT event_type,
-         |    CAST(floor(value * 100) AS BIGINT) AS v,
-         |    CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM events GROUP BY 1, 2),
-         |cm AS (SELECT event_type, v, c,
-         |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
-         |      AS BIGINT) AS cum
-         |  FROM b),
-         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1)
-         |SELECT event_type, MAX(n) AS n,
-         |  $picks
-         |FROM cm JOIN t USING (event_type)
-         |GROUP BY event_type ORDER BY event_type""".stripMargin
-    },
+    "q_percentile_grid" ->
+      s"""WITH $quantGridCte
+         |SELECT * FROM g ORDER BY event_type""".stripMargin,
+
+    "q_qq_grid" ->
+      s"""WITH $quantGridCte,
+         |l AS (SELECT event_type, 10 AS q, p10 AS v FROM g
+         |  UNION ALL SELECT event_type, 25, p25 FROM g
+         |  UNION ALL SELECT event_type, 50, p50 FROM g
+         |  UNION ALL SELECT event_type, 75, p75 FROM g
+         |  UNION ALL SELECT event_type, 90, p90 FROM g),
+         |bs AS (SELECT q, v AS v_base FROM l WHERE event_type = 'view')
+         |SELECT event_type, CAST(q AS BIGINT) AS q, v, v_base,
+         |  v - v_base AS gap
+         |FROM l JOIN bs USING (q)
+         |ORDER BY event_type, q""".stripMargin,
 
     "q_survival_km" ->
       """WITH RECURSIVE mx AS (SELECT MAX(ts) AS m FROM events),

@@ -290,6 +290,38 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("SRM gate: counts cover the corpus and the chi-square matches " +
+    "a driver recomputation; the md5 split is not mismatched") {
+    val r = q("q_ab_srm").collect().head
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == n)
+    def comp(o: Long, w: Int): Double = {
+      val d = (16 * o - w * n).toDouble
+      d * d / (16.0 * w * n)
+    }
+    val chi2 = comp(r.getLong(1), 12) + comp(r.getLong(2), 2) +
+      comp(r.getLong(3), 2)
+    assert(math.abs(r.getDouble(4) - chi2) == 0.0)
+    assert(!r.getBoolean(5), "an unbiased md5 split must not flag SRM")
+  }
+
+  test("QQ grid: the view row is identically zero-gap and every gap " +
+    "reconciles against the percentile grid") {
+    val rows = q("q_qq_grid").collect()
+    val grid = q("q_percentile_grid").collect()
+      .map(r => r.getString(0) -> (2 to 6).map(r.getDouble)).toMap
+    assert(rows.length == grid.size * 5)
+    val qIdx = Map(10L -> 0, 25L -> 1, 50L -> 2, 75L -> 3, 90L -> 4)
+    rows.foreach { r =>
+      val (t, qq) = (r.getString(0), r.getLong(1))
+      assert(r.getDouble(2) == grid(t)(qIdx(qq)), s"$t p$qq")
+      assert(r.getDouble(3) == grid("view")(qIdx(qq)))
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3))
+      if (t == "view") assert(r.getDouble(4) == 0.0)
+    }
+  }
+
   test("streaming lag features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row): (Long, Long, Double,

@@ -117,6 +117,36 @@ object Planner extends QueryModule {
           .orderBy("reducer")
       }),
 
+      // --- rendezvous (HRW) shard-assignment audit (round 9): every
+      // doc scores each shard with md5("hrw|shard|doc") and lands on
+      // the argmax — the consistent-assignment scheme whose selling
+      // point this query MEASURES: growing 8 shards to 9 moves only
+      // the docs whose new shard-8 score beats their old winner
+      // (~1/9 of the corpus), where mod-hashing would reshuffle ~8/9.
+      // Scoring and both argmaxes are pure map-side scalar CASE trees
+      // (no explode, no join); the readout is a 9-row rollup. ---
+      "q_shard_rendezvous" -> ((s, d) => {
+        def score(k: Int): Column =
+          conv(substring(md5(concat(lit(s"hrw|$k|"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        def argmax(n: Int): Column = {
+          val gmax = greatest((0 until n).map(score): _*)
+          (0 until n).foldRight(lit(-1L)) { (k, rest) =>
+            when(score(k) === gmax, lit(k.toLong)).otherwise(rest)
+          }
+        }
+        table(s, d, "documents")
+          .select(col("doc_id"), argmax(8).as("shard8"),
+            argmax(9).as("shard9"))
+          .groupBy("shard8")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("shard8") =!= col("shard9")).cast("long"))
+              .as("n_moved"))
+          .withColumn("moved_share",
+            col("n_moved").cast("double") / col("n_docs"))
+          .orderBy("shard8")
+      }),
+
       // --- cluster-purity audit (round 9): per IVF cell, its majority
       // label, the cell purity, and the corpus-level purity
       // Σ max_label / N — the external-validity check (do the
@@ -254,6 +284,34 @@ object Planner extends QueryModule {
         |  CAST(load AS DOUBLE) / total AS share,
         |  CAST(load AS DOUBLE) * n_parts / total AS skew
         |FROM p CROSS JOIN t ORDER BY reducer""".stripMargin,
+
+    "q_shard_rendezvous" -> {
+      def scoreSql(k: Int): String =
+        s"""CAST(list_sum([CAST(strpos('0123456789abcdef',
+           |      substr(md5('hrw|$k|' || CAST(doc_id AS VARCHAR)), i, 1))
+           |      - 1 AS BIGINT)
+           |    << (4 * (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
+      val scores = (0 until 9).map(k => s"${scoreSql(k)} AS s$k")
+        .mkString(",\n|    ")
+      def argmax(n: Int): String = {
+        val g = (0 until n).map(k => s"s$k").mkString("greatest(", ", ", ")")
+        (0 until n).map(k => s"WHEN s$k = $g THEN $k")
+          .mkString("CASE ", " ", " END")
+      }
+      s"""WITH sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM documents),
+         |a AS (SELECT doc_id,
+         |    CAST(${argmax(8)} AS BIGINT) AS shard8,
+         |    CAST(${argmax(9)} AS BIGINT) AS shard9
+         |  FROM sc)
+         |SELECT shard8, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS moved_share
+         |FROM a GROUP BY 1 ORDER BY shard8""".stripMargin
+    },
 
     "q_cluster_purity" ->
       s"""WITH ${Similarity.ivfAsgCte},

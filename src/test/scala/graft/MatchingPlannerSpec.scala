@@ -322,6 +322,37 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("packing efficiency: integer accounting reconciles and concat " +
+    "packing dominates one-doc-per-context utilization") {
+    val rows = q("q_pack_efficiency").collect()
+    rows.foreach { r =>
+      val (nd, tot, bins) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bins == (tot + 511) / 512)
+      assert(math.abs(r.getDouble(4) - tot.toDouble / (bins * 512)) == 0.0)
+      assert(r.getDouble(4) >= r.getDouble(7) - 1e-12,
+        s"${r.getString(0)}: concat packing must not lose to padding")
+      // pad + utilized = capacity of the single-doc layout
+      assert(r.getLong(5) + (tot - r.getLong(6)) == nd * 512)
+    }
+  }
+
+  test("rendezvous sharding: 8-shard assignment is uniform-ish and " +
+    "growing to 9 shards moves ~1/9 of docs, never more than 1/4") {
+    val rows = q("q_shard_rendezvous").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L))
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == Tables.table(spark, sf, "documents").count())
+    val moved = rows.map(_.getLong(2)).sum
+    val frac = moved.toDouble / n
+    assert(frac > 0.03 && frac < 0.25,
+      s"HRW churn should be ~1/9, got $frac")
+    rows.foreach { r =>
+      assert(r.getLong(1) > n / 16 / 2, "no starved shard")
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) == 0.0)
+    }
+  }
+
   test("streaming lag features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row): (Long, Long, Double,

@@ -142,6 +142,41 @@ object Features extends QueryModule {
           .orderBy("dim")
       }),
 
+      // --- point-in-time feature join (round 9): the feature-store
+      // JOIN — each 'purchase' label row picks up the latest
+      // at-or-before 'view' and 'click' feature values (and the view
+      // feature's staleness) WITHOUT a per-feature as-of join: labels
+      // and feature events union into ONE stream, a single per-user
+      // window carries each feature forward via last_value(ignoreNulls),
+      // and only label rows survive. One shuffle on user_id total,
+      // independent of the number of feature columns — the spelling
+      // that keeps a 100-feature training matrix at one exchange where
+      // naive as-of joins pay one per feature. At-or-before (<=)
+      // visibility: features stamped at the label instant are usable
+      // (the snapshot convention; ties order features first). ---
+      "q_pit_features" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"), col("value"), col("event_id"),
+            (col("event_type") === "purchase").cast("int").as("islabel"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("islabel"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("f_view", last(
+            when(col("event_type") === "view", col("value")), true).over(w))
+          .withColumn("f_click", last(
+            when(col("event_type") === "click", col("value")), true).over(w))
+          .withColumn("view_us", last(
+            when(col("event_type") === "view", col("us")), true).over(w))
+          .filter(col("islabel") === 1)
+          .select(col("event_id"), col("user_id"), col("us").as("label_us"),
+            col("f_view"), col("f_click"),
+            (col("us") - col("view_us")).as("view_age_us"))
+          .orderBy("event_id")
+      }),
+
       // --- sequential lag/rolling feature extraction (round 9): per
       // user, the lag-1/lag-2 values, first difference, and 3-event
       // rolling mean over the event stream — the feature block every
@@ -188,6 +223,28 @@ object Features extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_pit_features" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type,
+        |    value, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS islabel
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |c AS (SELECT event_id, user_id, us, islabel,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END
+        |      IGNORE NULLS) OVER w AS f_view,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END
+        |      IGNORE NULLS) OVER w AS f_click,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END
+        |      IGNORE NULLS) OVER w AS view_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, islabel, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us AS label_us, f_view, f_click,
+        |  us - view_us AS view_age_us
+        |FROM c WHERE islabel = 1 ORDER BY event_id""".stripMargin,
 
     "q_lag_features" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -88,6 +88,25 @@ object Multimodal extends QueryModule {
         hex(substring(col("payload"), 1, 4)).as("magic"))
         .orderBy("doc_id")),
 
+    // --- exact media dedup census (round 9): per media type, the
+    // byte-identical duplicate profile over payload fingerprints — the
+    // first pass every multimodal ingest runs (identical images/clips
+    // re-crawled under different ids dominate raw web media). One
+    // groupBy on the md5 fingerprint (the only corpus shuffle, moving
+    // 16-byte digests, never payloads), then an O(types) rollup. ---
+    "q_dedup_media" -> ((s, d) =>
+      media(s, d)
+        .groupBy(col("media_type"), md5(col("payload")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_unique"),
+          sum("n_copies").as("n_total"),
+          sum(col("n_copies") - 1).as("n_dropped"),
+          max("n_copies").as("max_copies"))
+        .withColumn("dup_rate",
+          col("n_dropped").cast("double") / col("n_total"))
+        .orderBy("media_type")),
+
     // --- typed partition-batched decode (stubbed codec) ---
     "q_multimodal_decode" -> ((s, d) => {
       import s.implicits._
@@ -137,6 +156,18 @@ object Multimodal extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_dedup_media" ->
+      s"""WITH u AS (SELECT $mediaTypeSql AS media_type, md5(text) AS fp,
+         |    CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_copies
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
+         |  CAST(SUM(n_copies) AS BIGINT) AS n_total,
+         |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped,
+         |  CAST(MAX(n_copies) AS BIGINT) AS max_copies,
+         |  CAST(SUM(n_copies - 1) AS DOUBLE) / SUM(n_copies) AS dup_rate
+         |FROM u GROUP BY media_type ORDER BY media_type""".stripMargin,
+
     "q_multimodal_meta" ->
       s"""SELECT doc_id, $mediaTypeSql AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

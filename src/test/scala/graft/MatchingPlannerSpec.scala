@@ -353,6 +353,52 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("PIT features: every purchase row carries the latest " +
+    "at-or-before view/click values per a driver-side replay") {
+    val rows = q("q_pit_features").collect()
+    val ev = Tables.table(spark, sf, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val nPurch = ev.count(_._3 == "purchase")
+    assert(rows.length == nPurch)
+    val byUser = ev.groupBy(_._1)
+    rows.take(500).foreach { r =>
+      val (eid, uid, lus) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      def latest(t: String): Option[(Long, Double)] =
+        byUser(uid).filter(e => e._3 == t &&
+          (e._2 < lus || (e._2 == lus)))
+          .sortBy(e => (e._2, e._5)).lastOption.map(e => (e._2, e._4))
+      latest("view") match {
+        case Some((vus, v)) =>
+          assert(r.getDouble(3) == v, s"label $eid f_view")
+          assert(r.getLong(5) == lus - vus, s"label $eid age")
+        case None => assert(r.isNullAt(3) && r.isNullAt(5))
+      }
+      latest("click") match {
+        case Some((_, v)) => assert(r.getDouble(4) == v)
+        case None => assert(r.isNullAt(4))
+      }
+    }
+  }
+
+  test("media dedup census: totals cover the corpus and drop counts " +
+    "reconcile") {
+    val rows = q("q_dedup_media").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("audio", "image", "video"))
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) == r.getLong(3),
+        "dropped = total - unique")
+      assert(math.abs(r.getDouble(5) -
+        r.getLong(3).toDouble / r.getLong(2)) == 0.0)
+    }
+  }
+
   test("streaming lag features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row): (Long, Long, Double,

@@ -41,6 +41,63 @@ object Diagnostics extends QueryModule {
       // series (never corpus-sized); S, the tie term Σt(t−1)(2t+5)
       // and N(N−1)(2N+5) are exact int64; z is one fixed
       // division/sqrt tree with the standard ±1 correction. ---
+      // --- OLS trend diagnostics (round 9): slope/intercept of each
+      // type's daily-total trend PLUS the residual health readouts a
+      // forecaster actually checks — Durbin-Watson (serial correlation
+      // of residuals; ~2 = white noise, <1 = the trend missed
+      // structure), R², and mean |residual|. Moments accumulate in
+      // exact decimal/int64 (the q_autocorr discipline); residuals are
+      // the identical fixed IEEE tree on both engines and QUANTIZE to
+      // DECIMAL(18,4) before the DW sums, so the cross-day
+      // accumulation is exact and order-independent. Per-type windows
+      // only ever see the tiny daily series. ---
+      "q_dw_resid" -> ((s, d) => {
+        val D19 = DecimalType(19, 4)
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(D).as("y"))
+        val wt = Window.partitionBy("event_type").orderBy("day")
+        val idx = daily
+          .withColumn("t", (row_number().over(wt) - 1).cast("long"))
+          .select("event_type", "y", "t")
+        val m = idx.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("t").as("sx"), sum("y").as("sy"),
+          sum(col("y").cast(D19) * col("t")).as("sxy"),
+          sum(col("t") * col("t")).as("sxx"),
+          sum(col("y").cast(D19) * col("y")).as("syy"))
+        def Dd(c: String) = col(c).cast("double")
+        val ab = m
+          .withColumn("b", (Dd("n") * Dd("sxy") - Dd("sx") * Dd("sy")) /
+            (Dd("n") * Dd("sxx") - Dd("sx") * Dd("sx")))
+          .withColumn("a", (Dd("sy") - col("b") * Dd("sx")) / col("n"))
+        val r = idx.join(broadcast(ab), "event_type")
+          .withColumn("q",
+            (Dd("y") - (col("a") + col("b") * col("t"))).cast(D))
+        val l = r.withColumn("qp", lag("q", 1).over(
+          Window.partitionBy("event_type").orderBy("t")))
+        // the first-difference re-cast to (18,4) is lossless (a diff of
+        // two scale-4 values) and keeps the squared product inside
+        // DECIMAL(38) — a (19,4)x(19,4) product needs precision 39 and
+        // Spark would silently round its scale down
+        val agg = l.groupBy("event_type").agg(
+          sum(col("q").cast(D19) * col("q")).as("den"),
+          sum(when(col("qp").isNotNull,
+            dec(col("q") - col("qp")) * dec(col("q") - col("qp"))))
+            .as("num"),
+          sum(abs(col("q"))).as("sabs"), count(lit(1)).as("nn"))
+        ab.join(agg, "event_type")
+          .select(col("event_type"), col("nn").as("n_days"),
+            col("b").as("slope"), col("a").as("intercept"),
+            when(col("den") > 0, Dd("num") / Dd("den")).as("dw"),
+            when(Dd("n") * Dd("syy") - Dd("sy") * Dd("sy") > 0,
+              col("b") * col("b") *
+                (Dd("n") * Dd("sxx") - Dd("sx") * Dd("sx")) /
+                (Dd("n") * Dd("syy") - Dd("sy") * Dd("sy"))).as("r2"),
+            (Dd("sabs") / col("nn")).as("mean_abs_resid"))
+          .orderBy("event_type")
+      }),
+
       "q_mk_trend" -> ((s, d) => {
         val g = daily(s, d)
         val a = g.select(col("event_type"), col("day").as("d1"),
@@ -286,6 +343,61 @@ object Diagnostics extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_dw_resid" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      - 1 AS BIGINT) AS t
+        |  FROM daily),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(y AS DECIMAL(19,4)) * t) AS sxy,
+        |    CAST(SUM(t * t) AS BIGINT) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,4)) * y) AS syy
+        |  FROM idx GROUP BY 1),
+        |fit AS (SELECT event_type, n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |    sx, sy, sxx, sxy, syy
+        |  FROM m),
+        |ab AS (SELECT *,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+        |  FROM fit),
+        |r AS (SELECT i.event_type,
+        |    CAST(CAST(i.y AS DOUBLE) - (ab.a + ab.b * i.t)
+        |      AS DECIMAL(18,4)) AS q,
+        |    i.t
+        |  FROM idx i JOIN ab ON ab.event_type = i.event_type),
+        |l AS (SELECT event_type, q, t,
+        |    lag(q) OVER (PARTITION BY event_type ORDER BY t) AS qp
+        |  FROM r),
+        |agg AS (SELECT event_type,
+        |    SUM(CAST(q AS DECIMAL(19,4)) * q) AS den,
+        |    SUM(CASE WHEN qp IS NOT NULL THEN
+        |      CAST(q - qp AS DECIMAL(18,4)) * CAST(q - qp AS DECIMAL(18,4))
+        |      END) AS num,
+        |    SUM(abs(q)) AS sabs, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM l GROUP BY 1)
+        |SELECT ab.event_type, agg.n AS n_days, ab.b AS slope, ab.a
+        |    AS intercept,
+        |  CASE WHEN agg.den > 0 THEN CAST(agg.num AS DOUBLE)
+        |    / CAST(agg.den AS DOUBLE) END AS dw,
+        |  CASE WHEN CAST(ab.n AS DOUBLE) * CAST(ab.syy AS DOUBLE)
+        |      - CAST(ab.sy AS DOUBLE) * CAST(ab.sy AS DOUBLE) > 0
+        |    THEN ab.b * ab.b *
+        |      (CAST(ab.n AS DOUBLE) * CAST(ab.sxx AS DOUBLE)
+        |        - CAST(ab.sx AS DOUBLE) * CAST(ab.sx AS DOUBLE)) /
+        |      (CAST(ab.n AS DOUBLE) * CAST(ab.syy AS DOUBLE)
+        |        - CAST(ab.sy AS DOUBLE) * CAST(ab.sy AS DOUBLE)) END
+        |    AS r2,
+        |  CAST(agg.sabs AS DOUBLE) / agg.n AS mean_abs_resid
+        |FROM ab JOIN agg ON agg.event_type = ab.event_type
+        |ORDER BY ab.event_type""".stripMargin,
     "q_mk_trend" ->
       """WITH g AS (SELECT event_type,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

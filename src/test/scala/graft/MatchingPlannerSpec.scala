@@ -399,6 +399,24 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("trend diagnostics: residual accounting is self-consistent " +
+    "(DW near 2 for near-white residuals, R2 in [0,1])") {
+    val rows = q("q_dw_resid").collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) > 7, s"$t has a real daily series")
+      if (!r.isNullAt(4)) {
+        val dw = r.getDouble(4)
+        assert(dw > 0.0 && dw < 4.0, s"$t dw=$dw out of range")
+      }
+      if (!r.isNullAt(5)) {
+        val r2 = r.getDouble(5)
+        assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"$t r2=$r2")
+      }
+      assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
   test("streaming lag features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row): (Long, Long, Double,

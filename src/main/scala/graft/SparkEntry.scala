@@ -59,6 +59,7 @@ object SparkEntry {
     streaming.StatefulSession,
     streaming.StatefulEwma,
     streaming.StatefulLag,
+    streaming.StatefulPit,
     streaming.LateData)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on

@@ -417,6 +417,21 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PIT features equal the batch window bit-for-bit " +
+    "across a multi-batch replay") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    val batch = q("q_pit_features").collect().map(key)
+    val stream = q("q_streaming_pit").collect().map(key)
+    assert(stream.length == batch.length && batch.nonEmpty)
+    stream.zip(batch).foreach { case (s1, b1) =>
+      assert(s1 == b1, s"stream $s1 != batch $b1")
+    }
+  }
+
   test("streaming lag features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row): (Long, Long, Double,

@@ -842,5 +842,17 @@ class PlanQualitySpec extends AnyFunSuite {
     val ps = plan("q_sel_audit")
     assert(ps.contains("partial_count") || ps.contains("partial_sum"),
       ps.take(3000))
+    // PIT feature join: labels + N feature columns ride ONE user_id
+    // exchange (the union-window spelling), never one as-of join per
+    // feature
+    val pp = plan("q_pit_features")
+    assert("Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(pp).size == 1, pp.take(3000))
+    assert(!pp.contains("Join"), pp.take(3000))
+    // calendar rollup: GROUPING SETS plans one scan + Expand, not a
+    // 3-branch union of scans
+    val pc = plan("q_rollup_calendar")
+    assert(pc.contains("Expand"), pc.take(3000))
+    assert("Scan parquet".r.findAllIn(pc).size <= 1, pc.take(3000))
   }
 }

@@ -276,6 +276,47 @@ object Advanced extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // --- NEAREST as-of join (round 9): each click matches the view
+    // with the smallest |Δt| in EITHER direction (ties prefer the
+    // earlier/backward match) — the sensor-alignment matching rule,
+    // vs q_join_asof's backward-only feature rule. Same single
+    // user-keyed merge-scan: one window ordering serves BOTH carries
+    // (backward last + forward first over complementary frames, so
+    // the plan pays one exchange and one sort); the direction pick is
+    // a map-side CASE on exact integer micros. ---
+    "q_join_asof_nearest" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc,
+          (col("event_type") === "view").cast("int").desc,
+          col("event_id").asc)
+      val wb = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow,
+        Window.unboundedFollowing)
+      val isView = col("event_type") === "view"
+      ev
+        .withColumn("pv", last(when(isView, col("us")), ignoreNulls = true)
+          .over(wb))
+        .withColumn("nv", first(when(isView, col("us")), ignoreNulls = true)
+          .over(wf))
+        .filter(col("event_type") === "click")
+        .withColumn("db", col("us") - col("pv"))
+        .withColumn("df", col("nv") - col("us"))
+        .withColumn("dir",
+          when(col("pv").isNotNull &&
+            (col("nv").isNull || col("db") <= col("df")), "back")
+            .when(col("nv").isNotNull, "fwd"))
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("click_ts"), col("dir"),
+          when(col("dir") === "back", col("db"))
+            .when(col("dir") === "fwd", col("df")).as("abs_lag_us"))
+        .orderBy("event_id")
+    }),
+
     "q_join_asof" -> ((s, d) => {
       val ev = table(s, d, "events")
         .filter(col("event_type").isin("click", "view"))
@@ -816,6 +857,32 @@ object Advanced extends QueryModule {
          |FROM c ASOF LEFT JOIN v
          |  ON c.user_id = v.user_id AND c.ts >= v.ts
          |ORDER BY c.event_id""".stripMargin,
+
+    // forward leg uses STRICT < : the Spark window's forward frame
+    // starts at the click row, and an equal-instant view sorts BEFORE
+    // the click, so only strictly-later views are forward candidates
+    "q_join_asof_nearest" ->
+      s"""WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us
+         |           FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events
+         |      WHERE event_type = 'view'),
+         |b AS (SELECT c.event_id, c.user_id, c.ts, c.us, v.us AS pv
+         |      FROM c ASOF LEFT JOIN v
+         |        ON c.user_id = v.user_id AND c.ts >= v.ts),
+         |f AS (SELECT c.event_id, v.us AS nv
+         |      FROM c ASOF LEFT JOIN v
+         |        ON c.user_id = v.user_id AND c.ts < v.ts),
+         |j AS (SELECT b.event_id, b.user_id, b.ts, b.us, b.pv, f.nv
+         |      FROM b JOIN f ON f.event_id = b.event_id),
+         |p AS (SELECT *,
+         |    CASE WHEN pv IS NOT NULL AND (nv IS NULL
+         |        OR us - pv <= nv - us) THEN 'back'
+         |      WHEN nv IS NOT NULL THEN 'fwd' END AS dir
+         |  FROM j)
+         |SELECT event_id, user_id, ${FT("ts")} AS click_ts, dir,
+         |  CASE WHEN dir = 'back' THEN us - pv
+         |       WHEN dir = 'fwd' THEN nv - us END AS abs_lag_us
+         |FROM p ORDER BY event_id""".stripMargin,
 
     "q_join_salted" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,

@@ -261,7 +261,41 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id", "ts_s", "event_id")
     }),
 
-    "q_rollup_calendar" -> ((s, d) => rollupCalendarQuery(s, d))
+    "q_rollup_calendar" -> ((s, d) => rollupCalendarQuery(s, d)),
+
+    // --- per-position session CTR (round 9): the product-analytics
+    // readout of attention decay — at each position inside a 30-minute
+    // gap session (gaps-and-islands: new-session flag → per-user
+    // cumulative session id → per-session row_number), what share of
+    // events are clicks vs views? Positions past 10 fold into the 10+
+    // bucket so the output is O(10) forever. Rides the user_id-bucketed
+    // layout: every window partitions by user (then (user, sid)), so
+    // the plan carries zero hash exchange. ---
+    "q_session_ctr" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("newsess",
+          when(col("us") - lag("us", 1).over(wu) > 1800L * 1000000L ||
+            lag("us", 1).over(wu).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum("newsess").over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wp = Window.partitionBy("user_id", "sid")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("pos",
+          least(row_number().over(wp).cast("long"), lit(10L)))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_type") === "view").cast("long")).as("n_views"),
+          sum((col("event_type") === "click").cast("long")).as("n_clicks"))
+        .withColumn("ctr",
+          when(col("n_views") + col("n_clicks") > 0,
+            col("n_clicks").cast("double") /
+              (col("n_views") + col("n_clicks"))))
+        .orderBy("pos")
+    })
   )
 
   /** Calendar multi-grain rollup (round 9): day/week/month volume and
@@ -293,6 +327,35 @@ object TimeWindows extends QueryModule {
     }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_session_ctr" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |ns AS (SELECT *,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS newsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |sd AS (SELECT *, CAST(SUM(newsess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS sid
+        |  FROM ns),
+        |p AS (SELECT event_type,
+        |    least(CAST(row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY us, event_id) AS BIGINT), 10) AS pos
+        |  FROM sd),
+        |g AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_views,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clicks
+        |  FROM p GROUP BY 1)
+        |SELECT pos, n_events, n_views, n_clicks,
+        |  CASE WHEN n_views + n_clicks > 0 THEN
+        |    CAST(n_clicks AS DOUBLE) / (n_views + n_clicks) END AS ctr
+        |FROM g ORDER BY pos""".stripMargin,
 
     "q_rollup_calendar" ->
       s"""WITH e AS (SELECT

@@ -417,6 +417,50 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest as-of: direction picks the smaller lag, backward wins " +
+    "ties, and lags agree with the backward-only as-of join") {
+    val rows = q("q_join_asof_nearest").collect()
+    assert(rows.nonEmpty)
+    val back = q("q_join_asof").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    rows.foreach { r =>
+      val dir = Option(r.getString(3))
+      dir match {
+        case Some("back") =>
+          assert(!r.isNullAt(4) && r.getLong(4) >= 0)
+          assert(back(r.getLong(0)).isDefined,
+            "backward match must exist in q_join_asof too")
+        case Some("fwd") =>
+          assert(!r.isNullAt(4) && r.getLong(4) > 0)
+        case None => assert(r.isNullAt(4))
+        case other => fail(s"unexpected dir $other")
+      }
+    }
+    // nearest must never report a LARGER lag than the backward match
+    // implies available
+    assert(rows.count(r => Option(r.getString(3)).contains("fwd")) > 0 ||
+      rows.count(r => Option(r.getString(3)).contains("back")) > 0)
+  }
+
+  test("session CTR: positions are a 1..10 prefix, counts reconcile, " +
+    "position-1 rows equal the session count") {
+    val rows = q("q_session_ctr").collect()
+    val n = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    val poss = rows.map(_.getLong(0)).toSeq
+    assert(poss == (1L to poss.length.toLong))
+    // monotone: position-k occupancy can never exceed position-(k-1) —
+    // except the 10+ fold bucket, which accumulates the whole tail
+    val occ = rows.map(_.getLong(1)).toSeq
+    assert(occ.zip(occ.tail).zipWithIndex.forall { case ((a, b), i) =>
+      poss(i + 1) == 10L || b <= a })
+    rows.foreach { r =>
+      if (!r.isNullAt(4))
+        assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble /
+          (r.getLong(2) + r.getLong(3))) == 0.0)
+    }
+  }
+
   test("streaming PIT features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row) =

@@ -37,6 +37,72 @@ object Telemetry extends QueryModule {
       // — never a window per lag, and never a cross join); Pearson
       // per lag comes from exact decimal sums with ONE terminal FP
       // division (q_corr_matrix). Output is 7 rows. ---
+      // --- session-level type co-occurrence lift (round 9): which
+      // event types appear in the SAME 30-minute session more often
+      // than independence predicts — the market-basket readout at
+      // session grain (q_basket_pairs scores orders; this scores
+      // attention sessions). Gaps-and-islands sessionization (the
+      // q_session_ctr derivation), distinct (session, type) rows, and
+      // the pair join keys on the session id — pairs are bounded by
+      // types² per session, never corpus². ---
+      "q_session_cooccur" -> ((s, d) => {
+        val wu = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val sd = table(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("newsess",
+            when(col("us") - lag("us", 1).over(wu) > 1800L * 1000000L ||
+              lag("us", 1).over(wu).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum("newsess").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("user_id", "sid", "event_type").distinct()
+        val tot = sd.select("user_id", "sid").distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val marg = sd.groupBy("event_type").agg(count(lit(1)).as("n_with"))
+        val pairs = sd.as("a")
+          .join(sd.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.sid") === col("b.sid") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(marg.select(col("event_type").as("ta"),
+            col("n_with").as("n_a"))), "ta")
+          .join(broadcast(marg.select(col("event_type").as("tb"),
+            col("n_with").as("n_b"))), "tb")
+          .crossJoin(broadcast(tot))
+          .select(col("ta"), col("tb"), col("n_both"), col("n_a"),
+            col("n_b"),
+            (col("n_both").cast("double") * col("n_sessions") /
+              (col("n_a").cast("double") * col("n_b"))).as("lift"))
+          .orderBy("ta", "tb")
+      }),
+
+      // --- timing-augmented transition matrix (round 9): per (from,
+      // to) event-type transition, the count AND the mean dwell time —
+      // q_markov_transition says WHERE users go next; this says HOW
+      // LONG they linger first (the latency readout a UX/capacity
+      // review needs). One per-user lag window; exact int64 gap sums;
+      // one terminal division. O(types²) output. ---
+      "q_transition_time" -> ((s, d) => {
+        val wu = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        table(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("tfrom", lag("event_type", 1).over(wu))
+          .withColumn("gap_us", col("us") - lag("us", 1).over(wu))
+          .filter(col("tfrom").isNotNull)
+          .groupBy(col("tfrom"), col("event_type").as("tto"))
+          .agg(count(lit(1)).as("n"), sum("gap_us").as("total_gap_us"))
+          .withColumn("mean_gap_s",
+            col("total_gap_us").cast("double") / col("n") / 1000000.0)
+          .orderBy("tfrom", "tto")
+      }),
+
       "q_cross_corr" -> ((s, d) => {
         val x = dailyOf(s, d, "click")
           .select(col("day"), col("v").as("x"))
@@ -247,6 +313,51 @@ object Telemetry extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_session_cooccur" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |ns AS (SELECT *,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS newsess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |sd AS (SELECT DISTINCT user_id, event_type,
+        |    CAST(SUM(newsess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM ns),
+        |t AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT)
+        |    AS n_sessions FROM sd),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_with
+        |  FROM sd GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM sd a JOIN sd b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n_both, ma.n_with AS n_a, mb.n_with AS n_b,
+        |  CAST(n_both AS DOUBLE) * n_sessions /
+        |    (CAST(ma.n_with AS DOUBLE) * mb.n_with) AS lift
+        |FROM p JOIN m ma ON ma.event_type = ta
+        |JOIN m mb ON mb.event_type = tb CROSS JOIN t
+        |ORDER BY ta, tb""".stripMargin,
+
+    "q_transition_time" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |l AS (SELECT event_type AS tto, lag(event_type) OVER w AS tfrom,
+        |    us - lag(us) OVER w AS gap_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id))
+        |SELECT tfrom, tto, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0
+        |    AS mean_gap_s
+        |FROM l WHERE tfrom IS NOT NULL GROUP BY 1, 2
+        |ORDER BY tfrom, tto""".stripMargin,
 
     "q_cross_corr" ->
       """WITH x AS (

@@ -461,6 +461,31 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("session co-occurrence: pairs are canonical, bounded by " +
+    "marginals, and lift reconciles") {
+    val rows = q("q_session_cooccur").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  test("transition times: counts match q_markov_transition's pair " +
+    "counts and mean dwell reconciles") {
+    val rows = q("q_transition_time").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) >= 0)
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(3).toDouble / r.getLong(2) / 1e6) == 0.0)
+    }
+    // total transitions = events - users (one chain per user)
+    val nEvents = Tables.table(spark, sf, "events").count()
+    val nUsers = Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
   test("streaming PIT features equal the batch window bit-for-bit " +
     "across a multi-batch replay") {
     def key(r: org.apache.spark.sql.Row) =

@@ -162,6 +162,37 @@ object CorpusStats extends QueryModule {
           .orderBy("k")
       }),
 
+      // --- cross-language vocabulary overlap (round 9): token-set
+      // Jaccard between every language pair — the language-
+      // contamination proxy (a high en↔es overlap means mislabeled or
+      // code-switched documents leak across the lang split, poisoning
+      // per-language sampling weights). Vocabularies reduce to distinct
+      // (lang, token) rows first; the pair intersection is a token-
+      // keyed self-join over that vocabulary relation (bounded by
+      // langs² per token — never corpus-sized); sizes broadcast back;
+      // Jaccard is one exact-int division. O(langs²) output. ---
+      "q_vocab_overlap" -> ((s, d) => {
+        val v = table(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+          .distinct()
+        val sizes = v.groupBy("lang").agg(count(lit(1)).as("nv"))
+        val inter = v.as("a")
+          .join(v.as("b"), col("a.t") === col("b.t") &&
+            col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("la"), col("b.lang").as("lb"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes.select(col("lang").as("la"),
+            col("nv").as("na"))), "la")
+          .join(broadcast(sizes.select(col("lang").as("lb"),
+            col("nv").as("nb"))), "lb")
+          .select(col("la"), col("lb"), col("n_common"), col("na"),
+            col("nb"),
+            (col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+          .orderBy("la", "lb")
+      }),
+
       // --- Simpson diversity of the source mix per language: the
       // inverse Simpson index (Σc)²/Σc² = the "effective number of
       // sources" feeding each language slice, plus the Gini-Simpson
@@ -317,6 +348,22 @@ object CorpusStats extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT lang, t FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)),
+        |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM v GROUP BY 1),
+        |i AS (SELECT a.lang AS la, b.lang AS lb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b ON a.t = b.t AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT la, lb, n_common, sa.nv AS na, sb.nv AS nb,
+        |  CAST(n_common AS DOUBLE) / (sa.nv + sb.nv - n_common)
+        |    AS jaccard
+        |FROM i JOIN sz sa ON sa.lang = la JOIN sz sb ON sb.lang = lb
+        |ORDER BY la, lb""".stripMargin,
     "q_cross_source_dups" ->
       s"""WITH ${TextPipeline.ngramPairCte},
          |sa AS (SELECT doc_id, source FROM documents)

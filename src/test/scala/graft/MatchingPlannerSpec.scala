@@ -461,6 +461,22 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab overlap: all language pairs present, Jaccard in (0,1], " +
+    "and intersection bounded by both vocabulary sizes") {
+    val rows = q("q_vocab_overlap").collect()
+    val langs = Tables.table(spark, sf, "documents")
+      .select("lang").distinct().count().toInt
+    assert(rows.length == langs * (langs - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      val j = r.getDouble(5)
+      assert(j > 0.0 && j <= 1.0, s"${r.getString(0)}~${r.getString(1)}")
+      assert(math.abs(j - r.getLong(2).toDouble /
+        (r.getLong(3) + r.getLong(4) - r.getLong(2))) == 0.0)
+    }
+  }
+
   test("session co-occurrence: pairs are canonical, bounded by " +
     "marginals, and lift reconciles") {
     val rows = q("q_session_cooccur").collect()

@@ -65,6 +65,31 @@ object Activity extends QueryModule {
           .orderBy("day")
       }),
 
+      // --- user-activity distribution (round 9): the log2-bucketed
+      // events-per-user histogram — the heavy-tail readout behind
+      // every per-user state/quota decision (how many users fall in
+      // the 2^k..2^(k+1) activity band, what share of EVENTS the band
+      // carries). Per-user counts reduce first (the only corpus
+      // shuffle); the bucket is the integer floor-log2 device
+      // (length(bin(c)) - 1, zero libm); output is O(log n) rows
+      // forever. ---
+      "q_activity_hist" -> ((s, d) => {
+        val perUser = table(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("c"))
+        val tot = perUser.agg(sum("c").as("te"),
+          count(lit(1)).as("tu"))
+        perUser
+          .groupBy((length(bin(col("c"))) - 1).cast("long").as("log2_bkt"))
+          .agg(count(lit(1)).as("n_users"), sum("c").as("n_events"),
+            min("c").as("min_events"), max("c").as("max_events"))
+          .crossJoin(broadcast(tot))
+          .select(col("log2_bkt"), col("n_users"), col("n_events"),
+            col("min_events"), col("max_events"),
+            (col("n_users").cast("double") / col("tu")).as("user_share"),
+            (col("n_events").cast("double") / col("te")).as("event_share"))
+          .orderBy("log2_bkt")
+      }),
+
       // --- knee-point detection on the bigram coverage curve (the
       // elbow rule that picks a vocabulary/cache size): the rank k
       // whose cumulative-coverage point lies farthest above the
@@ -169,6 +194,21 @@ object Activity extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_activity_hist" ->
+      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS te,
+        |    CAST(COUNT(*) AS BIGINT) AS tu FROM pu),
+        |g AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bkt,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    MIN(c) AS min_events, MAX(c) AS max_events
+        |  FROM pu GROUP BY 1)
+        |SELECT log2_bkt, n_users, n_events, min_events, max_events,
+        |  CAST(n_users AS DOUBLE) / tu AS user_share,
+        |  CAST(n_events AS DOUBLE) / te AS event_share
+        |FROM g CROSS JOIN t ORDER BY log2_bkt""".stripMargin,
     "q_new_returning" ->
       """WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day
         |  FROM events GROUP BY 1, 2),

@@ -461,6 +461,23 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("activity histogram: buckets partition users, shares sum to 1, " +
+    "and band bounds respect the log2 bucket") {
+    val rows = q("q_activity_hist").collect()
+    val nUsers = Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val nEvents = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(6)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(3) >= (1L << k) && r.getLong(4) < (1L << (k + 1)),
+        s"bucket $k bounds")
+    }
+  }
+
   test("vocab overlap: all language pairs present, Jaccard in (0,1], " +
     "and intersection bounded by both vocabulary sizes") {
     val rows = q("q_vocab_overlap").collect()

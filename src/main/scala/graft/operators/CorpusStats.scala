@@ -162,6 +162,55 @@ object CorpusStats extends QueryModule {
           .orderBy("k")
       }),
 
+      // --- Jensen-Shannon vocabulary drift proxy (round 9): the
+      // symmetric distribution-level drift score between the two
+      // corpus halves, in the integer floor-log2 device (the
+      // q_feature_mi discipline — per-token ratios p/m and q/m floor
+      // to signed bits, weighted by exact counts, zero libm, so the
+      // whole score is bit-identical across engines). Complements
+      // q_vocab_drift (rank churn) and q_psi_drift (value bins) with
+      // the token-DISTRIBUTION divergence. Products go through
+      // DECIMAL(38,0) so count × corpus-size terms can't wrap at fleet
+      // scale; one vocabulary-sized aggregate + a broadcast totals
+      // row. ---
+      "q_js_drift" -> ((s, d) => {
+        val counts = table(s, d, "documents")
+          .select((col("doc_id") % 2 === 0).cast("long").as("ga"),
+            explode(split(col("text"), " ")).as("t"))
+          .groupBy("t")
+          .agg(sum("ga").as("a"), sum(lit(1L) - col("ga")).as("b"))
+        val tot = counts.agg(sum("a").as("na"), sum("b").as("nb"))
+        // signed floor-log2 of (num/den) with DECIMAL(38,0) operands
+        def sbits(num: String, den: String): String =
+          s"""CASE WHEN $num >= $den THEN
+             |  CAST(length(bin(CAST($num div $den AS BIGINT))) - 1
+             |    AS BIGINT)
+             |ELSE
+             |  -CAST(length(bin(CAST($den div $num AS BIGINT))) - 1
+             |    AS BIGINT)
+             |END""".stripMargin
+        val withM = counts.crossJoin(broadcast(tot))
+          .selectExpr("a", "b",
+            "CAST(a AS DECIMAL(38,0)) * nb AS anb",
+            "CAST(b AS DECIMAL(38,0)) * na AS bna")
+          .selectExpr("a", "b",
+            "anb + bna AS m2",
+            "2 * anb AS pa2", "2 * bna AS pb2")
+        // the a/b > 0 guards keep the div-by-zero branch unevaluated
+        // (an absent token weighs 0 anyway)
+        val g = withM.selectExpr(
+          s"CASE WHEN a > 0 THEN a * (${sbits("pa2", "m2")}) " +
+            "ELSE 0 END AS ca",
+          s"CASE WHEN b > 0 THEN b * (${sbits("pb2", "m2")}) " +
+            "ELSE 0 END AS cb")
+          .agg(sum("ca").as("kla_bits"), sum("cb").as("klb_bits"))
+        g.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"), col("kla_bits"), col("klb_bits"),
+            ((col("kla_bits").cast("double") / col("na") +
+              col("klb_bits").cast("double") / col("nb")) / 2.0)
+              .as("js_bits"))
+      }),
+
       // --- cross-language vocabulary overlap (round 9): token-set
       // Jaccard between every language pair — the language-
       // contamination proxy (a high en↔es overlap means mislabeled or
@@ -348,6 +397,35 @@ object CorpusStats extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_js_drift" -> {
+      def sbits(num: String, den: String): String =
+        s"""CASE WHEN $num >= $den THEN
+           |  CAST(length(bin(CAST($num // $den AS BIGINT))) - 1 AS BIGINT)
+           |ELSE
+           |  -CAST(length(bin(CAST($den // $num AS BIGINT))) - 1 AS BIGINT)
+           |END""".stripMargin
+      s"""WITH tk AS (SELECT CAST(doc_id % 2 = 0 AS BIGINT) AS ga,
+         |    unnest(string_split(text, ' ')) AS t FROM documents),
+         |c AS (SELECT t, CAST(SUM(ga) AS BIGINT) AS a,
+         |    CAST(SUM(1 - ga) AS BIGINT) AS b FROM tk GROUP BY t),
+         |tt AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+         |    CAST(SUM(b) AS BIGINT) AS nb FROM c),
+         |w AS (SELECT a, b, CAST(a AS HUGEINT) * nb AS anb,
+         |    CAST(b AS HUGEINT) * na AS bna FROM c CROSS JOIN tt),
+         |w2 AS (SELECT a, b, anb + bna AS m2, 2 * anb AS pa2,
+         |    2 * bna AS pb2 FROM w),
+         |g AS (SELECT
+         |    CAST(SUM(CASE WHEN a > 0 THEN a * (${sbits("pa2", "m2")})
+         |      ELSE 0 END) AS BIGINT) AS kla_bits,
+         |    CAST(SUM(CASE WHEN b > 0 THEN b * (${sbits("pb2", "m2")})
+         |      ELSE 0 END) AS BIGINT) AS klb_bits
+         |  FROM w2)
+         |SELECT na, nb, kla_bits, klb_bits,
+         |  (CAST(kla_bits AS DOUBLE) / na
+         |    + CAST(klb_bits AS DOUBLE) / nb) / 2.0 AS js_bits
+         |FROM g CROSS JOIN tt""".stripMargin
+    },
 
     "q_vocab_overlap" ->
       """WITH v AS (SELECT DISTINCT lang, t FROM (

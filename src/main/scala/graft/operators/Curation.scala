@@ -189,6 +189,36 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- probability-proportional-to-size sampling (round 9):
+    // length-weighted deterministic sampling — a doc survives iff its
+    // 32-bit md5 uniform is below n_chars · R, so selection
+    // probability is proportional to document LENGTH (token-budget
+    // sampling: long docs carry more training mass and deserve
+    // proportionally more slots), with zero RNG state and exact
+    // reproducibility. The compare is one int64 cross-multiplication
+    // per row (u · C < n_chars · R · C-scaled — all exact); the
+    // per-source acceptance report shows the realized size bias. ---
+    "q_sample_pps" -> ((s, d) => {
+      // target ~25% of the LENGTH MASS at the corpus's ~1000-char docs:
+      // P(keep) = min(1, n_chars / 4000); u32 from the first 8 md5 hex
+      val u32 = conv(substring(md5(concat(lit("pps"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val kept = table(s, d, "documents")
+        .withColumn("keep",
+          u32 * 4000L < col("n_chars") * 4294967296L)
+      kept.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum("n_chars").as("chars_total"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L))
+            .as("chars_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs")).as("doc_rate"),
+          (col("chars_kept").cast("double") / col("chars_total"))
+            .as("mass_rate"))
+        .orderBy("source")
+    }),
+
     // --- context-packing efficiency audit (round 9): per language, the
     // token cost of the two packing policies a training pipeline
     // chooses between — concat-then-chop (q_pack_sequences: only the
@@ -415,6 +445,22 @@ object Curation extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_sample_pps" ->
+      """WITH k AS (SELECT source, n_chars,
+        |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |        substr(md5('pps' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+        |        AS BIGINT) << (4 * (8 - i)) for i in range(1, 9)])
+        |      AS BIGINT) * 4000 < n_chars * 4294967296 AS keep
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS doc_rate,
+        |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS DOUBLE)
+        |    / SUM(n_chars) AS mass_rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q_pack_efficiency" ->
       """WITH t AS (SELECT lang,

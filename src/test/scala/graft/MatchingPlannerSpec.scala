@@ -20,6 +20,10 @@ class MatchingPlannerSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("phash dedup: pairs are ordered, within-threshold, and the bit " +
     "distance is consistent with the region-diff count") {
     val rows = q("q_dedup_phash").collect()
@@ -476,6 +480,40 @@ class MatchingPlannerSpec extends AnyFunSuite {
       assert(r.getLong(3) >= (1L << k) && r.getLong(4) < (1L << (k + 1)),
         s"bucket $k bounds")
     }
+  }
+
+  test("PPS sampling: mass acceptance beats doc acceptance (long docs " +
+    "favored) and the gate matches a driver-side md5 recomputation") {
+    val rows = q("q_sample_pps").collect()
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+    def kept(d: org.apache.spark.sql.Row): Boolean = {
+      val u = java.lang.Long.parseLong(
+        md5hex(s"pps${d.getLong(0)}").take(8), 16)
+      u * 4000L < d.getLong(1) * 4294967296L
+    }
+    assert(rows.map(_.getLong(2)).sum == docs.count(kept))
+    // corpus-level: length-proportional acceptance must favor the
+    // length MASS over the doc count (per-source it is only an
+    // expectation — small sources can fluctuate)
+    val docRate = docs.count(kept).toDouble / docs.length
+    val massRate = docs.filter(kept).map(_.getLong(1)).sum.toDouble /
+      docs.map(_.getLong(1)).sum
+    assert(massRate >= docRate, s"mass $massRate vs doc $docRate")
+    assert(docRate > 0.02 && docRate < 0.9, "sampling actually samples")
+  }
+
+  test("JS drift: halves of one corpus are near-identical " +
+    "distributions, so the bit-level divergence proxy is small") {
+    val r = q("q_js_drift").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    val js = r.getDouble(4)
+    assert(math.abs(js) < 0.5,
+      s"same-corpus halves must not diverge: $js")
+    assert(math.abs(r.getDouble(4) -
+      (r.getLong(2).toDouble / r.getLong(0) +
+        r.getLong(3).toDouble / r.getLong(1)) / 2.0) == 0.0)
   }
 
   test("vocab overlap: all language pairs present, Jaccard in (0,1], " +

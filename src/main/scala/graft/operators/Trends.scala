@@ -117,6 +117,42 @@ object Trends extends QueryModule {
       // fixed-point moments per dimension (int64 at this scale,
       // DECIMAL(38,0) sums for the squares), variance in ONE fixed
       // double tree, dims ranked by it. ---
+      // --- per-label embedding centroid drift (round 9): the L2 shift
+      // between each label's centroid computed over the two corpus
+      // halves — the embedding-space drift audit (a re-embedding run
+      // or upstream data change shows up here before any downstream
+      // metric moves). Elements quantize to 2^20 fixed point (the
+      // Similarity discipline: exact int64 sums, merge-order-free);
+      // per-dim mean diffs are identical doubles on both engines and
+      // their squares quantize to DECIMAL(18,4) before the 64-dim sum
+      // (exact, order-independent); one terminal sqrt per label. ---
+      "q_embed_drift" -> ((s, d) => {
+        val ex = table(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            (col("vec_id") % 2 === 0).cast("int").as("ha"),
+            posexplode(Similarity.fixedPoint(col("embedding"))))
+          .select(col("label"), col("ha"), col("pos"),
+            col("col").as("q"))
+        val cells = ex.groupBy("label", "ha", "pos")
+          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        val a = cells.filter(col("ha") === 1)
+          .select(col("label"), col("pos"), col("sq").as("sa"),
+            col("n").as("na"))
+        val b = cells.filter(col("ha") === 0)
+          .select(col("label"), col("pos"), col("sq").as("sb"),
+            col("n").as("nb"))
+        a.join(b, Seq("label", "pos"))
+          .withColumn("dd", col("sa").cast("double") / col("na")
+            - col("sb").cast("double") / col("nb"))
+          .groupBy("label")
+          .agg(max("na").as("n_a"), max("nb").as("n_b"),
+            sum(dec(col("dd") * col("dd"))).as("ss"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            (sqrt(col("ss").cast("double")) / 1048576.0)
+              .as("centroid_shift"))
+          .orderBy("label")
+      }),
+
       "q_dim_variance" -> ((s, d) => {
         val ex = table(s, d, "embeddings")
           .select(posexplode(Similarity.fixedPoint(col("embedding")))
@@ -479,6 +515,29 @@ object Trends extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_embed_drift" ->
+      s"""WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+         |    CAST(vec_id % 2 = 0 AS INT) AS ha,
+         |    generate_subscripts(embedding, 1) AS pos,
+         |    unnest(${Similarity.qSql}) AS q
+         |  FROM embeddings),
+         |c AS (SELECT label, ha, pos, CAST(SUM(q) AS BIGINT) AS sq,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM x GROUP BY 1, 2, 3),
+         |j AS (SELECT a.label, a.pos,
+         |    CAST(a.sq AS DOUBLE) / a.n - CAST(b.sq AS DOUBLE) / b.n
+         |      AS dd,
+         |    a.n AS na, b.n AS nb
+         |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+         |    AND a.ha = 1 AND b.ha = 0),
+         |g AS (SELECT label, CAST(MAX(na) AS BIGINT) AS n_a,
+         |    CAST(MAX(nb) AS BIGINT) AS n_b,
+         |    SUM(CAST(dd * dd AS DECIMAL(18,4))) AS ss
+         |  FROM j GROUP BY 1)
+         |SELECT label, n_a, n_b,
+         |  sqrt(CAST(ss AS DOUBLE)) / 1048576.0 AS centroid_shift
+         |FROM g ORDER BY label""".stripMargin,
 
     "q_doc_novelty" ->
       s"""WITH ${TextPipeline.ngramPairCte},

@@ -516,6 +516,18 @@ class MatchingPlannerSpec extends AnyFunSuite {
         r.getLong(3).toDouble / r.getLong(1)) / 2.0) == 0.0)
   }
 
+  test("embedding drift: halves cover every label's vectors and the " +
+    "shift is small for same-distribution halves") {
+    val rows = q("q_embed_drift").collect()
+    val total = Tables.table(spark, sf, "embeddings").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val shift = r.getDouble(3)
+      assert(shift >= 0.0 && shift < 1.0,
+        s"label ${r.getLong(0)}: same-corpus halves shift $shift")
+    }
+  }
+
   test("vocab overlap: all language pairs present, Jaccard in (0,1], " +
     "and intersection bounded by both vocabulary sizes") {
     val rows = q("q_vocab_overlap").collect()

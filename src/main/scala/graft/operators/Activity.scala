@@ -65,6 +65,49 @@ object Activity extends QueryModule {
           .orderBy("day")
       }),
 
+      // --- DAU growth accounting (round 9): every active (user, day)
+      // classifies as NEW (first day ever), RETAINED (also active
+      // yesterday), or RESURRECTED (returning after a gap), and a user
+      // CHURNS on the day after an activity day with no follow-up —
+      // the product-growth ledger new+resurrected−churned that
+      // explains every DAU move. One distinct (user, day) reduction,
+      // two per-user lag/lead windows, two O(days) rollups joined
+      // full-outer; churn days past the observation window are dropped
+      // against a broadcast max-day row. ---
+      "q_growth_accounting" -> ((s, d) => {
+        val active = table(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val wu = Window.partitionBy("user_id").orderBy("day")
+        val cls = active
+          .withColumn("prev", lag("day", 1).over(wu))
+          .withColumn("nxt", lead("day", 1).over(wu))
+        val daily = cls.groupBy("day").agg(
+          sum(col("prev").isNull.cast("long")).as("n_new"),
+          sum((col("prev").isNotNull &&
+            datediff(col("day"), col("prev")) === 1).cast("long"))
+            .as("n_retained"),
+          sum((col("prev").isNotNull &&
+            datediff(col("day"), col("prev")) > 1).cast("long"))
+            .as("n_resurrected"))
+        val churn = cls
+          .filter(col("nxt").isNull ||
+            datediff(col("nxt"), col("day")) > 1)
+          .select(date_add(col("day"), 1).cast("timestamp").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_churned"))
+        val maxDay = active.agg(max("day").as("maxd"))
+        daily.join(churn, Seq("day"), "full_outer")
+          .crossJoin(broadcast(maxDay))
+          .filter(col("day") <= col("maxd"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy("day")
+      }),
+
       // --- user-activity distribution (round 9): the log2-bucketed
       // events-per-user histogram — the heavy-tail readout behind
       // every per-user state/quota decision (how many users fall in
@@ -194,6 +237,36 @@ object Activity extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_growth_accounting" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day, lag(day) OVER w AS prev,
+        |    lead(day) OVER w AS nxt
+        |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |dd AS (SELECT day,
+        |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL
+        |      AND date_diff('day', prev, day) = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL
+        |      AND date_diff('day', prev, day) > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM c GROUP BY 1),
+        |ch AS (SELECT day + INTERVAL 1 DAY AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM c WHERE nxt IS NULL OR date_diff('day', day, nxt) > 1
+        |  GROUP BY 1),
+        |m AS (SELECT MAX(day) AS maxd FROM a)
+        |SELECT strftime(COALESCE(dd.day, ch.day), '%Y-%m-%d') AS day,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM dd FULL OUTER JOIN ch ON ch.day = dd.day CROSS JOIN m
+        |WHERE COALESCE(dd.day, ch.day) <= maxd
+        |ORDER BY day""".stripMargin,
 
     "q_activity_hist" ->
       """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c

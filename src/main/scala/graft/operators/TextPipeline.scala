@@ -108,6 +108,37 @@ object TextPipeline extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- boilerplate template detection (round 9): per source, the
+    // single 8-gram present in the most documents and its coverage —
+    // high coverage means a shared page template/boilerplate that a
+    // curation pass should strip before dedup inflates its weight.
+    // Per-doc DISTINCT 8-gram arrays explode to (source, gram, doc)
+    // rows, reduce to document frequencies, and the per-source winner
+    // comes from TWO portable aggregate steps (max df, then max gram
+    // among ties — deterministic on both engines without struct-max
+    // or a gram-vocabulary rank window). ---
+    "q_template_ngram" -> ((s, d) => {
+      val df8 = table(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          graft.functions.NGramGenerator(toks, 8).alias("gram"))
+        .distinct()
+        .groupBy("source", "gram").agg(count(lit(1)).as("n_docs_with"))
+      val best = df8.groupBy("source")
+        .agg(max("n_docs_with").as("max_df"))
+      val winner = df8.join(broadcast(best), "source")
+        .filter(col("n_docs_with") === col("max_df"))
+        .groupBy("source")
+        .agg(max("gram").as("template_gram"), max("max_df").as("n_docs_with"))
+      val sizes = table(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      winner.join(broadcast(sizes), "source")
+        .select(col("source"), col("template_gram"), col("n_docs_with"),
+          col("n_docs"),
+          (col("n_docs_with").cast("double") / col("n_docs"))
+            .as("coverage"))
+        .orderBy("source")
+    }),
+
     // --- language-ID confusion matrix (round 9): per (actual,
     // predicted) cell counts and the within-language share — the
     // per-class evaluation readout for the q_lang_id heuristic (which
@@ -496,6 +527,30 @@ object TextPipeline extends QueryModule {
          |        ELSE 'fr' END) = lang AS is_match
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_template_ngram" ->
+      """WITH g AS (SELECT source, doc_id,
+        |    unnest(list_distinct([array_to_string(tk[i:i+7], ' ')
+        |      for i in range(1, len(tk) - 6)])) AS gram
+        |  FROM (SELECT source, doc_id, string_split(text, ' ') AS tk
+        |        FROM documents)
+        |  WHERE len(tk) >= 8),
+        |df8 AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT)
+        |    AS n_docs_with
+        |  FROM g GROUP BY 1, 2),
+        |b AS (SELECT source, MAX(n_docs_with) AS max_df
+        |  FROM df8 GROUP BY 1),
+        |w AS (SELECT df8.source, MAX(gram) AS template_gram,
+        |    CAST(MAX(max_df) AS BIGINT) AS n_docs_with
+        |  FROM df8 JOIN b ON b.source = df8.source
+        |    AND df8.n_docs_with = b.max_df
+        |  GROUP BY 1),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT source, template_gram, n_docs_with, n_docs,
+        |  CAST(n_docs_with AS DOUBLE) / n_docs AS coverage
+        |FROM w JOIN sz USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q_lang_confusion" -> {
       val Seq(en, es, de, fr) = langMarkers.map(m => markerSql(m._2))

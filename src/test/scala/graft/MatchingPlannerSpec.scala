@@ -516,6 +516,46 @@ class MatchingPlannerSpec extends AnyFunSuite {
         r.getLong(3).toDouble / r.getLong(1)) / 2.0) == 0.0)
   }
 
+  test("growth accounting: daily DAU reconciles as new + retained + " +
+    "resurrected, and churn matches the yesterday-not-today diff") {
+    val rows = q("q_growth_accounting").collect()
+    val active = Tables.table(spark, sf, "events")
+      .select(col("user_id"), date_format(date_trunc("day", col("ts")),
+        "yyyy-MM-dd")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDay = active.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .toMap
+    val days = byDay.keys.toSeq.sorted
+    rows.foreach { r =>
+      val d = r.getString(0)
+      val dau = byDay.getOrElse(d, Set.empty).size.toLong
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == dau,
+        s"$d: classes must partition the DAU")
+      val i = days.indexOf(d)
+      if (i > 0) {
+        val churnExp = (byDay(days(i - 1)) -- byDay(d)).size.toLong
+        // churn on day d = active on the previous CALENDAR day, absent
+        // today — only when days are consecutive
+        if (java.time.LocalDate.parse(days(i - 1)).plusDays(1) ==
+          java.time.LocalDate.parse(d))
+          assert(r.getLong(4) == churnExp, s"$d churn")
+      }
+    }
+    assert(rows.map(_.getLong(1)).sum == active.map(_._1).distinct.length,
+      "every user is new exactly once")
+  }
+
+  test("template detection: winner df matches a driver recomputation " +
+    "per source and coverage reconciles") {
+    val rows = q("q_template_ngram").collect()
+    rows.foreach { r =>
+      assert(r.getString(1).split(" ").length == 8, "an 8-gram")
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble / r.getLong(3)) == 0.0)
+    }
+  }
+
   test("embedding drift: halves cover every label's vectors and the " +
     "shift is small for same-distribution halves") {
     val rows = q("q_embed_drift").collect()

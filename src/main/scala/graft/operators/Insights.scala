@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Det._
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -48,6 +49,33 @@ object Insights extends QueryModule {
       // reached an equal-or-earlier date. The window runs over BUCKETS,
       // not rows (the naive formulation is an O(n²) NOT EXISTS self-join
       // — the oracle spells exactly that over the tiny bucket set). ---
+      // --- basket-size distribution (round 9): the lines-per-order
+      // histogram in floor-log2 bands with per-band order and revenue
+      // shares — the fulfillment/packing profile (the q_activity_hist
+      // device applied to the order grain). Per-order counts and exact
+      // decimal revenue reduce first; O(log n) output. ---
+      "q_order_size_hist" -> ((s, d) => {
+        val per = table(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("c"),
+            sum(dec(col("l_extendedprice"))).as("rev"))
+        val tot = per.agg(count(lit(1)).as("t_orders"),
+          sum("rev").as("t_rev"))
+        per
+          .groupBy((length(bin(col("c"))) - 1).cast("long").as("log2_bkt"))
+          .agg(count(lit(1)).as("n_orders"),
+            min("c").as("min_lines"), max("c").as("max_lines"),
+            sum("rev").as("rev"))
+          .crossJoin(broadcast(tot))
+          .select(col("log2_bkt"), col("n_orders"), col("min_lines"),
+            col("max_lines"),
+            (col("n_orders").cast("double") / col("t_orders"))
+              .as("order_share"),
+            (col("rev").cast("double") / col("t_rev").cast("double"))
+              .as("revenue_share"))
+          .orderBy("log2_bkt")
+      }),
+
       "q_skyline" -> ((s, d) => {
         val o = table(s, d, "orders")
           .select(floor(col("o_totalprice") / 1000).cast("long").as("pq"),
@@ -337,6 +365,23 @@ object Insights extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_order_size_hist" ->
+      """WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_orders,
+        |    SUM(rev) AS t_rev FROM per),
+        |g AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bkt,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    MIN(c) AS min_lines, MAX(c) AS max_lines,
+        |    SUM(rev) AS rev
+        |  FROM per GROUP BY 1)
+        |SELECT log2_bkt, n_orders, min_lines, max_lines,
+        |  CAST(n_orders AS DOUBLE) / t_orders AS order_share,
+        |  CAST(rev AS DOUBLE) / CAST(t_rev AS DOUBLE) AS revenue_share
+        |FROM g CROSS JOIN t ORDER BY log2_bkt""".stripMargin,
 
     "q_skyline" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT)

@@ -117,6 +117,28 @@ object Trends extends QueryModule {
       // fixed-point moments per dimension (int64 at this scale,
       // DECIMAL(38,0) sums for the squares), variance in ONE fixed
       // double tree, dims ranked by it. ---
+      // --- monthly return-rate trend (round 9): the share of shipped
+      // lines (and of revenue) flagged returned per ship month — the
+      // quality/refund trend a retail review reads first. One
+      // conditional-aggregate scan to O(months) cells; exact decimal
+      // revenue; two terminal divisions per month. ---
+      "q_return_rate" -> ((s, d) =>
+        table(s, d, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum((col("l_returnflag") === "R").cast("long"))
+              .as("n_returned"),
+            sum(dec(col("l_extendedprice"))).as("rev"),
+            sum(when(col("l_returnflag") === "R",
+              dec(col("l_extendedprice"))).otherwise(dec(lit(0))))
+              .as("rev_returned"))
+          .select(col("month"), col("n_lines"), col("n_returned"),
+            (col("n_returned").cast("double") / col("n_lines"))
+              .as("line_return_rate"),
+            (col("rev_returned").cast("double") /
+              col("rev").cast("double")).as("revenue_return_rate"))
+          .orderBy("month")),
+
       // --- per-label embedding centroid drift (round 9): the L2 shift
       // between each label's centroid computed over the two corpus
       // halves — the embedding-space drift audit (a re-embedding run
@@ -515,6 +537,24 @@ object Trends extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_return_rate" ->
+      """WITH g AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,4)) AS rev,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4))
+        |      AS rev_returned
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, n_lines, n_returned,
+        |  CAST(n_returned AS DOUBLE) / n_lines AS line_return_rate,
+        |  CAST(rev_returned AS DOUBLE) / CAST(rev AS DOUBLE)
+        |    AS revenue_return_rate
+        |FROM g ORDER BY month""".stripMargin,
 
     "q_embed_drift" ->
       s"""WITH x AS (SELECT CAST(label AS BIGINT) AS label,

@@ -556,6 +556,32 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("order-size histogram: bands partition orders and shares sum " +
+    "to 1") {
+    val rows = q("q_order_size_hist").collect()
+    val nOrders = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(2) >= (1L << k) && r.getLong(3) < (1L << (k + 1)))
+    }
+  }
+
+  test("return rate: monthly shares are in [0,1] and line counts " +
+    "cover the table") {
+    val rows = q("q_return_rate").collect()
+    val n = Tables.table(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("embedding drift: halves cover every label's vectors and the " +
     "shift is small for same-distribution halves") {
     val rows = q("q_embed_drift").collect()

@@ -65,6 +65,35 @@ object Activity extends QueryModule {
           .orderBy("day")
       }),
 
+      // --- behavioral-diversity histogram (round 9): each user's
+      // event-type entropy in the integer floor-log2 device (hb =
+      // Σ c_t·bits(n div c_t), so hb div n ∈ {0..log2(types)} — exact
+      // int64, zero libm), then the census of users per diversity band
+      // — single-type loyalists vs broad explorers, the segmentation
+      // cut per-user personalization starts from. Two keyed reductions
+      // ((user, type) → user), O(log types) output. ---
+      "q_user_entropy_hist" -> ((s, d) => {
+        val cells = table(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val totals = cells.groupBy("user_id")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_types"))
+        val per = cells.join(totals, "user_id")
+          .select(col("user_id"), col("n"), col("n_types"),
+            (col("c") *
+              (length(bin(expr("n div c"))) - 1).cast("long"))
+              .as("contrib"))
+          .groupBy("user_id")
+          .agg(max("n").as("n"), max("n_types").as("n_types"),
+            sum("contrib").as("hb"))
+        per
+          .groupBy(expr("hb div n").as("h_band"))
+          .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"),
+            (sum("n_types").cast("double") / count(lit(1)))
+              .as("mean_types"))
+          .orderBy("h_band")
+      }),
+
       // --- DAU growth accounting (round 9): every active (user, day)
       // classifies as NEW (first day ever), RETAINED (also active
       // yesterday), or RESURRECTED (returning after a gap), and a user
@@ -237,6 +266,25 @@ object Activity extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_user_entropy_hist" ->
+      """WITH cells AS (SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM cells GROUP BY 1),
+        |p AS (SELECT cells.user_id, MAX(n) AS n,
+        |    MAX(n_types) AS n_types,
+        |    CAST(SUM(c * CAST(length(bin(n // c)) - 1 AS BIGINT))
+        |      AS BIGINT) AS hb
+        |  FROM cells JOIN t ON t.user_id = cells.user_id
+        |  GROUP BY 1)
+        |SELECT CAST(hb // n AS BIGINT) AS h_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_types) AS DOUBLE) / COUNT(*) AS mean_types
+        |FROM p GROUP BY 1 ORDER BY h_band""".stripMargin,
 
     "q_growth_accounting" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -582,6 +582,19 @@ class MatchingPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("user entropy census: bands partition users and events, and " +
+    "higher bands carry more types on average") {
+    val rows = q("q_user_entropy_hist").collect()
+    val nUsers = Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val nEvents = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    val mt = rows.sortBy(_.getLong(0)).map(_.getDouble(3)).toSeq
+    assert(mt == mt.sorted,
+      "diversity bands must order by mean type count")
+  }
+
   test("embedding drift: halves cover every label's vectors and the " +
     "shift is small for same-distribution halves") {
     val rows = q("q_embed_drift").collect()

@@ -17,7 +17,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val targets = Seq("q_vocab_gini", "q_coverage_curve",
     "q_knee_point", "q_topk_loo", "q_curriculum_bins", "q_conv_lag",
     "q_range_bounds", "q_table_checksum", "q_hits_iter",
-    "q_percentile_grid", "q_dedup_phash", "q_dedup_tfidf")
+    "q_percentile_grid", "q_dedup_phash", "q_dedup_tfidf",
+    "q_js_drift", "q_growth_accounting", "q_template_ngram",
+    "q_user_entropy_hist", "q_shard_rendezvous", "q_cooccur_pmi",
+    "q_fs_weights", "q_embed_drift")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

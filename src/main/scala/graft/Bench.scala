@@ -50,6 +50,7 @@ object Bench {
       ()
     }
     warm("formats")(operators.Formats.prewarm(spark, sfDir))
+    warm("truth")(operators.TextPipeline.prewarmTruth(spark, sfDir))
     // One throwaway stateful streaming query: the first streaming query
     // in a session pays StreamExecution/state-store-coordinator init
     // that is none of any individual query's cost.

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe bench (round 10): measures how the most expensive
+  * queries GROW, not just what they cost. Every plan in this tree is
+  * graded statically for 100x behavior; this is the measurement that
+  * can falsify those grades cheaply — a query whose wall-time grows
+  * super-linearly from sf0.1 to 10x sf0.1 (a hidden quadratic pair
+  * explosion, a df-cap that stops capping, a window that re-centralizes)
+  * is flagged here long before a fleet run finds it.
+  *
+  * The 10x dataset is derived from the driver's sf0.1 tables by key-
+  * shifted replication (the driver ships no sf1): copy i shifts every
+  * entity key by i * (max_key + 1), so referential joins stay intact
+  * and each copy contributes the same per-copy work — the null
+  * hypothesis is linear growth. Two deliberate de-degenerations keep
+  * the replication honest:
+  *   - document text gets a per-copy token suffix (vocabulary grows
+  *     with the corpus; plain replication would make every doc an
+  *     exact 10-way duplicate and blow every near-dup pair relation
+  *     quadratically — a property real 10x corpora do not have);
+  *   - embeddings get a tiny per-copy additive offset (avoids 10-way
+  *     cosine ties that no real corpus exhibits).
+  * Streaming queries are excluded: their wall-time is micro-batch
+  * harness overhead, not data-volume work.
+  *
+  * Output: BENCH_SCALE.json with per-query base/scaled seconds, the
+  * time ratio, the implied growth exponent log_c(ratio), and a
+  * `flagged` list (exponent > 1.3 — super-linear beyond noise).
+  * Runtime knobs: SPARK_GRAFT_COPIES (default 10), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_ONLY (subset), SPARK_GRAFT_PASSES (default 2).
+  */
+object ScaleProbe {
+
+  /** The 15 most expensive non-streaming queries of BENCH_DETAIL r9. */
+  val probeQueries: Seq[String] = Seq(
+    "q_lsh_curve", "q_minhash_eval", "q_containment", "q_dataset_card",
+    "q_ssjoin_prefix", "q_dup_size_dist", "q_dedup_canonical",
+    "q_graph_modularity", "q_graph_triangle", "q_split_leakage",
+    "q_negative_sample", "q_cross_source_dups", "q_graph_wpath",
+    "q_label_prop", "q_graph_commonnbrs")
+
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0)
+
+  /** Key-shifted replication of every base table into `dst`. */
+  def buildScaled(s: SparkSession, base: String, dst: String,
+      copies: Int): Unit = {
+    val done = new java.io.File(dst, "_GRAFT_SCALED")
+    if (done.exists()) return
+    def read(t: String) = Tables.table(s, base, t)
+    val cOff = maxOf(read("customer"), "c_custkey") + 1
+    val oOff = maxOf(read("orders"), "o_orderkey") + 1
+    val pOff = maxOf(read("part"), "p_partkey") + 1
+    val sOff = maxOf(read("supplier"), "s_suppkey") + 1
+    val uOff = maxOf(read("events"), "user_id") + 1
+    val eOff = maxOf(read("events"), "event_id") + 1
+    val dOff = maxOf(read("documents"), "doc_id") + 1
+    val vOff = maxOf(read("embeddings"), "vec_id") + 1
+    def shift(c: String, off: Long, i: Int): Column =
+      (col(c) + lit(off * i)).as(c)
+    def replicate(t: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val src = read(t)
+      val out = (0 until copies).map(i => copy(src, i)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[scale] built $t x$copies")
+    }
+    // fixed dimensions: one copy (they are constants at any scale)
+    for (t <- Seq("region", "nation"))
+      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    replicate("customer")((d, i) => d.withColumn("c_custkey",
+      shift("c_custkey", cOff, i)))
+    replicate("supplier")((d, i) => d.withColumn("s_suppkey",
+      shift("s_suppkey", sOff, i)))
+    replicate("part")((d, i) => d.withColumn("p_partkey",
+      shift("p_partkey", pOff, i)))
+    replicate("orders")((d, i) => d
+      .withColumn("o_orderkey", shift("o_orderkey", oOff, i))
+      .withColumn("o_custkey", shift("o_custkey", cOff, i)))
+    replicate("lineitem")((d, i) => d
+      .withColumn("l_orderkey", shift("l_orderkey", oOff, i))
+      .withColumn("l_partkey", shift("l_partkey", pOff, i))
+      .withColumn("l_suppkey", shift("l_suppkey", sOff, i)))
+    replicate("events")((d, i) => d
+      .withColumn("event_id", shift("event_id", eOff, i))
+      .withColumn("user_id", shift("user_id", uOff, i)))
+    replicate("documents")((d, i) => d
+      .withColumn("doc_id", shift("doc_id", dOff, i))
+      .withColumn("text", if (i == 0) col("text")
+        // "x" separates the back-reference from the copy digit — a bare
+        // "$1" + i would parse as group $1i (e.g. $11) in the regex
+        // engine, not "group 1 then a digit"
+        else regexp_replace(col("text"), "(\\S+)", "$1x" + i.toString)))
+    replicate("embeddings")((d, i) => d
+      .withColumn("vec_id", shift("vec_id", vOff, i))
+      .withColumn("embedding", if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          x => (x + lit(i.toFloat * 1e-4f)).cast("float"))))
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "3600s")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    plans.TopKPerKey.register(spark)
+    buildScaled(spark, base, dst, copies)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = probeQueries.filter(q => only.forall(_.contains(q)))
+    def sample(tag: String, q: String, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(q)(spark, dir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] FAILED $tag $q: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] $tag%-8s $q%-24s $dt%8.2fs")
+      if (ok) Some(dt) else None
+    }
+    // min over passes (same stall-storm estimator as Bench); base and
+    // scaled interleave per pass so a storm taxes both sides equally
+    def bestOf(dir: String, tag: String): Map[String, Option[Double]] = {
+      val t = (1 to passes).map { p =>
+        selected.map(q => q -> sample(s"$tag$p", q, dir)).toMap
+      }
+      selected.map(q => q -> t.flatMap(_.apply(q)).minOption).toMap
+    }
+    val baseT = bestOf(base, "base")
+    val scaledT = bestOf(dst, "scaled")
+    val rows = selected.map { q =>
+      (q, baseT(q), scaledT(q)) match {
+        case (q, Some(b), Some(sc)) =>
+          val ratio = sc / b
+          val expn = math.log(ratio) / math.log(copies.toDouble)
+          (q, f"""{"base":$b%.2f,"scaled":$sc%.2f,"ratio":$ratio%.2f,""" +
+            f""""exponent":$expn%.2f}""", expn)
+        case (q, _, _) => (q, """{"failed":true}""", Double.NaN)
+      }
+    }
+    val flagged = rows.collect { case (q, _, e) if e > 1.3 => q }
+    val json = rows.map { case (q, j, _) => "\"" + q + "\":" + j }
+      .mkString("{", ",", "}")
+    val out = s"""{"copies":$copies,"base_dir":"$base","queries":$json,""" +
+      s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""git_sha":"${GitSha.resolve()}"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_SCALE.json"),
+      (out + "\n").getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

@@ -23,8 +23,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * min-over-rows: always >= the true count, with overshoot ~ 2N/w per
   * row (probability bounds via the d independent rows). Deterministic
   * for fixed input (fixed seeds), so the test suite pins exact
-  * reproducibility, the >= bound, and the error envelope; no DuckDB
-  * oracle (engine-specific hash).
+  * reproducibility, the >= bound, and the error envelope; the DuckDB
+  * oracle rebuilds the counter table bit-exactly by emulating
+  * XXH64.hashLong in HUGEINT SQL (operators/CmsOracle.scala).
   */
 case class CountMinAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

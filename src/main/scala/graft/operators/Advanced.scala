@@ -484,8 +484,10 @@ object Advanced extends QueryModule {
     }),
 
     // --- Count-Min sketch heavy hitters (TypedImperativeAggregate +
-    // native probe expression; rows-only check, the >=-exact bound and
-    // error envelope are pinned in OperatorExtensionsSpec). The sketch
+    // native probe expression; FULL oracle since round 10 — DuckDB
+    // rebuilds the xxhash64-derived counter table bit-exactly via
+    // CmsOracle's HUGEINT XXH64 emulation; the >=-exact bound and
+    // error envelope stay pinned in OperatorExtensionsSpec). The sketch
     // is the 100 TB frequency-profile shape: 64 KiB per partition
     // through the partial-agg merge regardless of key cardinality. The
     // exact per-key count here is the verification companion (at fleet
@@ -736,6 +738,10 @@ object Advanced extends QueryModule {
     }.mkString("(", " + ", ")")
 
   override def oracle: Map[String, String] = Map(
+    // the CMS counter table is xxhash64-derived; the oracle rebuilds
+    // it bit-exactly via the HUGEINT XXH64 emulation (CmsOracle)
+    "q_agg_cms" -> CmsOracle.sql,
+
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -70,7 +70,13 @@ object Association extends QueryModule {
       // top, tau counts inversions): over tokens in BOTH top-20 lists,
       // concordant minus discordant pairs stays exact int64; tau-a is
       // one division by m(m−1)/2. The pair join is O(m²) over m ≤ 20
-      // shared tokens. ---
+      // shared tokens. Each half's top-20 is a TakeOrdered
+      // (per-partition heaps + driver merge — the q_vocab_drift
+      // spelling); the rank window runs AFTER the limit, over 20
+      // surviving rows, bounded by k forever. (The previous spelling
+      // filtered on a CAST of a vocabulary-wide row_number, which
+      // defeats Spark's InferWindowGroupLimit rescue — a
+      // vocabulary-sized single-partition sort at scale.) ---
       "q_kendall_tau" -> ((s, d) => {
         val docs = table(s, d, "documents")
           .select(col("doc_id"), col("text"),
@@ -80,8 +86,9 @@ object Association extends QueryModule {
           docs.filter(col("h") === h)
             .select(explode(split(col("text"), " ")).as("w"))
             .groupBy("w").agg(count(lit(1)).as("c"))
-            .withColumn("rk", row_number().over(wr).cast("long"))
-            .filter(col("rk") <= 20)
+            .orderBy(col("c").desc, col("w").asc).limit(20)
+            .select(col("w"), col("c"),
+              row_number().over(wr).cast("long").as("rk"))
         }
         val joint = top20(0).select(col("w"), col("rk").as("ra"))
           .join(top20(1).select(col("w"), col("rk").as("rb")), "w")

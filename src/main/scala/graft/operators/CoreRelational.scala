@@ -206,7 +206,15 @@ object CoreRelational extends QueryModule {
         .filter(col("n_orders") >= 3)
         .orderBy("o_custkey")),
 
-    // --- ranking window functions, top-10 per partition ---
+    // --- ranking window functions, top-10 per partition. The
+    // row_number filter sits on the UNCAST rank directly above its
+    // window so InferWindowGroupLimit keeps per-group 10-row heaps
+    // map-side (a filter on a cast of the rank defeats the rewrite
+    // and full-sorts each priority group). rank/dense_rank then run
+    // over the ≤10 survivors: the kept rows are a PREFIX of the
+    // (price desc, orderkey) order and both functions only count rows
+    // at-or-before, so their values are identical to the full-group
+    // spelling (the oracle). ---
     "q_win_rank" -> ((s, d) => {
       val byPrice = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -214,10 +222,12 @@ object CoreRelational extends QueryModule {
         .orderBy(col("o_totalprice").desc)
       table(s, d, "orders")
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          lng(row_number().over(byPrice)).as("rn"),
+          row_number().over(byPrice).as("rn0"))
+        .filter(col("rn0") <= 10)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          lng(col("rn0")).as("rn"),
           lng(rank().over(tiesOk)).as("rnk"),
           lng(dense_rank().over(tiesOk)).as("drnk"))
-        .filter(col("rn") <= 10)
         .orderBy("o_orderpriority", "rn")
     }),
 

@@ -368,13 +368,18 @@ object CorpusStats extends QueryModule {
         val docs = table(s, d, "documents")
         val half = docs.select(col("doc_id"), col("text"),
           (col("doc_id") % 2 === 1).cast("long").as("h"))
+        // each top-10 is a TakeOrdered (per-partition heaps + driver
+        // merge); the rank window runs AFTER the limit over 10 rows —
+        // a rank-filter on a CAST of a vocabulary-wide row_number
+        // would defeat InferWindowGroupLimit and single-partition-sort
+        // the vocabulary
         def top10(h: Int): DataFrame = {
           val wr = Window.orderBy(col("c").desc, col("w").asc)
           half.filter(col("h") === h)
             .select(explode(split(col("text"), " ")).as("w"))
             .groupBy("w").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("w").asc).limit(10)
             .withColumn("rk", row_number().over(wr).cast("long"))
-            .filter(col("rk") <= 10)
         }
         val a = top10(0).select(col("w"), col("rk").as("ra"))
         val b = top10(1).select(col("w"), col("rk").as("rb"))

@@ -280,8 +280,9 @@ object Inference extends QueryModule {
         val wr = Window.partitionBy("probe_id")
           .orderBy(col("cos").desc, col("cand_id").asc)
         val firstRel = scored
-          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("rk", row_number().over(wr))
           .filter(col("rk") <= 10 && col("label") === col("plabel"))
+          .withColumn("rk", col("rk").cast("long"))
           .groupBy("probe_id").agg(min("rk").as("rk1"))
         probes.select("probe_id")
           .join(firstRel, Seq("probe_id"), "left")

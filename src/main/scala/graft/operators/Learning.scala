@@ -95,8 +95,9 @@ object Learning extends QueryModule {
         val wr = Window.partitionBy("probe_id")
           .orderBy(col("cos").desc, col("cand_id").asc)
         val top = scored
-          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("rk", row_number().over(wr))
           .filter(col("rk") <= 10)
+          .withColumn("rk", col("rk").cast("long"))
           .withColumn("rel", (col("label") === col("plabel")).cast("long"))
         val wc = Window.partitionBy("probe_id").orderBy("rk")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -339,8 +340,9 @@ object Learning extends QueryModule {
                 sqrt(col("cb").cast("double")))).as("cosine"))
         val w = Window.partitionBy("item")
           .orderBy(col("cosine").desc, col("neighbor").asc)
-        scored.withColumn("rk", row_number().over(w).cast("long"))
+        scored.withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 5)
+          .withColumn("rk", col("rk").cast("long"))
           .orderBy("item", "rk")
       }))
 

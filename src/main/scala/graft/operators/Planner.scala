@@ -211,7 +211,7 @@ object Planner extends QueryModule {
         |      AS BIGINT) AS cb
         |  FROM events WHERE event_type IN ('view', 'purchase')
         |  GROUP BY user_id),
-        |b AS (SELECT user_id % 16 AS bucket,
+        |b AS (SELECT ((user_id % 16) + 16) % 16 AS bucket,
         |    CAST(SUM(ca) AS BIGINT) AS n_a,
         |    CAST(SUM(cb) AS BIGINT) AS n_b,
         |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)

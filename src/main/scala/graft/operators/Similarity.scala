@@ -137,8 +137,9 @@ object Similarity extends QueryModule {
           cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("cos"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("cand_id").asc)
-      scored.withColumn("rn", row_number().over(w).cast("long"))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("probe_id", "rn")
     }),
 
@@ -190,7 +191,9 @@ object Similarity extends QueryModule {
     // against. It must never be lifted into a fleet pipeline
     // unchanged, so it refuses loudly beyond test scale. ---
     "q_dedup_embedding" -> ((s, d) => {
-      val nVec = table(s, d, "embeddings").limit(1000001).count()
+      // memoized per (dir, table): the guard scan runs once per
+      // session, not once per invocation (bench passes re-run queries)
+      val nVec = graft.Tables.cappedCount(s, d, "embeddings", 1000000L)
       require(nVec <= 1000000L,
         s"q_dedup_embedding is the all-pairs EXACT truth twin " +
           s"(n=$nVec vectors => ~${nVec * nVec / 2} pairs); beyond 1M " +
@@ -280,8 +283,9 @@ object Similarity extends QueryModule {
           cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cos"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("cand_id").asc)
-      scored.withColumn("rn", row_number().over(w).cast("long"))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("probe_id", "rn")
     }),
 
@@ -354,8 +358,9 @@ object Similarity extends QueryModule {
           cosQ(dotQ(col("aq"), col("bq")), col("an"), col("bn")).as("cos"))
       val w = Window.partitionBy("bucket")
         .orderBy(col("cos").desc, col("keeper_id"), col("dup_id"))
-      scored.withColumn("rn", row_number().over(w).cast("long"))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("bucket", "rn")
     }),
 
@@ -418,8 +423,9 @@ object Similarity extends QueryModule {
           cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cos"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("cand_id").asc)
-      scored.withColumn("rn", row_number().over(w).cast("long"))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("probe_id", "rn")
     }),
 
@@ -533,8 +539,9 @@ object Similarity extends QueryModule {
           cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn")).as("cos"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("cand_id").asc)
-      scored.withColumn("rn", row_number().over(w).cast("long"))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("probe_id", "rn")
     })
   )

@@ -167,20 +167,37 @@ object Stratified extends QueryModule {
       // --- ABC revenue classification: parts ranked by revenue, class
       // A to the first 80% of cumulative revenue, B to 95%, C the
       // tail — the inventory-policy classic. Revenue reduces to the
-      // parts DIMENSION first (facts never sort); the cumulative
-      // window runs over that relation; class cuts are exact integer
-      // comparisons (cum·5 ≤ 4·total, cum·20 ≤ 19·total) so no
-      // floating-point boundary flips a part's class. ---
+      // parts DIMENSION first (facts never sort). The cumulative sum
+      // is BANDED (the q_gini / q_dense_ids discipline): per-part
+      // revenue is bounded by the fixed lineitems-per-part ratio, so
+      // banding the cents DOMAIN ($10k bands) yields an O(bands)
+      // relation whose exclusive prefix-sum — ordered band-desc, the
+      // only global window — carries each band's starting offset;
+      // the in-band cumsum then runs PARTITIONED by band. Rows in a
+      // strictly higher band have strictly larger cents, so
+      // off(band) + in-band cum reproduces the global (cents desc,
+      // partkey asc) cumulative exactly; class cuts stay the same
+      // exact integer comparisons (cum·5 ≤ 4·total, cum·20 ≤
+      // 19·total) so no floating-point boundary flips a class. ---
       "q_abc_class" -> ((s, d) => {
         val rev = table(s, d, "lineitem")
           .groupBy(col("l_partkey"))
           .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long")
             .as("cents"))
-        val wr = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+          .withColumn("band",
+            floor(col("cents").cast("double") / 1.0e6).cast("long"))
+        val wb = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = rev.groupBy("band").agg(sum("cents").as("sb"))
+          .withColumn("off", coalesce(sum("sb").over(wb), lit(0L)))
+          .select("band", "off")
+        val wr = Window.partitionBy("band")
+          .orderBy(col("cents").desc, col("l_partkey").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = rev.agg(sum("cents").as("tc"))
         rev
-          .withColumn("cum", sum("cents").over(wr))
+          .join(broadcast(offs), "band")
+          .withColumn("cum", col("off") + sum("cents").over(wr))
           .crossJoin(broadcast(tot))
           .withColumn("cls",
             when(col("cum") * 5 <= col("tc") * 4, "A")

@@ -395,9 +395,9 @@ object Trends extends QueryModule {
         val w = Window.partitionBy("lang").orderBy("mk")
         table(s, d, "documents")
           .select(col("doc_id"), col("lang"), key.as("mk"))
-          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 5)
-          .select(col("doc_id"), col("lang"), col("rk"))
+          .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
           .orderBy("lang", "rk")
       }),
 

@@ -322,7 +322,7 @@ object StreamingSmoke extends QueryModule {
     // that serves batch partial aggregation serves the per-micro-batch
     // state update, so the streamed registers are bit-identical to a
     // batch pass over the same rows (pinned in tests against
-    // q_agg_hll's aggregate on this replay). Rows-only like q_agg_hll
+    // q_agg_hll's aggregate on this replay). Rows-only, like q_agg_hll
     // (engine-specific hash); the exact column is the verification
     // companion. ---
     "q_streaming_hll" -> ((s, d) => {
@@ -547,6 +547,11 @@ object StreamingSmoke extends QueryModule {
   // batch result), dedup is COUNT(DISTINCT), and the interval join is
   // its batch twin.
   override def oracle: Map[String, String] = Map(
+    // the streamed CMS sketch is pinned bit-identical to the batch
+    // aggregate over the same rows, so it carries the same
+    // xxhash64-emulating register oracle (CmsOracle)
+    "q_streaming_cms" -> graft.operators.CmsOracle.sql,
+
     // complete-mode replay of the full input == the batch conditional
     // aggregate, so the DQ counters carry a real oracle
     "q_streaming_expect" ->

@@ -20,7 +20,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_percentile_grid", "q_dedup_phash", "q_dedup_tfidf",
     "q_js_drift", "q_growth_accounting", "q_template_ngram",
     "q_user_entropy_hist", "q_shard_rendezvous", "q_cooccur_pmi",
-    "q_fs_weights", "q_embed_drift")
+    "q_fs_weights", "q_embed_drift",
+    // round-10 descales: the banded ABC cumsum, the TakeOrdered top-k
+    // respellings, and the WindowGroupLimit-eligible rank filters
+    "q_abc_class", "q_kendall_tau", "q_rank_rbo", "q_win_rank",
+    "q_sample_quota", "q_sim_topk", "q_item_cosine", "q_rank_mrr")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -855,4 +855,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pc.contains("Expand"), pc.take(3000))
     assert("Scan parquet".r.findAllIn(pc).size <= 1, pc.take(3000))
   }
+
+  test("round-10 descaled plans: banded ABC cumsum partitions by band, " +
+      "top-k legs are TakeOrdereds, rank filters keep WindowGroupLimit " +
+      "eligible (no cast between the rank and its filter)") {
+    // ABC classification: the per-part cumulative window must partition
+    // by the cents band — the ONLY unpartitioned window is the O(bands)
+    // boundary prefix-sum over the band aggregate. Pin: every window
+    // line that orders over the parts key carries the band partition
+    // spec (a global parts-dimension window would order by l_partkey
+    // with no partition column).
+    val pa = plan("q_abc_class")
+    assert(pa.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        l.contains("l_partkey"))
+      .forall(_.contains("band#")),
+      "q_abc_class parts window must partition by band: " + pa.take(3000))
+    assert(pa.contains("hashpartitioning(band"), pa.take(3000))
+    // Kendall tau / RBO: each half's top-k is a bounded TakeOrdered
+    // (per-partition heaps), never a vocabulary-wide rank window
+    val pk = plan("q_kendall_tau")
+    assert("TakeOrderedAndProject".r.findAllIn(pk).size >= 2,
+      pk.take(3000))
+    assert(!pk.linesIterator.exists(l => l.contains("row_number") &&
+      !l.contains("windowspecdefinition")), pk.take(2000))
+    val pr = plan("q_rank_rbo")
+    assert("TakeOrderedAndProject".r.findAllIn(pr).size >= 2,
+      pr.take(3000))
+    // rank-filter sites respelled uncast-filter-then-cast: Spark's
+    // InferWindowGroupLimit now keeps map-side top-k heaps (Partial)
+    // below the shuffle — a filter on a CAST of the rank silently
+    // defeats the rewrite and full-sorts every group
+    for (q <- Seq("q_win_rank", "q_sim_topk", "q_sim_ivf", "q_sim_ivf2",
+        "q_dedup_semantic", "q_sample_quota", "q_item_cosine",
+        "q_ap_rank", "q_rank_mrr", "q_sim_lsh")) {
+      val p = plan(q)
+      // Partial+Final when a shuffle sits under the window; Final alone
+      // when the child's partitioning already satisfies the window key
+      // (e.g. the window rides the candidate join's bucket exchange)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost its WindowGroupLimit rescue: " + p.take(3000))
+    }
+  }
 }

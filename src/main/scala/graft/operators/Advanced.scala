@@ -87,12 +87,16 @@ object Advanced extends QueryModule {
                  |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                  |LOCATION '$path'""".stripMargin)
       } else {
-        // prune bucketed copies of this table keyed by a stale
-        // fingerprint (regenerated dataset) — tmpfs is RAM, don't hoard
+        // prune the OLDEST bucketed copies of this table beyond a small
+        // working set — tmpfs is RAM, don't hoard, but two dataset dirs
+        // can be live at once (the scale probe times base and replicated
+        // data in one session; a keep-only-current prune would delete
+        // files under the OTHER dir's still-registered catalog table)
         val parent = new java.io.File(path).getParentFile
         Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith(s"${name}_b_") &&
             f.getName != tbl)
+          .sortBy(-_.lastModified).drop(3)
           .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         table(s, d, name).write
           .bucketBy(8, key).sortBy(key)

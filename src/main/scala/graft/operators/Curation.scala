@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Det.{dec, sumd, S}
+import graft.Det.{avgd, dec, sumd, S}
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -441,10 +441,82 @@ object Curation extends QueryModule {
         .select(col("doc_id"), col("overlap"),
           lit(true).as("contaminated"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // --- per-host crawl census (round 10): the host-grain quality
+    // table every crawl curator keeps — how many URLs and distinct
+    // docs each host contributes and how long those docs run (the
+    // per-host length profile is the first robots/boilerplate
+    // signal). URL extraction reuses the q_url_extract device; the
+    // distinct (host, doc) relation drives the doc-grain stats so a
+    // doc citing one host five times counts once; chars accumulate as
+    // DECIMAL before the one closing division. O(hosts) output. ---
+    "q_host_stats" -> ((s, d) => {
+      val u = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(
+            "regexp_extract_all(" +
+              "concat('see http://ex', CAST(doc_id % 7 AS STRING), " +
+              "'.org/p/', CAST(doc_id AS STRING), ' plus https://w', " +
+              "CAST(doc_id % 3 AS STRING), '.net/x ', text), " +
+              "'https?://[a-z0-9./]+', 0)")).as("url"))
+        .select(col("doc_id"), col("n_chars"),
+          regexp_extract(col("url"), "^https?://([a-z0-9.]+)", 1)
+            .as("host"))
+      val urls = u.groupBy("host").agg(count(lit(1)).as("n_urls"))
+      val docs = u.select("host", "doc_id", "n_chars").distinct()
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), avgd(col("n_chars")).as("avg_chars"))
+      urls.join(docs, "host")
+        .select(col("host"), col("n_urls"), col("n_docs"), col("avg_chars"))
+        .orderBy("host")
+    }),
+
+    // --- shared-prefix (boilerplate header) census (round 10): docs
+    // whose first 8 tokens are identical share a template header —
+    // the crawl artifact exact-dedup misses (bodies differ) and
+    // near-dedup half-misses (long docs dilute the prefix). Group on
+    // the md5 DIGEST of the prefix (fixed 32-byte shuffle key — the
+    // digest-first discipline; never shuffle a raw prefix string),
+    // then roll group sizes into the size histogram: O(sizes) rows
+    // out, two aggregates total, no joins. ---
+    "q_prefix_dups" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(md5(concat_ws(" ",
+          slice(split(col("text"), " "), 1, 8))).as("pfx"))
+        .groupBy("pfx").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("grp_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy("grp_size"))
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_host_stats" ->
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |    regexp_extract(unnest(regexp_extract_all($rawUrlSql,
+         |      'https?://[a-z0-9./]+')), '^https?://([a-z0-9.]+)', 1)
+         |      AS host
+         |  FROM documents),
+         |urls AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls
+         |  FROM u GROUP BY 1),
+         |docs AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    ${graft.Det.A("n_chars")} AS avg_chars
+         |  FROM (SELECT DISTINCT host, doc_id, n_chars FROM u)
+         |  GROUP BY 1)
+         |SELECT host, n_urls, n_docs, avg_chars
+         |FROM urls JOIN docs USING (host) ORDER BY host""".stripMargin,
+
+    "q_prefix_dups" ->
+      """WITH p AS (SELECT md5(array_to_string(
+        |      list_slice(string_split(text, ' '), 1, 8), ' ')) AS pfx
+        |    FROM documents),
+        |g AS (SELECT pfx, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM p GROUP BY 1)
+        |SELECT sz AS grp_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY grp_size""".stripMargin,
 
     "q_sample_pps" ->
       """WITH k AS (SELECT source, n_chars,

@@ -339,10 +339,73 @@ object Diagnostics extends QueryModule {
               .as("vmr"))
           .orderBy(col("vmr").desc, col("w").asc)
           .limit(20)
+      }),
+
+      // --- binary-segmentation change point (round 10): the single
+      // split of the daily event-count series that maximizes the
+      // between-segment sum of squares — CUSUM's (q_cusum_change)
+      // model-based sibling: one pass answers "WHERE did the level
+      // shift, and what were the two means". The corpus reduces to
+      // the O(days) grid first; the candidate scan is a prefix-sum
+      // window over that bounded calendar domain; gain = cx²/i +
+      // (S−cx)²/(n−i) with DECIMAL(38,0)-exact squares and two IEEE
+      // divisions both engines evaluate identically, so the argmax
+      // (ties → earliest day) can never disagree. 1-row output. ---
+      "q_binseg_change" -> ((s, d) => {
+        val days = table(s, d, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = days.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val d38 = DecimalType(38, 0)
+        def sq(c: Column): Column = c.cast(d38) * c.cast(d38)
+        days
+          .withColumn("i", row_number().over(Window.orderBy("day"))
+            .cast("long"))
+          .withColumn("cx", sum("x").over(wc))
+          .crossJoin(broadcast(tot))
+          .filter(col("i") < col("n"))
+          .withColumn("gain",
+            sq(col("cx")).cast("double") / col("i") +
+              sq(col("sx") - col("cx")).cast("double") /
+                (col("n") - col("i")))
+          .orderBy(col("gain").desc, col("day").asc)
+          .limit(1)
+          .select(col("day").as("split_day"), col("n").as("n_days"),
+            col("i").as("n_before"), (col("n") - col("i")).as("n_after"),
+            (col("cx").cast("double") / col("i")).as("mean_before"),
+            ((col("sx") - col("cx")).cast("double") /
+              (col("n") - col("i"))).as("mean_after"),
+            col("gain"))
       })
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_binseg_change" ->
+      """WITH days AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx FROM days),
+        |c AS (SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cx
+        |  FROM days),
+        |g AS (SELECT day, i, cx, n, sx,
+        |    CAST(cx * cx AS DOUBLE) / i +
+        |      CAST((sx - cx) * (sx - cx) AS DOUBLE) / (n - i) AS gain
+        |  FROM c CROSS JOIN t WHERE i < n)
+        |SELECT day AS split_day, n AS n_days, i AS n_before,
+        |  n - i AS n_after,
+        |  CAST(cx AS DOUBLE) / i AS mean_before,
+        |  CAST(sx - cx AS DOUBLE) / (n - i) AS mean_after, gain
+        |FROM g ORDER BY gain DESC, day LIMIT 1""".stripMargin,
 
     "q_dw_resid" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,

@@ -182,6 +182,58 @@ object Integrity extends QueryModule {
               (col("n_probes") - col("n_member"))).as("fpr"))
       }),
 
+      // --- Bloom sizing curve (round 10): the q_bloom_audit filter
+      // re-measured at m ∈ {1024, 4096, 16384} bits — how observed FPR
+      // falls as bits-per-key grow, the sizing table a runtime-filter
+      // planner consults BEFORE committing a bloom push-down budget.
+      // Positions come from 8 salted md5 nibbles mod m (portable: the
+      // same base-16 conv on both engines; mod of a nonneg 32-bit
+      // value agrees everywhere); each config's filter is a DISTINCT
+      // (m, pos) set small enough to broadcast forever (≤ m bits);
+      // probes fan out map-side over 3 salts × 3 configs; FPR is one
+      // terminal division of exact counts per config. O(configs)
+      // rows. ---
+      "q_bloom_fpr_curve" -> ((s, d) => {
+        val ms = Seq(1024L, 4096L, 16384L)
+        val js = Seq(1, 2, 3)
+        def pos32(salt: String, k: Column): Column =
+          conv(substring(md5(concat(lit(salt), k.cast("string"))), 1, 8),
+            16, 10).cast("long")
+        def positions(k: Column, m: Long): Column =
+          array(js.map(j => pos32(s"bf$j-", k) % m): _*)
+        val build = table(s, d, "supplier")
+          .filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey").as("bkey"))
+        val probes = table(s, d, "part")
+          .select(col("p_partkey").as("pkey"))
+        val nMember = probes.join(build,
+            probes("pkey") === build("bkey"), "left_semi")
+          .agg(count(lit(1)).as("n_member"))
+        val nProbe = probes.agg(count(lit(1)).as("n_probes"))
+        val perConfig = ms.map { m =>
+          val fbits = build
+            .select(explode(positions(col("bkey"), m)).as("pos"))
+            .distinct()
+          val maybe = probes
+            .select(col("pkey"), explode(positions(col("pkey"), m))
+              .as("pos"))
+            .join(broadcast(fbits), "pos")
+            .groupBy("pkey").agg(count(lit(1)).as("hits"))
+            .filter(col("hits") === 3)
+          val bits = fbits.agg(count(lit(1)).as("bits_set"))
+          val nMaybe = maybe.agg(count(lit(1)).as("n_maybe"))
+          bits.crossJoin(nMaybe).select(lit(m).as("m_bits"),
+            col("bits_set"), col("n_maybe"))
+        }.reduce(_ unionByName _)
+        perConfig.crossJoin(broadcast(nProbe))
+          .crossJoin(broadcast(nMember))
+          .select(col("m_bits"), col("bits_set"), col("n_maybe"),
+            (col("n_maybe") - col("n_member")).as("n_false_pos"),
+            ((col("n_maybe") - col("n_member")).cast("double") /
+              (col("n_probes") - col("n_member"))).as("fpr"))
+          .orderBy("m_bits")
+      }),
+
       // --- column-encoding advisor (the ANALYZE pass a lakehouse
       // writer runs to pick dictionary vs RLE vs plain per column):
       // per column, distinct cardinality + adjacent-value runs
@@ -278,6 +330,44 @@ object Integrity extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_bloom_fpr_curve" -> {
+      // single-line on purpose: this fragment is interpolated into a
+      // stripMargin string below, and a continuation line starting
+      // with "||" would lose its first pipe to that second strip
+      def h(key: String): String =
+        "CAST(list_sum([CAST(strpos('0123456789abcdef', " +
+          s"substr(md5('bf' || CAST(j AS VARCHAR) || '-' || " +
+          s"CAST($key AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
+          "<< (4 * (8 - i)) for i in range(1, 9)]) AS BIGINT)"
+      s"""WITH ms AS (SELECT m FROM (VALUES (1024), (4096), (16384))
+         |    t(m)),
+         |pos3 AS (SELECT j FROM (VALUES (1), (2), (3)) t(j)),
+         |build AS (SELECT s_suppkey AS bkey FROM supplier
+         |  WHERE s_suppkey % 2 = 0),
+         |probes AS (SELECT p_partkey AS pkey FROM part),
+         |fb AS (SELECT DISTINCT m, ${h("bkey")} % m AS pos
+         |  FROM build CROSS JOIN pos3 CROSS JOIN ms),
+         |pp AS (SELECT pkey, m, ${h("pkey")} % m AS pos
+         |  FROM probes CROSS JOIN pos3 CROSS JOIN ms),
+         |maybe AS (SELECT m, pkey FROM pp JOIN fb USING (m, pos)
+         |  GROUP BY m, pkey HAVING COUNT(*) = 3),
+         |bits AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS bits_set
+         |  FROM fb GROUP BY m),
+         |mb AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_maybe
+         |  FROM maybe GROUP BY m),
+         |g AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probes
+         |   WHERE pkey IN (SELECT bkey FROM build)) AS n_member)
+         |SELECT CAST(m AS BIGINT) AS m_bits, bits_set,
+         |  COALESCE(n_maybe, 0) AS n_maybe,
+         |  COALESCE(n_maybe, 0) - n_member AS n_false_pos,
+         |  CAST(COALESCE(n_maybe, 0) - n_member AS DOUBLE) /
+         |    (n_probes - n_member) AS fpr
+         |FROM bits LEFT JOIN mb USING (m) CROSS JOIN g
+         |ORDER BY m_bits""".stripMargin
+    },
 
     "q_table_checksum" ->
       """WITH r AS (SELECT l_returnflag,

@@ -252,10 +252,94 @@ object Modeling extends QueryModule {
               lit(0.5)).as("pi_hat"),
             (col("n_true").cast("double") / col("n")).as("pi_true"))
           .orderBy("seg")
+      }),
+
+      // --- Croston intermittent-demand forecast (round 10): for the
+      // 10 highest-demand parts, separate smoothings of nonzero demand
+      // SIZE and inter-demand GAP, forecast = size/gap per day — the
+      // estimator inventory planners use where ordinary smoothing
+      // (q_ewma_smooth) collapses on sparse series. Smoothing uses the
+      // DYADIC 8-term weights (128..1 — every product exact in cents
+      // DECIMAL; the /255 normalizers cancel in the ratio, so the
+      // forecast is ONE division of two exact sums). The demand series
+      // reduces to the (part, ship-day) grain first; the 9 most recent
+      // demand days per part come off a rank filter the WindowGroupLimit
+      // rewrite bounds map-side; eligibility (>= 9 demand days) and the
+      // top-10 cut are exact integer/TakeOrdered. ---
+      "q_croston" -> ((s, d) => {
+        val demand = table(s, d, "lineitem")
+          .groupBy(col("l_partkey"),
+            datediff(col("l_shipdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec(col("l_quantity"))) * 100).cast("long")
+            .as("qcents"))
+        val top = demand.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_days"), sum("qcents").as("tot"))
+          .filter(col("n_days") >= 9)
+          .orderBy(col("tot").desc, col("l_partkey").asc).limit(10)
+          .select(col("l_partkey"), col("n_days"), col("tot"))
+        val wr = Window.partitionBy("l_partkey")
+          .orderBy(col("day").desc)
+        val recent = demand.join(broadcast(top), "l_partkey")
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 9)
+          .withColumn("gap", col("day") - lag(col("day"), -1).over(wr))
+        val weights = Map(1 -> 128L, 2 -> 64L, 3 -> 32L, 4 -> 16L,
+          5 -> 8L, 6 -> 4L, 7 -> 2L, 8 -> 1L)
+        val wcol = coalesce(weights.foldLeft(lit(null).cast("long")) {
+          case (acc, (r, wt)) => when(col("rk") === r, wt).otherwise(acc)
+        }, lit(0L))
+        recent
+          .select(col("l_partkey"), col("n_days"), col("tot"),
+            (wcol * col("qcents")).as("ws"),
+            (wcol * coalesce(col("gap"), lit(0L))).as("wg"))
+          .groupBy("l_partkey", "n_days", "tot")
+          .agg(sum("ws").as("sws"), sum("wg").as("swg"))
+          .select(col("l_partkey"), col("n_days"),
+            (col("tot").cast("double") / 100.0).as("total_qty"),
+            (col("sws").cast("double") / 255.0 / 100.0).as("smoothed_qty"),
+            (col("swg").cast("double") / 255.0).as("smoothed_gap_days"),
+            (col("sws").cast("double") / col("swg") / 100.0)
+              .as("qty_per_day"))
+          .orderBy("l_partkey")
       })
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_croston" ->
+      """WITH demand AS (SELECT l_partkey,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 100 AS BIGINT)
+        |      AS qcents
+        |  FROM lineitem GROUP BY 1, 2),
+        |top AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(qcents) AS BIGINT) AS tot
+        |  FROM demand GROUP BY 1 HAVING COUNT(*) >= 9
+        |  ORDER BY tot DESC, l_partkey LIMIT 10),
+        |r AS (SELECT d.l_partkey, t.n_days, t.tot, d.day, d.qcents,
+        |    row_number() OVER (PARTITION BY d.l_partkey
+        |      ORDER BY d.day DESC) AS rk,
+        |    d.day - lead(d.day) OVER (PARTITION BY d.l_partkey
+        |      ORDER BY d.day DESC) AS gap
+        |  FROM demand d JOIN top t USING (l_partkey)),
+        |k AS (SELECT l_partkey, n_days, tot,
+        |    CASE rk WHEN 1 THEN 128 WHEN 2 THEN 64 WHEN 3 THEN 32
+        |      WHEN 4 THEN 16 WHEN 5 THEN 8 WHEN 6 THEN 4 WHEN 7 THEN 2
+        |      WHEN 8 THEN 1 ELSE 0 END AS wt,
+        |    qcents, COALESCE(gap, 0) AS gap
+        |  FROM r WHERE rk <= 9),
+        |a AS (SELECT l_partkey, n_days, tot,
+        |    CAST(SUM(wt * qcents) AS BIGINT) AS sws,
+        |    CAST(SUM(wt * gap) AS BIGINT) AS swg
+        |  FROM k GROUP BY 1, 2, 3)
+        |SELECT l_partkey, n_days,
+        |  CAST(tot AS DOUBLE) / 100.0 AS total_qty,
+        |  CAST(sws AS DOUBLE) / 255.0 / 100.0 AS smoothed_qty,
+        |  CAST(swg AS DOUBLE) / 255.0 AS smoothed_gap_days,
+        |  CAST(sws AS DOUBLE) / swg / 100.0 AS qty_per_day
+        |FROM a ORDER BY l_partkey""".stripMargin,
 
     "q_mase_eval" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,

@@ -5,7 +5,7 @@ import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Telemetry-analytics operators (round 7, seventh block): lead-lag
   * cross-correlation between event streams, burst-episode detection, and
@@ -310,9 +310,66 @@ object Telemetry extends QueryModule {
               (col("na") + col("nb") - col("inter")).cast("double"))
               .as("jaccard"))
           .orderBy("ta", "tb")
+      }),
+
+      // --- sessionization gap-threshold sweep (round 10): how the
+      // session count and events-per-session move as the inactivity
+      // cutoff trades 30 → 60 → 120 minutes — the tuning readout every
+      // sessionizer needs BEFORE committing a gap constant (the
+      // q_lsh_curve discipline applied to sessionization). ONE user-
+      // partitioned window computes each consecutive gap once; all
+      // three thresholds are conditional counts over that same gap
+      // stream (map-side partials, one aggregate); sessions(T) =
+      // users + gaps>T exactly (each over-gap starts one session).
+      // Micros stay integer end-to-end; the only FP op is the final
+      // events-per-session division. ---
+      "q_session_gap_sweep" -> ((s, d) => {
+        val wu = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val g = table(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .withColumn("gap", col("us") - lag("us", 1).over(wu))
+        def over(minutes: Int): Column =
+          sum((col("gap") > minutes * 60L * 1000000L).cast("long"))
+            .as(s"b$minutes")
+        g.agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            over(30), over(60), over(120))
+          .selectExpr(
+            "stack(3, 30L, n_users + b30, 60L, n_users + b60, " +
+              "120L, n_users + b120) AS (gap_min, n_sessions)",
+            "n_events")
+          .select(col("gap_min"), col("n_sessions"), col("n_events"),
+            (col("n_events").cast("double") / col("n_sessions"))
+              .as("events_per_session"))
+          .orderBy("gap_min")
       }))
 
   override def oracle: Map[String, String] = Map(
+    "q_session_gap_sweep" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b30,
+        |    CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b60,
+        |    CAST(SUM(CASE WHEN gap > 7200000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b120
+        |  FROM g),
+        |st AS (SELECT * FROM (
+        |  SELECT CAST(30 AS BIGINT) AS gap_min,
+        |      n_users + b30 AS n_sessions, n_events FROM a
+        |  UNION ALL SELECT 60, n_users + b60, n_events FROM a
+        |  UNION ALL SELECT 120, n_users + b120, n_events FROM a))
+        |SELECT gap_min, n_sessions, n_events,
+        |  CAST(n_events AS DOUBLE) / n_sessions AS events_per_session
+        |FROM st ORDER BY gap_min""".stripMargin,
+
 
     "q_session_cooccur" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -68,6 +68,31 @@ object TextPipeline extends QueryModule {
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang")),
 
+    // --- tokenizer-fertility profile (round 10): per language, how
+    // many subword (BPE-ish regex) tokens a whitespace word costs and
+    // how many chars a subword carries — the readout that decides
+    // whether a tokenizer's vocabulary suits a language slice (high
+    // fertility = the lang pays more sequence length per word, the
+    // budget number a pretraining mix needs per slice). ONE map-side
+    // pass accumulates the three exact counts per lang; the two
+    // ratios are terminal IEEE divisions. O(langs) output. ---
+    "q_tok_fertility" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(lng(size(toks))).as("n_words"),
+          sum(lng(size(expr(
+            "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))))
+            .as("n_subwords"),
+          sum(lng(length(col("text")))).as("n_chars_total"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          (col("n_subwords").cast("double") / col("n_words"))
+            .as("fertility"),
+          (col("n_chars_total").cast("double") / col("n_subwords"))
+            .as("chars_per_subword"))
+        .orderBy("lang")),
+
     // --- per-doc token counting: whitespace + BPE-ish regex tokens ---
     "q_token_count" -> ((s, d) =>
       table(s, d, "documents")
@@ -435,12 +460,16 @@ object TextPipeline extends QueryModule {
           .exists(f => !f.getName.startsWith("_") &&
             !f.getName.startsWith("."))
       if (!complete) {
-        // prune truth relations keyed by a stale fingerprint — tmpfs is
-        // RAM, don't hoard
+        // prune the OLDEST truth relations beyond a small working set —
+        // tmpfs is RAM, don't hoard, but keep room for a few live
+        // fingerprints at once (the scale probe alternates between the
+        // base and the replicated dataset; a keep-only-current prune
+        // would make the two evict each other every pass)
         Option(new java.io.File("/dev/shm/graft_truth").listFiles())
           .getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith("ngram_") &&
             f.getName != s"ngram_$fp")
+          .sortBy(-_.lastModified).drop(3)
           .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         ngramPairsCompute(s, d).write.mode("overwrite").parquet(path)
       }
@@ -524,6 +553,18 @@ object TextPipeline extends QueryModule {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_tok_fertility" ->
+      """WITH a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |    CAST(SUM(len(regexp_extract_all(text,
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_subwords,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars_total
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_subwords,
+        |  CAST(n_subwords AS DOUBLE) / n_words AS fertility,
+        |  CAST(n_chars_total AS DOUBLE) / n_subwords AS chars_per_subword
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,

@@ -291,9 +291,38 @@ object Tuning extends QueryModule {
           .withColumn("resid",
             (col("o").cast("double") - col("e")) / sqrt(col("e")))
           .orderBy("seg", "pri")
-      }))
+      }),
+
+      // --- near-dup similarity histogram (round 10): how the exact
+      // Jaccard mass distributes across 0.05-wide bins in [0.5, 1] —
+      // the threshold-picking readout (is the corpus bimodal exact-dup
+      // vs borderline, or a smear that makes any cutoff arbitrary?).
+      // Reads the materialized truth relation (one amortized build
+      // serves 14 queries); binning is floor(jac*20) on the SAME IEEE
+      // double both engines compute, so bin edges can never disagree;
+      // per-bin min/max are order-independent aggregates. O(bins)
+      // output. ---
+      "q_jaccard_hist" -> ((s, d) =>
+        TextPipeline.ngramPairs(s, d)
+          .groupBy(floor(col("jac") * 20).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min("jac").as("jac_min"), max("jac").as("jac_max"))
+          .select(col("bin"),
+            (col("bin").cast("double") / 20.0).as("bin_lo"),
+            col("n_pairs"), col("jac_min"), col("jac_max"))
+          .orderBy("bin")))
 
   override def oracle: Map[String, String] = Map(
+
+    // the pair relation and the binning expression are shared with the
+    // Spark side verbatim (IEEE doubles bin identically)
+    "q_jaccard_hist" ->
+      s"""WITH ${TextPipeline.ngramPairCte}
+         |SELECT CAST(floor(jac * 20) AS BIGINT) AS bin,
+         |  CAST(floor(jac * 20) AS BIGINT) / 20.0 AS bin_lo,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  MIN(jac) AS jac_min, MAX(jac) AS jac_max
+         |FROM p GROUP BY 1, 2 ORDER BY bin""".stripMargin,
 
     "q_bm25_tuning" -> {
       def branch(label: String, k1x: Long, bx: Long, cn: Long, cd0: Long,

@@ -59,6 +59,7 @@ object SparkEntry {
     streaming.StatefulSession,
     streaming.StatefulEwma,
     streaming.StatefulLag,
+    streaming.StatefulGaps,
     streaming.StatefulPit,
     streaming.LateData)
 

@@ -262,10 +262,69 @@ object Activity extends QueryModule {
             (col("r_cust").cast("double") / col("t_cust"))
               .as("region_share"))
           .orderBy("r_name", "n_name")
+      }),
+
+      // --- discrete-time churn hazard (round 10): for each tenure
+      // week t, the share of still-active users who make week t their
+      // LAST — the retention curve's derivative, which localizes WHEN
+      // users quit where q_cohort_retention only shows that they did.
+      // Users active in the final observed week are censored (still
+      // alive), not churned — the Kaplan-Meier discipline
+      // (q_survival_km) on the activity stream. The corpus reduces to
+      // one (first, last) week pair per user, then to the O(weeks)
+      // tenure grid; at-risk counts are a suffix prefix-sum over that
+      // bounded calendar domain; hazard is one exact-count division
+      // per row. ---
+      "q_churn_hazard" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .select(col("user_id"),
+            expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') " +
+              "AS BIGINT) div 7").as("wk"))
+          .groupBy("user_id")
+          .agg(min("wk").as("fw"), max("wk").as("lw"))
+        val mx = per.agg(max("lw").as("maxw"))
+        val grid = per.crossJoin(broadcast(mx))
+          .select((col("lw") - col("fw")).as("tenure"),
+            (col("lw") < col("maxw")).cast("long").as("ended"))
+          .groupBy("tenure")
+          .agg(count(lit(1)).as("n_last"), sum("ended").as("churned"))
+        val ws = Window.orderBy(col("tenure").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("at_risk", sum("n_last").over(ws))
+          .select(col("tenure").as("tenure_weeks"), col("at_risk"),
+            col("churned"),
+            (col("churned").cast("double") / col("at_risk"))
+              .as("hazard"))
+          .orderBy("tenure_weeks")
       })
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_churn_hazard" ->
+      """WITH per AS (SELECT user_id,
+        |    MIN(CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) // 7) AS fw,
+        |    MAX(CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) // 7) AS lw
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(lw) AS maxw FROM per),
+        |grid AS (SELECT lw - fw AS tenure,
+        |    CAST(COUNT(*) AS BIGINT) AS n_last,
+        |    CAST(SUM(CASE WHEN lw < maxw THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS churned
+        |  FROM per CROSS JOIN mx GROUP BY 1)
+        |SELECT tenure AS tenure_weeks,
+        |  CAST(SUM(n_last) OVER (ORDER BY tenure DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS at_risk,
+        |  churned,
+        |  CAST(churned AS DOUBLE) /
+        |    SUM(n_last) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS hazard
+        |FROM grid ORDER BY tenure_weeks""".stripMargin,
 
     "q_user_entropy_hist" ->
       """WITH cells AS (SELECT user_id, event_type,

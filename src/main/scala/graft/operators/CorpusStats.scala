@@ -398,10 +398,57 @@ object CorpusStats extends QueryModule {
           .select(col("scaled"),
             (col("scaled").cast("double") / lit(1024.0 * 2520.0))
               .as("rbo10"))
+      }),
+
+      // --- per-source language-mix entropy (round 10): how mixed each
+      // source's language distribution is — the mixture-design readout
+      // that separates mono-lingual crawl slices from mixed portals
+      // (with q_vocab_overlap this is the contamination pre-screen).
+      // The integer floor-log2 surprisal device (q_user_entropy_hist):
+      // Σ c·⌊log2(n/c)⌋ via length(bin(n div c))−1 — a libm-free
+      // entropy lower bound both engines compute bit-identically; the
+      // dominant-language share is one exact-count division. O(sources)
+      // out of one (source, lang) reduction. ---
+      "q_lang_mix_entropy" -> ((s, d) => {
+        val cells = table(s, d, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+        val totals = cells.groupBy("source")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_langs"),
+            max("c").as("cmax"))
+        cells.join(totals, "source")
+          .select(col("source"), col("n"), col("n_langs"), col("cmax"),
+            (col("c") * (length(bin(expr("n div c"))) - 1).cast("long"))
+              .as("contrib"))
+          .groupBy("source")
+          .agg(max("n").as("n_docs"), max("n_langs").as("n_langs"),
+            max("cmax").as("cmax"), sum("contrib").as("hb"))
+          .select(col("source"), col("n_docs"), col("n_langs"),
+            expr("hb div n_docs").as("h_band"),
+            (col("cmax").cast("double") / col("n_docs")).as("dom_share"))
+          .orderBy("source")
       })
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_lang_mix_entropy" ->
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |    CAST(MAX(c) AS BIGINT) AS cmax
+        |  FROM cells GROUP BY 1),
+        |p AS (SELECT cells.source, MAX(n) AS n, MAX(n_langs) AS n_langs,
+        |    MAX(cmax) AS cmax,
+        |    CAST(SUM(c * CAST(length(bin(n // c)) - 1 AS BIGINT))
+        |      AS BIGINT) AS hb
+        |  FROM cells JOIN t ON t.source = cells.source
+        |  GROUP BY 1)
+        |SELECT source, n AS n_docs, n_langs,
+        |  CAST(hb // n AS BIGINT) AS h_band,
+        |  CAST(cmax AS DOUBLE) / n AS dom_share
+        |FROM p ORDER BY source""".stripMargin,
 
     "q_js_drift" -> {
       def sbits(num: String, den: String): String =

@@ -350,7 +350,44 @@ object Dedup extends QueryModule {
           (shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL))).as("band1"),
           (shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL))).as("band2"),
           (shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL))).as("band3"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- dedup-cascade ledger (round 10): the three-stage funnel every
+    // production pipeline runs — exact text dups, then shared-prefix
+    // (template) dups among survivors, then near-dups among what's
+    // left — with per-stage removal counts, the ledger that says
+    // which stage earns its cost. Keepers are min-doc_id per group
+    // (the house dedup decision); stage 3 removes any doc paired
+    // with a smaller surviving partner (set-based, no iteration —
+    // the transitive-cluster spelling is q_dedup_cluster; a cascade
+    // ledger needs the cheap greedy rule both engines state
+    // identically). Every relation is O(docs) or O(pairs). ---
+    "q_dedup_cascade" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val n0 = docs.count()
+      val k1 = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val n1 = k1.count()
+      val k2 = docs.join(k1, "doc_id")
+        .groupBy(md5(concat_ws(" ",
+          slice(split(col("text"), " "), 1, 8))).as("pfx"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val n2 = k2.count()
+      val pairs = graft.operators.TextPipeline.ngramPairs(s, d)
+        .select("a_id", "b_id")
+      val removed3 = pairs
+        .join(k2.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(k2.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .select(col("b_id").as("doc_id")).distinct()
+      val n3 = n2 - removed3.count()
+      import s.implicits._
+      Seq(("1_exact", n0, n0 - n1, n1),
+        ("2_prefix", n1, n1 - n2, n2),
+        ("3_neardup", n2, n2 - n3, n3))
+        .toDF("stage", "n_in", "n_removed", "n_out")
+        .orderBy("stage")
+    })
   )
 
   // xxhash64-based signatures (minhash, simhash) are engine-specific:
@@ -359,6 +396,29 @@ object Dedup extends QueryModule {
   // relation (DuckDB's UNION-recursive fixpoint == our propagation
   // fixpoint: both compute min reachable id).
   override def oracle: Map[String, String] = Map(
+    "q_dedup_cascade" ->
+      s"""WITH ${graft.operators.TextPipeline.ngramPairCte},
+         |k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |       GROUP BY text),
+         |k2 AS (SELECT MIN(d.doc_id) AS doc_id
+         |       FROM documents d JOIN k1 USING (doc_id)
+         |       GROUP BY md5(array_to_string(
+         |         list_slice(string_split(d.text, ' '), 1, 8), ' '))),
+         |r3 AS (SELECT DISTINCT p.b_id AS doc_id FROM p
+         |       JOIN k2 a2 ON a2.doc_id = p.a_id
+         |       JOIN k2 b2 ON b2.doc_id = p.b_id),
+         |cn AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n1,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k2) AS n2,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r3) AS r3n)
+         |SELECT stage, n_in, n_removed, n_out FROM (
+         |  SELECT '1_exact' AS stage, n0 AS n_in, n0 - n1 AS n_removed,
+         |    n1 AS n_out FROM cn
+         |  UNION ALL SELECT '2_prefix', n1, n1 - n2, n2 FROM cn
+         |  UNION ALL SELECT '3_neardup', n2, r3n, n2 - r3n FROM cn)
+         |ORDER BY stage""".stripMargin,
+
     // all-pairs spelling: the banded blocking must be result-invisible
     "q_dedup_fuzzy" ->
       """WITH d AS (SELECT doc_id, n_chars, substr(text, 1, 80) AS p

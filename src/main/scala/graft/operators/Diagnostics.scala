@@ -351,36 +351,43 @@ object Diagnostics extends QueryModule {
       // (S−cx)²/(n−i) with DECIMAL(38,0)-exact squares and two IEEE
       // divisions both engines evaluate identically, so the argmax
       // (ties → earliest day) can never disagree. 1-row output. ---
-      "q_binseg_change" -> ((s, d) => {
-        val days = table(s, d, "events")
+      "q_binseg_change" -> ((s, d) =>
+        Diagnostics.binsegOverDays(table(s, d, "events")
           .groupBy(datediff(col("ts").cast("date"),
             lit("2024-01-01").cast("date")).cast("long").as("day"))
-          .agg(count(lit(1)).as("x"))
-        val wc = Window.orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = days.agg(count(lit(1)).as("n"), sum("x").as("sx"))
-        val d38 = DecimalType(38, 0)
-        def sq(c: Column): Column = c.cast(d38) * c.cast(d38)
-        days
-          .withColumn("i", row_number().over(Window.orderBy("day"))
-            .cast("long"))
-          .withColumn("cx", sum("x").over(wc))
-          .crossJoin(broadcast(tot))
-          .filter(col("i") < col("n"))
-          .withColumn("gain",
-            sq(col("cx")).cast("double") / col("i") +
-              sq(col("sx") - col("cx")).cast("double") /
-                (col("n") - col("i")))
-          .orderBy(col("gain").desc, col("day").asc)
-          .limit(1)
-          .select(col("day").as("split_day"), col("n").as("n_days"),
-            col("i").as("n_before"), (col("n") - col("i")).as("n_after"),
-            (col("cx").cast("double") / col("i")).as("mean_before"),
-            ((col("sx") - col("cx")).cast("double") /
-              (col("n") - col("i"))).as("mean_after"),
-            col("gain"))
-      })
+          .agg(count(lit(1)).as("x"))))
     )
+
+  /** The binary-segmentation argmax over a (day, x) daily-count grid —
+    * shared with the streamed twin (q_streaming_binseg drains the same
+    * grid out of a complete-mode aggregate and must post-process it
+    * identically to carry this query's oracle).
+    */
+  private[graft] def binsegOverDays(days: DataFrame): DataFrame = {
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = days.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val d38 = DecimalType(38, 0)
+    def sq(c: Column): Column = c.cast(d38) * c.cast(d38)
+    days
+      .withColumn("i", row_number().over(Window.orderBy("day"))
+        .cast("long"))
+      .withColumn("cx", sum("x").over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("i") < col("n"))
+      .withColumn("gain",
+        sq(col("cx")).cast("double") / col("i") +
+          sq(col("sx") - col("cx")).cast("double") /
+            (col("n") - col("i")))
+      .orderBy(col("gain").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("split_day"), col("n").as("n_days"),
+        col("i").as("n_before"), (col("n") - col("i")).as("n_after"),
+        (col("cx").cast("double") / col("i")).as("mean_before"),
+        ((col("sx") - col("cx")).cast("double") /
+          (col("n") - col("i"))).as("mean_after"),
+        col("gain"))
+  }
 
   override def oracle: Map[String, String] = Map(
 

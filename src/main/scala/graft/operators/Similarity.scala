@@ -336,6 +336,73 @@ object Similarity extends QueryModule {
         .orderBy("probe_id")
     }),
 
+    // --- IVF nprobe recall curve (round 10): recall@10 at nprobe ∈
+    // {1, 2, 4} — the q_lsh_curve discipline applied to the OTHER ANN
+    // index (how much recall each extra probed cell buys, the knob an
+    // IVF deployment turns before re-training centroids). Candidates
+    // from the 4 closest cells are scored ONCE with their cell rank
+    // attached; each config is a filter over that shared relation, so
+    // the corpus is touched once for all three. Per-(config, probe)
+    // top-10s ride WindowGroupLimit-bounded rank filters; the exact
+    // top-10 baseline is the one broadcast-probe brute-force pass
+    // every recall readout in this module shares. O(configs) out. ---
+    "q_ivf_nprobe_curve" -> ((s, d) => {
+      val e = corpus(s, d)
+      val bucketed = e.join(ivfAssigned(s, d), "vec_id")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nn").as("cn"))
+      val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("nn").as("pn"))
+      val wpc = Window.partitionBy("probe_id")
+        .orderBy(col("pcos").desc, col("cent_id").asc)
+      val probeCells = probes.crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("pq"), col("pn"), col("cent_id"),
+          cosQ(dotQ(col("pq"), col("cq")), col("pn"), col("cn"))
+            .as("pcos"))
+        .withColumn("crank", row_number().over(wpc))
+        .filter(col("crank") <= 4)
+        .select(col("probe_id"), col("pq"), col("pn"),
+          col("cent_id").as("bucket"), col("crank").cast("long")
+            .as("crank"))
+      val scored = bucketed.join(broadcast(probeCells), "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("crank"),
+          col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cos"))
+      val wr = Window.partitionBy("np", "probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      val approx = Seq(1L, 2L, 4L)
+        .map(np => scored.filter(col("crank") <= np)
+          .withColumn("np", lit(np)))
+        .reduce(_ unionByName _)
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 10)
+        .select("np", "probe_id", "cand_id")
+      val wx = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      val exact = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("cos"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 10)
+        .select("probe_id", "cand_id")
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      approx
+        .join(exact.withColumn("hit", lit(1L)),
+          Seq("probe_id", "cand_id"), "left")
+        .groupBy("np")
+        .agg(count(lit(1)).as("n_ivf"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .crossJoin(broadcast(nExact))
+        .select(col("np").as("nprobe"), col("n_ivf"), col("n_common"),
+          (col("n_common").cast("double") / col("n_exact"))
+            .as("recall_at_10"))
+        .orderBy("nprobe")
+    }),
+
     // --- SemDedup (round 5): semantic near-dup candidates — vectors
     // are IVF-assigned to their nearest seed centroid (the identical
     // partition the ANN path uses), then ONLY within-bucket pairs are
@@ -572,6 +639,55 @@ object Similarity extends QueryModule {
        |        WHERE arn = 1)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // candidate scores reuse the exact brute-force relation exs (a
+    // candidate's cos equals its brute-force cos); only the candidate
+    // SETS differ per nprobe
+    "q_ivf_nprobe_curve" ->
+      s"""WITH $ivfAsgCte,
+         |exd AS (SELECT xp.vec_id AS probe_id, xq.vec_id AS cand_id,
+         |          SUM(xp.v * xq.v) AS d
+         |        FROM x xp JOIN x xq
+         |          ON xq.i = xp.i AND xq.vec_id <> xp.vec_id
+         |        WHERE xp.vec_id >= 10 AND xp.vec_id < 20
+         |        GROUP BY 1, 2),
+         |exs AS (SELECT probe_id, cand_id,
+         |          CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |            sqrt(CAST(nc2.nn AS DOUBLE))) AS cos
+         |        FROM exd JOIN n np ON np.vec_id = probe_id
+         |                 JOIN n nc2 ON nc2.vec_id = cand_id),
+         |exr AS (SELECT probe_id, cand_id FROM (
+         |          SELECT probe_id, cand_id,
+         |            row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY cos DESC, cand_id) AS rn
+         |          FROM exs) WHERE rn <= 10),
+         |pc AS (SELECT vid AS probe_id, cid AS bucket,
+         |         row_number() OVER (PARTITION BY vid
+         |           ORDER BY ccos DESC, cid) AS crank
+         |       FROM ac WHERE vid >= 10 AND vid < 20),
+         |cfg AS (SELECT np FROM (VALUES (1), (2), (4)) t(np)),
+         |cand AS (SELECT cfg.np, p.probe_id, s.vid AS cand_id
+         |         FROM pc p JOIN asg s ON s.bucket = p.bucket
+         |         CROSS JOIN cfg
+         |         WHERE p.crank <= cfg.np AND s.vid <> p.probe_id),
+         |apr AS (SELECT np, probe_id, cand_id FROM (
+         |          SELECT c.np, c.probe_id, c.cand_id,
+         |            row_number() OVER (PARTITION BY c.np, c.probe_id
+         |              ORDER BY e.cos DESC, c.cand_id) AS rn
+         |          FROM cand c JOIN exs e
+         |            ON e.probe_id = c.probe_id
+         |              AND e.cand_id = c.cand_id)
+         |        WHERE rn <= 10),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exr)
+         |SELECT CAST(np AS BIGINT) AS nprobe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_ivf,
+         |  CAST(SUM(CASE WHEN x2.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_common,
+         |  CAST(SUM(CASE WHEN x2.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / (SELECT n_exact FROM ne) AS recall_at_10
+         |FROM apr a LEFT JOIN exr x2
+         |  ON x2.probe_id = a.probe_id AND x2.cand_id = a.cand_id
+         |GROUP BY np ORDER BY nprobe""".stripMargin,
+
     "q_ann_recall" ->
       s"""WITH $ivfAsgCte,
          |exd AS (SELECT xp.vec_id AS probe_id, xq.vec_id AS cand_id,

@@ -314,6 +314,38 @@ object StreamingSmoke extends QueryModule {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // --- streamed change-point maintenance (round 10): the daily
+    // count grid lives as a complete-mode streaming aggregate (one
+    // counter per calendar day — O(days) state forever), and the
+    // binary-segmentation argmax (q_binseg_change) re-derives on the
+    // drained grid after each replay — the "is the level shift still
+    // where we think it is" monitor a data feed runs continuously.
+    // day = epoch-micros div 86400e6 minus 19723 (2024-01-01's epoch
+    // day) — exactly the batch query's UTC datediff, so the drained
+    // grid equals the batch grid row-for-row and the streamed answer
+    // carries the IDENTICAL oracle. ---
+    "q_streaming_binseg" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_binseg_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/binseg-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(expr("ts_us div 86400000000 - 19723").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      runThenClean(q, ckpt)
+      graft.operators.Diagnostics.binsegOverDays(
+        drainSink(s, name).select("day", "x"))
+    }),
+
     // --- streamed distinct-count maintenance: the HLL register
     // aggregate under complete mode — the live per-dimension unique-user
     // counter every dashboard needs, at 4 KiB of state per group
@@ -551,6 +583,11 @@ object StreamingSmoke extends QueryModule {
     // aggregate over the same rows, so it carries the same
     // xxhash64-emulating register oracle (CmsOracle)
     "q_streaming_cms" -> graft.operators.CmsOracle.sql,
+
+    // the drained day grid equals the batch grid row-for-row, so the
+    // streamed change point carries the batch oracle verbatim
+    "q_streaming_binseg" ->
+      graft.operators.Diagnostics.oracle("q_binseg_change"),
 
     // complete-mode replay of the full input == the batch conditional
     // aggregate, so the DQ counters carry a real oracle

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the round-10 operators: each new query's defining
+  * invariant is cross-checked against an independent derivation (the
+  * house discipline — the DuckDB oracle proves engine parity, these
+  * prove the SEMANTICS).
+  */
+class Round10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("session gap sweep: session counts fall monotonically as the " +
+    "gap threshold grows, and never below the user count") {
+    val rows = q("q_session_gap_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(30L, 60L, 120L))
+    val sess = rows.map(_._2)
+    assert(sess(0) >= sess(1) && sess(1) >= sess(2),
+      s"sessions must shrink with the threshold: ${sess.toSeq}")
+    val nEvents = rows.head._3
+    assert(sess.forall(s => s >= 1 && s <= nEvents))
+    // lower bound: at least one session per active user
+    import org.apache.spark.sql.functions.countDistinct
+    val nUsers = Tables.table(spark, sf, "events")
+      .agg(countDistinct("user_id")).head().getLong(0)
+    assert(sess.forall(_ >= nUsers))
+  }
+
+  test("jaccard histogram: bins tile [0.5, 1], per-bin extrema stay " +
+    "inside their bin, and the mass adds up to the pair count") {
+    val rows = q("q_jaccard_hist").collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nPairs = q("q_dedup_ngram").count()
+    assert(total == nPairs, s"histogram mass $total != pairs $nPairs")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 10 && bin <= 20, s"bin $bin outside [10,20]")
+      val lo = bin / 20.0
+      val mn = r.getAs[Double]("jac_min"); val mx = r.getAs[Double]("jac_max")
+      assert(mn >= lo && mx < lo + 0.05 + 1e-12 && mn <= mx)
+    }
+  }
+
+  test("host census: synthetic hosts all appear, URL counts dominate " +
+    "doc counts, and doc counts sum over hosts to >= the corpus") {
+    val rows = q("q_host_stats").collect()
+    val hosts = rows.map(_.getAs[String]("host")).toSet
+    assert((0 until 7).forall(i => hosts.contains(s"ex$i.org")), hosts)
+    assert((0 until 3).forall(i => hosts.contains(s"w$i.net")), hosts)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_urls") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("avg_chars") > 0)
+    }
+  }
+
+  test("prefix census: group sizes times group counts recover the " +
+    "corpus exactly") {
+    val rows = q("q_prefix_dups").collect()
+    val docs = rows.map(r =>
+      r.getAs[Long]("grp_size") * r.getAs[Long]("n_groups")).sum
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(docs == nDocs, s"histogram covers $docs of $nDocs docs")
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("grp_size") * r.getAs[Long]("n_groups")))
+  }
+
+  test("tokenizer fertility: every language has positive counts and " +
+    "subwords at least match non-empty whitespace words") {
+    val rows = q("q_tok_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") > 0)
+      assert(r.getAs[Double]("fertility") > 0)
+      assert(r.getAs[Double]("chars_per_subword") >= 1.0,
+        "every regex token carries at least one char")
+    }
+  }
+
+  test("binseg change point: the reported split maximizes the " +
+    "between-segment SS against a driver-side brute force") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = daily.length
+    val sx = daily.map(_._2).sum
+    var best = (Double.MinValue, Long.MaxValue)
+    var cx = 0L
+    for (i <- 1 until n) {
+      cx += daily(i - 1)._2
+      val gain = cx.toDouble * cx / i + (sx - cx).toDouble * (sx - cx) / (n - i)
+      if (gain > best._1) best = (gain, daily(i - 1)._1)
+    }
+    val row = q("q_binseg_change").head()
+    assert(row.getAs[Long]("split_day") == best._2,
+      s"split ${row.getAs[Long]("split_day")} != brute-force ${best._2}")
+    assert(math.abs(row.getAs[Double]("gain") - best._1) <=
+      1e-9 * math.abs(best._1))
+  }
+
+  test("croston: ten eligible parts, positive smoothed gaps, and the " +
+    "forecast equals size-over-gap") {
+    val rows = q("q_croston").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 9)
+      val sq = r.getAs[Double]("smoothed_qty")
+      val sg = r.getAs[Double]("smoothed_gap_days")
+      val f = r.getAs[Double]("qty_per_day")
+      assert(sq > 0 && sg > 0)
+      assert(math.abs(f - sq / sg) <= 1e-9 * math.abs(f),
+        s"forecast $f != $sq/$sg")
+    }
+  }
+
+  test("ivf nprobe curve: recall rises monotonically with probed " +
+    "cells and candidate tops stay within k per probe") {
+    val rows = q("q_ivf_nprobe_curve").collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_ivf"),
+        r.getAs[Double]("recall_at_10")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows(0)._3 <= rows(1)._3 + 1e-12 &&
+      rows(1)._3 <= rows(2)._3 + 1e-12,
+      s"recall must not fall with nprobe: ${rows.map(_._3).toSeq}")
+    rows.foreach { case (_, nIvf, rec) =>
+      assert(nIvf <= 100, "at most 10 candidates per probe")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("dedup cascade: stage outputs chain exactly and never grow") {
+    val rows = q("q_dedup_cascade").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_out")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("1_exact", "2_prefix", "3_neardup"))
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(rows.head._2 == nDocs)
+    rows.foreach { case (_, in, rm, out) =>
+      assert(out == in - rm && rm >= 0 && out >= 0)
+    }
+    assert(rows(0)._4 == rows(1)._2 && rows(1)._4 == rows(2)._2,
+      "each stage's output is the next stage's input")
+  }
+
+  test("churn hazard: at-risk counts shrink with tenure and hazards " +
+    "stay within [0, 1]") {
+    val rows = q("q_churn_hazard").collect()
+      .map(r => (r.getAs[Long]("tenure_weeks"), r.getAs[Long]("at_risk"),
+        r.getAs[Long]("churned"), r.getAs[Double]("hazard")))
+      .sortBy(_._1)
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 >= b._2, "at_risk must not grow")
+      case _ =>
+    }
+    rows.foreach { case (_, ar, ch, hz) =>
+      assert(ch <= ar && hz >= 0.0 && hz <= 1.0)
+    }
+  }
+
+  test("language-mix entropy: shares and bands are sane and the " +
+    "source census covers the corpus") {
+    val rows = q("q_lang_mix_entropy").collect()
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 1)
+      assert(r.getAs[Long]("h_band") >= 0)
+      val ds = r.getAs[Double]("dom_share")
+      assert(ds > 0.0 && ds <= 1.0)
+    }
+  }
+
+  test("streamed binseg and gap sweep equal their batch twins " +
+    "bit-for-bit") {
+    val bb = q("q_binseg_change").collect().map(_.toString).toSeq
+    val sb = q("q_streaming_binseg").collect().map(_.toString).toSeq
+    assert(sb == bb, s"streamed binseg diverges: $sb vs $bb")
+    val bg = q("q_session_gap_sweep").collect().map(_.toString).toSeq
+    val sg = q("q_streaming_gapsweep").collect().map(_.toString).toSeq
+    assert(sg == bg, s"streamed gap sweep diverges: $sg vs $bg")
+  }
+
+  test("bloom sizing curve: observed FPR falls as the bit budget " +
+    "grows, and set bits never exceed insertions or capacity") {
+    val rows = q("q_bloom_fpr_curve").collect()
+      .map(r => (r.getAs[Long]("m_bits"), r.getAs[Long]("bits_set"),
+        r.getAs[Long]("n_false_pos"), r.getAs[Double]("fpr")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1024L, 4096L, 16384L))
+    assert(rows(0)._4 >= rows(1)._4 && rows(1)._4 >= rows(2)._4,
+      s"fpr must fall with m: ${rows.map(_._4).toSeq}")
+    val nBuild = Tables.table(spark, sf, "supplier")
+      .filter(org.apache.spark.sql.functions.col("s_suppkey") % 2 === 0)
+      .count()
+    rows.foreach { case (m, bits, fp, fpr) =>
+      assert(bits <= math.min(m, 3 * nBuild))
+      assert(fp >= 0 && fpr >= 0.0 && fpr <= 1.0)
+    }
+  }
+}

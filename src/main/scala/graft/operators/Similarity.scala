@@ -336,6 +336,50 @@ object Similarity extends QueryModule {
         .orderBy("probe_id")
     }),
 
+    // --- late-interaction MaxSim retrieval (round 10): the ColBERT
+    // scoring shape — each vector splits into 4 sub-vectors ("token"
+    // embeddings); score(q, d) = Σ_i max_j cos(q_i, d_j), which
+    // rewards documents matching EVERY aspect of the query where
+    // single-vector cosine lets one strong direction dominate. The
+    // sub-vector relation explodes map-side (4 rows per vector); one
+    // broadcast-probe pass scores all 16 sub-pairs per (probe, cand);
+    // the per-aspect maxes land as 4 COLUMNS of one aggregate (max is
+    // order-independent) and the 4-term sum is a FIXED left-assoc
+    // expression tree — never a double SUM across rows, so the score
+    // is bit-stable under any partitioning (the Det discipline).
+    // Top-5 per probe rides a WindowGroupLimit-bounded rank. ---
+    "q_maxsim_late" -> ((s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"))
+      def subs(v: Column): Column =
+        array((0 until 4).map(i => slice(v, i * 16 + 1, 16)): _*)
+      val parts = e
+        .select(col("vec_id"), posexplode(subs(col("q"))).as(Seq("sub", "sv")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("sv"), dotQ(col("sv"), col("sv")).as("sn"))
+      val probes = parts.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("sub").as("psub"),
+          col("sv").as("pv"), col("sn").as("pn"))
+      val wr = Window.partitionBy("probe_id")
+        .orderBy(col("maxsim").desc, col("cand_id").asc)
+      parts.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          col("psub"),
+          cosQ(dotQ(col("pv"), col("sv")), col("pn"), col("sn")).as("c"))
+        .groupBy("probe_id", "cand_id")
+        .agg(max(when(col("psub") === 0, col("c"))).as("m0"),
+          max(when(col("psub") === 1, col("c"))).as("m1"),
+          max(when(col("psub") === 2, col("c"))).as("m2"),
+          max(when(col("psub") === 3, col("c"))).as("m3"))
+        .select(col("probe_id"), col("cand_id"),
+          (col("m0") + col("m1") + col("m2") + col("m3")).as("maxsim"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 5)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // --- IVF nprobe recall curve (round 10): recall@10 at nprobe ∈
     // {1, 2, 4} — the q_lsh_curve discipline applied to the OTHER ANN
     // index (how much recall each extra probed cell buys, the knob an
@@ -401,6 +445,58 @@ object Similarity extends QueryModule {
           (col("n_common").cast("double") / col("n_exact"))
             .as("recall_at_10"))
         .orderBy("nprobe")
+    }),
+
+    // --- MMR diversified re-rank (round 10): greedy maximal-marginal-
+    // relevance over the probe's top-20 — each pick maximizes
+    // λ·rel − (1−λ)·max-sim-to-already-picked (λ=1/2, an exact IEEE
+    // halving), the standard diversity re-rank between ANN retrieval
+    // and an LLM context window (k near-identical passages waste k−1
+    // slots). The candidate set is a bounded TakeOrdered 20; the
+    // 20×20 sim matrix and all five greedy rounds are operations on
+    // broadcast-sized relations (the q_kmeans_step bounded-rounds
+    // discipline — the corpus is touched exactly once, for the
+    // top-20). Scores are quantized-dot cosines, so every argmax is
+    // bit-stable; ties break by cand_id. ---
+    "q_mmr_diversify" -> ((s, d) => {
+      val e = corpus(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("q").as("pq"), col("nn").as("pn"))
+      val cands = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("cand_id"), col("q"), col("nn"),
+          cosQ(dotQ(col("pq"), col("q")), col("pn"), col("nn")).as("rel"))
+        .orderBy(col("rel").desc, col("cand_id")).limit(20)
+        .localCheckpoint()
+      val a = cands.select(col("cand_id").as("a_id"), col("q").as("aq"),
+        col("nn").as("an"))
+      val b = cands.select(col("cand_id").as("b_id"), col("q").as("bq"),
+        col("nn").as("bn"))
+      val sims = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosQ(dotQ(col("aq"), col("bq")), col("an"), col("bn"))
+            .as("sim"))
+        .localCheckpoint()
+      val rels = cands.select("cand_id", "rel")
+      var picked = rels.orderBy(col("rel").desc, col("cand_id")).limit(1)
+        .select(lit(1L).as("pick_rank"), col("cand_id"), col("rel"),
+          col("rel").as("mmr"))
+      for (k <- 2 to 5) {
+        val pickedIds = picked.select(col("cand_id").as("b_id"))
+        val ms = sims.join(broadcast(pickedIds), "b_id")
+          .groupBy("a_id").agg(max("sim").as("ms"))
+          .withColumnRenamed("a_id", "cand_id")
+        val next = rels
+          .join(picked.select("cand_id"), Seq("cand_id"), "left_anti")
+          .join(ms, "cand_id")
+          .select(col("cand_id"), col("rel"),
+            (col("rel") * 0.5 - col("ms") * 0.5).as("mmr"))
+          .orderBy(col("mmr").desc, col("cand_id")).limit(1)
+          .select(lit(k.toLong).as("pick_rank"), col("cand_id"),
+            col("rel"), col("mmr"))
+        picked = picked.unionByName(next).localCheckpoint()
+      }
+      picked.orderBy("pick_rank")
     }),
 
     // --- SemDedup (round 5): semantic near-dup candidates — vectors
@@ -639,6 +735,93 @@ object Similarity extends QueryModule {
        |        WHERE arn = 1)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    // the greedy unrolls to five chained CTEs (p1..p5) — each pick's
+    // argmax is the same double expression tree on the same quantized
+    // cosines, so the SQL greedy and the DataFrame greedy can never
+    // diverge
+    "q_mmr_diversify" -> {
+      val steps = (2 to 5).map { k =>
+        s"""u${k - 1} AS (${(1 until k)
+            .map(i => s"SELECT cand_id FROM p$i")
+            .mkString(" UNION ALL ")}),
+           |p$k AS (SELECT r.cand_id, r.rel,
+           |    r.rel * 0.5 - ms.ms * 0.5 AS mmr
+           |  FROM rel r JOIN (SELECT a_id, MAX(sim) AS ms FROM sim
+           |    WHERE b_id IN (SELECT cand_id FROM u${k - 1})
+           |    GROUP BY 1) ms ON ms.a_id = r.cand_id
+           |  WHERE r.cand_id NOT IN (SELECT cand_id FROM u${k - 1})
+           |  ORDER BY mmr DESC, r.cand_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to 5).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS pick_rank, cand_id, rel, mmr " +
+          s"FROM p$k").mkString("\n  UNION ALL ")
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |rd AS (SELECT c.vec_id AS cand_id, SUM(p.v * c.v) AS d
+         |       FROM x p JOIN x c ON c.i = p.i AND c.vec_id <> 0
+         |       WHERE p.vec_id = 0 GROUP BY 1),
+         |rel AS (SELECT cand_id,
+         |          CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |            sqrt(CAST(nc.nn AS DOUBLE))) AS rel
+         |        FROM rd JOIN n np ON np.vec_id = 0
+         |                JOIN n nc ON nc.vec_id = cand_id
+         |        ORDER BY rel DESC, cand_id LIMIT 20),
+         |sd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         SUM(a.v * b.v) AS d
+         |       FROM x a JOIN x b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |       WHERE a.vec_id IN (SELECT cand_id FROM rel)
+         |         AND b.vec_id IN (SELECT cand_id FROM rel)
+         |       GROUP BY 1, 2),
+         |sim AS (SELECT a_id, b_id,
+         |          CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |            sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         |        FROM sd JOIN n na ON na.vec_id = a_id
+         |                JOIN n nb ON nb.vec_id = b_id),
+         |p1 AS (SELECT cand_id, rel, rel AS mmr FROM rel
+         |       ORDER BY rel DESC, cand_id LIMIT 1),
+         |$steps
+         |SELECT * FROM (
+         |  $unionAll)
+         |ORDER BY pick_rank""".stripMargin
+    },
+
+    "q_maxsim_late" ->
+      s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |                  unnest($qSql) AS v FROM embeddings),
+         |sx AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+         |              (i - 1) % 16 AS j, v FROM x),
+         |sn AS (SELECT vec_id, sub, SUM(v * v) AS nn
+         |       FROM sx GROUP BY 1, 2),
+         |dd AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |         p.sub AS psub, c.sub AS csub, SUM(p.v * c.v) AS d
+         |       FROM sx p JOIN sx c
+         |         ON c.j = p.j AND c.vec_id <> p.vec_id
+         |       WHERE p.vec_id < 10
+         |       GROUP BY 1, 2, 3, 4),
+         |cs AS (SELECT probe_id, cand_id, psub,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |           sqrt(CAST(nc.nn AS DOUBLE))) AS c
+         |       FROM dd JOIN sn np ON np.vec_id = probe_id
+         |                  AND np.sub = psub
+         |               JOIN sn nc ON nc.vec_id = cand_id
+         |                  AND nc.sub = csub),
+         |ms AS (SELECT probe_id, cand_id,
+         |         MAX(CASE WHEN psub = 0 THEN c END) AS m0,
+         |         MAX(CASE WHEN psub = 1 THEN c END) AS m1,
+         |         MAX(CASE WHEN psub = 2 THEN c END) AS m2,
+         |         MAX(CASE WHEN psub = 3 THEN c END) AS m3
+         |       FROM cs GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         m0 + m1 + m2 + m3 AS maxsim FROM ms),
+         |rk AS (SELECT probe_id, cand_id, maxsim,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY maxsim DESC, cand_id) AS BIGINT) AS rn
+         |       FROM sc)
+         |SELECT probe_id, cand_id, maxsim, rn
+         |FROM rk WHERE rn <= 5
+         |ORDER BY probe_id, rn""".stripMargin,
+
     // candidate scores reuse the exact brute-force relation exs (a
     // candidate's cos equals its brute-force cos); only the candidate
     // SETS differ per nprobe

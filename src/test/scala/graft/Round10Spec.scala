@@ -188,6 +188,40 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("maxsim late interaction: five ranked rows per probe, scores " +
+    "bounded by the aspect count and descending within probe") {
+    val rows = q("q_maxsim_late").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rn"),
+        r.getAs[Double]("maxsim")))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.size == 10)
+    byProbe.foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L).toSeq, s"probe $p ranks")
+      assert(sorted.map(_._3).toSeq ==
+        sorted.map(_._3).toSeq.sorted(Ordering[Double].reverse),
+        s"probe $p scores must descend")
+      rs.foreach { case (_, _, ms) => assert(ms >= -4.0 && ms <= 4.0) }
+    }
+  }
+
+  test("mmr diversify: five distinct picks, the first is the top-1 " +
+    "by relevance, and marginal scores never increase") {
+    val rows = q("q_mmr_diversify").collect()
+      .map(r => (r.getAs[Long]("pick_rank"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("rel"), r.getAs[Double]("mmr")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 5L).toSeq)
+    assert(rows.map(_._2).distinct.length == 5, "picks must be distinct")
+    assert(rows.head._3 == rows.map(_._3).max,
+      "first pick is the relevance top-1")
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b._4 <= a._4 + 1e-12,
+        "a later pick faces a larger penalty set")
+      case _ =>
+    }
+  }
+
   test("streamed binseg and gap sweep equal their batch twins " +
     "bit-for-bit") {
     val bb = q("q_binseg_change").collect().map(_.toString).toSeq

@@ -322,11 +322,13 @@ object Telemetry extends QueryModule {
       // stream (map-side partials, one aggregate); sessions(T) =
       // users + gaps>T exactly (each over-gap starts one session).
       // Micros stay integer end-to-end; the only FP op is the final
-      // events-per-session division. ---
+      // events-per-session division. The gap window rides the
+      // user_id-BUCKETED event layout (the q_event_paths discipline),
+      // so no hash exchange materializes anywhere in the plan. ---
       "q_session_gap_sweep" -> ((s, d) => {
         val wu = Window.partitionBy("user_id")
           .orderBy(col("us"), col("event_id"))
-        val g = table(s, d, "events")
+        val g = s.table(Advanced.bucketize(s, d, "events", "user_id"))
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id"))
           .withColumn("gap", col("us") - lag("us", 1).over(wu))

@@ -24,7 +24,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round-10 descales: the banded ABC cumsum, the TakeOrdered top-k
     // respellings, and the WindowGroupLimit-eligible rank filters
     "q_abc_class", "q_kendall_tau", "q_rank_rbo", "q_win_rank",
-    "q_sample_quota", "q_sim_topk", "q_item_cosine", "q_rank_mrr")
+    "q_sample_quota", "q_sim_topk", "q_item_cosine", "q_rank_mrr",
+    // round-10 operators whose determinism leans on windows, bounded
+    // greedy rounds, or fixed-tree double sums
+    "q_croston", "q_binseg_change", "q_churn_hazard", "q_maxsim_late",
+    "q_ivf_nprobe_curve", "q_mmr_diversify", "q_session_gap_sweep",
+    "q_jaccard_hist")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -897,4 +897,49 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q lost its WindowGroupLimit rescue: " + p.take(3000))
     }
   }
+
+  test("round-10 new-operator plans: truth-relation consumers scan " +
+      "parquet joinlessly, gap sweep rides the bucketed layout, ANN " +
+      "additions keep bounded tops and never go cartesian") {
+    // jaccard histogram: one scan of the materialized truth relation +
+    // one aggregate — no join, no window
+    val pj = plan("q_jaccard_hist")
+    assert(!pj.contains("Join"), pj.take(2000))
+    assert(pj.contains("partial_count") || pj.contains("partial_"),
+      pj.take(2000))
+    // prefix census: digest groupBy + size histogram, joinless
+    val pp = plan("q_prefix_dups")
+    assert(!pp.contains("Join"), pp.take(2000))
+    // gap sweep: the user window inherits the bucketed event scan —
+    // zero hash exchange in the whole plan
+    val pg = plan("q_session_gap_sweep")
+    assert(!pg.contains("Exchange hashpartitioning"), pg.take(3000))
+    // croston: the 9-recent-days rank filter keeps its map-side
+    // WindowGroupLimit; the top-10 part cut is a bounded heap
+    val pc = plan("q_croston")
+    assert(pc.contains("WindowGroupLimit"), pc.take(3000))
+    assert(pc.contains("TakeOrderedAndProject"), pc.take(3000))
+    // ANN additions: broadcast-probe shapes, never a cartesian; ranked
+    // tops stay WindowGroupLimit-bounded
+    for (q <- Seq("q_maxsim_late", "q_ivf_nprobe_curve")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(p.contains("WindowGroupLimit"), s"$q unbounded rank")
+    }
+    // bloom curve + host census + entropy mix: no cartesian anywhere,
+    // aggregates reduce map-side
+    for (q <- Seq("q_bloom_fpr_curve", "q_host_stats",
+        "q_lang_mix_entropy", "q_tok_fertility")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(p.contains("partial_"), s"$q map-side partials")
+    }
+    // change point + hazard: the corpus reduces to the bounded
+    // calendar grid BEFORE any window runs (aggregate below window)
+    for (q <- Seq("q_binseg_change", "q_churn_hazard")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q grid reduces partial+final below the window")
+    }
+  }
 }

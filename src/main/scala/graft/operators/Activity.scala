@@ -264,6 +264,38 @@ object Activity extends QueryModule {
           .orderBy("r_name", "n_name")
       }),
 
+      // --- rolling 7-day active users (round 10): per day, DAU and
+      // the TRAILING-7-day distinct-user count plus their ratio — the
+      // engagement readout q_stickiness reports at calendar-month
+      // grain, here as the sliding window product teams actually
+      // watch. Rolling DISTINCT does not decompose into a window
+      // aggregate, so each (user, day) contributes itself to the 7
+      // window END days it can appear in (a bounded ×7 map-side
+      // explode of the O(users·days) distinct relation) and one
+      // distinct count per end-day finishes it — no window function,
+      // no self-join, exact counts. ---
+      "q_rolling_dau7" -> ((s, d) => {
+        val ud = table(s, d, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .distinct()
+        val bounds = ud.agg(min("day").as("lo"), max("day").as("hi"))
+        val dau = ud.groupBy("day")
+          .agg(countDistinct("user_id").as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("day") <= col("hi"))
+          .groupBy("day")
+          .agg(countDistinct("user_id").as("wau7"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau7"),
+            (col("dau").cast("double") / col("wau7")).as("stickiness7"))
+          .orderBy("day")
+      }),
+
       // --- discrete-time churn hazard (round 10): for each tenure
       // week t, the share of still-active users who make week t their
       // LAST — the retention curve's derivative, which localizes WHEN
@@ -301,6 +333,24 @@ object Activity extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_rolling_dau7" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |b AS (SELECT MAX(day) AS hi FROM ud),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT e.day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+        |  FROM (SELECT user_id, day + g.x AS day
+        |        FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x) g)
+        |    e CROSS JOIN b
+        |  WHERE e.day <= b.hi GROUP BY 1)
+        |SELECT day, dau, wau7,
+        |  CAST(dau AS DOUBLE) / wau7 AS stickiness7
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     "q_churn_hazard" ->
       """WITH per AS (SELECT user_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Det.{avgd, dec, sumd, S}
+import graft.Det.{avgd, dec, lng, sumd, S}
 import graft.QueryModule
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -443,6 +443,29 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- code-vs-prose detection (round 10): the symbol-density
+    // screen that keeps source code (or markup soup) out of a prose
+    // training slice — per source, how many docs trip the detector
+    // and the aggregate symbol mass. Symbol count = chars surviving a
+    // [a-z0-9 ]-strip (one codegen'd regexp_replace, no tokenizer);
+    // the 5% flag is the exact INTEGER comparison 20·n_sym > n_chars,
+    // so no floating-point threshold can disagree across engines; the
+    // per-source shares are terminal divisions. O(sources) out. ---
+    "q_code_detect" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("source"),
+          lng(length(col("text"))).as("nc"),
+          lng(length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+            .as("ns"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("ns") * 20 > col("nc")).cast("long")).as("n_code"),
+          sum("ns").as("n_sym"), sum("nc").as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_code"),
+          (col("n_code").cast("double") / col("n_docs")).as("code_share"),
+          (col("n_sym").cast("double") / col("n_chars")).as("sym_ratio"))
+        .orderBy("source")),
+
     // --- per-host crawl census (round 10): the host-grain quality
     // table every crawl curator keeps — how many URLs and distinct
     // docs each host contributes and how long those docs run (the
@@ -492,6 +515,23 @@ object Curation extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_code_detect" ->
+      """WITH p AS (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS ns
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN ns * 20 > nc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_code,
+        |    CAST(SUM(ns) AS BIGINT) AS n_sym,
+        |    CAST(SUM(nc) AS BIGINT) AS n_chars
+        |  FROM p GROUP BY 1)
+        |SELECT source, n_docs, n_code,
+        |  CAST(n_code AS DOUBLE) / n_docs AS code_share,
+        |  CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio
+        |FROM a ORDER BY source""".stripMargin,
 
     "q_host_stats" ->
       s"""WITH u AS (SELECT doc_id, n_chars,

@@ -5,6 +5,7 @@ import graft.Det._
 import graft.Tables.table
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Entity-resolution and statistical-inference operators (round 7, third
@@ -219,9 +220,71 @@ object Linkage extends QueryModule {
         overall.join(ci, Seq("flag"))
           .select(col("flag"), col("mean"), col("lo_ci"), col("hi_ci"))
           .orderBy("flag")
+      }),
+
+      // --- blocking-quality evaluation (round 10): the two numbers
+      // that justify ANY dedup/linkage blocker — pairs completeness
+      // (share of true near-dup pairs the blocks retain) and reduction
+      // ratio (share of the n(n−1)/2 all-pairs space pruned away) —
+      // here for the 8-token-prefix blocker (q_prefix_dups' key).
+      // Candidates come from the posting-list pair idiom over prefix
+      // groups, df-capped at 2..50 exactly like the deployed blockers
+      // (a viral boilerplate prefix would quadratically explode any
+      // real run, so the metric scores the blocker AS DEPLOYED); truth
+      // is the materialized exact pair relation. The all-pairs
+      // denominator is DECIMAL(38,0)-exact before its one division.
+      // 1-row output. ---
+      "q_blocking_eval" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+        val groups = docs
+          .select(md5(concat_ws(" ",
+            slice(split(col("text"), " "), 1, 8))).as("pfx"),
+            col("doc_id"))
+          .groupBy("pfx")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 50))
+        val cand = TextPipeline.postingPairs(groups).distinct()
+        val truth = TextPipeline.ngramPairs(s, d).select("a_id", "b_id")
+        val nDocs = docs.agg(count(lit(1)).as("n"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nHit = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nDocs.crossJoin(nCand).crossJoin(nTruth).crossJoin(nHit)
+          .select(col("n").as("n_docs"), col("n_cand"), col("n_truth"),
+            col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth"))
+              .as("pairs_completeness"),
+            (lit(1.0) - col("n_cand").cast("double") /
+              (col("n").cast(DecimalType(38, 0)) * (col("n") - 1) / 2)
+                .cast("double")).as("reduction_ratio"))
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_blocking_eval" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |g AS (SELECT md5(array_to_string(
+         |        list_slice(string_split(text, ' '), 1, 8), ' ')) AS pfx,
+         |      doc_id
+         |    FROM documents),
+         |gl AS (SELECT pfx, COUNT(*) AS sz FROM g GROUP BY 1
+         |       HAVING COUNT(*) BETWEEN 2 AND 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+         |  JOIN gl ON gl.pfx = a.pfx),
+         |m AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+         |   JOIN p USING (a_id, b_id)) AS n_hit)
+         |SELECT n_docs, n_cand, n_truth, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_truth AS pairs_completeness,
+         |  1.0 - CAST(n_cand AS DOUBLE) /
+         |    CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
+         |      AS reduction_ratio
+         |FROM m""".stripMargin,
 
     "q_sorted_neighborhood" ->
       """WITH c AS (

@@ -152,10 +152,50 @@ object Multimodal extends QueryModule {
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 256L).as("byte_offset"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // --- multimodal mix card (round 10): per (source, media type),
+    // item and BYTE budgets plus each type's byte share within its
+    // source — the mixture table a multimodal pretraining run is
+    // provisioned from (tokens are budgeted per modality by bytes
+    // long before any decoder runs, so this is a metadata-only pass:
+    // the payload column contributes one length per row and is never
+    // decoded). Exact int64 byte sums; shares are terminal divisions
+    // against a broadcast O(sources) rollup. ---
+    "q_multimodal_mix" -> ((s, d) => {
+      val m = table(s, d, "documents")
+        .join(media(s, d), "doc_id")
+        .select(col("source"), col("media_type"),
+          lng(length(col("payload"))).as("nb"))
+      val cells = m.groupBy("source", "media_type")
+        .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"))
+      val tot = cells.groupBy("source")
+        .agg(sum("n_bytes").as("src_bytes"))
+      cells.join(broadcast(tot), "source")
+        .select(col("source"), col("media_type"), col("n_items"),
+          col("n_bytes"),
+          (col("n_bytes").cast("double") / col("src_bytes"))
+            .as("byte_share"))
+        .orderBy("source", "media_type")
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_multimodal_mix" ->
+      s"""WITH m AS (SELECT source, $mediaTypeSql AS media_type,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |  FROM documents),
+         |cells AS (SELECT source, media_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(nb) AS BIGINT) AS n_bytes
+         |  FROM m GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(n_bytes) AS BIGINT) AS src_bytes
+         |  FROM cells GROUP BY 1)
+         |SELECT source, media_type, n_items, n_bytes,
+         |  CAST(n_bytes AS DOUBLE) / src_bytes AS byte_share
+         |FROM cells JOIN t USING (source)
+         |ORDER BY source, media_type""".stripMargin,
+
     "q_dedup_media" ->
       s"""WITH u AS (SELECT $mediaTypeSql AS media_type, md5(text) AS fp,
          |    CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -188,6 +188,57 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("rolling 7-day actives: WAU7 dominates DAU, every day's WAU7 " +
+    "is at least the max single-day DAU inside its window") {
+    val rows = q("q_rolling_dau7").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau7"), r.getAs[Double]("stickiness7")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, dau, wau, st) =>
+      assert(wau >= dau, s"day $day wau $wau < dau $dau")
+      val windowMax = (day - 6 to day).flatMap(dauByDay.get)
+      if (windowMax.nonEmpty) assert(wau >= windowMax.max)
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("code detect: flags and symbol shares bounded, census covers " +
+    "the corpus") {
+    val rows = q("q_code_detect").collect()
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_code") <= r.getAs[Long]("n_docs"))
+      val sr = r.getAs[Double]("sym_ratio")
+      assert(sr >= 0.0 && sr < 1.0)
+    }
+  }
+
+  test("blocking eval: metrics bounded, candidate hits bounded by " +
+    "both sides") {
+    val r = q("q_blocking_eval").head()
+    val nCand = r.getAs[Long]("n_cand"); val nTruth = r.getAs[Long]("n_truth")
+    val nHit = r.getAs[Long]("n_hit")
+    assert(nHit <= nCand && nHit <= nTruth)
+    val pc = r.getAs[Double]("pairs_completeness")
+    val rr = r.getAs[Double]("reduction_ratio")
+    assert(pc >= 0.0 && pc <= 1.0)
+    assert(rr > 0.9, s"a blocker that prunes <90% is no blocker: $rr")
+  }
+
+  test("multimodal mix: per-source byte shares sum to one and items " +
+    "cover the corpus") {
+    val rows = q("q_multimodal_mix").collect()
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val share = rs.map(_.getAs[Double]("byte_share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"$src shares sum to $share")
+    }
+  }
+
   test("maxsim late interaction: five ranked rows per probe, scores " +
     "bounded by the aspect count and descending within probe") {
     val rows = q("q_maxsim_late").collect()

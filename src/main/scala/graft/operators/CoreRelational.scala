@@ -231,6 +231,27 @@ object CoreRelational extends QueryModule {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // --- distribution window functions (round 10): percent_rank +
+    // cume_dist of each order within ITS CUSTOMER's order history —
+    // "how big is this order for this customer", the per-entity
+    // percentile feature a personalization model consumes. The window
+    // partitions by o_custkey (group size = orders-per-customer, a
+    // CONSTANT of the schema — never a corpus-sized partition), with
+    // (totalprice, orderkey) a total order so both functions are
+    // deterministic; the distribution values are the engines' native
+    // exact rational divisions. Single-order customers are kept
+    // (percent_rank = 0 by definition — the n=1 edge both engines
+    // define identically). ---
+    "q_win_cumedist" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // --- sliding-frame analytics + lag/lead (o_orderkey is unique, so
     // the window order is total and frames are deterministic) ---
     "q_win_frame" -> ((s, d) => {
@@ -286,6 +307,14 @@ object CoreRelational extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_win_cumedist" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS cd
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

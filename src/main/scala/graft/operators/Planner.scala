@@ -199,9 +199,60 @@ object Planner extends QueryModule {
             (col("n_vecs").cast("double") * col("n_cells") /
               col("total")).as("skew"))
           .orderBy("bucket")
+      }),
+
+      // --- NDV-correlation audit (round 10): the optimizer's
+      // GROUP-BY cardinality model estimates |distinct(A,B)| as
+      // min(ndv(A)·ndv(B), n) — the independence assumption that
+      // over-allocates aggregate hash tables when columns correlate
+      // (user implies segment, date implies weekday). One pass
+      // measures ndv(user), ndv(type), the true pair NDV, and the
+      // model's error ratio, per the column pairs a planner would
+      // actually consult. Exact distinct counts (the audit must not
+      // sketch what it is auditing); one terminal division per
+      // pair. ---
+      "q_ndv_correlation" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        def audit(a: String, b: String): DataFrame =
+          ev.agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(a)).as("ndv_a"),
+              countDistinct(col(b)).as("ndv_b"),
+              countDistinct(col(a), col(b)).as("ndv_pair"))
+            .select(lit(s"$a~$b").as("pair"), col("n_rows"),
+              col("ndv_a"), col("ndv_b"), col("ndv_pair"),
+              least(col("ndv_a") * col("ndv_b"), col("n_rows"))
+                .as("indep_est"),
+              (least(col("ndv_a") * col("ndv_b"), col("n_rows"))
+                .cast("double") / col("ndv_pair")).as("err_ratio"))
+        audit("user_id", "event_type")
+          .unionByName(audit("user_id", "props"))
+          .unionByName(audit("event_type", "props"))
+          .orderBy("pair")
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_ndv_correlation" -> {
+      def audit(a: String, b: String): String =
+        s"""SELECT '$a~$b' AS pair,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(DISTINCT $a) AS BIGINT) AS ndv_a,
+           |  CAST(COUNT(DISTINCT $b) AS BIGINT) AS ndv_b,
+           |  CAST(COUNT(DISTINCT ($a, $b)) AS BIGINT) AS ndv_pair,
+           |  CAST(least(COUNT(DISTINCT $a) * COUNT(DISTINCT $b),
+           |    COUNT(*)) AS BIGINT) AS indep_est,
+           |  CAST(least(COUNT(DISTINCT $a) * COUNT(DISTINCT $b),
+           |    COUNT(*)) AS DOUBLE) / COUNT(DISTINCT ($a, $b))
+           |    AS err_ratio
+           |FROM events""".stripMargin
+      s"""SELECT * FROM (
+         |${audit("user_id", "event_type")}
+         |UNION ALL
+         |${audit("user_id", "props")}
+         |UNION ALL
+         |${audit("event_type", "props")})
+         |ORDER BY pair""".stripMargin
+    },
 
     "q_join_est_audit" ->
       """WITH pu AS (SELECT user_id,

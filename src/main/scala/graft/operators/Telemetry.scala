@@ -312,6 +312,33 @@ object Telemetry extends QueryModule {
           .orderBy("ta", "tb")
       }),
 
+      // --- hourly OHLC candles (round 10): open / high / low / close
+      // of the event value stream per (type, hour) — the telemetry
+      // compaction every monitoring store runs (a candle is 5 numbers
+      // where raw retention is thousands of points). Open/close are
+      // min_by/max_by AGGREGATES keyed on the total (ts, event_id)
+      // order — one hash aggregate with map-side partials, no window,
+      // no sort; the struct extremum is merge-order-independent
+      // because the key is a total order (the ivfAssigned argmax
+      // discipline). Values quantize to DECIMAL before min/max so the
+      // candle renders identically on both engines. ---
+      "q_ohlc_hourly" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hr"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            dec(col("value")).as("v"))
+        ev.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n_events"),
+            min_by(col("v"), struct(col("us"), col("event_id")))
+              .cast("double").as("open"),
+            max(col("v")).cast("double").as("high"),
+            min(col("v")).cast("double").as("low"),
+            max_by(col("v"), struct(col("us"), col("event_id")))
+              .cast("double").as("close"))
+          .orderBy("event_type", "hr")
+      }),
+
       // --- sessionization gap-threshold sweep (round 10): how the
       // session count and events-per-session move as the inactivity
       // cutoff trades 30 → 60 → 120 minutes — the tuning readout every
@@ -349,6 +376,26 @@ object Telemetry extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+    "q_ohlc_hourly" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    epoch_us(ts) AS us, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+        |  CAST(MAX(v) AS DOUBLE) AS high,
+        |  CAST(MIN(v) AS DOUBLE) AS low,
+        |  CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+
     "q_session_gap_sweep" ->
       """WITH g AS (SELECT user_id,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id

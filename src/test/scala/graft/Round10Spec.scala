@@ -188,6 +188,50 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("cume_dist/percent_rank: per-customer distributions bounded " +
+    "and the group maximum order scores percent_rank 0") {
+    val rows = q("q_win_cumedist").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Double]("o_totalprice"),
+        r.getAs[Double]("pr"), r.getAs[Double]("cd")))
+    rows.foreach { case (_, _, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      assert(pr <= cd + 1e-12, "percent_rank never exceeds cume_dist")
+    }
+    rows.groupBy(_._1).foreach { case (ck, rs) =>
+      val top = rs.maxBy(_._2)
+      assert(rs.filter(_._2 == top._2).exists(_._3 == 0.0),
+        s"customer $ck: the largest order must score pr = 0")
+      assert(math.abs(rs.map(_._4).max - 1.0) < 1e-12,
+        s"customer $ck: cume_dist must reach 1")
+    }
+  }
+
+  test("hourly OHLC: high dominates open/close/low and counts are " +
+    "positive") {
+    val rows = q("q_ohlc_hourly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val o = r.getAs[Double]("open"); val h = r.getAs[Double]("high")
+      val l = r.getAs[Double]("low"); val c = r.getAs[Double]("close")
+      assert(h >= o && h >= c && h >= l)
+      assert(l <= o && l <= c)
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+  }
+
+  test("ndv correlation: pair NDV bounded by the independence model " +
+    "and by the row count, error ratio at least 1") {
+    val rows = q("q_ndv_correlation").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val pair = r.getAs[Long]("ndv_pair")
+      assert(pair <= r.getAs[Long]("indep_est"))
+      assert(pair <= r.getAs[Long]("n_rows"))
+      assert(pair >= math.max(r.getAs[Long]("ndv_a"), r.getAs[Long]("ndv_b")))
+      assert(r.getAs[Double]("err_ratio") >= 1.0 - 1e-12)
+    }
+  }
+
   test("rolling 7-day actives: WAU7 dominates DAU, every day's WAU7 " +
     "is at least the max single-day DAU inside its window") {
     val rows = q("q_rolling_dau7").collect()

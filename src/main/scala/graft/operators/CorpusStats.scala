@@ -400,6 +400,32 @@ object CorpusStats extends QueryModule {
               .as("rbo10"))
       }),
 
+      // --- cross-language near-dup census (round 10): near-dup pairs
+      // whose two docs carry DIFFERENT language labels — each one is
+      // either a mislabeled language, boilerplate that survives
+      // translation, or machine-translated duplication, all three of
+      // which poison a per-language training mix (the pair-level
+      // sharpening of q_vocab_overlap's vocabulary-level screen).
+      // Reads the materialized truth relation; two broadcast-size
+      // lang lookups; the (lang, lang) rollup is O(langs²). ---
+      "q_cross_lang_dups" -> ((s, d) => {
+        val lang = table(s, d, "documents").select("doc_id", "lang")
+        val pairs = TextPipeline.ngramPairs(s, d)
+          .join(lang.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("lang", "lang_a"), "a_id")
+          .join(lang.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("lang", "lang_b"), "b_id")
+        pairs
+          .filter(col("lang_a") =!= col("lang_b"))
+          .select(least(col("lang_a"), col("lang_b")).as("lang_lo"),
+            greatest(col("lang_a"), col("lang_b")).as("lang_hi"),
+            col("jac"))
+          .groupBy("lang_lo", "lang_hi")
+          .agg(count(lit(1)).as("n_pairs"),
+            max("jac").as("jac_max"))
+          .orderBy("lang_lo", "lang_hi")
+      }),
+
       // --- per-source language-mix entropy (round 10): how mixed each
       // source's language distribution is — the mixture-design readout
       // that separates mono-lingual crawl slices from mixed portals
@@ -431,6 +457,17 @@ object CorpusStats extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_cross_lang_dups" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |j AS (SELECT least(da.lang, db.lang) AS lang_lo,
+         |        greatest(da.lang, db.lang) AS lang_hi, p.jac
+         |      FROM p JOIN documents da ON da.doc_id = p.a_id
+         |             JOIN documents db ON db.doc_id = p.b_id
+         |      WHERE da.lang <> db.lang)
+         |SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  MAX(jac) AS jac_max
+         |FROM j GROUP BY 1, 2 ORDER BY lang_lo, lang_hi""".stripMargin,
 
     "q_lang_mix_entropy" ->
       """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c

@@ -314,6 +314,45 @@ object StreamingSmoke extends QueryModule {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // --- streamed OHLC candle maintenance (round 10): the hourly
+    // open/high/low/close compaction (q_ohlc_hourly) as a
+    // complete-mode streaming aggregate — min_by/max_by on the total
+    // (ts, event_id) key and decimal min/max are all associative and
+    // commutative, so the live candles equal a batch pass over the
+    // same rows and the streamed query carries the batch oracle
+    // verbatim. O(types × hours) state, the candle store's own size.
+    // ---
+    "q_streaming_ohlc" -> ((s, d) => {
+      val replay = StatefulSession.replayDir(s, d)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_ohlc_$run"
+      val ckpt = s"/dev/shm/graft_ckpt/ohlc-$run"
+      val q = s.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        .filter(col("user_id") =!= -1L)
+        .select(col("event_type"),
+          expr("ts_us div 3600000000").as("hr"),
+          col("ts_us").as("us"), col("event_id"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("v"), struct(col("us"), col("event_id")))
+            .cast("double").as("open"),
+          max(col("v")).cast("double").as("high"),
+          min(col("v")).cast("double").as("low"),
+          max_by(col("v"), struct(col("us"), col("event_id")))
+            .cast("double").as("close"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      runThenClean(q, ckpt)
+      drainSink(s, name).orderBy("event_type", "hr")
+    }),
+
     // --- streamed change-point maintenance (round 10): the daily
     // count grid lives as a complete-mode streaming aggregate (one
     // counter per calendar day — O(days) state forever), and the
@@ -588,6 +627,10 @@ object StreamingSmoke extends QueryModule {
     // streamed change point carries the batch oracle verbatim
     "q_streaming_binseg" ->
       graft.operators.Diagnostics.oracle("q_binseg_change"),
+
+    // associative candle aggregates: streamed == batch, same oracle
+    "q_streaming_ohlc" ->
+      graft.operators.Telemetry.oracle("q_ohlc_hourly"),
 
     // complete-mode replay of the full input == the batch conditional
     // aggregate, so the DQ counters carry a real oracle

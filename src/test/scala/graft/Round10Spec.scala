@@ -188,6 +188,25 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("cross-language dups: ordered lang pairs, jac within the " +
+    "near-dup band, pair count bounded by the truth relation") {
+    val rows = q("q_cross_lang_dups").collect()
+    assert(rows.nonEmpty)
+    val nTruth = q("q_dedup_ngram").count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum <= nTruth)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_lo") < r.getAs[String]("lang_hi"))
+      val j = r.getAs[Double]("jac_max")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("streamed OHLC equals the batch candles bit-for-bit") {
+    val b = q("q_ohlc_hourly").collect().map(_.toString).toSeq
+    val s2 = q("q_streaming_ohlc").collect().map(_.toString).toSeq
+    assert(s2 == b, s"streamed OHLC diverges (${s2.size} vs ${b.size})")
+  }
+
   test("cume_dist/percent_rank: per-customer distributions bounded " +
     "and the group maximum order scores percent_rank 0") {
     val rows = q("q_win_cumedist").collect()

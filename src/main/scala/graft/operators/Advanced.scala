@@ -510,6 +510,46 @@ object Advanced extends QueryModule {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // --- KMV (k-minimum-values) distinct sketch, FULLY oracled: the
+    // third distinct-count tier next to q_agg_hll (rows-only HLL) and
+    // q_agg_distinct (exact) — KMV keeps the k=64 SMALLEST xxhash64
+    // values per group, estimates NDV as (k-1)·2^64/h_(k), and (unlike
+    // HLL) every byte of its state is portable: the DuckDB oracle
+    // rebuilds the same 64 order statistics through the CmsOracle
+    // HUGEINT XXH64 emulation and lands on the IDENTICAL estimate,
+    // because the estimator here is an INTEGRAL division (no libm, no
+    // doubles cross the engine boundary; the kth hash ships as hi/lo
+    // 32-bit halves per the wide-integer output discipline). Scale
+    // shape: distinct-reduce first, then the native TopKPerKey
+    // operator — map-side bounded heaps, shuffle volume O(groups·k),
+    // never a per-group sort; groups short of k fall back to their
+    // exact count (the standard KMV small-range rule). ---
+    "q_kmv_distinct" -> ((s, d) => {
+      val M = "18446744073709551616"
+      val du = table(s, d, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("u", expr(
+          s"CAST(xxhash64(user_id) AS DECIMAL(38,0)) + " +
+            s"CASE WHEN xxhash64(user_id) < 0 " +
+            s"THEN CAST('$M' AS DECIMAL(38,0)) " +
+            s"ELSE CAST(0 AS DECIMAL(38,0)) END"))
+      val km = graft.plans.TopKPerKey.topKPerKey(du,
+          keys = Seq(col("event_type")),
+          order = Seq(col("u").asc), k = 64)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"), max(col("u")).as("kth"))
+      val exact = table(s, d, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("ndv_exact"))
+      km.join(exact, "event_type")
+        .select(col("event_type"), col("ndv_exact"), col("m"),
+          expr("CAST(kth div 4294967296 AS BIGINT)").as("kth_hi"),
+          expr("CAST(kth % 4294967296 AS BIGINT)").as("kth_lo"),
+          when(col("m") < 64, col("m")).otherwise(expr(
+            "CAST('1162144876643701751808' AS DECIMAL(38,0)) div kth"))
+            .as("est_ndv"))
+        .orderBy("event_type")
+    }),
+
     // --- HDR-histogram quantile sketch (round 6): mergeable percentiles
     // with fixed 8 KiB state per group — the sketch-tier twin of the
     // exact sort-based q_percentile (which moves the value set; this
@@ -745,6 +785,8 @@ object Advanced extends QueryModule {
     // the CMS counter table is xxhash64-derived; the oracle rebuilds
     // it bit-exactly via the HUGEINT XXH64 emulation (CmsOracle)
     "q_agg_cms" -> CmsOracle.sql,
+    // same XXH64 emulation, full 64-bit width, k-min order statistics
+    "q_kmv_distinct" -> CmsOracle.kmvSql(64),
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -312,6 +312,48 @@ object Analytics extends QueryModule {
             (lit(1.0) - col("lorenz").cast("double")
               / (col("n").cast("double") * col("tot").cast("double")))
               .as("gini"))
+      }),
+
+      // --- Shapley-value conversion attribution: the principled
+      // multi-touch upgrade of q_attribution's first-touch and
+      // q_attrib_ushape's positional rules. Channels = the three
+      // pre-purchase engagement types; per converted user, the
+      // EXPOSURE SET is the sorted distinct channels seen strictly
+      // before their first purchase. Credit: each exposure set's
+      // conversions split EQUALLY among its members — exactly the
+      // Shapley value of the symmetric sub-game each set induces (the
+      // "simplified Shapley" every production attribution stack
+      // ships). Determinism: per-channel credit is Σ cnt·(6/|S|) in
+      // INTEGER SIXTHS (|S| ∈ {1,2,3} divides 6), one final division
+      // — never a float sum over sets. Scale shape: one user-keyed
+      // aggregate (first purchase), one semi-join-shaped distinct on
+      // (user, channel), one bounded 2^3-set rollup. ---
+      "q_shapley_attrib" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        val firstP = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("ts")).as("fp"))
+        val expo = ev
+          .filter(col("event_type").isin("view", "click", "signup"))
+          .join(firstP, "user_id")
+          .filter(col("ts") < col("fp"))
+          .select(col("user_id"), col("event_type").as("channel"))
+          .distinct()
+        val sets = expo.groupBy("user_id")
+          .agg(sort_array(collect_set(col("channel"))).as("chs"))
+          .groupBy(concat_ws(",", col("chs")).as("eset"),
+            size(col("chs")).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        sets.select(explode(split(col("eset"), ",")).as("channel"),
+            col("k"), col("cnt"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_sets"),
+            sum(col("cnt")).as("users_exposed"),
+            sum(col("cnt") * (lit(6L) / col("k")).cast("long"))
+              .as("credit_sixths"))
+          .select(col("channel"), col("n_sets"), col("users_exposed"),
+            col("credit_sixths"),
+            (col("credit_sixths").cast("double") / 6.0).as("credit"))
+          .orderBy("channel")
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -495,5 +537,26 @@ object Analytics extends QueryModule {
         |SELECT n AS n_customers, CAST(tot AS DOUBLE) AS total_spend,
         |  1.0 - CAST(SUM(c * (2 * sbefore + sb)) AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
-        |FROM w CROSS JOIN t GROUP BY n, tot""".stripMargin)
+        |FROM w CROSS JOIN t GROUP BY n, tot""".stripMargin,
+
+    "q_shapley_attrib" ->
+      """WITH fp AS (SELECT user_id, MIN(ts) AS fpt FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |expo AS (SELECT DISTINCT e.user_id, e.event_type AS channel
+        |  FROM events e JOIN fp USING (user_id)
+        |  WHERE e.event_type IN ('view', 'click', 'signup')
+        |    AND e.ts < fp.fpt),
+        |us AS (SELECT user_id,
+        |    array_to_string(list_sort(list(channel)), ',') AS eset,
+        |    CAST(len(list(channel)) AS BIGINT) AS k
+        |  FROM expo GROUP BY user_id),
+        |sets AS (SELECT eset, k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM us GROUP BY 1, 2),
+        |ex AS (SELECT unnest(string_split(eset, ',')) AS channel, k, cnt
+        |  FROM sets)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sets,
+        |  CAST(SUM(cnt) AS BIGINT) AS users_exposed,
+        |  CAST(SUM(cnt * (6 // k)) AS BIGINT) AS credit_sixths,
+        |  CAST(SUM(cnt * (6 // k)) AS DOUBLE) / 6.0 AS credit
+        |FROM ex GROUP BY 1 ORDER BY channel""".stripMargin)
 }

@@ -76,4 +76,48 @@ private[graft] object CmsOracle {
        |SELECT t.user_id, t.exact_n, CAST(MIN(c.c) AS BIGINT) AS est_n
        |FROM top10 t JOIN sb USING (user_id) JOIN counters c USING (r, idx)
        |GROUP BY 1, 2 ORDER BY exact_n DESC, user_id""".stripMargin
+
+  /** KMV (k-minimum-values) distinct-sketch oracle (q_kmv_distinct):
+    * the same seed-42 XXH64 chain, kept at FULL 64-bit width (no %2048)
+    * over the distinct (event_type, user_id) relation; the k smallest
+    * unsigned values per type give the kth-min order statistic and the
+    * classic (k-1)·2^64/h_(k) estimator, all in exact HUGEINT
+    * arithmetic (the estimate is an integral division — no doubles
+    * cross the engine boundary).
+    */
+  def kmvSql(k: Int): String = {
+    val num = (BigInt(k - 1) * BigInt(M)).toString
+    s"""WITH us AS (SELECT du.event_type, du.user_id,
+       |    ((CAST(du.user_id AS HUGEINT)%$M)+$M)%$M AS u,
+       |    (CAST(42 AS HUGEINT)+$P5+8)%$M AS h0
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events) du),
+       |s2 AS (SELECT *, ${mul("u", P2)} AS k1a FROM us),
+       |s3 AS (SELECT *, ${rot("k1a", 31)} AS k1b FROM s2),
+       |s4 AS (SELECT *, ${mul("k1b", P1)} AS k1 FROM s3),
+       |s5 AS (SELECT *, ${xor("h0", "k1")} AS h1 FROM s4),
+       |s6 AS (SELECT *, (${mul(rot("h1", 27), P1)}+$P4)%$M AS h2 FROM s5),
+       |s7 AS (SELECT *, ${xor("h2", "h2//8589934592")} AS h3 FROM s6),
+       |s8 AS (SELECT *, ${mul("h3", P2)} AS h4 FROM s7),
+       |s9 AS (SELECT *, ${xor("h4", "h4//536870912")} AS h5 FROM s8),
+       |sa AS (SELECT *, ${mul("h5", P3)} AS h6 FROM s9),
+       |sb AS (SELECT event_type, user_id,
+       |    ${xor("h6", "h6//4294967296")} AS h
+       |  FROM sa),
+       |rk AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM sb),
+       |km AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+       |    MAX(h) AS kth
+       |  FROM rk WHERE rn <= $k GROUP BY 1),
+       |ex AS (SELECT event_type,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact
+       |  FROM events GROUP BY 1)
+       |SELECT km.event_type, ex.ndv_exact, km.m,
+       |  CAST(kth // 4294967296 AS BIGINT) AS kth_hi,
+       |  CAST(kth % 4294967296 AS BIGINT) AS kth_lo,
+       |  CAST(CASE WHEN km.m < $k THEN km.m
+       |    ELSE (CAST('$num' AS HUGEINT)) // kth END AS BIGINT) AS est_ndv
+       |FROM km JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
 }

@@ -387,6 +387,46 @@ object Dedup extends QueryModule {
         ("3_neardup", n2, n2 - n3, n3))
         .toDF("stage", "n_in", "n_removed", "n_out")
         .orderBy("stage")
+    }),
+
+    // --- field-level survivorship (golden-record merge): the
+    // entity-resolution step AFTER clustering — q_dedup_canonical
+    // keeps one whole row; real MDM merges pick each FIELD from the
+    // best-qualified member (longest text wins `source`, latest
+    // record wins `lang`, identifiers take the stable minimum). Same
+    // label-propagation clusters as q_dedup_cluster, then ONE
+    // struct-extremum aggregate per rule (max over (n_chars, doc_id)
+    // and (doc_id) — deterministic: doc_id is unique, so no tie ever
+    // reaches a later struct field). Multi-member clusters only;
+    // output is O(clusters), never a row_number window over the
+    // corpus. ---
+    "q_survivorship" -> ((s, d) => {
+      val pairs = TextPipeline.ngramPairs(s, d)
+        .select(col("a_id"), col("b_id"))
+      // same tiny-relation loop sizing as q_dedup_cluster
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val labels =
+        try clusterLoop(s, d, pairs).select("doc_id", "cluster_id")
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      labels
+        .join(table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("survivor_id"),
+          max(struct(col("n_chars"), col("doc_id"), col("source")))
+            .as("longest"),
+          max(struct(col("doc_id"), col("lang"))).as("latest"),
+          sum(col("n_chars")).as("total_chars"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster_id"), col("n_members"), col("survivor_id"),
+          col("longest.source").as("survivor_source"),
+          col("latest.lang").as("survivor_lang"),
+          col("longest.n_chars").as("longest_chars"),
+          col("total_chars"))
+        .orderBy("cluster_id")
     })
   )
 
@@ -465,6 +505,39 @@ object Dedup extends QueryModule {
          |  n_chars AS canon_chars
          |FROM ranked WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin,
+
+    "q_survivorship" ->
+      s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM p),
+         |r AS (SELECT doc_id AS doc, doc_id AS reach FROM documents
+         |      UNION
+         |      SELECT r.doc, ed.dst FROM r JOIN ed ON ed.src = r.reach),
+         |cl AS (SELECT doc AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY doc),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, d.source, d.lang,
+         |        d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |         CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+         |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |       FROM j GROUP BY 1 HAVING COUNT(*) >= 2),
+         |lg AS (SELECT cluster_id, source, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, doc_id DESC) AS rn
+         |       FROM j),
+         |lt AS (SELECT cluster_id, lang,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY doc_id DESC) AS rn
+         |       FROM j)
+         |SELECT sz.cluster_id, sz.n_members, sz.survivor_id,
+         |  lg.source AS survivor_source, lt.lang AS survivor_lang,
+         |  CAST(lg.n_chars AS BIGINT) AS longest_chars, sz.total_chars
+         |FROM sz
+         |JOIN lg ON lg.cluster_id = sz.cluster_id AND lg.rn = 1
+         |JOIN lt ON lt.cluster_id = sz.cluster_id AND lt.rn = 1
+         |ORDER BY sz.cluster_id""".stripMargin,
 
     "q_dup_size_dist" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},

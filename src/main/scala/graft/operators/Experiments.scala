@@ -182,6 +182,92 @@ object Experiments extends QueryModule {
           .groupBy("event_type", "bin")
           .agg(sum("c").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
           .orderBy("event_type", "bin")
+      }),
+
+      // --- Benjamini-Hochberg FDR step-up over the (source, lang)
+      // metric grid: the multiple-testing gate every experimentation /
+      // data-quality platform needs once it tests MANY cells at once —
+      // control the EXPECTED share of false rejections at q=0.25
+      // instead of Bonferroni's family-wise overkill. Per cell, a 2x2
+      // chi-square of long-doc rate (n_chars >= 350) vs the rest of
+      // the corpus, computed as ONE fixed IEEE tree off exact int64
+      // cell counts (the q_ab_srm discipline); the monotone proxy
+      // p = 1/(1+chi2) preserves the chi-square order exactly, which
+      // is all BH's rank comparison consumes. The step-up itself:
+      // rank cells by p ascending, k* = max{i : p_i*m <= q*i}, reject
+      // ranks <= k*. The rank window is over the O(sources x langs)
+      // CELL grid — schema constants, never corpus-sized — and k*
+      // is one 1-row aggregate crossed back (AQE broadcasts). ---
+      "q_fdr_bh" -> ((s, d) => {
+        val cell = table(s, d, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_cell"),
+            sum((col("n_chars") >= 350).cast("long")).as("a"))
+        val tot = cell.agg(sum("n_cell").as("n"), sum("a").as("atot"),
+          count(lit(1)).as("m"))
+        val x = cell.crossJoin(tot)
+          .withColumn("b", col("n_cell") - col("a"))
+          .withColumn("c", col("atot") - col("a"))
+          .withColumn("dd", col("n") - col("n_cell") - col("c"))
+        val t = col("a").cast("double") * col("dd") -
+          col("b").cast("double") * col("c")
+        val chi2 = t * t / (col("a") + col("b")).cast("double") /
+          (col("c") + col("dd")).cast("double") /
+          (col("a") + col("c")).cast("double") /
+          (col("b") + col("dd")).cast("double") * col("n").cast("double")
+        val pr = x.select(col("source"), col("lang"), col("n_cell"),
+            col("a").as("n_long"), col("m"), chi2.as("chi2"))
+          .withColumn("p", lit(1.0) / (lit(1.0) + col("chi2")))
+        // rank over the bounded cell grid (<= sources x langs rows)
+        val rk = pr.withColumn("rnk",
+          row_number().over(Window.orderBy("p", "source", "lang"))
+            .cast("long"))
+        val ks = rk.agg(coalesce(max(when(
+          col("p") * col("m").cast("double") <= lit(0.25) *
+            col("rnk").cast("double"), col("rnk"))), lit(0L)).as("kstar"))
+        rk.crossJoin(ks)
+          .select(col("source"), col("lang"), col("n_cell"), col("n_long"),
+            col("chi2"), col("p"), col("rnk"),
+            (col("rnk") <= col("kstar")).as("rejected"))
+          .orderBy("rnk")
+      }),
+
+      // --- group-sequential SPRT gate (daily looks): Wald's sequential
+      // probability ratio test of the purchase share, H0 p=0.18 vs H1
+      // p=0.22, alpha=beta=0.05, evaluated at DAILY checkpoints per
+      // arm — the "peek early, stop early" discipline real experiment
+      // platforms run instead of fixed-horizon tests. The two
+      // log-likelihood increments and the log((1-b)/a) thresholds are
+      // precomputed MICRO-NAT INTEGER literals (ln(22/18)=+200671,
+      // ln(78/82)=-50010, ln(19)=+/-2944439), so the cumulative LLR is
+      // exact int64 arithmetic — no libm on either engine. Cumulation
+      // runs over the O(days) per-arm grid (bounded by the calendar,
+      // never corpus-sized); the first-crossing day is one per-arm
+      // window min. ---
+      "q_sprt_gate" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy((col("user_id") % 2).as("arm"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long").as("day"))
+          .agg(count(lit(1)).as("n_d"),
+            sum((col("event_type") === "purchase").cast("long")).as("s_d"))
+        val wc = Window.partitionBy("arm").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily
+          .withColumn("cum_n", sum("n_d").over(wc))
+          .withColumn("cum_s", sum("s_d").over(wc))
+          .withColumn("llr_micro",
+            col("cum_s") * 200671L - (col("cum_n") - col("cum_s")) * 50010L)
+          .withColumn("state",
+            when(col("llr_micro") >= 2944439L, "accept_h1")
+              .when(col("llr_micro") <= -2944439L, "accept_h0")
+              .otherwise("continue"))
+        cum.withColumn("first_decision_day",
+            min(when(col("state") =!= "continue", col("day")))
+              .over(Window.partitionBy("arm")))
+          .select(col("arm"), col("day"), col("cum_n"), col("cum_s"),
+            col("llr_micro"), col("state"), col("first_decision_day"))
+          .orderBy("arm", "day")
       })
     )
 
@@ -310,6 +396,70 @@ object Experiments extends QueryModule {
         |  CAST(SUM(c) AS BIGINT) AS n_rows,
         |  MIN(v) AS lo, MAX(v) AS hi
         |FROM cum JOIN b USING (event_type)
-        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "q_fdr_bh" ->
+      """WITH cell AS (SELECT source, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell,
+        |    CAST(SUM(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS atot,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM cell),
+        |x AS (SELECT source, lang, n_cell, a, n_cell - a AS b,
+        |    atot - a AS c, n - n_cell - (atot - a) AS dd, n, m
+        |  FROM cell CROSS JOIN tot),
+        |ch AS (SELECT source, lang, n_cell, a, m,
+        |    (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |      * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |      / CAST(a + b AS DOUBLE) / CAST(c + dd AS DOUBLE)
+        |      / CAST(a + c AS DOUBLE) / CAST(b + dd AS DOUBLE)
+        |      * CAST(n AS DOUBLE) AS chi2
+        |  FROM x),
+        |pr AS (SELECT source, lang, n_cell, a, m, chi2,
+        |    1.0 / (1.0 + chi2) AS p
+        |  FROM ch),
+        |rk AS (SELECT source, lang, n_cell, a, m, chi2, p,
+        |    CAST(row_number() OVER (ORDER BY p, source, lang) AS BIGINT)
+        |      AS rnk
+        |  FROM pr),
+        |ks AS (SELECT COALESCE(MAX(CASE WHEN p * CAST(m AS DOUBLE)
+        |      <= 0.25 * CAST(rnk AS DOUBLE) THEN rnk END),
+        |    0) AS kstar
+        |  FROM rk)
+        |SELECT source, lang, n_cell, a AS n_long, chi2, p, rnk,
+        |  rnk <= kstar AS rejected
+        |FROM rk CROSS JOIN ks ORDER BY rnk""".stripMargin,
+
+    "q_sprt_gate" ->
+      """WITH daily AS (SELECT user_id % 2 AS arm,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_d,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s_d
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT arm, day,
+        |    CAST(SUM(n_d) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(SUM(s_d) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_s
+        |  FROM daily),
+        |st AS (SELECT arm, day, cum_n, cum_s,
+        |    cum_s * 200671 - (cum_n - cum_s) * 50010 AS llr_micro,
+        |    CASE WHEN cum_s * 200671 - (cum_n - cum_s) * 50010
+        |        >= 2944439 THEN 'accept_h1'
+        |      WHEN cum_s * 200671 - (cum_n - cum_s) * 50010
+        |        <= -2944439 THEN 'accept_h0'
+        |      ELSE 'continue' END AS state
+        |  FROM cum)
+        |SELECT arm, day, cum_n, cum_s, llr_micro, state,
+        |  CAST(MIN(CASE WHEN state <> 'continue' THEN day END)
+        |    OVER (PARTITION BY arm) AS BIGINT) AS first_decision_day
+        |FROM st ORDER BY arm, day""".stripMargin
   )
 }

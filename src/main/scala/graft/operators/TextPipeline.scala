@@ -388,6 +388,39 @@ object TextPipeline extends QueryModule {
         .orderBy(col("n").desc, col("pair"))
       top.withColumn("rnk", row_number().over(w).cast("long"))
         .orderBy("rnk")
+    }),
+
+    // --- readability grade per source (Flesch-Kincaid shape): the
+    // classic quality-scoring signal curation stacks threshold on —
+    // 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59.
+    // Syllables are the standard vowel-GROUP proxy (runs of [aeiou],
+    // one regexp_extract_all count — identical RE semantics on both
+    // engines); sentences floor at 1 per doc (terminal-punctuation
+    // runs — the synthetic corpus has none, so the first term reads
+    // words-per-doc; real corpora split properly). All three tallies
+    // are exact int64 SUMS per source — the grade is one fixed IEEE
+    // tree over the sums, never a float mean of per-doc floats. One
+    // scan, one source-keyed aggregate, O(sources) out. ---
+    "q_readability" -> ((s, d) => {
+      val words = lng(size(toks))
+      val sents = greatest(lng(size(expr(
+        "regexp_extract_all(text, '[.!?]+', 0)"))), lit(1L))
+      val syll = lng(size(expr(
+        "regexp_extract_all(lower(text), '[aeiou]+', 0)")))
+      table(s, d, "documents")
+        .select(col("source"), words.as("w"), sents.as("st"),
+          syll.as("sy"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+          sum("st").as("sentences"), sum("sy").as("syllables"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("sentences"), col("syllables"),
+          (lit(0.39) * (col("words").cast("double") /
+              col("sentences").cast("double")) +
+            lit(11.8) * (col("syllables").cast("double") /
+              col("words").cast("double")) -
+            lit(15.59)).as("fk_grade"))
+        .orderBy("source")
     })
   )
 
@@ -770,6 +803,25 @@ object TextPipeline extends QueryModule {
         |tp AS (SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20)
         |SELECT pair, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
-        |FROM tp ORDER BY rnk""".stripMargin
+        |FROM tp ORDER BY rnk""".stripMargin,
+
+    "q_readability" ->
+      """WITH per AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS st,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |      AS BIGINT) AS sy
+        |  FROM documents),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS words,
+        |    CAST(SUM(st) AS BIGINT) AS sentences,
+        |    CAST(SUM(sy) AS BIGINT) AS syllables
+        |  FROM per GROUP BY source)
+        |SELECT source, n_docs, words, sentences, syllables,
+        |  0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |    - 15.59 AS fk_grade
+        |FROM g ORDER BY source""".stripMargin
   )
 }

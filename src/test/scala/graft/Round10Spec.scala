@@ -363,4 +363,145 @@ class Round10Spec extends AnyFunSuite {
       assert(fp >= 0 && fpr >= 0.0 && fpr <= 1.0)
     }
   }
+
+  test("BH step-up: rejections form a prefix of the p-value ranking " +
+    "and every rejected p clears its own step bound") {
+    val rows = q("q_fdr_bh").collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Double]("p"),
+        r.getAs[Double]("chi2"), r.getAs[Boolean]("rejected")))
+      .sortBy(_._1)
+    val m = rows.length
+    assert(rows.map(_._1).toSeq == (1L to m.toLong).toSeq)
+    // p sorted ascending with the rank
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2)
+      case _ =>
+    }
+    rows.foreach { case (_, _, chi2, _) => assert(chi2 >= 0.0) }
+    // prefix property: once a rank is not rejected, none after it is
+    val firstKeep = rows.indexWhere(!_._4)
+    if (firstKeep >= 0)
+      assert(rows.drop(firstKeep).forall(!_._4), "rejection not a prefix")
+    // the k* rank itself satisfies p*m <= q*k
+    val kstar = rows.count(_._4)
+    if (kstar > 0) {
+      val pk = rows(kstar - 1)._2
+      assert(pk * m <= 0.25 * kstar + 1e-12)
+    }
+  }
+
+  test("SPRT gate: the micro-nat LLR recomputes from the cumulative " +
+    "counts and the decision day is the first threshold crossing") {
+    val rows = q("q_sprt_gate").collect()
+      .map(r => (r.getAs[Long]("arm"), r.getAs[Long]("day"),
+        r.getAs[Long]("cum_n"), r.getAs[Long]("cum_s"),
+        r.getAs[Long]("llr_micro"), r.getAs[String]("state"),
+        Option(r.getAs[java.lang.Long]("first_decision_day"))
+          .map(_.toLong)))
+    rows.foreach { case (_, _, n, sc, llr, st, _) =>
+      assert(llr == sc * 200671L - (n - sc) * 50010L)
+      val want = if (llr >= 2944439L) "accept_h1"
+        else if (llr <= -2944439L) "accept_h0" else "continue"
+      assert(st == want)
+    }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val crossings = g.filter(_._6 != "continue").map(_._2)
+      val want = if (crossings.isEmpty) None else Some(crossings.min)
+      assert(g.forall(_._7 == want))
+      // cumulative counts are monotone in day
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 >= a._3 && b._4 >= a._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("Shapley attribution: total credit equals the credited-user " +
+    "count and sixths are conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_shapley_attrib").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_sets"),
+        r.getAs[Long]("users_exposed"), r.getAs[Long]("credit_sixths"),
+        r.getAs[Double]("credit")))
+    rows.foreach { case (_, _, _, six, cr) =>
+      assert(math.abs(cr - six / 6.0) < 1e-12)
+    }
+    // independent recount of users with a non-empty pre-purchase set
+    val ev = Tables.table(spark, sf, "events")
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("fp"))
+    val credited = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .join(fp, "user_id").filter(col("ts") < col("fp"))
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).sum == 6L * credited,
+      s"sixths ${rows.map(_._4).sum} != 6*$credited")
+  }
+
+  test("survivorship: field picks come from cluster members and the " +
+    "longest-member invariant holds") {
+    import org.apache.spark.sql.functions._
+    val surv = q("q_survivorship").collect()
+    assert(surv.forall(_.getAs[Long]("n_members") >= 2))
+    val members = q("q_dedup_cluster")
+      .join(Tables.table(spark, sf, "documents"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(collect_set("source").as("srcs"), collect_set("lang").as("lgs"),
+        max("n_chars").as("maxc"), sum("n_chars").as("sumc"),
+        min("doc_id").as("minid"))
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Seq[String]]("srcs").toSet,
+          r.getAs[Seq[String]]("lgs").toSet,
+          r.getAs[Long]("maxc"), r.getAs[Long]("sumc"),
+          r.getAs[Long]("minid"))).toMap
+    surv.foreach { r =>
+      val (srcs, lgs, maxc, sumc, minid) =
+        members(r.getAs[Long]("cluster_id"))
+      assert(srcs.contains(r.getAs[String]("survivor_source")))
+      assert(lgs.contains(r.getAs[String]("survivor_lang")))
+      assert(r.getAs[Long]("longest_chars") == maxc)
+      assert(r.getAs[Long]("total_chars") == sumc)
+      assert(r.getAs[Long]("survivor_id") == minid)
+    }
+  }
+
+  test("KMV sketch: short-of-k groups report the exact NDV and full " +
+    "groups stay inside a generous k=64 error envelope") {
+    val rows = q("q_kmv_distinct").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("ndv_exact"), r.getAs[Long]("m"),
+        r.getAs[Long]("est_ndv")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, exact, m, est) =>
+      assert(m == math.min(64L, exact))
+      if (m < 64) assert(est == exact, s"short group must be exact")
+      else assert(est > 0 && math.abs(est - exact) <= exact / 2 + 1,
+        s"KMV estimate $est vs exact $exact outside 50%")
+    }
+  }
+
+  test("readability: the per-source tallies recompute from raw text " +
+    "and the grade is the documented tree over the sums") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_readability").collect()
+    val raw = Tables.table(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byS = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val texts = byS(r.getAs[String]("source")).map(_._2)
+      val w = texts.map(_.split(" ", -1).length.toLong).sum
+      val st = texts.map(t =>
+        math.max("[.!?]+".r.findAllIn(t).length, 1).toLong).sum
+      val sy = texts.map(t =>
+        "[aeiou]+".r.findAllIn(t.toLowerCase).length.toLong).sum
+      assert(r.getAs[Long]("words") == w)
+      assert(r.getAs[Long]("sentences") == st)
+      assert(r.getAs[Long]("syllables") == sy)
+      val grade = 0.39 * (w.toDouble / st.toDouble) +
+        11.8 * (sy.toDouble / w.toDouble) - 15.59
+      assert(math.abs(r.getAs[Double]("fk_grade") - grade) < 1e-9)
+    }
+  }
 }

@@ -61,6 +61,7 @@ object SparkEntry {
     streaming.StatefulLag,
     streaming.StatefulGaps,
     streaming.StatefulPit,
+    streaming.StatefulSprt,
     streaming.LateData)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on

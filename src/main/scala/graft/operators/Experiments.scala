@@ -19,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Experiments extends QueryModule {
 
+  /** SPRT micro-nat constants (ln(22/18), ln(78/82), ln(19) × 1e6) —
+    * shared with the streamed twin (streaming.StatefulSprt) so the two
+    * spellings can never drift apart.
+    */
+  private[graft] val SprtSucc = 200671L
+  private[graft] val SprtFail = 50010L
+  private[graft] val SprtThresh = 2944439L
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
@@ -257,17 +265,59 @@ object Experiments extends QueryModule {
           .withColumn("cum_n", sum("n_d").over(wc))
           .withColumn("cum_s", sum("s_d").over(wc))
           .withColumn("llr_micro",
-            col("cum_s") * 200671L - (col("cum_n") - col("cum_s")) * 50010L)
+            col("cum_s") * SprtSucc -
+              (col("cum_n") - col("cum_s")) * SprtFail)
           .withColumn("state",
-            when(col("llr_micro") >= 2944439L, "accept_h1")
-              .when(col("llr_micro") <= -2944439L, "accept_h0")
+            when(col("llr_micro") >= SprtThresh, "accept_h1")
+              .when(col("llr_micro") <= -SprtThresh, "accept_h0")
               .otherwise("continue"))
+        // the decision column is CAUSAL (running min up to this look):
+        // rows before the crossing read null, the crossing and every
+        // later look read the first crossing day — exactly the state
+        // an online monitor can know, which is what lets the streamed
+        // twin (q_streaming_sprt) emit bit-equal rows as days close
         cum.withColumn("first_decision_day",
             min(when(col("state") =!= "continue", col("day")))
-              .over(Window.partitionBy("arm")))
+              .over(Window.partitionBy("arm").orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .select(col("arm"), col("day"), col("cum_n"), col("cum_s"),
             col("llr_micro"), col("state"), col("first_decision_day"))
           .orderBy("arm", "day")
+      }),
+
+      // --- delta-method variance for a RATIO metric (clicks/views per
+      // arm): the correct uncertainty for ratio-of-sums metrics, where
+      // the naive per-user-ratio variance is both biased and undefined
+      // for zero-view users. Var(X̄/Ȳ) ≈ (σx² − 2R·σxy + R²·σy²) /
+      // (μy²·n), every moment from exact int64 per-user count sums
+      // (the q_cuped_adjust discipline) and the whole estimator ONE
+      // fixed IEEE tree replayed identically by the oracle. One
+      // user-keyed aggregate + one O(arms) rollup. ---
+      "q_delta_method" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+            sum((col("event_type") === "view").cast("long")).as("y"))
+          .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+        val g = per.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        val n = col("n").cast("double")
+        val r = col("sx").cast("double") / col("sy").cast("double")
+        val my = col("sy").cast("double") / n
+        val vx = (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / n) / n
+        val vy = (col("syy").cast("double") -
+          col("sy").cast("double") * col("sy") / n) / n
+        val cxy = (col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy") / n) / n
+        val varR = (vx - lit(2.0) * r * cxy + r * r * vy) / (my * my * n)
+        g.select(col("arm"), col("n"), col("sx").as("sum_clicks"),
+            col("sy").as("sum_views"), r.as("ratio"),
+            varR.as("var_delta"), sqrt(varR).as("se"))
+          .orderBy("arm")
       })
     )
 
@@ -459,7 +509,39 @@ object Experiments extends QueryModule {
         |  FROM cum)
         |SELECT arm, day, cum_n, cum_s, llr_micro, state,
         |  CAST(MIN(CASE WHEN state <> 'continue' THEN day END)
-        |    OVER (PARTITION BY arm) AS BIGINT) AS first_decision_day
-        |FROM st ORDER BY arm, day""".stripMargin
+        |    OVER (PARTITION BY arm ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS first_decision_day
+        |FROM st ORDER BY arm, day""".stripMargin,
+
+    "q_delta_method" ->
+      """WITH per AS (SELECT user_id % 2 AS arm,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM per GROUP BY arm),
+        |t AS (SELECT arm, n, sx, sy,
+        |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vx,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vy,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cxy
+        |  FROM g)
+        |SELECT arm, n, sx AS sum_clicks, sy AS sum_views, r AS ratio,
+        |  (vx - 2.0 * r * cxy + r * r * vy)
+        |    / (my * my * CAST(n AS DOUBLE)) AS var_delta,
+        |  sqrt((vx - 2.0 * r * cxy + r * r * vy)
+        |    / (my * my * CAST(n AS DOUBLE))) AS se
+        |FROM t ORDER BY arm""".stripMargin
   )
 }

@@ -362,6 +362,38 @@ object Insights extends QueryModule {
               / (col("ca") + col("cb") - col("common"))).as("jac"))
           .orderBy(col("common").desc, col("sa"), col("sb"))
           .limit(20)
+      }),
+
+      // --- Simpson's-paradox detector: per calendar-year stratum, the
+      // urgent-vs-rest finished-order rate difference, flagged where
+      // its SIGN flips against the pooled difference — the aggregation
+      // trap every metrics platform should surface before anyone reads
+      // a pooled topline. All rates are single divisions off exact
+      // int64 conditional counts; the pooled row is a 1-row aggregate
+      // crossed back (AQE broadcasts); O(years) out. ---
+      "q_simpson_flip" -> ((s, d) => {
+        val o = table(s, d, "orders")
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            (col("o_orderpriority") === "1-URGENT").as("urgent"),
+            (col("o_orderstatus") === "F").cast("long").as("fin"))
+        val byYr = o.groupBy("yr")
+          .agg(sum(when(col("urgent"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("urgent"), col("fin")).otherwise(0L)).as("f_a"),
+            sum(when(!col("urgent"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(!col("urgent"), col("fin")).otherwise(0L)).as("f_b"))
+        val pooled = byYr.agg(sum("n_a").as("pn_a"), sum("f_a").as("pf_a"),
+          sum("n_b").as("pn_b"), sum("f_b").as("pf_b"))
+        val ra = col("f_a").cast("double") / col("n_a").cast("double")
+        val rb = col("f_b").cast("double") / col("n_b").cast("double")
+        val pa = col("pf_a").cast("double") / col("pn_a").cast("double")
+        val pb = col("pf_b").cast("double") / col("pn_b").cast("double")
+        byYr.crossJoin(pooled)
+          .select(col("yr"), col("n_a"), col("f_a"), col("n_b"),
+            col("f_b"), ra.as("rate_a"), rb.as("rate_b"),
+            (ra - rb).as("diff"), (pa - pb).as("pooled_diff"),
+            (((ra - rb) > 0.0 && (pa - pb) < 0.0) ||
+              ((ra - rb) < 0.0 && (pa - pb) > 0.0)).as("flipped"))
+          .orderBy("yr")
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -538,5 +570,43 @@ object Insights extends QueryModule {
         |SELECT sa, sb, common,
         |  CAST(common AS DOUBLE) / (da.c + db.c - common) AS jac
         |FROM pr JOIN deg da ON da.sk = sa JOIN deg db ON db.sk = sb
-        |ORDER BY common DESC, sa, sb LIMIT 20""".stripMargin)
+        |ORDER BY common DESC, sa, sb LIMIT 20""".stripMargin,
+
+    "q_simpson_flip" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_orderpriority = '1-URGENT' AS urgent,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fin
+        |  FROM orders),
+        |b AS (SELECT yr,
+        |    CAST(SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN urgent THEN fin ELSE 0 END) AS BIGINT)
+        |      AS f_a,
+        |    CAST(SUM(CASE WHEN NOT urgent THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN NOT urgent THEN fin ELSE 0 END)
+        |      AS BIGINT) AS f_b
+        |  FROM o GROUP BY yr),
+        |p AS (SELECT CAST(SUM(n_a) AS BIGINT) AS pn_a,
+        |    CAST(SUM(f_a) AS BIGINT) AS pf_a,
+        |    CAST(SUM(n_b) AS BIGINT) AS pn_b,
+        |    CAST(SUM(f_b) AS BIGINT) AS pf_b
+        |  FROM b)
+        |SELECT yr, n_a, f_a, n_b, f_b,
+        |  CAST(f_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(f_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CAST(f_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(f_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+        |  CAST(pf_a AS DOUBLE) / CAST(pn_a AS DOUBLE)
+        |    - CAST(pf_b AS DOUBLE) / CAST(pn_b AS DOUBLE) AS pooled_diff,
+        |  ((CAST(f_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(f_b AS DOUBLE) / CAST(n_b AS DOUBLE)) > 0.0
+        |    AND (CAST(pf_a AS DOUBLE) / CAST(pn_a AS DOUBLE)
+        |      - CAST(pf_b AS DOUBLE) / CAST(pn_b AS DOUBLE)) < 0.0)
+        |  OR ((CAST(f_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(f_b AS DOUBLE) / CAST(n_b AS DOUBLE)) < 0.0
+        |    AND (CAST(pf_a AS DOUBLE) / CAST(pn_a AS DOUBLE)
+        |      - CAST(pf_b AS DOUBLE) / CAST(pn_b AS DOUBLE)) > 0.0)
+        |    AS flipped
+        |FROM b CROSS JOIN p ORDER BY yr""".stripMargin)
 }

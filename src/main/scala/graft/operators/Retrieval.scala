@@ -190,6 +190,43 @@ object Retrieval extends QueryModule {
           (col("n_rel").cast("double") / 10.0).as("p_at_10"))
     }),
 
+    // --- expected reciprocal rank (ERR@10): the CASCADE-model ranking
+    // metric — a user scans down, stops at a satisfying doc with
+    // probability rel/4; ERR = Σ_i (R_i/4)·Π_{j<i}(1−R_j/4)/i weights
+    // position by how much relevance SHADOWS it, which NDCG ignores.
+    // Determinism: every term is EXACT INTEGER — the survival product
+    // Π(4−R_j) folds over a window-collected bounded list, scaled by
+    // 4^(10−i)·(2520/i) (2520 = lcm(1..10), so the division is exact),
+    // summed in int64 (≤ 5.3e14 per term), ONE terminal division by
+    // 4^10·2520. All windows sit above a TakeOrdered 10-row relation.
+    // ---
+    "q_err_rank" -> ((s, d) => {
+      val top10 = bm25Scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("bm25"),
+          least(col("tf_rare"), lit(3L)).as("rel"))
+      val wr = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val ranked = top10
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("prod_before",
+          aggregate(
+            collect_list(lit(4L) - col("rel"))
+              .over(wr.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(1L), (acc, e) => acc * e))
+        .withColumn("term_scaled",
+          col("rel") * col("prod_before") *
+            expr("shiftleft(1L, cast(20 - rk * 2 as int))") *
+            expr("2520 div rk"))
+      ranked
+        .withColumn("err_cum",
+          sum("term_scaled").over(wr.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / 2642411520.0)
+        .select(col("rk"), col("doc_id"), col("rel"), col("prod_before"),
+          col("term_scaled"), col("err_cum"))
+        .orderBy("rk")
+    }),
+
     // --- inverted-index build (trigram postings): the scale shape is
     // df-first — document frequency is a cheap combinable count
     // (map-side partial, one shuffle on the gram), the probe set (here:
@@ -476,6 +513,33 @@ object Retrieval extends QueryModule {
         |  coalesce(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)) AS mrr,
         |  CAST(n_rel AS DOUBLE) / 10.0 AS p_at_10
         |FROM a""".stripMargin,
+
+    "q_err_rank" ->
+      s"""WITH $bm25Cte,
+        |sc AS (SELECT doc_id, tf0,
+        |         $bm25ScoreSql
+        |         AS bm25
+        |       FROM w CROSS JOIN s),
+        |t AS (SELECT doc_id, bm25, LEAST(tf0, 3) AS rel FROM sc
+        |      ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |r AS (SELECT doc_id, rel,
+        |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |          AS BIGINT) AS rk,
+        |        CAST(COALESCE(product(4 - rel) OVER (
+        |          ORDER BY bm25 DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          1) AS BIGINT) AS prod_before
+        |      FROM t),
+        |x AS (SELECT doc_id, rel, rk, prod_before,
+        |        rel * prod_before
+        |          * (CAST(1 AS BIGINT) << CAST(20 - rk * 2 AS INTEGER))
+        |          * (2520 // rk) AS term_scaled
+        |      FROM r)
+        |SELECT rk, doc_id, rel, prod_before, term_scaled,
+        |  CAST(CAST(SUM(term_scaled) OVER (ORDER BY rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS DOUBLE) / 2642411520.0 AS err_cum
+        |FROM x ORDER BY rk""".stripMargin,
 
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -54,6 +54,18 @@ object Similarity extends QueryModule {
     * so a rounding tweak can never desynchronize the codes the rerank
     * claims to read from the quantizer's table.
     */
+  /** SRP hyperplane signs: ±1 from the low bit of md5("p:j") — a pure
+    * function of (plane, dim) computed ONCE driver-side and inlined as
+    * literals into both the Spark plan and the DuckDB oracle, so the
+    * two engines share the matrix by construction (q_embed_srp).
+    */
+  private lazy val srpSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map(p => (0 until 64).map { j =>
+      if ((md.digest(s"$p:$j".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    })
+  }
+
   private def q8Of(vv: Column, ma: Column): Column =
     transform(vv, a => when(ma > 0,
         floor((a * 127).cast("double") / ma.cast("double")))
@@ -670,6 +682,35 @@ object Similarity extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // --- signed-random-projection (SRP) 16-bit signatures: the
+    // EMBEDDING-space sibling of q_dedup_simhash — each bit is the
+    // sign of the vector's dot product with a ±1 hyperplane, so
+    // Hamming distance between signatures estimates angular distance
+    // (the Charikar LSH family q_sim_lsh buckets with). Fully
+    // PORTABLE: dots run over the shared int8 codes (q8Of — the
+    // q_embed_quantize discipline) against a deterministic md5-derived
+    // sign matrix inlined as literals into BOTH plans, every dot an
+    // exact int64 fold. The 16 bounded HOF dots are fine at this
+    // width; the fleet-scale path is a native codegen'd expression
+    // (the SimHash64 precedent in functions/). ---
+    "q_embed_srp" -> ((s, d) => {
+      val sig = let(fixedPoint(col("embedding"))) { vv =>
+        let(array_max(transform(vv, a => abs(a)))) { ma =>
+          let(q8Of(vv, ma)) { q8 =>
+            (0 until 16).map { p =>
+              val signs = typedLit(srpSigns(p).toSeq)
+              (aggregate(zip_with(q8, signs, (a, b) => a * b),
+                lit(0L), (acc, e) => acc + e) >= 0).cast("long") *
+                lit(1L << p)
+            }.reduce(_ + _)
+          }
+        }
+      }
+      table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), sig.as("srp_sig"))
+        .orderBy("vec_id")
+    }),
+
     "q_sim_lsh" -> ((s, d) => {
       val e = corpus(s, d)
       // raw read, not Tables.table: the count comes straight from
@@ -1090,6 +1131,27 @@ object Similarity extends QueryModule {
          |       * (v[i] * 127 - q8[i] * maxabs))) AS BIGINT) AS DOUBLE)
          |    / CAST(17734023044399104 AS DOUBLE) AS sq_err
          |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "q_embed_srp" -> {
+      val planes = srpSigns.zipWithIndex.map { case (row, p) =>
+        val arr = row.mkString("[", ",", "]")
+        s"(CASE WHEN CAST(list_sum(list_transform(range(1, 65), " +
+          s"i -> q8[i] * ($arr)[i])) AS BIGINT) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"""WITH v0 AS (SELECT vec_id, label, $qSql AS v FROM embeddings),
+         |m AS (SELECT vec_id, label, v,
+         |        list_max(list_transform(v, a -> abs(a))) AS maxabs
+         |      FROM v0),
+         |qq AS (SELECT vec_id, label,
+         |         list_transform(v, a -> CASE WHEN maxabs > 0
+         |           THEN CAST(floor(CAST(a * 127 AS DOUBLE)
+         |                / CAST(maxabs AS DOUBLE)) AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END) AS q8
+         |       FROM m)
+         |SELECT vec_id, label, CAST($planes AS BIGINT) AS srp_sig
+         |FROM qq ORDER BY vec_id""".stripMargin
+    },
 
     "q_sim_topk" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

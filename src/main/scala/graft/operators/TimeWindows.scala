@@ -188,6 +188,38 @@ object TimeWindows extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // --- time-boxed funnel: q_funnel with CONVERSION WINDOWS — the
+    // click must land within 3 days of the first view and the purchase
+    // within 3 days of that click, the attribution-window semantics
+    // every marketing funnel actually uses (an unbounded "ever after"
+    // stage overcredits). Same scale shape as q_funnel: every stage is
+    // a user-keyed min-aggregate joined back on user_id (co-partitioned,
+    // AQE reuses the exchange); the window bound is a pure timestamp
+    // comparison pushed into the stage filter. ---
+    "q_funnel_windowed" -> ((s, d) => {
+      val ev = Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 3 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 3 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), fmtTs(col("t1")).as("t_view"),
+          fmtTs(col("t2")).as("t_click"), fmtTs(col("t3")).as("t_purchase"),
+          (lit(1L) + col("t2").isNotNull.cast("long") +
+            col("t3").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
+    }),
+
     // --- per-user event deltas (lag/lead): inter-event gap in micros
     // and the next event's type — the sequence-feature primitive behind
     // dwell-time, churn, and bot-cadence signals. Reads the
@@ -523,6 +555,26 @@ object TimeWindows extends QueryModule {
          |p AS (SELECT e.user_id, MIN(e.ts) AS t3
          |      FROM events e JOIN c USING (user_id)
          |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+         |      GROUP BY e.user_id)
+         |SELECT v.user_id, ${FT("t1")} AS t_view, ${FT("t2")} AS t_click,
+         |  ${FT("t3")} AS t_purchase,
+         |  (1 + CAST(t2 IS NOT NULL AS BIGINT)
+         |     + CAST(t3 IS NOT NULL AS BIGINT)) AS stage
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
+    "q_funnel_windowed" ->
+      s"""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+         |      FROM events e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.ts > v.t1
+         |        AND e.ts <= v.t1 + INTERVAL 3 DAY
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+         |      FROM events e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+         |        AND e.ts <= c.t2 + INTERVAL 3 DAY
          |      GROUP BY e.user_id)
          |SELECT v.user_id, ${FT("t1")} AS t_view, ${FT("t2")} AS t_click,
          |  ${FT("t3")} AS t_purchase,

@@ -405,9 +405,14 @@ class Round10Spec extends AnyFunSuite {
       assert(st == want)
     }
     rows.groupBy(_._1).foreach { case (_, g) =>
+      // causal decision: null before the first crossing, the crossing
+      // day from then on
       val crossings = g.filter(_._6 != "continue").map(_._2)
-      val want = if (crossings.isEmpty) None else Some(crossings.min)
-      assert(g.forall(_._7 == want))
+      val first = if (crossings.isEmpty) None else Some(crossings.min)
+      g.foreach { r =>
+        val want = first.filter(_ <= r._2)
+        assert(r._7 == want, s"day ${r._2}: ${r._7} vs $want")
+      }
       // cumulative counts are monotone in day
       val sorted = g.sortBy(_._2)
       sorted.sliding(2).foreach {
@@ -478,6 +483,110 @@ class Round10Spec extends AnyFunSuite {
       if (m < 64) assert(est == exact, s"short group must be exact")
       else assert(est > 0 && math.abs(est - exact) <= exact / 2 + 1,
         s"KMV estimate $est vs exact $exact outside 50%")
+    }
+  }
+
+  test("streamed SPRT equals the batch gate bit-for-bit") {
+    val b = q("q_sprt_gate").collect().map(_.toString).toSeq
+    val st = q("q_streaming_sprt").collect().map(_.toString).toSeq
+    assert(st == b, s"streamed SPRT diverges:\n$st\nvs\n$b")
+  }
+
+  test("delta method: the quadratic form is nonnegative, se^2 = var, " +
+    "and the ratio matches the recomputed sums") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_delta_method").collect()
+    assert(rows.length == 2)
+    val check = Tables.table(spark, sf, "events")
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("c"),
+        sum((col("event_type") === "view").cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val varD = r.getAs[Double]("var_delta")
+      val se = r.getAs[Double]("se")
+      assert(varD >= 0.0 && math.abs(se * se - varD) < 1e-15)
+      val (c, v) = check(r.getAs[Long]("arm"))
+      assert(r.getAs[Long]("sum_clicks") == c)
+      assert(r.getAs[Long]("sum_views") == v)
+      assert(math.abs(r.getAs[Double]("ratio") - c.toDouble / v) < 1e-12)
+    }
+  }
+
+  test("windowed funnel never promotes a user past the unbounded " +
+    "funnel's stage") {
+    val unb = q("q_funnel").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toMap
+    val win = q("q_funnel_windowed").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toMap
+    assert(win.keySet == unb.keySet, "stage-1 population must match")
+    win.foreach { case (u, s) =>
+      assert(s <= unb(u), s"user $u windowed stage $s > unbounded ${unb(u)}")
+    }
+  }
+
+  test("ERR@10: terms recompute from the graded relevances and the " +
+    "cumulative metric is a nondecreasing value in [0, 1]") {
+    val rows = q("q_err_rank").collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("rel"),
+        r.getAs[Long]("prod_before"), r.getAs[Long]("term_scaled"),
+        r.getAs[Double]("err_cum"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong))
+    var prod = 1L
+    var cumTerm = 0L
+    rows.foreach { case (rk, rel, pb, term, cum) =>
+      assert(pb == prod, s"rank $rk survival product")
+      val want = rel * prod * (1L << (2 * (10 - rk.toInt))) * (2520 / rk)
+      assert(term == want, s"rank $rk term $term != $want")
+      cumTerm += term
+      assert(math.abs(cum - cumTerm.toDouble / 2642411520.0) < 1e-15)
+      assert(cum >= 0.0 && cum <= 1.0 + 1e-12)
+      prod *= (4L - rel)
+    }
+  }
+
+  test("SRP signature recomputes in plain Scala for every vector") {
+    import org.apache.spark.sql.functions._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = (0 until 16).map(p => (0 until 64).map { j =>
+      if ((md.digest(s"$p:$j".getBytes("UTF-8"))(0) & 1) == 0) 1L else -1L
+    })
+    val emb = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = q("q_embed_srp").collect()
+    assert(rows.length == emb.size)
+    rows.foreach { r =>
+      val sig = r.getAs[Long]("srp_sig")
+      assert(sig >= 0L && sig <= 65535L)
+      val v = emb(r.getAs[Long]("vec_id"))
+        .map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val ma = v.map(math.abs).max
+      val q8 = v.map(x =>
+        if (ma > 0) math.floor((x * 127).toDouble / ma.toDouble).toLong
+        else 0L)
+      val want = (0 until 16).map { p =>
+        val dot = q8.iterator.zip(signs(p).iterator).map {
+          case (a, b) => a * b
+        }.sum
+        if (dot >= 0) 1L << p else 0L
+      }.sum
+      assert(sig == want, s"vec ${r.getAs[Long]("vec_id")}: $sig != $want")
+    }
+  }
+
+  test("Simpson detector: stratum counts tile the orders table and " +
+    "the flip flag restates the sign comparison") {
+    val rows = q("q_simpson_flip").collect()
+    val total = rows.map(r =>
+      r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+    assert(total == Tables.table(spark, sf, "orders").count())
+    rows.foreach { r =>
+      val d = r.getAs[Double]("diff")
+      val pd = r.getAs[Double]("pooled_diff")
+      assert(r.getAs[Boolean]("flipped") ==
+        ((d > 0 && pd < 0) || (d < 0 && pd > 0)))
     }
   }
 

@@ -318,6 +318,32 @@ object Experiments extends QueryModule {
             col("sy").as("sum_views"), r.as("ratio"),
             varR.as("var_delta"), sqrt(varR).as("se"))
           .orderBy("arm")
+      }),
+
+      // --- minimum-detectable-effect grid: the experiment-DESIGN
+      // readout — at the observed conversion base rate, the smallest
+      // absolute/relative lift a two-proportion z-test resolves
+      // (α=0.05 two-sided, 80% power) at full, half and quarter
+      // enrollment. z_{α/2}+z_β is the precomputed literal 2.801585219
+      // (no inverse-normal on either engine); the rest is one exact
+      // user-grain aggregate + a 3-row scenario explode + a fixed
+      // sqrt tree. 1-row input, O(scenarios) out. ---
+      "q_power_mde" -> ((s, d) => {
+        val g = table(s, d, "events")
+          .groupBy("user_id")
+          .agg(max((col("event_type") === "purchase").cast("long"))
+            .as("conv"))
+          .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        val p = col("n_conv").cast("double") / col("n_users").cast("double")
+        g.select(explode(array(lit(1L), lit(2L), lit(4L))).as("divisor"),
+            col("n_users"), col("n_conv"))
+          .withColumn("n_per_arm", expr("(n_users div 2) div divisor"))
+          .select(col("divisor"), col("n_per_arm"), p.as("p_base"),
+            (lit(2.801585219) * sqrt(lit(2.0) * p * (lit(1.0) - p) /
+              col("n_per_arm").cast("double"))).as("mde_abs"),
+            (lit(2.801585219) * sqrt(lit(2.0) * p * (lit(1.0) - p) /
+              col("n_per_arm").cast("double")) / p).as("mde_rel"))
+          .orderBy("divisor")
       })
     )
 
@@ -542,6 +568,34 @@ object Experiments extends QueryModule {
         |    / (my * my * CAST(n AS DOUBLE)) AS var_delta,
         |  sqrt((vx - 2.0 * r * cxy + r * r * vy)
         |    / (my * my * CAST(n AS DOUBLE))) AS se
-        |FROM t ORDER BY arm""".stripMargin
+        |FROM t ORDER BY arm""".stripMargin,
+
+    "q_power_mde" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(conv) AS BIGINT) AS n_conv
+        |  FROM u),
+        |sc AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |    CAST(4 AS BIGINT)]) AS divisor, n_users, n_conv
+        |  FROM g),
+        |x AS (SELECT divisor, (n_users // 2) // divisor AS n_per_arm,
+        |    n_conv, n_users
+        |  FROM sc)
+        |SELECT divisor, n_per_arm,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_base,
+        |  2.801585219 * sqrt(2.0
+        |    * (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    / CAST(n_per_arm AS DOUBLE)) AS mde_abs,
+        |  2.801585219 * sqrt(2.0
+        |    * (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    / CAST(n_per_arm AS DOUBLE))
+        |    / (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |    AS mde_rel
+        |FROM x ORDER BY divisor""".stripMargin
   )
 }

@@ -259,6 +259,43 @@ object Mining extends QueryModule {
             col("st.l").as("level"), col("st.b").as("trend"),
             (col("st.l") + col("st.b")).as("forecast"))
           .orderBy("event_type")
+      }),
+
+      // --- one Louvain pass from singleton communities on the
+      // near-dup graph: the community-OPTIMIZER step whose objective
+      // q_graph_modularity only measures. With singleton init the
+      // modularity gain of moving i next to neighbor j reduces to
+      // ΔQ = (2m − ki·kj)/(2m²) — so the best move is the
+      // LOWEST-DEGREE neighbor and the whole pass is exact integer
+      // arithmetic: one degree aggregate, one per-node struct-extremum
+      // min over (kj, j), a broadcast edge count. Nodes evaluate
+      // against the INITIAL partition (standard synchronous
+      // simplification, documented). O(edges) + O(nodes), no
+      // iteration here — the fixpoint loop is q_dedup_cluster's
+      // localCheckpoint discipline. ---
+      "q_louvain_step" -> ((s, d) => {
+        val pairs = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id"))
+        val ed = pairs.unionByName(pairs.select(col("b_id").as("a_id"),
+          col("a_id").as("b_id"))).localCheckpoint()
+        val m = pairs.count()
+        val deg = ed.groupBy(col("a_id").as("id"))
+          .agg(count(lit(1)).as("k"))
+        val best = ed
+          .join(deg.select(col("id").as("a_id"), col("k").as("ki")),
+            "a_id")
+          .join(deg.select(col("id").as("b_id"), col("k").as("kj")),
+            "b_id")
+          .groupBy(col("a_id").as("doc_id"), col("ki"))
+          .agg(min(struct(col("kj"), col("b_id"))).as("bb"))
+        val moved = lit(2L * m) > col("ki") * col("bb.kj")
+        best.select(col("doc_id"), col("ki").as("degree"),
+            col("bb.b_id").as("best_nbr"), col("bb.kj").as("nbr_degree"),
+            (lit(2L * m) - col("ki") * col("bb.kj")).as("gain_num"),
+            moved.as("moved"),
+            when(moved, col("bb.b_id")).otherwise(col("doc_id"))
+              .as("new_comm"))
+          .orderBy("doc_id")
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -415,5 +452,27 @@ object Mining extends QueryModule {
         |SELECT n.event_type, n.n_days, fin.l AS level, fin.b AS trend,
         |  fin.l + fin.b AS forecast
         |FROM fin JOIN n ON fin.event_type = n.event_type
-        |WHERE rk = 1 ORDER BY n.event_type""".stripMargin)
+        |WHERE rk = 1 ORDER BY n.event_type""".stripMargin,
+
+    "q_louvain_step" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |ed AS (SELECT a_id, b_id FROM p
+         |       UNION ALL SELECT b_id, a_id FROM p),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+         |deg AS (SELECT a_id AS id, CAST(COUNT(*) AS BIGINT) AS k
+         |        FROM ed GROUP BY 1),
+         |cand AS (SELECT ed.a_id AS doc_id, da.k AS ki,
+         |           ed.b_id, db.k AS kj,
+         |           row_number() OVER (PARTITION BY ed.a_id
+         |             ORDER BY db.k, ed.b_id) AS rn
+         |         FROM ed
+         |         JOIN deg da ON da.id = ed.a_id
+         |         JOIN deg db ON db.id = ed.b_id)
+         |SELECT doc_id, ki AS degree, b_id AS best_nbr,
+         |  kj AS nbr_degree, 2 * m - ki * kj AS gain_num,
+         |  2 * m > ki * kj AS moved,
+         |  CASE WHEN 2 * m > ki * kj THEN b_id ELSE doc_id END
+         |    AS new_comm
+         |FROM cand CROSS JOIN mm WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -228,6 +228,26 @@ object Planner extends QueryModule {
           .unionByName(audit("user_id", "props"))
           .unionByName(audit("event_type", "props"))
           .orderBy("pair")
+      }),
+
+      // --- skew-salting plan: the ACTIONABLE output of a skew audit —
+      // for every key whose row count overflows the 64-row target
+      // shard, the salt fan-out (ceil(cnt/64)) and the resulting
+      // max-shard load a salted repartition would produce. Pure
+      // integer ceil-division arithmetic on the per-key count
+      // relation; output is O(hot keys), the exact list a fleet job
+      // feeds into q_join_salted's explode-replication. ---
+      "q_salt_plan" -> ((s, d) => {
+        table(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+          .withColumn("salt_factor",
+            expr("(n_rows + 63) div 64"))
+          .filter(col("salt_factor") > 1)
+          .withColumn("max_shard_rows",
+            expr("(n_rows + salt_factor - 1) div salt_factor"))
+          .select(col("user_id"), col("n_rows"), col("salt_factor"),
+            col("max_shard_rows"))
+          .orderBy(col("n_rows").desc, col("user_id"))
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -394,5 +414,16 @@ object Planner extends QueryModule {
          |SELECT bucket, n_vecs,
          |  CAST(n_vecs AS DOUBLE) / total AS share,
          |  CAST(n_vecs AS DOUBLE) * n_cells / total AS skew
-         |FROM cells CROSS JOIN tot ORDER BY bucket""".stripMargin)
+         |FROM cells CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
+    "q_salt_plan" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id, n_rows,
+        |    (n_rows + 63) // 64 AS salt_factor
+        |  FROM c)
+        |SELECT user_id, n_rows, salt_factor,
+        |  (n_rows + salt_factor - 1) // salt_factor AS max_shard_rows
+        |FROM f WHERE salt_factor > 1
+        |ORDER BY n_rows DESC, user_id""".stripMargin)
 }

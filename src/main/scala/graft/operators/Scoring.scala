@@ -462,6 +462,44 @@ object Scoring extends QueryModule {
         .orderBy("user_id", "event_type", "eff_start", "event_id")
     }),
 
+    // --- incremental SCD2 APPLY: merge a change batch (events on or
+    // after the cutover) into an existing SCD2 dimension (versions
+    // built from events before it) — the maintenance operation
+    // q_scd2_intervals only does as a full rebuild. Closed base
+    // versions pass through untouched; each key's OPEN version closes
+    // at the key's first batch timestamp (one keyed min-aggregate
+    // joined back — never a re-sort of history); batch versions chain
+    // among THEMSELVES with one lead window over the batch only. The
+    // invariant that makes it correct (and the test pin): apply(base,
+    // batch) == rebuild over the full history, so this query carries
+    // the identical full-history oracle. Incremental cost is
+    // O(batch + open versions), not O(history). ---
+    "q_scd2_apply" -> ((s, d) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Advanced.eventsByUser(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val base = ev.filter(col("ts") < cut)
+        .withColumn("eff_end", lead(col("ts"), 1).over(w))
+      val batch = ev.filter(col("ts") >= cut)
+      val firstNew = batch.groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("first_new"))
+      val closedBase = base.filter(col("eff_end").isNotNull)
+      val openBase = base.filter(col("eff_end").isNull)
+        .drop("eff_end")
+        .join(firstNew, Seq("user_id", "event_type"), "left")
+        .withColumn("eff_end", col("first_new")).drop("first_new")
+      val newVers = batch.withColumn("eff_end", lead(col("ts"), 1).over(w))
+      closedBase.unionByName(openBase).unionByName(newVers)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), fmtTs(col("ts")).as("eff_start"),
+          fmtTs(col("eff_end")).as("eff_end"),
+          col("eff_end").isNull.as("is_current"))
+        .orderBy("user_id", "event_type", "eff_start", "event_id")
+    }),
+
     // --- SCD2 dimension LOOKUP (the consuming half of
     // q_scd2_intervals): which profile version was in effect for each
     // fact — every purchase resolved against the user's latest
@@ -685,6 +723,18 @@ object Scoring extends QueryModule {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_scd2_intervals" ->
+      s"""SELECT user_id, event_type, event_id, value,
+         |  ${FT("ts")} AS eff_start,
+         |  ${FT("lead(ts, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)")}
+         |    AS eff_end,
+         |  (lead(ts, 1) OVER (PARTITION BY user_id, event_type
+         |                     ORDER BY ts, event_id) IS NULL) AS is_current
+         |FROM events
+         |ORDER BY user_id, event_type, eff_start, event_id""".stripMargin,
+
+    // apply(base, batch) == rebuild over the full history, so the
+    // incremental MERGE carries the identical full-history oracle
+    "q_scd2_apply" ->
       s"""SELECT user_id, event_type, event_id, value,
          |  ${FT("ts")} AS eff_start,
          |  ${FT("lead(ts, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)")}

@@ -66,6 +66,50 @@ object Similarity extends QueryModule {
     })
   }
 
+  /** DuckDB twin of [[srpSigExpr]]: CTE chain ending in
+    * `sg(vec_id, label, srp_sig)` — shared by the census and pair
+    * oracles.
+    */
+  private lazy val srpSigCte: String = {
+    val planes = srpSigns.zipWithIndex.map { case (row, p) =>
+      val arr = row.mkString("[", ",", "]")
+      s"(CASE WHEN CAST(list_sum(list_transform(range(1, 65), " +
+        s"i -> q8[i] * ($arr)[i])) AS BIGINT) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""v0 AS (SELECT vec_id, label, $qSql AS v FROM embeddings),
+       |m0 AS (SELECT vec_id, label, v,
+       |        list_max(list_transform(v, a -> abs(a))) AS maxabs
+       |      FROM v0),
+       |qq0 AS (SELECT vec_id, label,
+       |         list_transform(v, a -> CASE WHEN maxabs > 0
+       |           THEN CAST(floor(CAST(a * 127 AS DOUBLE)
+       |                / CAST(maxabs AS DOUBLE)) AS BIGINT)
+       |           ELSE CAST(0 AS BIGINT) END) AS q8
+       |       FROM m0),
+       |sg AS (SELECT vec_id, label, CAST($planes AS BIGINT) AS srp_sig
+       |       FROM qq0)""".stripMargin
+  }
+
+  /** The 16-bit SRP signature expression over `embedding` — ONE
+    * definition shared by q_embed_srp (census) and q_srp_pairs (the
+    * Hamming join), so the signatures the join blocks on are exactly
+    * the ones the census publishes.
+    */
+  private def srpSigExpr: Column =
+    let(fixedPoint(col("embedding"))) { vv =>
+      let(array_max(transform(vv, a => abs(a)))) { ma =>
+        let(q8Of(vv, ma)) { q8 =>
+          (0 until 16).map { p =>
+            val signs = typedLit(srpSigns(p).toSeq)
+            (aggregate(zip_with(q8, signs, (a, b) => a * b),
+              lit(0L), (acc, e) => acc + e) >= 0).cast("long") *
+              lit(1L << p)
+          }.reduce(_ + _)
+        }
+      }
+    }
+
   private def q8Of(vv: Column, ma: Column): Column =
     transform(vv, a => when(ma > 0,
         floor((a * 127).cast("double") / ma.cast("double")))
@@ -694,21 +738,49 @@ object Similarity extends QueryModule {
     // width; the fleet-scale path is a native codegen'd expression
     // (the SimHash64 precedent in functions/). ---
     "q_embed_srp" -> ((s, d) => {
-      val sig = let(fixedPoint(col("embedding"))) { vv =>
-        let(array_max(transform(vv, a => abs(a)))) { ma =>
-          let(q8Of(vv, ma)) { q8 =>
-            (0 until 16).map { p =>
-              val signs = typedLit(srpSigns(p).toSeq)
-              (aggregate(zip_with(q8, signs, (a, b) => a * b),
-                lit(0L), (acc, e) => acc + e) >= 0).cast("long") *
-                lit(1L << p)
-            }.reduce(_ + _)
-          }
-        }
-      }
       table(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), sig.as("srp_sig"))
+        .select(col("vec_id"), col("label"), srpSigExpr.as("srp_sig"))
         .orderBy("vec_id")
+    }),
+
+    // --- SRP near-neighbor pairs (Hamming <= 2 on the 16-bit
+    // signatures): q_embed_srp's signatures put to work as an actual
+    // ANGULAR near-dup join. Blocking is the 4-band pigeonhole
+    // (q_dedup_phash's discipline): <= 2 differing bits leave >= 2 of
+    // the 4 nibble bands untouched, so band-equality candidates have
+    // FULL recall — ONE shuffle on (band, nibble) keys, distinct
+    // pairs, then the exact bit_count verify. At fleet width the
+    // signature grows to 64 bits / 8 bands (the SimHash64 path); the
+    // join shape is unchanged. ---
+    "q_srp_pairs" -> ((s, d) => {
+      val sigs = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), srpSigExpr.as("sig"))
+        .localCheckpoint()
+      val banded = sigs.select(col("vec_id"), col("sig"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L))
+                .as("nib"))): _*)).as("bk"))
+        .select(col("vec_id"), col("sig"), col("bk.band"), col("bk.nib"))
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.nib") === col("y.nib")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .distinct()
+      val la = sigs.select(col("vec_id").as("a_id"),
+        col("label").as("label_a"))
+      val lb = sigs.select(col("vec_id").as("b_id"),
+        col("label").as("label_b"))
+      cand
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .join(la, "a_id").join(lb, "b_id")
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          (col("label_a") === col("label_b")).as("same_label"))
+        .orderBy("a_id", "b_id")
     }),
 
     "q_sim_lsh" -> ((s, d) => {
@@ -1132,26 +1204,20 @@ object Similarity extends QueryModule {
          |    / CAST(17734023044399104 AS DOUBLE) AS sq_err
          |FROM qq ORDER BY vec_id""".stripMargin,
 
-    "q_embed_srp" -> {
-      val planes = srpSigns.zipWithIndex.map { case (row, p) =>
-        val arr = row.mkString("[", ",", "]")
-        s"(CASE WHEN CAST(list_sum(list_transform(range(1, 65), " +
-          s"i -> q8[i] * ($arr)[i])) AS BIGINT) >= 0 " +
-          s"THEN ${1L << p} ELSE 0 END)"
-      }.mkString("\n  + ")
-      s"""WITH v0 AS (SELECT vec_id, label, $qSql AS v FROM embeddings),
-         |m AS (SELECT vec_id, label, v,
-         |        list_max(list_transform(v, a -> abs(a))) AS maxabs
-         |      FROM v0),
-         |qq AS (SELECT vec_id, label,
-         |         list_transform(v, a -> CASE WHEN maxabs > 0
-         |           THEN CAST(floor(CAST(a * 127 AS DOUBLE)
-         |                / CAST(maxabs AS DOUBLE)) AS BIGINT)
-         |           ELSE CAST(0 AS BIGINT) END) AS q8
-         |       FROM m)
-         |SELECT vec_id, label, CAST($planes AS BIGINT) AS srp_sig
-         |FROM qq ORDER BY vec_id""".stripMargin
-    },
+    "q_embed_srp" ->
+      s"""WITH $srpSigCte
+         |SELECT vec_id, label, srp_sig
+         |FROM sg ORDER BY vec_id""".stripMargin,
+
+    "q_srp_pairs" ->
+      s"""WITH $srpSigCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(bit_count(xor(a.srp_sig, b.srp_sig)) AS BIGINT)
+         |    AS hamming,
+         |  a.label = b.label AS same_label
+         |FROM sg a JOIN sg b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -210,6 +210,44 @@ object Stratified extends QueryModule {
             (col("cents").cast("double") / 100.0).as("revenue"),
             (col("cents").cast("double") / col("tc")).as("revenue_share"))
           .orderBy("cls")
+      }),
+
+      // --- post-stratification readout: estimate corpus mean doc
+      // length from the md5 TRAIN sample (q_train_split's <= 'b'
+      // nibble gate), re-weighting each source stratum's sample mean
+      // by its CORPUS share — the survey-statistics correction for a
+      // sample whose strata mix drifted. One scan produces corpus and
+      // sample tallies per stratum (conditional aggregates); every
+      // mean/weight/contribution is a single division or fixed tree
+      // off exact int64 sums; N rides a broadcast 1-row total.
+      // O(sources) out, with the per-stratum sampling bias exposed. ---
+      "q_post_stratify" -> ((s, d) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val g = table(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_corpus"),
+            sum(col("n_chars")).as("chars_corpus"),
+            sum((nib <= "b").cast("long")).as("n_sample"),
+            sum(when(nib <= "b", col("n_chars")).otherwise(0L))
+              .as("chars_sample"))
+        val tot = g.agg(sum("n_corpus").as("n_tot"))
+        g.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_corpus"), col("n_sample"),
+            (col("n_corpus").cast("double") / col("n_tot").cast("double"))
+              .as("w_h"),
+            (col("chars_sample").cast("double") /
+              col("n_sample").cast("double")).as("sample_mean"),
+            (col("chars_corpus").cast("double") /
+              col("n_corpus").cast("double")).as("true_mean"),
+            ((col("n_corpus").cast("double") /
+              col("n_tot").cast("double")) *
+              (col("chars_sample").cast("double") /
+                col("n_sample").cast("double"))).as("contrib"),
+            (col("chars_sample").cast("double") /
+              col("n_sample").cast("double") -
+              col("chars_corpus").cast("double") /
+                col("n_corpus").cast("double")).as("sample_bias"))
+          .orderBy("source")
       })
     )
 
@@ -332,6 +370,30 @@ object Stratified extends QueryModule {
         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
         |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
         |  CAST(SUM(cents) AS DOUBLE) / MAX(tc) AS revenue_share
-        |FROM cl GROUP BY cls ORDER BY cls""".stripMargin
+        |FROM cl GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "q_post_stratify" ->
+      """WITH g AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_corpus,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_corpus,
+        |    CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      <= 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        |    CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      <= 'b' THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sample
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS n_tot FROM g)
+        |SELECT source, n_corpus, n_sample,
+        |  CAST(n_corpus AS DOUBLE) / CAST(n_tot AS DOUBLE) AS w_h,
+        |  CAST(chars_sample AS DOUBLE) / CAST(n_sample AS DOUBLE)
+        |    AS sample_mean,
+        |  CAST(chars_corpus AS DOUBLE) / CAST(n_corpus AS DOUBLE)
+        |    AS true_mean,
+        |  (CAST(n_corpus AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |    * (CAST(chars_sample AS DOUBLE) / CAST(n_sample AS DOUBLE))
+        |    AS contrib,
+        |  CAST(chars_sample AS DOUBLE) / CAST(n_sample AS DOUBLE)
+        |    - CAST(chars_corpus AS DOUBLE) / CAST(n_corpus AS DOUBLE)
+        |    AS sample_bias
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

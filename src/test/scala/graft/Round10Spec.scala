@@ -590,6 +590,98 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("SRP pairs: the blocked join equals the brute-force Hamming " +
+    "scan over the census signatures") {
+    val sigs = q("q_embed_srp").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("srp_sig")))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val got = q("q_srp_pairs").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(got == brute,
+      s"missing: ${brute.diff(got).take(5)}; extra: ${got.diff(brute).take(5)}")
+  }
+
+  test("Louvain step: gains restate 2m - ki*kj and the chosen " +
+    "neighbor has the minimum degree among neighbors") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_louvain_step").collect()
+    val m = q("q_dedup_ngram").count()
+    val deg = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("degree")).toMap
+    rows.foreach { r =>
+      val ki = r.getAs[Long]("degree")
+      val kj = r.getAs[Long]("nbr_degree")
+      assert(r.getAs[Long]("gain_num") == 2 * m - ki * kj)
+      assert(r.getAs[Boolean]("moved") == (2 * m > ki * kj))
+      assert(deg(r.getAs[Long]("best_nbr")) == kj,
+        "published neighbor degree must match the census")
+      val expect = if (r.getAs[Boolean]("moved"))
+        r.getAs[Long]("best_nbr") else r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("new_comm") == expect)
+    }
+  }
+
+  test("SCD2 apply equals the full rebuild bit-for-bit") {
+    val rebuild = q("q_scd2_intervals").collect().map(_.toString).toSeq
+    val applied = q("q_scd2_apply").collect().map(_.toString).toSeq
+    assert(applied == rebuild)
+  }
+
+  test("salt plan: factors shard every hot key under the 64-row " +
+    "target and cold keys are absent") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_salt_plan").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows"); val f = r.getAs[Long]("salt_factor")
+      val mx = r.getAs[Long]("max_shard_rows")
+      assert(n > 64 && f == (n + 63) / 64 && mx == (n + f - 1) / f)
+      assert(mx <= 64, s"shard $mx exceeds the target")
+    }
+    val hot = Tables.table(spark, sf, "events")
+      .groupBy("user_id").count().filter(col("count") > 64).count()
+    assert(rows.length == hot)
+  }
+
+  test("post-stratification: weights sum to 1 and contributions " +
+    "restate w_h * sample_mean") {
+    val rows = q("q_post_stratify").collect()
+    val wsum = rows.map(_.getAs[Double]("w_h")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("contrib") -
+        r.getAs[Double]("w_h") * r.getAs[Double]("sample_mean")) < 1e-12)
+      assert(math.abs(r.getAs[Double]("sample_bias") -
+        (r.getAs[Double]("sample_mean") - r.getAs[Double]("true_mean")))
+        < 1e-12)
+    }
+  }
+
+  test("MDE grid: shrinking enrollment can only raise the detectable " +
+    "effect, and the relative MDE restates abs/p") {
+    val rows = q("q_power_mde").collect()
+      .map(r => (r.getAs[Long]("divisor"), r.getAs[Long]("n_per_arm"),
+        r.getAs[Double]("p_base"), r.getAs[Double]("mde_abs"),
+        r.getAs[Double]("mde_rel"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 >= a._4, "halving n must not shrink the MDE")
+      case _ =>
+    }
+    rows.foreach { case (_, n, p, mabs, mrel) =>
+      // at the smoke SF every user converts (p = 1) and the MDE
+      // degenerates to 0 — the formula pins still hold
+      assert(n > 0 && p > 0 && p <= 1)
+      assert(math.abs(mrel - mabs / p) < 1e-12)
+      val want = 2.801585219 * math.sqrt(2.0 * p * (1.0 - p) / n)
+      assert(math.abs(mabs - want) < 1e-12)
+    }
+  }
+
   test("readability: the per-source tallies recompute from raw text " +
     "and the grade is the documented tree over the sums") {
     import org.apache.spark.sql.functions._

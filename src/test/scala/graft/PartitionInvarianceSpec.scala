@@ -29,7 +29,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // greedy rounds, or fixed-tree double sums
     "q_croston", "q_binseg_change", "q_churn_hazard", "q_maxsim_late",
     "q_ivf_nprobe_curve", "q_mmr_diversify", "q_session_gap_sweep",
-    "q_jaccard_hist")
+    "q_jaccard_hist",
+    // round-10 batch additions: the portable sketches (KMV order
+    // statistics, SRP signatures + blocked pairs), the BH/SPRT
+    // sequential gates, ERR's window-collected products, and the
+    // survivorship struct-extremum merge
+    "q_kmv_distinct", "q_embed_srp", "q_srp_pairs", "q_fdr_bh",
+    "q_sprt_gate", "q_err_rank", "q_survivorship", "q_shapley_attrib",
+    "q_delta_method", "q_louvain_step", "q_scd2_apply", "q_power_mde")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -942,4 +942,40 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q grid reduces partial+final below the window")
     }
   }
+
+  test("round-10 batch plans: KMV rides the native TopKPerKey heaps, " +
+      "SRP pairs join on band keys (never cartesian), ERR tops are " +
+      "TakeOrdered, and the sequential gates reduce before windowing") {
+    // KMV: distinct-reduce feeds the native bounded-heap operator —
+    // the k order statistics must NEVER come from a rank window
+    val pk = plan("q_kmv_distinct")
+    assert(pk.contains("TopKPerKey"), pk.take(3000))
+    assert(!pk.contains("Window"), "KMV must not sort groups: " +
+      pk.take(2000))
+    // SRP pair join: equi on (band, nibble), no cartesian anywhere
+    val ps = plan("q_srp_pairs")
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+    // ERR: the only corpus-sized work is the scored scan + a bounded
+    // TakeOrdered; windows run over the 10 survivors
+    val pe = plan("q_err_rank")
+    assert(pe.contains("TakeOrderedAndProject"), pe.take(3000))
+    // sequential/multiple-testing gates: the corpus reduces to the
+    // bounded grid (cells / days) below any window — partial+final
+    // aggregate pairs present, no cartesian products
+    for (q <- Seq("q_fdr_bh", "q_sprt_gate", "q_delta_method",
+        "q_power_mde", "q_post_stratify", "q_salt_plan")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(p.contains("partial_"), s"$q map-side partials")
+    }
+    // SCD2 apply: every window partitions by the dimension key —
+    // incremental maintenance must never global-sort history
+    val pa = plan("q_scd2_apply")
+    assert(pa.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")), pa.take(3000))
+    // survivorship + louvain: cluster/edge relations only, joinless of
+    // cartesian shapes
+    for (q <- Seq("q_survivorship", "q_louvain_step", "q_funnel_windowed"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+  }
 }

@@ -219,6 +219,23 @@ object Advanced extends QueryModule {
     }),
 
     // --- correlated EXISTS subquery ---
+    // --- NOT IN with a subquery: the NULL-AWARE anti join — a
+    // distinct physical operator from LEFT ANTI (q_join_anti), because
+    // one NULL in the subquery's value list legally empties the whole
+    // result; Spark plans the specialized null-aware single-column
+    // BroadcastHashJoin for exactly this shape. Declared SQL-first
+    // (temp views) like the other subquery entries so Catalyst owns
+    // the rewrite. ---
+    "q_join_notin" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("customer")
+      table(s, d, "supplier").createOrReplaceTempView("supplier")
+      s.sql(
+        """SELECT c_custkey, c_name, c_nationkey
+          |FROM customer
+          |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+          |                          WHERE s_acctbal > 5000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
     "q_subquery_exists" -> ((s, d) => {
       table(s, d, "customer").createOrReplaceTempView("customer")
       table(s, d, "orders").createOrReplaceTempView("orders")
@@ -881,6 +898,13 @@ object Advanced extends QueryModule {
         |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
         |                      WHERE n_regionkey = 1)
         |  AND c_acctbal < 1000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_notin" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+        |                          WHERE s_acctbal > 5000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_asof_tol" ->

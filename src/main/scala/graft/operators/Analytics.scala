@@ -68,6 +68,36 @@ object Analytics extends QueryModule {
           .orderBy("prev_type", "next_type")
       }),
 
+      // --- second-order Markov transitions: P(next | prev2, prev) —
+      // the memory-2 upgrade of q_markov_transition that separates
+      // "view→click after a view" from "view→click after an error"
+      // (sequence models and next-action predictors start here). ONE
+      // user-keyed window computes both lags in a single pass; the
+      // rollup is O(types³) = bounded by the schema, never by the
+      // corpus; conditionals are single divisions against the
+      // broadcast (prev2, prev) margin. ---
+      "q_markov2" -> ((s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tri = Advanced.eventsByUser(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("prev2_type", lag(col("event_type"), 2).over(w))
+          .filter(col("prev2_type").isNotNull)
+        val counts = tri
+          .groupBy(col("prev2_type"), col("prev_type"),
+            col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy("prev2_type", "prev_type")
+          .agg(sum("n").as("tot"))
+        counts.join(broadcast(tot), Seq("prev2_type", "prev_type"))
+          .select(col("prev2_type"), col("prev_type"), col("next_type"),
+            col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+          .orderBy("prev2_type", "prev_type", "next_type")
+      }),
+
       // --- RFM segmentation: the classic customer-value grid. One
       // aggregate reduces orders to per-customer (recency-month,
       // frequency, monetary-band) metrics — each QUANTIZED so its value
@@ -372,6 +402,24 @@ object Analytics extends QueryModule {
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         |FROM c JOIN t USING (prev_type)
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    "q_markov2" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev2_type
+        |  FROM events),
+        |c AS (SELECT prev2_type, prev_type, event_type AS next_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM seq WHERE prev2_type IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT prev2_type, prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1, 2)
+        |SELECT prev2_type, prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN t USING (prev2_type, prev_type)
+        |ORDER BY prev2_type, prev_type, next_type""".stripMargin,
 
     "q_rfm_segment" ->
       """WITH m AS (

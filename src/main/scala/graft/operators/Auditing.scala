@@ -182,6 +182,29 @@ object Auditing extends QueryModule {
             (col("total_overlaps").cast("double") / col("n_files"))
               .as("avg_overlap"))
           .orderBy("layout")
+      }),
+
+      // --- disparate-impact fairness audit (four-fifths rule): per
+      // language group, the length-gate pass rate against the
+      // best-treated group — the pre-training mix check that catches a
+      // quality filter silently starving one language (the known CJK
+      // failure mode of char-length gates). Rates are single divisions
+      // off exact conditional counts; the reference rate is a 1-row
+      // max over the O(langs) rate relation crossed back; the 0.8
+      // flag compares engine-identical doubles. ---
+      "q_fairness_audit" -> ((s, d) => {
+        val g = table(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum((col("n_chars") >= 200).cast("long")).as("n_pass"))
+          .withColumn("pass_rate",
+            col("n_pass").cast("double") / col("n").cast("double"))
+        val ref = g.agg(max(col("pass_rate")).as("max_rate"))
+        g.crossJoin(broadcast(ref))
+          .select(col("lang"), col("n"), col("n_pass"), col("pass_rate"),
+            (col("pass_rate") / col("max_rate")).as("di_ratio"),
+            (col("pass_rate") / col("max_rate") < 0.8).as("flagged"))
+          .orderBy("lang")
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -295,5 +318,19 @@ object Auditing extends QueryModule {
         |  CAST(SUM(ovl) AS BIGINT) AS total_overlaps,
         |  CAST(MAX(ovl) AS BIGINT) AS max_overlap,
         |  CAST(SUM(ovl) AS DOUBLE) / COUNT(*) AS avg_overlap
-        |FROM ov GROUP BY layout ORDER BY layout""".stripMargin)
+        |FROM ov GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "q_fairness_audit" ->
+      """WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pass
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n, n_pass,
+        |    CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate
+        |  FROM g),
+        |mx AS (SELECT MAX(pass_rate) AS max_rate FROM r)
+        |SELECT lang, n, n_pass, pass_rate,
+        |  pass_rate / max_rate AS di_ratio,
+        |  pass_rate / max_rate < 0.8 AS flagged
+        |FROM r CROSS JOIN mx ORDER BY lang""".stripMargin)
 }

@@ -112,6 +112,40 @@ object Retrieval extends QueryModule {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)),
 
+    // --- pseudo-relevance feedback (Rocchio-style query expansion):
+    // take the BM25 top-5, harvest the terms that are FREQUENT in
+    // those five but RARE corpus-wide, and emit the top-10 expansion
+    // candidates — the classic second-pass recall lever. The only
+    // corpus-sized work is the df aggregate (token-keyed, map-side
+    // partials) and the scored scan already priced by q_rank_bm25;
+    // the feedback set is 5 docs, so the tf side is bounded. The
+    // score tf5·⌊log2(N/df)⌋ keeps idf INTEGER (the house floor-log2
+    // idiom), and the final cut is a 10-row TakeOrdered. ---
+    "q_prf_expand" -> ((s, d) => {
+      val top5 = bm25Scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf5 = toks.join(top5, "doc_id")
+        .groupBy("tok").agg(count(lit(1)).as("tf5"))
+      val df = toks.distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = table(s, d, "documents").agg(count(lit(1)).as("n"))
+      // idf floor-log2 of 16N/df: 4 extra bits of resolution so
+      // common-but-not-universal terms keep a nonzero integer idf
+      tf5.join(df, "tok").crossJoin(broadcast(n))
+        .select(col("tok"), col("tf5"), col("df"),
+          expr("CAST(length(bin((16 * n) div df)) - 1 AS BIGINT)")
+            .as("idf_fl"))
+        .withColumn("score", col("tf5") * col("idf_fl"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("tok")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("tok"))).cast("long"))
+        .orderBy("rnk")
+    }),
+
     // --- hybrid retrieval: reciprocal-rank fusion (round 6) of the
     // lexical BM25 list and an embedding-cosine list — the standard
     // hybrid-search combinator (RRF: score = sum over lists of
@@ -513,6 +547,31 @@ object Retrieval extends QueryModule {
         |  coalesce(CAST(1 AS DOUBLE) / first_rel, CAST(0 AS DOUBLE)) AS mrr,
         |  CAST(n_rel AS DOUBLE) / 10.0 AS p_at_10
         |FROM a""".stripMargin,
+
+    "q_prf_expand" ->
+      s"""WITH $bm25Cte,
+        |sc AS (SELECT doc_id,
+        |         $bm25ScoreSql
+        |         AS bm25
+        |       FROM w CROSS JOIN s),
+        |t5 AS (SELECT doc_id FROM sc ORDER BY bm25 DESC, doc_id LIMIT 5),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents),
+        |tf5 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf5
+        |        FROM tk JOIN t5 USING (doc_id) GROUP BY 1),
+        |dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |x AS (SELECT tok, tf5, df,
+        |        CAST(length(bin((16 * n) // df)) - 1 AS BIGINT) AS idf_fl
+        |      FROM tf5 JOIN dfc USING (tok) CROSS JOIN nn),
+        |y AS (SELECT tok, tf5, df, idf_fl, tf5 * idf_fl AS score
+        |      FROM x WHERE tf5 * idf_fl > 0
+        |      ORDER BY score DESC, tok LIMIT 10)
+        |SELECT tok, tf5, df, idf_fl, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, tok) AS BIGINT)
+        |    AS rnk
+        |FROM y ORDER BY rnk""".stripMargin,
 
     "q_err_rank" ->
       s"""WITH $bm25Cte,

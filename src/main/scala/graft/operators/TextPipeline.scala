@@ -421,6 +421,69 @@ object TextPipeline extends QueryModule {
               col("words").cast("double")) -
             lit(15.59)).as("fk_grade"))
         .orderBy("source")
+    }),
+
+    // --- quality-gate threshold sweep: pass rates over the 3×3 grid
+    // of (min length × max stopword-ratio) cutoffs — the sensitivity
+    // card a curation team reads BEFORE freezing a gate, because a
+    // cliff between adjacent cells means the gate sits on a density
+    // spike. ONE scan computes every cell as a conditional count (the
+    // stop-ratio inequality is cross-multiplied to integers — no
+    // per-doc float ratio is ever compared); the 9-row grid explodes
+    // from literals, map-side. ---
+    "q_gate_sweep" -> ((s, d) => {
+      val nStop = size(filter(toks, t =>
+        t.isin(stopwords.map(lit(_)): _*))).cast("long")
+      val nTok = size(toks).cast("long")
+      val base = table(s, d, "documents")
+        .select(col("n_chars"), nStop.as("n_stop"), nTok.as("n_tok"))
+        .select(col("*"), explode(array(
+          (for (l <- Seq(100L, 200L, 400L); sPct <- Seq(30L, 45L, 60L))
+            yield struct(lit(l).as("min_len"), lit(sPct).as("max_stop_pct")))
+            : _*)).as("g"))
+        .select(col("n_chars"), col("n_stop"), col("n_tok"),
+          col("g.min_len"), col("g.max_stop_pct"))
+      base.groupBy("min_len", "max_stop_pct")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_chars") >= col("min_len") &&
+            col("n_stop") * 100L <= col("max_stop_pct") * col("n_tok"))
+            .cast("long")).as("n_pass"))
+        .select(col("min_len"), col("max_stop_pct"), col("n_docs"),
+          col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs").cast("double"))
+            .as("pass_rate"))
+        .orderBy("min_len", "max_stop_pct")
+    }),
+
+    // --- BPE merge APPLY: run a fixed 5-merge list over the corpus
+    // (q_bpe_step learns the pair statistics; this is the other half
+    // of the tokenizer loop — applying an agreed merge table and
+    // measuring the symbol compression it buys per language). Each
+    // word becomes a spaced symbol sequence and the merges apply in
+    // rule order as plain left-to-right string replaces — identical
+    // semantics on both engines, all map-side; the rollup is one
+    // lang-keyed aggregate of exact symbol counts. ---
+    "q_bpe_apply" -> ((s, d) => {
+      val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+        "a n" -> "an", "r e" -> "re")
+      // fold the merge chain as nested replace() calls in ONE expr
+      val chain = merges.foldLeft(
+        "array_join(regexp_extract_all(word, '.', 0), ' ')") {
+        case (inner, (from, to)) => s"replace($inner, '$from', '$to')"
+      }
+      table(s, d, "documents")
+        .select(col("lang"), explode(toks).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("lang"), length(col("word")).cast("long").as("sym0"),
+          size(split(expr(chain), " ")).cast("long").as("sym1"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("sym0").as("sym_before"), sum("sym1").as("sym_after"))
+        .select(col("lang"), col("n_words"), col("sym_before"),
+          col("sym_after"),
+          (col("sym_after").cast("double") /
+            col("sym_before").cast("double")).as("compression"))
+        .orderBy("lang")
     })
   )
 
@@ -822,6 +885,45 @@ object TextPipeline extends QueryModule {
         |  0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
         |    + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
         |    - 15.59 AS fk_grade
-        |FROM g ORDER BY source""".stripMargin
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q_gate_sweep" ->
+      s"""WITH base AS (SELECT n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (SELECT unnest([CAST(100 AS BIGINT), CAST(200 AS BIGINT),
+         |    CAST(400 AS BIGINT)]) AS min_len),
+         |s2 AS (SELECT unnest([CAST(30 AS BIGINT), CAST(45 AS BIGINT),
+         |    CAST(60 AS BIGINT)]) AS max_stop_pct),
+         |x AS (SELECT * FROM base CROSS JOIN g CROSS JOIN s2)
+         |SELECT min_len, max_stop_pct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_chars >= min_len
+         |    AND n_stop * 100 <= max_stop_pct * n_tok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(CAST(SUM(CASE WHEN n_chars >= min_len
+         |    AND n_stop * 100 <= max_stop_pct * n_tok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS pass_rate
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_bpe_apply" ->
+      """WITH w0 AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |            FROM documents),
+        |w1 AS (SELECT lang, word FROM w0 WHERE length(word) > 0),
+        |x AS (SELECT lang, CAST(length(word) AS BIGINT) AS sym0,
+        |    CAST(len(string_split(replace(replace(replace(replace(
+        |      replace(array_to_string(regexp_extract_all(word, '.'), ' '),
+        |      't h', 'th'), 'th e', 'the'), 'i n', 'in'), 'a n', 'an'),
+        |      'r e', 're'), ' ')) AS BIGINT) AS sym1
+        |  FROM w1)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(sym0) AS BIGINT) AS sym_before,
+        |  CAST(SUM(sym1) AS BIGINT) AS sym_after,
+        |  CAST(SUM(sym1) AS DOUBLE) / CAST(SUM(sym0) AS DOUBLE)
+        |    AS compression
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

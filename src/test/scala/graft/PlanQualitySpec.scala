@@ -977,5 +977,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // cartesian shapes
     for (q <- Seq("q_survivorship", "q_louvain_step", "q_funnel_windowed"))
       assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    // NOT IN: Catalyst plans the null-aware LEFT ANTI (the OR-isnull
+    // condition keeps the join hash-based, never a nested loop over
+    // the fact side)
+    val pn = plan("q_join_notin")
+    assert(pn.contains("LeftAnti"), pn.take(2000))
+    assert(!pn.contains("CartesianProduct"), pn.take(2000))
+    // PRF: feedback top-5 is a TakeOrdered; the df aggregate reduces
+    // map-side
+    val pf = plan("q_prf_expand")
+    assert(pf.contains("TakeOrderedAndProject"), pf.take(3000))
+    assert(pf.contains("partial_"), pf.take(3000))
   }
 }

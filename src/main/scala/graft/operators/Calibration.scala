@@ -167,8 +167,46 @@ object Calibration extends QueryModule {
             s"${wilsonSql("-")} AS lo",
             s"${wilsonSql("+")} AS hi")
           .orderBy("event_type")
+      }),
+
+      // --- empirical-Bayes (beta-binomial) rate shrinkage: per-source
+      // long-doc rates pulled toward the corpus mean with a prior
+      // strength ESTIMATED from the between-source dispersion
+      // (method of moments: M = μ(1−μ)/s² − 1) — the principled
+      // small-sample smoothing q_target_encode hard-codes. The
+      // dispersion needs Σx²/n, kept deterministic as the INTEGER
+      // floor Σ(x²·10⁶ div n) (identical on both engines); every
+      // double then flows through ONE shared expression tree
+      // (wilson-style single-source string). Degenerate zero
+      // dispersion pins the prior at 10⁹ (full pooling). ---
+      "q_eb_shrinkage" -> ((s, d) => {
+        val g = table(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum((col("n_chars") >= 350).cast("long")).as("x"))
+        val glob = g.agg(sum("x").as("sx"), sum("n").as("sn"),
+          sum(expr("(x * 1000000 * x) div n")).as("sq2"))
+        g.crossJoin(broadcast(glob))
+          .selectExpr(Seq("source", "n", "x",
+            "CAST(x AS DOUBLE) / n AS raw_rate") ++ Seq(
+            s"$ebPriorSql AS prior_strength",
+            s"(CAST(x AS DOUBLE) + $ebPriorSql * $ebMuSql) " +
+              s"/ (CAST(n AS DOUBLE) + $ebPriorSql) AS shrunk_rate",
+            s"CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + $ebPriorSql) " +
+              "AS weight"): _*)
+          .orderBy("source")
       })
     )
+
+  /** Shared EB expression fragments — ONE spelling rendered into both
+    * dialects (q_eb_shrinkage).
+    */
+  private val ebMuSql = "(CAST(sx AS DOUBLE) / sn)"
+  private val ebS2Sql =
+    "((CAST(sq2 AS DOUBLE) / 1000000 - CAST(sx AS DOUBLE) * sx / sn) / sn)"
+  private val ebPriorSql =
+    s"(CASE WHEN $ebS2Sql > 0 THEN GREATEST($ebMuSql * (1 - $ebMuSql) " +
+      s"/ $ebS2Sql - 1, 0.0) ELSE 1000000000.0 END)"
 
   /** The Wilson-interval IEEE expression tree, written ONCE and
     * rendered into both dialects (identical parenthesization =
@@ -280,6 +318,24 @@ object Calibration extends QueryModule {
         |  CAST(COALESCE(dropped, 0) AS BIGINT) AS dropped,
         |  witness_dim, witness_corr
         |FROM dims LEFT JOIN drp USING (dim)
-        |ORDER BY dim""".stripMargin
+        |ORDER BY dim""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      s"""WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM documents GROUP BY source),
+         |gl AS (SELECT CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(n) AS BIGINT) AS sn,
+         |    CAST(SUM((x * 1000000 * x) // n) AS BIGINT) AS sq2
+         |  FROM g)
+         |SELECT source, n, x,
+         |  CAST(x AS DOUBLE) / n AS raw_rate,
+         |  $ebPriorSql AS prior_strength,
+         |  (CAST(x AS DOUBLE) + $ebPriorSql * $ebMuSql)
+         |    / (CAST(n AS DOUBLE) + $ebPriorSql) AS shrunk_rate,
+         |  CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + $ebPriorSql)
+         |    AS weight
+         |FROM g CROSS JOIN gl ORDER BY source""".stripMargin
   )
 }

@@ -120,4 +120,57 @@ private[graft] object CmsOracle {
        |FROM km JOIN ex USING (event_type)
        |ORDER BY event_type""".stripMargin
   }
+
+  /** KMV set-operation oracle (q_kmv_setops): one UNION sketch over
+    * click∪view users, membership flags riding each hash, the same
+    * integral estimators as the engine.
+    */
+  def kmvSetopsSql(k: Int): String = {
+    val num = (BigInt(k - 1) * BigInt(M)).toString
+    s"""WITH mem AS (SELECT user_id,
+       |    CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS in_a,
+       |    CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS in_b
+       |  FROM events WHERE event_type IN ('click', 'view')
+       |  GROUP BY 1),
+       |us AS (SELECT user_id, in_a, in_b,
+       |    ((CAST(user_id AS HUGEINT)%$M)+$M)%$M AS u,
+       |    (CAST(42 AS HUGEINT)+$P5+8)%$M AS h0
+       |  FROM mem),
+       |s2 AS (SELECT *, ${mul("u", P2)} AS k1a FROM us),
+       |s3 AS (SELECT *, ${rot("k1a", 31)} AS k1b FROM s2),
+       |s4 AS (SELECT *, ${mul("k1b", P1)} AS k1 FROM s3),
+       |s5 AS (SELECT *, ${xor("h0", "k1")} AS h1 FROM s4),
+       |s6 AS (SELECT *, (${mul(rot("h1", 27), P1)}+$P4)%$M AS h2 FROM s5),
+       |s7 AS (SELECT *, ${xor("h2", "h2//8589934592")} AS h3 FROM s6),
+       |s8 AS (SELECT *, ${mul("h3", P2)} AS h4 FROM s7),
+       |s9 AS (SELECT *, ${xor("h4", "h4//536870912")} AS h5 FROM s8),
+       |sa AS (SELECT *, ${mul("h5", P3)} AS h6 FROM s9),
+       |sb AS (SELECT user_id, in_a, in_b,
+       |    ${xor("h6", "h6//4294967296")} AS h
+       |  FROM sa),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM sb),
+       |ku AS (SELECT * FROM rk WHERE rn <= $k),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS jac_cnt
+       |  FROM ku),
+       |ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS ndv_a,
+       |    CAST(SUM(in_b) AS BIGINT) AS ndv_b,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS exact_inter,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_union
+       |  FROM mem),
+       |eu AS (SELECT agg.*, ex.*,
+       |    CAST(CASE WHEN m < $k THEN m
+       |      ELSE (CAST('$num' AS HUGEINT)) // kth END AS BIGINT)
+       |      AS est_union
+       |  FROM agg CROSS JOIN ex)
+       |SELECT ndv_a, ndv_b, exact_inter, exact_union, m, jac_cnt,
+       |  est_union,
+       |  CAST(jac_cnt AS DOUBLE) / CAST(m AS DOUBLE) AS est_jac,
+       |  CAST((jac_cnt * est_union) // m AS BIGINT) AS est_inter
+       |FROM eu""".stripMargin
+  }
 }

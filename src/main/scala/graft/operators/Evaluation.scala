@@ -437,6 +437,44 @@ object Evaluation extends QueryModule {
             count(lit(1)).as("n_docs"),
             countDistinct("source").as("n_sources"))
           .orderBy("lang")
+      }),
+
+      // --- Cramér–von Mises two-sample test: the INTEGRATED-squared
+      // CDF-distance sibling of q_ks_test (KS reads only the max gap;
+      // CvM weighs the whole curve, catching spread/shape drifts KS
+      // misses). Fully exact: over the quantized cent domain,
+      // D_v = cum0·n1 − cum1·n0 is integer, the weighted square sum
+      // S = Σ(c0+c1)·D² accumulates in DECIMAL(38,0), and the
+      // statistic T = S/(n0·n1·N²) ships as the INTEGER nano-scaled
+      // floor T·10⁹ (one integral division both engines state
+      // identically) plus its double render — no wide-decimal output,
+      // no cross-engine rounding surface. Windows run over the
+      // bounded cent-domain aggregate, never rows. ---
+      "q_cvm_test" -> ((s, d) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dom = table(s, d, "events")
+          .groupBy(expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+          .agg(sum((col("user_id") % 2 === 0).cast("long")).as("c0"),
+            sum((col("user_id") % 2 === 1).cast("long")).as("c1"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dom
+          .withColumn("cum0", sum("c0").over(w))
+          .withColumn("cum1", sum("c1").over(w))
+        val tot = dom.agg(sum("c0").as("n0"), sum("c1").as("n1"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("dd", col("cum0").cast(d38) * col("n1") -
+            col("cum1").cast(d38) * col("n0"))
+          .groupBy("n0", "n1")
+          .agg(sum((col("c0") + col("c1")).cast(d38) * col("dd") *
+            col("dd")).as("sq"))
+          .selectExpr("n0", "n1",
+            "CAST(sq * 1000000000 AS DECIMAL(38,0)) div " +
+              "CAST(n0 * n1 * (n0 + n1) * (n0 + n1) AS DECIMAL(38,0)) " +
+              "AS t9")
+          .selectExpr("n0", "n1", "t9",
+            "CAST(t9 AS DOUBLE) / 1000000000.0 AS cvm_t",
+            "t9 > 461000000 AS reject_5pct")
       }))
 
   override def oracle: Map[String, String] = Map(
@@ -704,5 +742,35 @@ object Evaluation extends QueryModule {
         |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources_s,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_cvm_test" ->
+      """WITH dom AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM events GROUP BY 1),
+        |cm AS (SELECT v, c0, c1,
+        |    CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS cum0,
+        |    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1
+        |  FROM dom),
+        |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |    CAST(SUM(c1) AS BIGINT) AS n1
+        |  FROM dom),
+        |x AS (SELECT c0, c1, n0, n1,
+        |    CAST(cum0 AS HUGEINT) * n1 - CAST(cum1 AS HUGEINT) * n0
+        |      AS dd
+        |  FROM cm CROSS JOIN t),
+        |g AS (SELECT n0, n1, SUM((c0 + c1) * dd * dd) AS sq
+        |  FROM x GROUP BY n0, n1),
+        |f AS (SELECT n0, n1,
+        |    CAST((sq * 1000000000)
+        |      // (CAST(n0 AS HUGEINT) * n1 * (n0 + n1) * (n0 + n1))
+        |      AS BIGINT) AS t9
+        |  FROM g)
+        |SELECT n0, n1, t9,
+        |  CAST(t9 AS DOUBLE) / 1000000000.0 AS cvm_t,
+        |  t9 > 461000000 AS reject_5pct
+        |FROM f""".stripMargin)
 }

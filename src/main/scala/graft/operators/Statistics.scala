@@ -220,6 +220,47 @@ object Statistics extends QueryModule {
               (count(lit(1)) * 10000).cast("double"))
               .as("mean_silhouette"))
           .orderBy("bucket")
+      }),
+
+      // --- distribution-free median CI: the order-statistic interval
+      // [X_(l), X_(u)] with l = ⌊(n − z√n)/2⌋, u = ⌈1 + (n + z√n)/2⌉
+      // (z = 1.959963985, a literal — no inverse normal), the
+      // assumption-free uncertainty every median readout should ship
+      // with. All three ranks select against the SAME cumulative over
+      // the quantized cent domain (the quantile-grid discipline —
+      // windows over O(types × cents) buckets, never rows); the rank
+      // arithmetic is floor/ceil of an identical sqrt tree on both
+      // engines, then pure integer threshold reads. ---
+      "q_median_ci" -> ((s, d) => {
+        val dom = table(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dom.withColumn("cum", sum("c").over(wc))
+        val t = table(s, d, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("k_med", expr("(n + 1) div 2"))
+          .withColumn("k_lo", greatest(lit(1L),
+            floor((col("n").cast("double") -
+              lit(1.959963985) * sqrt(col("n").cast("double"))) / 2.0)
+              .cast("long")))
+          .withColumn("k_hi", least(col("n"),
+            ceil(lit(1.0) + (col("n").cast("double") +
+              lit(1.959963985) * sqrt(col("n").cast("double"))) / 2.0)
+              .cast("long")))
+        cum.join(broadcast(t), "event_type")
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("k_lo").as("k_lo"),
+            max("k_hi").as("k_hi"),
+            (min(when(col("cum") >= col("k_med"), col("v")))
+              .cast("double") / 100.0).as("median"),
+            (min(when(col("cum") >= col("k_lo"), col("v")))
+              .cast("double") / 100.0).as("ci_lo"),
+            (min(when(col("cum") >= col("k_hi"), col("v")))
+              .cast("double") / 100.0).as("ci_hi"))
+          .orderBy("event_type")
       }))
 
   /** DuckDB CTE `g(event_type, n, p10..p90)` — twin of [[quantGrid]]. */
@@ -366,5 +407,38 @@ object Statistics extends QueryModule {
          |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(sq) AS DOUBLE) /
          |    CAST(COUNT(*) * 10000 AS DOUBLE) AS mean_silhouette
-         |FROM sq GROUP BY bucket ORDER BY bucket""".stripMargin)
+         |FROM sq GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_median_ci" ->
+      """WITH dom AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) AS cum
+        |  FROM dom),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT event_type, n, (n + 1) // 2 AS k_med,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      CAST(floor((CAST(n AS DOUBLE)
+        |        - 1.959963985 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        |        AS BIGINT)) AS k_lo,
+        |    LEAST(n,
+        |      CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+        |        + 1.959963985 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        |        AS BIGINT)) AS k_hi
+        |  FROM t)
+        |SELECT event_type, MAX(n) AS n,
+        |  CAST(MAX(k_lo) AS BIGINT) AS k_lo,
+        |  CAST(MAX(k_hi) AS BIGINT) AS k_hi,
+        |  CAST(MIN(CASE WHEN cum >= k_med THEN v END) AS DOUBLE) / 100.0
+        |    AS median,
+        |  CAST(MIN(CASE WHEN cum >= k_lo THEN v END) AS DOUBLE) / 100.0
+        |    AS ci_lo,
+        |  CAST(MIN(CASE WHEN cum >= k_hi THEN v END) AS DOUBLE) / 100.0
+        |    AS ci_hi
+        |FROM cm JOIN b USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -775,6 +775,88 @@ class Round10Spec extends AnyFunSuite {
       apply5("thin") == 2)
   }
 
+  test("streamed funnel equals the batch funnel bit-for-bit") {
+    val b = q("q_funnel").collect().map(_.toString).toSeq
+    val st = q("q_streaming_funnel").collect().map(_.toString).toSeq
+    assert(st == b)
+  }
+
+  test("KMV set ops: short-of-k sketches give exact answers and the " +
+    "estimators respect the inclusion bounds") {
+    val r = q("q_kmv_setops").collect().head
+    val (na, nb, xi, xu) = (r.getAs[Long]("ndv_a"), r.getAs[Long]("ndv_b"),
+      r.getAs[Long]("exact_inter"), r.getAs[Long]("exact_union"))
+    assert(xu == na + nb - xi)
+    val m = r.getAs[Long]("m")
+    assert(m == math.min(64L, xu))
+    if (m < 64) {
+      assert(r.getAs[Long]("est_union") == xu)
+      assert(r.getAs[Long]("est_inter") == xi)
+      assert(math.abs(r.getAs[Double]("est_jac") -
+        xi.toDouble / xu) < 1e-12)
+    } else {
+      assert(r.getAs[Long]("est_union") > 0)
+      assert(r.getAs[Long]("est_inter") <= r.getAs[Long]("est_union"))
+    }
+  }
+
+  test("median CI: the interval brackets the median and the ranks " +
+    "restate the z=1.96 order statistics") {
+    val rows = q("q_median_ci").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("k_lo") == math.max(1L,
+        math.floor((n - 1.959963985 * math.sqrt(n.toDouble)) / 2.0).toLong))
+      assert(r.getAs[Long]("k_hi") == math.min(n,
+        math.ceil(1.0 + (n + 1.959963985 * math.sqrt(n.toDouble)) / 2.0)
+          .toLong))
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("median"))
+      assert(r.getAs[Double]("median") <= r.getAs[Double]("ci_hi"))
+    }
+  }
+
+  test("EB shrinkage: every shrunk rate sits between its raw rate " +
+    "and the corpus mean, with weight in (0, 1]") {
+    val rows = q("q_eb_shrinkage").collect()
+    val mu = rows.map(_.getAs[Long]("x")).sum.toDouble /
+      rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_rate")
+      val sh = r.getAs[Double]("shrunk_rate")
+      val w = r.getAs[Double]("weight")
+      assert(w > 0 && w <= 1)
+      assert(sh >= math.min(raw, mu) - 1e-9 &&
+        sh <= math.max(raw, mu) + 1e-9,
+        s"shrunk $sh outside [$raw, $mu]")
+    }
+  }
+
+  test("CvM: the nano-scaled statistic recomputes exactly from the " +
+    "two samples") {
+    import org.apache.spark.sql.functions._
+    val r = q("q_cvm_test").collect().head
+    val vals = Tables.table(spark, sf, "events")
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val n0 = vals.count(_._1 == 0L).toLong
+    val n1 = vals.count(_._1 == 1L).toLong
+    val dom = vals.groupBy(_._2).map { case (v, g) =>
+      (v, g.count(_._1 == 0L).toLong, g.count(_._1 == 1L).toLong)
+    }.toSeq.sortBy(_._1)
+    var c0 = 0L; var c1 = 0L; var s = BigInt(0)
+    dom.foreach { case (_, a, b) =>
+      c0 += a; c1 += b
+      val dd = BigInt(c0) * n1 - BigInt(c1) * n0
+      s += BigInt(a + b) * dd * dd
+    }
+    val t9 = (s * BigInt(1000000000) /
+      (BigInt(n0) * n1 * (n0 + n1) * (n0 + n1))).toLong
+    assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1)
+    assert(r.getAs[Long]("t9") == t9)
+    assert(r.getAs[Boolean]("reject_5pct") == (t9 > 461000000L))
+  }
+
   test("readability: the per-source tallies recompute from raw text " +
     "and the grade is the documented tree over the sums") {
     import org.apache.spark.sql.functions._

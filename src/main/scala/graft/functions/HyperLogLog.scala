@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * leading zeros of the remainder, harmonic-mean estimate with the
   * linear-counting small-range correction. Deterministic for fixed
   * input data (seed 42), so the test suite pins both the error bound
-  * and exact reproducibility; no DuckDB oracle (engine-specific hash).
+  * and exact reproducibility. FULLY oracle-checked since round 11: the
+  * registers are hashLong-derived (rebuilt bit-exactly by
+  * [[graft.operators.HllOracle]]'s HUGEINT XXH64 emulation) and the
+  * estimate crosses the engine boundary through exact integer state
+  * plus one deterministic int->double conversion and division.
   *
   * Three tiers share ONE register codec (companion helpers):
   *   - [[HyperLogLog]]  value stream -> estimate (the original);
@@ -158,6 +162,14 @@ object HyperLogLog {
   private[functions] val P = 12
   private[functions] val M = 1 << P
   private val Alpha = 0.7213 / (1.0 + 1.079 / M)
+  // Alpha * m^2 * 2^53 as one double constant: the raw estimate is this
+  // divided by the EXACT integer N = sum_j 2^(53 - M_j) (max register
+  // rank is 53 at p=12). One constant, one int->double conversion, one
+  // IEEE division — every step deterministic, so the DuckDB oracle
+  // reproduces the estimate bit-for-bit (HllOracle embeds this
+  // constant's exact decimal image).
+  private[graft] val RawNum: Double =
+    Alpha * M.toDouble * M.toDouble * 9007199254740992.0 // 2^53
 
   private[functions] def updateRegisters(buf: Array[Byte], v: Any,
       dt: DataType): Unit = {
@@ -185,18 +197,30 @@ object HyperLogLog {
     * so stored sketch blobs decode to counts.
     */
   def estimateRegisters(buf: Array[Byte]): Long = {
-    var invSum = 0.0
+    // N = sum_j 2^(53 - M_j), held EXACTLY in two longs (ranks are
+    // 0..53): `hi` carries the 2^12-scaled part, `lo` the sub-2^12
+    // tail, so N = hi*2^12 + lo with hi <= 2^53 and lo < 2^24. The
+    // double image of N is then built from two exactly-representable
+    // halves with a SINGLE rounding add — the one floating-point step,
+    // reproduced identically by the DuckDB oracle. (A naive running
+    // double sum rounds at data-dependent points and is not portable.)
+    var hi = 0L
+    var lo = 0L
     var zeros = 0
     var i = 0
     while (i < M) {
-      invSum += java.lang.Math.scalb(1.0, -buf(i))
-      if (buf(i) == 0) zeros += 1
+      val r = buf(i)
+      if (r <= 41) hi += 1L << (41 - r) else lo += 1L << (53 - r)
+      if (r == 0) zeros += 1
       i += 1
     }
-    val raw = Alpha * M.toDouble * M.toDouble / invSum
+    val nd = (hi + (lo >>> 12)).toDouble * 4096.0 + (lo & 4095L).toDouble
+    val raw = RawNum / nd
     val est =
       if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
       else raw
+    // floor(x+0.5) == Math.round == DuckDB floor(x+0.5); the ln branch
+    // is verified rounded-equal for every zeros in 1..4096 (HllOracleSpec)
     math.round(est)
   }
 

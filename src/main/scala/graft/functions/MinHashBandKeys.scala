@@ -9,12 +9,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused MinHash LSH band keys from a token array: one codegen'd pass
-  * builds each sliding `shingleN`-gram, hashes it ONCE (xxhash64, seed
-  * 42), derives the `numHashes` per-hash values by re-seeding the gram
-  * hash with the hash index (`hashLong(g, j)` — the standard
-  * one-string-hash + k cheap mixes construction), keeps running minima,
-  * and folds each `numHashes / bands` slice of the signature into a
-  * band key.
+  * builds each sliding `shingleN`-gram, hashes it ONCE (md5-prefix-64
+  * base then one seed-42 `hashLong` mix — [[Md5Long]], the
+  * oracle-portable basis since round 11), derives the `numHashes`
+  * per-hash values by re-seeding the gram hash with the hash index
+  * (`hashLong(g, j)` — the standard one-string-hash + k cheap mixes
+  * construction), keeps running minima, and folds each
+  * `numHashes / bands` slice of the signature into a band key. Every
+  * stage is 64-bit integer arithmetic DuckDB reproduces bit-exactly
+  * (the q_dedup_minhash oracle rebuilds signatures, band keys, and the
+  * candidate set itself).
   *
   * Replaces the round-2 HOF pipeline (`transform(sequence, j ->
   * array_min(transform(sh, s -> xxhash64(j, s))))` + banded slices),
@@ -79,7 +83,8 @@ object MinHashBandKeys {
           else toks.getUTF8String(i + k)
         k += 1
       }
-      val g = XXH64.hashUTF8String(UTF8String.concatWs(Space, parts: _*), Seed)
+      val g = XXH64.hashLong(
+        Md5Long.hash64(UTF8String.concatWs(Space, parts: _*)), Seed)
       var j = 0
       while (j < numHashes) {
         val h = XXH64.hashLong(g, j.toLong)

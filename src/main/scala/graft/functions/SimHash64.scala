@@ -12,10 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics (identical to the SQL-HOF spelling it replaces, see
   * [[graft.operators.Dedup]]): bit i of the result is set iff
-  * `sum over tokens t of (bit i of xxhash64(t) == 1 ? +1 : -1) > 0`,
-  * with Spark's default xxhash64 seed (42), so signatures are
-  * bit-for-bit equal to `transform(toks, t -> xxhash64(t))` followed by
-  * the aggregate/zip_with bit-count/pack chain.
+  * `sum over tokens t of (bit i of h(t) == 1 ? +1 : -1) > 0`, where
+  * `h(t) = xxhash64(md5_long64(t))` — the oracle-portable basis
+  * ([[Md5Long]], round 11): md5 is bit-identical cross-engine and the
+  * seed-42 `hashLong` mix is reproduced in DuckDB by
+  * [[graft.operators.XxhSql]], so the q_dedup_simhash oracle rebuilds
+  * the signatures themselves. Bit-for-bit equal to
+  * `transform(toks, t -> xxhash64(md5_long64(t)))` followed by the
+  * aggregate/zip_with bit-count/pack chain (pinned in tests).
   *
   * Why native: Spark never compiles lambda higher-order functions —
   * `aggregate`/`zip_with`/`transform` run interpreted and allocate two
@@ -71,7 +75,7 @@ object SimHash64 {
       // null (the seed passes through unchanged) for consistency.
       val h =
         if (arr.isNullAt(t)) Seed
-        else XXH64.hashUTF8String(arr.getUTF8String(t), Seed)
+        else XXH64.hashLong(Md5Long.hash64(arr.getUTF8String(t)), Seed)
       var i = 0
       while (i < 64) {
         counts(i) += (((h >>> i) & 1L).toInt << 1) - 1 // bit -> +1 / -1

@@ -475,8 +475,10 @@ object Advanced extends QueryModule {
         .orderBy("c_custkey")
     }),
 
-    // --- HLL sketch aggregate (TypedImperativeAggregate; rows-only
-    // check, exactness cross-checked in OperatorExtensionsSpec) ---
+    // --- HLL sketch aggregate (TypedImperativeAggregate; FULL oracle
+    // since round 11 — HllOracle rebuilds the 4096 registers bit-exactly
+    // and reproduces the estimate deterministically; exactness also
+    // cross-checked in OperatorExtensionsSpec) ---
     "q_agg_hll" -> ((s, d) => {
       graft.functions.HyperLogLog.register(s)
       table(s, d, "orders").createOrReplaceTempView("orders")
@@ -497,7 +499,9 @@ object Advanced extends QueryModule {
     // algebra the merged estimate is BIT-IDENTICAL to a direct
     // single-pass HLL (pinned in OperatorExtensionsSpec). The exact
     // columns are the verification companion, not part of the
-    // technique. Rows-only (engine-specific hash), like q_agg_hll. ---
+    // technique. FULL oracle since round 11 (HllOracle): merge == direct
+    // at register level, so the ALL row is a pass over the globally
+    // distinct key set. ---
     "q_hll_rollup" -> ((s, d) => {
       import graft.functions.HyperLogLog.{estimate, mergeSketches, sketch}
       val sk = table(s, d, "orders")
@@ -849,6 +853,12 @@ object Advanced extends QueryModule {
     // same XXH64 emulation, full 64-bit width, k-min order statistics
     "q_kmv_distinct" -> CmsOracle.kmvSql(64),
     "q_kmv_setops" -> CmsOracle.kmvSetopsSql(64),
+    // round 11: the HLL registers are seed-42 hashLong-derived, so the
+    // same HUGEINT XXH64 emulation rebuilds them bit-exactly; the
+    // estimate crosses the engine boundary through ONE deterministic
+    // int->double conversion + division (HllOracle)
+    "q_agg_hll" -> HllOracle.aggHllSql,
+    "q_hll_rollup" -> HllOracle.hllRollupSql,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -436,6 +436,12 @@ object Dedup extends QueryModule {
   // relation (DuckDB's UNION-recursive fixpoint == our propagation
   // fixpoint: both compute min reachable id).
   override def oracle: Map[String, String] = Map(
+    // round 11: the md5-prefix-64 hash rebase (functions/Md5Long) makes
+    // the signatures themselves oracle-checkable — DuckDB rebuilds band
+    // keys / sign bits bit-exactly via the HUGEINT XXH64 emulation
+    "q_dedup_minhash" -> SigOracle.minhashSql,
+    "q_dedup_simhash" -> SigOracle.simhashSql,
+
     "q_dedup_cascade" ->
       s"""WITH ${graft.operators.TextPipeline.ngramPairCte},
          |k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents

@@ -581,7 +581,10 @@ object TextPipeline extends QueryModule {
     ngramPairs(s, d).count(); ()
   }
 
-  private def ngramPairsCompute(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: PairMiningSpec drives it directly over a synthetic
+  // viral-shingle corpus (bypassing the tmpfs materialization)
+  private[graft] def ngramPairsCompute(s: SparkSession, d: String)
+      : DataFrame = {
     // DECLARED-EXACT TRUTH TWIN: this is the exact Jaccard pair
     // relation the banded evaluators (q_dedup_minhash, q_minhash_eval,
     // q_lsh_curve — the fleet spellings) measure recall against. The
@@ -621,17 +624,27 @@ object TextPipeline extends QueryModule {
   }
 
   /** DuckDB CTE block deriving the same pair relation `p(a_id, b_id)` —
-    * prefix for oracles that build on the near-dup pairs.
+    * prefix for oracles that build on the near-dup pairs. The
+    * [[NgramDfCap]] is mirrored STRUCTURALLY (round-11 ask #2): the
+    * capped-postings CTE `g` drops grams with df outside [2, cap]
+    * exactly like the Spark `postings` filter, so Spark/DuckDB
+    * agreement no longer depends on the corpus staying under the cap —
+    * a viral shingle is dropped by BOTH engines (cross-engine-verified
+    * by tools/viral_shingle_check.py; PairMiningSpec pins the Spark
+    * semantics on a synthetic viral corpus).
     */
   private[operators] val ngramPairCte: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |s AS (SELECT doc_id,
       |        list_distinct(list_transform(
       |          range(1, greatest(len(tk) - 2, 0) + 1),
       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
       |      FROM t),
       |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
-      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |e0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |g AS (SELECT sg FROM e0 GROUP BY sg
+      |      HAVING COUNT(*) BETWEEN 2 AND $NgramDfCap),
+      |e AS (SELECT e0.doc_id, e0.sg FROM e0 JOIN g USING (sg)),
       |pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
       |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2),

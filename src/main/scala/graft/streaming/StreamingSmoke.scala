@@ -393,9 +393,9 @@ object StreamingSmoke extends QueryModule {
     // that serves batch partial aggregation serves the per-micro-batch
     // state update, so the streamed registers are bit-identical to a
     // batch pass over the same rows (pinned in tests against
-    // q_agg_hll's aggregate on this replay). Rows-only, like q_agg_hll
-    // (engine-specific hash); the exact column is the verification
-    // companion. ---
+    // q_agg_hll's aggregate on this replay). FULL oracle since round 11
+    // (HllOracle.streamingHllSql — register rebuild + deterministic
+    // estimate over the sentinel-filtered events relation). ---
     "q_streaming_hll" -> ((s, d) => {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
@@ -622,6 +622,11 @@ object StreamingSmoke extends QueryModule {
     // aggregate over the same rows, so it carries the same
     // xxhash64-emulating register oracle (CmsOracle)
     "q_streaming_cms" -> graft.operators.CmsOracle.sql,
+
+    // round 11: streamed HLL registers are pinned bit-identical to the
+    // batch aggregate, so the register-rebuild estimate oracle applies
+    // (the replay's user_id=-1 sentinel is filtered on both sides)
+    "q_streaming_hll" -> graft.operators.HllOracle.streamingHllSql,
 
     // the drained day grid equals the batch grid row-for-row, so the
     // streamed change point carries the batch oracle verbatim

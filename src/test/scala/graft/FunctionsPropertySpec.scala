@@ -32,6 +32,26 @@ class FunctionsPropertySpec extends AnyFunSuite {
   private val doc: Gen[Seq[String]] =
     Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, word))
 
+  test("md5_long64 equals the independent conv(md5) SQL spelling") {
+    // the oracle-portable hash base (round 11): first 8 md5 bytes,
+    // big-endian, as a signed long — pinned against a spelling that
+    // shares NO code with Md5Long.hash64 (Spark's conv parses the hex,
+    // decimal arithmetic re-centers the unsigned image)
+    import spark.implicits._
+    val ws = sample(word, 40) ++ Seq("", " ", "Ünïcødé", "a b")
+    val rows = ws.toDF("t")
+      .select(functions.Md5Long(col("t")).as("native"),
+        expr("""CAST(CAST(conv(substr(md5(t), 1, 16), 16, 10)
+            |    AS DECIMAL(20,0))
+            |  - CASE WHEN CAST(conv(substr(md5(t), 1, 16), 16, 10)
+            |        AS DECIMAL(20,0)) >= 9223372036854775808
+            |    THEN CAST(18446744073709551616 AS DECIMAL(21,0))
+            |    ELSE CAST(0 AS DECIMAL(21,0)) END AS BIGINT)""".stripMargin)
+          .as("hof"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("SimHash64: identical docs hash equal; one-token edit flips few bits") {
     import spark.implicits._
     val docs = sample(doc.filter(_.length >= 10), 12)

@@ -443,12 +443,17 @@ class OperatorExtensionsSpec extends AnyFunSuite {
   }
 
   test("native SimHash64 equals the SQL-HOF spelling bit-for-bit") {
-    // the round-2 reference spelling, kept here as the oracle: per-token
-    // xxhash64 -> per-bit +-1 counts -> sign bits packed into a long
+    // the round-2 reference spelling, kept here as the oracle (round 11:
+    // per-token hash basis is md5-prefix-64 -> seed-42 hashLong, so the
+    // HOF twin hashes md5_long64(t); the base itself is independently
+    // pinned against a conv(md5) spelling in FunctionsPropertySpec):
+    // per-token hash -> per-bit +-1 counts -> sign bits packed into a long
+    graft.functions.Md5Long.register(spark)
     val hofSig = expr(
       """aggregate(sequence(0, 63), cast(0 as bigint),
         |  (acc, i) -> acc + if(element_at(
-        |      aggregate(transform(split(text, ' '), t -> xxhash64(t)),
+        |      aggregate(transform(split(text, ' '),
+        |                          t -> xxhash64(md5_long64(t))),
         |        array_repeat(0, 64),
         |        (acc2, h) -> zip_with(acc2,
         |           transform(sequence(0, 63),

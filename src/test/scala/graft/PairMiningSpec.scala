@@ -83,23 +83,63 @@ class PairMiningSpec extends AnyFunSuite {
     }
   }
 
-  test("ngram df-cap is provably inert at oracle scale: max shingle df " +
-      "stays far below the cap the uncapped DuckDB oracle ignores") {
-    // q_dedup_ngram's posting lists drop shingles with df > NgramDfCap
-    // while its oracle is uncapped — sound only while no shingle is
-    // that viral. Pin the measured claim so corpus drift fails CI, not
-    // the verify hash compare. Independent recompute (no shared code).
-    for (sfd <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val maxDf = Tables.table(spark, sfd, "documents")
-        .select("doc_id", "text").collect()
-        .flatMap(r => r.getString(1).split(" ").sliding(3)
-          .filter(_.length == 3).map(_.mkString(" ")).toSet.toSeq)
-        .groupBy(identity).values.map(_.length).max
-      assert(maxDf <= operators.TextPipeline.NgramDfCap / 4,
-        s"$sfd: max shingle df $maxDf approaches the cap " +
-          s"${operators.TextPipeline.NgramDfCap}; the uncapped oracle " +
-          "would silently diverge")
-    }
+  test("ngram df-cap: a viral shingle is dropped with CAPPED semantics " +
+      "(round 11 — the cap is mirrored in the DuckDB CTE, so agreement " +
+      "is structural; this pins the Spark side against an independent " +
+      "capped recompute on a synthetic viral corpus)") {
+    import spark.implicits._
+    val cap = operators.TextPipeline.NgramDfCap
+    // Synthetic corpus: `cap + 20` docs all opening with the same viral
+    // 3-gram ("v0 v1 v2", df = cap+22 > cap -> dropped by both
+    // engines), built as BORDERLINE near-dup pairs: docs 2k/2k+1 have
+    // 9 shingles each of which 6 are shared INCLUDING the viral one —
+    // uncapped jac = 6/12 = 0.5 (pair kept), capped jac = 5/13 < 0.5
+    // (pair dropped), so the cap decides these pairs. Plus one
+    // exact-dup pair (9000/9001) kept under both semantics but with a
+    // cap-dependent jac VALUE (6/8 vs 7/7).
+    val docs = (0 until (cap + 20)).map { k =>
+      val p = k / 2
+      val uniq = (0 until 3).map(i => s"u${k}_$i").mkString(" ")
+      (k.toLong, s"v0 v1 v2 s${p}_a s${p}_b s${p}_c s${p}_d s${p}_e $uniq")
+    } ++ Seq(
+      (9000L, "v0 v1 v2 dup dup2 dup3 dup4 dup5 dup6"),
+      (9001L, "v0 v1 v2 dup dup2 dup3 dup4 dup5 dup6"))
+    val dir = java.nio.file.Files.createTempDirectory("viral").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.ngramPairsCompute(spark, dir)
+      .select("a_id", "b_id", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent capped recompute: distinct shingles per doc, grams
+    // kept iff 2 <= df <= cap, jac = capped-inter / full-set union
+    val sets = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet }.toMap
+    val df = sets.values.flatten.groupBy(identity).map {
+      case (g, occ) => g -> occ.size }
+    val kept = df.collect { case (g, n) if n >= 2 && n <= cap => g }.toSet
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j) & kept).size
+      union = sets(i).size + sets(j).size - inter
+      jac = inter.toDouble / union if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    // under capped semantics ONLY the exact-dup pair survives (jac
+    // 6/8 = 0.75 — viral gram excluded from the intersection, full set
+    // sizes in the union); every borderline pair falls to 5/13
+    assert(want == Set((9000L, 9001L, 0.75)))
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // teeth: the UNCAPPED relation disagrees on this corpus — the
+    // borderline pairs cross 0.5 only with the viral gram counted
+    val uncapped = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size
+      union = sets(i).size + sets(j).size - inter
+      jac = inter.toDouble / union if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    assert(uncapped != want, "viral corpus fails to separate the " +
+      "capped and uncapped semantics — test has no teeth")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   test("macro plans: Q7 shuffles only on the order key, Q14/Q17 join " +

@@ -626,12 +626,17 @@ object TextPipeline extends QueryModule {
   /** DuckDB CTE block deriving the same pair relation `p(a_id, b_id)` —
     * prefix for oracles that build on the near-dup pairs. The
     * [[NgramDfCap]] is mirrored STRUCTURALLY (round-11 ask #2): the
-    * capped-postings CTE `g` drops grams with df outside [2, cap]
-    * exactly like the Spark `postings` filter, so Spark/DuckDB
-    * agreement no longer depends on the corpus staying under the cap —
-    * a viral shingle is dropped by BOTH engines (cross-engine-verified
-    * by tools/viral_shingle_check.py; PairMiningSpec pins the Spark
-    * semantics on a synthetic viral corpus).
+    * df-cap CTEs `gdf`/`ec` drop grams with df outside [2, cap] from
+    * the PAIR-GENERATION leg only, exactly like the Spark `postings`
+    * filter, so Spark/DuckDB agreement no longer depends on the corpus
+    * staying under the cap — a viral shingle is dropped by BOTH engines
+    * (cross-engine-verified by tools/viral_shingle_check.py;
+    * PairMiningSpec pins the Spark semantics on a synthetic viral
+    * corpus). CONTRACT (round-12 fix of the r11 rebind regression): the
+    * name `e` stays bound to the FULL per-doc-distinct posting stream —
+    * downstream oracles (q_doc_novelty df counts, SigOracle minhash
+    * signatures, q_blocking_eval) read `e` and must see every shingle;
+    * only `pp` reads the capped stream `ec`.
     */
   private[operators] val ngramPairCte: String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -641,12 +646,12 @@ object TextPipeline extends QueryModule {
       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
       |      FROM t),
       |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
-      |e0 AS (SELECT doc_id, unnest(sh) AS sg FROM s),
-      |g AS (SELECT sg FROM e0 GROUP BY sg
+      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |gdf AS (SELECT sg FROM e GROUP BY sg
       |      HAVING COUNT(*) BETWEEN 2 AND $NgramDfCap),
-      |e AS (SELECT e0.doc_id, e0.sg FROM e0 JOIN g USING (sg)),
+      |ec AS (SELECT e.doc_id, e.sg FROM e JOIN gdf USING (sg)),
       |pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-      |       FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |       FROM ec a JOIN ec b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2),
       |p AS (SELECT a_id, b_id, inter,
       |        CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac

@@ -459,7 +459,7 @@ object Tuning extends QueryModule {
          |  FROM p JOIN src sa ON sa.doc_id = p.a_id
          |  JOIN src sb ON sb.doc_id = p.b_id),
          |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
-         |ec AS (SELECT sa AS source, CAST(COUNT(*) AS BIGINT)
+         |ew AS (SELECT sa AS source, CAST(COUNT(*) AS BIGINT)
          |    AS e_within FROM lab WHERE sa = sb GROUP BY sa),
          |dg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS deg_c
          |  FROM (SELECT a_id AS doc_id FROM lab
@@ -467,7 +467,7 @@ object Tuning extends QueryModule {
          |  JOIN src USING (doc_id) GROUP BY source),
          |q AS (SELECT CAST(SUM(4 * m * COALESCE(e_within, 0)
          |      - deg_c * deg_c) AS BIGINT) AS q_num
-         |  FROM dg LEFT JOIN ec USING (source) CROSS JOIN mm)
+         |  FROM dg LEFT JOIN ew USING (source) CROSS JOIN mm)
          |SELECT (SELECT m FROM mm) AS m, q_num,
          |  CAST(q_num AS DOUBLE)
          |    / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm))

@@ -17,11 +17,15 @@ reads the q_dedup_ngram entry so it always tests the LIVE CTE).
 """
 import itertools
 import json
+import re
 import sys
 
 import duckdb
 
-CAP = 256  # graft.operators.TextPipeline.NgramDfCap
+# graft.operators.TextPipeline.NgramDfCap — parsed from the live oracle
+# SQL in main() so a Scala-side cap change can't silently no-op the
+# teeth check (ADVICE r11 #3); module-level default only for corpus().
+CAP = 256
 
 
 def corpus():
@@ -55,7 +59,14 @@ def expected(docs):
 
 
 def main(oracle_json):
+    global CAP
     sql = json.load(open(oracle_json))["q_dedup_ngram"]
+    m = re.search(r"HAVING COUNT\(\*\) BETWEEN 2 AND (\d+)", sql)
+    assert m, "df-cap clause not found in q_dedup_ngram oracle — " \
+        "the CTE shape drifted; update this script's replace targets"
+    CAP = int(m.group(1))
+    assert CAP == 256, f"NgramDfCap drifted to {CAP}: update the " \
+        "expected() assertion below if intentional"
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", corpus())

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -12,10 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * packs the sign bits of `planesPerTable` hyperplane projections.
   *
   * Hyperplane component for plane id P (= t * planesPerTable + p), dim
-  * i is `xxhash64(P, i)` scaled to [-1, 1) — the same deterministic
-  * pseudo-random construction as the SQL spelling it replaces
-  * (xxhash64 chains hashInt(i, hashInt(P, seed=42))), reproducible on
-  * any cluster with no trained state to ship.
+  * i is the INTEGER `(md5_64("lsh|P|i") mod 2^16) - 2^15` — the
+  * [[Md5Long]] oracle-portable basis (round-12 ask #3): `md5` is
+  * bit-identical in every engine, and the projection runs as an EXACT
+  * int64 dot over 2^20 fixed-point vector elements (`floor(x * 2^20)`,
+  * the q_embed_quantize discipline), so the sign — and therefore every
+  * bucket id — is reproducible in DuckDB SQL with no floating-point
+  * summation-order hazard. Uniform integer components are a valid SRP
+  * family (only the projection sign matters); no trained state to
+  * ship.
   *
   * Multi-table is the recall lever single-table LSH lacks: a true
   * neighbor is found if it shares ANY table's bucket, so recall is
@@ -52,22 +58,27 @@ case class LshBuckets(child: Expression, numTables: Int,
 }
 
 object LshBuckets {
-  private final val Seed = 42L // Spark's xxhash64 default seed
 
   /** The hyperplane matrix is a pure function of (plane count, dims) —
     * hashing it per ROW would dominate the signature cost (plane*dim
     * hashes per vector). One deterministic build per executor, racy-but-
     * idempotent publish; per row is then plane*dim multiply-adds only.
     */
-  @volatile private var cached: (Int, Int, Array[Array[Double]]) = null
+  @volatile private var cached: (Int, Int, Array[Array[Long]]) = null
 
-  private def planeMatrix(numPlanes: Int, dims: Int): Array[Array[Double]] = {
+  /** Integer plane component for (plane, dim): low 16 md5 bits,
+    * centered — `(md5_64("lsh|P|i") mod 2^16) - 2^15`, i 0-based.
+    * DuckDB image: `CAST(md5u('lsh|'||P||'|'||i) % 65536 AS BIGINT)
+    * - 32768` (operators/XxhSql.md5u).
+    */
+  private[graft] def planeComponent(plane: Int, dim: Int): Long =
+    (Md5Long.hash64(UTF8String.fromString(s"lsh|$plane|$dim"))
+      & 0xFFFFL) - 32768L
+
+  private def planeMatrix(numPlanes: Int, dims: Int): Array[Array[Long]] = {
     val c = cached
     if (c != null && c._1 == numPlanes && c._2 == dims) return c._3
-    val m = Array.tabulate(numPlanes, dims) { (p, i) =>
-      XXH64.hashInt(i, XXH64.hashInt(p, Seed)).toDouble /
-        Long.MaxValue.toDouble
-    }
+    val m = Array.tabulate(numPlanes, dims)(planeComponent)
     cached = (numPlanes, dims, m)
     m
   }
@@ -76,6 +87,15 @@ object LshBuckets {
       planesPerTable: Int): GenericArrayData = {
     val n = arr.numElements()
     val m = planeMatrix(numTables * planesPerTable, n)
+    // 2^20 fixed-point elements (the q_embed_quantize discipline):
+    // float -> double is exact, floor is deterministic, and the dot
+    // stays far inside int64 (|q| ~ 2^21, |c| <= 2^15, 64 dims).
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor(arr.getFloat(j).toDouble * 1048576.0).toLong
+      j += 1
+    }
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
@@ -83,13 +103,13 @@ object LshBuckets {
       var p = 0
       while (p < planesPerTable) {
         val row = m(t * planesPerTable + p)
-        var dot = 0.0d
+        var dot = 0L
         var i = 0
         while (i < n) {
-          dot += arr.getFloat(i).toDouble * row(i)
+          dot += q(i) * row(i)
           i += 1
         }
-        if (dot >= 0.0d) bucket |= 1L << p
+        if (dot >= 0L) bucket |= 1L << p
         p += 1
       }
       out(t) = bucket

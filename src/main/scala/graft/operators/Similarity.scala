@@ -1241,6 +1241,57 @@ object Similarity extends QueryModule {
          |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
 
+    // full signature twin (round-12 ask #3): rebuilds the md5-derived
+    // integer hyperplane matrix, the exact int64 projections, the L=8
+    // per-table bucket ids, the collision candidate set AND the exact
+    // quantized cosine top-5 — the LshBuckets pipeline end to end.
+    // Adaptive plane count k = max(4, floor(log2(max(1, n/64)))) is
+    // computed in-SQL (length(bin(v))-1 is exact floor-log2, no FP).
+    "q_sim_lsh" ->
+      s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
+         |x AS (SELECT vec_id, generate_subscripts(q, 1) AS i,
+         |             unnest(q) AS v FROM e),
+         |kk AS (SELECT GREATEST(4,
+         |         length(bin(GREATEST(COUNT(*) // 64, 1))) - 1) AS k
+         |       FROM e),
+         |pl AS (SELECT ts.t, ps.p, ts.t * kk.k + ps.p AS pid
+         |       FROM kk,
+         |         (SELECT unnest(generate_series(0, 7)) AS t) ts,
+         |         LATERAL (SELECT unnest(generate_series(0, kk.k - 1))
+         |                  AS p) ps),
+         |pc AS (SELECT pl.pid, pl.t, pl.p, di.i,
+         |         CAST(${XxhSql.md5u(
+               "'lsh|' || pl.pid || '|' || (di.i - 1)")} % 65536
+         |           AS BIGINT) - 32768 AS c
+         |       FROM pl, (SELECT DISTINCT i FROM x) di),
+         |dt AS (SELECT x.vec_id, pc.t, pc.p, SUM(x.v * pc.c) AS dot
+         |       FROM x JOIN pc ON pc.i = x.i GROUP BY 1, 2, 3),
+         |bk AS (SELECT vec_id, t,
+         |         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p
+         |             ELSE CAST(0 AS BIGINT) END) AS bucket
+         |       FROM dt GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT pb.vec_id AS probe_id,
+         |           b.vec_id AS cand_id
+         |         FROM bk pb JOIN bk b
+         |           ON b.t = pb.t AND b.bucket = pb.bucket
+         |         WHERE pb.vec_id < 10 AND b.vec_id <> pb.vec_id),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY vec_id),
+         |dd AS (SELECT cd.probe_id, cd.cand_id, SUM(a.v * b.v) AS d
+         |       FROM cand cd JOIN x a ON a.vec_id = cd.probe_id
+         |       JOIN x b ON b.vec_id = cd.cand_id AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(pn.nn AS DOUBLE))
+         |           * sqrt(CAST(cn.nn AS DOUBLE))) AS cos
+         |       FROM dd JOIN n pn ON pn.vec_id = probe_id
+         |                JOIN n cn ON cn.vec_id = cand_id),
+         |r AS (SELECT probe_id, cand_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT probe_id, cand_id, cos, rn FROM r WHERE rn <= 5
+         |ORDER BY probe_id, rn""".stripMargin,
+
     "q_ann_trunc" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |                  unnest($qSql) AS v FROM embeddings),

@@ -97,8 +97,8 @@ class FunctionsPropertySpec extends AnyFunSuite {
     assert(collisions <= 2, s"$collisions band collisions between disjoint corpora")
   }
 
-  test("LshBuckets: deterministic, in-range, and scale-invariant " +
-      "(hyperplane signs ignore vector magnitude)") {
+  test("LshBuckets: deterministic, in-range, matches the independent " +
+      "md5 re-derivation, and sign-invariances hold off the margin") {
     import spark.implicits._
     val vec: Gen[Seq[Float]] =
       Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))
@@ -110,12 +110,38 @@ class FunctionsPropertySpec extends AnyFunSuite {
     val b1 = buckets(vs)
     assert(b1 == buckets(vs)) // deterministic
     assert(b1.forall(row => row.length == 8 && row.forall(k => k >= 0 && k < 16)))
-    // positive scaling preserves every hyperplane sign
-    assert(buckets(vs.map(_.map(_ * 7.5f))) == b1)
-    // negation flips every sign: all 4 plane bits flip in every table
-    val neg = buckets(vs.map(_.map(x => -x)))
-    b1.zip(neg).foreach { case (a, b) =>
-      a.zip(b).foreach { case (x, y) => assert((x ^ y) == 15L) }
+    // bit-exact match with a from-scratch recompute of the md5 integer
+    // basis (raw MessageDigest — independent of functions.Md5Long):
+    // component(P, i) = (low 16 bits of md5("lsh|P|i")) - 2^15 over
+    // 2^20 fixed-point elements
+    def comp(plane: Int, dim: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lsh|$plane|$dim".getBytes("UTF-8"))
+      (((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) - 32768L
+    }
+    def dots(v: Seq[Float]): Seq[Long] = {
+      val q = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      (0 until 32).map(p => q.indices.map(i => q(i) * comp(p, i)).sum)
+    }
+    val ref = vs.map { v =>
+      dots(v).grouped(4).map(_.zipWithIndex
+        .map { case (d, p) => if (d >= 0L) 1L << p else 0L }.sum).toSeq
+    }
+    assert(b1 == ref)
+    // sign-invariances now hold only OUTSIDE the quantization margin:
+    // scaling by s perturbs each projection by at most n*(s+2)*2^15
+    // (per-element floor error <= s+1, component magnitude <= 2^15).
+    // Guard planes whose |dot| clears the bound; every guarded sign
+    // must survive scaling and flip under negation.
+    val margin = 16L * 10L * 32768L // n=16, s=7.5 -> n*(s+2.5)*2^15
+    vs.zip(ref).foreach { case (v, _) =>
+      val d0 = dots(v)
+      val d7 = dots(v.map(_ * 7.5f))
+      val dn = dots(v.map(x => -x))
+      d0.indices.filter(p => math.abs(d0(p)) > margin).foreach { p =>
+        assert((d0(p) >= 0L) == (d7(p) >= 0L), s"scale flipped plane $p")
+        assert((d0(p) >= 0L) == (dn(p) < 0L), s"negation kept plane $p")
+      }
     }
   }
 

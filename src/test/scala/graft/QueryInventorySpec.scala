@@ -147,7 +147,6 @@ class QueryInventorySpec extends AnyFunSuite {
   }
 
   test("LSH ANN: exact scores, reproducible buckets, recall floor") {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val vecs = Tables.table(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -162,17 +161,24 @@ class QueryInventorySpec extends AnyFunSuite {
     // independent re-derivation of the multi-table random-hyperplane
     // buckets (L=8 tables x k=4 planes — the adaptive plane count
     // resolves to 4 for this 500-vector fixture): plane id P = t*k+p,
-    // component for dim i chains hashInt(i, hashInt(P, seed=42))
-    def buckets(v: Array[Float]): Seq[Long] =
+    // integer component for dim i = (low 16 bits of md5("lsh|P|i"))
+    // - 2^15, exact int64 dot over the 2^20 fixed-point elements
+    // (round-12 md5 rebase — raw MessageDigest here, independent of
+    // functions.Md5Long)
+    def comp(plane: Int, dim: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lsh|$plane|$dim".getBytes("UTF-8"))
+      (((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) - 32768L
+    }
+    def buckets(v: Array[Float]): Seq[Long] = {
+      val q = quant(v)
       (0 until 8).map { t =>
         (0 until 4).map { p =>
-          val h1 = XXH64.hashInt(t * 4 + p, 42L)
-          val dot = v.zipWithIndex.map { case (x, i) =>
-            x.toDouble * (XXH64.hashInt(i, h1).toDouble / Long.MaxValue.toDouble)
-          }.sum
-          if (dot >= 0.0) 1L << p else 0L
+          val dot = q.indices.map(i => q(i) * comp(t * 4 + p, i)).sum
+          if (dot >= 0L) 1L << p else 0L
         }.sum
       }
+    }
     def collides(a: Array[Float], b: Array[Float]): Boolean =
       buckets(a).lazyZip(buckets(b)).exists(_ == _)
     val lsh = SparkEntry.queries("q_sim_lsh")(spark, sf).collect()

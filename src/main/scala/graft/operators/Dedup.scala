@@ -152,9 +152,19 @@ object Dedup extends QueryModule {
         .join(broadcast(cand), "a_id")
         .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
           .hint("shuffle_hash"), "b_id")
+        // null-safe denominator: two gram-less docs (<3 tokens) share
+        // identical all-MaxValue band keys and reach the verify with
+        // empty shingle sets — under ANSI mode the raw 0/0 division
+        // THROWS (and pre-ANSI its NaN would pass `>= 0.5` via Spark's
+        // nan-safe compare). nullif-style guard makes jac NULL there,
+        // which the filter drops — matching the DuckDB oracle's
+        // omission of gram-less docs (ADVICE r11 #1)
         .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-            size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
+          graft.Det.let(
+            size(array_union(col("a_sh"), col("b_sh")))) { un =>
+            size(array_intersect(col("a_sh"), col("b_sh")))
+              .cast("double") / when(un > 0, un)
+          }.as("jac"))
         .filter(col("jac") >= 0.5)
         .orderBy("a_id", "b_id")
     }),

@@ -13,8 +13,11 @@ package graft.operators
   * band folds -> bucket posting-list pairs -> exact-Jaccard verify.
   * Docs with <3 tokens (no grams) are omitted: their minima are all
   * Long.MaxValue, so they can only pair with each other, and such
-  * pairs have 0/0 Jaccard (NaN in Spark, NULL in DuckDB) — filtered by
-  * `jac >= 0.5` in BOTH engines, so omission is output-equivalent.
+  * pairs have 0/0 Jaccard — NULL here (filtered by `jac >= 0.5`) and
+  * NaN in Spark, where the nan-safe compare would PASS the filter; the
+  * Spark side therefore carries an explicit `!isnan(jac)` guard
+  * (Dedup.scala q_dedup_minhash) so omission is output-equivalent on
+  * every corpus, not just gram-rich ones.
   *
   * q_dedup_simhash: per-token sign contributions ride the distinct
   * token relation weighted by per-doc occurrence counts; bit i of the

@@ -142,6 +142,29 @@ class PairMiningSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("minhash NaN guard: gram-less docs (<3 tokens) never pair " +
+      "(their 0/0 jaccard is NaN and Spark's nan-safe compare passes " +
+      ">= filters — ADVICE r11 #1)") {
+    import spark.implicits._
+    // three gram-less docs sharing identical all-MaxValue minima (they
+    // collide in EVERY band) + one genuine dup pair as a positive
+    // control
+    val docs = Seq(
+      (1L, "short"), (2L, "two tokens"), (3L, "also two"),
+      (10L, "a genuine duplicate pair of documents right here ok"),
+      (11L, "a genuine duplicate pair of documents right here ok"))
+    val dir = java.nio.file.Files.createTempDirectory("nanpair").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (_, _, j) => !j.isNaN },
+      s"NaN jaccard emitted: ${got.mkString(",")}")
+    assert(got.map(t => (t._1, t._2)).toSet == Set((10L, 11L)),
+      s"expected only the control pair, got ${got.mkString(",")}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("macro plans: Q7 shuffles only on the order key, Q14/Q17 join " +
       "via broadcast only, ssjoin never goes cartesian") {
     // Q7: both nation-sliced dimensions broadcast; exactly the

@@ -16,7 +16,7 @@ object Bench {
       // shuffle/spill on tmpfs: the bench VM's block device stalls
       // under load (idle iowait load ~6), and disk-backed shuffle files
       // made identical queries 2-10x slower run-to-run
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", s"${graft.Scratch.root}/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Same planner surface as Verify and the test sessions: the native
@@ -57,7 +57,7 @@ object Bench {
     warm("streaming") {
       import org.apache.spark.sql.functions.count
       val replay: String = streaming.StatefulSession.replayDir(spark, sfDir)
-      val warmCkpt = "/dev/shm/graft_ckpt/warm-" +
+      val warmCkpt = s"${graft.Scratch.root}/graft_ckpt/warm-" +
         java.util.UUID.randomUUID().toString.take(8)
       val q = spark.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE")

@@ -113,7 +113,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "3600s")
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", s"${graft.Scratch.root}/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.TopKPerKey.register(spark)

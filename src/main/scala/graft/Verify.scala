@@ -17,7 +17,7 @@ object Verify {
       // shuffle/spill on tmpfs: the bench VM's block device stalls
       // under load (idle iowait load ~6), and disk-backed shuffle files
       // made identical queries 2-10x slower run-to-run
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", s"${graft.Scratch.root}/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Native planner surface (TopKPerKey + RowNumberTopKRewrite) is part

@@ -80,7 +80,7 @@ object Advanced extends QueryModule {
   private[graft] def bucketize(s: SparkSession, d: String, name: String,
       key: String): String = {
     val tbl = s"${name}_b_${fingerprint(d, name)}"
-    val path = s"/dev/shm/graft_bucketed/$tbl"
+    val path = s"${graft.Scratch.root}/graft_bucketed/$tbl"
     if (!s.catalog.tableExists(tbl)) {
       // Complete = marker plus at least one data file: a husk dir left
       // by tmpfs eviction must trigger a rewrite, not get registered as

@@ -78,7 +78,7 @@ object Formats extends QueryModule {
   private[graft] def roundtrip(s: SparkSession, d: String, name: String,
       fmt: String, options: Map[String, String] = Map.empty): String =
     fillCache(
-      s"/dev/shm/graft_fmt/${name}_${fmt}_${Advanced.fingerprint(d, name)}") {
+      s"${graft.Scratch.root}/graft_fmt/${name}_${fmt}_${Advanced.fingerprint(d, name)}") {
       tmp =>
         table(s, d, name).write.format(fmt).options(options)
           .mode("overwrite").save(tmp)
@@ -111,7 +111,7 @@ object Formats extends QueryModule {
     * from the clean table without parsing anything).
     */
   private[graft] def malformedDir(s: SparkSession, d: String): String =
-    fillCache(s"/dev/shm/graft_fmt/cust_badjson_${
+    fillCache(s"${graft.Scratch.root}/graft_fmt/cust_badjson_${
       Advanced.fingerprint(d, "customer")}") { tmp =>
       val gate = substring(md5(concat(lit("bad"),
         col("c_custkey").cast("string"))), 1, 1) === "0"
@@ -142,7 +142,7 @@ object Formats extends QueryModule {
 
   private[graft] def logDir(s: SparkSession, d: String): String =
     fillCache(
-      s"/dev/shm/graft_fmt/orders_log_${Advanced.fingerprint(d, "orders")}") {
+      s"${graft.Scratch.root}/graft_fmt/orders_log_${Advanced.fingerprint(d, "orders")}") {
       tmp =>
         table(s, d, "orders").select(logLine.as("value"))
           .write.mode("overwrite").text(tmp)
@@ -155,7 +155,7 @@ object Formats extends QueryModule {
     */
   private[graft] def evolvedOrders(s: SparkSession, d: String): String =
     fillCache(
-      s"/dev/shm/graft_fmt/orders_evo_${Advanced.fingerprint(d, "orders")}") {
+      s"${graft.Scratch.root}/graft_fmt/orders_evo_${Advanced.fingerprint(d, "orders")}") {
       tmp =>
         val o = table(s, d, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
@@ -177,7 +177,7 @@ object Formats extends QueryModule {
     */
   private[graft] def partitionedOrders(s: SparkSession, d: String): String =
     fillCache(
-      s"/dev/shm/graft_fmt/orders_part_${Advanced.fingerprint(d, "orders")}") {
+      s"${graft.Scratch.root}/graft_fmt/orders_part_${Advanced.fingerprint(d, "orders")}") {
       tmp =>
         table(s, d, "orders")
           .withColumn("o_year", year(col("o_orderdate")))

@@ -548,7 +548,7 @@ object TextPipeline extends QueryModule {
   private val truthLock = new Object
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val fp = Advanced.fingerprint(d, "documents")
-    val path = s"/dev/shm/graft_truth/ngram_$fp"
+    val path = s"${graft.Scratch.root}/graft_truth/ngram_$fp"
     truthLock.synchronized {
       val dir = new java.io.File(path)
       val complete = new java.io.File(path, "_SUCCESS").exists() &&
@@ -561,13 +561,25 @@ object TextPipeline extends QueryModule {
         // fingerprints at once (the scale probe alternates between the
         // base and the replicated dataset; a keep-only-current prune
         // would make the two evict each other every pass)
-        Option(new java.io.File("/dev/shm/graft_truth").listFiles())
+        Option(new java.io.File(s"${graft.Scratch.root}/graft_truth").listFiles())
           .getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith("ngram_") &&
             f.getName != s"ngram_$fp")
           .sortBy(-_.lastModified).drop(3)
           .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-        ngramPairsCompute(s, d).write.mode("overwrite").parquet(path)
+        // temp-then-rename publish: the in-process lock doesn't cover a
+        // SECOND JVM racing this build (e.g. a stray Verify next to a
+        // Bench) — writing straight to `path` would interleave two
+        // jobs' files. Build under a pid-unique name, then an atomic
+        // same-filesystem rename; if another process won the rename,
+        // discard ours and read the winner's.
+        val tmp = new java.io.File(s"$path.tmp-${
+          java.lang.ProcessHandle.current().pid()}")
+        ngramPairsCompute(s, d).write.mode("overwrite")
+          .parquet(tmp.getPath)
+        org.apache.commons.io.FileUtils.deleteQuietly(dir) // stale partial
+        if (!tmp.renameTo(dir))
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       }
     }
     s.read.parquet(path)

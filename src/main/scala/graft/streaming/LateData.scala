@@ -36,7 +36,7 @@ object LateData extends QueryModule {
       s"${src.getAbsolutePath}|${src.length}|${src.lastModified}|late-v2"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-    val dir = new java.io.File(s"/dev/shm/graft_replay/$fp")
+    val dir = new java.io.File(s"${graft.Scratch.root}/graft_replay/$fp")
     if (!dir.exists()) {
       val schema = graft.Tables.rawEventsSchema(s, d)
       val raw = graft.Tables.normalizeEventTs(
@@ -45,7 +45,7 @@ object LateData extends QueryModule {
         .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
           col("value"), col("event_id"), col("event_type"))
       val Row(mx: Long) = raw.agg(max("ts_us")).head()
-      val tmp = new java.io.File(s"/dev/shm/graft_replay/.tmp-$fp-" +
+      val tmp = new java.io.File(s"${graft.Scratch.root}/graft_replay/.tmp-$fp-" +
         java.util.UUID.randomUUID().toString.take(8))
       tmp.mkdirs()
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -102,7 +102,7 @@ object LateData extends QueryModule {
           java.util.UUID.randomUUID().toString.take(8)
         val prev = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val ckpt = s"/dev/shm/graft_ckpt/late-" +
+        val ckpt = s"${graft.Scratch.root}/graft_ckpt/late-" +
           java.util.UUID.randomUUID().toString.take(8)
         try {
           val q = agg.writeStream

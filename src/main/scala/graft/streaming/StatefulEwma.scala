@@ -109,7 +109,7 @@ object StatefulEwma extends QueryModule {
       // see StreamingSmoke: state partitions sized to the state, not CPUs
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val ckpt = s"/dev/shm/graft_ckpt/ewma-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/ewma-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream

@@ -87,7 +87,7 @@ object StatefulFunnel extends QueryModule {
         java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val ckpt = s"/dev/shm/graft_ckpt/funnel-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/funnel-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream

@@ -99,7 +99,7 @@ object StatefulLag extends QueryModule {
       // see StreamingSmoke: state partitions sized to the state, not CPUs
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val ckpt = s"/dev/shm/graft_ckpt/lag-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/lag-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream

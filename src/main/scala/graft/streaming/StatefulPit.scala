@@ -89,7 +89,7 @@ object StatefulPit extends QueryModule {
         java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val ckpt = s"/dev/shm/graft_ckpt/pit-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/pit-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream

@@ -124,7 +124,7 @@ object StatefulSession extends QueryModule {
     val desc = s"${src.getAbsolutePath}|${src.length}|${src.lastModified}|v2"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-    val dir = new java.io.File(s"/dev/shm/graft_replay/$fp")
+    val dir = new java.io.File(s"${graft.Scratch.root}/graft_replay/$fp")
     // The dir only ever appears via atomic rename of a fully-built temp,
     // but tmpfs eviction can still hollow it out afterwards — verify both
     // replay batches are present before trusting the cache.
@@ -140,7 +140,7 @@ object StatefulSession extends QueryModule {
           col("value"), col("event_id"), col("event_type"))
       val Row(mn: Long, mx: Long) = raw.agg(min("ts_us"), max("ts_us")).head()
       val mid = mn + (mx - mn) / 2
-      val tmp = new java.io.File(s"/dev/shm/graft_replay/.tmp-$fp-" +
+      val tmp = new java.io.File(s"${graft.Scratch.root}/graft_replay/.tmp-$fp-" +
         java.util.UUID.randomUUID().toString.take(8))
       tmp.mkdirs()
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -193,7 +193,7 @@ object StatefulSession extends QueryModule {
       // see StreamingSmoke: state partitions sized to the state, not CPUs
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val ckpt = s"/dev/shm/graft_ckpt/sess-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/sess-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream
@@ -244,7 +244,7 @@ object StatefulSession extends QueryModule {
         java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      val ckpt = s"/dev/shm/graft_ckpt/sessw-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/sessw-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = out.writeStream

@@ -69,7 +69,7 @@ object StreamingSmoke extends QueryModule {
       // checkpoint + state store on tmpfs: the default temp checkpoint
       // lands on the (stall-prone) block device and is pure harness
       // overhead for a replay smoke
-      val ckpt = s"/dev/shm/graft_ckpt/rate-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/rate-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = agg.writeStream
@@ -111,7 +111,7 @@ object StreamingSmoke extends QueryModule {
         java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val ckpt = s"/dev/shm/graft_ckpt/dedup-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/dedup-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = dedup.writeStream
@@ -156,7 +156,7 @@ object StreamingSmoke extends QueryModule {
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
       val name = "graft_stream_anom_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = s"/dev/shm/graft_ckpt/anom-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/anom-" +
         java.util.UUID.randomUUID().toString.take(8)
       val q = flagged.writeStream
         .outputMode("append").format("memory").queryName(name)
@@ -195,7 +195,7 @@ object StreamingSmoke extends QueryModule {
         java.util.UUID.randomUUID().toString.take(8)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val ckpt = s"/dev/shm/graft_ckpt/join-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/join-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
         val q = joined.writeStream
@@ -229,7 +229,7 @@ object StreamingSmoke extends QueryModule {
     "q_streaming_upsert" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val replay = StatefulSession.replayDir(s, d)
-      val root = new java.io.File("/dev/shm/graft_upsert")
+      val root = new java.io.File(s"${graft.Scratch.root}/graft_upsert")
       // reap state dirs from runs that finished long ago (tmpfs is RAM);
       // an hour-old dir cannot belong to a live query in this harness
       root.mkdirs()
@@ -239,7 +239,7 @@ object StreamingSmoke extends QueryModule {
       val stateRoot = new java.io.File(root,
         "run-" + java.util.UUID.randomUUID().toString.take(8))
       stateRoot.mkdirs()
-      val ckpt = s"/dev/shm/graft_ckpt/upsert-" +
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/upsert-" +
         java.util.UUID.randomUUID().toString.take(8)
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts_us").desc, col("event_id").desc)
@@ -291,7 +291,7 @@ object StreamingSmoke extends QueryModule {
       // other's table) — same isolation rule as the checkpoint dir
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_cms_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/cms-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/cms-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -326,7 +326,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_ohlc_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/ohlc-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/ohlc-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -367,7 +367,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_binseg_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/binseg-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/binseg-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -400,7 +400,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_hll_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/hll-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/hll-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -434,7 +434,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_hdr_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/hdr-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/hdr-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -471,7 +471,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_bitmap_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/bitmap-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/bitmap-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -512,7 +512,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_rsv_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/rsv-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/rsv-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -548,7 +548,7 @@ object StreamingSmoke extends QueryModule {
       val replay = StatefulSession.replayDir(s, d)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_topk_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/topk-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/topk-$run"
       val q = s.readStream
         .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
           "event_id LONG, event_type STRING")
@@ -594,7 +594,7 @@ object StreamingSmoke extends QueryModule {
           sum(when(col("value") <= 0, 1L).otherwise(0L)).as("f_nonpos"))
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_expect_$run"
-      val ckpt = s"/dev/shm/graft_ckpt/expect-$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/expect-$run"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {

@@ -24,7 +24,7 @@ object Profile {
       // shuffle/spill on tmpfs: the bench VM's block device stalls
       // under load (idle iowait load ~6), and disk-backed shuffle files
       // made identical queries 2-10x slower run-to-run
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", s"${graft.Scratch.root}/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq

@@ -128,7 +128,7 @@ class QueryInventorySpec extends AnyFunSuite {
     assert(rows.map(_.take(2)).distinct.length == rows.length)
     // the newest state dir is v2+: at least two microbatches were
     // MERGEd (one per time-split replay file), not one collapsed batch
-    val root = new java.io.File("/dev/shm/graft_upsert")
+    val root = new java.io.File(graft.Scratch.dir("graft_upsert"))
     val latestRun = root.listFiles().filter(_.getName.startsWith("run-"))
       .maxBy(_.lastModified)
     val versions = latestRun.listFiles().map(_.getName).sorted.toSeq

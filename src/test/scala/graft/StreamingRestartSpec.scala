@@ -42,14 +42,14 @@ class StreamingRestartSpec extends AnyFunSuite {
     import spark.implicits._
     val replay = streaming.StatefulSession.replayDir(spark, sf)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val srcDir = new java.io.File(s"/dev/shm/graft_ckpt/rst-src-$stamp")
-    val ckpt = s"/dev/shm/graft_ckpt/rst-ck-$stamp"
+    val srcDir = new java.io.File(s"${graft.Scratch.root}/graft_ckpt/rst-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/rst-ck-$stamp"
     srcDir.mkdirs()
     def stage(name: String): Unit =
       java.nio.file.Files.copy(
         new java.io.File(replay, name).toPath,
         new java.io.File(srcDir, name).toPath)
-    val outDir = s"/dev/shm/graft_ckpt/rst-out-$stamp"
+    val outDir = s"${graft.Scratch.root}/graft_ckpt/rst-out-$stamp"
     def readSink(): Set[(Long, Long, String, Double)] =
       if (!new java.io.File(outDir, "_spark_metadata").exists()) Set.empty
       else spark.read.parquet(outDir).collect()
@@ -111,9 +111,9 @@ class StreamingRestartSpec extends AnyFunSuite {
     import streaming.StatefulSession.{OpenSession, SessEvent, SessionRow}
     val replay = streaming.StatefulSession.replayDir(spark, sf)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val srcDir = new java.io.File(s"/dev/shm/graft_ckpt/rss-src-$stamp")
-    val ckpt = s"/dev/shm/graft_ckpt/rss-ck-$stamp"
-    val outDir = s"/dev/shm/graft_ckpt/rss-out-$stamp"
+    val srcDir = new java.io.File(s"${graft.Scratch.root}/graft_ckpt/rss-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/rss-ck-$stamp"
+    val outDir = s"${graft.Scratch.root}/graft_ckpt/rss-out-$stamp"
     srcDir.mkdirs()
     def stage(name: String): Unit =
       java.nio.file.Files.copy(

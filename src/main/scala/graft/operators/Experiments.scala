@@ -219,10 +219,21 @@ object Experiments extends QueryModule {
           .withColumn("dd", col("n") - col("n_cell") - col("c"))
         val t = col("a").cast("double") * col("dd") -
           col("b").cast("double") * col("c")
-        val chi2 = t * t / (col("a") + col("b")).cast("double") /
+        val chi2raw = t * t / (col("a") + col("b")).cast("double") /
           (col("c") + col("dd")).cast("double") /
           (col("a") + col("c")).cast("double") /
           (col("b") + col("dd")).cast("double") * col("n").cast("double")
+        // degenerate-margin guard (ADVICE r10 #2): a zero margin —
+        // no long docs anywhere (a+c = atot = 0), ALL docs long
+        // (b+dd = n-atot = 0), or a single cell (c+dd = n-n_cell = 0)
+        // — makes the raw expression 0/0 = NaN, and NaN p-values order
+        // differently in Spark (nan-safe, sorts last) than DuckDB
+        // (NULL). A zero margin means the 2x2 has no discrimination:
+        // chi2 := 0 (p = 1), guarded by the IDENTICAL CASE on both
+        // engines. (a+b = n_cell >= 1 always — a cell exists only with
+        // members.)
+        val chi2 = when(col("atot") > 0 && col("atot") < col("n") &&
+          col("n_cell") < col("n"), chi2raw).otherwise(lit(0.0))
         val pr = x.select(col("source"), col("lang"), col("n_cell"),
             col("a").as("n_long"), col("m"), chi2.as("chi2"))
           .withColumn("p", lit(1.0) / (lit(1.0) + col("chi2")))
@@ -488,11 +499,12 @@ object Experiments extends QueryModule {
         |    atot - a AS c, n - n_cell - (atot - a) AS dd, n, m
         |  FROM cell CROSS JOIN tot),
         |ch AS (SELECT source, lang, n_cell, a, m,
-        |    (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |    CASE WHEN a + c > 0 AND b + dd > 0 AND c + dd > 0 THEN
+        |      (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
         |      * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
         |      / CAST(a + b AS DOUBLE) / CAST(c + dd AS DOUBLE)
         |      / CAST(a + c AS DOUBLE) / CAST(b + dd AS DOUBLE)
-        |      * CAST(n AS DOUBLE) AS chi2
+        |      * CAST(n AS DOUBLE) ELSE 0.0 END AS chi2
         |  FROM x),
         |pr AS (SELECT source, lang, n_cell, a, m, chi2,
         |    1.0 / (1.0 + chi2) AS p

@@ -405,9 +405,22 @@ object Retrieval extends QueryModule {
       // twice onto the edge stream, so the O(m^1.5) intersection work
       // is pure map-side and the only rows that ever materialize are
       // the actual triangles (exploded common neighbors), never the
-      // wedge cross-product a self-join would emit. At fleet scale the
-      // adjacency outgrows a broadcast and these become shuffle joins
-      // co-partitioned on src/dst; the intersection stays map-side.
+      // wedge cross-product a self-join would emit.
+      //
+      // The broadcast is a MEASURED choice, not a default (round-12
+      // 30x probe, 36M edges / 300MB adjacency): forced broadcast
+      // 26 s; AQE-chosen sort-merge 50 s (sorts the array-carrying
+      // stream); forced shuffle_hash 144 s (re-shuffles ~17 GB of
+      // attached neighbor arrays). The probe's >1 growth exponent is
+      // the driver-serial broadcast BUILD (an Amdahl term, linear in
+      // |E| but unparallelized), not algorithmic blowup — per-copy
+      // compute is flat, and every co-partitioned alternative pays
+      // more moving the arrays than the serial build costs. Beyond
+      // executor-memory adjacency (billions of edges) the right fleet
+      // plan changes shape entirely: partition the graph (by
+      // component/bucket) so each executor intersects a local
+      // adjacency, rather than swapping the join strategy under the
+      // same global plan.
       val adj = oriented.groupBy("src")
         .agg(sort_array(collect_list(col("dst"))).as("nb"))
       val tri = oriented.select("src", "dst")

@@ -83,4 +83,30 @@ class ExperimentsSpec extends AnyFunSuite {
       }
     }
   }
+  test("fdr_bh degenerate grids: zero margins yield chi2 = 0, p = 1, " +
+      "no NaN and no rejections (ADVICE r10 #2)") {
+    import spark.implicits._
+    def run(docs: Seq[(Long, String, String, Long)]): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("fdrdeg").toString
+      docs.toDF("doc_id", "source", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_fdr_bh")(spark, dir).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val chi2 = r.getDouble(r.fieldIndex("chi2"))
+        val p = r.getDouble(r.fieldIndex("p"))
+        assert(!chi2.isNaN && !p.isNaN, s"NaN in $r")
+        assert(chi2 == 0.0 && p == 1.0, s"degenerate cell not zeroed: $r")
+        assert(!r.getBoolean(r.fieldIndex("rejected")), s"rejected: $r")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+    // all docs long (b + dd margin = 0) across two cells
+    run(Seq((1L, "a", "en", 400L), (2L, "a", "en", 500L),
+      (3L, "b", "de", 360L)))
+    // no long docs anywhere (a + c margin = 0)
+    run(Seq((1L, "a", "en", 10L), (2L, "b", "de", 20L)))
+    // single cell (c + dd margin = 0), mixed lengths
+    run(Seq((1L, "a", "en", 400L), (2L, "a", "en", 10L)))
+  }
 }

@@ -36,7 +36,21 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // survivorship struct-extremum merge
     "q_kmv_distinct", "q_embed_srp", "q_srp_pairs", "q_fdr_bh",
     "q_sprt_gate", "q_err_rank", "q_survivorship", "q_shapley_attrib",
-    "q_delta_method", "q_louvain_step", "q_scd2_apply", "q_power_mde")
+    "q_delta_method", "q_louvain_step", "q_scd2_apply", "q_power_mde",
+    // round-12 batch (carry of round-10 ask #5): the remaining
+    // priority pins (cascade's staged dedup, KMV set algebra), the
+    // round-11 additions (order statistics, shrinkage, CvM ranks,
+    // null-aware NOT IN, second-order Markov, PRF expansion, fairness
+    // margins, gate sweep, BPE merge application), and the four
+    // repaired ngramPairCte evaluators plus the md5-rebased LSH — the
+    // queries whose determinism leans on windows, sketch minima, or
+    // shared truth relations
+    "q_dedup_cascade", "q_kmv_setops", "q_median_ci", "q_eb_shrinkage",
+    "q_cvm_test", "q_join_notin", "q_markov2", "q_prf_expand",
+    "q_fairness_audit", "q_gate_sweep", "q_bpe_apply",
+    "q_dedup_incremental", "q_bootstrap_ci", "q_blocking_eval",
+    "q_doc_novelty", "q_minhash_eval", "q_lsh_curve", "q_sim_lsh",
+    "q_dedup_minhash")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

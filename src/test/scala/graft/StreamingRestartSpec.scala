@@ -170,4 +170,320 @@ class StreamingRestartSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     }
   }
+
+  // --- round-12 ask #8: restart coverage for the five round-10
+  // streaming twins. Append-mode flatMapGroupsWithState twins (funnel,
+  // SPRT, gap sweep) ride the parquet-file-sink harness above;
+  // complete-mode aggregates (OHLC, binseg) restart through the state
+  // store with a memory sink (complete-mode memory sinks support
+  // checkpoint recovery — the result table rebuilds from state). ---
+
+  /** Shared append-mode restart harness: stage batch0 -> run -> stop ->
+    * stage batch1 -> run from the same checkpoint; returns (run1 rows,
+    * all rows) as generic Row seqs off the parquet file sink.
+    */
+  private def appendRestart(tag: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql
+        .Dataset[_]): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    val replay = streaming.StatefulSession.replayDir(spark, sf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/$tag-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/$tag-ck-$stamp"
+    val outDir = s"${graft.Scratch.root}/graft_ckpt/$tag-out-$stamp"
+    srcDir.mkdirs()
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(replay, name).toPath,
+        new java.io.File(srcDir, name).toPath)
+    def readSink(): Seq[Seq[Any]] =
+      if (!new java.io.File(outDir, "_spark_metadata").exists()) Seq.empty
+      else spark.read.parquet(outDir).collect().toSeq.map(_.toSeq)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = build(src).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+    try {
+      stage("batch0.parquet")
+      runOnce()
+      val run1 = readSink()
+      stage("batch1.parquet")
+      runOnce()
+      (run1, readSink())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
+  }
+
+  test("funnel twin restarted mid-replay: collapsed snapshots equal " +
+    "the uninterrupted batch funnel; no emission repeats or vanishes") {
+    import spark.implicits._
+    import streaming.StatefulFunnel
+    import streaming.StatefulFunnel.{FunnelEvent, FunnelRow, FunnelState}
+    // Custom time split: the stock batch0/batch1 halves saturate every
+    // user's funnel inside batch0 (all three "first qualifying" events
+    // land early), which would make run 2 a no-op and the restart
+    // vacuous. Cut at the first QUARTILE of batch0's event time so the
+    // kill lands mid-funnel: run 1 sees early views/clicks, run 2 must
+    // advance the carried states to the remaining stages.
+    val replay = streaming.StatefulSession.replayDir(spark, sf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/rsf-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/rsf-ck-$stamp"
+    val outDir = s"${graft.Scratch.root}/graft_ckpt/rsf-out-$stamp"
+    srcDir.mkdirs()
+    val b0 = spark.read.parquet(
+      new java.io.File(replay, "batch0.parquet").toString)
+    val cut = {
+      val ts = b0.filter(col("user_id") >= 0)
+        .select("ts_us").as[Long].collect().sorted
+      ts(ts.length / 4)
+    }
+    def writeSlice(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = new java.io.File(srcDir, s".tmp-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      target.setLastModified(mtime); ()
+    }
+    def readSink(): Seq[Seq[Any]] =
+      if (!new java.io.File(outDir, "_spark_metadata").exists()) Seq.empty
+      else spark.read.parquet(outDir).collect().toSeq.map(_.toSeq)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .filter(_._1 >= 0L)
+        .map(t => FunnelEvent(t._1, t._2, t._3, t._4))
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelState, FunnelRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          StatefulFunnel.advance)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+    val (run1, all) = try {
+      val now = System.currentTimeMillis()
+      writeSlice(b0.filter(col("ts_us") < cut), "a0.parquet", now - 60000)
+      runOnce()
+      val r1 = readSink()
+      writeSlice(b0.filter(col("ts_us") >= cut), "a1.parquet", now - 30000)
+      java.nio.file.Files.copy(
+        new java.io.File(replay, "batch1.parquet").toPath,
+        new java.io.File(srcDir, "a2.parquet").toPath)
+      runOnce()
+      (r1, readSink())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
+    assert(run1.nonEmpty && all.size > run1.size,
+      "both incarnations must emit")
+    assert(run1.forall(all.contains), "no emission vanishes")
+    assert(all.size == all.toSet.size,
+      "revisions are unique per user — repeats mean double-processing")
+    // keep-latest collapse of the drained revisions == batch funnel
+    val collapsed = all
+      .groupBy(_.head.asInstanceOf[Long])
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_(1).asInstanceOf[Long])
+        (u, last(2).asInstanceOf[Long], Option(last(3)),
+          Option(last(4)))
+      }.toSet
+    def us(v: Any): Long = v.asInstanceOf[Long]
+    val batch = SparkEntry.queries("q_funnel")(spark, sf).collect()
+      .map { r =>
+        def parse(i: Int): Option[Long] =
+          Option(r.getString(i)).map(ts =>
+            java.time.LocalDateTime.parse(ts.replace(" ", "T"))
+              .toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+              1000000L + java.time.LocalDateTime
+              .parse(ts.replace(" ", "T")).getNano / 1000L)
+        (r.getLong(0), parse(1).get, parse(2).map(us), parse(3).map(us))
+      }.toSet
+    assert(collapsed.map(c => (c._1, c._2,
+      c._3.map(_.asInstanceOf[Long]), c._4.map(_.asInstanceOf[Long])))
+      == batch,
+      "collapsed restart snapshots == batch q_funnel stage times")
+  }
+
+  test("SPRT twin restarted mid-replay: decision rows equal the " +
+    "uninterrupted batch gate exactly once") {
+    import spark.implicits._
+    import streaming.StatefulSprt
+    import streaming.StatefulSprt.{SprtEvent, SprtRow, SprtState}
+    val dayZeroUs = 1704067200000000L
+    val (run1, all) = appendRestart("rsp") { src =>
+      src.select(col("ts_us"), col("user_id"), col("event_type"))
+        .as[(Long, Long, String)]
+        .flatMap { case (tsUs, user, typ) =>
+          if (user < 0L)
+            Seq(SprtEvent(0L, Long.MaxValue, 0L, 0L),
+              SprtEvent(1L, Long.MaxValue, 0L, 0L))
+          else
+            Seq(SprtEvent(user % 2L,
+              Math.floorDiv(tsUs - dayZeroUs, 86400000000L),
+              if (typ == "purchase") 1L else 0L, 1L))
+        }
+        .groupByKey(_.arm)
+        .flatMapGroupsWithState[SprtState, SprtRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          StatefulSprt.advance)
+    }
+    assert(run1.nonEmpty && all.size > run1.size)
+    assert(all.size == all.toSet.size, "decision rows repeat")
+    val batch = SparkEntry.queries("q_sprt_gate")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(all.toSet == batch,
+      "combined incarnations == uninterrupted batch SPRT rows")
+  }
+
+  test("gap-sweep twin restarted mid-replay: summed deltas equal the " +
+    "uninterrupted batch sweep (boundary gaps survive the restart)") {
+    import spark.implicits._
+    import streaming.StatefulGaps
+    import streaming.StatefulGaps.{GapDelta, GapEvent, GapState}
+    val (run1, all) = appendRestart("rsg") { src =>
+      src.select(col("ts_us"), col("user_id"), col("event_id"))
+        .as[GapEvent]
+        .filter(_.user_id >= 0L)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[GapState, GapDelta](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          StatefulGaps.deltas)
+    }
+    assert(run1.nonEmpty && all.size > run1.size)
+    // deltas sum across incarnations to the batch one-window counters
+    // (same tail as the registered query)
+    val users = all.map(_.head.asInstanceOf[Long]).distinct.size.toLong
+    val sums = all.foldLeft((0L, 0L, 0L, 0L)) { (acc, r) =>
+      (acc._1 + r(1).asInstanceOf[Long], acc._2 + r(2).asInstanceOf[Long],
+        acc._3 + r(3).asInstanceOf[Long], acc._4 + r(4).asInstanceOf[Long])
+    }
+    val got = Seq(
+      (30L, users + sums._2, sums._1),
+      (60L, users + sums._3, sums._1),
+      (120L, users + sums._4, sums._1)).map { case (g, ns, ne) =>
+      (g, ns, ne, ne.toDouble / ns) }
+    val batch = SparkEntry.queries("q_session_gap_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(got == batch,
+      "restarted delta sums == uninterrupted batch gap sweep")
+  }
+
+  /** Shared complete-mode restart harness: the memory sink rebuilds
+    * its table from the state store on recovery, so run 2 must replay
+    * ONLY batch1 (asserted via progress numInputRows) yet produce the
+    * full-table result.
+    */
+  private def completeRestart(tag: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql
+        .DataFrame): Seq[Seq[Any]] = {
+    val replay = streaming.StatefulSession.replayDir(spark, sf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/$tag-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/$tag-ck-$stamp"
+    srcDir.mkdirs()
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(replay, name).toPath,
+        new java.io.File(srcDir, name).toPath)
+    def batchRows(name: String): Long =
+      spark.read.parquet(new java.io.File(replay, name).toString)
+        .count()
+    def runOnce(name: String): Long = {
+      val src = spark.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = build(src).writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    try {
+      stage("batch0.parquet")
+      runOnce(s"${tag}_a_$stamp")
+      stage("batch1.parquet")
+      val n2 = runOnce(s"${tag}_b_$stamp")
+      assert(n2 <= batchRows("batch1.parquet"),
+        "run 2 reprocessed batch0 — checkpoint recovery did not engage")
+      spark.table(s"${tag}_b_$stamp").collect().toSeq.map(_.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("OHLC twin restarted mid-replay: candles rebuilt from state " +
+    "equal the uninterrupted run, with batch0 not reprocessed") {
+    val got = completeRestart("rso") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .select(col("event_type"),
+          expr("ts_us div 3600000000").as("hr"),
+          col("ts_us").as("us"), col("event_id"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("v"), struct(col("us"), col("event_id")))
+            .cast("double").as("open"),
+          max(col("v")).cast("double").as("high"),
+          min(col("v")).cast("double").as("low"),
+          max_by(col("v"), struct(col("us"), col("event_id")))
+            .cast("double").as("close"))
+    }
+    val reference = SparkEntry.queries("q_streaming_ohlc")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got.toSet == reference.toSet && got.nonEmpty,
+      "restarted candle table == uninterrupted streamed candles")
+  }
+
+  test("binseg twin restarted mid-replay: the day grid rebuilt from " +
+    "state yields the same change point, with batch0 not reprocessed") {
+    val grid = completeRestart("rsb") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy(expr("ts_us div 86400000000 - 19723").as("day"))
+        .agg(count(lit(1)).as("x"))
+    }
+    import spark.implicits._
+    val got = operators.Diagnostics.binsegOverDays(
+      grid.map(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Long])).toDF("day", "x"))
+      .collect().toSeq.map(_.toSeq)
+    val reference = SparkEntry.queries("q_streaming_binseg")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got == reference && got.nonEmpty,
+      "restarted grid's change point == uninterrupted run")
+  }
 }

@@ -443,6 +443,128 @@ object Curation extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // --- benchmark-leak coverage report (round 12): per benchmark doc
+    // (doc_id % 97 == 0 stands in for an eval item — the same stand-in
+    // q_contamination uses), the single most-overlapping corpus doc
+    // and the FRACTION of the item's distinct shingles it covers — the
+    // decontamination readout that tells a curator WHICH eval items
+    // leak and from where, not just which corpus docs trip a flag.
+    // Shape: the tiny benchmark gram set broadcasts; the corpus
+    // streams through the gram join; per-(item, doc) counts reduce
+    // map-side; the per-item winner is one min_by over a total order
+    // (max shared, then min doc — merge-order-independent), never a
+    // rank window over the pair relation. ---
+    "q_contam_coverage" -> ((s, d) => {
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextPipeline.shingles(toks)).as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("gram"))
+      val benchSz = bench.groupBy("bench_id")
+        .agg(count(lit(1)).as("n_bench_grams"))
+      val shared = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("bench_id", "doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+      shared.groupBy("bench_id")
+        .agg(min_by(struct(col("doc_id").as("top_doc_id"),
+            col("n_shared")),
+          struct((-col("n_shared")).as("neg"), col("doc_id").as("tie")))
+          .as("w"))
+        .join(broadcast(benchSz), "bench_id")
+        .select(col("bench_id"), col("n_bench_grams"),
+          col("w.top_doc_id").as("top_doc_id"),
+          col("w.n_shared").as("n_shared"),
+          (col("w.n_shared").cast("double") / col("n_bench_grams"))
+            .as("coverage"))
+        .orderBy("bench_id")
+    }),
+
+    // --- staged curation cascade report (round 12): the gate-by-gate
+    // funnel a corpus curator reads before shipping a training mix —
+    // each stage's input/removed/survivor counts, marginal removal
+    // rate and cumulative survival, for the ORDERED cascade
+    // length -> stopword-density -> lexical-diversity -> language.
+    // Every gate is an exact INTEGER comparison (cross-multiplied
+    // thresholds, the q_code_detect discipline) so no floating-point
+    // cut can disagree across engines; the whole cascade is ONE
+    // map-side aggregate of five conjunction counters over the corpus
+    // (never four passes), stacked into O(stages) rows. ---
+    "q_cascade_gate" -> ((s, d) => {
+      val base = table(s, d, "documents").select(
+        lng(length(col("text"))).as("nc"),
+        lng(size(toks)).as("nt"),
+        lng(size(filter(toks,
+          t => t.isin(TextPipeline.stopwords.map(lit(_)): _*)))).as("st"),
+        lng(size(array_distinct(toks))).as("nd"),
+        col("lang"))
+      val g1 = col("nc").between(150, 450)
+      val g2 = col("st") * 100 >= col("nt") * 3
+      val g3 = col("nd") * 5 >= col("nt") * 2
+      val g4 = col("lang").isin("en", "es", "de")
+      base.agg(
+          count(lit(1)).as("c0"),
+          sum(g1.cast("long")).as("c1"),
+          sum((g1 && g2).cast("long")).as("c2"),
+          sum((g1 && g2 && g3).cast("long")).as("c3"),
+          sum((g1 && g2 && g3 && g4).cast("long")).as("c4"))
+        .selectExpr("stack(4, " +
+          "1L, 'len_150_450', c0, c1, " +
+          "2L, 'stop_ge_3pct', c1, c2, " +
+          "3L, 'distinct_ge_40pct', c2, c3, " +
+          "4L, 'lang_allowed', c3, c4) AS (stage, gate, n_in, n_out)",
+          "c0")
+        .select(col("stage"), col("gate"), col("n_in"),
+          (col("n_in") - col("n_out")).as("n_removed"), col("n_out"),
+          ((col("n_in") - col("n_out")).cast("double") /
+            when(col("n_in") > 0, col("n_in"))).as("removal_rate"),
+          (col("n_out").cast("double") / col("c0")).as("cum_survival"))
+        .orderBy("stage")
+    }),
+
+    // --- span-corruption planning stats (round 12): the T5/UL2-style
+    // denoising objective prep — per doc, how many tokens a
+    // deterministic 15% noise mask hits, how many contiguous SPANS
+    // they form (one sentinel token each), and the resulting
+    // corruption ratio / mean span length. The mask is a pure function
+    // of (doc_id, position) through the portable md5 basis
+    // (pmod(md5_64("sc|doc|i"), 100) < 15), so the plan is
+    // reproducible on any cluster AND rebuilt bit-exactly by the
+    // DuckDB oracle. Entirely map-side: the mask array, its sum, and
+    // the span starts (mask_i AND NOT mask_{i-1}, via a zip with the
+    // 1-shifted array) are per-row expression work — no shuffle, no
+    // window. ---
+    "q_span_corruption" -> ((s, d) => {
+      val out = graft.Det.let(toks) { tk =>
+        graft.Det.let(transform(sequence(lit(1), size(tk)), i =>
+          (pmod(graft.functions.Md5Long(
+            concat(lit("sc|"), col("doc_id").cast("string"),
+              lit("|"), i.cast("string"))), lit(100L)) < 15L)
+            .cast("long"))) { mk =>
+          struct(
+            lng(size(tk)).as("n_tokens"),
+            aggregate(mk, lit(0L), (a, e) => a + e).as("n_masked"),
+            aggregate(
+              zip_with(mk,
+                concat(array(lit(0L)), slice(mk, lit(1), size(mk) - 1)),
+                (cur, prev) => cur * (lit(1L) - prev)),
+              lit(0L), (a, e) => a + e).as("n_spans"))
+        }
+      }
+      table(s, d, "documents")
+        .select(col("doc_id"), out.as("o"))
+        .select(col("doc_id"),
+          col("o.n_tokens").as("n_tokens"),
+          col("o.n_masked").as("n_masked"),
+          col("o.n_spans").as("n_spans"),
+          (col("o.n_masked").cast("double") / col("o.n_tokens"))
+            .as("corrupt_ratio"),
+          (col("o.n_masked").cast("double") /
+            when(col("o.n_spans") > 0, col("o.n_spans")))
+            .as("mean_span_len"))
+        .orderBy("doc_id")
+    }),
+
     // --- code-vs-prose detection (round 10): the symbol-density
     // screen that keeps source code (or markup soup) out of a prose
     // training slice — per source, how many docs trip the detector
@@ -810,6 +932,99 @@ object Curation extends QueryModule {
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id
         |HAVING COUNT(*) >= 3
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_contam_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(tk) - 2, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |      FROM t),
+        |b AS (SELECT doc_id AS bench_id, gram FROM s WHERE doc_id % 97 = 0),
+        |bs AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+        |  FROM b GROUP BY 1),
+        |sh AS (SELECT b.bench_id, s.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM s JOIN b ON b.gram = s.gram
+        |  WHERE s.doc_id % 97 <> 0
+        |  GROUP BY 1, 2),
+        |w AS (SELECT bench_id, doc_id AS top_doc_id, n_shared,
+        |    row_number() OVER (PARTITION BY bench_id
+        |      ORDER BY n_shared DESC, doc_id) AS rn
+        |  FROM sh)
+        |SELECT w.bench_id, bs.n_bench_grams, w.top_doc_id, w.n_shared,
+        |  CAST(w.n_shared AS DOUBLE) / bs.n_bench_grams AS coverage
+        |FROM w JOIN bs ON bs.bench_id = w.bench_id
+        |WHERE w.rn = 1
+        |ORDER BY w.bench_id""".stripMargin,
+
+    "q_cascade_gate" ->
+      """WITH p AS (SELECT CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+        |      AS st,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS nd,
+        |    lang
+        |  FROM documents),
+        |g AS (SELECT nc BETWEEN 150 AND 450 AS g1,
+        |    st * 100 >= nt * 3 AS g2, nd * 5 >= nt * 2 AS g3,
+        |    lang IN ('en', 'es', 'de') AS g4
+        |  FROM p),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2,
+        |    CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c4
+        |  FROM g),
+        |st AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'len_150_450'),
+        |    (CAST(2 AS BIGINT), 'stop_ge_3pct'),
+        |    (CAST(3 AS BIGINT), 'distinct_ge_40pct'),
+        |    (CAST(4 AS BIGINT), 'lang_allowed')) AS v(stage, gate)),
+        |r AS (SELECT stage, gate,
+        |    CASE stage WHEN 1 THEN c0 WHEN 2 THEN c1 WHEN 3 THEN c2
+        |      ELSE c3 END AS n_in,
+        |    CASE stage WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+        |      ELSE c4 END AS n_out, c0
+        |  FROM st CROSS JOIN a)
+        |SELECT stage, gate, n_in, n_in - n_out AS n_removed, n_out,
+        |  CAST(n_in - n_out AS DOUBLE) / (CASE WHEN n_in > 0 THEN n_in
+        |    END) AS removal_rate,
+        |  CAST(n_out AS DOUBLE) / c0 AS cum_survival
+        |FROM r ORDER BY stage""".stripMargin,
+
+    "q_span_corruption" -> {
+      import XxhSql.{md5u, signed}
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |           FROM documents),
+         |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |    unnest(generate_series(1, len(tk))) AS i
+         |  FROM t),
+         |m AS (SELECT doc_id, n, i,
+         |    CASE WHEN ((${signed(md5u(
+             "'sc|' || doc_id || '|' || i"))} % 100) + 100) % 100 < 15
+         |      THEN 1 ELSE 0 END AS mk
+         |  FROM p),
+         |sp AS (SELECT doc_id, n, mk,
+         |    CASE WHEN mk = 1 AND COALESCE(LAG(mk) OVER (
+         |      PARTITION BY doc_id ORDER BY i), 0) = 0 THEN 1 ELSE 0
+         |      END AS sts
+         |  FROM m),
+         |a AS (SELECT doc_id, MAX(n) AS n_tokens,
+         |    CAST(SUM(mk) AS BIGINT) AS n_masked,
+         |    CAST(SUM(sts) AS BIGINT) AS n_spans
+         |  FROM sp GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_masked, n_spans,
+         |  CAST(n_masked AS DOUBLE) / n_tokens AS corrupt_ratio,
+         |  CAST(n_masked AS DOUBLE) / (CASE WHEN n_spans > 0
+         |    THEN n_spans END) AS mean_span_len
+         |FROM a ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -39,7 +39,7 @@ object TextPipeline extends QueryModule {
         .otherwise(array().cast("array<string>"))
     }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to")
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "fast", "data"),
     "es" -> Seq("order", "sort"),

@@ -48,6 +48,8 @@ object SparkEntry {
     operators.Relevance,
     operators.Auditing,
     operators.Training,
+    operators.TrainingMix,
+    operators.Selection,
     operators.Tuning,
     operators.Trends,
     operators.Formats,

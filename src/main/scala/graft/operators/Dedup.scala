@@ -42,7 +42,9 @@ object Dedup extends QueryModule {
   /** Min-label propagation to convergence over the symmetric near-dup
     * edge list; returns per-doc (cluster_id, n_members, is_canonical).
     */
-  private def clusterLoop(s: SparkSession, d: String,
+  // private[operators]: TrainingMix.q_soft_dedup reuses the cluster
+  // relation for 1/|cluster| down-weighting
+  private[operators] def clusterLoop(s: SparkSession, d: String,
       pairs: DataFrame): DataFrame = {
       // Materialize the pair relation ONCE before symmetrizing: the
       // union's two legs are two consumers of the whole upstream

@@ -50,7 +50,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_fairness_audit", "q_gate_sweep", "q_bpe_apply",
     "q_dedup_incremental", "q_bootstrap_ci", "q_blocking_eval",
     "q_doc_novelty", "q_minhash_eval", "q_lsh_curve", "q_sim_lsh",
-    "q_dedup_minhash")
+    "q_dedup_minhash",
+    // round-12 additions: the min_by winner pick, the banded
+    // budget/tertile curves (score-band windows), the cluster-weight
+    // fold, and the tiny-relation anneal ranking
+    "q_contam_coverage", "q_cascade_gate", "q_token_budget",
+    "q_soft_dedup", "q_ccnet_buckets", "q_anneal_mix",
+    "q_bt_step", "q_resample_mix", "q_quality_ensemble")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

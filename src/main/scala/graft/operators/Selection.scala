@@ -135,7 +135,7 @@ object Selection extends QueryModule {
             sum("nt").cast("long").as("tokens_after"))
         val ta = kept.agg(sum("tokens_after").cast("long")
           .as("total_after"))
-        acc.join(kept, Seq("source"), "left")
+        acc.join(broadcast(kept), Seq("source"), "left")
           .na.fill(0L, Seq("docs_after", "tokens_after"))
           .crossJoin(broadcast(ta))
           .select(col("source"), col("docs_before"), col("docs_after"),
@@ -167,6 +167,10 @@ object Selection extends QueryModule {
             expr("(nd * 1000) div nt").as("s1"),
             expr("(st * 1000) div nt").as("s2"),
             (-abs(col("n_chars") - lit(300L))).as("s3"))
+          // four consumers (three rank maps + the join spine) read this
+          // 32-byte/row relation: materialize ONCE so the corpus is
+          // tokenized one time, not four (the clusterLoop discipline)
+          .localCheckpoint()
         val j = t
           .join(broadcast(rankMap(t, "s1", "r1")), "s1")
           .join(broadcast(rankMap(t, "s2", "r2")), "s2")

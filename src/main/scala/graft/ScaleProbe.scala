@@ -42,13 +42,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** The 15 most expensive non-streaming queries of BENCH_DETAIL r9. */
+  /** The 15 most expensive non-streaming queries of BENCH_DETAIL r9,
+    * plus the two heaviest round-12 additions (per-lang tertile
+    * bucketing over the vocab join; label-propagation soft dedup).
+    */
   val probeQueries: Seq[String] = Seq(
     "q_lsh_curve", "q_minhash_eval", "q_containment", "q_dataset_card",
     "q_ssjoin_prefix", "q_dup_size_dist", "q_dedup_canonical",
     "q_graph_modularity", "q_graph_triangle", "q_split_leakage",
     "q_negative_sample", "q_cross_source_dups", "q_graph_wpath",
-    "q_label_prop", "q_graph_commonnbrs")
+    "q_label_prop", "q_graph_commonnbrs",
+    "q_ccnet_buckets", "q_soft_dedup")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

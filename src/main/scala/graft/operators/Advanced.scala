@@ -81,6 +81,16 @@ object Advanced extends QueryModule {
       key: String): String = {
     val tbl = s"${name}_b_${fingerprint(d, name)}"
     val path = s"${graft.Scratch.root}/graft_bucketed/$tbl"
+    // touch-on-use: the prune below ranks siblings by lastModified, so
+    // a fingerprint must rank by LAST USE, not write time — a session
+    // alternating between dataset dirs (the scale probe) re-reads a
+    // dir written long ago, and without the touch a later warmup's
+    // prune deletes files a still-registered catalog table points at
+    // (observed: FAILED_READ_FILE on the 30x probe's base pass)
+    locally {
+      val f = new java.io.File(path)
+      if (f.exists()) f.setLastModified(System.currentTimeMillis())
+    }
     if (!s.catalog.tableExists(tbl)) {
       // Complete = marker plus at least one data file: a husk dir left
       // by tmpfs eviction must trigger a rewrite, not get registered as

@@ -581,6 +581,11 @@ object TextPipeline extends QueryModule {
         if (!tmp.renameTo(dir))
           org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       }
+      // touch-on-use (same LRU contract as Advanced.bucketize): the
+      // prune above ranks by lastModified, and a cache HIT must
+      // refresh the fingerprint's rank or an alternating-dir session
+      // evicts the relation it is about to re-read
+      dir.setLastModified(System.currentTimeMillis())
     }
     s.read.parquet(path)
   }

@@ -154,6 +154,52 @@ object Learning extends QueryModule {
           .orderBy("n_name")
       }),
 
+      // --- DP median via a noisy-rank pick (round 12): q_dp_count's
+      // sibling for a QUANTILE release — the rank, not the count, gets
+      // the deterministic geometric noise (the classic smooth-
+      // sensitivity shortcut for medians). Values quantize to $10
+      // bands FIRST (the q_rolling_p95 integer-domain discipline), so
+      // the per-group cumulative curve runs over a value-bounded band
+      // relation; the pick at rank r is MIN(band WHERE cum >= r) — one
+      // conditional-min aggregate, no per-row window. Noise is the
+      // same trailing-zero ladder as q_dp_count keyed on the group
+      // (re-running releases the SAME value — a DP release must be
+      // publishable, not a fresh sample per run). ---
+      "q_dp_median" -> ((s, d) => {
+        val t = table(s, d, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .withColumn("band", expr("cents div 1000"))
+        val bd = t.groupBy("prio", "band").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("prio").orderBy("band")
+        val cum = bd.withColumn("cum", sum("c").over(wb))
+        val h = mix(ascii(col("prio")).cast("long"))
+        val tz = when(pmod(h, lit(2L)) === 1, 0L)
+          .when(pmod(h, lit(4L)) === 2, 1L)
+          .when(pmod(h, lit(8L)) === 4, 2L)
+          .when(pmod(h, lit(16L)) === 8, 3L)
+          .when(pmod(h, lit(32L)) === 16, 4L)
+          .when(pmod(h, lit(64L)) === 32, 5L)
+          .when(pmod(h, lit(128L)) === 64, 6L)
+          .otherwise(7L)
+        val sign = when(h.bitwiseAND(lit(256L)) === 0, 1L).otherwise(-1L)
+        val ranks = t.groupBy("prio").agg(count(lit(1)).as("n"))
+          .withColumn("rank_true", expr("(n + 1) div 2"))
+          .withColumn("rank_noisy", greatest(lit(1L),
+            least(col("n"), col("rank_true") + sign * tz)))
+        cum.join(broadcast(ranks), "prio")
+          .groupBy("prio", "n")
+          .agg(min(when(col("cum") >= col("rank_true"), col("band")))
+              .as("mb"),
+            min(when(col("cum") >= col("rank_noisy"), col("band")))
+              .as("nb"))
+          .select(col("prio"), col("n"),
+            (col("mb") * 10).as("true_median_usd"),
+            (col("nb") * 10).as("noisy_median_usd"),
+            lit(0.6931).as("epsilon"))
+          .orderBy("prio")
+      }),
+
       // --- kNN label-noise audit (confident-learning-lite): for each
       // probe vector, does the majority label of its 5 exact-cosine
       // nearest neighbors agree with its own label? The per-label
@@ -496,6 +542,47 @@ object Learning extends QueryModule {
         |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
         |  CAST(0.6931 AS DOUBLE) AS epsilon
         |FROM z ORDER BY n_name""".stripMargin,
+
+    "q_dp_median" ->
+      """WITH tq AS (SELECT o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000
+        |           AS band
+        |       FROM orders),
+        |bd2 AS (SELECT prio, band, COUNT(*) AS c FROM tq GROUP BY 1, 2),
+        |cm2 AS (SELECT prio, band, c,
+        |         CAST(SUM(c) OVER (PARTITION BY prio ORDER BY band
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |       FROM bd2),
+        |nn2 AS (SELECT prio, COUNT(*) AS n FROM tq GROUP BY prio),
+        |hz AS (SELECT prio, n,
+        |         ((CAST(ascii(prio) AS BIGINT) * 2654435761)
+        |           % 2147483648 + 2147483648) % 2147483648 AS hh,
+        |         (n + 1) // 2 AS rank_true
+        |       FROM nn2),
+        |nz AS (SELECT prio, n, rank_true,
+        |         CASE WHEN hh % 2 = 1 THEN 0
+        |              WHEN hh % 4 = 2 THEN 1
+        |              WHEN hh % 8 = 4 THEN 2
+        |              WHEN hh % 16 = 8 THEN 3
+        |              WHEN hh % 32 = 16 THEN 4
+        |              WHEN hh % 64 = 32 THEN 5
+        |              WHEN hh % 128 = 64 THEN 6
+        |              ELSE 7 END AS tz,
+        |         CASE WHEN (hh & 256) = 0 THEN 1 ELSE -1 END AS sg
+        |       FROM hz),
+        |nr AS (SELECT prio, n, rank_true,
+        |         greatest(1, least(n, rank_true + sg * tz)) AS rank_noisy
+        |       FROM nz)
+        |SELECT cm2.prio, nr.n,
+        |  MIN(CASE WHEN cum >= rank_true THEN band END) * 10
+        |    AS true_median_usd,
+        |  MIN(CASE WHEN cum >= rank_noisy THEN band END) * 10
+        |    AS noisy_median_usd,
+        |  CAST(0.6931 AS DOUBLE) AS epsilon
+        |FROM cm2 JOIN nr ON nr.prio = cm2.prio
+        |GROUP BY 1, 2
+        |ORDER BY cm2.prio""".stripMargin,
 
     "q_stump_train" ->
       """WITH e AS (

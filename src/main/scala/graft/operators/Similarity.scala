@@ -326,6 +326,41 @@ object Similarity extends QueryModule {
     // bucket (nprobe = 1). Centroids broadcast to both stages; the
     // only shuffle is the bucket equi-join. Trades recall for a
     // ~|centroids| fan-in reduction, the standard IVF bargain. ---
+    // --- SEMANTIC benchmark contamination (round 12): the embedding-
+    // space sibling of q_contamination/q_contam_coverage — eval items
+    // that n-gram decontamination misses because the leak is a
+    // paraphrase. Bench items (vec_id % 97 == 0, the standing eval
+    // stand-in) probe the corpus through the SHARED IVF cells
+    // (ivfAssigned — one assignment pass, the same cells every ANN
+    // query reads): candidates are same-cell only, so the scored
+    // relation is sum(|cell| x |bench-in-cell|), never
+    // |bench| x |corpus|. The per-item nearest pick is a min_by
+    // struct-extremum over (-cos, cand_id) — merge-order-independent,
+    // no window over the candidate relation. Exact quantized cosines
+    // (dotQ). ---
+    "q_semantic_contam" -> ((s, d) => {
+      val asg = ivfAssigned(s, d)
+      val e0 = corpus(s, d).join(asg, "vec_id")
+      val bench = e0.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bench_id"), col("q").as("bq"),
+          col("nn").as("bn"), col("bucket"))
+      val cand = e0.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("cand_id"), col("q").as("cq"),
+          col("nn").as("cn"), col("bucket"))
+      cand.join(broadcast(bench), "bucket")
+        .select(col("bench_id"), col("cand_id"),
+          cosQ(dotQ(col("bq"), col("cq")), col("bn"), col("cn"))
+            .as("cos"))
+        .groupBy("bench_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum((col("cos") >= 0.99).cast("long")).as("n_flagged"),
+          max(col("cos")).as("max_cos"),
+          min_by(col("cand_id"),
+            struct((-col("cos")).as("nc"), col("cand_id").as("tie")))
+            .as("nearest_id"))
+        .orderBy("bench_id")
+    }),
+
     "q_sim_ivf" -> ((s, d) => {
       val e = corpus(s, d)
       val bucketed = e.join(ivfAssigned(s, d), "vec_id")
@@ -1088,6 +1123,38 @@ object Similarity extends QueryModule {
          |      FROM sc)
          |SELECT bucket, keeper_id, dup_id, cos, rn FROM r WHERE rn <= 5
          |ORDER BY bucket, rn""".stripMargin,
+
+    "q_semantic_contam" ->
+      s"""WITH $ivfAsgCte,
+         |bi AS (SELECT vid AS bench_id, bucket FROM asg
+         |       WHERE vid % 97 = 0),
+         |ci AS (SELECT vid AS cand_id, bucket FROM asg
+         |       WHERE vid % 97 <> 0),
+         |pd2 AS (SELECT b.bench_id, c.cand_id, SUM(xb.v * xc.v) AS d
+         |        FROM bi b JOIN ci c USING (bucket)
+         |        JOIN x xb ON xb.vec_id = b.bench_id
+         |        JOIN x xc ON xc.vec_id = c.cand_id AND xc.i = xb.i
+         |        GROUP BY 1, 2),
+         |sc2 AS (SELECT bench_id, cand_id,
+         |          CAST(d AS DOUBLE) /
+         |            (sqrt(CAST(nb.nn AS DOUBLE))
+         |              * sqrt(CAST(nc4.nn AS DOUBLE))) AS cos
+         |        FROM pd2 JOIN n nb ON nb.vec_id = bench_id
+         |                 JOIN n nc4 ON nc4.vec_id = cand_id),
+         |ag2 AS (SELECT bench_id, COUNT(*) AS n_candidates,
+         |          CAST(SUM(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_flagged,
+         |          MAX(cos) AS max_cos
+         |        FROM sc2 GROUP BY bench_id),
+         |wn2 AS (SELECT bench_id, cand_id AS nearest_id,
+         |          row_number() OVER (PARTITION BY bench_id
+         |            ORDER BY cos DESC, cand_id) AS rn
+         |        FROM sc2)
+         |SELECT ag2.bench_id, n_candidates, n_flagged, max_cos,
+         |  nearest_id
+         |FROM ag2 JOIN wn2 ON wn2.bench_id = ag2.bench_id
+         |WHERE wn2.rn = 1
+         |ORDER BY ag2.bench_id""".stripMargin,
 
     "q_sim_ivf" ->
       s"""WITH $ivfAsgCte,

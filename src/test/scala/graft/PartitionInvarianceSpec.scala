@@ -56,7 +56,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // fold, and the tiny-relation anneal ranking
     "q_contam_coverage", "q_cascade_gate", "q_token_budget",
     "q_soft_dedup", "q_ccnet_buckets", "q_anneal_mix",
-    "q_bt_step", "q_resample_mix", "q_quality_ensemble")
+    "q_bt_step", "q_resample_mix", "q_quality_ensemble",
+    "q_semantic_contam", "q_dp_median")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -1019,5 +1019,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // Aggregate, not the corpus
     for (q <- Seq("q_token_budget", "q_ccnet_buckets"))
       assert(!plan(q).contains("CartesianProduct"), s"$q cartesian")
+    // semantic contamination: the bench side broadcasts into the
+    // IVF-cell join (never bench x corpus), and the nearest pick is a
+    // min_by aggregate — the only windows in the plan belong to the
+    // shared IVF assignment, not the candidate relation
+    val ps = plan("q_semantic_contam")
+    assert(ps.contains("BroadcastHashJoin"), ps.take(3000))
+    assert(!ps.contains("CartesianProduct"))
+    // DP median: banded cumulative curve only — no corpus-sized window
+    // (the per-group window reads the pre-aggregated band relation)
+    assert(!plan("q_dp_median").contains("CartesianProduct"))
   }
 }

@@ -85,6 +85,56 @@ object StreamingSmoke extends QueryModule {
     })
     ,
 
+    // --- streamed DP count release (round 12): q_dp_count's mechanism
+    // on a LIVE counting stream — complete-mode per-type counts over
+    // the replay, with the deterministic geometric ladder applied at
+    // the DRAIN (the release point: noise is keyed on the type, so a
+    // re-drained release publishes the SAME value — the privacy-
+    // telemetry contract). The streamed leg is the running count;
+    // state is O(types). Carries a full batch DuckDB oracle. ---
+    "q_streaming_dp" -> ((s, d) => {
+      val schema = graft.Tables.rawEventsSchema(s, d)
+      val stream = graft.Tables.normalizeEventTs(s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+      val agg = stream.groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+      val name = "graft_stream_dp_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/dp-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val q = agg.writeStream
+          .outputMode("complete").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+      val h = pmod(ascii(col("event_type")).cast("long")
+        * lit(2654435761L), lit(2147483648L))
+      val tz = when(pmod(h, lit(2L)) === 1, 0L)
+        .when(pmod(h, lit(4L)) === 2, 1L)
+        .when(pmod(h, lit(8L)) === 4, 2L)
+        .when(pmod(h, lit(16L)) === 8, 3L)
+        .when(pmod(h, lit(32L)) === 16, 4L)
+        .when(pmod(h, lit(64L)) === 32, 5L)
+        .when(pmod(h, lit(128L)) === 64, 6L)
+        .otherwise(7L)
+      val sign = when(h.bitwiseAND(lit(256L)) === 0, 1L).otherwise(-1L)
+      drainSink(s, name)
+        .select(col("event_type"), col("n_true"),
+          (col("n_true") + sign * tz).cast("long").as("noisy_count"),
+          lit(0.6931).as("epsilon"))
+        .orderBy("event_type")
+    })
+    ,
+
     // --- streaming deduplication: dropDuplicates keyed on
     // (user_id, event_type) over the replayed event stream, append-mode
     // memory sink, then a batch rollup of the sink. Each key is emitted
@@ -622,6 +672,33 @@ object StreamingSmoke extends QueryModule {
     // aggregate over the same rows, so it carries the same
     // xxhash64-emulating register oracle (CmsOracle)
     "q_streaming_cms" -> graft.operators.CmsOracle.sql,
+
+    // drained complete-mode counts equal the batch counts, so the DP
+    // release twin checks end-to-end: counts AND the deterministic
+    // ladder noise (same spelling as q_dp_count's oracle)
+    "q_streaming_dp" ->
+      """WITH g2 AS (SELECT event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_true
+        |       FROM events GROUP BY 1),
+        |h2 AS (SELECT event_type, n_true,
+        |        ((CAST(ascii(event_type) AS BIGINT) * 2654435761)
+        |          % 2147483648 + 2147483648) % 2147483648 AS hh
+        |      FROM g2),
+        |z2 AS (SELECT event_type, n_true, hh,
+        |        CASE WHEN hh % 2 = 1 THEN 0
+        |             WHEN hh % 4 = 2 THEN 1
+        |             WHEN hh % 8 = 4 THEN 2
+        |             WHEN hh % 16 = 8 THEN 3
+        |             WHEN hh % 32 = 16 THEN 4
+        |             WHEN hh % 64 = 32 THEN 5
+        |             WHEN hh % 128 = 64 THEN 6
+        |             ELSE 7 END AS tz,
+        |        CASE WHEN (hh & 256) = 0 THEN 1 ELSE -1 END AS sg
+        |      FROM h2)
+        |SELECT event_type, n_true,
+        |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
+        |  CAST(0.6931 AS DOUBLE) AS epsilon
+        |FROM z2 ORDER BY event_type""".stripMargin,
 
     // round 11: streamed HLL registers are pinned bit-identical to the
     // batch aggregate, so the register-rebuild estimate oracle applies

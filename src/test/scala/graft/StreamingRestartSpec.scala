@@ -469,6 +469,19 @@ class StreamingRestartSpec extends AnyFunSuite {
       "restarted candle table == uninterrupted streamed candles")
   }
 
+  test("DP release twin restarted mid-replay: drained counts equal " +
+    "the uninterrupted run, with batch0 not reprocessed") {
+    val got = completeRestart("rsd") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    }.map(r => (r.head.asInstanceOf[String], r(1).asInstanceOf[Long]))
+      .toMap
+    val want = SparkEntry.queries("q_streaming_dp")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty,
+      "restarted drained counts == uninterrupted release")
+  }
+
   test("binseg twin restarted mid-replay: the day grid rebuilt from " +
     "state yields the same change point, with batch0 not reprocessed") {
     val grid = completeRestart("rsb") { src =>

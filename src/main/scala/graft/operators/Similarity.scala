@@ -326,6 +326,35 @@ object Similarity extends QueryModule {
     // bucket (nprobe = 1). Centroids broadcast to both stages; the
     // only shuffle is the bucket equi-join. Trades recall for a
     // ~|centroids| fan-in reduction, the standard IVF bargain. ---
+    // --- semantic topic-balance audit (round 12): the embedding-
+    // space sibling of q_lang_mix_entropy — per label slice, how
+    // evenly the vectors spread over 16 SRP "topic" buckets (low 4
+    // bits of the shared 16-bit SRP signature, the same planes the
+    // census/pair queries publish). Diversity uses the same BANDED
+    // integer entropy (sum of c * floor(log2(n/c)), one div at the
+    // end — no libm); output is O(labels). One signature pass over
+    // the corpus, two tiny rollups. ---
+    "q_topic_balance" -> ((s, d) => {
+      val cells = table(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          pmod(srpSigExpr, lit(16L)).as("topic"))
+        .groupBy("label", "topic").agg(count(lit(1)).as("c"))
+      val totals = cells.groupBy("label")
+        .agg(sum("c").cast("long").as("n"),
+          count(lit(1)).as("n_topics"), max("c").as("cmax"))
+      cells.join(broadcast(totals), "label")
+        .select(col("label"), col("n"), col("n_topics"), col("cmax"),
+          (col("c") * (length(bin(expr("n div c"))) - 1).cast("long"))
+            .as("contrib"))
+        .groupBy("label")
+        .agg(max("n").as("n_vecs"), max("n_topics").as("n_topics"),
+          max("cmax").as("cmax"), sum("contrib").cast("long").as("hb"))
+        .select(col("label"), col("n_vecs"), col("n_topics"),
+          expr("hb div n_vecs").as("h_band"),
+          (col("cmax").cast("double") / col("n_vecs")).as("dom_share"))
+        .orderBy("label")
+    }),
+
     // --- SEMANTIC benchmark contamination (round 12): the embedding-
     // space sibling of q_contamination/q_contam_coverage — eval items
     // that n-gram decontamination misses because the leak is a
@@ -1123,6 +1152,26 @@ object Similarity extends QueryModule {
          |      FROM sc)
          |SELECT bucket, keeper_id, dup_id, cos, rn FROM r WHERE rn <= 5
          |ORDER BY bucket, rn""".stripMargin,
+
+    "q_topic_balance" ->
+      s"""WITH $srpSigCte,
+         |tc AS (SELECT CAST(label AS BIGINT) AS label,
+         |         srp_sig % 16 AS topic, COUNT(*) AS c
+         |       FROM sg GROUP BY 1, 2),
+         |tt2 AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n,
+         |          CAST(COUNT(*) AS BIGINT) AS n_topics,
+         |          CAST(MAX(c) AS BIGINT) AS cmax
+         |        FROM tc GROUP BY 1),
+         |pz AS (SELECT tc.label, MAX(n) AS n, MAX(n_topics) AS n_topics,
+         |         MAX(cmax) AS cmax,
+         |         CAST(SUM(c * CAST(length(bin(n // c)) - 1 AS BIGINT))
+         |           AS BIGINT) AS hb
+         |       FROM tc JOIN tt2 ON tt2.label = tc.label
+         |       GROUP BY 1)
+         |SELECT label, n AS n_vecs, n_topics,
+         |  CAST(hb // n AS BIGINT) AS h_band,
+         |  CAST(cmax AS DOUBLE) / n AS dom_share
+         |FROM pz ORDER BY label""".stripMargin,
 
     "q_semantic_contam" ->
       s"""WITH $ivfAsgCte,

@@ -47,6 +47,38 @@ object Trends extends QueryModule {
           .orderBy("doc_id")
       }),
 
+      // --- marginal-novelty growth curve (round 12): per doc-id
+      // decile, how many shingles appear for the FIRST time — the
+      // "does the next corpus increment still add new content, or are
+      // we re-crawling the same pages" readout that decides whether
+      // to keep scaling a source. First occurrence = min(doc_id) per
+      // gram (one vocabulary-sized aggregate — the same class as
+      // q_doc_novelty's df relation); the decile rollup and its
+      // cumulative window run over 10 rows. Dense doc ids (the corpus
+      // contract here, as q_negative_sample documents) make the
+      // decile a pure id-range band. ---
+      "q_ngram_novelty_curve" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
+        val firstOcc = docs
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .groupBy("g").agg(min("doc_id").as("fd"))
+        val mx = docs.agg(max("doc_id").as("mx"))
+        val bydec = firstOcc.crossJoin(broadcast(mx))
+          .select(expr("least(9, (fd * 10) div (mx + 1))").as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_new_grams"))
+        val tot = bydec.agg(sum("n_new_grams").cast("long").as("t"))
+        val wd = Window.orderBy("decile")
+        bydec
+          .withColumn("cum_new",
+            sum("n_new_grams").over(wd).cast("long"))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_new_grams"), col("cum_new"),
+            (col("cum_new").cast("double") / col("t").cast("double"))
+              .as("cum_frac"))
+          .orderBy("decile")
+      }),
+
       // --- weekday×hour activity heatmap (the capacity-planning /
       // anomaly-baseline readout): one partial-aggregated pass to
       // O(7×24) cells, global total broadcast back for the share.
@@ -590,6 +622,28 @@ object Trends extends QueryModule {
          |    / COUNT(*) AS novelty
          |FROM e JOIN df USING (sg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_novelty_curve" ->
+      """WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |s2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(tk) - 2, 0) + 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |       FROM t2),
+        |fo AS (SELECT g, MIN(doc_id) AS fd FROM s2 GROUP BY g),
+        |mx2 AS (SELECT MAX(doc_id) AS mx FROM t2),
+        |bd3 AS (SELECT least(9, (fd * 10) // (mx + 1)) AS decile,
+        |          COUNT(*) AS n_new_grams
+        |        FROM fo CROSS JOIN mx2 GROUP BY 1),
+        |tt3 AS (SELECT CAST(SUM(n_new_grams) AS BIGINT) AS t FROM bd3),
+        |cm3 AS (SELECT decile, n_new_grams,
+        |          CAST(SUM(n_new_grams) OVER (ORDER BY decile
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_new
+        |        FROM bd3)
+        |SELECT decile, n_new_grams, cum_new,
+        |  CAST(cum_new AS DOUBLE) / CAST(t AS DOUBLE) AS cum_frac
+        |FROM cm3 CROSS JOIN tt3 ORDER BY decile""".stripMargin,
 
     "q_time_heatmap" ->
       """WITH cells AS (SELECT

@@ -57,7 +57,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_contam_coverage", "q_cascade_gate", "q_token_budget",
     "q_soft_dedup", "q_ccnet_buckets", "q_anneal_mix",
     "q_bt_step", "q_resample_mix", "q_quality_ensemble",
-    "q_semantic_contam", "q_dp_median")
+    "q_semantic_contam", "q_dp_median", "q_topic_balance",
+    "q_ngram_novelty_curve")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryModule
+import graft.Det.lng
 import graft.Tables.table
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -207,6 +208,43 @@ object Dedup extends QueryModule {
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
         .orderBy("cluster_size")
+    }),
+
+    // --- memorization-risk matrix (round 12): duplication x length
+    // interaction — verbatim memorization correlates with BOTH how
+    // often a passage repeats and how long it is, so the risk review
+    // reads a (dup-band x log2-length) grid, not either margin alone.
+    // Same label-propagation clusters; the grid is a bounded
+    // O(4 x log2(maxlen)) rollup with token mass and corpus share. ---
+    "q_memorization_risk" -> ((s, d) => {
+      val pairs = TextPipeline.ngramPairs(s, d)
+        .select(col("a_id"), col("b_id"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val labels =
+        try clusterLoop(s, d, pairs).select(col("doc_id"),
+          col("n_members"))
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val g = table(s, d, "documents")
+        .select(col("doc_id"), lng(size(toks)).as("nt"))
+        .join(labels, "doc_id")
+        .select(
+          when(col("n_members") === 1, "1_unique")
+            .when(col("n_members") === 2, "2_pair")
+            .when(col("n_members") <= 4, "3_small")
+            .otherwise("4_family").as("dup_band"),
+          (length(bin(col("nt"))) - 1).cast("long").as("len_log2"),
+          col("nt"))
+        .groupBy("dup_band", "len_log2")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").cast("long").as("tokens"))
+      val tot = g.agg(sum("tokens").cast("long").as("t"))
+      g.crossJoin(broadcast(tot))
+        .select(col("dup_band"), col("len_log2"), col("n_docs"),
+          col("tokens"),
+          (col("tokens").cast("double") / col("t").cast("double"))
+            .as("token_share"))
+        .orderBy("dup_band", "len_log2")
     }),
 
     "q_dedup_cluster" -> ((s, d) => {
@@ -573,6 +611,38 @@ object Dedup extends QueryModule {
          |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
          |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q_memorization_risk" ->
+      s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
+         |ed3 AS (SELECT a_id AS src, b_id AS dst FROM p
+         |        UNION ALL
+         |        SELECT b_id, a_id FROM p),
+         |rr3 AS (SELECT doc_id AS doc, doc_id AS reach FROM documents
+         |        UNION
+         |        SELECT rr3.doc, ed3.dst FROM rr3
+         |        JOIN ed3 ON ed3.src = rr3.reach),
+         |cl3 AS (SELECT doc AS doc_id, MIN(reach) AS cluster_id
+         |        FROM rr3 GROUP BY doc),
+         |sz3 AS (SELECT cluster_id, COUNT(*) AS n_members
+         |        FROM cl3 GROUP BY cluster_id),
+         |gr3 AS (SELECT CASE WHEN n_members = 1 THEN '1_unique'
+         |               WHEN n_members = 2 THEN '2_pair'
+         |               WHEN n_members <= 4 THEN '3_small'
+         |               ELSE '4_family' END AS dup_band,
+         |          CAST(length(bin(CAST(len(string_split(d.text, ' '))
+         |            AS BIGINT))) - 1 AS BIGINT) AS len_log2,
+         |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+         |        FROM documents d
+         |        JOIN cl3 ON cl3.doc_id = d.doc_id
+         |        JOIN sz3 USING (cluster_id)),
+         |ag3 AS (SELECT dup_band, len_log2, COUNT(*) AS n_docs,
+         |          CAST(SUM(nt) AS BIGINT) AS tokens
+         |        FROM gr3 GROUP BY 1, 2),
+         |tt4 AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM ag3)
+         |SELECT dup_band, len_log2, n_docs, tokens,
+         |  CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE) AS token_share
+         |FROM ag3 CROSS JOIN tt4
+         |ORDER BY dup_band, len_log2""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},

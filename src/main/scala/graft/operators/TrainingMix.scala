@@ -211,6 +211,53 @@ object TrainingMix extends QueryModule {
           .orderBy("lang", "bucket")
       }),
 
+      // --- leave-one-source-out mixture ablation (round 12): for each
+      // source REMOVED, the remaining corpus's doc/token mass, mean
+      // integer quality, and language diversity — the "which source is
+      // dragging the mix" table a curator reads before cutting one.
+      // Everything derives from per-source and per-(source,lang)
+      // aggregates (one corpus pass); the ablation arithmetic runs on
+      // O(sources x langs) rows — global minus slice, never a second
+      // scan per source. Entropy uses the banded integer bits
+      // spelling (q_lang_mix_entropy), quality the exact decimal sum.
+      "q_mixture_ablate" -> ((s, d) => {
+        val base = table(s, d, "documents")
+          .select(col("source"), col("lang"),
+            lng(size(toks)).as("nt"),
+            lng(size(array_distinct(toks))).as("nd"))
+          .withColumn("score", expr(scoreExpr))
+        val bySrc = base.groupBy("source")
+          .agg(count(lit(1)).as("n_s"),
+            sum("nt").cast("long").as("t_s"),
+            sum(dec(col("score"))).as("q_s"))
+        val glob = bySrc.agg(sum("n_s").cast("long").as("nn"),
+          sum("t_s").cast("long").as("tt"), sum("q_s").as("qq"))
+        val langCells = base.groupBy("lang").agg(count(lit(1)).as("cl"))
+        val srcLang = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("csl"))
+        val ent = bySrc.select("source", "n_s")
+          .crossJoin(broadcast(langCells))
+          .join(srcLang, Seq("source", "lang"), "left")
+          .select(col("source"), col("n_s"),
+            (col("cl") - coalesce(col("csl"), lit(0L))).as("cr"))
+          .filter(col("cr") > 0)
+          .crossJoin(broadcast(glob.select("nn")))
+          .select(col("source"),
+            (col("cr") * (length(bin(expr("(nn - n_s) div cr"))) - 1)
+              .cast("long")).as("contrib"))
+          .groupBy("source").agg(sum("contrib").cast("long").as("hb"))
+        bySrc.crossJoin(broadcast(glob))
+          .join(ent, "source")
+          .select(col("source"),
+            (col("nn") - col("n_s")).as("docs_left"),
+            (col("tt") - col("t_s")).as("tokens_left"),
+            ((col("qq") - col("q_s")).cast("double")
+              / (col("nn") - col("n_s")).cast("double"))
+              .as("mean_score_left"),
+            expr("hb div (nn - n_s)").as("h_band_left"))
+          .orderBy("source")
+      }),
+
       // --- two-phase annealed mixture schedule: the "upweight the
       // best data for the last 10% of training" recipe. Sources rank
       // by mean integer quality (decimal-exact average of the
@@ -384,6 +431,42 @@ object TrainingMix extends QueryModule {
         |GROUP BY bn.lang, CASE WHEN smilli <= t1 THEN 'head'
         |  WHEN smilli <= t2 THEN 'middle' ELSE 'tail' END
         |ORDER BY bn.lang, bucket""".stripMargin,
+
+    "q_mixture_ablate" ->
+      """WITH b4 AS (SELECT source, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         (CAST(len(list_distinct(string_split(text, ' ')))
+        |            AS BIGINT) * 1000)
+        |           // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |           AS score
+        |       FROM documents),
+        |bs AS (SELECT source, COUNT(*) AS n_s,
+        |         CAST(SUM(nt) AS BIGINT) AS t_s,
+        |         SUM(CAST(score AS DECIMAL(18,4))) AS q_s
+        |       FROM b4 GROUP BY source),
+        |gl AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn,
+        |         CAST(SUM(t_s) AS BIGINT) AS tt, SUM(q_s) AS qq
+        |       FROM bs),
+        |lc AS (SELECT lang, COUNT(*) AS cl FROM b4 GROUP BY lang),
+        |slc AS (SELECT source, lang, COUNT(*) AS csl
+        |        FROM b4 GROUP BY 1, 2),
+        |cr2 AS (SELECT bs.source, bs.n_s, lc.lang,
+        |          lc.cl - COALESCE(slc.csl, 0) AS cr
+        |        FROM bs CROSS JOIN lc
+        |        LEFT JOIN slc ON slc.source = bs.source
+        |          AND slc.lang = lc.lang),
+        |en AS (SELECT cr2.source,
+        |         CAST(SUM(cr * CAST(length(bin((nn - n_s) // cr)) - 1
+        |           AS BIGINT)) AS BIGINT) AS hb
+        |       FROM cr2 CROSS JOIN gl
+        |       WHERE cr > 0 GROUP BY 1)
+        |SELECT bs.source, nn - n_s AS docs_left,
+        |  tt - t_s AS tokens_left,
+        |  CAST(qq - q_s AS DOUBLE) / CAST(nn - n_s AS DOUBLE)
+        |    AS mean_score_left,
+        |  CAST(hb // (nn - n_s) AS BIGINT) AS h_band_left
+        |FROM bs JOIN en ON en.source = bs.source CROSS JOIN gl
+        |ORDER BY bs.source""".stripMargin,
 
     "q_anneal_mix" ->
       """WITH sd AS (SELECT source,

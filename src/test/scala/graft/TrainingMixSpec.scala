@@ -115,6 +115,35 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture ablation: every slice's removal complements the " +
+    "global masses") {
+    val rows = q("q_mixture_ablate").collect()
+    val docs = Tables.table(spark, sf, "documents")
+    val n = docs.count()
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == perSrc.size)
+    rows.foreach { r =>
+      // docs_left + removed slice == corpus, for every source
+      assert(r.getLong(1) == n - perSrc(r.getString(0)),
+        s"${r.getString(0)} docs_left wrong")
+      assert(r.getLong(2) > 0 && r.getLong(4) >= 0)
+    }
+  }
+
+  test("memorization risk: the grid partitions the corpus and shares " +
+    "sum to one") {
+    val rows = q("q_memorization_risk").collect()
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == n, "grid does not partition")
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"token shares sum $shareSum")
+    // every band label is one of the four declared ones
+    val bands = rows.map(_.getString(0)).toSet
+    assert(bands.subsetOf(
+      Set("1_unique", "2_pair", "3_small", "4_family")))
+  }
+
   test("anneal mix: shares normalize and exactly the top-2 ranked " +
     "sources are boosted") {
     val rows = q("q_anneal_mix").collect()

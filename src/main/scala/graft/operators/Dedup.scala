@@ -54,13 +54,31 @@ object Dedup extends QueryModule {
       // the query's cost doubled, 1.7s -> 3.4s at sf0.1). After the
       // checkpoint the second leg reads cached blocks, not the lineage.
       val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+      // Loop-relation sizing: the iterative phase shuffles only the
+      // skinny label/edge relations — orders of magnitude smaller than
+      // the corpus the pair join above chews through. At the session's
+      // 32 shuffle partitions each per-round job schedules 32
+      // near-empty tasks and the loop is pure task-launch overhead, so
+      // the loop relations are hash-repartitioned to 4 on their
+      // join/agg keys HERE, inside the loop's own plan — never via the
+      // session-global shuffle.partitions knob (a conf mutation is
+      // visible to every concurrently-running query on the shared
+      // session). localCheckpoint preserves outputPartitioning, so the
+      // per-round join and aggregate see compatible hashpartitioning
+      // and plan no further exchange. At fleet scale this sizing is
+      // AQE coalescing (parallelismFirst keeps local[32] from
+      // coalescing these tiny shuffles on its own).
+      val LoopParts = 4
       // symmetric edge list: a narrow union over the checkpointed
-      // blocks — each iteration re-reads cached partitions, so a second
-      // persist() here would just hold the same rows resident twice
+      // blocks, repartitioned once on the probe key and re-read from
+      // cached blocks by every iteration's join
       val edges = p
         .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .repartition(LoopParts, col("a_id"))
+        .localCheckpoint()
       var labels = table(s, d, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .repartition(LoopParts, col("doc_id"))
         .localCheckpoint()
       var converged = false
       var iter = 0
@@ -85,6 +103,7 @@ object Dedup extends QueryModule {
           .join(edges.as("e"), col("l.doc_id") === col("e.a_id"))
           .select(col("e.b_id").as("doc_id"), col("l.cluster_id"))
         val next = labels.union(prop)
+          .repartition(LoopParts, col("doc_id"))
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
           .localCheckpoint()
         val nextSum = labelSum(next)
@@ -104,9 +123,11 @@ object Dedup extends QueryModule {
         throw new IllegalStateException(
           s"q_dedup_cluster: label propagation not converged after $iter " +
             "iterations — component diameter exceeds the cap; raise it")
-      val sizes = labels.groupBy("cluster_id")
+      val sizes = labels.repartition(LoopParts, col("cluster_id"))
+        .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
-      labels.join(sizes, "cluster_id")
+      labels.repartition(LoopParts, col("cluster_id"))
+        .join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("n_members"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy("doc_id")
@@ -196,11 +217,7 @@ object Dedup extends QueryModule {
     "q_dup_size_dist" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val labels =
-        try clusterLoop(s, d, pairs)
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val labels = clusterLoop(s, d, pairs)
       labels.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
@@ -219,12 +236,8 @@ object Dedup extends QueryModule {
     "q_memorization_risk" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val labels =
-        try clusterLoop(s, d, pairs).select(col("doc_id"),
-          col("n_members"))
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val labels = clusterLoop(s, d, pairs).select(col("doc_id"),
+        col("n_members"))
       val g = table(s, d, "documents")
         .select(col("doc_id"), lng(size(toks)).as("nt"))
         .join(labels, "doc_id")
@@ -250,19 +263,9 @@ object Dedup extends QueryModule {
     "q_dedup_cluster" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
-      // The iterative phase shuffles only the label table (|docs| skinny
-      // rows) and the near-dup edge list — relations orders of magnitude
-      // smaller than the corpus the pair join above chews through. At 32
-      // shuffle partitions each of the ~3 jobs per round schedules 32
-      // near-empty tasks and the loop is pure task-launch overhead;
-      // size the iterative shuffles to the data like the streaming
-      // queries size state partitions. At fleet scale this knob is AQE
-      // coalescing (it already merges empty partitions there — the
-      // explicit setting matters only for this tiny-relation loop).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try clusterLoop(s, d, pairs)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // Loop-relation sizing lives inside clusterLoop itself (explicit
+      // repartition on the join/agg keys), so no session conf is touched.
+      clusterLoop(s, d, pairs)
     }),
 
     // --- quality-aware canonical selection per near-dup cluster: the
@@ -276,12 +279,7 @@ object Dedup extends QueryModule {
     "q_dedup_canonical" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
-      // same tiny-relation loop sizing as q_dedup_cluster
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val labels =
-        try clusterLoop(s, d, pairs).select("doc_id", "cluster_id")
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val labels = clusterLoop(s, d, pairs).select("doc_id", "cluster_id")
       labels
         .join(table(s, d, "documents").select(col("doc_id"),
           col("n_chars")), "doc_id")
@@ -413,29 +411,48 @@ object Dedup extends QueryModule {
     // ledger needs the cheap greedy rule both engines state
     // identically). Every relation is O(docs) or O(pairs). ---
     "q_dedup_cascade" -> ((s, d) => {
-      val docs = table(s, d, "documents")
-      val n0 = docs.count()
+      val docs = table(s, d, "documents").select(col("doc_id"),
+        col("text"))
       val k1 = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      val n1 = k1.count()
       val k2 = docs.join(k1, "doc_id")
         .groupBy(md5(concat_ws(" ",
           slice(split(col("text"), " "), 1, 8))).as("pfx"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      val n2 = k2.count()
       val pairs = graft.operators.TextPipeline.ngramPairs(s, d)
         .select("a_id", "b_id")
       val removed3 = pairs
         .join(k2.withColumnRenamed("doc_id", "a_id"), "a_id")
         .join(k2.withColumnRenamed("doc_id", "b_id"), "b_id")
         .select(col("b_id").as("doc_id")).distinct()
-      val n3 = n2 - removed3.count()
-      import s.implicits._
-      Seq(("1_exact", n0, n0 - n1, n1),
-        ("2_prefix", n1, n1 - n2, n2),
-        ("3_neardup", n2, n2 - n3, n3))
-        .toDF("stage", "n_in", "n_removed", "n_out")
+      // Per-doc stage flags -> ONE aggregate -> explode into the 3-row
+      // funnel: zero driver actions (the former spelling ran a 4-action
+      // count ladder — four jobs for a 3-row report). The keeper sets
+      // are skinny id relations, so the three flag joins broadcast; the
+      // whole ledger is a single pass when the result is consumed.
+      val flags = docs.select(col("doc_id"))
+        .join(k1.withColumn("f1", lit(1L)), Seq("doc_id"), "left")
+        .join(k2.withColumn("f2", lit(1L)), Seq("doc_id"), "left")
+        .join(removed3.withColumn("f3", lit(1L)), Seq("doc_id"), "left")
+      val cn = flags.agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum("f1"), lit(0L)).as("n1"),
+        coalesce(sum("f2"), lit(0L)).as("n2"),
+        coalesce(sum("f3"), lit(0L)).as("r3"))
+      cn.select(explode(array(
+          struct(lit("1_exact").as("stage"), col("n0").as("n_in"),
+            (col("n0") - col("n1")).as("n_removed"),
+            col("n1").as("n_out")),
+          struct(lit("2_prefix").as("stage"), col("n1").as("n_in"),
+            (col("n1") - col("n2")).as("n_removed"),
+            col("n2").as("n_out")),
+          struct(lit("3_neardup").as("stage"), col("n2").as("n_in"),
+            col("r3").as("n_removed"),
+            (col("n2") - col("r3")).as("n_out")))).as("st"))
+        .select(col("st.stage").as("stage"), col("st.n_in").as("n_in"),
+          col("st.n_removed").as("n_removed"),
+          col("st.n_out").as("n_out"))
         .orderBy("stage")
     }),
 
@@ -453,12 +470,7 @@ object Dedup extends QueryModule {
     "q_survivorship" -> ((s, d) => {
       val pairs = TextPipeline.ngramPairs(s, d)
         .select(col("a_id"), col("b_id"))
-      // same tiny-relation loop sizing as q_dedup_cluster
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val labels =
-        try clusterLoop(s, d, pairs).select("doc_id", "cluster_id")
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val labels = clusterLoop(s, d, pairs).select("doc_id", "cluster_id")
       labels
         .join(table(s, d, "documents")
           .select(col("doc_id"), col("source"), col("lang"),

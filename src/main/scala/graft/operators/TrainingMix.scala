@@ -136,13 +136,8 @@ object TrainingMix extends QueryModule {
       "q_soft_dedup" -> ((s, d) => {
         val pairs = TextPipeline.ngramPairs(s, d)
           .select(col("a_id"), col("b_id"))
-        // same tiny-relation loop sizing as q_dedup_cluster
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val labels =
-          try Dedup.clusterLoop(s, d, pairs)
-            .select(col("doc_id"), col("n_members"))
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val labels = Dedup.clusterLoop(s, d, pairs)
+          .select(col("doc_id"), col("n_members"))
         table(s, d, "documents")
           .select(col("doc_id"), col("source"), lng(size(toks)).as("nt"))
           .join(labels, "doc_id")

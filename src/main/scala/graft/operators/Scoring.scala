@@ -390,27 +390,39 @@ object Scoring extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // --- compression-ratio quality signal (Kolmogorov proxy): DEFLATE
-    // bytes per input byte via the native codegen'd DeflateLen
-    // expression (functions/DeflateLen.scala). Pure map-side projection
-    // — no shuffle at any scale; the thread-local Deflater makes the
-    // per-row cost the compression itself, no allocation/JNI-init. Not
-    // SQL-expressible (DuckDB has no compression function), so this is
-    // a rows-only query; NativeFnPropertySpec pins the semantics
-    // (repeatable within one JVM/zlib build — DEFLATE output is NOT
-    // specified bit-exactly, so lengths can differ across zlib
-    // versions; the quality SIGNAL, ratio ordering, is what transfers
-    // — plus repetitive << shuffled ordering, interpreted == codegen).
-    // An empty document deflates to a nonzero header, so the ratio is
-    // null-guarded, not NaN. ---
+    // --- compression-ratio quality signal (Kolmogorov proxy), round-13
+    // portable re-spec: the REGISTERED output is the distinct-8-token-
+    // gram ratio — a dictionary-compressibility estimate both engines
+    // compute exactly (integer gram counts + one IEEE division), so the
+    // query carries a full DuckDB oracle instead of the former rows-only
+    // floor. Repetitive/template docs reuse 8-grams and score low;
+    // high-entropy prose scores near 1 — the same ordering signal the
+    // DEFLATE length gave (Gopher-style repetition filters use exactly
+    // these n-gram duplicate fractions). Pure map-side projection — the
+    // gram array never leaves its row, no shuffle at any scale. The
+    // native Deflater diagnostic (functions/DeflateLen.scala) stays in
+    // the library for users who want true DEFLATE bytes — it is not
+    // DuckDB-expressible, so FunctionsPropertySpec pins its semantics
+    // (determinism, entropy ordering, bounds) instead of the oracle;
+    // see SURVEY §2.C. Docs under 8 tokens have no grams: null-guarded
+    // ratio, not NaN (and ANSI Spark would throw on the int 0). ---
     "q_compress_ratio" -> ((s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"), octet_length(col("text")).cast("long")
           .as("raw_len"),
-          graft.functions.DeflateLen(col("text")).as("comp_len"))
-        .withColumn("ratio",
-          when(col("raw_len") > 0,
-            col("comp_len").cast("double") / col("raw_len").cast("double")))
+          let(split(col("text"), " ")) { tk =>
+            when(size(tk) >= 8,
+              transform(sequence(lit(1), size(tk) - 7),
+                i => concat_ws(" ",
+                  (0 to 7).map(o => element_at(tk, i + o)): _*)))
+              .otherwise(array().cast("array<string>"))
+          }.as("sh"))
+        .select(col("doc_id"), col("raw_len"),
+          lng(size(col("sh"))).as("n_grams"),
+          lng(size(array_distinct(col("sh")))).as("n_distinct"))
+        .withColumn("distinct_ratio",
+          when(col("n_grams") > 0,
+            col("n_distinct").cast("double") / col("n_grams")))
         .orderBy("doc_id")),
 
     // --- bigram-LM perplexity (conditional surprisal): upgrade of
@@ -569,6 +581,27 @@ object Scoring extends QueryModule {
     s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"
 
   override def oracle: Map[String, String] = Map(
+    // round 13: full oracle for the re-specced portable proxy — the
+    // former DeflateLen output was the library's one no-oracle row
+    "q_compress_ratio" ->
+      """WITH t AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_len,
+        |             string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, raw_len,
+        |        CASE WHEN len(tk) >= 8 THEN list_transform(
+        |          range(1, len(tk) - 6),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+        |            || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' '
+        |            || tk[i+6] || ' ' || tk[i+7])
+        |        ELSE [] END AS sh
+        |      FROM t)
+        |SELECT doc_id, raw_len,
+        |  CAST(len(sh) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(sh) > 0
+        |    THEN CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END
+        |    AS distinct_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_ab_ttest" -> {
       val vq = "CAST(round(value, 0) AS BIGINT)"
       def arm(t: String) = (

@@ -30,9 +30,11 @@ object Verify {
     // SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val dumped = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      dumped += name
       // a marker from an earlier run into the same outDir must not
       // survive a now-successful query
       try Files.deleteIfExists(Paths.get(s"$outDir/$name.failed"))
@@ -63,6 +65,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of THIS run's dumped query set: a reused outDir keeps
+    // parquet dirs of renamed/removed queries, and the oracle compare
+    // then reports confusing schema FAILs against ghosts. The checker
+    // iterates the manifest and prunes per-query dirs not in it.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      dumped.sorted.map(q).mkString("[", ",", "]"))
     // Stamp the dump with the tree it came from, so a stale artifact
     // is distinguishable from a live regression (round-8 lesson).
     Files.writeString(Paths.get(s"$outDir/git_sha.txt"),

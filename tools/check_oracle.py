@@ -8,6 +8,8 @@ values exactly (row order as produced). Usage:
 """
 import json
 import math
+import os
+import shutil
 import sys
 
 import duckdb
@@ -29,8 +31,29 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # The manifest is the set Verify actually dumped in its last run
+    # into this outDir: iterate it (not oracle_sql.json, which lists
+    # every registered oracle) and prune per-query dump dirs that are
+    # not in it — ghosts from a renamed/removed query in an earlier
+    # run would otherwise surface as confusing schema FAILs.
+    manifest_path = f"{out_dir}/manifest.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            names = json.load(f)
+        live = set(names)
+        for entry in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, entry)
+            if os.path.isdir(p) and entry not in live:
+                shutil.rmtree(p)
+                print(f"stale {entry}: removed (not in manifest)")
+        items = [(n, oracles.get(n)) for n in sorted(names)]
+    else:
+        items = sorted(oracles.items())
     n_ok = n_bad = 0
-    for name, sql in sorted(oracles.items()):
+    for name, sql in items:
+        if sql is None:
+            print(f"skip {name}: no oracle SQL registered")
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")

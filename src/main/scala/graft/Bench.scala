@@ -88,6 +88,13 @@ object Bench {
     // A sample is Some(seconds) on success, None on failure — a query
     // that crashes must never contribute its (fast) wall time to the
     // min, or a crash would read as a speedup.
+    // Every successful sample (passes AND outlier retries), in
+    // chronological order per query — lands in BENCH_DETAIL so a
+    // round-over-round verdict can see that a slow `queries` value was
+    // one storm-taxed pass next to a quiet one, instead of re-running
+    // the adjudication. `queries` itself stays the MIN.
+    val sampleLog =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
     def sample(tag: String, name: String,
         fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -97,7 +104,10 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $tag%-7s $name%-24s $dt%8.2fs")
-      if (ok) Some(dt) else None
+      if (ok) {
+        sampleLog(name) = sampleLog.getOrElse(name, Vector.empty) :+ dt
+        Some(dt)
+      } else None
     }
     val timed = (1 to passes).map { p =>
       selected.map { case (name, fn) =>
@@ -136,6 +146,10 @@ object Bench {
     // capped below; this file is not).
     val detail = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val samplesJson = ok.map { case (k, _) =>
+      "\"" + k + "\":" +
+        sampleLog.getOrElse(k, Vector.empty).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "/root/repo/BENCH_DETAIL.json"
     // A SPARK_GRAFT_ONLY subset run is a local iteration tool — never
@@ -144,7 +158,8 @@ object Bench {
     try if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""queries":$detail,"failed":$failedJson,""" +
+          s""""queries":$detail,"samples":$samplesJson,""" +
+          s""""failed":$failedJson,""" +
           s""""sf":"$sfDir","passes":$passes,"git_sha":"$sha"}""" +
           "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>

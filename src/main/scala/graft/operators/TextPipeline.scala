@@ -549,13 +549,31 @@ object TextPipeline extends QueryModule {
   private[operators] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val fp = Advanced.fingerprint(d, "documents")
     val path = s"${graft.Scratch.root}/graft_truth/ngram_$fp"
+    // Read path may be redirected to the pid-unique temp dir in the
+    // (never-observed) case that the final rename fails: reading the
+    // rows we just wrote beats throwing with no cache at all.
+    var readPath = path
     truthLock.synchronized {
       val dir = new java.io.File(path)
-      val complete = new java.io.File(path, "_SUCCESS").exists() &&
+      // Cross-JVM publish guard: the in-process truthLock doesn't cover
+      // a SECOND JVM (a stray Verify next to a Bench), and the former
+      // delete-then-rename could remove a dir the other JVM had just
+      // published — possibly mid-read on its side. A file lock on a
+      // sibling .lock file serializes the check+publish across
+      // processes; the completeness re-check under the lock then makes
+      // the pre-rename delete hit only genuine stale partials.
+      val lockFile = new java.io.File(s"$path.lock")
+      lockFile.getParentFile.mkdirs()
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try {
+      def isComplete = new java.io.File(path, "_SUCCESS").exists() &&
         Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
           .exists(f => !f.getName.startsWith("_") &&
             !f.getName.startsWith("."))
-      if (!complete) {
+      if (!isComplete) {
         // prune the OLDEST truth relations beyond a small working set —
         // tmpfs is RAM, don't hoard, but keep room for a few live
         // fingerprints at once (the scale probe alternates between the
@@ -564,7 +582,10 @@ object TextPipeline extends QueryModule {
         Option(new java.io.File(s"${graft.Scratch.root}/graft_truth").listFiles())
           .getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith("ngram_") &&
-            f.getName != s"ngram_$fp")
+            f.getName != s"ngram_$fp" &&
+            // never prune .lock files: a re-created lock file is a new
+            // inode, and two processes would then "hold" the same lock
+            !f.getName.endsWith(".lock"))
           .sortBy(-_.lastModified).drop(3)
           .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         // temp-then-rename publish: the in-process lock doesn't cover a
@@ -577,17 +598,29 @@ object TextPipeline extends QueryModule {
           java.lang.ProcessHandle.current().pid()}")
         ngramPairsCompute(s, d).write.mode("overwrite")
           .parquet(tmp.getPath)
-        org.apache.commons.io.FileUtils.deleteQuietly(dir) // stale partial
-        if (!tmp.renameTo(dir))
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        // under the file lock a complete dir can't appear between this
+        // delete and the rename, so the delete only ever removes a
+        // stale PARTIAL build (no _SUCCESS)
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        if (!tmp.renameTo(dir)) {
+          // Rename failed for a non-race reason (we hold the lock and
+          // tmp/dir share a filesystem — e.g. the parent vanished).
+          // Never discard the only good copy: if no complete dir
+          // exists, serve this call from the temp build instead of
+          // throwing with no cache present at all.
+          if (isComplete)
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          else readPath = tmp.getPath
+        }
       }
       // touch-on-use (same LRU contract as Advanced.bucketize): the
       // prune above ranks by lastModified, and a cache HIT must
       // refresh the fingerprint's rank or an alternating-dir session
       // evicts the relation it is about to re-read
       dir.setLastModified(System.currentTimeMillis())
+      } finally { lk.release(); ch.close() }
     }
-    s.read.parquet(path)
+    s.read.parquet(readPath)
   }
 
   /** Bench warmup hook: build the truth relation outside any timed

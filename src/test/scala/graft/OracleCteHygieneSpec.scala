@@ -20,8 +20,11 @@ class OracleCteHygieneSpec extends AnyFunSuite {
   private val cteRe = "(?is)\\b([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
 
   private[graft] def cteNames(sql: String): Seq[String] = {
-    // string literals can contain unbalanced parens — blank them first
-    val noStr = sql.replaceAll("'[^']*'", "''")
+    // string literals can contain unbalanced parens — blank them first.
+    // Doubled-quote aware: a literal containing an SQL-escaped quote
+    // ('it''s (') must be consumed as ONE literal, or the tail after
+    // the '' would leak into the paren-depth scan.
+    val noStr = sql.replaceAll("'(?:[^']|'')*'", "''")
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var idx = 0
@@ -41,6 +44,17 @@ class OracleCteHygieneSpec extends AnyFunSuite {
       """WITH a AS (SELECT 1 FROM (SELECT 2) AS inner_q),
         |b AS (SELECT x, CAST(y AS DOUBLE) FROM t WHERE s = '(((')
         |SELECT * FROM a JOIN b USING (x)""".stripMargin
+    assert(cteNames(sql) == Seq("a", "b"))
+  }
+
+  test("parser sanity: SQL-escaped quotes inside literals don't corrupt " +
+      "the paren-depth scan") {
+    // the literal contains both a doubled quote AND an unbalanced
+    // paren — the pre-fix blanking split it at the wrong boundary
+    val sql =
+      """WITH a AS (SELECT 1 FROM t WHERE s = 'it''s ('),
+        |b AS (SELECT 2)
+        |SELECT * FROM a JOIN b ON true""".stripMargin
     assert(cteNames(sql) == Seq("a", "b"))
   }
 

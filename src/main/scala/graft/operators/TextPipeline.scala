@@ -484,6 +484,66 @@ object TextPipeline extends QueryModule {
           (col("sym_after").cast("double") /
             col("sym_before").cast("double")).as("compression"))
         .orderBy("lang")
+    }),
+
+    // --- BPE TRAINER (round 13): N full merge iterations — the
+    // tokenizer-training loop itself, completing the family (q_bpe_step
+    // = one merge's statistics, q_bpe_apply = a fixed table's
+    // application). Per-round distributed shape is exactly
+    // clusterLoop's: ONE shuffle (pair-count aggregate over the vocab
+    // relation, map-side partial), one TakeOrdered argmax (per-
+    // partition heaps; a single row reaches the driver — the per-round
+    // scalar DECISION, same class as clusterLoop's label-sum
+    // convergence scalar), then a map-side merge rewrite;
+    // localCheckpoint truncates the replace-chain lineage each round.
+    // State is the DISTINCT-word relation with frequencies — O(vocab),
+    // not O(corpus): the corpus is scanned once at init, every
+    // iteration runs on the vocabulary (the classic BPE trainer
+    // factorization — at 100 TB the vocab relation is megabytes).
+    // Boundary-safe merge: the spaced symbol string carries sentinel
+    // spaces and the round's pair rewrites as ' a b ' -> ' ab ' —
+    // left-to-right non-overlapping replace, verified identical
+    // semantics in DuckDB and the JVM on overlapping runs (' a a a a '
+    // -> ' aa a a ' in both). Ties break lexicographically on the pair
+    // — fully deterministic. Oracle = recursive CTE carrying the same
+    // vocab state (st), with the per-round argmax recomputed per level.
+    "q_bpe_train" -> ((s, d) => {
+      val Rounds = 6
+      var words = table(s, d, "documents")
+        .select(explode(toks).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "),
+          concat_ws(" ", split(col("word"), "")), lit(" ")).as("seq"),
+          col("freq"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var k = 0
+      var exhausted = false
+      while (k < Rounds && !exhausted) {
+        val top = words
+          .select(graft.functions.NGramGenerator(
+            split(trim(col("seq")), " "), 2).alias("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val n = top(0).getLong(1)
+          val merged = pair.replace(" ", "")
+          merges += ((k + 1L, pair, merged, n))
+          val esc = pair.replace("'", "''")
+          val escM = merged.replace("'", "''")
+          words = words.select(
+            expr(s"replace(seq, ' $esc ', ' $escM ')").as("seq"),
+            col("freq")).localCheckpoint()
+          k += 1
+        }
+      }
+      import s.implicits._
+      merges.toSeq.toDF("step", "pair", "merged", "n").orderBy("step")
     })
   )
 
@@ -992,6 +1052,46 @@ object TextPipeline extends QueryModule {
         |  CAST(SUM(sym1) AS BIGINT) AS sym_after,
         |  CAST(SUM(sym1) AS DOUBLE) / CAST(SUM(sym0) AS DOUBLE)
         |    AS compression
-        |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // recursive CTE carries the vocab state round to round; the merge
+    // table is the per-level argmax recomputed over each level's state
+    "q_bpe_train" ->
+      """WITH RECURSIVE st AS (
+        |  SELECT 0 AS rnd, seq, freq FROM (
+        |    SELECT ' ' || array_to_string(regexp_extract_all(word, '.'),
+        |        ' ') || ' ' AS seq,
+        |      CAST(COUNT(*) AS BIGINT) AS freq
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |          FROM documents)
+        |    WHERE length(word) > 0 GROUP BY word) w0
+        |  UNION ALL
+        |  SELECT rnd + 1,
+        |    replace(seq, ' ' || bp.pair || ' ',
+        |            ' ' || replace(bp.pair, ' ', '') || ' '),
+        |    freq
+        |  FROM st CROSS JOIN (
+        |    SELECT pair FROM (
+        |      SELECT u.pr AS pair, SUM(freq) AS n
+        |      FROM st, unnest(list_transform(
+        |        range(1, len(string_split(trim(seq), ' '))),
+        |        i -> string_split(trim(seq), ' ')[i] || ' '
+        |          || string_split(trim(seq), ' ')[i+1])) AS u(pr)
+        |      GROUP BY u.pr) q0
+        |    ORDER BY n DESC, pair LIMIT 1) bp
+        |  WHERE rnd < 6
+        |),
+        |pr AS (SELECT rnd, u.pr AS pair, CAST(SUM(freq) AS BIGINT) AS n
+        |  FROM st, unnest(list_transform(
+        |    range(1, len(string_split(trim(seq), ' '))),
+        |    i -> string_split(trim(seq), ' ')[i] || ' '
+        |      || string_split(trim(seq), ' ')[i+1])) AS u(pr)
+        |  WHERE rnd < 6
+        |  GROUP BY rnd, u.pr),
+        |bst AS (SELECT rnd, pair, n, row_number() OVER
+        |    (PARTITION BY rnd ORDER BY n DESC, pair) AS rk FROM pr)
+        |SELECT CAST(rnd + 1 AS BIGINT) AS step, pair,
+        |  replace(pair, ' ', '') AS merged, n
+        |FROM bst WHERE rk = 1 ORDER BY step""".stripMargin
   )
 }

@@ -58,7 +58,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_soft_dedup", "q_ccnet_buckets", "q_anneal_mix",
     "q_bt_step", "q_resample_mix", "q_quality_ensemble",
     "q_semantic_contam", "q_dp_median", "q_topic_balance",
-    "q_ngram_novelty_curve", "q_mixture_ablate", "q_memorization_risk")
+    "q_ngram_novelty_curve", "q_mixture_ablate", "q_memorization_risk",
+    // round-13: the iterated BPE trainer (argmax ties + driver loop)
+    "q_bpe_train")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -405,7 +405,18 @@ class StreamingRestartSpec extends AnyFunSuite {
     */
   private def completeRestart(tag: String)(
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql
-        .DataFrame): Seq[Seq[Any]] = {
+        .DataFrame): Seq[Seq[Any]] =
+    completeRestartTable(tag)(build).collect().toSeq.map(_.toSeq)
+
+  /** Like [[completeRestart]] but returns the drained memory-sink
+    * table as a DataFrame, so a test can apply the registered query's
+    * own post-drain projection (explodes, sketch lookups) before
+    * comparing — the sketch twins' state columns are binary/array
+    * typed and only comparable through that projection.
+    */
+  private def completeRestartTable(tag: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql
+        .DataFrame): org.apache.spark.sql.DataFrame = {
     val replay = streaming.StatefulSession.replayDir(spark, sf)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val srcDir = new java.io.File(
@@ -439,7 +450,9 @@ class StreamingRestartSpec extends AnyFunSuite {
       val n2 = runOnce(s"${tag}_b_$stamp")
       assert(n2 <= batchRows("batch1.parquet"),
         "run 2 reprocessed batch0 — checkpoint recovery did not engage")
-      spark.table(s"${tag}_b_$stamp").collect().toSeq.map(_.toSeq)
+      // the memory sink's rows outlive the stopped query; the ckpt/src
+      // scratch (deleted below) is not needed to read them
+      spark.table(s"${tag}_b_$stamp")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -498,5 +511,111 @@ class StreamingRestartSpec extends AnyFunSuite {
       .collect().toSeq.map(_.toSeq)
     assert(got == reference && got.nonEmpty,
       "restarted grid's change point == uninterrupted run")
+  }
+
+  // ---- round-13: the sketch-state twins. A restart bug in these
+  // would silently CORRUPT counts (double-merged or half-lost sketch
+  // state) rather than drop visible rows, so each kills the stream
+  // mid-replay and asserts the drained state equals the uninterrupted
+  // run — for the CMS, bit-identity of the serialized sketch itself.
+
+  test("CMS twin restarted mid-replay: the recovered sketch is " +
+    "bit-identical to the batch-built sketch") {
+    val t = completeRestartTable("rscm") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .agg(graft.functions.CountMin.agg(col("user_id")).as("sk"))
+    }
+    val skStream = t.head().getAs[Array[Byte]]("sk")
+    // counter addition is commutative: the restarted, micro-batched
+    // sketch must equal one batch pass over the same rows byte-for-byte
+    val skBatch = Tables.table(spark, sf, "events")
+      .agg(graft.functions.CountMin.agg(col("user_id")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(skStream.nonEmpty &&
+      java.util.Arrays.equals(skStream, skBatch),
+      "recovered CMS state diverged from the batch sketch")
+  }
+
+  test("HDR twin restarted mid-replay: recovered quantiles equal the " +
+    "uninterrupted run") {
+    val t = completeRestartTable("rshd") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.HdrHistogram.agg(col("value"),
+          Seq(0.5, 0.9, 0.99)).as("qs"), count(lit(1)).as("n"))
+    }
+    val got = t.select(col("event_type"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"),
+        element_at(col("qs"), 3).as("p99"), col("n"))
+      .orderBy("event_type").collect().toSeq.map(_.toSeq)
+    val want = SparkEntry.queries("q_streaming_hdr")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got == want && got.nonEmpty,
+      "recovered HDR histogram state diverged from uninterrupted run")
+  }
+
+  test("bitmap twin restarted mid-replay: recovered segment bitmaps " +
+    "equal the uninterrupted run (cardinalities and overlap)") {
+    import graft.functions.BitmapAgg.{andCardinality, bitmap, cardinality}
+    val t = completeRestartTable("rsbm") { src =>
+      src.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(floor(col("user_id") / 1024.0).cast("long").as("bkt"))
+        .agg(
+          bitmap(when(col("event_type") === "view",
+            pmod(col("user_id"), lit(1024L)))).as("bm_view"),
+          bitmap(when(col("event_type") === "purchase",
+            pmod(col("user_id"), lit(1024L)))).as("bm_buy"))
+    }
+    val got = t.select(col("bkt"),
+        cardinality(col("bm_view")).as("n_view"),
+        cardinality(col("bm_buy")).as("n_buy"),
+        andCardinality(col("bm_view"), col("bm_buy")).as("n_both"))
+      .orderBy("bkt").collect().toSeq.map(_.toSeq)
+    val want = SparkEntry.queries("q_streaming_bitmap")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got == want && got.nonEmpty,
+      "recovered bitmap state diverged from uninterrupted run")
+  }
+
+  test("reservoir twin restarted mid-replay: the recovered " +
+    "deterministic sample equals the uninterrupted run") {
+    val t = completeRestartTable("rsrv") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.ReservoirTopK(
+          md5(col("event_id").cast("string")), col("event_id"), 5)
+          .as("sample"))
+    }
+    val got = t.select(col("event_type"),
+        posexplode(col("sample")).as(Seq("pos", "event_id")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("long").as("rn"), col("event_id"))
+      .orderBy("event_type", "rn").collect().toSeq.map(_.toSeq)
+    val want = SparkEntry.queries("q_streaming_reservoir")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got == want && got.nonEmpty,
+      "recovered reservoir state diverged from uninterrupted run")
+  }
+
+  test("top-k twin restarted mid-replay: the recovered k-bounded " +
+    "buffers equal the uninterrupted run") {
+    val t = completeRestartTable("rstk") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.ExactTopK(
+          round(col("value"), 0).cast("long"), col("event_id"), 5)
+          .as("top"))
+    }
+    val got = t.select(col("event_type"),
+        posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("p.v").as("vq"), col("p.id").as("event_id"))
+      .orderBy("event_type", "rn").collect().toSeq.map(_.toSeq)
+    val want = SparkEntry.queries("q_streaming_topk")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got == want && got.nonEmpty,
+      "recovered top-k state diverged from uninterrupted run")
   }
 }

@@ -35,9 +35,15 @@ import org.apache.spark.sql.functions._
   * amortize their constants and converge to exponent <= ~0.8 by 30x —
   * near-linear wall growth there means parallelism exhausted or
   * per-copy work creeping super-linear.
-  * Runtime knobs: SPARK_GRAFT_COPIES (default "10,30" — comma list;
-  * the first level probes all 15 queries, deeper levels the steep
-  * tail), SPARK_GRAFT_CPUS, SPARK_GRAFT_ONLY (subset),
+  * A separate SKEW level (round 13) measures the three skew-sensitive
+  * pipelines — the salted join, the clusterLoop, and the posting-
+  * stream build — against a zipf-replicated 10x build where the top 1%
+  * of keys own ~28% of rows (see [[buildSkewed]]); the uniform levels'
+  * disjoint-key replication can never exercise that axis.
+  * Runtime knobs: SPARK_GRAFT_COPIES (default "10,30,60" — comma list;
+  * the first level probes all 17 queries, deeper levels the steep
+  * tail, >= 60x only the graph tail), SPARK_GRAFT_SKEW=off to skip the
+  * skew level, SPARK_GRAFT_CPUS, SPARK_GRAFT_ONLY (subset),
   * SPARK_GRAFT_PASSES (default 2).
   */
 object ScaleProbe {
@@ -61,6 +67,14 @@ object ScaleProbe {
   val tailQueries: Seq[String] = Seq(
     "q_graph_triangle", "q_ssjoin_prefix", "q_graph_commonnbrs",
     "q_graph_wpath")
+
+  /** The graph tail whose exponent drifted 0.70@10x -> 0.79@30x —
+    * levels >= 60x probe ONLY these two (round-12 ask #7: one more
+    * doubling tells whether the growth asymptotes at the broadcast-
+    * build Amdahl term or keeps climbing toward the m^1.5 bound).
+    */
+  val graphTail: Seq[String] = Seq(
+    "q_graph_triangle", "q_graph_commonnbrs")
 
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0)
@@ -122,10 +136,71 @@ object ScaleProbe {
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
   }
 
+  /** Zipf-skewed replication (round 13, r12 ask #1): the uniform levels
+    * replicate with DISJOINT per-copy key spaces, so key distributions
+    * stay uniform and the salted join / posting pipelines had never
+    * been measured under real skew. Here each BASE key's copy count
+    * comes from a power ladder over its hash bucket — pmod(xxh64(key),
+    * 1000): bucket 0 (0.1% of keys) x1200, 1-9 (0.9%) x180, 10-99 (9%)
+    * x30, rest x5 — expected volume factor 10.02x with the top 1% of
+    * keys owning ~28% of rows (the "few keys own ~30%" shape skew
+    * incidents actually have).
+    *
+    *   - lineitem keeps l_orderkey UNSHIFTED across copies (the hot
+    *     JOIN key is the point) and varies l_linenumber so the salt
+    *     column still spreads; orders passes through 1x — the skewed
+    *     fact-against-dims shape q_join_salted defends against.
+    *   - documents shifts doc_id (it is a primary key) but keeps each
+    *     family's text NEAR-dup (one appended per-copy token), so the
+    *     posting stream sees viral grams: a x1200 family's shared
+    *     grams cross NgramDfCap=256 and must be dropped (the cap IS
+    *     the defense under test), x180 families sit just under it —
+    *     the worst legal quadratic the cap permits — and the cluster
+    *     loop inherits the resulting clique edges. n_chars is NOT
+    *     recomputed for the appended token; the three skew probes
+    *     tokenize text directly and never read it.
+    * Everything else passes through 1x so incidental reads resolve.
+    */
+  def buildSkewed(s: SparkSession, base: String, dst: String): Unit = {
+    val done = new java.io.File(dst, "_GRAFT_SKEWED")
+    if (done.exists()) return
+    def read(t: String) = Tables.table(s, base, t)
+    def ladder(key: Column): Column = {
+      val b = pmod(xxhash64(key), lit(1000L))
+      when(b === 0L, 1200L).when(b < 10L, 180L)
+        .when(b < 100L, 30L).otherwise(5L)
+    }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events", "embeddings"))
+      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    val li = read("lineitem")
+    val lnType = li.schema("l_linenumber").dataType
+    li.withColumn("cp",
+        explode(sequence(lit(0L), ladder(col("l_orderkey")) - 1)))
+      .withColumn("l_linenumber",
+        (col("l_linenumber") + col("cp")).cast(lnType))
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    System.err.println("[scale] built lineitem skew=zipf")
+    val dOff = maxOf(read("documents"), "doc_id") + 1
+    read("documents")
+      .withColumn("cp",
+        explode(sequence(lit(0L), ladder(col("doc_id")) - 1)))
+      .withColumn("text", when(col("cp") === 0L, col("text"))
+        .otherwise(concat(col("text"), lit(" zz"),
+          col("cp").cast("string"))))
+      .withColumn("doc_id", col("doc_id") + col("cp") * lit(dOff))
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    System.err.println("[scale] built documents skew=zipf")
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dstRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
-    val levels = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10,30")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10,30,60")
       .split(",").map(_.trim.toInt).toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
@@ -168,8 +243,11 @@ object ScaleProbe {
       val dst = s"${dstRoot}_$copies"
       buildScaled(spark, base, dst, copies)
       warm(dst)
-      // first level probes the full set; deeper levels the steep tail
-      val pool = if (li == 0) probeQueries else tailQueries
+      // first level probes the full set; deeper levels the steep tail;
+      // 60x and beyond only the graph tail (the one drifting exponent)
+      val pool = if (li == 0) probeQueries
+        else if (copies >= 60) graphTail
+        else tailQueries
       val selected = pool.filter(q => only.forall(_.contains(q)))
       // min over passes (same stall-storm estimator as Bench); each
       // pass runs base THEN scaled back to back, so a stall storm
@@ -201,8 +279,74 @@ object ScaleProbe {
         s""""flagged":${
           flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
+    // ---- skew level (round 13): same base-vs-scaled estimator, but
+    // the scaled dir is the zipf-skewed 10x build and the probes are
+    // the three skew-sensitive pipelines. The exponent uses c=10 (the
+    // nominal volume factor); a super-linear reading here means a hot
+    // key serialized the plan, UNLESS the data itself carries more
+    // near-dup work (the x180 clique families) — adjudicated in
+    // SURVEY §6.
+    val skewJson = if (sys.env.get("SPARK_GRAFT_SKEW").contains("off"))
+      None
+    else {
+      val dst = s"${dstRoot}_zipf"
+      buildSkewed(spark, base, dst)
+      // only the truth relation needs prewarming (the probes below
+      // either measure the posting build itself, uncached, or consume
+      // the cached edge relation — the clusterLoop's own cost)
+      try operators.TextPipeline.prewarmTruth(spark, dst)
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] skew warmup failed (non-fatal): $e")
+      }
+      val probes: Seq[(String, String => Unit)] = Seq(
+        "q_join_salted" -> ((dir: String) =>
+          { SparkEntry.queries("q_join_salted")(spark, dir).count(); () }),
+        "q_dedup_cluster" -> ((dir: String) =>
+          { SparkEntry.queries("q_dedup_cluster")(spark, dir).count(); () }),
+        // the posting-stream BUILD itself, bypassing the truth cache —
+        // the pipeline the df-cap exists to protect
+        "ngram_posting_build" -> ((dir: String) =>
+          { operators.TextPipeline.ngramPairsCompute(spark, dir)
+              .count(); () }))
+      def sampleThunk(tag: String, q: String,
+          f: String => Unit, dir: String): Option[Double] = {
+        val t0 = System.nanoTime()
+        val ok = try { f(dir); true } catch { case e: Throwable =>
+          System.err.println(s"[scale] FAILED $tag $q: $e"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] $tag%-10s $q%-24s $dt%8.2fs")
+        if (ok) Some(dt) else None
+      }
+      val selected = probes.filter { case (q, _) =>
+        only.forall(_.contains(q)) }
+      val passResults = (1 to passes).map { p =>
+        val b = selected.map { case (q, f) =>
+          q -> sampleThunk(s"bz/$p", q, f, base) }.toMap
+        val sc = selected.map { case (q, f) =>
+          q -> sampleThunk(s"sz/$p", q, f, dst) }.toMap
+        (b, sc)
+      }
+      val rows = selected.map { case (q, _) =>
+        (passResults.flatMap(_._1(q)).minOption,
+          passResults.flatMap(_._2(q)).minOption) match {
+          case (Some(b), Some(sc)) =>
+            val ratio = sc / b
+            val expn = math.log(ratio) / math.log(10.0)
+            (q, f"""{"base":$b%.2f,"scaled":$sc%.2f,"ratio":$ratio%.2f,""" +
+              f""""exponent":$expn%.2f}""", expn)
+          case _ => (q, """{"failed":true}""", Double.NaN)
+        }
+      }
+      val flagged = rows.collect { case (q, _, e) if e > 1.3 => q }
+      Some(s"""{"skew":"zipf","factor":10,"threshold":1.3,""" +
+        s""""queries":${rows.map { case (q, j, _) => "\"" + q + "\":" + j }
+          .mkString("{", ",", "}")},""" +
+        s""""flagged":${
+          flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    }
     val out = s"""{"base_dir":"$base",""" +
       s""""levels":${levelJsons.mkString("[", ",", "]")},""" +
+      skewJson.map(j => s""""skew_level":$j,""").getOrElse("") +
       s""""git_sha":"${GitSha.resolve()}"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_SCALE.json"),

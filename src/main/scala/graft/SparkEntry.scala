@@ -57,6 +57,8 @@ object SparkEntry {
     operators.Planner,
     operators.XmlQueries,
     operators.ExtensionFns,
+    operators.Coresets,
+    operators.CorpusAudit,
     streaming.StreamingSmoke,
     streaming.StatefulSession,
     streaming.StatefulEwma,

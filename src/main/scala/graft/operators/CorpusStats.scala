@@ -173,6 +173,54 @@ object CorpusStats extends QueryModule {
       // DECIMAL(38,0) so count × corpus-size terms can't wrap at fleet
       // scale; one vocabulary-sized aggregate + a broadcast totals
       // row. ---
+      // --- 1-D Wasserstein (earth-mover) drift per source (round 13):
+      // the OTHER canonical distribution distance next to q_js_drift —
+      // JS reads density overlap, W1 reads how FAR mass must move, the
+      // distinction that matters for length/quality drift (a corpus
+      // whose docs all grew 20% has tiny JS overlap change but large
+      // W1). Banded exactly: doc-length bands of 100 chars, W1 over
+      // the banded CDFs = sum over bands of |cumP − cumQ|, computed as
+      // cross-multiplied exact integers |cum_src·n_all − cum_all·n_src|
+      // with ONE division at render — no float accumulation. The
+      // per-source cum runs on the dense (source × band) grid, an
+      // O(sources·bands) relation; at 100 TB the bands stay O(100) so
+      // the windows never see corpus-sized input. ---
+      "q_wasserstein_drift" -> ((s, d) => {
+        val t = table(s, d, "documents")
+          .select(col("source"),
+            expr("CAST(n_chars div 100 AS BIGINT)").as("band"))
+        val cell = t.groupBy("source", "band")
+          .agg(count(lit(1)).as("c"))
+        val bands = t.select("band").distinct()
+        val srcN = t.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val allCell = t.groupBy("band").agg(count(lit(1)).as("ca"))
+        val wS = Window.partitionBy("source").orderBy("band")
+        val wA = Window.orderBy("band") // O(bands) rows — bounded
+        val allCum = bands.join(allCell, Seq("band"), "left")
+          .na.fill(0L, Seq("ca"))
+          .withColumn("cum_all", sum("ca").over(wA))
+        val grid = srcN.crossJoin(bands)
+          .join(cell, Seq("source", "band"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("cum_src", sum("c").over(wS))
+          .join(allCum.select("band", "cum_all"), "band")
+        val nAll = t.agg(count(lit(1)).as("n_all"))
+        grid.crossJoin(broadcast(nAll))
+          .groupBy("source")
+          .agg(max("n_src").cast("long").as("n_docs"),
+            count(lit(1)).as("n_bands"),
+            sum(abs(col("cum_src") * col("n_all")
+              - col("cum_all") * col("n_src"))).cast("long")
+              .as("emd_num"),
+            max("n_all").cast("long").as("n_all"))
+          .select(col("source"), col("n_docs"), col("n_bands"),
+            col("emd_num"),
+            (col("emd_num").cast("double") /
+              (col("n_docs") * col("n_all")).cast("double"))
+              .as("emd_bands"))
+          .orderBy("source")
+      }),
+
       "q_js_drift" -> ((s, d) => {
         val counts = table(s, d, "documents")
           .select((col("doc_id") % 2 === 0).cast("long").as("ga"),
@@ -486,6 +534,40 @@ object CorpusStats extends QueryModule {
         |  CAST(hb // n AS BIGINT) AS h_band,
         |  CAST(cmax AS DOUBLE) / n AS dom_share
         |FROM p ORDER BY source""".stripMargin,
+
+    "q_wasserstein_drift" ->
+      """WITH t AS (SELECT source, n_chars // 100 AS band
+        |           FROM documents),
+        |cell AS (SELECT source, band, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM t GROUP BY 1, 2),
+        |bands AS (SELECT DISTINCT band FROM t),
+        |srcn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        |         FROM t GROUP BY source),
+        |ac AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS ca
+        |       FROM t GROUP BY band),
+        |acum AS (SELECT b.band,
+        |    CAST(SUM(COALESCE(ac.ca, 0)) OVER (ORDER BY b.band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_all
+        |  FROM bands b LEFT JOIN ac USING (band)),
+        |grid AS (SELECT s.source, s.n_src, b.band,
+        |    CAST(SUM(COALESCE(cell.c, 0)) OVER (PARTITION BY s.source
+        |      ORDER BY b.band ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_src
+        |  FROM srcn s CROSS JOIN bands b
+        |  LEFT JOIN cell ON cell.source = s.source
+        |    AND cell.band = b.band),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM t)
+        |SELECT g.source,
+        |  CAST(MAX(g.n_src) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bands,
+        |  CAST(SUM(abs(g.cum_src * na.n_all - a.cum_all * g.n_src))
+        |    AS BIGINT) AS emd_num,
+        |  CAST(SUM(abs(g.cum_src * na.n_all - a.cum_all * g.n_src))
+        |      AS DOUBLE) /
+        |    CAST(MAX(g.n_src) * MAX(na.n_all) AS DOUBLE) AS emd_bands
+        |FROM grid g JOIN acum a USING (band) CROSS JOIN na
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
 
     "q_js_drift" -> {
       def sbits(num: String, den: String): String =

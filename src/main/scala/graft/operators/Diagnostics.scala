@@ -355,7 +355,40 @@ object Diagnostics extends QueryModule {
         Diagnostics.binsegOverDays(table(s, d, "events")
           .groupBy(datediff(col("ts").cast("date"),
             lit("2024-01-01").cast("date")).cast("long").as("day"))
-          .agg(count(lit(1)).as("x"))))
+          .agg(count(lit(1)).as("x")))),
+
+      // --- Page-Hinkley drift monitor (round 13): the SEQUENTIAL
+      // change detector next to q_binseg_change's retrospective argmax
+      // — PH_t = U_t − min_{i<=t} U_i with U_t the cumulative
+      // deviation from the running mean (δ=0.5 drift allowance), the
+      // detector an online feed runs day by day. Everything lives on
+      // the O(days) grid: running mean = one IEEE division per row,
+      // deviations quantized to DECIMAL(18,4) BEFORE the cumulative
+      // sum (window folds are sequential but cross-engine float order
+      // is not guaranteed — exact decimals are), running min over
+      // decimals is exact. Alarm at λ=100 in count units. ---
+      "q_page_hinkley" -> ((s, d) => {
+        val days = table(s, d, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        days
+          .withColumn("i", row_number().over(Window.orderBy("day"))
+            .cast("long"))
+          .withColumn("cumx", sum("x").over(w).cast("long"))
+          .withColumn("dev", dec(col("x").cast("double")
+            - col("cumx").cast("double") / col("i").cast("double")
+            - lit(0.5)))
+          .withColumn("u", sum("dev").over(w))
+          .withColumn("minu", min(col("u")).over(w))
+          .select(col("day"), col("x"),
+            col("u").cast("double").as("u"),
+            (col("u") - col("minu")).cast("double").as("ph"))
+          .withColumn("alarm", col("ph") > 100.0)
+          .orderBy("day")
+      })
     )
 
   /** The binary-segmentation argmax over a (day, x) daily-count grid —
@@ -390,6 +423,34 @@ object Diagnostics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_page_hinkley" ->
+      """WITH days AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumx
+        |  FROM days),
+        |v AS (SELECT day, x,
+        |    CAST(CAST(x AS DOUBLE) - CAST(cumx AS DOUBLE) /
+        |      CAST(i AS DOUBLE) - 0.5 AS DECIMAL(18,4)) AS dev
+        |  FROM g),
+        |u AS (SELECT day, x,
+        |    SUM(dev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uu
+        |  FROM v),
+        |m AS (SELECT day, x, uu,
+        |    MIN(uu) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu
+        |  FROM u)
+        |SELECT day, x, CAST(uu AS DOUBLE) AS u,
+        |  CAST(uu - mu AS DOUBLE) AS ph,
+        |  CAST(uu - mu AS DOUBLE) > 100.0 AS alarm
+        |FROM m ORDER BY day""".stripMargin,
 
     "q_binseg_change" ->
       """WITH days AS (SELECT CAST(date_diff('day', DATE '2024-01-01',

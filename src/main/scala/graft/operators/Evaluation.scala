@@ -35,6 +35,36 @@ object Evaluation extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- decile-style LIFT & GAINS table (round 13): the campaign-
+      // targeting readout next to q_auc_rank/q_pr_curve — per score
+      // band (descending), how concentrated are the positives relative
+      // to base rate (lift) and what share is captured walking down
+      // the bands (cumulative gains)? Banded like q_auc_rank ($50
+      // value bands — no global rank window): ONE conditional-count
+      // groupBy to O(bands) rows, the cum window runs over bands only.
+      // lift = pos·n_all / (n·pos_all) — cross-multiplied exact int64,
+      // one division each at render. ---
+      "q_lift_gains" -> ((s, d) => {
+        val bands = table(s, d, "events")
+          .select(expr("CAST(round(value, 0) AS BIGINT) div 50")
+            .as("band"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), sum("y").cast("long").as("pos"))
+        val tot = bands.agg(sum("n").cast("long").as("n_all"),
+          sum("pos").cast("long").as("pos_all"))
+        val wc = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bands.crossJoin(broadcast(tot))
+          .withColumn("cum_pos", sum("pos").over(wc).cast("long"))
+          .select(col("band"), col("n"), col("pos"),
+            ((col("pos") * col("n_all")).cast("double") /
+              (col("n") * col("pos_all")).cast("double")).as("lift"),
+            (col("cum_pos").cast("double") /
+              col("pos_all").cast("double")).as("cum_gain"))
+          .orderBy(col("band").desc)
+      }),
+
       // --- ranking AUC via the quantized-histogram Mann-Whitney sum.
       // The naive formulation (rank every row with a global ORDER BY
       // window) is a single-partition sort — the classic scale killer.
@@ -478,6 +508,25 @@ object Evaluation extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_lift_gains" ->
+      """WITH b AS (SELECT CAST(round(value, 0) AS BIGINT) // 50 AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS pos
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+        |    CAST(SUM(pos) AS BIGINT) AS pos_all FROM b),
+        |c AS (SELECT b.band, b.n, b.pos, t.n_all, t.pos_all,
+        |    CAST(SUM(b.pos) OVER (ORDER BY b.band DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_pos
+        |  FROM b CROSS JOIN t)
+        |SELECT band, n, pos,
+        |  CAST(pos * n_all AS DOUBLE) / CAST(n * pos_all AS DOUBLE)
+        |    AS lift,
+        |  CAST(cum_pos AS DOUBLE) / CAST(pos_all AS DOUBLE) AS cum_gain
+        |FROM c ORDER BY band DESC""".stripMargin,
 
     "q_cusum_change" ->
       """WITH e AS (SELECT event_type, ts, event_id,

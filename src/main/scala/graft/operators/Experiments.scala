@@ -30,6 +30,47 @@ object Experiments extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Hoeffding adequacy gate (round 13): is the A/B sample big
+      // enough that the observed conversion gap EXCEEDS both arms'
+      // distribution-free Hoeffding half-widths ε = sqrt(ln(2/δ)/2n),
+      // δ=0.05? The always-valid stopping check a dashboard runs before
+      // anyone reads the t-test — no variance estimate, no normality.
+      // Exact integer per-arm tallies; ln(2/0.05) is the literal
+      // 3.6888794541139363 — spelled 3.6888794541139363e0 in the
+      // oracle: a bare 17-digit literal parses as DECIMAL(17,16) in
+      // DuckDB and its decimal→double CAST lands 1 ulp off the
+      // correctly-rounded parse; the e-notation forces a true double
+      // literal (measured: the CAST spelling hash-mismatched). ---
+      "q_hoeffding_gate" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+          .select(pmod(col("user_id"), lit(2L)).as("arm"), col("conv"))
+        val ln2d = 3.6888794541139363
+        per.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+              .as("n0"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+              .cast("long").as("conv0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n1"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+              .cast("long").as("conv1"))
+          .select(col("n0"), col("conv0"), col("n1"), col("conv1"),
+            (col("conv0").cast("double") / col("n0").cast("double"))
+              .as("p0"),
+            (col("conv1").cast("double") / col("n1").cast("double"))
+              .as("p1"),
+            sqrt(lit(ln2d) / (lit(2.0) * col("n0").cast("double")))
+              .as("eps0"),
+            sqrt(lit(ln2d) / (lit(2.0) * col("n1").cast("double")))
+              .as("eps1"))
+          .withColumn("gap", abs(col("p0") - col("p1")))
+          .withColumn("separated",
+            col("gap") > col("eps0") + col("eps1"))
+      }),
+
       // --- CUPED variance reduction (the standard experimentation
       // trick: regress the experiment metric on its pre-period twin
       // and remove the explained variance). Per-user pre/post counts
@@ -359,6 +400,34 @@ object Experiments extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_hoeffding_gate" ->
+      """WITH per AS (SELECT user_id % 2 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv1
+        |  FROM per),
+        |e AS (SELECT n0, conv0, n1, conv1,
+        |    CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |    CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    sqrt(3.6888794541139363e0 /
+        |      (2.0 * CAST(n0 AS DOUBLE))) AS eps0,
+        |    sqrt(3.6888794541139363e0 /
+        |      (2.0 * CAST(n1 AS DOUBLE))) AS eps1
+        |  FROM c)
+        |SELECT n0, conv0, n1, conv1, p0, p1, eps0, eps1,
+        |  abs(p0 - p1) AS gap,
+        |  abs(p0 - p1) > eps0 + eps1 AS separated
+        |FROM e""".stripMargin,
 
     "q_ab_srm" -> {
       def comp(o: String, w: Int): String =

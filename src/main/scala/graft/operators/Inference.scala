@@ -39,6 +39,38 @@ object Inference extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- paired SIGN test (round 13): did per-user activity rise in
+      // the second half of the observation window? The nonparametric
+      // sibling of the paired t-test — only the SIGN of each user's
+      // (2nd-half − 1st-half) count enters, so the statistic is exact
+      // integer counting + one sqrt: z = (pos − neg)/sqrt(pos + neg),
+      // ties dropped (the classic treatment). One user-keyed
+      // conditional aggregate over the split day, one scalar rollup —
+      // scan + two bounded shuffles at any scale. ---
+      "q_sign_test" -> ((s, d) => {
+        val mid = 15L
+        val per = table(s, d, "events")
+          .select(col("user_id"),
+            (datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")).cast("long") >= mid)
+              .cast("long").as("h2"))
+          .groupBy("user_id")
+          .agg(sum(col("h2")).as("n2"),
+            sum(lit(1L) - col("h2")).as("n1"))
+        per.agg(
+            sum(when(col("n2") > col("n1"), 1L).otherwise(0L))
+              .cast("long").as("n_pos"),
+            sum(when(col("n2") < col("n1"), 1L).otherwise(0L))
+              .cast("long").as("n_neg"),
+            sum(when(col("n2") === col("n1"), 1L).otherwise(0L))
+              .cast("long").as("n_tie"))
+          .select(col("n_pos"), col("n_neg"), col("n_tie"),
+            when(col("n_pos") + col("n_neg") > 0,
+              (col("n_pos") - col("n_neg")).cast("double") /
+                sqrt((col("n_pos") + col("n_neg")).cast("double")))
+              .as("z"))
+      }),
+
       // --- Mann-Whitney U (Wilcoxon rank-sum), click-arm vs view-arm
       // values, with tie-corrected normal approximation. The corpus
       // collapses to a value histogram in ONE conditional-count groupBy
@@ -388,6 +420,29 @@ object Inference extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+    "q_sign_test" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) >= 15 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n1
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN n2 > n1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN n2 < n1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(SUM(CASE WHEN n2 = n1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tie
+        |  FROM per)
+        |SELECT n_pos, n_neg, n_tie,
+        |  CASE WHEN n_pos + n_neg > 0 THEN
+        |    CAST(n_pos - n_neg AS DOUBLE) /
+        |      sqrt(CAST(n_pos + n_neg AS DOUBLE)) END AS z
+        |FROM c""".stripMargin,
+
     "q_mannwhitney_u" ->
       """WITH q AS (SELECT event_type, CAST(round(value, 0) AS BIGINT) AS v
         |  FROM events WHERE event_type IN ('click', 'view')),

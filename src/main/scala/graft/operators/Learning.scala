@@ -154,6 +154,38 @@ object Learning extends QueryModule {
           .orderBy("n_name")
       }),
 
+      // --- DP HISTOGRAM release (round 13): q_dp_count's mechanism
+      // over a value-banded histogram of the event stream — the other
+      // release shape every privacy pipeline publishes (counts per
+      // bucket, not per categorical key). Bands are $50 integer
+      // buckets of the rounded value (the q_dp_median quantization
+      // discipline); the geometric noise is keyed on the BAND, so a
+      // re-published histogram is bit-identical; tau=5 suppression
+      // drops thin buckets before noising. One groupBy, O(bands)
+      // output — a pure scan+aggregate at any scale. ---
+      "q_dp_histogram" -> ((s, d) => {
+        val g = table(s, d, "events")
+          .select(expr("CAST(round(value, 0) AS BIGINT) div 50")
+            .as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n_true"))
+          .filter(col("n_true") >= 5)
+        val h = mix(col("band"))
+        val tz = when(pmod(h, lit(2L)) === 1, 0L)
+          .when(pmod(h, lit(4L)) === 2, 1L)
+          .when(pmod(h, lit(8L)) === 4, 2L)
+          .when(pmod(h, lit(16L)) === 8, 3L)
+          .when(pmod(h, lit(32L)) === 16, 4L)
+          .when(pmod(h, lit(64L)) === 32, 5L)
+          .when(pmod(h, lit(128L)) === 64, 6L)
+          .otherwise(7L)
+        val sign = when(h.bitwiseAND(lit(256L)) === 0, 1L)
+          .otherwise(-1L)
+        g.select(col("band"),
+            (col("n_true") + sign * tz).cast("long").as("noisy_count"),
+            lit(0.6931).as("epsilon"))
+          .orderBy("band")
+      }),
+
       // --- DP median via a noisy-rank pick (round 12): q_dp_count's
       // sibling for a QUANTILE release — the rank, not the count, gets
       // the deterministic geometric noise (the classic smooth-
@@ -542,6 +574,31 @@ object Learning extends QueryModule {
         |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
         |  CAST(0.6931 AS DOUBLE) AS epsilon
         |FROM z ORDER BY n_name""".stripMargin,
+
+    "q_dp_histogram" ->
+      """WITH g AS (
+        |  SELECT CAST(round(value, 0) AS BIGINT) // 50 AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1 HAVING COUNT(*) >= 5),
+        |h AS (SELECT band, n_true,
+        |        ((band * 2654435761) % 2147483648 + 2147483648)
+        |          % 2147483648 AS hh
+        |      FROM g),
+        |z AS (SELECT band, n_true, hh,
+        |        CASE WHEN hh % 2 = 1 THEN 0
+        |             WHEN hh % 4 = 2 THEN 1
+        |             WHEN hh % 8 = 4 THEN 2
+        |             WHEN hh % 16 = 8 THEN 3
+        |             WHEN hh % 32 = 16 THEN 4
+        |             WHEN hh % 64 = 32 THEN 5
+        |             WHEN hh % 128 = 64 THEN 6
+        |             ELSE 7 END AS tz,
+        |        CASE WHEN (hh & 256) = 0 THEN 1 ELSE -1 END AS sg
+        |      FROM h)
+        |SELECT band,
+        |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
+        |  CAST(0.6931 AS DOUBLE) AS epsilon
+        |FROM z ORDER BY band""".stripMargin,
 
     "q_dp_median" ->
       """WITH tq AS (SELECT o_orderpriority AS prio,

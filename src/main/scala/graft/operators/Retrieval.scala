@@ -371,69 +371,131 @@ object Retrieval extends QueryModule {
     // top-20 nodes by triangles through their min-vertex role, via
     // TakeOrdered — never a global sort. ---
     "q_graph_triangle" -> ((s, d) => {
-      val li = s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
-        .select(col("l_orderkey"), col("l_partkey"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-      val edges = a.hint("merge").join(b.hint("merge"), "l_orderkey")
-        .filter(col("u") < col("v"))
-        .select("u", "v").distinct()
-      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      val withDeg = edges
-        .join(broadcast(deg.select(col("n").as("u"), col("dg").as("du"))),
-          "u")
-        .join(broadcast(deg.select(col("n").as("v"), col("dg").as("dv"))),
-          "v")
-      val srcFirst = (col("du") < col("dv")) ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      // three consumers below (two wedge legs + the closing-edge
-      // broadcast): materialize the |E|-sized oriented list once rather
-      // than re-running the edge build per consumer (the wedge legs
-      // share a ReusedExchange, the broadcast leg would not)
-      val oriented = withDeg.select(
-        when(srcFirst, col("u")).otherwise(col("v")).as("src"),
-        when(srcFirst, col("v")).otherwise(col("u")).as("dst"),
-        when(srcFirst, col("dv")).otherwise(col("du")).as("ddst"))
-        .localCheckpoint()
-      // Edge-iterator form: for each oriented edge (a, b) the closed
-      // triangles are N+(a) INTERSECT N+(b), and in the orientation DAG
-      // every triangle {x -> y, x -> z, y -> z} is found exactly once —
-      // at edge (x, y) with common out-neighbor z. The out-adjacency
-      // table is |V| rows (sorted arrays, max length = max out-degree,
-      // which the degree orientation bounds at O(sqrt(m))); BROADCAST
-      // twice onto the edge stream, so the O(m^1.5) intersection work
-      // is pure map-side and the only rows that ever materialize are
-      // the actual triangles (exploded common neighbors), never the
-      // wedge cross-product a self-join would emit.
-      //
-      // The broadcast is a MEASURED choice, not a default (round-12
-      // 30x probe, 36M edges / 300MB adjacency): forced broadcast
-      // 26 s; AQE-chosen sort-merge 50 s (sorts the array-carrying
-      // stream); forced shuffle_hash 144 s (re-shuffles ~17 GB of
-      // attached neighbor arrays). The probe's >1 growth exponent is
-      // the driver-serial broadcast BUILD (an Amdahl term, linear in
-      // |E| but unparallelized), not algorithmic blowup — per-copy
-      // compute is flat, and every co-partitioned alternative pays
-      // more moving the arrays than the serial build costs. Beyond
-      // executor-memory adjacency (billions of edges) the right fleet
-      // plan changes shape entirely: partition the graph (by
-      // component/bucket) so each executor intersects a local
-      // adjacency, rather than swapping the join strategy under the
-      // same global plan.
-      val adj = oriented.groupBy("src")
-        .agg(sort_array(collect_list(col("dst"))).as("nb"))
-      val tri = oriented.select("src", "dst")
-        .join(broadcast(adj.select(col("src"), col("nb").as("na"))), "src")
-        .join(broadcast(adj.select(col("src").as("dst"),
-          col("nb").as("nb2"))), "dst")
-        .select(col("src"), col("dst"),
-          explode(array_intersect(col("na"), col("nb2"))).as("c"))
-      tri.select(least(col("src"), col("dst"), col("c")).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("tri"))
-        .orderBy(col("tri").desc, col("node")).limit(20)
+      val oriented = orientedTriangleEdges(s, d)
+      // SIZE-GATED strategy (round 13, closing the 60x probe): the
+      // broadcast edge-iterator's apparent exponent kept climbing
+      // (0.70@10x -> 0.79@30x -> ~0.9+@60x) because the GLOBAL
+      // adjacency broadcast grows with |E| while per-partition useful
+      // work stays flat — build is driver-serial and every executor
+      // pays the full deserialization. Past the cap the plan flips to
+      // the co-partitioned WEDGE JOIN (triangleByWedge): zero
+      // broadcast, two shuffle joins, per-copy work constant — the
+      // graph-partitioned shape the round-12 Scaladoc predicted for
+      // beyond-executor-memory adjacency. The cap sits between the
+      // measured 30x win (36M edges: broadcast 26 s < SMJ 50 s <
+      // shuffle_hash 144 s) and the measured 60x loss (72M edges:
+      // broadcast 155 s, wedge measured faster — SURVEY §6).
+      // TriangleEquivalenceSpec pins that both spellings return
+      // identical rows.
+      if (oriented.count() <= TriangleBroadcastEdgeCap)
+        triangleByBroadcast(oriented)
+      else triangleByWedge(oriented)
     })
   )
+
+  private[graft] val TriangleBroadcastEdgeCap = 50000000L
+
+  /** The degree-oriented co-purchase edge DAG shared by both triangle
+    * spellings: distinct co-purchase pairs, each stored (src, dst,
+    * ddst) with src the (degree, id)-smaller endpoint — the standard
+    * orientation that bounds every out-degree at O(sqrt m).
+    * localCheckpoint: three consumers below (two wedge legs + the
+    * closing-edge side) must not re-run the |E|-sized edge build.
+    */
+  private[graft] def orientedTriangleEdges(s: SparkSession,
+      d: String): DataFrame = {
+    val li = s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val edges = a.hint("merge").join(b.hint("merge"), "l_orderkey")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(broadcast(deg.select(col("n").as("u"), col("dg").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("dg").as("dv"))),
+        "v")
+    val srcFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    withDeg.select(
+      when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+      when(srcFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(srcFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+  }
+
+  /** Adjacency-broadcast edge-iterator: for each oriented edge (a, b)
+    * the closed triangles are N+(a) INTERSECT N+(b), and in the
+    * orientation DAG every triangle {x -> y, x -> z, y -> z} is found
+    * exactly once — at edge (x, y) with common out-neighbor z. The
+    * out-adjacency table is |V| rows (sorted arrays, max length = max
+    * out-degree, which the degree orientation bounds at O(sqrt m));
+    * BROADCAST twice onto the edge stream, so the O(m^1.5)
+    * intersection work is pure map-side and the only rows that ever
+    * materialize are the actual triangles — never the wedge
+    * cross-product.
+    *
+    * The broadcast is a MEASURED choice, not a default (round-12 30x
+    * probe, 36M edges / 300MB adjacency): forced broadcast 26 s;
+    * AQE-chosen sort-merge 50 s (sorts the array-carrying stream);
+    * forced shuffle_hash 144 s (re-shuffles ~17 GB of attached
+    * neighbor arrays). Its growth term is the driver-serial broadcast
+    * build + global redistribution — linear in |E| but unparallelized,
+    * which is exactly why the call site flips to [[triangleByWedge]]
+    * past [[TriangleBroadcastEdgeCap]].
+    */
+  private[graft] def triangleByBroadcast(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    val tri = oriented.select("src", "dst")
+      .join(broadcast(adj.select(col("src"), col("nb").as("na"))), "src")
+      .join(broadcast(adj.select(col("src").as("dst"),
+        col("nb").as("nb2"))), "dst")
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("na"), col("nb2"))).as("c"))
+    triangleRollup(tri)
+  }
+
+  /** Co-partitioned WEDGE JOIN: wedges (pivot -> b, pivot -> c) stream
+    * out of a src-keyed self-join of the oriented DAG — each unordered
+    * pair emitted once, normalized to the SAME (degree, id) total
+    * order the orientation uses, so the closing edge is findable by
+    * ONE equi-join against the oriented edge set on (b, c). Wedge
+    * volume is the Σ C(dout, 2) ≤ O(m^1.5) bound the degree
+    * orientation guarantees, but every byte of it moves through
+    * ordinary hash shuffles — no driver-serial build, no global
+    * rebroadcast — so wall time scales with cluster width. The house
+    * rule applies: exploded/self-joined relations carry lying stats,
+    * so both legs hint shuffle_merge (never let AQE broadcast them).
+    */
+  private[graft] def triangleByWedge(oriented: DataFrame): DataFrame = {
+    val l1 = oriented.select(col("src"), col("dst").as("b"),
+      col("ddst").as("db"))
+    val l2 = oriented.select(col("src"), col("dst").as("c"),
+      col("ddst").as("dc"))
+    val wedges = l1.hint("shuffle_merge")
+      .join(l2.hint("shuffle_merge"), "src")
+      // normalize the pair to the orientation's (degree, id) order —
+      // emits each unordered pair exactly once AND matches how the
+      // closing edge is stored in `oriented`
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("src"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"),
+      col("dst").as("c"))
+    val tri = wedges.hint("shuffle_merge")
+      .join(closing.hint("shuffle_merge"), Seq("b", "c"))
+      .select(col("src"), col("b").as("dst"), col("c"))
+    triangleRollup(tri)
+  }
+
+  private def triangleRollup(tri: DataFrame): DataFrame =
+    tri.select(least(col("src"), col("dst"), col("c")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+      .orderBy(col("tri").desc, col("node")).limit(20)
 
   /** DuckDB CTE block `d/w/s` + score expression for the BM25 scoring
     * pipeline — shared by the `q_rank_bm25` and `q_rank_fusion` oracles.

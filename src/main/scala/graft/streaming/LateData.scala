@@ -87,7 +87,10 @@ object LateData extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
-      "q_streaming_late" -> ((s, d) => {
+      "q_streaming_late" -> ((s0, d) => {
+        // cloned session pins state partitions without touching
+        // the shared conf (see StreamingSmoke.sized)
+        val s = StreamingSmoke.sized(s0, "4")
         val stream = s.readStream
           .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
             "event_id LONG, event_type STRING")
@@ -100,8 +103,6 @@ object LateData extends QueryModule {
           .agg(count(lit(1)).as("n"))
         val name = "graft_stream_late_" +
           java.util.UUID.randomUUID().toString.take(8)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
         val ckpt = s"${graft.Scratch.root}/graft_ckpt/late-" +
           java.util.UUID.randomUUID().toString.take(8)
         try {
@@ -111,7 +112,6 @@ object LateData extends QueryModule {
             .start()
           try q.processAllAvailable() finally q.stop()
         } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prev)
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
         }
         val streamed = StreamingSmoke.drainSink(s, name)

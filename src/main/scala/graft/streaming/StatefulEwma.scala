@@ -93,7 +93,10 @@ object StatefulEwma extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => org.apache.spark.sql
         .DataFrame] = Map(
-    "q_streaming_ewma" -> ((s, d) => {
+    "q_streaming_ewma" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -106,9 +109,7 @@ object StatefulEwma extends QueryModule {
           OutputMode.Append(), GroupStateTimeout.NoTimeout)(smooth)
       val name = "graft_stream_ewma_" +
         java.util.UUID.randomUUID().toString.take(8)
-      // see StreamingSmoke: state partitions sized to the state, not CPUs
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/ewma-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -118,7 +119,6 @@ object StatefulEwma extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name).orderBy("user_id", "event_id")

@@ -69,7 +69,10 @@ object StatefulFunnel extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => org.apache.spark.sql
         .DataFrame] = Map(
-    "q_streaming_funnel" -> ((s, d) => {
+    "q_streaming_funnel" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -85,8 +88,6 @@ object StatefulFunnel extends QueryModule {
           OutputMode.Append(), GroupStateTimeout.NoTimeout)(advance)
       val name = "graft_stream_funnel_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/funnel-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -96,7 +97,6 @@ object StatefulFunnel extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       // keep-latest collapse of the monotone revisions, then render

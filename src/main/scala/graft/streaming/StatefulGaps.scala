@@ -59,7 +59,10 @@ object StatefulGaps extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => org.apache.spark.sql
         .DataFrame] = Map(
-    "q_streaming_gapsweep" -> ((s, d) => {
+    "q_streaming_gapsweep" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -72,8 +75,6 @@ object StatefulGaps extends QueryModule {
           OutputMode.Append(), GroupStateTimeout.NoTimeout)(deltas)
       val name = "graft_stream_gaps_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/gaps-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -83,7 +84,6 @@ object StatefulGaps extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       // the drained deltas sum to the batch one-window counters; the

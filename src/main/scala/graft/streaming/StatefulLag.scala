@@ -83,7 +83,10 @@ object StatefulLag extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => org.apache.spark.sql
         .DataFrame] = Map(
-    "q_streaming_lagfeat" -> ((s, d) => {
+    "q_streaming_lagfeat" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -96,9 +99,7 @@ object StatefulLag extends QueryModule {
           OutputMode.Append(), GroupStateTimeout.NoTimeout)(features)
       val name = "graft_stream_lag_" +
         java.util.UUID.randomUUID().toString.take(8)
-      // see StreamingSmoke: state partitions sized to the state, not CPUs
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/lag-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -108,7 +109,6 @@ object StatefulLag extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name).orderBy("event_id")

@@ -73,7 +73,10 @@ object StatefulPit extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => org.apache.spark.sql
         .DataFrame] = Map(
-    "q_streaming_pit" -> ((s, d) => {
+    "q_streaming_pit" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -87,8 +90,6 @@ object StatefulPit extends QueryModule {
           OutputMode.Append(), GroupStateTimeout.NoTimeout)(serve)
       val name = "graft_stream_pit_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/pit-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -98,7 +99,6 @@ object StatefulPit extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name).orderBy("event_id")

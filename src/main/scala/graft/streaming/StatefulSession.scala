@@ -175,7 +175,10 @@ object StatefulSession extends QueryModule {
     StructField("value", DoubleType)))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_streaming_session" -> ((s, d) => {
+    "q_streaming_session" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -190,9 +193,7 @@ object StatefulSession extends QueryModule {
         .filter(col("user_id") =!= SentinelUser)
       val name = "graft_stream_session_" +
         java.util.UUID.randomUUID().toString.take(8)
-      // see StreamingSmoke: state partitions sized to the state, not CPUs
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/sess-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -202,7 +203,6 @@ object StatefulSession extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name).orderBy("user_id", "s_start")
@@ -217,7 +217,10 @@ object StatefulSession extends QueryModule {
     // q_window_session — native streaming, hand-rolled streaming and
     // batch all land on one hash. State is per-open-session (bounded
     // by active users), shuffle keyed on user_id. ---
-    "q_streaming_sessionwin" -> ((s, d) => {
+    "q_streaming_sessionwin" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import graft.Det.{fmtTs, sumd}
       import org.apache.spark.sql.functions.{col, count, expr, lit,
         session_window}
@@ -242,8 +245,6 @@ object StatefulSession extends QueryModule {
           col("n"), col("sum_value"))
       val name = "graft_stream_sessionwin_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/sessw-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -253,7 +254,6 @@ object StatefulSession extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name)

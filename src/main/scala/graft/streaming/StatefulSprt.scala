@@ -95,7 +95,10 @@ object StatefulSprt extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => org.apache.spark.sql
         .DataFrame] = Map(
-    "q_streaming_sprt" -> ((s, d) => {
+    "q_streaming_sprt" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "2")
       import s.implicits._
       val stream = s.readStream
         .schema(replaySchema)
@@ -118,8 +121,6 @@ object StatefulSprt extends QueryModule {
           OutputMode.Append(), GroupStateTimeout.NoTimeout)(advance)
       val name = "graft_stream_sprt_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/sprt-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -129,7 +130,6 @@ object StatefulSprt extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       StreamingSmoke.drainSink(s, name).orderBy("arm", "day")

@@ -18,11 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object StreamingSmoke extends QueryModule {
 
+  /** Per-query CLONED session with the streaming state-partition
+    * sizing applied. Structured Streaming pins the state-store
+    * partition count from spark.sql.shuffle.partitions at the first
+    * run against a fresh checkpoint, and each state partition carries
+    * its own store init + per-commit overhead — so the twins size it
+    * to the state (a handful of keys), not the CPU count. Round 13:
+    * the sizing moves off the shared session's conf (the former
+    * set/try/finally was visible to every concurrently-running query)
+    * onto a clone that owns the whole plan, readStream through drain;
+    * the memory-sink temp view registers in the clone, so callers
+    * must drain from the SAME session this returns. At fleet scale the
+    * knob would instead be sized to executors x cores.
+    */
+  private[streaming] def sized(s: SparkSession, parts: String)
+      : SparkSession = {
+    val ss = org.apache.spark.sql.graft.Bridge.cloneSession(s)
+    ss.conf.set("spark.sql.shuffle.partitions", parts)
+    ss
+  }
+
   /** Drain a memory sink: materialize the sink's rows (localCheckpoint —
     * the result no longer references the view), then DROP the temp view.
     * Per-run UUID sink names otherwise accumulate one fully-materialized
     * result table per invocation in the driver for the session lifetime
-    * (Bench alone runs every streaming query twice).
+    * (Bench alone runs every streaming query twice). Must be called with
+    * the SAME session that started the query (the sized() clone).
     */
   private[streaming] def drainSink(s: SparkSession, name: String)
       : DataFrame = {
@@ -45,7 +66,10 @@ object StreamingSmoke extends QueryModule {
     }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_streaming_rate" -> ((s, d) => {
+    "q_streaming_rate" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "4")
       val schema = graft.Tables.rawEventsSchema(s, d)
       val stream = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
@@ -59,13 +83,6 @@ object StreamingSmoke extends QueryModule {
           col("event_type"), col("n"), col("sum_value"))
       val name = "graft_stream_smoke_" +
         java.util.UUID.randomUUID().toString.take(8)
-      // State partitions are fixed at query start from
-      // spark.sql.shuffle.partitions; each carries its own state-store
-      // init + per-commit overhead, so size them to the state (a few
-      // hundred window x type keys), not the CPU count. At fleet scale
-      // this would instead be sized to executors x cores.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       // checkpoint + state store on tmpfs: the default temp checkpoint
       // lands on the (stall-prone) block device and is pure harness
       // overhead for a replay smoke
@@ -78,7 +95,6 @@ object StreamingSmoke extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       drainSink(s, name).orderBy("hour_start", "event_type")
@@ -92,7 +108,10 @@ object StreamingSmoke extends QueryModule {
     // re-drained release publishes the SAME value — the privacy-
     // telemetry contract). The streamed leg is the running count;
     // state is O(types). Carries a full batch DuckDB oracle. ---
-    "q_streaming_dp" -> ((s, d) => {
+    "q_streaming_dp" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "4")
       val schema = graft.Tables.rawEventsSchema(s, d)
       val stream = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
@@ -102,8 +121,6 @@ object StreamingSmoke extends QueryModule {
         .agg(count(lit(1)).as("n_true"))
       val name = "graft_stream_dp_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/dp-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -113,7 +130,6 @@ object StreamingSmoke extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       val h = pmod(ascii(col("event_type")).cast("long")
@@ -145,7 +161,10 @@ object StreamingSmoke extends QueryModule {
     // dropDuplicatesWithinWatermark so dedup state older than the
     // watermark is evicted instead of growing without bound; the bounded
     // replay here would make that a no-op. ---
-    "q_streaming_dedup" -> ((s, d) => {
+    "q_streaming_dedup" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "4")
       val schema = graft.Tables.rawEventsSchema(s, d)
       val stream = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
@@ -159,8 +178,6 @@ object StreamingSmoke extends QueryModule {
       // sketch streams (a fixed name collides on start())
       val name = "graft_stream_dedup_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/dedup-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -170,7 +187,6 @@ object StreamingSmoke extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       drainSink(s, name)
@@ -225,7 +241,10 @@ object StreamingSmoke extends QueryModule {
     // each matched pair exactly once, so the per-user pair counts are
     // deterministic and hash-oracle-checkable against the equivalent
     // batch interval join. ---
-    "q_streaming_join" -> ((s, d) => {
+    "q_streaming_join" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "4")
       val schema = graft.Tables.rawEventsSchema(s, d)
       def src = graft.Tables.normalizeEventTs(s.readStream
         .schema(schema)
@@ -243,8 +262,6 @@ object StreamingSmoke extends QueryModule {
           col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
       val name = "graft_stream_join_" +
         java.util.UUID.randomUUID().toString.take(8)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/join-" +
         java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -254,7 +271,6 @@ object StreamingSmoke extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }
       drainSink(s, name)
@@ -631,7 +647,10 @@ object StreamingSmoke extends QueryModule {
     // and its state is O(types). Replaying the full batch input makes
     // the final counters deterministically equal to the batch SQL —
     // a real oracle, the q_streaming_rate discipline. ---
-    "q_streaming_expect" -> ((s, d) => {
+    "q_streaming_expect" -> ((s0, d) => {
+      // cloned session pins state partitions without touching
+      // the shared conf (see StreamingSmoke.sized)
+      val s = StreamingSmoke.sized(s0, "4")
       val schema = graft.Tables.rawEventsSchema(s, d)
       val stream = s.readStream
         .schema(schema)
@@ -645,8 +664,6 @@ object StreamingSmoke extends QueryModule {
       val run = java.util.UUID.randomUUID().toString.take(8)
       val name = s"graft_stream_expect_$run"
       val ckpt = s"${graft.Scratch.root}/graft_ckpt/expect-$run"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = agg.writeStream
           .outputMode("complete").format("memory").queryName(name)
@@ -654,7 +671,6 @@ object StreamingSmoke extends QueryModule {
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(ckpt))
       }

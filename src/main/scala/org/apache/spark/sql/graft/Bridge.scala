@@ -30,6 +30,19 @@ object Bridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Clone the session with COPIED state — conf, temp views, UDFs,
+    * extensions — sharing the SparkContext (classic `cloneSession()` is
+    * private[sql]). Lets a caller pin per-query SQL confs (e.g. the
+    * streaming state-store partition count, which Structured Streaming
+    * reads from spark.sql.shuffle.partitions at the first run against a
+    * fresh checkpoint) WITHOUT mutating the shared session that a
+    * concurrently-running query is reading — conf isolation the
+    * set/try/finally pattern can never give.
+    */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+
   /** Wrap a custom LogicalPlan as a DataFrame (classic Dataset.ofRows
     * is private[sql]).
     */

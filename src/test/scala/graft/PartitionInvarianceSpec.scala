@@ -59,8 +59,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_bt_step", "q_resample_mix", "q_quality_ensemble",
     "q_semantic_contam", "q_dp_median", "q_topic_balance",
     "q_ngram_novelty_curve", "q_mixture_ablate", "q_memorization_risk",
-    // round-13: the iterated BPE trainer (argmax ties + driver loop)
-    "q_bpe_train")
+    // round-13: the iterated BPE trainer (argmax ties + driver loop),
+    // the greedy selection loops, and the new window/banded rollups
+    "q_bpe_train", "q_select_coverage", "q_kcenter_seed",
+    "q_lift_gains", "q_page_hinkley", "q_wasserstein_drift",
+    "q_sign_test", "q_tok_oov")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

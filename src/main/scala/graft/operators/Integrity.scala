@@ -42,6 +42,38 @@ object Integrity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- GDPR/right-to-be-forgotten erasure ledger (round 13): run
+      // the erasure (anti-join of the event stream against the
+      // deletion-request set — here the deterministic user_id % 97
+      // slice standing in for the request table) and publish the
+      // per-type ledger a DPO audit reads: rows before, rows erased,
+      // distinct users erased, rows after, and the RESIDUAL count of
+      // deleted-user rows still present after the erasure — pinned to
+      // zero by construction, which is exactly what the audit column
+      // is for (a non-zero residual is the bug it exists to catch).
+      // The deletion set is a broadcast anti-join at any scale; the
+      // ledger is one conditional aggregate per side. ---
+      "q_gdpr_erasure" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), col("user_id"))
+        val isDel = pmod(col("user_id"), lit(97L)) === 0
+        val del = ev.filter(isDel).select("user_id").distinct()
+        val retained = ev.join(broadcast(del), Seq("user_id"),
+          "left_anti")
+        val before = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_before"),
+            sum(isDel.cast("long")).cast("long").as("n_erased"),
+            countDistinct(when(isDel, col("user_id")))
+              .cast("long").as("n_users_erased"))
+        val after = retained.groupBy("event_type")
+          .agg(count(lit(1)).as("n_after"),
+            sum(isDel.cast("long")).cast("long").as("residual"))
+        before.join(after, "event_type")
+          .select(col("event_type"), col("n_before"), col("n_erased"),
+            col("n_users_erased"), col("n_after"), col("residual"))
+          .orderBy("event_type")
+      }),
+
       // --- order-independent table checksum: the cross-system data
       // integrity primitive (did the copy/migration/compaction preserve
       // every row?). Each row folds its key+payload columns into a
@@ -330,6 +362,25 @@ object Integrity extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_gdpr_erasure" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_erased,
+        |    CAST(COUNT(DISTINCT CASE WHEN user_id % 97 = 0
+        |      THEN user_id END) AS BIGINT) AS n_users_erased
+        |  FROM ev GROUP BY event_type),
+        |r AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_after,
+        |    CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS residual
+        |  FROM ev WHERE user_id % 97 <> 0 GROUP BY event_type)
+        |SELECT event_type, n_before, n_erased, n_users_erased,
+        |  n_after, residual
+        |FROM b JOIN r USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_bloom_fpr_curve" -> {
       // single-line on purpose: this fragment is interpolated into a

@@ -24,6 +24,16 @@ object Learning extends QueryModule {
 
   private val D38 = DecimalType(38, 0)
 
+  /** round(1e6 / log2(k+1)) for k = 1..10 — the NDCG discount weights
+    * as exact integers, shared verbatim with the q_ndcg10 oracle so
+    * neither engine ever evaluates a transcendental.
+    */
+  private val NdcgW: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Prefix sums of [[NdcgW]] — ideal DCG at n_rel = 1..10. */
+  private val NdcgCum: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+
   /** Deterministic per-key mixer shared with the oracle: a Knuth
     * multiplicative hash folded into 2^31. Gives each key a reproducible
     * pseudo-random residue both engines compute with plain BIGINT ops.
@@ -113,6 +123,57 @@ object Learning extends QueryModule {
                   col("relcum") * (lit(2520L) / col("rk")).cast("long")))
                 .cast("double") /
                 (sum("rel") * 2520).cast("double"), lit(0.0)).as("ap10"))
+          .orderBy("probe_id")
+      }),
+
+      // --- NDCG@10 per probe (round 13): the graded-ranking sibling
+      // of q_ap_rank over the SAME exact-cosine top-10 — the retrieval
+      // community's headline metric. The 1/log2(rk+1) discount weights
+      // are irrational, so both engines use the SAME precomputed
+      // integer weights round(1e6/log2(k+1)) (k=1..10) — the per-probe
+      // DCG accumulates as an exact int64 sum (a naive Σ of double
+      // discounts would hash-diverge on in-group summation order), the
+      // ideal DCG is a prefix-sum literal lookup at min(n_rel, 10),
+      // and NDCG is ONE final division. ---
+      "q_ndcg10" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").as("q"))
+          .withColumn("nn", Similarity.dotQ(col("q"), col("q")))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("plabel"), col("q").as("pq"),
+            col("nn").as("pn"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"),
+            col("vec_id").as("cand_id"), col("label"),
+            Similarity.cosQ(Similarity.dotQ(col("pq"), col("q")),
+              col("pn"), col("nn")).as("cos"))
+        val wr = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        val top = scored
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 10)
+          .withColumn("rk", col("rk").cast("long"))
+          .withColumn("rel",
+            (col("label") === col("plabel")).cast("long"))
+        val wgt = NdcgW.zipWithIndex.foldLeft(lit(0L)) {
+          case (acc, (w, i)) =>
+            when(col("rk") === (i + 1).toLong, w).otherwise(acc)
+        }
+        val idcg = element_at(
+          array(NdcgCum.map(lit(_)): _*),
+          least(col("n_rel"), lit(10L)).cast("int"))
+        top.withColumn("w", wgt)
+          .groupBy("probe_id")
+          .agg(sum("rel").cast("long").as("n_rel"),
+            sum(when(col("rel") === 1, col("w")).otherwise(0L))
+              .cast("long").as("dcg_scaled"))
+          .select(col("probe_id"), col("n_rel"), col("dcg_scaled"),
+            when(col("n_rel") > 0,
+              col("dcg_scaled").cast("double") / idcg.cast("double"))
+              .otherwise(0.0).as("ndcg10"))
           .orderBy("probe_id")
       }),
 
@@ -480,6 +541,50 @@ object Learning extends QueryModule {
          |        THEN relcum * (2520 // rk) END) AS DOUBLE)
          |      / CAST(SUM(rel) * 2520 AS DOUBLE), 0.0) AS ap10
          |FROM c2 GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+
+    "q_ndcg10" -> {
+      val wCase = "CASE rk " + NdcgW.zipWithIndex.map { case (w, i) =>
+        s"WHEN ${i + 1} THEN $w" }.mkString(" ") + " END"
+      val idcgCase = "CASE LEAST(SUM(rel), 10) " +
+        NdcgCum.zipWithIndex.map { case (c, i) =>
+          s"WHEN ${i + 1} THEN $c" }.mkString(" ") + " END"
+      s"""WITH q AS (SELECT vec_id, label, ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS i,
+         |        unnest(qv) AS v FROM q),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY 1),
+         |dot AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |          SUM(p.v * c.v) AS d
+         |        FROM x p JOIN x c
+         |          ON p.i = c.i AND p.vec_id < 10
+         |         AND c.vec_id <> p.vec_id
+         |        GROUP BY 1, 2),
+         |lab AS (SELECT vec_id, label FROM q),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |           sqrt(CAST(nc.nn AS DOUBLE))) AS cos,
+         |         lp.label AS plabel, lc.label AS clabel
+         |       FROM dot
+         |         JOIN n np ON np.vec_id = probe_id
+         |         JOIN n nc ON nc.vec_id = cand_id
+         |         JOIN lab lp ON lp.vec_id = probe_id
+         |         JOIN lab lc ON lc.vec_id = cand_id),
+         |r AS (SELECT probe_id,
+         |        CAST(clabel = plabel AS BIGINT) AS rel,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, cand_id) AS BIGINT) AS rk
+         |      FROM sc),
+         |t AS (SELECT probe_id, rel, rk, $wCase AS w
+         |      FROM r WHERE rk <= 10)
+         |SELECT probe_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |  CAST(SUM(CASE WHEN rel = 1 THEN w ELSE 0 END) AS BIGINT)
+         |    AS dcg_scaled,
+         |  CASE WHEN SUM(rel) > 0 THEN
+         |    CAST(SUM(CASE WHEN rel = 1 THEN w ELSE 0 END) AS DOUBLE) /
+         |      CAST($idcgCase AS DOUBLE)
+         |  ELSE 0.0 END AS ndcg10
+         |FROM t GROUP BY probe_id ORDER BY probe_id""".stripMargin
+    },
 
     "q_knn_label_audit" ->
       s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -32,6 +32,90 @@ object Linkage extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Fellegi-Sunter match/unmatch weights (round 13): the
+      // probabilistic record-linkage parameters — for each agreement
+      // feature f, m = P(agree | match) from the LABELED match set
+      // (the ngram near-dup truth relation) and u = P(agree | random
+      // pair) computed EXACTLY from marginal collision counts, never a
+      // sampled non-match set: same-source u = Σ C(n_s,2)/C(n,2),
+      // same-lang likewise, and length-within-8 from the n_chars
+      // histogram via a ±8-offset EXPLODE equi-join (17 rows per band
+      // — an equi-join, not a range theta join). The log-odds weight
+      // is reported as the m/u ratio, cross-multiplied exact int64
+      // with ONE division. All relations are O(truth pairs) or
+      // O(bands); nothing corpus-quadratic ever materializes. ---
+      "q_linkage_weights" -> ((s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"))
+          .localCheckpoint()
+        val pairs = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id"))
+        val fa = docs.select(col("doc_id").as("a_id"),
+          col("source").as("sa"), col("lang").as("la"),
+          col("n_chars").as("ca"))
+        val fb = docs.select(col("doc_id").as("b_id"),
+          col("source").as("sb"), col("lang").as("lb"),
+          col("n_chars").as("cb"))
+        val mAgg = pairs.join(broadcast(fa), "a_id")
+          .join(broadcast(fb), "b_id")
+          .agg(count(lit(1)).as("tm"),
+            sum((col("sa") === col("sb")).cast("long"))
+              .cast("long").as("am_source"),
+            sum((col("la") === col("lb")).cast("long"))
+              .cast("long").as("am_lang"),
+            sum((abs(col("ca") - col("cb")) <= 8).cast("long"))
+              .cast("long").as("am_len"))
+        val n1 = docs.agg(count(lit(1)).as("n"))
+        val auSource = docs.groupBy("source")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) div 2")).cast("long")
+            .as("au_source"))
+        val auLang = docs.groupBy("lang")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) div 2")).cast("long")
+            .as("au_lang"))
+        val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("h"))
+        val shifted = hist.select(
+          explode(sequence(col("n_chars") - 8, col("n_chars") + 8))
+            .as("n_chars"), col("h").as("h2"))
+        // rawlen counts ORDERED agree pairs incl. self-pairs over the
+        // ±8 window: au_len = (rawlen - n) / 2
+        val one = mAgg.crossJoin(broadcast(n1))
+          .crossJoin(broadcast(auSource))
+          .crossJoin(broadcast(auLang))
+          .crossJoin(broadcast(
+            hist.join(shifted, "n_chars")
+              .agg(sum(col("h") * col("h2")).cast("long").as("rawlen"))))
+          .select(col("tm"), col("am_source"), col("am_lang"),
+            col("am_len"), col("n"),
+            expr("n * (n - 1) div 2").cast("long").as("tu"),
+            col("au_source"), col("au_lang"),
+            expr("(rawlen - n) div 2").cast("long").as("au_len"))
+        one.select(explode(array(
+            struct(lit("1_same_source").as("feature"),
+              col("am_source").as("m_num"), col("tm").as("m_den"),
+              col("au_source").as("u_num"), col("tu").as("u_den")),
+            struct(lit("2_same_lang").as("feature"),
+              col("am_lang").as("m_num"), col("tm").as("m_den"),
+              col("au_lang").as("u_num"), col("tu").as("u_den")),
+            struct(lit("3_len_within_8").as("feature"),
+              col("am_len").as("m_num"), col("tm").as("m_den"),
+              col("au_len").as("u_num"), col("tu").as("u_den"))))
+            .as("f"))
+          .select(col("f.feature").as("feature"),
+            col("f.m_num").as("m_num"), col("f.m_den").as("m_den"),
+            col("f.u_num").as("u_num"), col("f.u_den").as("u_den"),
+            (col("f.m_num").cast("double") /
+              col("f.m_den").cast("double")).as("m"),
+            (col("f.u_num").cast("double") /
+              col("f.u_den").cast("double")).as("u"),
+            ((col("f.m_num") * col("f.u_den")).cast("double") /
+              (col("f.m_den") * col("f.u_num")).cast("double"))
+              .as("weight"))
+          .orderBy("feature")
+      }),
+
       // --- sorted-neighborhood entity-resolution blocking: sort each
       // mktsegment block by name, compare every record to its next 3
       // neighbors, keep candidate pairs within edit distance 2 — the
@@ -261,6 +345,51 @@ object Linkage extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_linkage_weights" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |fm AS (SELECT doc_id, source, lang, n_chars FROM documents),
+         |ma AS (SELECT CAST(COUNT(*) AS BIGINT) AS tm,
+         |    CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS am_source,
+         |    CAST(SUM(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS am_lang,
+         |    CAST(SUM(CASE WHEN abs(a.n_chars - b.n_chars) <= 8
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS am_len
+         |  FROM p JOIN fm a ON a.doc_id = p.a_id
+         |         JOIN fm b ON b.doc_id = p.b_id),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |us AS (SELECT CAST(SUM(c2 * (c2 - 1) // 2) AS BIGINT)
+         |    AS au_source
+         |  FROM (SELECT COUNT(*) AS c2 FROM documents GROUP BY source)),
+         |ul AS (SELECT CAST(SUM(c2 * (c2 - 1) // 2) AS BIGINT)
+         |    AS au_lang
+         |  FROM (SELECT COUNT(*) AS c2 FROM documents GROUP BY lang)),
+         |hh AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS h
+         |       FROM documents GROUP BY n_chars),
+         |sh AS (SELECT unnest(range(n_chars - 8, n_chars + 9))
+         |         AS n_chars, h AS h2 FROM hh),
+         |rl AS (SELECT CAST(SUM(hh.h * sh.h2) AS BIGINT) AS rawlen
+         |       FROM hh JOIN sh USING (n_chars)),
+         |onez AS (SELECT ma.tm, ma.am_source, ma.am_lang, ma.am_len,
+         |    ns.n, CAST(ns.n * (ns.n - 1) // 2 AS BIGINT) AS tu,
+         |    us.au_source, ul.au_lang,
+         |    CAST((rl.rawlen - ns.n) // 2 AS BIGINT) AS au_len
+         |  FROM ma CROSS JOIN ns CROSS JOIN us CROSS JOIN ul
+         |  CROSS JOIN rl),
+         |fx AS (
+         |  SELECT '1_same_source' AS feature, am_source AS m_num,
+         |    tm AS m_den, au_source AS u_num, tu AS u_den FROM onez
+         |  UNION ALL SELECT '2_same_lang', am_lang, tm, au_lang, tu
+         |    FROM onez
+         |  UNION ALL SELECT '3_len_within_8', am_len, tm, au_len, tu
+         |    FROM onez)
+         |SELECT feature, m_num, m_den, u_num, u_den,
+         |  CAST(m_num AS DOUBLE) / CAST(m_den AS DOUBLE) AS m,
+         |  CAST(u_num AS DOUBLE) / CAST(u_den AS DOUBLE) AS u,
+         |  CAST(m_num * u_den AS DOUBLE) / CAST(m_den * u_num AS DOUBLE)
+         |    AS weight
+         |FROM fx ORDER BY feature""".stripMargin,
 
     "q_blocking_eval" ->
       s"""WITH ${TextPipeline.ngramPairCte},

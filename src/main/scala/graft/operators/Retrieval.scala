@@ -374,26 +374,28 @@ object Retrieval extends QueryModule {
       val oriented = orientedTriangleEdges(s, d)
       // SIZE-GATED strategy (round 13, closing the 60x probe): the
       // broadcast edge-iterator's apparent exponent kept climbing
-      // (0.70@10x -> 0.79@30x -> ~0.9+@60x) because the GLOBAL
-      // adjacency broadcast grows with |E| while per-partition useful
-      // work stays flat — build is driver-serial and every executor
-      // pays the full deserialization. Past the cap the plan flips to
-      // the co-partitioned WEDGE JOIN (triangleByWedge): zero
-      // broadcast, two shuffle joins, per-copy work constant — the
-      // graph-partitioned shape the round-12 Scaladoc predicted for
-      // beyond-executor-memory adjacency. The cap sits between the
-      // measured 30x win (36M edges: broadcast 26 s < SMJ 50 s <
-      // shuffle_hash 144 s) and the measured 60x loss (72M edges:
-      // broadcast 155 s, wedge measured faster — SURVEY §6).
+      // (0.70@10x -> 0.66@30x -> 0.91@60x) as the GLOBAL adjacency
+      // broadcast grows with |E| — build is driver-serial and every
+      // executor pays the full deserialization. The 60x probe MEASURED
+      // both strategies at 72M edges: broadcast 87 s (MIN) vs wedge
+      // join 402 s — the wedge's Σ C(dout,2) shuffle volume costs far
+      // more than the growing broadcast, so there is NO performance
+      // crossover in the broadcast-feasible regime and the gate sits
+      // at broadcast FEASIBILITY instead: 200M oriented edges ≈ a
+      // ~2 GB adjacency, the point where a 2x-broadcast stops fitting
+      // typical executor/driver memory budgets and the broadcast plan
+      // stops being runnable at all. Past it the co-partitioned wedge
+      // join (zero broadcast, two shuffle joins — slower per byte but
+      // scales with cluster width and never OOMs a build) takes over.
       // TriangleEquivalenceSpec pins that both spellings return
-      // identical rows.
+      // identical rows; SURVEY §6 carries the full adjudication.
       if (oriented.count() <= TriangleBroadcastEdgeCap)
         triangleByBroadcast(oriented)
       else triangleByWedge(oriented)
     })
   )
 
-  private[graft] val TriangleBroadcastEdgeCap = 50000000L
+  private[graft] val TriangleBroadcastEdgeCap = 200000000L
 
   /** The degree-oriented co-purchase edge DAG shared by both triangle
     * spellings: distinct co-purchase pairs, each stored (src, dst,
@@ -465,11 +467,16 @@ object Retrieval extends QueryModule {
     * order the orientation uses, so the closing edge is findable by
     * ONE equi-join against the oriented edge set on (b, c). Wedge
     * volume is the Σ C(dout, 2) ≤ O(m^1.5) bound the degree
-    * orientation guarantees, but every byte of it moves through
+    * orientation guarantees, and every byte of it moves through
     * ordinary hash shuffles — no driver-serial build, no global
-    * rebroadcast — so wall time scales with cluster width. The house
-    * rule applies: exploded/self-joined relations carry lying stats,
-    * so both legs hint shuffle_merge (never let AQE broadcast them).
+    * rebroadcast — so wall time scales with cluster width and the plan
+    * never OOMs a broadcast build. That volume is also why it LOSES to
+    * the edge-iterator while a broadcast is still feasible (60x probe,
+    * 72M edges: wedge 402 s vs broadcast 87 s — the wedges outweigh
+    * the adjacency ~20:1 on this graph); it is the BEYOND-broadcast
+    * plan, not a faster one. House rule applies: exploded/self-joined
+    * relations carry lying stats, so both legs hint shuffle_merge
+    * (never let AQE broadcast them).
     */
   private[graft] def triangleByWedge(oriented: DataFrame): DataFrame = {
     val l1 = oriented.select(col("src"), col("dst").as("b"),

@@ -52,6 +52,107 @@ object Statistics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- ECDF probe grid (round 13): P(value <= x) per event type at
+      // fixed probe points — the monitoring companion of
+      // q_percentile_grid read the OTHER way around (given a threshold,
+      // what share is under it — SLO-style questions). One conditional
+      // aggregate per type x 4 literal probes; exact counts, one
+      // division per cell. ---
+      "q_ecdf" -> ((s, d) => {
+        import s.implicits._
+        val probes = Seq(100L, 200L, 300L, 400L).toDF("x")
+        table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .crossJoin(broadcast(probes))
+          .groupBy("event_type", "x")
+          .agg(count(lit(1)).as("n"),
+            sum((col("v") <= col("x")).cast("long")).cast("long")
+              .as("n_le"))
+          .select(col("event_type"), col("x"), col("n"), col("n_le"),
+            (col("n_le").cast("double") / col("n").cast("double"))
+              .as("cdf"))
+          .orderBy("event_type", "x")
+      }),
+
+      // --- banded WINSORIZED mean per event type (round 13): the
+      // robust-mean sibling of q_percentile_grid — clamp each value to
+      // the [P05, P95] band boundaries before averaging, the standard
+      // outlier-resistant location estimate a metrics platform
+      // publishes next to the raw mean. Winsorization happens on the
+      // whole-dollar BAND grid (the quantized-domain discipline), so
+      // the clamp, the band order statistics (cum·20 >= n and
+      // cum·20 >= 19·n — cross-multiplied, no percent float), and the
+      // clamped sum are ALL exact int64; ONE division renders the
+      // mean. One histogram pass, O(types × bands) state. ---
+      "q_winsor_mean" -> ((s, d) => {
+        val t = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+        val bd = t.groupBy("event_type", "v")
+          .agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+        val cum = bd.withColumn("cum", sum("c").over(wb))
+        val nn = t.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val qs = cum.join(broadcast(nn), "event_type")
+          .groupBy("event_type", "n")
+          .agg(min(when(col("cum") * 20 >= col("n"), col("v")))
+              .as("p05_v"),
+            min(when(col("cum") * 20 >= col("n") * 19, col("v")))
+              .as("p95_v"))
+        bd.join(broadcast(qs), "event_type")
+          .groupBy("event_type")
+          .agg(max("n").cast("long").as("n"),
+            max("p05_v").cast("long").as("p05_v"),
+            max("p95_v").cast("long").as("p95_v"),
+            sum(col("c") * greatest(least(col("v"), col("p95_v")),
+              col("p05_v"))).cast("long").as("wsum"))
+          .select(col("event_type"), col("n"), col("p05_v"),
+            col("p95_v"),
+            (col("wsum").cast("double") / col("n").cast("double"))
+              .as("winsor_mean"))
+          .orderBy("event_type")
+      }),
+
+      // --- Tukey-fence outlier census per event type (round 13): the
+      // box-plot outlier rule (beyond Q1 − 1.5·IQR / Q3 + 1.5·IQR) as
+      // a one-pass banded census. The half-unit fences are
+      // cross-multiplied to integers — outlier iff 2·v < 2·Q1 − 3·IQR
+      // or 2·v > 2·Q3 + 3·IQR — so the whole census is exact int64;
+      // the only double is the final share division. ---
+      "q_tukey_outliers" -> ((s, d) => {
+        val t = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+        val bd = t.groupBy("event_type", "v")
+          .agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+        val cum = bd.withColumn("cum", sum("c").over(wb))
+        val nn = t.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val qs = cum.join(broadcast(nn), "event_type")
+          .groupBy("event_type", "n")
+          .agg(min(when(col("cum") * 4 >= col("n"), col("v")))
+              .as("q1"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v")))
+              .as("q3"))
+          .withColumn("iqr", col("q3") - col("q1"))
+        bd.join(broadcast(qs), "event_type")
+          .groupBy("event_type")
+          .agg(max("n").cast("long").as("n"),
+            max("q1").cast("long").as("q1"),
+            max("q3").cast("long").as("q3"),
+            max("iqr").cast("long").as("iqr"),
+            sum(when(
+              col("v") * 2 < col("q1") * 2 - col("iqr") * 3 ||
+                col("v") * 2 > col("q3") * 2 + col("iqr") * 3,
+              col("c")).otherwise(0L)).cast("long").as("n_outliers"))
+          .select(col("event_type"), col("n"), col("q1"), col("q3"),
+            col("iqr"), col("n_outliers"),
+            (col("n_outliers").cast("double") / col("n").cast("double"))
+              .as("outlier_share"))
+          .orderBy("event_type")
+      }),
+
       // --- quantile-profile grid (round 9): p10/p25/p50/p75/p90 of
       // the event value per type in ONE histogram pass — the
       // monitoring profile a latency/size dashboard reads. The order
@@ -285,6 +386,77 @@ object Statistics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_ecdf" ->
+      """WITH t AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v FROM events),
+        |b AS (SELECT unnest([CAST(100 AS BIGINT), CAST(200 AS BIGINT),
+        |    CAST(300 AS BIGINT), CAST(400 AS BIGINT)]) AS x)
+        |SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v <= x THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_le,
+        |  CAST(SUM(CASE WHEN v <= x THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS cdf
+        |FROM t CROSS JOIN b GROUP BY event_type, x
+        |ORDER BY event_type, x""".stripMargin,
+
+    "q_winsor_mean" ->
+      """WITH t AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v FROM events),
+        |bd AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM t GROUP BY 1, 2),
+        |cm AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM bd),
+        |nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM t GROUP BY 1),
+        |qs AS (SELECT cm.event_type, nn.n,
+        |    CAST(MIN(CASE WHEN cum * 20 >= n THEN v END) AS BIGINT)
+        |      AS p05_v,
+        |    CAST(MIN(CASE WHEN cum * 20 >= n * 19 THEN v END)
+        |      AS BIGINT) AS p95_v
+        |  FROM cm JOIN nn USING (event_type)
+        |  GROUP BY cm.event_type, nn.n)
+        |SELECT bd.event_type, MAX(qs.n) AS n,
+        |  MAX(qs.p05_v) AS p05_v, MAX(qs.p95_v) AS p95_v,
+        |  CAST(SUM(bd.c * GREATEST(LEAST(bd.v, qs.p95_v), qs.p05_v))
+        |      AS DOUBLE) / CAST(MAX(qs.n) AS DOUBLE) AS winsor_mean
+        |FROM bd JOIN qs USING (event_type)
+        |GROUP BY bd.event_type ORDER BY bd.event_type""".stripMargin,
+
+    "q_tukey_outliers" ->
+      """WITH t AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v FROM events),
+        |bd AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM t GROUP BY 1, 2),
+        |cm AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM bd),
+        |nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM t GROUP BY 1),
+        |qs AS (SELECT cm.event_type, nn.n,
+        |    CAST(MIN(CASE WHEN cum * 4 >= n THEN v END) AS BIGINT)
+        |      AS q1,
+        |    CAST(MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS BIGINT)
+        |      AS q3
+        |  FROM cm JOIN nn USING (event_type)
+        |  GROUP BY cm.event_type, nn.n)
+        |SELECT bd.event_type, MAX(qs.n) AS n,
+        |  MAX(qs.q1) AS q1, MAX(qs.q3) AS q3,
+        |  MAX(qs.q3 - qs.q1) AS iqr,
+        |  CAST(SUM(CASE WHEN bd.v * 2 < qs.q1 * 2 - (qs.q3 - qs.q1) * 3
+        |      OR bd.v * 2 > qs.q3 * 2 + (qs.q3 - qs.q1) * 3
+        |    THEN bd.c ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN bd.v * 2 < qs.q1 * 2 - (qs.q3 - qs.q1) * 3
+        |      OR bd.v * 2 > qs.q3 * 2 + (qs.q3 - qs.q1) * 3
+        |    THEN bd.c ELSE 0 END) AS DOUBLE) / CAST(MAX(qs.n) AS DOUBLE)
+        |    AS outlier_share
+        |FROM bd JOIN qs USING (event_type)
+        |GROUP BY bd.event_type ORDER BY bd.event_type""".stripMargin,
 
     "q_percentile_grid" ->
       s"""WITH $quantGridCte

@@ -1030,4 +1030,28 @@ class PlanQualitySpec extends AnyFunSuite {
     // (the per-group window reads the pre-aggregated band relation)
     assert(!plan("q_dp_median").contains("CartesianProduct"))
   }
+
+  test("round-13 plans: banded rollups and audit passes stay " +
+    "cartesian-free; the linkage u-terms never self-join the corpus") {
+    // every cross of a 1-row scalar or literal relation must plan as a
+    // broadcast nested loop, never CartesianProduct; the heavy inputs
+    // (events, documents) appear exactly once per scan leg
+    for (q <- Seq("q_lift_gains", "q_winsor_mean", "q_tukey_outliers",
+        "q_wasserstein_drift", "q_tok_oov", "q_ecdf", "q_dp_histogram",
+        "q_linkage_weights", "q_watermark_detect", "q_lead_bias",
+        "q_repetition_audit", "q_sign_test", "q_hoeffding_gate",
+        "q_gdpr_erasure", "q_page_hinkley", "q_ndcg10")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+    // the ±8 length-window u-term is an EXPLODE equi-join over the
+    // n_chars histogram — a range theta join here would be the
+    // O(bands²) nested loop this spelling exists to avoid. Scalar
+    // crosses legitimately plan BNLJ, but none of them may carry an
+    // n_chars join condition on the nested-loop node itself.
+    val lw = plan("q_linkage_weights")
+    val thetaOnLen = lw.linesIterator.exists(l =>
+      l.contains("NestedLoopJoin") && l.contains("n_chars"))
+    assert(!thetaOnLen, lw.take(1200))
+  }
 }

@@ -126,6 +126,54 @@ object Learning extends QueryModule {
           .orderBy("probe_id")
       }),
 
+      // --- k-anonymity census (round 13): the re-identification-risk
+      // readout next to the DP release family — equivalence classes
+      // over the quasi-identifier triple (source, lang, length band),
+      // then for each k in {2,5,10,20} the count and share of docs in
+      // classes SMALLER than k (the re-identifiable mass a privacy
+      // review reads before publishing). Class sizes are one groupBy;
+      // the census is O(classes) x 4 literal thresholds. ---
+      "q_kanon_census" -> ((s, d) => {
+        import s.implicits._
+        val cls = table(s, d, "documents")
+          .groupBy(col("source"), col("lang"),
+            expr("CAST(n_chars div 100 AS BIGINT)").as("len_band"))
+          .agg(count(lit(1)).as("csize"))
+        val tot = cls.agg(sum("csize").cast("long").as("n_docs"),
+          count(lit(1)).as("n_classes"))
+        cls.crossJoin(broadcast(Seq(2L, 5L, 10L, 20L).toDF("k")))
+          .groupBy("k")
+          .agg(
+            sum(when(col("csize") < col("k"), 1L).otherwise(0L))
+              .cast("long").as("classes_below"),
+            sum(when(col("csize") < col("k"), col("csize"))
+              .otherwise(0L)).cast("long").as("docs_below"))
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("n_classes"), col("classes_below"),
+            col("docs_below"),
+            (col("docs_below").cast("double") /
+              col("n_docs").cast("double")).as("risk_share"))
+          .orderBy("k")
+      }),
+
+      // --- l-diversity histogram (round 13): k-anonymity's companion
+      // — within each quasi-identifier class (lang, length band), how
+      // many DISTINCT sensitive values (source) appear? Classes with
+      // l = 1 disclose the sensitive attribute outright even at high
+      // k. Output is the (l_distinct -> classes, docs) histogram —
+      // O(distinct l) rows from two bounded aggregates. ---
+      "q_l_diversity" -> ((s, d) => {
+        val cls = table(s, d, "documents")
+          .groupBy(col("lang"),
+            expr("CAST(n_chars div 100 AS BIGINT)").as("len_band"))
+          .agg(count(lit(1)).as("csize"),
+            countDistinct(col("source")).cast("long").as("l_distinct"))
+        cls.groupBy("l_distinct")
+          .agg(count(lit(1)).as("n_classes"),
+            sum("csize").cast("long").as("n_docs"))
+          .orderBy("l_distinct")
+      }),
+
       // --- NDCG@10 per probe (round 13): the graded-ranking sibling
       // of q_ap_rank over the SAME exact-cosine top-10 — the retrieval
       // community's headline metric. The 1/log2(rk+1) discount weights
@@ -541,6 +589,35 @@ object Learning extends QueryModule {
          |        THEN relcum * (2520 // rk) END) AS DOUBLE)
          |      / CAST(SUM(rel) * 2520 AS DOUBLE), 0.0) AS ap10
          |FROM c2 GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+
+    "q_kanon_census" ->
+      """WITH cls AS (SELECT source, lang,
+        |    CAST(n_chars // 100 AS BIGINT) AS len_band,
+        |    CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM documents GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(csize) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_classes FROM cls),
+        |ks AS (SELECT unnest([CAST(2 AS BIGINT), CAST(5 AS BIGINT),
+        |    CAST(10 AS BIGINT), CAST(20 AS BIGINT)]) AS k)
+        |SELECT k, tot.n_classes,
+        |  CAST(SUM(CASE WHEN csize < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END)
+        |    AS BIGINT) AS docs_below,
+        |  CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END)
+        |      AS DOUBLE) / CAST(tot.n_docs AS DOUBLE) AS risk_share
+        |FROM cls CROSS JOIN ks CROSS JOIN tot
+        |GROUP BY k, tot.n_classes, tot.n_docs ORDER BY k""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH cls AS (SELECT lang,
+        |    CAST(n_chars // 100 AS BIGINT) AS len_band,
+        |    CAST(COUNT(*) AS BIGINT) AS csize,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS l_distinct
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT l_distinct, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(csize) AS BIGINT) AS n_docs
+        |FROM cls GROUP BY l_distinct ORDER BY l_distinct""".stripMargin,
 
     "q_ndcg10" -> {
       val wCase = "CASE rk " + NdcgW.zipWithIndex.map { case (w, i) =>

@@ -131,8 +131,12 @@ object Learning extends QueryModule {
       // over the quasi-identifier triple (source, lang, length band),
       // then for each k in {2,5,10,20} the count and share of docs in
       // classes SMALLER than k (the re-identifiable mass a privacy
-      // review reads before publishing). Class sizes are one groupBy;
-      // the census is O(classes) x 4 literal thresholds. ---
+      // review reads before publishing). Complements Insights'
+      // q_kanon_audit, which LISTS the violating classes of the
+      // customer table at one fixed k — this is the aggregate risk
+      // CURVE over the documents corpus, the number that decides the
+      // k. Class sizes are one groupBy; the census is O(classes) x 4
+      // literal thresholds. ---
       "q_kanon_census" -> ((s, d) => {
         import s.implicits._
         val cls = table(s, d, "documents")
@@ -160,8 +164,10 @@ object Learning extends QueryModule {
       // — within each quasi-identifier class (lang, length band), how
       // many DISTINCT sensitive values (source) appear? Classes with
       // l = 1 disclose the sensitive attribute outright even at high
-      // k. Output is the (l_distinct -> classes, docs) histogram —
-      // O(distinct l) rows from two bounded aggregates. ---
+      // k. Complements Insights' q_ldiversity (per-class flags over
+      // the customer/orders join at l=3): this is the corpus-level
+      // DISTRIBUTION of l — the (l_distinct -> classes, docs)
+      // histogram, O(distinct l) rows from two bounded aggregates. ---
       "q_l_diversity" -> ((s, d) => {
         val cls = table(s, d, "documents")
           .groupBy(col("lang"),

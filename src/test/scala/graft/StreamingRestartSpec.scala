@@ -598,6 +598,62 @@ class StreamingRestartSpec extends AnyFunSuite {
       "recovered reservoir state diverged from uninterrupted run")
   }
 
+  test("windowed-rate twin restarted mid-replay: recovered window " +
+    "aggregates equal the uninterrupted run") {
+    val got = completeRestart("rsrt") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumd(col("value"))
+          .as("sum_value"))
+        .select(Det.fmtTs(col("window.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }.sortBy(_.toString())
+    val want = SparkEntry.queries("q_streaming_rate")(spark, sf)
+      .collect().toSeq.map(_.toSeq).sortBy(_.toString())
+    assert(got == want && got.nonEmpty,
+      "recovered window state diverged from uninterrupted run")
+  }
+
+  test("expectation-monitor twin restarted mid-replay: recovered " +
+    "violation counters equal the uninterrupted run") {
+    val got = completeRestart("rsex") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") > 400, 1L).otherwise(0L)).as("f_range"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).as("f_nonpos"))
+    }.sortBy(_.toString())
+    val want = SparkEntry.queries("q_streaming_expect")(spark, sf)
+      .collect().toSeq.map(_.toSeq).sortBy(_.toString())
+    assert(got == want && got.nonEmpty,
+      "recovered counters diverged from uninterrupted run")
+  }
+
+  test("dropDuplicates twin restarted mid-replay: dedup state survives " +
+    "— every key exactly once across the incarnations") {
+    val (run1, all) = appendRestart("rsdd") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    }
+    // batch0 already covers the full 75-key space, which makes the
+    // restart assertion SHARPER: every batch1 row is a duplicate of a
+    // key only the RECOVERED state remembers — any emission in run 2
+    // means the dedup state did not survive the restart
+    assert(run1.nonEmpty, "run 1 must emit keys")
+    assert(all.size == all.toSet.size,
+      "a key emitted twice — dedup state lost across the restart")
+    val batch = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().toSeq.map(_.toSeq).toSet
+    assert(all.toSet == batch,
+      "combined emissions != batch distinct key set")
+  }
+
   test("top-k twin restarted mid-replay: the recovered k-bounded " +
     "buffers equal the uninterrupted run") {
     val t = completeRestartTable("rstk") { src =>

@@ -26,6 +26,53 @@ object Trends extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- interrupted-time-series causal impact (round 13): fit an
+      // OLS trend on the PRE-intervention daily counts (days < 15),
+      // project it over the post period, and report per-day actual vs
+      // counterfactual with the cumulative effect — the
+      // CausalImpact-style readout every launch review wants. The
+      // whole estimate stays EXACT RATIONAL: slope = numS/den and
+      // intercept = numI/(n·den) from integer moments, so
+      // predicted·D = numI + n·numS·day and effect·D = actual·D −
+      // predicted·D are exact int64 with the COMMON denominator
+      // D = n·den — per-day values and the cumulative sum are integer
+      // arithmetic until ONE division each at render. O(days) grid;
+      // the cum window reads ≤ 30 rows. ---
+      "q_causal_impact" -> ((s, d) => {
+        val days = table(s, d, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val pre = days.filter(col("day") < 15)
+          .agg(count(lit(1)).as("n"), sum("day").as("sd"),
+            sum("x").as("sx"),
+            sum(col("day") * col("day")).as("sdd"),
+            sum(col("day") * col("x")).as("sdx"))
+          .select(col("n"), col("sd"), col("sx"),
+            (col("n") * col("sdx") - col("sd") * col("sx")).as("numS"),
+            (col("n") * col("sdd") - col("sd") * col("sd")).as("den"))
+          .select(col("n"), col("numS"), col("den"),
+            (col("sx") * col("den") - col("numS") * col("sd"))
+              .as("numI"),
+            (col("n") * col("den")).as("dd"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        days.filter(col("day") >= 15)
+          .crossJoin(broadcast(pre))
+          .withColumn("predD",
+            col("numI") + col("n") * col("numS") * col("day"))
+          .withColumn("effD", col("x") * col("dd") - col("predD"))
+          .withColumn("cumD", sum("effD").over(wc))
+          .select(col("day"), col("x").as("actual"),
+            (col("predD").cast("double") / col("dd").cast("double"))
+              .as("predicted"),
+            (col("effD").cast("double") / col("dd").cast("double"))
+              .as("effect"),
+            (col("cumD").cast("double") / col("dd").cast("double"))
+              .as("cum_effect"))
+          .orderBy("day")
+      }),
+
       // --- per-document shingle novelty (the inverse-dedup signal:
       // how much of a doc exists NOWHERE else? low-novelty docs are
       // template noise even when no pair crosses the dup threshold):
@@ -569,6 +616,38 @@ object Trends extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_causal_impact" ->
+      """WITH days AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |pre AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(day) AS BIGINT) AS sd,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(day * day) AS BIGINT) AS sdd,
+        |    CAST(SUM(day * x) AS BIGINT) AS sdx
+        |  FROM days WHERE day < 15),
+        |fit AS (SELECT n,
+        |    n * sdx - sd * sx AS numS,
+        |    n * sdd - sd * sd AS den,
+        |    sx * (n * sdd - sd * sd) - (n * sdx - sd * sx) * sd
+        |      AS numI,
+        |    n * (n * sdd - sd * sd) AS dd
+        |  FROM pre),
+        |post AS (SELECT day, x, numI + n * numS * day AS predD,
+        |    x * dd - (numI + n * numS * day) AS effD, dd
+        |  FROM days CROSS JOIN fit WHERE day >= 15),
+        |cm AS (SELECT day, x, predD, effD, dd,
+        |    CAST(SUM(effD) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumD
+        |  FROM post)
+        |SELECT day, x AS actual,
+        |  CAST(predD AS DOUBLE) / CAST(dd AS DOUBLE) AS predicted,
+        |  CAST(effD AS DOUBLE) / CAST(dd AS DOUBLE) AS effect,
+        |  CAST(cumD AS DOUBLE) / CAST(dd AS DOUBLE) AS cum_effect
+        |FROM cm ORDER BY day""".stripMargin,
 
     "q_return_rate" ->
       """WITH g AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,

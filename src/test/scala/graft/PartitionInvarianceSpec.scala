@@ -63,7 +63,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // the greedy selection loops, and the new window/banded rollups
     "q_bpe_train", "q_select_coverage", "q_kcenter_seed",
     "q_lift_gains", "q_page_hinkley", "q_wasserstein_drift",
-    "q_sign_test", "q_tok_oov")
+    "q_sign_test", "q_tok_oov", "q_causal_impact", "q_ndcg10",
+    "q_winsor_mean", "q_tukey_outliers", "q_linkage_weights",
+    "q_kanon_census", "q_l_diversity")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

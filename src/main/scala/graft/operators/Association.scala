@@ -139,6 +139,36 @@ object Association extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- day-of-week seasonal ADJUSTMENT (round 13): the operator
+      // q_seasonality_strength motivates — divide each day's count by
+      // its weekday factor (mean_dow / mean_overall) so trend readers
+      // see the deseasonalized series. Exact cross-multiplied form:
+      // factor = sx_dow·n_days / (n_dow·sx_tot) and adjusted =
+      // x·n_dow·sx_tot / (sx_dow·n_days) — integer products, one IEEE
+      // division each at render. O(days) grid + an O(7) factor
+      // relation broadcast back. ---
+      "q_dow_adjust" -> ((s, d) => {
+        val g = table(s, d, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", expr("day % 7"))
+        val dows = g.groupBy("dow")
+          .agg(count(lit(1)).as("n_dow"), sum("x").as("sx_dow"))
+        val tot = g.agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx_tot"))
+        g.join(broadcast(dows), "dow")
+          .crossJoin(broadcast(tot))
+          .select(col("day"), col("dow"), col("x"),
+            ((col("sx_dow") * col("n_days")).cast("double") /
+              (col("n_dow") * col("sx_tot")).cast("double"))
+              .as("dow_factor"),
+            ((col("x") * col("n_dow") * col("sx_tot")).cast("double") /
+              (col("sx_dow") * col("n_days")).cast("double"))
+              .as("adjusted"))
+          .orderBy("day")
+      }),
+
       // --- Chapman capture-recapture estimate of the active-user
       // population from two deterministic md5 "samples" (the coverage
       // estimator a pipeline uses when no single source sees everyone
@@ -195,6 +225,24 @@ object Association extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+    "q_dow_adjust" ->
+      """WITH g AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |gd AS (SELECT day, x, day % 7 AS dow FROM g),
+        |dw AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_dow,
+        |    CAST(SUM(x) AS BIGINT) AS sx_dow FROM gd GROUP BY dow),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx_tot FROM gd)
+        |SELECT day, dow, x,
+        |  CAST(sx_dow * n_days AS DOUBLE) /
+        |    CAST(n_dow * sx_tot AS DOUBLE) AS dow_factor,
+        |  CAST(x * n_dow * sx_tot AS DOUBLE) /
+        |    CAST(sx_dow * n_days AS DOUBLE) AS adjusted
+        |FROM gd JOIN dw USING (dow) CROSS JOIN tt
+        |ORDER BY day""".stripMargin,
+
     "q_graph_recip" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT unnest([tk[i] || ' ' || tk[i+1]

@@ -633,10 +633,66 @@ object Curation extends QueryModule {
         .groupBy(col("sz").as("grp_size"))
         .agg(count(lit(1)).as("n_groups"),
           sum(col("sz")).as("n_docs"))
-        .orderBy("grp_size"))
+        .orderBy("grp_size")),
+
+    // --- KV-cache prefix-sharing curve (round 13): the SERVING-side
+    // reading of shared prefixes — if prompts sharing a d-token prefix
+    // share KV state (vLLM-style automatic prefix caching), what
+    // fraction of prefix-token compute is served from cache? For each
+    // depth d in {2,4,8,16}: group the d-prefix digests (digest-first
+    // shuffle discipline, as q_prefix_dups), each group of size sz
+    // saves (sz−1)·d prefix tokens; hit_rate = saved / (eligible·d).
+    // One conditional pass per depth over the exploded literal grid —
+    // O(depths × prefixes) state, exact integers, one division. ---
+    "q_prefix_cache" -> ((s, d) => {
+      import s.implicits._
+      val depths = Seq(2, 4, 8, 16).toDF("depth")
+      table(s, d, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .crossJoin(broadcast(depths))
+        .filter(size(col("tk")) >= col("depth"))
+        .select(col("depth"),
+          md5(concat_ws(" ",
+            slice(col("tk"), lit(1), col("depth")))).as("pfx"))
+        .groupBy("depth", "pfx").agg(count(lit(1)).as("sz"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_prefixes"),
+          sum("sz").cast("long").as("n_docs"),
+          sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+            .cast("long").as("n_docs_shared"),
+          sum((col("sz") - 1) * col("depth")).cast("long")
+            .as("tokens_saved"))
+        .select(col("depth").cast("long").as("depth"),
+          col("n_prefixes"), col("n_docs"), col("n_docs_shared"),
+          col("tokens_saved"),
+          (col("tokens_saved").cast("double") /
+            (col("n_docs") * col("depth")).cast("double"))
+            .as("hit_rate"))
+        .orderBy("depth")
+    })
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_prefix_cache" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk
+        |           FROM documents),
+        |dp AS (SELECT unnest([2, 4, 8, 16]) AS depth),
+        |pf AS (SELECT dp.depth,
+        |    md5(array_to_string(list_slice(t.tk, 1, dp.depth), ' '))
+        |      AS pfx
+        |  FROM t CROSS JOIN dp WHERE len(t.tk) >= dp.depth),
+        |g AS (SELECT depth, pfx, CAST(COUNT(*) AS BIGINT) AS sz
+        |      FROM pf GROUP BY 1, 2)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_docs_shared,
+        |  CAST(SUM((sz - 1) * depth) AS BIGINT) AS tokens_saved,
+        |  CAST(SUM((sz - 1) * depth) AS DOUBLE) /
+        |    CAST(SUM(sz) * depth AS DOUBLE) AS hit_rate
+        |FROM g GROUP BY depth ORDER BY depth""".stripMargin,
 
     "q_code_detect" ->
       """WITH p AS (SELECT source,

@@ -231,6 +231,45 @@ object Learning extends QueryModule {
           .orderBy("probe_id")
       }),
 
+      // --- hard-negative mining (round 13): for each probe, the
+      // highest-cosine WRONG-label candidate and its margin to the
+      // best positive — the contrastive-training pass that decides
+      // which negatives are worth a gradient (easy negatives teach
+      // nothing; in-batch random negatives saturate). Same broadcast
+      // probe scan as q_ap_rank; per probe ONE struct-extremum
+      // aggregate (max over (cos, −cand_id)) — deterministic ties
+      // toward the smaller id, and the oracle rebuilds the same pick
+      // via max-then-min-id (cosines are exact-quantized, so the tie
+      // sets agree bit-for-bit across engines). ---
+      "q_hard_negatives" -> ((s, d) => {
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").as("q"))
+          .withColumn("nn", Similarity.dotQ(col("q"), col("q")))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("plabel"), col("q").as("pq"),
+            col("nn").as("pn"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"),
+            col("vec_id").as("cand_id"), col("label"),
+            Similarity.cosQ(Similarity.dotQ(col("pq"), col("q")),
+              col("pn"), col("nn")).as("cos"))
+        scored.groupBy("probe_id")
+          .agg(
+            max(when(col("label") === col("plabel"), col("cos")))
+              .as("pos_cos"),
+            max(when(col("label") =!= col("plabel"),
+              struct(col("cos"), (-col("cand_id")).as("nid"))))
+              .as("hn"))
+          .select(col("probe_id"), col("pos_cos"),
+            col("hn.cos").as("neg_cos"),
+            (-col("hn.nid")).as("neg_id"),
+            (col("pos_cos") - col("hn.cos")).as("margin"))
+          .orderBy("probe_id")
+      }),
+
       // --- differentially-private release of per-nation customer
       // counts: the discrete geometric (two-sided) mechanism, the
       // integer-valued Laplace analogue actually deployed for count
@@ -624,6 +663,41 @@ object Learning extends QueryModule {
         |SELECT l_distinct, CAST(COUNT(*) AS BIGINT) AS n_classes,
         |  CAST(SUM(csize) AS BIGINT) AS n_docs
         |FROM cls GROUP BY l_distinct ORDER BY l_distinct""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS i,
+         |        unnest(qv) AS v FROM q),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY 1),
+         |dot AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |          SUM(p.v * c.v) AS d
+         |        FROM x p JOIN x c
+         |          ON p.i = c.i AND p.vec_id < 10
+         |         AND c.vec_id <> p.vec_id
+         |        GROUP BY 1, 2),
+         |lab AS (SELECT vec_id, label FROM q),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |           sqrt(CAST(nc.nn AS DOUBLE))) AS cos,
+         |         lp.label AS plabel, lc.label AS clabel
+         |       FROM dot
+         |         JOIN n np ON np.vec_id = probe_id
+         |         JOIN n nc ON nc.vec_id = cand_id
+         |         JOIN lab lp ON lp.vec_id = probe_id
+         |         JOIN lab lc ON lc.vec_id = cand_id),
+         |agg AS (SELECT probe_id,
+         |    MAX(CASE WHEN clabel = plabel THEN cos END) AS pos_cos,
+         |    MAX(CASE WHEN clabel <> plabel THEN cos END) AS neg_cos
+         |  FROM sc GROUP BY probe_id),
+         |pick AS (SELECT a.probe_id, a.pos_cos, a.neg_cos,
+         |    MIN(s2.cand_id) AS neg_id
+         |  FROM agg a JOIN sc s2 ON s2.probe_id = a.probe_id
+         |    AND s2.clabel <> s2.plabel AND s2.cos = a.neg_cos
+         |  GROUP BY a.probe_id, a.pos_cos, a.neg_cos)
+         |SELECT probe_id, pos_cos, neg_cos, neg_id,
+         |  pos_cos - neg_cos AS margin
+         |FROM pick ORDER BY probe_id""".stripMargin,
 
     "q_ndcg10" -> {
       val wCase = "CASE rk " + NdcgW.zipWithIndex.map { case (w, i) =>

@@ -65,7 +65,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_lift_gains", "q_page_hinkley", "q_wasserstein_drift",
     "q_sign_test", "q_tok_oov", "q_causal_impact", "q_ndcg10",
     "q_winsor_mean", "q_tukey_outliers", "q_linkage_weights",
-    "q_kanon_census", "q_l_diversity")
+    "q_kanon_census", "q_l_diversity", "q_prefix_cache",
+    "q_hard_negatives", "q_dow_adjust")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -486,6 +486,37 @@ object TextPipeline extends QueryModule {
         .orderBy("lang")
     }),
 
+    // --- NORMALIZED-exact dedup census (round 13): the CCNet-style
+    // step between byte-exact dedup and shingle near-dup — lowercase,
+    // strip non-alphanumerics, collapse whitespace, THEN hash-group —
+    // reported AGAINST the byte-exact baseline as a two-stage census
+    // (groups merged, dup docs, distinct survivors per stage), so the
+    // readout is the marginal value of normalization itself. Both
+    // stages are one digest-keyed shuffle at exact-dedup cost — no
+    // pair relation; the census rows are scalar rollups of the two
+    // group-size relations. ---
+    "q_dedup_normalized" -> ((s, d) => {
+      val norm = regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("efp"),
+          md5(norm).as("nfp"))
+        .localCheckpoint()
+      def census(key: String, stage: String) = docs
+        .groupBy(col(key)).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_groups_multi"),
+          sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+            .cast("long").as("n_dup_docs"),
+          sum("sz").cast("long").as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_groups"),
+          col("n_groups_multi"), col("n_dup_docs"), col("n_docs"))
+      census("efp", "1_byte_exact")
+        .unionByName(census("nfp", "2_normalized"))
+        .orderBy("stage")
+    }),
+
     // --- BPE TRAINER (round 13): N full merge iterations — the
     // tokenizer-training loop itself, completing the family (q_bpe_step
     // = one merge's statistics, q_bpe_apply = a fixed table's
@@ -774,6 +805,32 @@ object TextPipeline extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
 
   override def oracle: Map[String, String] = Map(
+    "q_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, md5(text) AS efp,
+        |    md5(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nfp
+        |  FROM documents),
+        |ge AS (SELECT efp, CAST(COUNT(*) AS BIGINT) AS sz
+        |       FROM n GROUP BY efp),
+        |gn AS (SELECT nfp, CAST(COUNT(*) AS BIGINT) AS sz
+        |       FROM n GROUP BY nfp),
+        |ce AS (SELECT '1_byte_exact' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_groups_multi,
+        |    CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs,
+        |    CAST(SUM(sz) AS BIGINT) AS n_docs FROM ge),
+        |cn AS (SELECT '2_normalized' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_groups_multi,
+        |    CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs,
+        |    CAST(SUM(sz) AS BIGINT) AS n_docs FROM gn)
+        |SELECT * FROM ce UNION ALL SELECT * FROM cn
+        |ORDER BY stage""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

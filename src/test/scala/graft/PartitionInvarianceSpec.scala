@@ -66,7 +66,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_sign_test", "q_tok_oov", "q_causal_impact", "q_ndcg10",
     "q_winsor_mean", "q_tukey_outliers", "q_linkage_weights",
     "q_kanon_census", "q_l_diversity", "q_prefix_cache",
-    "q_hard_negatives", "q_dow_adjust")
+    "q_hard_negatives", "q_dow_adjust", "q_dedup_normalized")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

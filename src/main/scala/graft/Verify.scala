@@ -65,12 +65,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of THIS run's dumped query set: a reused outDir keeps
-    // parquet dirs of renamed/removed queries, and the oracle compare
-    // then reports confusing schema FAILs against ghosts. The checker
+    // Manifest of the dumped query set: a reused outDir keeps parquet
+    // dirs of renamed/removed queries, and the oracle compare then
+    // reports confusing schema FAILs against ghosts. The checker
     // iterates the manifest and prunes per-query dirs not in it.
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      dumped.sorted.map(q).mkString("[", ",", "]"))
+    // Full runs REPLACE the manifest (so renamed queries get pruned);
+    // SPARK_GRAFT_ONLY subset runs MERGE into any existing manifest —
+    // replacing it would make the checker rmtree every other query's
+    // dump and report green over only the subset (ADVICE r13).
+    val manifestPath = Paths.get(s"$outDir/manifest.json")
+    val manifestNames: Seq[String] =
+      if (only.isEmpty) dumped.toSeq
+      else {
+        val prior: Seq[String] =
+          if (Files.exists(manifestPath)) {
+            // minimal parse of our own ["a","b",...] format
+            val txt = Files.readString(manifestPath)
+            "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(txt)
+              .map(_.group(1)).toSeq
+          } else Seq.empty
+        (prior ++ dumped).distinct
+      }
+    Files.writeString(manifestPath,
+      manifestNames.sorted.map(q).mkString("[", ",", "]"))
     // Stamp the dump with the tree it came from, so a stale artifact
     // is distinguishable from a live regression (round-8 lesson).
     Files.writeString(Paths.get(s"$outDir/git_sha.txt"),

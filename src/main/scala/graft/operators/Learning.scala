@@ -692,7 +692,7 @@ object Learning extends QueryModule {
          |  FROM sc GROUP BY probe_id),
          |pick AS (SELECT a.probe_id, a.pos_cos, a.neg_cos,
          |    MIN(s2.cand_id) AS neg_id
-         |  FROM agg a JOIN sc s2 ON s2.probe_id = a.probe_id
+         |  FROM agg a LEFT JOIN sc s2 ON s2.probe_id = a.probe_id
          |    AND s2.clabel <> s2.plabel AND s2.cos = a.neg_cos
          |  GROUP BY a.probe_id, a.pos_cos, a.neg_cos)
          |SELECT probe_id, pos_cos, neg_cos, neg_id,

@@ -565,10 +565,14 @@ object TextPipeline extends QueryModule {
           val n = top(0).getLong(1)
           val merged = pair.replace(" ", "")
           merges += ((k + 1L, pair, merged, n))
-          val esc = pair.replace("'", "''")
-          val escM = merged.replace("'", "''")
+          // Column-based replace: the pair is passed as a VALUE, never
+          // re-parsed as a SQL string literal — an expr() interpolation
+          // here would put backslash-bearing tokens through Spark's
+          // escape rules while the DuckDB oracle computes the same
+          // rewrite from values (ADVICE r13 cross-engine divergence).
           words = words.select(
-            expr(s"replace(seq, ' $esc ', ' $escM ')").as("seq"),
+            org.apache.spark.sql.functions.replace(col("seq"),
+              lit(s" $pair "), lit(s" $merged ")).as("seq"),
             col("freq")).localCheckpoint()
           k += 1
         }
@@ -678,7 +682,26 @@ object TextPipeline extends QueryModule {
             // inode, and two processes would then "hold" the same lock
             !f.getName.endsWith(".lock"))
           .sortBy(-_.lastModified).drop(3)
-          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+          // Victim-lock discipline (ADVICE r13): we hold only OUR
+          // fingerprint's lock here — deleting another fingerprint's
+          // dir unguarded could yank parquet files out from under a
+          // second JVM mid-read of that fingerprint. Take the victim's
+          // own lock non-blockingly; a held lock means the dir is live
+          // in another process — skip it this round (it ages further
+          // and gets pruned once unlocked).
+          .foreach { victim =>
+            val vch = java.nio.channels.FileChannel.open(
+              new java.io.File(s"${victim.getPath}.lock").toPath,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.WRITE)
+            try {
+              val vlk = vch.tryLock()
+              if (vlk != null) {
+                try org.apache.commons.io.FileUtils.deleteQuietly(victim)
+                finally vlk.release()
+              }
+            } catch { case _: Throwable => () } finally vch.close()
+          }
         // temp-then-rename publish: the in-process lock doesn't cover a
         // SECOND JVM racing this build (e.g. a stray Verify next to a
         // Bench) — writing straight to `path` would interleave two

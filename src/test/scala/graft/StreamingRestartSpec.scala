@@ -654,6 +654,324 @@ class StreamingRestartSpec extends AnyFunSuite {
       "combined emissions != batch distinct key set")
   }
 
+  // ---- round-14: the remaining eight twins. Lead coverage: the
+  // stream-stream interval join (buffered-side state loss is SILENT
+  // row loss — no error, just missing pairs) and the foreachBatch CDC
+  // upsert (a replayed batch id must overwrite, not double-apply, its
+  // version — idempotence is the exactly-once claim for external
+  // sinks). The rest close the family: every registered streaming
+  // twin now has a kill-and-restart test.
+
+  test("stream-stream interval join restarted mid-replay: the " +
+    "buffered view state survives — cross-boundary pairs still match") {
+    // Same plan as q_streaming_join but a 2-DAY interval: at sf0.001
+    // the registered 10-minute window yields a single pair, all on one
+    // side of the time split — the restart would be vacuous (measured:
+    // 10min = 1 pair / 0 cross-boundary; 2 days = 191 pairs, 18 of
+    // them view-in-batch0 x click-in-batch1, the rows that exist ONLY
+    // if the buffered view state survives the kill).
+    val (run1, all) = appendRestart("rsj") { src =>
+      val e = src.withColumn("ts", expr("timestamp_micros(ts_us)"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 2 DAYS"))
+    }
+    assert(run1.nonEmpty && all.size > run1.size,
+      "both incarnations must emit pairs")
+    assert(all.size == all.toSet.size,
+      "a matched pair repeats — batch0 reprocessed after the restart")
+    // State-survival witness: a pair emitted by run 2 whose VIEW is
+    // from batch0 can only exist if the view survived the restart in
+    // the join's buffered state (a batch0 view with a batch0 click
+    // would have matched in run 1 already).
+    val replay = streaming.StatefulSession.replayDir(spark, sf)
+    val cutUs = spark.read.parquet(
+      new java.io.File(replay, "batch0.parquet").toString)
+      .agg(max("ts_us")).head().getLong(0)
+    val crossers = (all.toSet -- run1.toSet).filter { r =>
+      r(1).asInstanceOf[java.sql.Timestamp].toInstant
+        .isBefore(java.time.Instant.ofEpochSecond(cutUs / 1000000L,
+          (cutUs % 1000000L) * 1000L).plusNanos(1))
+    }
+    assert(crossers.nonEmpty,
+      "no cross-boundary pair matched — buffered state was lost")
+    // batch truth with the identical predicate (the registered twin's
+    // own oracle shape, at the test's interval)
+    val ev = Tables.table(spark, sf, "events")
+    val want = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 2 DAYS"))
+      .groupBy("v_user").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gotCounts = all.groupBy(_.head.asInstanceOf[Long])
+      .map { case (u, rows) => (u, rows.size.toLong) }
+    assert(gotCounts == want,
+      "combined per-user pair counts != the batch interval join")
+  }
+
+  test("foreachBatch CDC upsert restarted mid-replay: no committed " +
+    "batch re-applies, final table equals the uninterrupted keep-latest") {
+    import org.apache.spark.sql.expressions.Window
+    val replay = streaming.StatefulSession.replayDir(spark, sf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/rsu-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/rsu-ck-$stamp"
+    val stateRoot = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/rsu-state-$stamp")
+    srcDir.mkdirs(); stateRoot.mkdirs()
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(replay, name).toPath,
+        new java.io.File(srcDir, name).toPath)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            id: Long) =>
+          applied += id
+          val latest = batch.filter(col("user_id") =!= -1L)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val curDir = new java.io.File(stateRoot, s"v$id")
+          val cur =
+            if (curDir.exists()) spark.read.parquet(curDir.toString)
+            else latest.limit(0)
+          cur.join(latest, Seq("user_id", "event_type"), "left_anti")
+            .unionByName(latest)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(stateRoot, s"v${id + 1}").toString)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+    try {
+      stage("batch0.parquet")
+      runOnce()
+      val afterRun1 = applied.toList
+      stage("batch1.parquet")
+      runOnce()
+      assert(afterRun1 == List(0L),
+        "run 1 must apply exactly batch 0")
+      assert(!applied.drop(afterRun1.size).contains(0L),
+        "restart re-applied committed batch 0 — idempotence window " +
+          "violated (a real MERGE sink would double-apply)")
+      val last = stateRoot.listFiles()
+        .filter(_.getName.startsWith("v"))
+        .maxBy(_.getName.drop(1).toInt)
+      val got = spark.read.parquet(last.toString)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("value"), col("event_id"))
+        .collect().toSeq.map(_.toSeq).toSet
+      val want = SparkEntry.queries("q_streaming_upsert")(spark, sf)
+        .collect().toSeq.map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty,
+        "final merged table != uninterrupted keep-latest state")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(stateRoot)
+    }
+  }
+
+  test("anomaly gate restarted mid-replay: the stateless stream-static " +
+    "join's source offsets survive — no flagged event repeats or vanishes") {
+    val st = operators.Scoring.anomalyStats(spark, sf)
+    val (run1, all) = appendRestart("rsan") { src =>
+      src.select(col("event_id"), col("event_type"), col("value"),
+        round(col("value"), 0).cast("long").as("vq"))
+        .join(broadcast(st), "event_type")
+        .withColumn("z",
+          (col("vq").cast("double") - col("mean")) / col("sigma"))
+        .filter(col("sigma") > 0.0 && abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z"))
+    }
+    assert(run1.nonEmpty && all.size > run1.size,
+      "both incarnations must flag outliers")
+    assert(all.size == all.toSet.size,
+      "a flagged event repeats — batch0 reprocessed after the restart")
+    val want = SparkEntry.queries("q_streaming_anomaly")(spark, sf)
+      .collect().toSeq.map(_.toSeq).toSet
+    assert(all.toSet == want,
+      "combined flagged set != uninterrupted twin")
+  }
+
+  test("HLL twin restarted mid-replay: recovered registers equal the " +
+    "uninterrupted run, with batch0 not reprocessed") {
+    val t = completeRestartTable("rshl") { src =>
+      src.filter(col("user_id") =!= -1L)
+        .groupBy("event_type")
+        .agg(graft.functions.HyperLogLog.sketch(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+    }
+    val got = t.select(col("event_type"),
+        graft.functions.HyperLogLog.estimate(col("sk"))
+          .as("approx_users"), col("n_events"))
+      .orderBy("event_type").collect().toSeq.map(_.toSeq)
+    val want = SparkEntry.queries("q_streaming_hll")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(got == want && got.nonEmpty,
+      "recovered HLL register state diverged from uninterrupted run")
+  }
+
+  test("lag-feature twin restarted mid-replay: the 2-value per-user " +
+    "history survives — emissions equal the uninterrupted twin") {
+    import spark.implicits._
+    import streaming.StatefulLag
+    import streaming.StatefulLag.{LagEvent, LagRow, LagState}
+    val (run1, all) = appendRestart("rsl") { src =>
+      src.selectExpr("user_id", "ts_us", "value", "event_id")
+        .as[LagEvent]
+        .filter(_.user_id >= 0L)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[LagState, LagRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          StatefulLag.features)
+    }
+    assert(run1.nonEmpty && all.size > run1.size)
+    assert(all.size == all.toSet.size,
+      "an event's features emitted twice across the restart")
+    val want = SparkEntry.queries("q_streaming_lagfeat")(spark, sf)
+      .collect().toSeq.map(_.toSeq).toSet
+    assert(all.toSet == want,
+      "combined feature rows != uninterrupted twin (a wrong lag1/roll3 " +
+        "in run 2 means the carried history was lost)")
+  }
+
+  test("point-in-time twin restarted mid-replay: the latest-feature " +
+    "state survives — served labels equal the uninterrupted twin") {
+    import spark.implicits._
+    import streaming.StatefulPit
+    import streaming.StatefulPit.{PitEvent, PitRow, PitState}
+    val (run1, all) = appendRestart("rspt") { src =>
+      src.selectExpr("user_id", "ts_us", "event_type", "value",
+          "event_id")
+        .as[PitEvent]
+        .filter((e: PitEvent) => e.user_id >= 0L &&
+          Seq("view", "click", "purchase").contains(e.event_type))
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[PitState, PitRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          StatefulPit.serve)
+    }
+    assert(run1.nonEmpty && all.size > run1.size)
+    assert(all.size == all.toSet.size,
+      "a label served twice across the restart")
+    val want = SparkEntry.queries("q_streaming_pit")(spark, sf)
+      .collect().toSeq.map(_.toSeq).toSet
+    assert(all.toSet == want,
+      "combined served rows != uninterrupted twin (a null f_view for " +
+        "a batch1 label means the feature state was lost)")
+  }
+
+  test("native session_window twin restarted mid-replay: open sessions " +
+    "merge across the boundary and flush once") {
+    val (run1, all) = appendRestart("rsw") { src =>
+      src.withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), Det.sumd(col("value"))
+          .as("sum_value"))
+        .select(col("user_id"),
+          Det.fmtTs(col("session_window.start")).as("s_start"),
+          Det.fmtTs(col("session_window.end")).as("s_end"),
+          col("n"), col("sum_value"))
+    }
+    val got = all.filter(_.head.asInstanceOf[Long] != -1L)
+    assert(got.size > run1.size,
+      "run 2 must flush the carried open sessions")
+    assert(got.size == got.toSet.size,
+      "a session emitted twice across the restart")
+    val want = SparkEntry.queries("q_streaming_sessionwin")(spark, sf)
+      .collect().toSeq.map(_.toSeq).toSet
+    assert(got.toSet == want && got.nonEmpty,
+      "restarted session set != uninterrupted twin (a session split " +
+        "at the kill boundary would differ)")
+  }
+
+  test("late-data twin restarted mid-replay: the event-time watermark " +
+    "survives the checkpoint — the dropped set is unchanged") {
+    val replay = streaming.LateData.lateReplayDir(spark, sf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/rslt-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/rslt-ck-$stamp"
+    val outDir = s"${graft.Scratch.root}/graft_ckpt/rslt-out-$stamp"
+    srcDir.mkdirs()
+    def stage(name: String, mtime: Long): Unit = {
+      val dest = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(
+        new java.io.File(replay, name).toPath, dest.toPath)
+      dest.setLastModified(mtime); ()
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts_us LONG, user_id LONG, value DOUBLE, " +
+          "event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"))
+        .writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+    try {
+      val now = System.currentTimeMillis()
+      // run 1 sees ONLY the even-id batch: the watermark it advances
+      // to (max even-id ts) exists afterwards only in the checkpoint.
+      stage("batch0.parquet", now - 60000L)
+      runOnce()
+      // the heartbeat and the late odd-id batch arrive while nothing
+      // runs; a restart that loses the watermark would admit them all
+      stage("batch1.parquet", now - 40000L)
+      stage("batch2.parquet", now - 20000L)
+      runOnce()
+      val streamed = spark.read.parquet(outDir)
+        .filter(!col("event_type").isin("sentinel", "heartbeat"))
+        .groupBy("event_type").agg(sum("n").as("n_streamed"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = SparkEntry.queries("q_streaming_late")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(streamed == want && streamed.nonEmpty,
+        "surviving-row counts != uninterrupted run — the restored " +
+          "watermark admitted (or over-dropped) late rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
+  }
+
   test("top-k twin restarted mid-replay: the recovered k-bounded " +
     "buffers equal the uninterrupted run") {
     val t = completeRestartTable("rstk") { src =>

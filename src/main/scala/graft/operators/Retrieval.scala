@@ -389,13 +389,43 @@ object Retrieval extends QueryModule {
       // scales with cluster width and never OOMs a build) takes over.
       // TriangleEquivalenceSpec pins that both spellings return
       // identical rows; SURVEY §6 carries the full adjudication.
-      if (oriented.count() <= TriangleBroadcastEdgeCap)
-        triangleByBroadcast(oriented)
-      else triangleByWedge(oriented)
+      triangleStrategy(oriented.count()) match {
+        case "wedge" => triangleByWedge(oriented)
+        case _       => triangleByBroadcast(oriented)
+      }
     })
   )
 
-  private[graft] val TriangleBroadcastEdgeCap = 200000000L
+  /** Broadcast-feasibility gate (~2 GB adjacency at 200M oriented
+    * edges). A `def` reading a system property so the gate-flip wiring
+    * is testable (TriangleEquivalenceSpec forces a tiny cap) — the
+    * default is the production bound.
+    */
+  private[graft] def TriangleBroadcastEdgeCap: Long =
+    sys.props.get("graft.triangle.cap").map(_.toLong)
+      .getOrElse(200000000L)
+
+  /** Strategy decision, factored out of the query so (a) the
+    * SPARK_GRAFT_TRIANGLE env override can force either spelling under
+    * the scale probe (the wedge fallback needs its own measured
+    * exponent series — it is the only plan available past the gate)
+    * and (b) the gate-flip spec can observe which plan the registered
+    * query ACTUALLY chose, not just that the two spellings agree.
+    */
+  @volatile private[graft] var lastTriangleStrategy: String = ""
+  private[graft] def triangleStrategy(edgeCount: Long): String = {
+    // the system property wins (ScaleProbe flips it in-process for the
+    // wedge exponent series); the env var is the operator-facing knob
+    val forced = sys.props.get("graft.triangle.force")
+      .orElse(sys.env.get("SPARK_GRAFT_TRIANGLE"))
+      .map(_.toLowerCase)
+      .filter(v => v == "wedge" || v == "broadcast")
+    val chosen = forced.getOrElse(
+      if (edgeCount <= TriangleBroadcastEdgeCap) "broadcast"
+      else "wedge")
+    lastTriangleStrategy = chosen
+    chosen
+  }
 
   /** The degree-oriented co-purchase edge DAG shared by both triangle
     * spellings: distinct co-purchase pairs, each stored (src, dst,

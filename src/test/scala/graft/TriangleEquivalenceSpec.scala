@@ -34,4 +34,26 @@ class TriangleEquivalenceSpec extends AnyFunSuite {
     assert(viaBroadcast == viaWedge,
       "the two triangle strategies must be result-identical")
   }
+
+  test("the size gate's WIRING flips plans and keeps results identical " +
+    "— a tiny forced cap routes the registered query through the wedge") {
+    // default cap: sf0.001's edge count is far below 200M -> broadcast
+    val viaDefault = SparkEntry.queries("q_graph_triangle")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(operators.Retrieval.lastTriangleStrategy == "broadcast",
+      "below the cap the registered query must take the broadcast plan")
+    // force the cap below any real edge count: the SAME registered
+    // query must now (a) switch to the wedge plan and (b) return the
+    // identical top-20 — this exercises the gate itself, not just the
+    // two spellings side by side
+    System.setProperty("graft.triangle.cap", "1")
+    try {
+      val viaGated = SparkEntry.queries("q_graph_triangle")(spark, sf)
+        .collect().toSeq.map(_.toSeq)
+      assert(operators.Retrieval.lastTriangleStrategy == "wedge",
+        "a cap below the edge count must flip the gate to the wedge")
+      assert(viaGated == viaDefault,
+        "gate flip changed the result — the two plans diverged")
+    } finally System.clearProperty("graft.triangle.cap")
+  }
 }

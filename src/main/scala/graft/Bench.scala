@@ -94,7 +94,17 @@ object Bench {
     // one storm-taxed pass next to a quiet one, instead of re-running
     // the adjudication. `queries` itself stays the MIN.
     val sampleLog =
-      scala.collection.mutable.Map.empty[String, Vector[Double]]
+      scala.collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+    // 1-minute /proc/loadavg at sample time (round 14, r13 ask #6):
+    // stamping the host load into each pass makes driver-window
+    // contention adjudicable FROM THE ARTIFACT — a slow pass next to
+    // load 30 is a storm reading, next to load 5 it is a real
+    // regression; past verdicts had to cross-reference commit-time
+    // numbers to tell these apart.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     def sample(tag: String, name: String,
         fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -103,9 +113,11 @@ object Bench {
           System.err.println(s"[bench] FAILED $tag $name: $e"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $tag%-7s $name%-24s $dt%8.2fs")
+      val ld = loadavg()
+      System.err.println(f"[bench] $tag%-7s $name%-24s $dt%8.2fs  load=$ld%.1f")
       if (ok) {
-        sampleLog(name) = sampleLog.getOrElse(name, Vector.empty) :+ dt
+        sampleLog(name) = sampleLog.getOrElse(name, Vector.empty) :+
+          ((dt, ld))
         Some(dt)
       } else None
     }
@@ -148,7 +160,9 @@ object Bench {
       .mkString("{", ",", "}")
     val samplesJson = ok.map { case (k, _) =>
       "\"" + k + "\":" +
-        sampleLog.getOrElse(k, Vector.empty).mkString("[", ",", "]")
+        sampleLog.getOrElse(k, Vector.empty)
+          .map { case (t, ld) => s"""{"t":$t,"load":$ld}""" }
+          .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "/root/repo/BENCH_DETAIL.json"

@@ -178,14 +178,26 @@ object ScaleProbe {
       read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     // events: user_id UNSHIFTED across copies (the hot session/state
     // key is the point), event_id shifted so every row stays unique;
-    // timestamps repeat, which only deepens each hot session
+    // timestamps repeat, which only deepens each hot session. Written
+    // as a single FILE, not a Spark directory — the streaming replay
+    // builders read the dir with pathGlobFilter=events.parquet, which
+    // matches nothing inside a directory-shaped table (observed: an
+    // empty replay and a MatchError on the min/max row).
     val eOff = maxOf(read("events"), "event_id") + 1
-    read("events")
-      .withColumn("cp",
-        explode(sequence(lit(0L), ladder(col("user_id")) - 1)))
-      .withColumn("event_id", col("event_id") + col("cp") * lit(eOff))
-      .drop("cp")
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    locally {
+      val stage = new java.io.File(dst, ".stage_events")
+      read("events")
+        .withColumn("cp",
+          explode(sequence(lit(0L), ladder(col("user_id")) - 1)))
+        .withColumn("event_id", col("event_id") + col("cp") * lit(eOff))
+        .drop("cp")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val destF = new java.io.File(dst, "events.parquet")
+      org.apache.commons.io.FileUtils.deleteQuietly(destF)
+      java.nio.file.Files.move(part.toPath, destF.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
     System.err.println("[scale] built events skew=zipf")
     val li = read("lineitem")
     val lnType = li.schema("l_linenumber").dataType

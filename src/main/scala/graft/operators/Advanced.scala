@@ -91,42 +91,57 @@ object Advanced extends QueryModule {
       val f = new java.io.File(path)
       if (f.exists()) f.setLastModified(System.currentTimeMillis())
     }
-    if (!s.catalog.tableExists(tbl)) {
-      // Complete = marker plus at least one data file: a husk dir left
-      // by tmpfs eviction must trigger a rewrite, not get registered as
-      // an (unreadable) external table.
-      val onDisk = new java.io.File(path, "_SUCCESS").exists() &&
-        Option(new java.io.File(path).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      if (onDisk) {
-        // bucketed files already on disk (earlier session): register
-        // the external table with its bucket spec instead of
-        // rewriting — the read path only needs the catalog metadata
-        val ddlSchema = table(s, d, name).schema.toDDL
-        s.sql(s"""CREATE TABLE $tbl ($ddlSchema) USING PARQUET
-                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-                 |LOCATION '$path'""".stripMargin)
-      } else {
-        // prune the OLDEST bucketed copies of this table beyond a small
-        // working set — tmpfs is RAM, don't hoard, but two dataset dirs
-        // can be live at once (the scale probe times base and replicated
-        // data in one session; a keep-only-current prune would delete
-        // files under the OTHER dir's still-registered catalog table)
-        val parent = new java.io.File(path).getParentFile
-        Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith(s"${name}_b_") &&
-            f.getName != tbl)
-          .sortBy(-_.lastModified).drop(3)
-          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-        table(s, d, name).write
-          .bucketBy(8, key).sortBy(key)
-          .option("path", path)
-          .mode("overwrite").saveAsTable(tbl)
-      }
+    if (!s.catalog.tableExists(tbl)) bucketizeLock.synchronized {
+      // Cross-process check+publish guard (round 14, r13 ask #5 —
+      // closing the last ADVICE-carried check-then-act): the same
+      // FileLock discipline the ngram truth cache got in r13. The
+      // fingerprint's own lock covers the completeness check, the
+      // prune, and the write, so a second JVM can no longer observe a
+      // half-published dir or prune one being written; victims are
+      // try-locked individually inside Scratch.pruneLocked. The
+      // in-process monitor prevents the same-JVM re-entry that would
+      // throw OverlappingFileLockException.
+      val lockFile = new java.io.File(s"$path.lock")
+      lockFile.getParentFile.mkdirs()
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try {
+        // Complete = marker plus at least one data file: a husk dir left
+        // by tmpfs eviction must trigger a rewrite, not get registered as
+        // an (unreadable) external table.
+        val onDisk = new java.io.File(path, "_SUCCESS").exists() &&
+          Option(new java.io.File(path).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        if (onDisk) {
+          // bucketed files already on disk (earlier session): register
+          // the external table with its bucket spec instead of
+          // rewriting — the read path only needs the catalog metadata
+          val ddlSchema = table(s, d, name).schema.toDDL
+          s.sql(s"""CREATE TABLE $tbl ($ddlSchema) USING PARQUET
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+        } else {
+          // prune the OLDEST bucketed copies of this table beyond a small
+          // working set — tmpfs is RAM, don't hoard, but two dataset dirs
+          // can be live at once (the scale probe times base and replicated
+          // data in one session; a keep-only-current prune would delete
+          // files under the OTHER dir's still-registered catalog table)
+          graft.Scratch.pruneLocked(
+            new java.io.File(path).getParentFile, s"${name}_b_", tbl, 3)
+          table(s, d, name).write
+            .bucketBy(8, key).sortBy(key)
+            .option("path", path)
+            .mode("overwrite").saveAsTable(tbl)
+        }
+      } finally { lk.release(); ch.close() }
     }
     tbl
   }
+
+  private val bucketizeLock = new Object
 
   /** Events bucketed on `user_id` — the shared write-once layout for the
     * event-time family (q_keep_latest / q_scd2_intervals / q_funnel /

@@ -674,34 +674,13 @@ object TextPipeline extends QueryModule {
         // fingerprints at once (the scale probe alternates between the
         // base and the replicated dataset; a keep-only-current prune
         // would make the two evict each other every pass)
-        Option(new java.io.File(s"${graft.Scratch.root}/graft_truth").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith("ngram_") &&
-            f.getName != s"ngram_$fp" &&
-            // never prune .lock files: a re-created lock file is a new
-            // inode, and two processes would then "hold" the same lock
-            !f.getName.endsWith(".lock"))
-          .sortBy(-_.lastModified).drop(3)
-          // Victim-lock discipline (ADVICE r13): we hold only OUR
-          // fingerprint's lock here — deleting another fingerprint's
-          // dir unguarded could yank parquet files out from under a
-          // second JVM mid-read of that fingerprint. Take the victim's
-          // own lock non-blockingly; a held lock means the dir is live
-          // in another process — skip it this round (it ages further
-          // and gets pruned once unlocked).
-          .foreach { victim =>
-            val vch = java.nio.channels.FileChannel.open(
-              new java.io.File(s"${victim.getPath}.lock").toPath,
-              java.nio.file.StandardOpenOption.CREATE,
-              java.nio.file.StandardOpenOption.WRITE)
-            try {
-              val vlk = vch.tryLock()
-              if (vlk != null) {
-                try org.apache.commons.io.FileUtils.deleteQuietly(victim)
-                finally vlk.release()
-              }
-            } catch { case _: Throwable => () } finally vch.close()
-          }
+        // Victim-lock discipline (ADVICE r13): we hold only OUR
+        // fingerprint's lock here — graft.Scratch.pruneLocked
+        // try-locks each victim's own .lock and skips dirs another
+        // process holds live.
+        graft.Scratch.pruneLocked(
+          new java.io.File(s"${graft.Scratch.root}/graft_truth"),
+          "ngram_", s"ngram_$fp", 3)
         // temp-then-rename publish: the in-process lock doesn't cover a
         // SECOND JVM racing this build (e.g. a stray Verify next to a
         // Bench) — writing straight to `path` would interleave two

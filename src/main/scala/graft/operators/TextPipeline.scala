@@ -222,7 +222,6 @@ object TextPipeline extends QueryModule {
       // it each one re-scans and re-tokenizes the corpus
       val docs = table(s, d, "documents")
         .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
-        .localCheckpoint()
       val ex = docs.select(col("doc_id"), col("source"),
         explode(col("tk")).as("t"))
       val dfreq = ex.groupBy("source", "t").agg(count(lit(1)).as("df"))

@@ -66,6 +66,131 @@ object Multimodal extends QueryModule {
           else 1L)
     }
 
+  // ---- round 14 (r13 ask #8): REAL image-header parsing. The decode
+  // stub above stands in for codec work this container cannot run, but
+  // header geometry needs no codec — it is pure byte arithmetic over
+  // public container formats (PNG: 8-byte signature + IHDR chunk,
+  // big-endian int32 dims at data offsets 0/4; JPEG/JFIF: marker-
+  // segment walk from SOI to an SOF marker, big-endian int16 dims at
+  // segment offsets 5/7). synthImagePayload builds a structurally real
+  // header around deterministic dims; parseImageHeader recovers them
+  // from the BYTES alone. The JPEG SOF offset VARIES per doc (padded
+  // APP0, optional COM segment), so a fixed-offset shortcut cannot
+  // pass — the marker walk is load-bearing, exactly like a real
+  // ingest's header sniffer. Golden byte-vector tests pin the parser
+  // against hand-built headers (ImageHeaderSpec).
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  /** Deterministic synthetic image payload with a REAL container
+    * header. Even doc_id → PNG (signature + IHDR + 64B body); odd →
+    * JPEG (SOI + APP0 padded by doc_id%17 + COM of 1+doc_id%5 bytes
+    * when doc_id%3==0 + SOF0 + body). doc_id%13==0 → the first 3
+    * bytes only (a truncated crawl artifact — the error path every
+    * header sniffer needs).
+    */
+  private[graft] def synthImagePayload(docId: Long,
+      textBytes: Array[Byte]): Array[Byte] = {
+    val w = (16 + docId % 2048).toInt
+    val h = (16 + (docId * 7) % 2048).toInt
+    val body = textBytes.take(64)
+    val full: Array[Byte] =
+      if (docId % 2 == 0) {
+        val buf = java.nio.ByteBuffer.allocate(33 + body.length)
+        buf.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+          .map(_.toByte))
+        buf.putInt(13) // IHDR data length
+        buf.put("IHDR".getBytes("US-ASCII"))
+        buf.putInt(w)
+        buf.putInt(h)
+        // bit depth 8, color type 2 (truecolor), compression/filter/
+        // interlace 0; CRC not validated by header sniffers
+        buf.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+          .put(0.toByte)
+        buf.putInt(0)
+        buf.put(body)
+        buf.array()
+      } else {
+        val pad = (docId % 17).toInt
+        val hasCom = docId % 3 == 0
+        val comLen = (1 + docId % 5).toInt
+        val size = 2 + (18 + pad) + (if (hasCom) 4 + comLen else 0) +
+          19 + body.length
+        val buf = java.nio.ByteBuffer.allocate(size)
+        buf.put(0xFF.toByte).put(0xD8.toByte) // SOI
+        buf.put(0xFF.toByte).put(0xE0.toByte) // APP0
+        buf.putShort((16 + pad).toShort)
+        buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+        buf.put(1.toByte).put(1.toByte) // version 1.1
+        buf.put(0.toByte) // units
+        buf.putShort(1.toShort).putShort(1.toShort) // density
+        buf.put(0.toByte).put(0.toByte) // no thumbnail
+        buf.put(Array.fill(pad)(0.toByte))
+        if (hasCom) {
+          buf.put(0xFF.toByte).put(0xFE.toByte)
+          buf.putShort((2 + comLen).toShort)
+          buf.put(Array.fill(comLen)('c'.toByte))
+        }
+        buf.put(0xFF.toByte).put(0xC0.toByte) // SOF0, baseline
+        buf.putShort(17.toShort) // 2 len + 1 precision + 2 h + 2 w + 1 nc + 3*3
+        buf.put(8.toByte) // precision
+        buf.putShort(h.toShort)
+        buf.putShort(w.toShort)
+        buf.put(3.toByte) // components
+        (1 to 3).foreach { c =>
+          buf.put(c.toByte).put(0x11.toByte).put(0.toByte)
+        }
+        buf.put(body)
+        buf.array()
+      }
+    if (docId % 13 == 0) full.take(3) else full
+  }
+
+  /** Header-only image parse from bytes alone: PNG chunk walk to IHDR,
+    * or JPEG marker-segment walk to the first SOF{0-3,5-7,9-11,13-15}.
+    * Returns (format, width, height); unparseable → ("unknown",-1,-1),
+    * recognized-but-truncated → (fmt,-1,-1).
+    */
+  private[graft] def parseImageHeader(p: Array[Byte])
+      : (String, Long, Long) = {
+    val isPng = p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G' && (p(4) & 0xFF) == 0x0D &&
+      (p(5) & 0xFF) == 0x0A && (p(6) & 0xFF) == 0x1A &&
+      (p(7) & 0xFF) == 0x0A
+    if (isPng) {
+      var off = 8
+      while (off + 8 <= p.length) {
+        val len = be32(p, off)
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        if (typ == "IHDR")
+          return if (off + 16 <= p.length)
+            ("png", be32(p, off + 8).toLong, be32(p, off + 12).toLong)
+          else ("png", -1L, -1L)
+        off += 12 + len // 4 len + 4 type + data + 4 crc
+      }
+      ("png", -1L, -1L)
+    } else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF &&
+        (p(1) & 0xFF) == 0xD8) {
+      var off = 2
+      while (off + 4 <= p.length && (p(off) & 0xFF) == 0xFF) {
+        val m = p(off + 1) & 0xFF
+        // SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC) carry the frame dims
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+            m != 0xCC)
+          return if (off + 9 <= p.length)
+            ("jpeg", be16(p, off + 7).toLong, be16(p, off + 5).toLong)
+          else ("jpeg", -1L, -1L)
+        off += 2 + be16(p, off + 2)
+      }
+      ("jpeg", -1L, -1L)
+    } else ("unknown", -1L, -1L)
+  }
+
   /** The synthetic media corpus: (doc_id, media_type, payload). */
   private def media(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").select(
@@ -154,6 +279,35 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // --- REAL header-geometry parse (round 14): synthesize a
+    // structurally genuine PNG/JFIF container per doc, then recover
+    // (format, width, height) FROM THE BYTES — signature check, PNG
+    // chunk walk, JPEG marker-segment walk with per-doc-variable SOF
+    // offsets (padded APP0, optional COM), plus the truncated-payload
+    // error path. This replaces the one place the multimodal family
+    // leaned on a stub with the byte arithmetic a real ingest's header
+    // sniffer runs; the decode/feature stage above remains the
+    // declared codec stub. Map-side only (one pass, no shuffle before
+    // the output sort); at 100 TB the parse reads the first ~60 bytes
+    // of each payload — a metadata pass, not a decode. Oracle: the
+    // synth layout is deterministic, so every field is closed-form in
+    // doc_id + text length; the parser is additionally pinned against
+    // hand-built golden byte vectors (ImageHeaderSpec) so synth and
+    // parse cannot share a compensating bug. ---
+    "q_image_dims" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload = synthImagePayload(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (fmt, w, h) = parseImageHeader(payload)
+          (id, payload.length.toLong, fmt, w, h)
+        })
+        .toDF("doc_id", "n_bytes", "fmt", "width", "height")
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal mix card (round 10): per (source, media type),
     // item and BYTE budgets plus each type's byte share within its
     // source — the mixture table a multimodal pretraining run is
@@ -181,6 +335,27 @@ object Multimodal extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    // every field is closed-form in doc_id + byte length because the
+    // synth layout is deterministic: PNG = 8 sig + 25 IHDR chunk +
+    // min(body,64); JPEG = 2 SOI + (18+pad) APP0 + optional (4+k) COM
+    // + 19 SOF0 + min(body,64); corrupt class keeps 3 bytes
+    "q_image_dims" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 3
+        |    WHEN doc_id % 2 = 0
+        |      THEN 33 + LEAST(octet_length(encode(text)), 64)
+        |    ELSE 39 + doc_id % 17
+        |      + CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 5 ELSE 0 END
+        |      + LEAST(octet_length(encode(text)), 64) END AS BIGINT)
+        |    AS n_bytes,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'unknown'
+        |    WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN -1
+        |    ELSE 16 + doc_id % 2048 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN -1
+        |    ELSE 16 + (doc_id * 7) % 2048 END AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_mix" ->
       s"""WITH m AS (SELECT source, $mediaTypeSql AS media_type,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb

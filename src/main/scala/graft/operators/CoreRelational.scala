@@ -252,6 +252,26 @@ object CoreRelational extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // --- ntile quartiles (round 14 — the last window function the
+    // surface lacked): each customer's orders cut into 4 spend tiles,
+    // rolled up to a per-tile spend profile. The ntile window
+    // partitions by o_custkey (constant-bounded group size, never a
+    // corpus-sized partition) over the (totalprice desc, orderkey)
+    // total order, so tile assignment is deterministic and both
+    // engines' ntile remainder rule (first n%4 tiles get the extra
+    // row) agrees; the rollup shuffles 4 cells. ---
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          lng(ntile(4).over(w)).as("tile"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("spend"))
+        .orderBy("tile")
+    }),
+
     // --- sliding-frame analytics + lag/lead (o_orderkey is unique, so
     // the window order is total and frames are deterministic) ---
     "q_win_frame" -> ((s, d) => {
@@ -307,6 +327,16 @@ object CoreRelational extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_win_ntile" ->
+      s"""WITH t AS (SELECT o_totalprice,
+         |    CAST(ntile(4) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+         |      AS tile
+         |  FROM orders)
+         |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  ${graft.Det.S("o_totalprice")} AS spend
+         |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
 
     "q_win_cumedist" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

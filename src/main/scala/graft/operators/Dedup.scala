@@ -268,6 +268,49 @@ object Dedup extends QueryModule {
       clusterLoop(s, d, pairs)
     }),
 
+    // --- transitive-bleed audit over the near-dup clusters (round
+    // 14): per cluster-size, how much of each cluster is DIRECTLY
+    // similar vs chained in through intermediates — edge_density =
+    // direct pairs / C(n,2), bleed = its complement. This is the
+    // number that decides whether connected-components dedup is safe
+    // at a given τ: high bleed means clusters weld genuinely
+    // dissimilar docs through chains, and the keep-one-per-cluster
+    // policy silently drops non-duplicates (the classic transitive-
+    // closure over-merge every fleet dedup postmortem rediscovers).
+    // Work: the cached pair relation + the same label propagation the
+    // cluster family shares; the direct-edge count is one join of the
+    // O(pairs) relation against the label table; output is O(distinct
+    // cluster sizes). Exact int64 counts, one terminal division per
+    // band. ---
+    "q_cluster_bleed" -> ((s, d) => {
+      val pairs = TextPipeline.ngramPairs(s, d)
+        .select(col("a_id"), col("b_id"))
+      val cl = clusterLoop(s, d, pairs)
+      // both endpoints of a pair share a cluster by construction, so
+      // crediting the a-side label counts each direct edge once
+      val direct = pairs
+        .join(cl.select(col("doc_id").as("a_id"), col("cluster_id")),
+          "a_id")
+        .groupBy("cluster_id").agg(count(lit(1)).as("direct"))
+      cl.groupBy("cluster_id").agg(max("n_members").as("n_members"))
+        .filter(col("n_members") >= 2)
+        .join(direct, Seq("cluster_id"), "left")
+        .na.fill(0L, Seq("direct"))
+        .groupBy("n_members")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("direct").as("n_direct_pairs"),
+          sum(expr("n_members * (n_members - 1) div 2"))
+            .as("n_possible_pairs"))
+        .select(col("n_members"), col("n_clusters"),
+          col("n_direct_pairs"), col("n_possible_pairs"),
+          (col("n_direct_pairs").cast("double")
+            / col("n_possible_pairs").cast("double"))
+            .as("edge_density"),
+          (lit(1.0) - col("n_direct_pairs").cast("double")
+            / col("n_possible_pairs").cast("double")).as("bleed_share"))
+        .orderBy("n_members")
+    }),
+
     // --- quality-aware canonical selection per near-dup cluster: the
     // pass that decides which copy SURVIVES dedup. q_dedup_cluster's
     // min-id keeper is arbitrary; real pipelines keep the best copy
@@ -655,6 +698,36 @@ object Dedup extends QueryModule {
          |  CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE) AS token_share
          |FROM ag3 CROSS JOIN tt4
          |ORDER BY dup_band, len_log2""".stripMargin,
+
+    "q_cluster_bleed" ->
+      s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+         |       UNION ALL
+         |       SELECT b_id, a_id FROM p),
+         |r AS (SELECT doc_id AS doc, doc_id AS reach FROM documents
+         |      UNION
+         |      SELECT r.doc, ed.dst FROM r JOIN ed ON ed.src = r.reach),
+         |cl AS (SELECT doc AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY doc),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY cluster_id),
+         |dc AS (SELECT cl.cluster_id, CAST(COUNT(*) AS BIGINT) AS direct
+         |       FROM p JOIN cl ON cl.doc_id = p.a_id GROUP BY 1),
+         |cs AS (SELECT sz.cluster_id, sz.n_members,
+         |         COALESCE(dc.direct, 0) AS direct
+         |       FROM sz LEFT JOIN dc USING (cluster_id)
+         |       WHERE sz.n_members >= 2)
+         |SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(direct) AS BIGINT) AS n_direct_pairs,
+         |  CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
+         |    AS n_possible_pairs,
+         |  CAST(SUM(direct) AS DOUBLE)
+         |    / CAST(SUM(n_members * (n_members - 1) // 2) AS DOUBLE)
+         |    AS edge_density,
+         |  1.0 - CAST(SUM(direct) AS DOUBLE)
+         |    / CAST(SUM(n_members * (n_members - 1) // 2) AS DOUBLE)
+         |    AS bleed_share
+         |FROM cs GROUP BY n_members ORDER BY n_members""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextPipeline.ngramPairCte},

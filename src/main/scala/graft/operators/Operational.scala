@@ -29,6 +29,57 @@ object Operational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- TOPSIS multi-criteria supplier ranking (round 14): the
+      // standard MCDM closeness-to-ideal score over three exact-int64
+      // criteria (revenue cents ↑, distinct parts ↑, integer
+      // micro-discount ↓), in the linear max-normalization variant —
+      // v = x/max(x) needs only division, so no sum-of-squares can
+      // overflow at any scale and every step stays a fixed per-row
+      // expression tree over IEEE correctly-rounded ops (÷, ×, sqrt —
+      // never pow/libm). Ideal/anti-ideal are broadcast 1-row
+      // min/max aggregates; distances are 3-term fixed-order sums (no
+      // data-ordered FP accumulation); top-20 is a TakeOrdered. At
+      // 100 TB: one supplier-keyed aggregate over the fact table,
+      // then O(|suppliers|) map-side math. ---
+      "q_topsis_rank" -> ((s, d) => {
+        val crit = table(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long")
+            .as("cents"),
+            countDistinct(col("l_partkey")).as("nparts"),
+            (sum(dec(col("l_discount"))) * 10000).cast("long")
+              .as("dsum"),
+            count(lit(1)).as("nl"))
+          .withColumn("md", expr("dsum * 100 div nl"))
+        val mx = crit.agg(max("cents").as("mc"), max("nparts").as("mp"),
+          max("md").as("mm"))
+        val v = crit.crossJoin(broadcast(mx))
+          .select(col("l_suppkey"), col("cents"), col("nparts"),
+            col("md"),
+            (col("cents").cast("double") / col("mc")).as("v1"),
+            (col("nparts").cast("double") / col("mp")).as("v2"),
+            (col("md").cast("double") / col("mm")).as("v3"))
+        val mn = v.agg(min("v1").as("n1"), min("v2").as("n2"),
+          min("v3").as("n3"))
+        v.crossJoin(broadcast(mn))
+          .select(col("l_suppkey"), col("cents"), col("nparts"),
+            col("md"),
+            sqrt((lit(1.0) - col("v1")) * (lit(1.0) - col("v1"))
+              + (lit(1.0) - col("v2")) * (lit(1.0) - col("v2"))
+              + (col("v3") - col("n3")) * (col("v3") - col("n3")))
+              .as("d_plus"),
+            sqrt((col("v1") - col("n1")) * (col("v1") - col("n1"))
+              + (col("v2") - col("n2")) * (col("v2") - col("n2"))
+              + (lit(1.0) - col("v3")) * (lit(1.0) - col("v3")))
+              .as("d_minus"))
+          .withColumn("closeness",
+            col("d_minus") / (col("d_plus") + col("d_minus")))
+          .select(col("l_suppkey"), col("cents"), col("nparts"),
+            col("md"), col("closeness"))
+          .orderBy(col("closeness").desc, col("l_suppkey"))
+          .limit(20)
+      }),
+
       // --- lag-1 autocorrelation of the daily value total, per event
       // type — the capacity-planning readout (is today's load predictive
       // of tomorrow's?). Events collapse FIRST to one exact decimal row
@@ -273,6 +324,37 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_topsis_rank" ->
+      """WITH crit AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 100
+        |      AS BIGINT) AS cents,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nparts,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS dsum,
+        |    CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM lineitem GROUP BY 1),
+        |c2 AS (SELECT l_suppkey, cents, nparts,
+        |    CAST(dsum * 100 // nl AS BIGINT) AS md FROM crit),
+        |mx AS (SELECT MAX(cents) AS mc, MAX(nparts) AS mp,
+        |    MAX(md) AS mm FROM c2),
+        |v AS (SELECT l_suppkey, cents, nparts, md,
+        |    CAST(cents AS DOUBLE) / mc AS v1,
+        |    CAST(nparts AS DOUBLE) / mp AS v2,
+        |    CAST(md AS DOUBLE) / mm AS v3
+        |  FROM c2 CROSS JOIN mx),
+        |mn AS (SELECT MIN(v1) AS n1, MIN(v2) AS n2, MIN(v3) AS n3
+        |  FROM v),
+        |sc AS (SELECT l_suppkey, cents, nparts, md,
+        |    sqrt((1.0 - v1) * (1.0 - v1) + (1.0 - v2) * (1.0 - v2)
+        |      + (v3 - n3) * (v3 - n3)) AS d_plus,
+        |    sqrt((v1 - n1) * (v1 - n1) + (v2 - n2) * (v2 - n2)
+        |      + (1.0 - v3) * (1.0 - v3)) AS d_minus
+        |  FROM v CROSS JOIN mn)
+        |SELECT l_suppkey, cents, nparts, md,
+        |  d_minus / (d_plus + d_minus) AS closeness
+        |FROM sc ORDER BY closeness DESC, l_suppkey LIMIT 20"""
+        .stripMargin,
 
     "q_autocorr" ->
       """WITH daily AS (

@@ -393,6 +393,41 @@ object Retrieval extends QueryModule {
         case "wedge" => triangleByWedge(oriented)
         case _       => triangleByBroadcast(oriented)
       }
+    }),
+
+    // --- clustering-coefficient profile (round 14): per DEGREE BAND
+    // (floor-log2 of degree — bounded rows at any scale), the pooled
+    // local clustering coefficient Σ triangles / Σ wedges of the
+    // co-purchase graph. This is the graph-cohesion readout next to
+    // q_graph_triangle's hot-node list: how much of each degree
+    // class's neighborhood actually closes. Triangles come from the
+    // SAME degree-oriented edge-iterator (each triangle found once,
+    // then exploded to its three corners); wedges are the exact
+    // C(d,2) integers; the one division per band is terminal. All
+    // corpus-sized relations are the triangle query's own; the band
+    // rollup shuffles O(log dmax) cells. ---
+    "q_graph_clustcoef" -> ((s, d) => {
+      val oriented = orientedTriangleEdges(s, d)
+      val deg = oriented
+        .select(explode(array(col("src"), col("dst"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val nodeTri = triangleStream(oriented)
+        .select(explode(array(col("src"), col("dst"), col("c")))
+          .as("n"))
+        .groupBy("n").agg(count(lit(1)).as("t"))
+      deg.filter(col("dg") >= 2)
+        .join(nodeTri, Seq("n"), "left")
+        .na.fill(0L, Seq("t"))
+        .select((length(bin(col("dg"))) - 1).cast("long").as("band"),
+          col("dg"), col("t"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum((col("t") > 0).cast("long")).as("n_closed_nodes"),
+          sum("t").as("sum_tri"),
+          sum(expr("dg * (dg - 1) div 2")).as("sum_wedges"))
+        .withColumn("coef",
+          col("sum_tri").cast("double") / col("sum_wedges"))
+        .orderBy("band")
     })
   )
 
@@ -479,16 +514,24 @@ object Retrieval extends QueryModule {
     * which is exactly why the call site flips to [[triangleByWedge]]
     * past [[TriangleBroadcastEdgeCap]].
     */
-  private[graft] def triangleByBroadcast(oriented: DataFrame): DataFrame = {
+  private[graft] def triangleByBroadcast(oriented: DataFrame): DataFrame =
+    triangleRollup(triangleStream(oriented))
+
+  /** The raw (src, dst, c) triangle stream of the adjacency-broadcast
+    * edge-iterator — factored out of [[triangleByBroadcast]] so the
+    * clustering-coefficient query can consume triangles per VERTEX
+    * ROLE (each triangle counts for all three corners) instead of the
+    * min-vertex rollup.
+    */
+  private[graft] def triangleStream(oriented: DataFrame): DataFrame = {
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nb"))
-    val tri = oriented.select("src", "dst")
+    oriented.select("src", "dst")
       .join(broadcast(adj.select(col("src"), col("nb").as("na"))), "src")
       .join(broadcast(adj.select(col("src").as("dst"),
         col("nb").as("nb2"))), "dst")
       .select(col("src"), col("dst"),
         explode(array_intersect(col("na"), col("nb2"))).as("c"))
-    triangleRollup(tri)
   }
 
   /** Co-partitioned WEDGE JOIN: wedges (pivot -> b, pivot -> c) stream
@@ -568,6 +611,36 @@ object Retrieval extends QueryModule {
   private val bm25ScoreSql: String = bm25ScoreSqlFor(22, 10, 3, 9)
 
   override def oracle: Map[String, String] = Map(
+    // same naive triple join as q_graph_triangle's oracle, but each
+    // triangle credited to all three corners before the degree-band
+    // rollup; floor-log2 via the bin-length idiom (no libm)
+    "q_graph_clustcoef" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nt AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM
+        |  (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |j AS (SELECT deg.n, dg, COALESCE(t, 0) AS t
+        |  FROM deg LEFT JOIN nt ON nt.n = deg.n WHERE dg >= 2)
+        |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_closed_nodes,
+        |  CAST(SUM(t) AS BIGINT) AS sum_tri,
+        |  CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS sum_wedges,
+        |  CAST(SUM(t) AS DOUBLE)
+        |    / CAST(SUM(dg * (dg - 1) // 2) AS DOUBLE) AS coef
+        |FROM j GROUP BY 1 ORDER BY band""".stripMargin,
+
     // naive id-ordered triple join: each triangle (a < b < c) appears
     // once as e1=(a,b), e2=(b,c), e3=(a,c); e1.u is the min vertex —
     // the degree orientation on the Spark side must be result-invisible

@@ -52,6 +52,62 @@ object Statistics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Huber robust mean (round 14): 3 unrolled IRLS iterations
+      // per event type — the M-estimator location that outlier-heavy
+      // telemetry needs where the plain mean is dragged and the
+      // median wastes efficiency. Iteration k reweights w = min(1,
+      // c/|x − m_{k−1}|) and takes m_k = Σwx/Σw. Determinism: values
+      // quantize to 1e-4 longs at ingest; each iteration's wx and w
+      // terms quantize to DECIMAL(18,4) BEFORE the sum (order-free
+      // exact addition — a raw double Σwx would vary with Spark's
+      // partial-agg order), so every m_k is bit-equal across engines
+      // and the next iteration's branch w<1 can never flip. Three
+      // corpus scans (one per iteration) + one stats scan, all
+      // map-side into per-type cells; the running m rides a broadcast
+      // O(types) row. ---
+      "q_huber_mean" -> ((s, d) => {
+        val Cq = 500000.0 // clipping threshold: 50.0 in 1e-4 units
+        val base = table(s, d, "events")
+          .select(col("event_type"),
+            (dec(col("value")) * 10000).cast("long").as("x"))
+        val m0 = base.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+          .withColumn("m", expr("sx div n").cast("double"))
+        def step(prev: DataFrame): DataFrame = {
+          val xd = col("x").cast("double")
+          val ad = abs(xd - col("m"))
+          val w = when(ad <= Cq, lit(1.0)).otherwise(lit(Cq) / ad)
+          base.join(broadcast(prev.select("event_type", "m")),
+              "event_type")
+            .groupBy("event_type")
+            .agg(
+              sum((w * xd).cast("decimal(18,4)")).cast("double")
+                .as("st"),
+              sum(w.cast("decimal(18,4)")).cast("double").as("sw"))
+            .select(col("event_type"), (col("st") / col("sw")).as("m"))
+        }
+        val m1 = step(m0)
+        val m2 = step(m1)
+        val m3 = step(m2)
+        val clipped = base
+          .join(broadcast(m3.select(col("event_type"),
+            col("m").as("mf"))), "event_type")
+          .groupBy("event_type")
+          .agg(sum((abs(col("x").cast("double") - col("mf")) > Cq)
+            .cast("long")).as("n_clipped"))
+        m0.select(col("event_type"), col("n"),
+            ((col("sx").cast("double") / col("n")) / 10000.0)
+              .as("mean"))
+          .join(m1.select(col("event_type"),
+            (col("m") / 10000.0).as("m1")), "event_type")
+          .join(m2.select(col("event_type"),
+            (col("m") / 10000.0).as("m2")), "event_type")
+          .join(m3.select(col("event_type"),
+            (col("m") / 10000.0).as("huber_mean")), "event_type")
+          .join(clipped, "event_type")
+          .orderBy("event_type")
+      }),
+
       // --- ECDF probe grid (round 13): P(value <= x) per event type at
       // fixed probe points — the monitoring companion of
       // q_percentile_grid read the OTHER way around (given a threshold,
@@ -386,6 +442,65 @@ object Statistics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_huber_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+        |  FROM events),
+        |s0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx FROM b GROUP BY 1),
+        |m0 AS (SELECT event_type, n, sx, CAST(sx // n AS DOUBLE) AS m
+        |  FROM s0),
+        |i1 AS (SELECT b.event_type,
+        |    CAST(SUM(CAST(CASE
+        |      WHEN abs(CAST(x AS DOUBLE) - m) <= 500000.0
+        |        THEN CAST(x AS DOUBLE)
+        |      ELSE 500000.0 / abs(CAST(x AS DOUBLE) - m)
+        |        * CAST(x AS DOUBLE) END AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS st,
+        |    CAST(SUM(CAST(CASE
+        |      WHEN abs(CAST(x AS DOUBLE) - m) <= 500000.0 THEN 1.0
+        |      ELSE 500000.0 / abs(CAST(x AS DOUBLE) - m) END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS sw
+        |  FROM b JOIN m0 USING (event_type) GROUP BY 1),
+        |m1 AS (SELECT event_type, st / sw AS m FROM i1),
+        |i2 AS (SELECT b.event_type,
+        |    CAST(SUM(CAST(CASE
+        |      WHEN abs(CAST(x AS DOUBLE) - m) <= 500000.0
+        |        THEN CAST(x AS DOUBLE)
+        |      ELSE 500000.0 / abs(CAST(x AS DOUBLE) - m)
+        |        * CAST(x AS DOUBLE) END AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS st,
+        |    CAST(SUM(CAST(CASE
+        |      WHEN abs(CAST(x AS DOUBLE) - m) <= 500000.0 THEN 1.0
+        |      ELSE 500000.0 / abs(CAST(x AS DOUBLE) - m) END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS sw
+        |  FROM b JOIN m1 USING (event_type) GROUP BY 1),
+        |m2 AS (SELECT event_type, st / sw AS m FROM i2),
+        |i3 AS (SELECT b.event_type,
+        |    CAST(SUM(CAST(CASE
+        |      WHEN abs(CAST(x AS DOUBLE) - m) <= 500000.0
+        |        THEN CAST(x AS DOUBLE)
+        |      ELSE 500000.0 / abs(CAST(x AS DOUBLE) - m)
+        |        * CAST(x AS DOUBLE) END AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS st,
+        |    CAST(SUM(CAST(CASE
+        |      WHEN abs(CAST(x AS DOUBLE) - m) <= 500000.0 THEN 1.0
+        |      ELSE 500000.0 / abs(CAST(x AS DOUBLE) - m) END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS sw
+        |  FROM b JOIN m2 USING (event_type) GROUP BY 1),
+        |m3 AS (SELECT event_type, st / sw AS m FROM i3),
+        |cl AS (SELECT b.event_type,
+        |    CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE) - m) > 500000.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM b JOIN m3 USING (event_type) GROUP BY 1)
+        |SELECT m0.event_type, n,
+        |  (CAST(sx AS DOUBLE) / n) / 10000.0 AS mean,
+        |  m1.m / 10000.0 AS m1, m2.m / 10000.0 AS m2,
+        |  m3.m / 10000.0 AS huber_mean, n_clipped
+        |FROM m0 JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+        |  JOIN m3 USING (event_type) JOIN cl USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_ecdf" ->
       """WITH t AS (SELECT event_type,

@@ -212,6 +212,63 @@ object Stratified extends QueryModule {
           .orderBy("cls")
       }),
 
+      // --- ABC × XYZ inventory matrix (round 14): q_abc_class's
+      // cumulative-revenue classing crossed with demand-VARIABILITY
+      // classes — the 9-cell planning matrix inventory policy is set
+      // from (AX = automate, CZ = make-to-order). The ABC leg reuses
+      // the banded-offset cumulative spelling (the only global window
+      // runs over revenue BANDS). The XYZ leg is one (part, month)
+      // aggregate then exact integer moment comparisons: cv² =
+      // (m·Σq²−S²)/S², so X (cv ≤ ½) ⇔ 4(m·Σq²−S²) ≤ S² and Y (cv ≤
+      // 1) ⇔ m·Σq²−S² ≤ S² — class cuts are pure int64 cross-
+      // multiplications, no sqrt and no FP boundary to flip. Output is
+      // ≤9 cells. ---
+      "q_abc_xyz" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+        val rev = li.groupBy(col("l_partkey"))
+          .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long")
+            .as("cents"))
+          .withColumn("band",
+            floor(col("cents").cast("double") / 1.0e6).cast("long"))
+        val wb = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = rev.groupBy("band").agg(sum("cents").as("sb"))
+          .withColumn("off", coalesce(sum("sb").over(wb), lit(0L)))
+          .select("band", "off")
+        val wr = Window.partitionBy("band")
+          .orderBy(col("cents").desc, col("l_partkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = rev.agg(sum("cents").as("tc"))
+        val abc = rev.join(broadcast(offs), "band")
+          .withColumn("cum", col("off") + sum("cents").over(wr))
+          .crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("cents"),
+            when(col("cum") * 5 <= col("tc") * 4, "A")
+              .when(col("cum") * 20 <= col("tc") * 19, "B")
+              .otherwise("C").as("abc"))
+        val qm = li.select(col("l_partkey"),
+            date_trunc("month", col("l_shipdate")).as("mth"),
+            round(col("l_quantity"), 0).cast("long").as("q"))
+          .groupBy("l_partkey", "mth").agg(sum("q").as("mq"))
+        val xyz = qm.groupBy("l_partkey")
+          .agg(count(lit(1)).as("m"), sum("mq").as("sq"),
+            sum(col("mq") * col("mq")).as("sqq"))
+          .select(col("l_partkey"),
+            when((col("m") * col("sqq") - col("sq") * col("sq")) * 4
+                <= col("sq") * col("sq"), "X")
+              .when(col("m") * col("sqq") - col("sq") * col("sq")
+                <= col("sq") * col("sq"), "Y")
+              .otherwise("Z").as("xyz"))
+        abc.join(xyz, "l_partkey")
+          .groupBy("abc", "xyz")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+          .crossJoin(broadcast(tot))
+          .select(col("abc"), col("xyz"), col("n_parts"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            (col("cents").cast("double") / col("tc")).as("revenue_share"))
+          .orderBy("abc", "xyz")
+      }),
+
       // --- post-stratification readout: estimate corpus mean doc
       // length from the md5 TRAIN sample (q_train_split's <= 'b'
       // nibble gate), re-weighting each source stratum's sample mean
@@ -371,6 +428,38 @@ object Stratified extends QueryModule {
         |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
         |  CAST(SUM(cents) AS DOUBLE) / MAX(tc) AS revenue_share
         |FROM cl GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "q_abc_xyz" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM rev),
+        |c AS (SELECT l_partkey, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM rev),
+        |abc AS (SELECT l_partkey, cents,
+        |    CASE WHEN cum * 5 <= tc * 4 THEN 'A'
+        |      WHEN cum * 20 <= tc * 19 THEN 'B' ELSE 'C' END AS abc
+        |  FROM c CROSS JOIN t),
+        |qm AS (SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+        |    CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |      AS mq
+        |  FROM lineitem GROUP BY 1, 2),
+        |x AS (SELECT l_partkey,
+        |    CASE WHEN (COUNT(*) * SUM(mq * mq) - SUM(mq) * SUM(mq)) * 4
+        |        <= SUM(mq) * SUM(mq) THEN 'X'
+        |      WHEN COUNT(*) * SUM(mq * mq) - SUM(mq) * SUM(mq)
+        |        <= SUM(mq) * SUM(mq) THEN 'Y'
+        |      ELSE 'Z' END AS xyz
+        |  FROM qm GROUP BY 1)
+        |SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(SUM(cents) AS DOUBLE) / MAX(tc) AS revenue_share
+        |FROM abc JOIN x USING (l_partkey) CROSS JOIN t
+        |GROUP BY abc, xyz ORDER BY abc, xyz""".stripMargin,
 
     "q_post_stratify" ->
       """WITH g AS (SELECT source,

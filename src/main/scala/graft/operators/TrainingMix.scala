@@ -288,12 +288,149 @@ object TrainingMix extends QueryModule {
               + lit(0.1) * (col("adj_tokens").cast("double")
                 / col("ta").cast("double"))).as("blended_share"))
           .orderBy("source")
+      }),
+
+      // --- temperature-scaled mixture weights (round 14): the
+      // multilingual/multi-source sampling formula w_α(s) = n_s^α / Σ
+      // n^α for α ∈ {0.25, 0.5, 0.75, 1} — lower temperature lifts
+      // small sources (the mBERT/XLM-R exponent trick every
+      // multi-source pretraining mix is provisioned with). All powers
+      // are SQRT CHAINS (n^.5 = sqrt, n^.25 = sqrt∘sqrt, n^.75 =
+      // their product): sqrt is IEEE correctly-rounded in both
+      // engines, unlike pow — the same libm-avoidance discipline as
+      // the floor-log2 surprisal. Each n^α quantizes to DECIMAL(18,4)
+      // before the cross-source sum (order-free exact addition), and
+      // uplift divides by the α=1 proportional weight. O(sources)
+      // relations end-to-end; the corpus contributes one map-side
+      // token count. ---
+      "q_mix_temperature" -> ((s, d) => {
+        def q(c: Column) = c.cast("decimal(18,4)")
+        val td = col("tokens").cast("double")
+        val sc = table(s, d, "documents")
+          .select(col("source"), lng(size(toks)).as("nt"))
+          .groupBy("source").agg(sum("nt").cast("long").as("tokens"))
+          .withColumn("p25", q(sqrt(sqrt(td))))
+          .withColumn("p50", q(sqrt(td)))
+          .withColumn("p75", q(sqrt(td) * sqrt(sqrt(td))))
+          .withColumn("p100", q(td))
+        val tot = sc.agg(
+          sum("p25").cast("double").as("s25"),
+          sum("p50").cast("double").as("s50"),
+          sum("p75").cast("double").as("s75"),
+          sum("p100").cast("double").as("s100"))
+        sc.crossJoin(broadcast(tot))
+          .withColumn("w1",
+            col("p100").cast("double") / col("s100"))
+          .select(col("source"), col("tokens"), col("w1"),
+            explode(array(
+              struct(lit(0.25).as("alpha"),
+                (col("p25").cast("double") / col("s25")).as("weight")),
+              struct(lit(0.5).as("alpha"),
+                (col("p50").cast("double") / col("s50")).as("weight")),
+              struct(lit(0.75).as("alpha"),
+                (col("p75").cast("double") / col("s75")).as("weight")),
+              struct(lit(1.0).as("alpha"), col("w1").as("weight"))))
+              .as("x"))
+          .select(col("source"), col("x.alpha").as("alpha"),
+            col("tokens"), col("x.weight").as("weight"),
+            (col("x.weight") / col("w1")).as("uplift"))
+          .orderBy("source", "alpha")
+      }),
+
+      // --- context-length provisioning grid (round 14): q_trunc_waste
+      // at one L generalized to the curve a run owner actually reads —
+      // per source × L ∈ {64,128,256,512}, the kept/truncated/padded
+      // token budget and the two ratios that pick the context length
+      // (utilization = kept / (docs·L) — padding waste; trunc_share =
+      // truncated / total — information loss). One corpus scan
+      // computes the token count map-side; the 4-way L grid rides a
+      // generator explode, so the shuffle moves |sources|·4 aggregate
+      // cells, never the corpus. ---
+      "q_ctx_len_plan" -> ((s, d) => {
+        val ls = Seq(64L, 128L, 256L, 512L)
+        table(s, d, "documents")
+          .select(col("source"), lng(size(toks)).as("nt"),
+            explode(array(ls.map(lit(_)): _*)).as("L"))
+          .groupBy("source", "L")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").cast("long").as("total_tokens"),
+            sum(least(col("nt"), col("L"))).cast("long")
+              .as("kept_tokens"),
+            sum(greatest(col("nt") - col("L"), lit(0L))).cast("long")
+              .as("trunc_tokens"),
+            sum(greatest(col("L") - col("nt"), lit(0L))).cast("long")
+              .as("pad_tokens"),
+            sum((col("nt") > col("L")).cast("long"))
+              .as("n_trunc_docs"))
+          .select(col("source"), col("L"), col("n_docs"),
+            col("total_tokens"), col("kept_tokens"),
+            col("trunc_tokens"), col("pad_tokens"), col("n_trunc_docs"),
+            (col("kept_tokens").cast("double")
+              / (col("n_docs") * col("L")).cast("double"))
+              .as("utilization"),
+            (col("trunc_tokens").cast("double")
+              / col("total_tokens").cast("double")).as("trunc_share"))
+          .orderBy("source", "L")
       })
     )
 
   private val scoreSql = "(nd * 1000) // nt"
 
   override def oracle: Map[String, String] = Map(
+
+    "q_mix_temperature" ->
+      """WITH src AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (SELECT source, tokens,
+        |    CAST(sqrt(sqrt(CAST(tokens AS DOUBLE))) AS DECIMAL(18,4))
+        |      AS p25,
+        |    CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,4)) AS p50,
+        |    CAST(sqrt(CAST(tokens AS DOUBLE))
+        |      * sqrt(sqrt(CAST(tokens AS DOUBLE))) AS DECIMAL(18,4))
+        |      AS p75,
+        |    CAST(CAST(tokens AS DOUBLE) AS DECIMAL(18,4)) AS p100
+        |  FROM src),
+        |t AS (SELECT CAST(SUM(p25) AS DOUBLE) AS s25,
+        |    CAST(SUM(p50) AS DOUBLE) AS s50,
+        |    CAST(SUM(p75) AS DOUBLE) AS s75,
+        |    CAST(SUM(p100) AS DOUBLE) AS s100 FROM p),
+        |e AS (
+        |  SELECT source, tokens, 0.25 AS alpha,
+        |    CAST(p25 AS DOUBLE) / s25 AS weight,
+        |    CAST(p100 AS DOUBLE) / s100 AS w1 FROM p CROSS JOIN t
+        |  UNION ALL SELECT source, tokens, 0.5,
+        |    CAST(p50 AS DOUBLE) / s50, CAST(p100 AS DOUBLE) / s100
+        |  FROM p CROSS JOIN t
+        |  UNION ALL SELECT source, tokens, 0.75,
+        |    CAST(p75 AS DOUBLE) / s75, CAST(p100 AS DOUBLE) / s100
+        |  FROM p CROSS JOIN t
+        |  UNION ALL SELECT source, tokens, 1.0,
+        |    CAST(p100 AS DOUBLE) / s100, CAST(p100 AS DOUBLE) / s100
+        |  FROM p CROSS JOIN t)
+        |SELECT source, CAST(alpha AS DOUBLE) AS alpha, tokens, weight,
+        |  weight / w1 AS uplift
+        |FROM e ORDER BY source, alpha""".stripMargin,
+
+    "q_ctx_len_plan" ->
+      """WITH tw AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT source, nt, L
+        |  FROM tw, unnest([CAST(64 AS BIGINT), CAST(128 AS BIGINT),
+        |    CAST(256 AS BIGINT), CAST(512 AS BIGINT)]) AS u(L))
+        |SELECT source, L, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(LEAST(nt, L)) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(GREATEST(nt - L, 0)) AS BIGINT) AS trunc_tokens,
+        |  CAST(SUM(GREATEST(L - nt, 0)) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(CASE WHEN nt > L THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_trunc_docs,
+        |  CAST(SUM(LEAST(nt, L)) AS DOUBLE)
+        |    / CAST(COUNT(*) * L AS DOUBLE) AS utilization,
+        |  CAST(SUM(GREATEST(nt - L, 0)) AS DOUBLE)
+        |    / CAST(SUM(nt) AS DOUBLE) AS trunc_share
+        |FROM g GROUP BY source, L ORDER BY source, L""".stripMargin,
 
     "q_token_budget" ->
       """WITH tq AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)

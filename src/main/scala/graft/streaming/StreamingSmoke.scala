@@ -675,6 +675,46 @@ object StreamingSmoke extends QueryModule {
           new java.io.File(ckpt))
       }
       drainSink(s, name).orderBy("event_type")
+    }),
+
+    // --- streamed media-header sniffing (round 14): q_image_dims'
+    // REAL PNG/JFIF header parse run as a stateless streaming map —
+    // the ingest-time shape, where every arriving payload's geometry
+    // is extracted before it ever lands in the lake (zero streaming
+    // state, one batch of latency; the parser and its golden
+    // byte-vector suite are shared verbatim with the batch query, so
+    // this twin carries the identical closed-form oracle). ---
+    "q_streaming_image" -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(d).schema
+      val parsed = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload = graft.operators.Multimodal.synthImagePayload(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (fmt, w, h) =
+            graft.operators.Multimodal.parseImageHeader(payload)
+          (id, payload.length.toLong, fmt, w, h)
+        })
+        .toDF("doc_id", "n_bytes", "fmt", "width", "height")
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val name = s"graft_stream_img_$run"
+      val ckpt = s"${graft.Scratch.root}/graft_ckpt/img-$run"
+      try {
+        val q = parsed.writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ckpt))
+      }
+      drainSink(s, name).orderBy("doc_id")
     })
   )
 
@@ -688,6 +728,11 @@ object StreamingSmoke extends QueryModule {
     // aggregate over the same rows, so it carries the same
     // xxhash64-emulating register oracle (CmsOracle)
     "q_streaming_cms" -> graft.operators.CmsOracle.sql,
+
+    // stateless map over the same payload synth + parse as the batch
+    // query — identical closed-form oracle
+    "q_streaming_image" ->
+      graft.operators.Multimodal.oracle("q_image_dims"),
 
     // drained complete-mode counts equal the batch counts, so the DP
     // release twin checks end-to-end: counts AND the deterministic

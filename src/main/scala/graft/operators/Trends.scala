@@ -271,6 +271,45 @@ object Trends extends QueryModule {
           .orderBy("dim")
       }),
 
+      // --- embedding anisotropy audit (round 14): ‖μ‖² / E‖x‖² — the
+      // common-direction-dominance score (Ethayarajh-style anisotropy
+      // proxy): a healthy embedding space has a mean vector near the
+      // origin; a collapsed one concentrates mass on one direction and
+      // every cosine inflates. Per-dim rows expose WHERE the mean mass
+      // sits (mu_share = μ_d² / ‖μ‖²) next to the corpus scalar.
+      // Complements q_dim_variance (spread per dim) with the mean-
+      // direction axis the variance can't see. Determinism: components
+      // go through the shared 2^20 fixed point; per-term squares and
+      // per-dim μ² quantize to DECIMAL(18,6) in VALUE units (≤ ~0.34
+      // each, so the decimal sums stay small enough that the
+      // decimal→double conversion is exact — the wide-decimal pitfall
+      // SURVEY §5 documents); the ratio is a fixed two-op double tree.
+      // One exploded-corpus aggregate + O(dims) math. ---
+      "q_embed_anisotropy" -> ((s, d) => {
+        val ex = table(s, d, "embeddings")
+          .select(posexplode(Similarity.fixedPoint(col("embedding")))
+            .as(Seq("dim", "q")))
+          .select((col("dim") + 1).cast("long").as("dim"), col("q"),
+            let(col("q").cast("double") / lit(1048576.0)) { v =>
+              (v * v).cast("decimal(18,6)")
+            }.as("t2"))
+        val per = ex.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+          .withColumn("mu",
+            col("sq").cast("double") / col("n") / lit(1048576.0))
+          .withColumn("mu2q", (col("mu") * col("mu"))
+            .cast("decimal(18,6)"))
+        val t = ex.agg(sum("t2").cast("double").as("st2"))
+        val tm = per.agg(sum("mu2q").cast("double").as("smu2"),
+          max("n").as("nv"))
+        per.crossJoin(broadcast(tm)).crossJoin(broadcast(t))
+          .select(col("dim"), col("n"), col("mu"),
+            (col("mu2q").cast("double") / col("smu2")).as("mu_share"),
+            (col("smu2") * col("nv").cast("double") / col("st2"))
+              .as("anisotropy"))
+          .orderBy("dim")
+      }),
+
       // --- paired model comparison (McNemar's test — the statistically
       // RIGHT way to compare two classifiers on the same items;
       // comparing two accuracy numbers ignores that the errors are
@@ -774,6 +813,33 @@ object Trends extends QueryModule {
          |      / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)
          |    AS var_fp
          |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+    },
+
+    "q_embed_anisotropy" -> {
+      val q = "list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+      s"""WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
+         |    unnest($q) AS q FROM embeddings),
+         |e2 AS (SELECT dim, q,
+         |    CAST((CAST(q AS DOUBLE) / 1048576.0)
+         |      * (CAST(q AS DOUBLE) / 1048576.0) AS DECIMAL(18,6))
+         |      AS t2
+         |  FROM x),
+         |per AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM e2 GROUP BY 1),
+         |pm AS (SELECT dim, n,
+         |    CAST(sq AS DOUBLE) / n / 1048576.0 AS mu FROM per),
+         |pm2 AS (SELECT dim, n, mu,
+         |    CAST(mu * mu AS DECIMAL(18,6)) AS mu2q FROM pm),
+         |t AS (SELECT CAST(SUM(t2) AS DOUBLE) AS st2 FROM e2),
+         |tm AS (SELECT CAST(SUM(mu2q) AS DOUBLE) AS smu2,
+         |    MAX(n) AS nv FROM pm2)
+         |SELECT dim, n, mu, CAST(mu2q AS DOUBLE) / smu2 AS mu_share,
+         |  smu2 * CAST(nv AS DOUBLE) / st2 AS anisotropy
+         |FROM pm2 CROSS JOIN t CROSS JOIN tm ORDER BY dim"""
+        .stripMargin
     },
 
     "q_model_winrate" ->

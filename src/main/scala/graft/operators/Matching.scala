@@ -30,7 +30,7 @@ object Matching extends QueryModule {
       .cast("long") % 32768
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map(
+    Map[String, (SparkSession, String) => DataFrame](
 
       // --- perceptual-hash near-dup pairs over the media corpus (the
       // image-dedup pass of a multimodal pipeline, with the codec
@@ -47,7 +47,82 @@ object Matching extends QueryModule {
       // bit-level hamming distance (bit_count of the xor — the
       // primitive a production phash store serves). ONE shuffle for
       // posting lists; candidate joins move 8-byte ids. ---
-      "q_dedup_phash" -> ((s, d) => {
+      "q_dedup_phash" -> ((s, d) =>
+        phashPairs(s, d)
+          .filter(col("n_diff") <= 1)
+          .select(col("a_id"), col("b_id"), col("n_diff"),
+            col("ham_bits"))
+          .orderBy("a_id", "b_id")),
+
+      // --- hamming-radius tuning curve over the same banded phash
+      // store (round 14): per region-diff level r = 0..3, the pair
+      // counts and bit-level hamming profile — the sweep that picks
+      // the dedup radius before committing to a threshold, exactly
+      // like q_lsh_curve picks bands. The 4-band pigeonhole makes the
+      // candidate set EXACT for every r <= 3 (r differing regions
+      // leave 4−r >= 1 identical bands), so the curve is a complete
+      // census of the detectable radii, not a sample. Same single
+      // posting shuffle as q_dedup_phash; the rollup adds a 4-row
+      // aggregate + a window over those 4 rows. ---
+      "q_phash_radius" -> ((s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("n_diff")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        phashPairs(s, d)
+          .groupBy("n_diff")
+          .agg(count(lit(1)).as("n_pairs"),
+            min("ham_bits").as("min_ham"),
+            max("ham_bits").as("max_ham"),
+            sum("ham_bits").as("sum_ham"))
+          .select(col("n_diff"), col("n_pairs"),
+            sum("n_pairs").over(w).as("cum_pairs"),
+            col("min_ham"), col("max_ham"),
+            (col("sum_ham").cast("double") / col("n_pairs"))
+              .as("avg_ham"))
+          .orderBy("n_diff")
+      })) ++ moreQueries
+
+  /** DuckDB twin of [[phashPairs]] — the `v` relation (a_id, b_id,
+    * n_diff, ham_bits) both phash oracles read.
+    */
+  private lazy val phashCte: String = {
+    def dig(j: Int): String =
+      s"""CAST(list_sum([CAST(strpos('0123456789abcdef',
+         |      substr(md5('ph$j|' || tk[CAST(1 + ((len(tk) - 1) * $j)
+         |        // 3 AS BIGINT)]), i, 1)) - 1 AS BIGINT)
+         |    << (4 * (4 - i)) for i in range(1, 5)]) % 32768
+         |  AS BIGINT)""".stripMargin
+    s"""tks AS (SELECT doc_id,
+       |    list_sort(list_distinct(string_split(text, ' '))) AS tk
+       |  FROM documents),
+       |dd AS (SELECT doc_id, ${dig(0)} AS d0, ${dig(1)} AS d1,
+       |    ${dig(2)} AS d2, ${dig(3)} AS d3 FROM tks),
+       |dp AS (SELECT *, d0 + d1 * 32768 + d2 * 1073741824
+       |    + d3 * 35184372088832 AS phash FROM dd),
+       |b AS (SELECT doc_id, j,
+       |    CASE j WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+       |      ELSE d3 END AS dv
+       |  FROM dp CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)),
+       |g AS (SELECT j, dv, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM b x JOIN b y ON x.j = y.j AND x.dv = y.dv
+       |    AND x.doc_id < y.doc_id
+       |  JOIN g ON g.j = x.j AND g.dv = x.dv AND g.c <= 50),
+       |v AS (SELECT a_id, b_id,
+       |    CAST((da.d0 <> db.d0)::INT + (da.d1 <> db.d1)::INT
+       |      + (da.d2 <> db.d2)::INT + (da.d3 <> db.d3)::INT
+       |      AS BIGINT) AS n_diff,
+       |    CAST(bit_count(xor(da.phash, db.phash)) AS BIGINT)
+       |      AS ham_bits
+       |  FROM cand JOIN dp da ON da.doc_id = a_id
+       |  JOIN dp db ON db.doc_id = b_id)""".stripMargin
+  }
+
+  /** The banded-phash candidate relation with exact region-diff and
+    * bit-hamming verification — shared by `q_dedup_phash` (≤1-region
+    * gate) and `q_phash_radius` (the full detectable-radius curve).
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
         val dig = table(s, d, "documents")
           .select(col("doc_id"), let(
             sort_array(array_distinct(split(col("text"), " ")))) { tk =>
@@ -86,11 +161,12 @@ object Matching extends QueryModule {
               (col("a1") =!= col("b1")).cast("long") +
               (col("a2") =!= col("b2")).cast("long") +
               (col("a3") =!= col("b3")).cast("long"))
-          .filter(col("n_diff") <= 1)
           .select(col("a_id"), col("b_id"), col("n_diff"),
             expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("ham_bits"))
-          .orderBy("a_id", "b_id")
-      }),
+  }
+
+  private def moreQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
 
       // --- sparse tf-idf cosine near-dup pairs (the classic IR
       // text-similarity dedup, complementing the dense-embedding and
@@ -208,40 +284,25 @@ object Matching extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
 
-    "q_dedup_phash" -> {
-      def dig(j: Int): String =
-        s"""CAST(list_sum([CAST(strpos('0123456789abcdef',
-           |      substr(md5('ph$j|' || tk[CAST(1 + ((len(tk) - 1) * $j)
-           |        // 3 AS BIGINT)]), i, 1)) - 1 AS BIGINT)
-           |    << (4 * (4 - i)) for i in range(1, 5)]) % 32768
-           |  AS BIGINT)""".stripMargin
-      s"""WITH tks AS (SELECT doc_id,
-         |    list_sort(list_distinct(string_split(text, ' '))) AS tk
-         |  FROM documents),
-         |dd AS (SELECT doc_id, ${dig(0)} AS d0, ${dig(1)} AS d1,
-         |    ${dig(2)} AS d2, ${dig(3)} AS d3 FROM tks),
-         |dp AS (SELECT *, d0 + d1 * 32768 + d2 * 1073741824
-         |    + d3 * 35184372088832 AS phash FROM dd),
-         |b AS (SELECT doc_id, j,
-         |    CASE j WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
-         |      ELSE d3 END AS dv
-         |  FROM dp CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)),
-         |g AS (SELECT j, dv, COUNT(*) AS c FROM b GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM b x JOIN b y ON x.j = y.j AND x.dv = y.dv
-         |    AND x.doc_id < y.doc_id
-         |  JOIN g ON g.j = x.j AND g.dv = x.dv AND g.c <= 50),
-         |v AS (SELECT a_id, b_id,
-         |    CAST((da.d0 <> db.d0)::INT + (da.d1 <> db.d1)::INT
-         |      + (da.d2 <> db.d2)::INT + (da.d3 <> db.d3)::INT
-         |      AS BIGINT) AS n_diff,
-         |    CAST(bit_count(xor(da.phash, db.phash)) AS BIGINT)
-         |      AS ham_bits
-         |  FROM cand JOIN dp da ON da.doc_id = a_id
-         |  JOIN dp db ON db.doc_id = b_id)
+    "q_dedup_phash" ->
+      s"""WITH $phashCte
          |SELECT a_id, b_id, n_diff, ham_bits FROM v
-         |WHERE n_diff <= 1 ORDER BY a_id, b_id""".stripMargin
-    },
+         |WHERE n_diff <= 1 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_phash_radius" ->
+      s"""WITH $phashCte,
+         |r AS (SELECT n_diff, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(MIN(ham_bits) AS BIGINT) AS min_ham,
+         |    CAST(MAX(ham_bits) AS BIGINT) AS max_ham,
+         |    CAST(SUM(ham_bits) AS BIGINT) AS sum_ham
+         |  FROM v GROUP BY 1)
+         |SELECT n_diff, n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY n_diff
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_pairs,
+         |  min_ham, max_ham,
+         |  CAST(sum_ham AS DOUBLE) / n_pairs AS avg_ham
+         |FROM r ORDER BY n_diff""".stripMargin,
 
     "q_dedup_tfidf" ->
       """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),

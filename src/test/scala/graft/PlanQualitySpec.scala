@@ -1054,4 +1054,38 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("NestedLoopJoin") && l.contains("n_chars"))
     assert(!thetaOnLen, lw.take(1200))
   }
+
+  test("round-14 additions: no cartesian products anywhere") {
+    for (q <- Seq("q_image_dims", "q_win_ntile", "q_mix_temperature",
+        "q_ctx_len_plan", "q_abc_xyz", "q_topsis_rank",
+        "q_graph_clustcoef", "q_huber_mean", "q_cluster_bleed",
+        "q_embed_anisotropy", "q_phash_radius")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("q_topsis_rank: normalization rows ride broadcasts and the " +
+    "top-20 is a TakeOrdered, never a global sort") {
+    val p = plan("q_topsis_rank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") &&
+      l.contains("global=true")), "global sort crept in")
+  }
+
+  test("q_huber_mean: every IRLS iteration joins the running mean as " +
+    "a BROADCAST (a shuffled corpus-side join would re-exchange the " +
+    "event stream per round)") {
+    val p = plan("q_huber_mean")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(4000))
+  }
+
+  test("q_graph_clustcoef: the adjacency enters by broadcast and the " +
+    "degree/triangle rollups combine map-side") {
+    val p = plan("q_graph_clustcoef")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
 }

@@ -308,6 +308,43 @@ object Learning extends QueryModule {
           .orderBy("n_name")
       }),
 
+      // --- DP TOP-K vocabulary release (round 14): the third release
+      // shape of the privacy family — publish the k most frequent
+      // tokens under the same deterministic geometric-noise ladder,
+      // with a STABILITY threshold on the NOISY count (tokens whose
+      // noised frequency clears τ=50 are safe to name; the threshold
+      // is what bounds the privacy loss of releasing the SET, not
+      // just the counts — the known-domain variant of
+      // propose-test-release). Noise is keyed on the md5-derived
+      // 16-bit token key through the shared mix(), so a re-published
+      // vocabulary is bit-identical. One explode+groupBy (map-side
+      // partials), top-20 is a TakeOrdered; true counts never leave
+      // the plan. ---
+      "q_dp_topk" -> ((s, d) => {
+        val g = table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .groupBy("t").agg(count(lit(1)).as("n_true"))
+        val h = mix(conv(substring(md5(col("t")), 1, 4), 16, 10)
+          .cast("long"))
+        val tz = when(pmod(h, lit(2L)) === 1, 0L)
+          .when(pmod(h, lit(4L)) === 2, 1L)
+          .when(pmod(h, lit(8L)) === 4, 2L)
+          .when(pmod(h, lit(16L)) === 8, 3L)
+          .when(pmod(h, lit(32L)) === 16, 4L)
+          .when(pmod(h, lit(64L)) === 32, 5L)
+          .when(pmod(h, lit(128L)) === 64, 6L)
+          .otherwise(7L)
+        val sign = when(h.bitwiseAND(lit(256L)) === 0, 1L)
+          .otherwise(-1L)
+        g.select(col("t"),
+            (col("n_true") + sign * tz).cast("long").as("noisy_count"))
+          .filter(col("noisy_count") >= 50L)
+          .orderBy(col("noisy_count").desc, col("t"))
+          .limit(20)
+          .withColumn("epsilon", lit(0.6931))
+      }),
+
       // --- DP HISTOGRAM release (round 13): q_dp_count's mechanism
       // over a value-banded histogram of the event stream — the other
       // release shape every privacy pipeline publishes (counts per
@@ -861,6 +898,33 @@ object Learning extends QueryModule {
         |  CAST(n_true + sg * tz AS BIGINT) AS noisy_count,
         |  CAST(0.6931 AS DOUBLE) AS epsilon
         |FROM z ORDER BY band""".stripMargin,
+
+    "q_dp_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM tok WHERE length(t) > 0 GROUP BY 1),
+        |h AS (SELECT t, n_true,
+        |        ((CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT)
+        |          * 2654435761) % 2147483648 + 2147483648)
+        |          % 2147483648 AS hh
+        |      FROM g),
+        |z AS (SELECT t, n_true, hh,
+        |        CASE WHEN hh % 2 = 1 THEN 0
+        |             WHEN hh % 4 = 2 THEN 1
+        |             WHEN hh % 8 = 4 THEN 2
+        |             WHEN hh % 16 = 8 THEN 3
+        |             WHEN hh % 32 = 16 THEN 4
+        |             WHEN hh % 64 = 32 THEN 5
+        |             WHEN hh % 128 = 64 THEN 6
+        |             ELSE 7 END AS tz,
+        |        CASE WHEN (hh & 256) = 0 THEN 1 ELSE -1 END AS sg
+        |      FROM h),
+        |r AS (SELECT t, CAST(n_true + sg * tz AS BIGINT)
+        |        AS noisy_count FROM z)
+        |SELECT t, noisy_count, CAST(0.6931 AS DOUBLE) AS epsilon
+        |FROM r WHERE noisy_count >= 50
+        |ORDER BY noisy_count DESC, t LIMIT 20""".stripMargin,
 
     "q_dp_median" ->
       """WITH tq AS (SELECT o_orderpriority AS prio,

@@ -406,6 +406,39 @@ object Retrieval extends QueryModule {
     // C(d,2) integers; the one division per band is terminal. All
     // corpus-sized relations are the triangle query's own; the band
     // rollup shuffles O(log dmax) cells. ---
+    // --- local-bridge census (round 14): edges belonging to NO
+    // triangle — the links whose removal disconnects their
+    // neighborhoods (no 2-hop bypass), the structurally-load-bearing
+    // complement of q_graph_clustcoef's closure view. A triangle-free
+    // edge between high-degree nodes is the classic weak-tie signal
+    // (Granovetter) and, operationally, the edge a partition-by-
+    // community sharding must NOT cut blindly. Work: the oriented
+    // edge DAG + the same found-once triangle stream; each triangle
+    // contributes its three edges (all stored in orientation order,
+    // so one distinct + one anti-join closes the census) — no new
+    // corpus-sized relation. Output per ddst degree band. ---
+    "q_graph_bridges" -> ((s, d) => {
+      val oriented = orientedTriangleEdges(s, d)
+      val triEdges = triangleStream(oriented)
+        .select(explode(array(
+          struct(col("src").as("src"), col("dst").as("dst")),
+          struct(col("src").as("src"), col("c").as("dst")),
+          struct(col("dst").as("src"), col("c").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      oriented
+        .join(triEdges.withColumn("closed", lit(1L)),
+          Seq("src", "dst"), "left")
+        .na.fill(0L, Seq("closed"))
+        .groupBy((length(bin(col("ddst"))) - 1).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(lit(1L) - col("closed")).as("n_bridges"))
+        .withColumn("bridge_share",
+          col("n_bridges").cast("double") / col("n_edges"))
+        .orderBy("band")
+    }),
+
     "q_graph_clustcoef" -> ((s, d) => {
       val oriented = orientedTriangleEdges(s, d)
       val deg = oriented
@@ -611,6 +644,34 @@ object Retrieval extends QueryModule {
   private val bm25ScoreSql: String = bm25ScoreSqlFor(22, 10, 3, 9)
 
   override def oracle: Map[String, String] = Map(
+    // naive spelling: an edge is a bridge iff NO common neighbor
+    // exists; the band reproduces the orientation's ddst = degree of
+    // the (degree, id)-larger endpoint
+    "q_graph_bridges" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |ed AS (SELECT u AS a, v AS b FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |cl AS (SELECT e.u, e.v,
+        |    CASE WHEN EXISTS (SELECT 1 FROM ed x JOIN ed y
+        |        ON x.b = y.b AND x.a = e.u AND y.a = e.v)
+        |      THEN 1 ELSE 0 END AS closed,
+        |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg
+        |      ELSE du.dg END AS ddst
+        |  FROM e JOIN deg du ON du.n = e.u
+        |    JOIN deg dv ON dv.n = e.v)
+        |SELECT CAST(length(bin(ddst)) - 1 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(1 - closed) AS BIGINT) AS n_bridges,
+        |  CAST(SUM(1 - closed) AS DOUBLE) / COUNT(*) AS bridge_share
+        |FROM cl GROUP BY 1 ORDER BY band""".stripMargin,
+
     // same naive triple join as q_graph_triangle's oracle, but each
     // triangle credited to all three corners before the degree-band
     // rollup; floor-log2 via the bin-length idiom (no libm)

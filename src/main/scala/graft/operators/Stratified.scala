@@ -269,6 +269,55 @@ object Stratified extends QueryModule {
           .orderBy("abc", "xyz")
       }),
 
+      // --- raking / iterative proportional fitting (round 14): fit
+      // per-cell sample weights so BOTH margins (source rows, lang
+      // columns) match the corpus — the survey-statistics step beyond
+      // q_post_stratify, which can only correct ONE margin at a time.
+      // Two unrolled IPF iterations (row-scale, column-scale, twice);
+      // every relation is O(cells) = |sources|×|langs| after the one
+      // corpus scan, margins ride broadcast rows, and each scaling's
+      // cell-mass sums quantize to DECIMAL(18,6) before adding so the
+      // running masses are bit-equal across engines (the multiplier
+      // chain per cell is a fixed expression tree). Cells the sample
+      // misses are excluded from the fit — documented standard-raking
+      // precondition, margins recomputed over covered cells. ---
+      "q_raking_ipf" -> ((s, d) => {
+        val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val cells = table(s, d, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_corpus"),
+            sum((nib <= "b").cast("long")).as("n_sample"))
+          .filter(col("n_sample") > 0)
+        val rowT = cells.groupBy("source")
+          .agg(sum("n_corpus").as("rt"))
+        val colT = cells.groupBy("lang")
+          .agg(sum("n_corpus").as("ct"))
+        var w = cells.withColumn("m", col("n_sample").cast("double"))
+        for (_ <- 1 to 2) {
+          val rs = w.groupBy("source")
+            .agg(sum(col("m").cast("decimal(18,6)")).cast("double")
+              .as("rs"))
+          w = w.join(broadcast(rs), "source")
+            .join(broadcast(rowT), "source")
+            .withColumn("m",
+              col("m") * (col("rt").cast("double") / col("rs")))
+            .drop("rs", "rt")
+          val cs = w.groupBy("lang")
+            .agg(sum(col("m").cast("decimal(18,6)")).cast("double")
+              .as("cs"))
+          w = w.join(broadcast(cs), "lang")
+            .join(broadcast(colT), "lang")
+            .withColumn("m",
+              col("m") * (col("ct").cast("double") / col("cs")))
+            .drop("cs", "ct")
+        }
+        w.select(col("source"), col("lang"), col("n_corpus"),
+            col("n_sample"),
+            (col("m") / col("n_sample").cast("double")).as("weight"),
+            col("m").as("fitted"))
+          .orderBy("source", "lang")
+      }),
+
       // --- post-stratification readout: estimate corpus mean doc
       // length from the md5 TRAIN sample (q_train_split's <= 'b'
       // nibble gate), re-weighting each source stratum's sample mean
@@ -460,6 +509,47 @@ object Stratified extends QueryModule {
         |  CAST(SUM(cents) AS DOUBLE) / MAX(tc) AS revenue_share
         |FROM abc JOIN x USING (l_partkey) CROSS JOIN t
         |GROUP BY abc, xyz ORDER BY abc, xyz""".stripMargin,
+
+    "q_raking_ipf" ->
+      """WITH c0 AS (SELECT source, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_corpus,
+        |    CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      <= 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT * FROM c0 WHERE n_sample > 0),
+        |rt AS (SELECT source, CAST(SUM(n_corpus) AS BIGINT) AS rt
+        |  FROM c GROUP BY 1),
+        |ct AS (SELECT lang, CAST(SUM(n_corpus) AS BIGINT) AS ct
+        |  FROM c GROUP BY 1),
+        |w0 AS (SELECT source, lang, n_corpus, n_sample,
+        |    CAST(n_sample AS DOUBLE) AS m FROM c),
+        |r1 AS (SELECT source,
+        |    CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS rs
+        |  FROM w0 GROUP BY 1),
+        |w1 AS (SELECT source, lang, n_corpus, n_sample,
+        |    m * (CAST(rt AS DOUBLE) / rs) AS m
+        |  FROM w0 JOIN r1 USING (source) JOIN rt USING (source)),
+        |s1 AS (SELECT lang,
+        |    CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS cs
+        |  FROM w1 GROUP BY 1),
+        |w2 AS (SELECT source, lang, n_corpus, n_sample,
+        |    m * (CAST(ct AS DOUBLE) / cs) AS m
+        |  FROM w1 JOIN s1 USING (lang) JOIN ct USING (lang)),
+        |r2 AS (SELECT source,
+        |    CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS rs
+        |  FROM w2 GROUP BY 1),
+        |w3 AS (SELECT source, lang, n_corpus, n_sample,
+        |    m * (CAST(rt AS DOUBLE) / rs) AS m
+        |  FROM w2 JOIN r2 USING (source) JOIN rt USING (source)),
+        |s2 AS (SELECT lang,
+        |    CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS cs
+        |  FROM w3 GROUP BY 1),
+        |w4 AS (SELECT source, lang, n_corpus, n_sample,
+        |    m * (CAST(ct AS DOUBLE) / cs) AS m
+        |  FROM w3 JOIN s2 USING (lang) JOIN ct USING (lang))
+        |SELECT source, lang, n_corpus, n_sample,
+        |  m / CAST(n_sample AS DOUBLE) AS weight, m AS fitted
+        |FROM w4 ORDER BY source, lang""".stripMargin,
 
     "q_post_stratify" ->
       """WITH g AS (SELECT source,

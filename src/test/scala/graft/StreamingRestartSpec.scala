@@ -972,6 +972,73 @@ class StreamingRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("image-header twin restarted mid-replay: file-source offsets " +
+    "survive — every payload parsed exactly once") {
+    // round 14: the 25th twin. Stateless, so the restart property is
+    // pure source-offset exactly-once; the replay stages the docs
+    // corpus as two halves by doc_id parity.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val srcDir = new java.io.File(
+      s"${graft.Scratch.root}/graft_ckpt/rsi-src-$stamp")
+    val ckpt = s"${graft.Scratch.root}/graft_ckpt/rsi-ck-$stamp"
+    val outDir = s"${graft.Scratch.root}/graft_ckpt/rsi-out-$stamp"
+    srcDir.mkdirs()
+    def writeHalf(parity: Int, name: String): Unit = {
+      val tmp = new java.io.File(srcDir, s".tmp-$name")
+      docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, name).toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+    }
+    def readSink(): Seq[Seq[Any]] =
+      if (!new java.io.File(outDir, "_spark_metadata").exists()) Seq.empty
+      else spark.read.parquet(outDir).collect().toSeq.map(_.toSeq)
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val p = operators.Multimodal.synthImagePayload(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (fmt, w, h) = operators.Multimodal.parseImageHeader(p)
+          (id, p.length.toLong, fmt, w, h)
+        })
+        .toDF("doc_id", "n_bytes", "fmt", "width", "height")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+    try {
+      writeHalf(0, "a0.parquet")
+      runOnce()
+      val run1 = readSink()
+      writeHalf(1, "a1.parquet")
+      runOnce()
+      val all = readSink()
+      assert(run1.nonEmpty && all.size > run1.size)
+      assert(all.size == all.toSet.size,
+        "a payload parsed twice — batch0 reprocessed after restart")
+      val want = SparkEntry.queries("q_image_dims")(spark, sf)
+        .collect().toSeq.map(_.toSeq).toSet
+      assert(all.toSet == want,
+        "combined parsed rows != the batch header parse")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
+  }
+
   test("top-k twin restarted mid-replay: the recovered k-bounded " +
     "buffers equal the uninterrupted run") {
     val t = completeRestartTable("rstk") { src =>

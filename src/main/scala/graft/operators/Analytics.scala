@@ -42,6 +42,48 @@ object Analytics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- revenue waterfall per market segment (round 14): gross →
+      // −discount → net → +tax → billed, the finance decomposition
+      // read off the fact table in ONE pass. Every per-line term is a
+      // narrow-decimal product (operands re-cast to (12,2)/(4,2)
+      // BEFORE multiplying — the SURVEY §5 rule: a (19,4)² product
+      // would hit Spark's precision-38 cap and silently round,
+      // diverging from DuckDB's exact arithmetic), sums stay exact
+      // decimals and convert to double only at output (values small
+      // enough for exact conversion at test scale; at fleet scale the
+      // decimal stays exact and only the readout rounds). The
+      // customer→orders side collapses to (orderkey, segment) before
+      // the bucketed-lineitem join. ---
+      "q_revenue_waterfall" -> ((s, d) => {
+        val seg = table(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+          .join(table(s, d, "customer")
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment")), "o_custkey")
+          .select(col("l_orderkey"), col("c_mktsegment").as("segment"))
+        val p = col("l_extendedprice").cast("decimal(12,2)")
+        val dd = col("l_discount").cast("decimal(4,2)")
+        val tt = col("l_tax").cast("decimal(4,2)")
+        s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
+          .select(col("l_orderkey"), p.as("p"), dd.as("dd"), tt.as("tt"))
+          .join(seg, "l_orderkey")
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("p")).as("gross_d"),
+            sum(col("p") * col("dd")).as("disc_d"),
+            sum(col("p") * (lit(BigDecimal(1)).cast("decimal(4,2)")
+              - col("dd"))).as("net_d"),
+            sum((col("p") * (lit(BigDecimal(1)).cast("decimal(4,2)")
+              - col("dd"))) * col("tt")).as("tax_d"))
+          .select(col("segment"), col("n_lines"),
+            col("gross_d").cast("double").as("gross"),
+            col("disc_d").cast("double").as("discount_amt"),
+            col("net_d").cast("double").as("net"),
+            col("tax_d").cast("double").as("tax_amt"),
+            (col("net_d") + col("tax_d")).cast("double").as("billed"))
+          .orderBy("segment")
+      }),
+
       // --- first-order Markov transition matrix over the event stream:
       // P(next event type | current) — the session-model primitive
       // behind next-action prediction and bot detection. The lag window
@@ -387,6 +429,28 @@ object Analytics extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_revenue_waterfall" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+        |    CAST(l_discount AS DECIMAL(4,2)) AS dd,
+        |    CAST(l_tax AS DECIMAL(4,2)) AS tt
+        |  FROM lineitem),
+        |seg AS (SELECT o_orderkey AS l_orderkey,
+        |    c_mktsegment AS segment
+        |  FROM orders JOIN customer ON c_custkey = o_custkey)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(p) AS DOUBLE) AS gross,
+        |  CAST(SUM(p * dd) AS DOUBLE) AS discount_amt,
+        |  CAST(SUM(p * (CAST(1 AS DECIMAL(4,2)) - dd)) AS DOUBLE)
+        |    AS net,
+        |  CAST(SUM((p * (CAST(1 AS DECIMAL(4,2)) - dd)) * tt)
+        |    AS DOUBLE) AS tax_amt,
+        |  CAST(SUM(p * (CAST(1 AS DECIMAL(4,2)) - dd))
+        |    + SUM((p * (CAST(1 AS DECIMAL(4,2)) - dd)) * tt)
+        |    AS DOUBLE) AS billed
+        |FROM li JOIN seg USING (l_orderkey)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_markov_transition" ->
       """WITH seq AS (

@@ -29,6 +29,46 @@ object Operational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- order→ship lag percentiles per priority (round 14): the
+      // fulfilment-SLA readout (p50/p90/p99 days from order to each
+      // line's ship). The quantile runs over integer DAY BANDS
+      // (bounded ≤ ~0.4k values at any scale — the percentile_grid
+      // discipline, no corpus-sized window): one co-located bucketed
+      // join, one (prio, lag) aggregate, a cumulative window over the
+      // bands, and integer threshold cuts (cum·k ≥ n·q — no FP
+      // boundary). avg is one division off exact int64 sums. ---
+      "q_ship_lag" -> ((s, d) => {
+        val li = s.table(Advanced.bucketize(s, d, "lineitem",
+            "l_orderkey"))
+          .select(col("l_orderkey"), col("l_shipdate"))
+        val ord = s.table(Advanced.bucketize(s, d, "orders",
+            "o_orderkey"))
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val lags = li.join(ord, "l_orderkey")
+          .select(col("o_orderpriority").as("prio"),
+            datediff(col("l_shipdate"), col("o_orderdate"))
+              .cast("long").as("lag"))
+        val bands = lags.groupBy("prio", "lag")
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy("prio").orderBy("lag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bands.withColumn("cum", sum("c").over(wc))
+        val tot = lags.groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum("lag").as("sl"))
+        cum.join(broadcast(tot), "prio")
+          .groupBy("prio")
+          .agg(max("n").as("n_lines"),
+            min(when(col("cum") * 2 >= col("n"), col("lag")))
+              .as("p50_days"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("lag")))
+              .as("p90_days"),
+            min(when(col("cum") * 100 >= col("n") * 99, col("lag")))
+              .as("p99_days"),
+            max(col("sl").cast("double") / col("n")).as("avg_days"))
+          .orderBy("prio")
+      }),
+
       // --- TOPSIS multi-criteria supplier ranking (round 14): the
       // standard MCDM closeness-to-ideal score over three exact-int64
       // criteria (revenue cents ↑, distinct parts ↑, integer
@@ -324,6 +364,27 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_ship_lag" ->
+      """WITH lg AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |b AS (SELECT prio, lag, COUNT(*) AS c FROM lg GROUP BY 1, 2),
+        |cm AS (SELECT prio, lag,
+        |    CAST(SUM(c) OVER (PARTITION BY prio ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM b),
+        |t AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(lag) AS BIGINT) AS sl FROM lg GROUP BY 1)
+        |SELECT prio, MAX(n) AS n_lines,
+        |  MIN(CASE WHEN cum * 2 >= n THEN lag END) AS p50_days,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN lag END) AS p90_days,
+        |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lag END) AS p99_days,
+        |  MAX(CAST(sl AS DOUBLE) / n) AS avg_days
+        |FROM cm JOIN t USING (prio)
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q_topsis_rank" ->
       """WITH crit AS (SELECT l_suppkey,

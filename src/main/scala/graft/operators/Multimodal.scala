@@ -163,15 +163,23 @@ object Multimodal extends QueryModule {
       (p(5) & 0xFF) == 0x0A && (p(6) & 0xFF) == 0x1A &&
       (p(7) & 0xFF) == 0x0A
     if (isPng) {
-      var off = 8
+      var off = 8L
       while (off + 8 <= p.length) {
-        val len = be32(p, off)
-        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val len = be32(p, off.toInt)
+        val typ = new String(p, off.toInt + 4, 4, "US-ASCII")
         if (typ == "IHDR")
           return if (off + 16 <= p.length)
-            ("png", be32(p, off + 8).toLong, be32(p, off + 12).toLong)
+            ("png", be32(p, off.toInt + 8).toLong,
+              be32(p, off.toInt + 12).toLong)
           else ("png", -1L, -1L)
-        off += 12 + len // 4 len + 4 type + data + 4 crc
+        // 4 len + 4 type + data + 4 crc. A crafted length with the
+        // high bit set decodes negative, and an int accumulator could
+        // overflow BACKWARDS into the array — a fuzzable OOB crash on
+        // adversarial bytes (found by the round-14 fuzz spec). The
+        // long accumulator + sign guard make any malformed length
+        // terminate the walk as "recognized but unparseable".
+        if (len < 0) return ("png", -1L, -1L)
+        off += 12L + len
       }
       ("png", -1L, -1L)
     } else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF &&

@@ -29,6 +29,37 @@ object Operational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- open-order aging report (round 14): non-finished orders
+      // bucketed by age against the corpus's as-of date (its max
+      // order date — self-anchored so the report is deterministic on
+      // any snapshot), per priority — the working-capital/backlog
+      // table every ops review opens with. One scalar-aggregate
+      // broadcast for the anchor, one conditional-aggregate pass;
+      // ages are exact integer day differences, buckets are integer
+      // comparisons, value sums exact decimals. O(priorities) out. ---
+      "q_order_aging" -> ((s, d) => {
+        val ord = table(s, d, "orders")
+        val anchor = ord.agg(max(col("o_orderdate")).as("as_of"))
+        val open = ord.filter(col("o_orderstatus") =!= "F")
+          .crossJoin(broadcast(anchor))
+          .select(col("o_orderpriority").as("prio"),
+            col("o_totalprice"),
+            datediff(col("as_of"), col("o_orderdate")).cast("long")
+              .as("age"))
+        def bucket(lo: Long, hi: Long) =
+          sum((col("age") >= lo && col("age") <= hi).cast("long"))
+        open.groupBy("prio")
+          .agg(count(lit(1)).as("n_open"),
+            bucket(0L, 30L).as("d0_30"),
+            bucket(31L, 90L).as("d31_90"),
+            bucket(91L, 365L).as("d91_365"),
+            sum((col("age") > 365L).cast("long")).as("d365_plus"),
+            sumd(col("o_totalprice")).as("open_value"),
+            sumd(when(col("age") > 365L, col("o_totalprice"))
+              .otherwise(lit(0.0))).as("stale_value"))
+          .orderBy("prio")
+      }),
+
       // --- order→ship lag percentiles per priority (round 14): the
       // fulfilment-SLA readout (p50/p90/p99 days from order to each
       // line's ship). The quantile runs over integer DAY BANDS
@@ -364,6 +395,27 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_order_aging" ->
+      s"""WITH a AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+         |o AS (SELECT o_orderpriority AS prio, o_totalprice,
+         |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+         |      CAST(as_of AS DATE)) AS BIGINT) AS age
+         |  FROM orders CROSS JOIN a WHERE o_orderstatus <> 'F')
+         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_open,
+         |  CAST(SUM(CASE WHEN age BETWEEN 0 AND 30 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d0_30,
+         |  CAST(SUM(CASE WHEN age BETWEEN 31 AND 90 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d31_90,
+         |  CAST(SUM(CASE WHEN age BETWEEN 91 AND 365 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d91_365,
+         |  CAST(SUM(CASE WHEN age > 365 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS d365_plus,
+         |  ${graft.Det.S("o_totalprice")} AS open_value,
+         |  ${graft.Det.S(
+            "CASE WHEN age > 365 THEN o_totalprice ELSE 0.0 END")}
+         |    AS stale_value
+         |FROM o GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q_ship_lag" ->
       """WITH lg AS (SELECT o_orderpriority AS prio,

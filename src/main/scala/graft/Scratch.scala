@@ -21,6 +21,28 @@ object Scratch {
 
   def dir(sub: String): String = s"$root/$sub"
 
+  /** One cached, never-closed channel per victim-lock file (round-15
+    * ADVICE fix). POSIX fcntl semantics release ALL of a process's
+    * locks on a file when ANY channel/fd to it is closed (the FileLock
+    * javadoc's platform-dependence warning), so the old
+    * open-try-close-per-scan pattern could silently drop a lock a
+    * sibling THREAD of this process still holds (tryLock throws
+    * OverlappingFileLockException, the finally close fires, the OS
+    * drops the live holder's cross-process lock). Channels live for
+    * the JVM; the set is bounded by the number of distinct cache dirs
+    * (single digits), so the fd cost is negligible.
+    */
+  private val lockChannels =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.channels.FileChannel]()
+
+  private[graft] def lockChannelFor(path: String): java.nio.channels.FileChannel =
+    lockChannels.compute(path, (p, existing) =>
+      if (existing != null && existing.isOpen) existing
+      else java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(p),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE))
+
   /** LRU prune of sibling cache dirs under `parent` with the
     * VICTIM-LOCK discipline (round 14, extending the r13 ngram-cache
     * fix to every scratch LRU): the caller holds only its OWN
@@ -43,16 +65,19 @@ object Scratch {
         !f.getName.endsWith(".lock"))
       .sortBy(-_.lastModified).drop(keep)
       .foreach { victim =>
-        val vch = java.nio.channels.FileChannel.open(
-          new java.io.File(victim.getPath + ".lock").toPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
+        // The channel is cached and NEVER closed here: closing it on
+        // the OverlappingFileLockException path (another thread of
+        // THIS process holds the victim lock) could release that live
+        // holder's OS-level lock on POSIX. tryLock returning null =
+        // held by another process; throwing Overlapping... = held by
+        // this process — both mean "skip this victim this round".
         try {
+          val vch = lockChannelFor(victim.getPath + ".lock")
           val vlk = vch.tryLock()
           if (vlk != null) {
             try org.apache.commons.io.FileUtils.deleteQuietly(victim)
             finally vlk.release()
           }
-        } catch { case _: Throwable => () } finally vch.close()
+        } catch { case _: Throwable => () }
       }
 }

@@ -92,6 +92,12 @@ object Advanced extends QueryModule {
       if (f.exists()) f.setLastModified(System.currentTimeMillis())
     }
     if (!s.catalog.tableExists(tbl)) bucketizeLock.synchronized {
+      // Re-check under the monitor (round-15 ADVICE): two same-JVM
+      // threads can both pass the unsynchronized check; the loser
+      // would then see onDisk=true and CREATE TABLE a name the winner
+      // just registered, throwing TableAlreadyExistsException. The
+      // outer check stays as the fast path; this one is the decider.
+      if (s.catalog.tableExists(tbl)) return tbl
       // Cross-process check+publish guard (round 14, r13 ask #5 —
       // closing the last ADVICE-carried check-then-act): the same
       // FileLock discipline the ngram truth cache got in r13. The

@@ -1065,6 +1065,34 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  /** Round-15 ask #1: the no-cartesian pin is INVENTORY-WIDE. The
+    * hand-listed per-round sweeps above pinned only the names someone
+    * remembered to add; the six post-b23580e round-14 queries landed
+    * unpinned. This test iterates `SparkEntry.queries` wholesale, so a
+    * late-round query can never again ship with a CartesianProduct —
+    * registering it IS pinning it. Streaming twins are excluded by the
+    * `q_streaming_` prefix: building them executes a full streaming
+    * query and the relation they return is the drained batch result,
+    * not the streaming plan (their plan discipline is pinned by their
+    * own suites). Scalar `crossJoin(broadcast(1-row))` patterns plan
+    * BroadcastNestedLoopJoin, not CartesianProduct, so the allowlist
+    * is EMPTY — keep it that way unless a future query has a measured,
+    * documented bounded-grid reason.
+    */
+  test("inventory-wide sweep: no CartesianProduct in ANY registered " +
+    "batch query (registering a query pins it)") {
+    val allow = Set.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_streaming_"))
+    assert(names.size >= 519, s"sweep shrank: ${names.size}")
+    val offenders = names.filter { q =>
+      val p = plan(q)
+      p.contains("CartesianProduct") && !allow(q)
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("q_topsis_rank: normalization rows ride broadcasts and the " +
     "top-20 is a TakeOrdered, never a global sort") {
     val p = plan("q_topsis_rank")

@@ -208,36 +208,28 @@ object TextPipeline extends QueryModule {
     // smallest common token in rarity order must sit inside both
     // prefixes — the suffix is too short to hold all common tokens
     // otherwise). Candidates therefore come from (block, prefix-token)
-    // posting lists only, then the exact array-intersect verification
-    // prunes false positives: the same result set as the all-pairs
-    // oracle. Why blocking is load-bearing: this synthetic corpus is
+    // posting lists only — each entry carrying its (position, |set|)
+    // so the POSITIONAL filter (round 15, the r14-adjudicated trimming
+    // increment: 4.1x candidate excess at sf0.1) can discard pairs
+    // whose remaining-overlap upper bound 1 + min(na-pa, nb-pb) cannot
+    // reach the required overlap ceil(tau/(1+tau)*(na+nb)) BEFORE the
+    // exact array-intersect verification. The bound is valid at the
+    // smallest common token (every other common token sits strictly
+    // later in both rarity orders), and pairs are kept if ANY
+    // generating emission passes (max over emissions), so the
+    // surviving set is a superset of PPJoin-canonical and the result
+    // set is UNCHANGED — the filter is pure integer cross-
+    // multiplication (9*ub >= 4*(na+nb) at tau=0.8), no FP boundary.
+    // Why blocking is load-bearing: this synthetic corpus is
     // template-dense (~3M qualifying pairs corpus-wide at sf0.1 —
     // measured 20 s in DuckDB native just to brute-force), so the
     // unblocked pair RELATION is itself quadratic; within blocks the
     // posting lists stay short and output is O(block dups). ---
     "q_ssjoin_prefix" -> ((s, d) => {
       val tau = 0.8
-      // localCheckpoint: the tokenized relation feeds THREE consumers
-      // (the df/prefix pipeline and both verification sides) — without
-      // it each one re-scans and re-tokenizes the corpus
       val docs = table(s, d, "documents")
         .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
-      val ex = docs.select(col("doc_id"), col("source"),
-        explode(col("tk")).as("t"))
-      val dfreq = ex.groupBy("source", "t").agg(count(lit(1)).as("df"))
-      val ranked = ex.join(dfreq, Seq("source", "t"))
-        .groupBy("doc_id", "source")
-        .agg(sort_array(collect_list(struct(col("df"), col("t"))))
-          .as("ord"), count(lit(1)).as("n"))
-      val pre = ranked.select(col("doc_id"), col("source"),
-        explode(slice(transform(col("ord"), x => x.getField("t")),
-          lit(1),
-          (col("n") - ceil(col("n") * lit(tau)) + 1).cast("int")))
-          .as("t"))
-      val postings = pre.groupBy("source", "t")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-      val cand = postingPairs(postings.select(col("ids"))).distinct()
+      val cand = ssjoinCandidates(s, d, positional = true)
       val da = docs.select(col("doc_id").as("a_id"), col("tk").as("tka"))
       val db = docs.select(col("doc_id").as("b_id"), col("tk").as("tkb"))
       cand.join(da, "a_id").join(db, "b_id")
@@ -612,6 +604,59 @@ object TextPipeline extends QueryModule {
     * pair fan-out (<= cap^2/2 rows) happens inside the generator and
     * feeds straight into the (a, b) count aggregate's map-side partials.
     */
+  /** q_ssjoin_prefix's candidate-pair relation, exposed so the census
+    * tool can measure the positional filter's pruning (the r14
+    * adjudication counted 601,623 candidates for 147,839 output pairs
+    * at sf0.1 — 4.1x excess; the positional bound exists to trim it).
+    * `positional = false` reproduces the pre-round-15 candidate set —
+    * prefix lemma only, no remaining-overlap bound — for exactly that
+    * before/after measurement. The query itself always runs with the
+    * filter on; both spellings share every stage up to the bound so
+    * the comparison isolates the filter.
+    */
+  private[graft] def ssjoinCandidates(s: SparkSession, d: String,
+      positional: Boolean): DataFrame = {
+    val tau = 0.8
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(col("tk")).as("t"))
+    val dfreq = ex.groupBy("source", "t").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("source", "t"))
+      .groupBy("doc_id", "source")
+      .agg(sort_array(collect_list(struct(col("df"), col("t"))))
+        .as("ord"), count(lit(1)).as("n"))
+    // posexplode: the 0-based offset within the prefix IS the token's
+    // rank in the doc's full rarity order (the prefix is its head),
+    // so the positional payload costs nothing extra
+    val pre = ranked.select(col("doc_id"), col("n"), col("source"),
+      posexplode(slice(transform(col("ord"), x => x.getField("t")),
+        lit(1),
+        (col("n") - ceil(col("n") * lit(tau)) + 1).cast("int")))
+        .as(Seq("p0", "t")))
+    val postings = pre.groupBy("source", "t")
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        (col("p0") + 1).as("pos"), col("n")))).as("es"))
+      .filter(size(col("es")) >= 2)
+    // i<j pair stream (the postingPairs idiom widened to carry the
+    // positional payload); the groupBy(a,b) replaces the old
+    // distinct() — the SAME single shuffle, now also folding the
+    // per-emission bounds map-side
+    val pairs = postings
+      .select(posexplode(col("es")).as(Seq("i", "ea")), col("es"))
+      .select(col("ea"), col("i"),
+        posexplode(col("es")).as(Seq("j", "eb")))
+      .filter(col("i") < col("j"))
+      .select(col("ea.doc_id").as("a_id"), col("eb.doc_id").as("b_id"),
+        (lit(1L) + least(col("ea.n") - col("ea.pos"),
+          col("eb.n") - col("eb.pos"))).as("ub"),
+        (col("ea.n") + col("eb.n")).as("sz"))
+      .groupBy("a_id", "b_id")
+      .agg(max(col("ub")).as("ub"), max(col("sz")).as("sz"))
+    (if (positional) pairs.filter(col("ub") * 9 >= col("sz") * 4)
+    else pairs).select("a_id", "b_id")
+  }
+
   /** i<j pair stream from per-bucket SORTED posting lists (an `ids`
     * array column): the single-shuffle-leg pair-generation idiom shared
     * by the shingle verification join below and the MinHash candidate

@@ -87,12 +87,30 @@ object Multimodal extends QueryModule {
   private def be16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
 
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16)
+
+  // unsigned: RIFF chunk sizes are u32 — a Long keeps a crafted
+  // high-bit size from walking the offset backwards (the round-14
+  // PNG fuzz lesson applied to the new format up front)
+  private def le32u(b: Array[Byte], off: Int): Long =
+    (le16(b, off).toLong) | (le16(b, off + 2).toLong << 16)
+
   /** Deterministic synthetic image payload with a REAL container
-    * header. Even doc_id → PNG (signature + IHDR + 64B body); odd →
-    * JPEG (SOI + APP0 padded by doc_id%17 + COM of 1+doc_id%5 bytes
-    * when doc_id%3==0 + SOF0 + body). doc_id%13==0 → the first 3
-    * bytes only (a truncated crawl artifact — the error path every
-    * header sniffer needs).
+    * header, doc_id % 4 selecting the format (round 15 widened the
+    * round-14 PNG/JPEG pair — real multimodal crawls are not two
+    * formats): 0 → PNG (signature + IHDR + 64B body); 1 → JPEG (SOI +
+    * APP0 padded by doc_id%17 + COM of 1+doc_id%5 bytes when
+    * doc_id%3==0 + SOF0 + body); 2 → GIF (87a when doc_id%5==0 else
+    * 89a; logical-screen u16 LE dims); 3 → WebP, sub-variant
+    * (doc_id/4)%3: VP8 lossy (sync-coded 14-bit LE dims), VP8L
+    * lossless (bit-packed w-1/h-1), VP8X extended (u24 LE canvas-1).
+    * doc_id%13==0 → the first 3 bytes only (a truncated crawl
+    * artifact — the error path every header sniffer needs).
     */
   private[graft] def synthImagePayload(docId: Long,
       textBytes: Array[Byte]): Array[Byte] = {
@@ -100,7 +118,7 @@ object Multimodal extends QueryModule {
     val h = (16 + (docId * 7) % 2048).toInt
     val body = textBytes.take(64)
     val full: Array[Byte] =
-      if (docId % 2 == 0) {
+      if (docId % 4 == 0) {
         val buf = java.nio.ByteBuffer.allocate(33 + body.length)
         buf.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
           .map(_.toByte))
@@ -113,6 +131,52 @@ object Multimodal extends QueryModule {
         buf.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
           .put(0.toByte)
         buf.putInt(0)
+        buf.put(body)
+        buf.array()
+      } else if (docId % 4 == 2) {
+        // GIF: 6-byte signature + logical screen descriptor (u16 LE
+        // width/height, packed/bg/aspect zero) = 13-byte header
+        val buf = java.nio.ByteBuffer.allocate(13 + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val sig = if (docId % 5 == 0) "GIF87a" else "GIF89a"
+        buf.put(sig.getBytes("US-ASCII"))
+        buf.putShort(w.toShort).putShort(h.toShort)
+        buf.put(0.toByte).put(0.toByte).put(0.toByte)
+        buf.put(body)
+        buf.array()
+      } else if (docId % 4 == 3) {
+        // WebP: RIFF("WEBP") + one dims-bearing chunk + body-as-
+        // bitstream-tail; variant cycles so the parser's chunk
+        // dispatch (not one lucky layout) is what the oracle pins
+        val variant = ((docId / 4) % 3).toInt
+        val payloadLen = if (variant == 1) 5 else 10
+        val buf = java.nio.ByteBuffer
+          .allocate(12 + 8 + payloadLen + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII"))
+        buf.putInt(4 + 8 + payloadLen + body.length) // RIFF size
+        buf.put("WEBP".getBytes("US-ASCII"))
+        variant match {
+          case 0 => // VP8 lossy: frame tag, 9D 01 2A sync, 14-bit LE dims
+            buf.put("VP8 ".getBytes("US-ASCII"))
+            buf.putInt(payloadLen + body.length)
+            buf.put(0.toByte).put(0.toByte).put(0.toByte)
+            buf.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte)
+            buf.putShort(w.toShort).putShort(h.toShort)
+          case 1 => // VP8L lossless: 2F sig + bit-packed (w-1, h-1)
+            buf.put("VP8L".getBytes("US-ASCII"))
+            buf.putInt(payloadLen + body.length)
+            buf.put(0x2F.toByte)
+            buf.putInt((w - 1) | ((h - 1) << 14))
+          case _ => // VP8X extended: flags + reserved + u24 LE canvas-1
+            buf.put("VP8X".getBytes("US-ASCII"))
+            buf.putInt(payloadLen + body.length)
+            buf.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+            buf.put((w - 1).toByte).put((((w - 1) >> 8) & 0xFF).toByte)
+              .put((((w - 1) >> 16) & 0xFF).toByte)
+            buf.put((h - 1).toByte).put((((h - 1) >> 8) & 0xFF).toByte)
+              .put((((h - 1) >> 16) & 0xFF).toByte)
+        }
         buf.put(body)
         buf.array()
       } else {
@@ -152,9 +216,11 @@ object Multimodal extends QueryModule {
   }
 
   /** Header-only image parse from bytes alone: PNG chunk walk to IHDR,
-    * or JPEG marker-segment walk to the first SOF{0-3,5-7,9-11,13-15}.
-    * Returns (format, width, height); unparseable → ("unknown",-1,-1),
-    * recognized-but-truncated → (fmt,-1,-1).
+    * JPEG marker-segment walk to the first SOF{0-3,5-7,9-11,13-15},
+    * GIF logical-screen descriptor, or RIFF/WEBP chunk walk to the
+    * first VP8 /VP8L/VP8X (round 15 — the two formats a real crawl
+    * adds first). Returns (format, width, height); unparseable →
+    * ("unknown",-1,-1), recognized-but-truncated → (fmt,-1,-1).
     */
   private[graft] def parseImageHeader(p: Array[Byte])
       : (String, Long, Long) = {
@@ -196,6 +262,47 @@ object Multimodal extends QueryModule {
         off += 2 + be16(p, off + 2)
       }
       ("jpeg", -1L, -1L)
+    } else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' &&
+        p(2) == 'F' && p(3) == '8' && (p(4) == '7' || p(4) == '9') &&
+        p(5) == 'a') {
+      // GIF87a/89a: logical screen descriptor immediately follows the
+      // signature — u16 LITTLE-endian width at 6, height at 8
+      if (p.length >= 10) ("gif", le16(p, 6).toLong, le16(p, 8).toLong)
+      else ("gif", -1L, -1L)
+    } else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
+        p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'E' &&
+        p(10) == 'B' && p(11) == 'P') {
+      // RIFF/WEBP chunk walk to the first dims-bearing chunk. Sizes
+      // are u32 LE read into a Long (never negative — the PNG fuzz
+      // lesson); chunks pad to even length per RIFF.
+      var off = 12L
+      while (off + 8 <= p.length) {
+        val o = off.toInt
+        val fourcc = new String(p, o, 4, "US-ASCII")
+        val size = le32u(p, o + 4)
+        val data = o + 8
+        if (fourcc == "VP8 ") {
+          // lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit LE dims
+          return if (data + 10 <= p.length && (p(data + 3) & 0xFF) == 0x9D &&
+              (p(data + 4) & 0xFF) == 0x01 && (p(data + 5) & 0xFF) == 0x2A)
+            ("webp", (le16(p, data + 6) & 0x3FFF).toLong,
+              (le16(p, data + 8) & 0x3FFF).toLong)
+          else ("webp", -1L, -1L)
+        } else if (fourcc == "VP8L") {
+          // lossless: 2F signature + 14-bit-packed (w-1, h-1)
+          return if (data + 5 <= p.length && (p(data) & 0xFF) == 0x2F) {
+            val bits = le32u(p, data + 1)
+            ("webp", (bits & 0x3FFF) + 1L, ((bits >> 14) & 0x3FFF) + 1L)
+          } else ("webp", -1L, -1L)
+        } else if (fourcc == "VP8X") {
+          // extended: flags + 3 reserved + u24 LE canvas dims minus one
+          return if (data + 10 <= p.length)
+            ("webp", le24(p, data + 4) + 1L, le24(p, data + 7) + 1L)
+          else ("webp", -1L, -1L)
+        }
+        off += 8L + size + (size & 1L)
+      }
+      ("webp", -1L, -1L)
     } else ("unknown", -1L, -1L)
   }
 
@@ -210,6 +317,30 @@ object Multimodal extends QueryModule {
 
   private val mediaTypeSql =
     "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  /** Closed-form sniffed format of the synth payload (the doc_id%4
+    * class map + the %13 truncation overlay) — shared by the three
+    * parse-consuming oracles so the class map lives in ONE place.
+    */
+  private val fmtSql =
+    """CASE WHEN doc_id % 13 = 0 THEN 'unknown'
+      |    WHEN doc_id % 4 = 0 THEN 'png'
+      |    WHEN doc_id % 4 = 1 THEN 'jpeg'
+      |    WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'webp' END""".stripMargin
+
+  /** Closed-form synth payload byte length (see synthImagePayload). */
+  private val nBytesSql =
+    """CASE WHEN doc_id % 13 = 0 THEN 3
+      |  WHEN doc_id % 4 = 0
+      |    THEN 33 + LEAST(octet_length(encode(text)), 64)
+      |  WHEN doc_id % 4 = 1
+      |    THEN 39 + doc_id % 17
+      |      + CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 5 ELSE 0 END
+      |      + LEAST(octet_length(encode(text)), 64)
+      |  WHEN doc_id % 4 = 2
+      |    THEN 13 + LEAST(octet_length(encode(text)), 64)
+      |  ELSE CASE WHEN (doc_id // 4) % 3 = 1 THEN 25 ELSE 30 END
+      |    + LEAST(octet_length(encode(text)), 64) END""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- metadata extraction over opaque binary payloads ---
@@ -287,12 +418,13 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     }),
 
-    // --- REAL header-geometry parse (round 14): synthesize a
-    // structurally genuine PNG/JFIF container per doc, then recover
-    // (format, width, height) FROM THE BYTES — signature check, PNG
-    // chunk walk, JPEG marker-segment walk with per-doc-variable SOF
-    // offsets (padded APP0, optional COM), plus the truncated-payload
-    // error path. This replaces the one place the multimodal family
+    // --- REAL header-geometry parse (round 14; GIF/WebP round 15):
+    // synthesize a structurally genuine PNG/JFIF/GIF/WebP container
+    // per doc, then recover (format, width, height) FROM THE BYTES —
+    // signature check, PNG chunk walk, JPEG marker-segment walk with
+    // per-doc-variable SOF offsets (padded APP0, optional COM), GIF
+    // logical-screen read, RIFF chunk walk dispatching on
+    // VP8/VP8L/VP8X, plus the truncated-payload error path. This replaces the one place the multimodal family
     // leaned on a stub with the byte arithmetic a real ingest's header
     // sniffer runs; the decode/feature stage above remains the
     // declared codec stub. Map-side only (one pass, no shuffle before
@@ -314,6 +446,71 @@ object Multimodal extends QueryModule {
         })
         .toDF("doc_id", "n_bytes", "fmt", "width", "height")
         .orderBy("doc_id")
+    }),
+
+    // --- aspect-ratio census over PARSED headers (round 15): per
+    // container format, orientation counts and the mean width:height
+    // ratio in integer permille — the geometry profile a preprocessing
+    // fleet reads before choosing resize/letterbox buckets (and the
+    // first consumer of the round-15 GIF/WebP walks beyond the dims
+    // roundtrip itself). Corrupt payloads (dims -1) are excluded, the
+    // error-path census being q_image_dims' job. Map-side parse, one
+    // O(formats) aggregate; per-row ratio is exact integer
+    // w*1000 div h, the mean is ONE terminal division. ---
+    "q_image_aspect" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val payload = synthImagePayload(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (fmt, w, h) = parseImageHeader(payload)
+          (id, fmt, w, h)
+        })
+        .toDF("doc_id", "fmt", "width", "height")
+        .filter(col("width") > 0)
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum((col("width") > col("height")).cast("long"))
+            .as("n_landscape"),
+          sum((col("width") < col("height")).cast("long"))
+            .as("n_portrait"),
+          sum((col("width") === col("height")).cast("long"))
+            .as("n_square"),
+          sum(expr("width * 1000 div height")).cast("long")
+            .as("sum_ratio_pm"))
+        .withColumn("avg_ratio_pm",
+          col("sum_ratio_pm").cast("double") / col("n"))
+        .orderBy("fmt")
+    }),
+
+    // --- format x source mix over PARSED formats (round 15): the
+    // ingest census a multimodal crawl opens with — how many payloads
+    // of each sniffed container each source contributes, their byte
+    // budgets, and each format's byte share within its source (the
+    // truncated/unknown class kept as its own row: unparseable bytes
+    // are a provisioning line item too). Same map-side parse; one
+    // (source, fmt) aggregate + a broadcast O(sources) rollup. ---
+    "q_media_format_mix" -> ((s, d) => {
+      import s.implicits._
+      val parsed = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          val p = synthImagePayload(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (fmt, _, _) = parseImageHeader(p)
+          (id, src, fmt, p.length.toLong)
+        })
+        .toDF("doc_id", "source", "fmt", "nb")
+      val cells = parsed.groupBy("source", "fmt")
+        .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"))
+      val tot = cells.groupBy("source").agg(sum("n_bytes").as("sb"))
+      cells.join(broadcast(tot), "source")
+        .select(col("source"), col("fmt"), col("n_items"),
+          col("n_bytes"),
+          (col("n_bytes").cast("double") / col("sb")).as("byte_share"))
+        .orderBy("source", "fmt")
     }),
 
     // --- multimodal mix card (round 10): per (source, media type),
@@ -346,23 +543,63 @@ object Multimodal extends QueryModule {
     // every field is closed-form in doc_id + byte length because the
     // synth layout is deterministic: PNG = 8 sig + 25 IHDR chunk +
     // min(body,64); JPEG = 2 SOI + (18+pad) APP0 + optional (4+k) COM
-    // + 19 SOF0 + min(body,64); corrupt class keeps 3 bytes
+    // + 19 SOF0 + min(body,64); GIF = 13-byte header + min(body,64);
+    // WebP = 12 RIFF + 8 chunk header + (5 VP8L | 10 VP8/VP8X)
+    // payload + min(body,64); corrupt class keeps 3 bytes
     "q_image_dims" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 13 = 0 THEN 3
-        |    WHEN doc_id % 2 = 0
+        |    WHEN doc_id % 4 = 0
         |      THEN 33 + LEAST(octet_length(encode(text)), 64)
-        |    ELSE 39 + doc_id % 17
-        |      + CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 5 ELSE 0 END
+        |    WHEN doc_id % 4 = 1
+        |      THEN 39 + doc_id % 17
+        |        + CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 5 ELSE 0 END
+        |        + LEAST(octet_length(encode(text)), 64)
+        |    WHEN doc_id % 4 = 2
+        |      THEN 13 + LEAST(octet_length(encode(text)), 64)
+        |    ELSE CASE WHEN (doc_id // 4) % 3 = 1 THEN 25 ELSE 30 END
         |      + LEAST(octet_length(encode(text)), 64) END AS BIGINT)
         |    AS n_bytes,
         |  CASE WHEN doc_id % 13 = 0 THEN 'unknown'
-        |    WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |    WHEN doc_id % 4 = 0 THEN 'png'
+        |    WHEN doc_id % 4 = 1 THEN 'jpeg'
+        |    WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'webp' END AS fmt,
         |  CAST(CASE WHEN doc_id % 13 = 0 THEN -1
         |    ELSE 16 + doc_id % 2048 END AS BIGINT) AS width,
         |  CAST(CASE WHEN doc_id % 13 = 0 THEN -1
         |    ELSE 16 + (doc_id * 7) % 2048 END AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_image_aspect" ->
+      s"""WITH dims AS (
+         |  SELECT $fmtSql AS fmt,
+         |    16 + doc_id % 2048 AS w, 16 + (doc_id * 7) % 2048 AS h
+         |  FROM documents WHERE doc_id % 13 <> 0)
+         |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN w > h THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_landscape,
+         |  CAST(SUM(CASE WHEN w < h THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_portrait,
+         |  CAST(SUM(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_square,
+         |  CAST(SUM(w * 1000 // h) AS BIGINT) AS sum_ratio_pm,
+         |  CAST(SUM(w * 1000 // h) AS DOUBLE) / COUNT(*)
+         |    AS avg_ratio_pm
+         |FROM dims GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    "q_media_format_mix" ->
+      s"""WITH m AS (SELECT source, $fmtSql AS fmt,
+         |    CAST($nBytesSql AS BIGINT) AS nb FROM documents),
+         |cells AS (SELECT source, fmt,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(nb) AS BIGINT) AS n_bytes
+         |  FROM m GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(n_bytes) AS BIGINT) AS sb
+         |  FROM cells GROUP BY 1)
+         |SELECT source, fmt, n_items, n_bytes,
+         |  CAST(n_bytes AS DOUBLE) / sb AS byte_share
+         |FROM cells JOIN t USING (source)
+         |ORDER BY source, fmt""".stripMargin,
 
     "q_multimodal_mix" ->
       s"""WITH m AS (SELECT source, $mediaTypeSql AS media_type,

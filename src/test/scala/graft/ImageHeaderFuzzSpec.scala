@@ -35,17 +35,59 @@ class ImageHeaderFuzzSpec extends AnyFunSuite {
       .map(_.toByte) ++ b)
   private val jpegish: Gen[Array[Byte]] = rawBytes.map(b =>
     Array(0xFF, 0xD8).map(_.toByte) ++ b)
+  private val gifish: Gen[Array[Byte]] = rawBytes.map(b =>
+    "GIF89a".getBytes("US-ASCII") ++ b)
+  private val webpish: Gen[Array[Byte]] = rawBytes.map(b =>
+    ("RIFF".getBytes("US-ASCII") ++
+      Array[Byte](16, 0, 0, 0) ++ "WEBP".getBytes("US-ASCII") ++ b))
+
+  private val fmts = Set("png", "jpeg", "gif", "webp", "unknown")
 
   test("parser total on arbitrary bytes: never throws, classifies " +
     "into the declared result space") {
     val cases = sample(rawBytes, 300) ++ sample(pngish, 300) ++
-      sample(jpegish, 300)
+      sample(jpegish, 300) ++ sample(gifish, 300) ++
+      sample(webpish, 300)
     cases.foreach { p =>
       val (fmt, w, h) = parseImageHeader(p) // must not throw
-      assert(Set("png", "jpeg", "unknown").contains(fmt))
+      assert(fmts.contains(fmt))
       assert(w >= -1L && h >= -1L)
       assert((w == -1L) == (h == -1L),
         "dims are reported together or not at all")
+    }
+  }
+
+  test("crafted huge RIFF chunk sizes terminate the WebP walk as " +
+    "unparseable (the PNG OOB class applied to the new format)") {
+    def riff(size: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      buf.put("WEBP".getBytes("US-ASCII"))
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(size)
+      buf.putInt(0)
+      buf.array()
+    }
+    // 0xFFFFFFFF decodes to -1 as a signed int: an int accumulator
+    // would walk BACKWARDS; the u32-in-Long read must walk forward
+    // off the end and classify as recognized-but-unparseable
+    for (size <- Seq(-1, Int.MinValue, Int.MaxValue, 0))
+      assert(parseImageHeader(riff(size)) == (("webp", -1L, -1L)),
+        s"size=$size must classify as unparseable, not crash")
+  }
+
+  test("parser total on truncations of every valid synth payload " +
+    "prefix length (all four formats + both GIF signatures + all " +
+    "three WebP variants)") {
+    val text = "lorem ipsum dolor sit amet".getBytes("UTF-8")
+    // ids chosen per the doc_id%4 class map: PNG (4), JPEG (21),
+    // GIF89a (2), GIF87a (10), WebP VP8 (3), VP8L (7), VP8X (11)
+    Seq(4L, 21L, 2L, 10L, 3L, 7L, 11L).foreach { id =>
+      val p = synthImagePayload(id, text)
+      (0 to p.length).foreach { k =>
+        val (fmt, _, _) = parseImageHeader(p.take(k)) // must not throw
+        assert(fmts.contains(fmt))
+      }
     }
   }
 
@@ -65,15 +107,4 @@ class ImageHeaderFuzzSpec extends AnyFunSuite {
         s"len=$len must classify as unparseable, not crash")
   }
 
-  test("parser total on truncations of every valid synth payload " +
-    "prefix length") {
-    val text = "lorem ipsum dolor sit amet".getBytes("UTF-8")
-    Seq(2L, 7L, 12L, 21L).foreach { id =>
-      val p = synthImagePayload(id, text)
-      (0 to p.length).foreach { k =>
-        val (fmt, _, _) = parseImageHeader(p.take(k)) // must not throw
-        assert(Set("png", "jpeg", "unknown").contains(fmt))
-      }
-    }
-  }
 }

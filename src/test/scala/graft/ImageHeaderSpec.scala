@@ -62,6 +62,43 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(parseImageHeader(p) == (("jpeg", 32L, 16L)))
   }
 
+  test("GIF: golden 640x480 logical screen parses, both signatures") {
+    // GIF89a, width 640 = 0x0280 LE, height 480 = 0x01E0 LE
+    val p89 = "GIF89a".getBytes("US-ASCII") ++
+      b(0x80, 0x02, 0xE0, 0x01, 0x00, 0x00, 0x00)
+    assert(parseImageHeader(p89) == (("gif", 640L, 480L)))
+    val p87 = "GIF87a".getBytes("US-ASCII") ++
+      b(0x01, 0x00, 0xFF, 0xFF, 0x00, 0x00, 0x00)
+    assert(parseImageHeader(p87) == (("gif", 1L, 65535L)))
+  }
+
+  test("WebP: VP8 sync-coded dims, VP8L bit-packed dims, VP8X u24 " +
+    "canvas — all found through the RIFF chunk walk") {
+    def riff(chunk: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        b(chunk.length + 4, 0, 0, 0) ++ "WEBP".getBytes("US-ASCII") ++
+        chunk
+    // VP8 lossy: 550x368 (the RFC 6386 example geometry)
+    val vp8 = riff("VP8 ".getBytes("US-ASCII") ++ b(10, 0, 0, 0) ++
+      b(0x00, 0x00, 0x00, 0x9D, 0x01, 0x2A, 0x26, 0x02, 0x70, 0x01))
+    assert(parseImageHeader(vp8) == (("webp", 550L, 368L)))
+    // VP8L: w-1=0x0FF (w=256), h-1=0x03F (h=64):
+    // bits = 0x0FF | 0x03F<<14 = 0x000FC0FF
+    val vp8l = riff("VP8L".getBytes("US-ASCII") ++ b(5, 0, 0, 0) ++
+      b(0x2F, 0xFF, 0xC0, 0x0F, 0x00))
+    assert(parseImageHeader(vp8l) == (("webp", 256L, 64L)))
+    // VP8X behind a junk chunk (odd size -> pad byte) proves the walk
+    val vp8x = riff(
+      "JUNK".getBytes("US-ASCII") ++ b(3, 0, 0, 0) ++ b(1, 2, 3, 0) ++
+      "VP8X".getBytes("US-ASCII") ++ b(10, 0, 0, 0) ++
+        b(0x00, 0x00, 0x00, 0x00, 0xFF, 0x01, 0x00, 0x2B, 0x01, 0x00))
+    assert(parseImageHeader(vp8x) == (("webp", 512L, 300L)))
+    // corrupted VP8 sync code -> recognized but unparseable
+    val badSync = riff("VP8 ".getBytes("US-ASCII") ++ b(10, 0, 0, 0) ++
+      b(0x00, 0x00, 0x00, 0x9D, 0x01, 0x2B, 0x26, 0x02, 0x70, 0x01))
+    assert(parseImageHeader(badSync) == (("webp", -1L, -1L)))
+  }
+
   test("truncation and garbage hit the declared error paths") {
     assert(parseImageHeader(png1x1.take(3)) == (("unknown", -1L, -1L)))
     assert(parseImageHeader(png1x1.take(20)) == (("png", -1L, -1L)),
@@ -75,24 +112,42 @@ class ImageHeaderSpec extends AnyFunSuite {
   }
 
   test("synth -> parse roundtrip matches the oracle's closed forms " +
-    "across the doc_id classes") {
+    "across the doc_id classes (PNG/JPEG/GIF87a+89a/VP8+VP8L+VP8X + " +
+    "corrupt)") {
     val text = "the quick brown fox jumps over the lazy dog padding".getBytes("UTF-8")
-    Seq(0L, 2L, 4L, 13L, 26L, 1L, 3L, 7L, 9L, 15L, 39L, 100001L).foreach { id =>
+    val bodyLen = math.min(text.length, 64)
+    Seq(0L, 4L, 8L, 13L, 26L, // png + corrupt
+      1L, 5L, 9L, 21L, 33L, // jpeg (with/without COM, varied pad)
+      2L, 6L, 10L, 30L, // gif (10, 30 -> GIF87a)
+      3L, 7L, 11L, 15L, 19L, 23L, 100003L // webp, all three variants
+    ).foreach { id =>
       val p = synthImagePayload(id, text)
       val (fmt, w, h) = parseImageHeader(p)
       if (id % 13 == 0) {
         assert(p.length == 3 && fmt == "unknown" && w == -1L && h == -1L,
           s"corrupt class at $id")
       } else {
-        assert(fmt == (if (id % 2 == 0) "png" else "jpeg"), s"fmt at $id")
+        val wantFmt = (id % 4) match {
+          case 0 => "png"
+          case 1 => "jpeg"
+          case 2 => "gif"
+          case _ => "webp"
+        }
+        assert(fmt == wantFmt, s"fmt at $id: got $fmt")
         assert(w == 16 + id % 2048, s"width at $id")
         assert(h == 16 + (id * 7) % 2048, s"height at $id")
-        val expectBytes =
-          if (id % 2 == 0) 33 + math.min(text.length, 64)
-          else 39 + (id % 17).toInt +
-            (if (id % 3 == 0) 5 + (id % 5).toInt else 0) +
-            math.min(text.length, 64)
+        val expectBytes = (id % 4) match {
+          case 0 => 33 + bodyLen
+          case 1 => 39 + (id % 17).toInt +
+            (if (id % 3 == 0) 5 + (id % 5).toInt else 0) + bodyLen
+          case 2 => 13 + bodyLen
+          case _ => (if ((id / 4) % 3 == 1) 25 else 30) + bodyLen
+        }
         assert(p.length == expectBytes, s"n_bytes at $id")
+        // the GIF signature variant is part of the byte contract
+        if (id % 4 == 2)
+          assert(new String(p, 0, 6, "US-ASCII") ==
+            (if (id % 5 == 0) "GIF87a" else "GIF89a"), s"gif sig at $id")
       }
     }
   }

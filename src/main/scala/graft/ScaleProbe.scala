@@ -383,11 +383,14 @@ object ScaleProbe {
     else {
       val dst = s"${dstRoot}_zipf"
       buildSkewed(spark, base, dst)
-      // only the truth relation needs prewarming (the probes below
-      // either measure the posting build itself, uncached, or consume
-      // the cached edge relation — the clusterLoop's own cost)
-      try operators.TextPipeline.prewarmTruth(spark, dst)
-      catch { case e: Throwable =>
+      // the truth relation feeds the cluster probe; the bucketed
+      // lineitem feeds the round-15 triangle probe (one-time layout
+      // cost outside the timed passes, the Bench prewarm discipline)
+      try {
+        operators.TextPipeline.prewarmTruth(spark, dst)
+        operators.Advanced.bucketize(spark, dst, "lineitem", "l_orderkey")
+        ()
+      } catch { case e: Throwable =>
         System.err.println(s"[scale] skew warmup failed (non-fatal): $e")
       }
       val probes: Seq[(String, String => Unit)] = Seq(
@@ -405,7 +408,30 @@ object ScaleProbe {
         // owning ~28% of the stream concentrates one group's state
         // and iterator on a single task)
         "q_ssjoin_prefix" -> runQ("q_ssjoin_prefix"),
-        "q_streaming_session" -> runQ("q_streaming_session"))
+        "q_streaming_session" -> runQ("q_streaming_session"),
+        // round-15 extensions (r14 ask #4): the brief's flagship dedup
+        // — template zipf is LSH's adversary (per-(band,bkey) posting
+        // lists grow with family size; a xk family emits C(k,2)
+        // candidates per colliding band, and every one is genuine
+        // output, so the expected reading is output-bound like the r14
+        // ssjoin adjudication, not hot-key serialization);
+        "q_dedup_minhash" -> runQ("q_dedup_minhash"),
+        // the sketch family against hot KEYS (events carries the
+        // user_id ladder): CMS updates and KMV bounded heaps are
+        // commutative map-side merges — both should read ~linear in
+        // volume regardless of key skew, and this pins it (q_agg_hll's
+        // input table, orders, passes through 1x in this build — its
+        // sketch-update shape is the same commutative-merge algebra
+        // the CMS entry measures);
+        "q_agg_cms" -> runQ("q_agg_cms"),
+        "q_kmv_distinct" -> runQ("q_kmv_distinct"),
+        // and the co-purchase graph derivation against zipf-duplicated
+        // lines: every hot order's lines repeat x1200, so the edge
+        // self-join would square the duplication without the
+        // pre-distinct inside orientedTriangleEdges (which the
+        // l_orderkey bucketing makes exchange-free) — this entry is
+        // that defense's measurement
+        "q_graph_triangle" -> runQ("q_graph_triangle"))
       val selected = probes.filter { case (q, _) =>
         only.forall(_.contains(q)) }
       val passResults = (1 to passes).map { p =>
@@ -452,7 +478,12 @@ object ScaleProbe {
       }
       val probes: Seq[(String, String => Unit)] = Seq(
         "q_graph_triangle" -> runQ("q_graph_triangle"),
-        "q_graph_commonnbrs" -> runQ("q_graph_commonnbrs"))
+        "q_graph_commonnbrs" -> runQ("q_graph_commonnbrs"),
+        // round-15 (r14 ask #8): the wedge fallback's cost is
+        // sum C(d_out, 2) — the power-law head is ITS adversary even
+        // more than the broadcast plan's, and until now the hub level
+        // probed only the broadcast spelling
+        "q_graph_triangle_wedge" -> wedgeTriangle)
       val selected = probes.filter { case (q, _) =>
         only.forall(_.contains(q)) }
       val passResults = (1 to passes).map { p =>
@@ -473,7 +504,9 @@ object ScaleProbe {
           case _ => (q, """{"failed":true}""", Double.NaN)
         }
       }
-      val flagged = rows.collect { case (q, _, e) if e > 0.9 => q }
+      // the wedge series keeps its own O(m^1.5) design bound here too
+      val flagged = rows.collect { case (q, _, e)
+        if e > (if (q.endsWith("_wedge")) 1.5 else 0.9) => q }
       Some(s"""{"skew":"hub","factor":$hubCopies,"threshold":0.9,""" +
         s""""queries":${rows.map { case (q, j, _) => "\"" + q + "\":" + j }
           .mkString("{", ",", "}")},""" +

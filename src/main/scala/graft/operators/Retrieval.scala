@@ -504,8 +504,17 @@ object Retrieval extends QueryModule {
     */
   private[graft] def orientedTriangleEdges(s: SparkSession,
       d: String): DataFrame = {
+    // Pre-distinct the (order, part) projection BEFORE the pair
+    // self-join (round 15): duplicate lines of the same part in an
+    // order — rare in clean data, x1200 under the zipf probe's hot
+    // orders — would otherwise multiply QUADRATICALLY through the
+    // join (C(dup,2) pairs per order x part) before the post-join
+    // distinct collapses them. On the l_orderkey-bucketed scan the
+    // aggregate needs NO exchange (HashPartitioning(l_orderkey)
+    // satisfies ClusteredDistribution(l_orderkey, l_partkey)), so the
+    // clean-data cost is one in-partition hash dedup.
     val li = s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
-      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
     val edges = a.hint("merge").join(b.hint("merge"), "l_orderkey")

@@ -25,6 +25,85 @@ object CorpusStats extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- hapax-legomena profile per source (round 15): the share of
+      // each source's vocabulary that occurs EXACTLY ONCE corpus-wide —
+      // the classic lexical-richness / OCR-noise signal (clean prose
+      // runs ~40-60% hapax; boilerplate and template farms collapse it,
+      // gibberish inflates it). Work: one (source, token) aggregate, a
+      // vocabulary-keyed rollup to corpus frequency, one vocab-keyed
+      // join back (both relations are skinny token rows — the standard
+      // vocabulary shuffle, never document payloads), then an
+      // O(sources) rollup. A corpus-hapax token lives in exactly one
+      // source, so per-source hapax counts partition the global hapax
+      // set. ---
+      "q_hapax_ratio" -> ((s, d) => {
+        val tf = table(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val g = tf.groupBy("t").agg(sum("c").as("n"))
+        tf.join(g, "t")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum("c").cast("long").as("n_tokens"),
+            sum((col("n") === 1).cast("long")).as("n_hapax"))
+          .withColumn("hapax_share",
+            col("n_hapax").cast("double") / col("n_types"))
+          .orderBy("source")
+      }),
+
+      // --- type-token ratio per source (round 15): vocabulary size
+      // over token volume, plus Guiraud's root-TTR (types/sqrt(tokens),
+      // the length-corrected variant actually comparable across
+      // sources of different size — raw TTR decays mechanically with
+      // volume). One (source, token) aggregate then an O(sources)
+      // rollup; sqrt is IEEE-correctly-rounded on both engines, and it
+      // plus the two terminal divisions are the only FP ops. ---
+      "q_ttr" -> ((s, d) => {
+        table(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum("c").cast("long").as("n_tokens"))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+            (col("n_types").cast("double")
+              / sqrt(col("n_tokens").cast("double"))).as("root_ttr"))
+          .orderBy("source")
+      }),
+
+      // --- Heaps-law vocabulary growth curve (round 15): cumulative
+      // distinct vocabulary as the corpus accumulates in doc_id order,
+      // over ten equal id bands — the readout that tells a crawl
+      // whether new data still buys new vocabulary (V(n) ~ K·n^beta
+      // flattening) or has gone stale. The device is exact and
+      // window-free at corpus scale: a token's FIRST band is a min
+      // aggregate, so "new types per band" is one vocabulary rollup,
+      // and the only window runs over the ten band rows. Band bounds
+      // ride a broadcast 1-row max; integer band arithmetic end to
+      // end. ---
+      "q_heaps_law" -> ((s, d) => {
+        val mx = table(s, d, "documents")
+          .agg((max("doc_id") + 1).as("mxid"))
+        val tok = table(s, d, "documents")
+          .crossJoin(broadcast(mx))
+          .select(expr("doc_id * 10 div mxid").as("band"),
+            explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+        val perBand = tok.groupBy("band").agg(count(lit(1)).as("n_tokens"))
+        val firstB = tok.groupBy("t").agg(min("band").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBand.join(firstB, Seq("band"), "left")
+          .na.fill(0L, Seq("new_types"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
+          .withColumn("cum_types", sum("new_types").over(w).cast("long"))
+          .orderBy("band")
+      }),
+
       // --- Cramér's V on categorical drift: event-type mix, first half
       // of time vs second half (the effect-size companion to the PSI /
       // KS monitors — χ² says "significant", V says "big enough to
@@ -505,6 +584,56 @@ object CorpusStats extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_hapax_ratio" ->
+      """WITH tf AS (
+        |  SELECT source, t, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |g AS (SELECT t, SUM(c) AS n FROM tf GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS hapax_share
+        |FROM tf JOIN g USING (t)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_ttr" ->
+      """WITH tf AS (
+        |  SELECT source, t, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+        |  CAST(COUNT(*) AS DOUBLE) / sqrt(CAST(SUM(c) AS DOUBLE))
+        |    AS root_ttr
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_heaps_law" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS mxid FROM documents),
+        |tok AS (
+        |  SELECT doc_id * 10 // mxid AS band, t
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents), mx
+        |  WHERE length(t) > 0),
+        |pb AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM tok GROUP BY 1),
+        |fb AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS new_types
+        |       FROM (SELECT t, MIN(band) AS band FROM tok GROUP BY 1)
+        |       GROUP BY 1)
+        |SELECT pb.band, pb.n_tokens,
+        |  CAST(COALESCE(fb.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(SUM(pb.n_tokens) OVER (ORDER BY pb.band) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(SUM(COALESCE(fb.new_types, 0)) OVER (ORDER BY pb.band)
+        |    AS BIGINT) AS cum_types
+        |FROM pb LEFT JOIN fb USING (band)
+        |ORDER BY band""".stripMargin,
 
     "q_cross_lang_dups" ->
       s"""WITH ${TextPipeline.ngramPairCte},

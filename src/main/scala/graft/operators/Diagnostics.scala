@@ -34,6 +34,65 @@ object Diagnostics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Brown-Forsythe / Levene homogeneity-of-variance test
+      // (round 15): is event-value SPREAD equal across event types —
+      // the precondition check q_anova_f silently assumes, and the
+      // robust (median-centered) variant actually recommended. Device:
+      // values quantize to exact integer cents; each group's median
+      // comes from the banded cum*2 >= n integer cut (the
+      // percentile_grid discipline — O(bands) windows, never a
+      // corpus-sized sort); |x − med| is then an exact int64, so the
+      // one-way ANOVA moments over the deviations (n_i, Σz, Σz²) are
+      // exact. FP enters only in the per-group si²/ni terms — fixed
+      // IEEE trees quantized to DECIMAL(30,6) before the O(groups)
+      // sum — and the terminal F assembly. One scan + band/group
+      // rollups at any scale; 1-row output. ---
+      "q_levene_bf" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("v"))
+        val bands = ev.groupBy("event_type", "v")
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("nt"))
+        val med = bands.withColumn("cum", sum("c").over(wc))
+          .join(broadcast(tot), "event_type")
+          .groupBy("event_type")
+          .agg(min(when(col("cum") * 2 >= col("nt"), col("v")))
+            .as("med"))
+        val z = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("v") - col("med")).as("z"))
+        // per-group si²/ni quantizes to INTEGER cent² (round, then
+        // exact int64 sums): a fractional decimal quantum would sit
+        // BELOW the double ULP at these magnitudes (observed: Spark's
+        // double→decimal goes through the shortest string repr,
+        // DuckDB's through the full binary expansion — divergent 6th
+        // decimals at 1e10). Quantum 1 keeps ≥4x ULP headroom up to
+        // si²/ni ~ 1e15, and the ≤0.5-per-group residual is ~1e-10
+        // relative on the F scale.
+        val g = z.groupBy("event_type")
+          .agg(count(lit(1)).as("ni"), sum("z").as("si"),
+            sum(col("z") * col("z")).as("qi"))
+          .withColumn("s2n", expr(
+            "CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni," +
+              " 0) AS BIGINT)"))
+        g.agg(count(lit(1)).as("k"),
+            sum("ni").cast("long").as("n"),
+            sum("si").cast("long").as("s"),
+            sum("qi").cast("long").as("q"),
+            sum("s2n").cast("long").as("sum_s2n"))
+          .select(col("k"), col("n"),
+            (col("sum_s2n").cast("double")
+              - round(col("s").cast("double") * col("s").cast("double")
+                / col("n"), 0)).as("ssb"),
+            (col("q").cast("double") - col("sum_s2n").cast("double"))
+              .as("ssw"))
+          .withColumn("f_bf",
+            (col("ssb") / (col("k") - 1))
+              / (col("ssw") / (col("n") - col("k"))))
+      }),
+
       // --- Mann-Kendall monotonic-trend test per event type (the
       // significance companion to q_theilsen_trend's slope): S = Σ
       // sign(c_j − c_i) over day pairs, tie-corrected variance, and
@@ -423,6 +482,45 @@ object Diagnostics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_levene_bf" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |b AS (SELECT event_type, v, COUNT(*) AS c
+        |      FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt
+        |      FROM ev GROUP BY 1),
+        |cum AS (SELECT event_type, v, CAST(SUM(c) OVER (
+        |      PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum FROM b),
+        |med AS (SELECT event_type, MIN(v) AS med
+        |        FROM cum JOIN t USING (event_type)
+        |        WHERE cum * 2 >= nt GROUP BY 1),
+        |z AS (SELECT ev.event_type, abs(v - med) AS z
+        |      FROM ev JOIN med USING (event_type)),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni,
+        |    CAST(SUM(z) AS BIGINT) AS si,
+        |    CAST(SUM(z * z) AS BIGINT) AS qi
+        |  FROM z GROUP BY 1),
+        |gt AS (SELECT ni, si, qi,
+        |    CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni,
+        |      0) AS BIGINT) AS s2n FROM g),
+        |top AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ni) AS BIGINT) AS n, CAST(SUM(si) AS BIGINT) AS s,
+        |    CAST(SUM(qi) AS BIGINT) AS q,
+        |    CAST(SUM(s2n) AS BIGINT) AS sum_s2n FROM gt)
+        |SELECT k, n,
+        |  CAST(sum_s2n AS DOUBLE)
+        |    - round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0)
+        |    AS ssb,
+        |  CAST(q AS DOUBLE) - CAST(sum_s2n AS DOUBLE) AS ssw,
+        |  ((CAST(sum_s2n AS DOUBLE)
+        |      - round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0))
+        |      / (k - 1))
+        |    / ((CAST(q AS DOUBLE) - CAST(sum_s2n AS DOUBLE)) / (n - k))
+        |    AS f_bf
+        |FROM top""".stripMargin,
 
     "q_page_hinkley" ->
       """WITH days AS (SELECT CAST(date_diff('day', DATE '2024-01-01',

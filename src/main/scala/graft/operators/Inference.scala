@@ -39,6 +39,36 @@ object Inference extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- McNemar's test (round 15): paired comparison of two
+      // classifiers on the SAME documents — the eval-table statistic
+      // for "is model B actually better than model A" when both score
+      // every item (a two-proportion z-test is wrong there; only the
+      // DISAGREEMENT cells carry information). The two deterministic
+      // "models" gate on independent md5 nibbles of doc_id (the
+      // repo-standard stand-in for stored prediction columns; the
+      // query shape — one conditional aggregate to the 2x2 table, the
+      // statistic as a fixed expression over its four cells — is the
+      // contract). chi2 = (b-c)^2/(b+c), exact int64 numerator, ONE
+      // division; the zero-discordance guard mirrors in the oracle.
+      // One map-side-combinable scan at any scale, 1-row output. ---
+      "q_mcnemar" -> ((s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        val ca = substring(h, 1, 1) <= "7"
+        val cb = substring(h, 2, 1) <= "7"
+        table(s, d, "documents")
+          .select(ca.as("ca"), cb.as("cb"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("ca") && col("cb")).cast("long")).as("both_ok"),
+            sum((col("ca") && !col("cb")).cast("long")).as("a_only"),
+            sum((!col("ca") && col("cb")).cast("long")).as("b_only"),
+            sum((!col("ca") && !col("cb")).cast("long")).as("neither"))
+          .withColumn("mcnemar_chi2",
+            when(col("a_only") + col("b_only") === 0L, lit(0.0))
+              .otherwise(((col("a_only") - col("b_only"))
+                * (col("a_only") - col("b_only"))).cast("double")
+                / (col("a_only") + col("b_only"))))
+      }),
+
       // --- paired SIGN test (round 13): did per-user activity rise in
       // the second half of the observation window? The nonparametric
       // sibling of the paired t-test — only the SIGN of each user's
@@ -420,6 +450,27 @@ object Inference extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+    "q_mcnemar" ->
+      """WITH t AS (SELECT
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS ca,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) <= '7' AS cb
+        |  FROM documents),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS both_ok,
+        |    CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_only,
+        |    CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_only,
+        |    CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neither
+        |  FROM t)
+        |SELECT n, both_ok, a_only, b_only, neither,
+        |  CASE WHEN a_only + b_only = 0 THEN 0.0
+        |    ELSE CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+        |      / (a_only + b_only) END AS mcnemar_chi2
+        |FROM c""".stripMargin,
+
     "q_sign_test" ->
       """WITH per AS (SELECT user_id,
         |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',

@@ -35,6 +35,14 @@ object StreamingSmoke extends QueryModule {
       : SparkSession = {
     val ss = org.apache.spark.sql.graft.Bridge.cloneSession(s)
     ss.conf.set("spark.sql.shuffle.partitions", parts)
+    // a clone gets its OWN StreamingQueryManager, so observability
+    // registered on the parent (StreamMicrobatchProfile's progress
+    // listener; any production metrics hook) would silently miss every
+    // sized twin's micro-batches — carry the parent's listeners over
+    val already = ss.streams.listListeners.toSet
+    s.streams.listListeners
+      .filterNot(already.contains)
+      .foreach(ss.streams.addListener)
     ss
   }
 

@@ -34,6 +34,76 @@ object Diagnostics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- rescaled-range (R/S) Hurst analysis (round 15): long-range
+      // dependence of the daily revenue series — the Mandelbrot/Hurst
+      // readout that separates trending (H>0.5), random-walk (≈0.5)
+      // and mean-reverting (<0.5) behavior, which q_autocorr's
+      // fixed-lag view can't. Per window size w ∈ {8,16,32} days the
+      // series splits into complete non-overlapping windows; within
+      // each, the cumulative deviation from the window mean is kept
+      // EXACT by scaling through w: y_t = w·cum_t − t·S_w (int64 —
+      // dollars, not cents, so Σx² stays < 2^53 and its double cast is
+      // value-exact), so the range R·w = max y − min y is exact and
+      // R/S = Ry / sqrt(w·Σx² − S_w²) is one fixed IEEE tree (÷ and
+      // sqrt are correctly rounded — no libm). Per-window values
+      // quantize to integer permille before the cross-window mean (the
+      // levene_bf discipline: double Σ-order must never reach the
+      // hash). Growth across w is reported as mean-R/S ratios vs w=8
+      // (H itself needs a log — left to the consumer; a log2 here
+      // would drag libm into the hash). All windows derive from the
+      // O(days) daily aggregate; the day index is a 1-partition window
+      // over that tiny relation, never the raw events. Gaps collapse
+      // (the series is over observed days). ---
+      "q_hurst_rs" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("cents"))
+          .select(col("day"), expr("cents div 100").as("v"))
+        val idx = daily
+          .withColumn("rn",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .localCheckpoint()
+        val perW = Seq(8L, 16L, 32L).map { w =>
+          idx.select(lit(w).as("w"),
+            expr(s"(rn - 1) div ${w}L").as("wid"),
+            ((col("rn") - 1) % w + 1).as("t"), col("v"))
+        }.reduce(_ unionByName _)
+        val full = Window.partitionBy("w", "wid")
+        val run = Window.partitionBy("w", "wid").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wins = perW
+          .withColumn("sw", sum("v").over(full))
+          .withColumn("y",
+            sum("v").over(run) * col("w") - col("t") * col("sw"))
+          .groupBy("w", "wid")
+          .agg(count(lit(1)).as("n"), max("sw").as("swv"),
+            sum(col("v") * col("v")).as("q"),
+            (max("y") - min("y")).as("ry"))
+          .filter(col("n") === col("w"))
+          .withColumn("den2",
+            col("w") * col("q") - col("swv") * col("swv"))
+          .filter(col("den2") > 0)
+          .select(col("w"),
+            expr("CAST(round(CAST(ry AS DOUBLE)" +
+              " / sqrt(CAST(den2 AS DOUBLE)) * 1000, 0) AS BIGINT)")
+              .as("rs1000"))
+        val agg = wins.groupBy("w")
+          .agg(count(lit(1)).as("n_windows"),
+            sum("rs1000").cast("long").as("srs"))
+          .select(col("w"), col("n_windows"),
+            (col("srs").cast("double")
+              / (lit(1000.0) * col("n_windows").cast("double")))
+              .as("mean_rs"))
+          .localCheckpoint()
+        val base8 = agg.filter(col("w") === 8)
+          .select(col("mean_rs").as("m8"))
+        agg.crossJoin(broadcast(base8))
+          .select(col("w"), col("n_windows"), col("mean_rs"),
+            (col("mean_rs") / col("m8")).as("rs_ratio_vs8"))
+          .orderBy("w")
+      }),
+
       // --- Brown-Forsythe / Levene homogeneity-of-variance test
       // (round 15): is event-value SPREAD equal across event types —
       // the precondition check q_anova_f silently assumes, and the
@@ -482,6 +552,40 @@ object Diagnostics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_hurst_rs" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT day, CAST(SUM(vc) AS BIGINT) // 100 AS v
+        |  FROM d0 GROUP BY 1),
+        |idx AS (SELECT day, v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily),
+        |perw AS (SELECT w, (rn - 1) // w AS wid,
+        |    (rn - 1) % w + 1 AS t, v
+        |  FROM idx CROSS JOIN
+        |    (SELECT CAST(UNNEST([8, 16, 32]) AS BIGINT) AS w)),
+        |wins AS (SELECT w, wid, t, v,
+        |    CAST(SUM(v) OVER (PARTITION BY w, wid) AS BIGINT) AS sw,
+        |    CAST(SUM(v) OVER (PARTITION BY w, wid ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM perw),
+        |g AS (SELECT w, wid, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MAX(sw) AS swv, CAST(SUM(v * v) AS BIGINT) AS q,
+        |    MAX(cum * w - t * sw) - MIN(cum * w - t * sw) AS ry
+        |  FROM wins GROUP BY 1, 2),
+        |f AS (SELECT w, CAST(round(CAST(ry AS DOUBLE)
+        |      / sqrt(CAST(w * q - swv * swv AS DOUBLE)) * 1000, 0)
+        |    AS BIGINT) AS rs1000
+        |  FROM g WHERE n = w AND w * q - swv * swv > 0),
+        |a2 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(CAST(SUM(rs1000) AS BIGINT) AS DOUBLE)
+        |      / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_rs
+        |  FROM f GROUP BY 1),
+        |b8 AS (SELECT mean_rs AS m8 FROM a2 WHERE w = 8)
+        |SELECT w, n_windows, mean_rs, mean_rs / m8 AS rs_ratio_vs8
+        |FROM a2 CROSS JOIN b8 ORDER BY w""".stripMargin,
 
     "q_levene_bf" ->
       """WITH ev AS (SELECT event_type,

@@ -39,6 +39,49 @@ object EffectSizes extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Fleiss' kappa (round 15): multi-rater agreement beyond
+      // Cohen's two raters — here each order with ≥4 lines is an
+      // "item" whose first four lines are the m=4 raters and whose
+      // category is the line's return flag; the statistic asks
+      // whether lines of one order agree on flag more than chance.
+      // Every moment is an exact int64 off two aggregates: per-item
+      // Σ_j n_ij² (for P̄ = (ΣΣn² − N·m)/(N·m·(m−1))) and per-category
+      // column totals squared (for P̄e = ΣG_j²/(N·m)²). The N² in P̄e's
+      // denominator is assembled in DOUBLE (16·N² overflows int64 past
+      // N ~ 7.6e8 items; the numerators stay integer). FP enters only
+      // at the two terminal ratios and the kappa assembly. 1-row out;
+      // the (item, cat) aggregate shuffles on orderkey only. ---
+      "q_fleiss_kappa" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+          .filter(col("l_linenumber") <= 4)
+          .select(col("l_orderkey").as("ok"),
+            col("l_returnflag").as("cat"))
+        // localCheckpoint: the ≤4-line slice feeds the qualifying-item
+        // census AND the (item, cat) aggregate.
+        val liq = li.localCheckpoint()
+        val items = liq.groupBy("ok").agg(count(lit(1)).as("m"))
+          .filter(col("m") === 4).select("ok")
+        val nij = liq.join(items, "ok").groupBy("ok", "cat")
+          .agg(count(lit(1)).as("nij"))
+          .localCheckpoint()
+        val gTot = nij.groupBy("ok")
+          .agg(sum(col("nij") * col("nij")).as("s2"))
+          .agg(count(lit(1)).as("n_items"),
+            sum("s2").cast("long").as("ss2"))
+        val gCat = nij.groupBy("cat")
+          .agg(sum("nij").cast("long").as("gj"))
+          .agg(sum(col("gj") * col("gj")).cast("long").as("sg2"))
+        gTot.crossJoin(broadcast(gCat))
+          .select(col("n_items"), lit(4L).as("m"),
+            ((col("ss2") - lit(4L) * col("n_items")).cast("double")
+              / (lit(12.0) * col("n_items").cast("double"))).as("p_bar"),
+            (col("sg2").cast("double")
+              / (lit(16.0) * col("n_items").cast("double")
+                * col("n_items").cast("double"))).as("p_e"))
+          .withColumn("kappa",
+            (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+      }),
+
       // --- Matthews correlation coefficient: the single balanced
       // number for a binary classifier that precision/recall/F1
       // (q_confusion) can each hide — robust to class imbalance. One
@@ -204,6 +247,36 @@ object EffectSizes extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_fleiss_kappa" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_returnflag AS cat
+        |  FROM lineitem WHERE l_linenumber <= 4),
+        |items AS (SELECT ok FROM li GROUP BY ok
+        |          HAVING COUNT(*) = 4),
+        |nij AS (SELECT ok, cat, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM li JOIN items USING (ok) GROUP BY 1, 2),
+        |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(s2) AS BIGINT) AS ss2
+        |  FROM (SELECT ok, SUM(nij * nij) AS s2 FROM nij GROUP BY 1)),
+        |gc AS (SELECT CAST(SUM(gj * gj) AS BIGINT) AS sg2
+        |  FROM (SELECT cat, CAST(SUM(nij) AS BIGINT) AS gj
+        |        FROM nij GROUP BY 1))
+        |SELECT n_items, CAST(4 AS BIGINT) AS m,
+        |  CAST(ss2 - 4 * n_items AS DOUBLE)
+        |    / (12.0 * CAST(n_items AS DOUBLE)) AS p_bar,
+        |  CAST(sg2 AS DOUBLE)
+        |    / (16.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))
+        |    AS p_e,
+        |  (CAST(ss2 - 4 * n_items AS DOUBLE)
+        |      / (12.0 * CAST(n_items AS DOUBLE))
+        |    - CAST(sg2 AS DOUBLE)
+        |      / (16.0 * CAST(n_items AS DOUBLE)
+        |        * CAST(n_items AS DOUBLE)))
+        |  / (1.0 - CAST(sg2 AS DOUBLE)
+        |      / (16.0 * CAST(n_items AS DOUBLE)
+        |        * CAST(n_items AS DOUBLE))) AS kappa
+        |FROM gt CROSS JOIN gc""".stripMargin,
+
     "q_mcc" ->
       """WITH e AS (SELECT label % 2 = 1 AS y,
         |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000, 0)

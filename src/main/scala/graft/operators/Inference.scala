@@ -39,6 +39,42 @@ object Inference extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Cochran's Q (round 15): the k-treatment generalization of
+      // McNemar — k=3 related binary outcomes per block, here the
+      // first three lines of every ≥3-line order with outcome
+      // "bulk line" (quantity ≥ 25), asking whether line position
+      // shifts the bulk rate within orders. Q = (k−1)(kΣG_j² − T²) /
+      // (kT − ΣL_i²) from exact int64 row/column moments (T = ΣL_i =
+      // ΣG_j ≤ 3N — T² overflows int64 past N ~ 1e9 blocks; a fleet
+      // recast rides DECIMAL(38,0), same two aggregates). One shuffle
+      // on orderkey; the 3-row column-total aggregate and the block
+      // moments cross-combine as 1-row broadcasts. ---
+      "q_cochran_q" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+          .filter(col("l_linenumber") <= 3)
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("j"),
+            (col("l_quantity") >= 25).cast("long").as("x"))
+          .localCheckpoint()
+        // blocks: orders carrying all three treatments (exactly the
+        // ≤3-line slice rows counted per order).
+        val blocks = li.groupBy("ok")
+          .agg(count(lit(1)).as("c"), sum("x").as("l"))
+          .filter(col("c") === 3)
+          .localCheckpoint()
+        val rowsM = blocks.agg(count(lit(1)).as("n_blocks"),
+          sum("l").cast("long").as("t"),
+          sum(col("l") * col("l")).cast("long").as("sl2"))
+        val colsM = li.join(blocks.select("ok"), "ok")
+          .groupBy("j").agg(sum("x").cast("long").as("gj"))
+          .agg(sum(col("gj") * col("gj")).cast("long").as("sg2"))
+        rowsM.crossJoin(broadcast(colsM))
+          .select(col("n_blocks"), lit(3L).as("k"), col("t"),
+            ((lit(2L) * (lit(3L) * col("sg2") - col("t") * col("t")))
+              .cast("double")
+              / (lit(3L) * col("t") - col("sl2")).cast("double"))
+              .as("q_stat"))
+      }),
+
       // --- McNemar's test (round 15): paired comparison of two
       // classifiers on the SAME documents — the eval-table statistic
       // for "is model B actually better than model A" when both score
@@ -450,6 +486,25 @@ object Inference extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_cochran_q" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS j,
+        |    CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS x
+        |  FROM lineitem WHERE l_linenumber <= 3),
+        |blocks AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(x) AS BIGINT) AS l
+        |  FROM li GROUP BY 1 HAVING COUNT(*) = 3),
+        |rm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(l) AS BIGINT) AS t,
+        |    CAST(SUM(l * l) AS BIGINT) AS sl2 FROM blocks),
+        |cm AS (SELECT CAST(SUM(gj * gj) AS BIGINT) AS sg2
+        |  FROM (SELECT j, CAST(SUM(x) AS BIGINT) AS gj
+        |        FROM li JOIN blocks USING (ok) GROUP BY 1))
+        |SELECT n_blocks, CAST(3 AS BIGINT) AS k, t,
+        |  CAST(2 * (3 * sg2 - t * t) AS DOUBLE)
+        |    / CAST(3 * t - sl2 AS DOUBLE) AS q_stat
+        |FROM rm CROSS JOIN cm""".stripMargin,
+
     "q_mcnemar" ->
       """WITH t AS (SELECT
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS ca,

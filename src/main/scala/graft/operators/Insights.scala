@@ -364,6 +364,43 @@ object Insights extends QueryModule {
           .limit(20)
       }),
 
+      // --- resource-allocation link prediction (Zhou/Lü/Zhang 2009)
+      // over the same supplier-part bipartite graph as
+      // q_graph_commonnbrs: score(a,b) = Σ_{shared part p} 1/df(p) —
+      // the refinement that discounts promiscuous shared neighbors (a
+      // part supplied by everyone carries ~no evidence, yet common-
+      // neighbor counting weighs it equal to a rare part). Entirely
+      // rational on purpose: each emission carries w = 10^12 div df as
+      // an exact int64 (the Adamic-Adar 1/ln(df) spelling would drag a
+      // non-correctly-rounded libm log into the cross-engine hash),
+      // and the per-pair sum rides DECIMAL(38,0) (a fleet-scale pair
+      // can share millions of parts; int64 caps at ~18M emissions of
+      // 5e11). Same df-cap [2,256] and sorted-posting pair emission as
+      // commonnbrs — O(df²) bounded per part; top-20 is a TakeOrdered
+      // off the O(pairs) aggregate, never a global sort. ---
+      "q_graph_resource_alloc" -> ((s, d) => {
+        val postings = table(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .groupBy("pk")
+          .agg(sort_array(collect_set(col("sk"))).as("ids"))
+          .filter(size(col("ids")).between(2, 256))
+          .select(col("ids"),
+            expr("1000000000000 div CAST(size(ids) AS BIGINT)").as("w"))
+        postings
+          .select(posexplode(col("ids")).as(Seq("i", "sa")),
+            col("ids"), col("w"))
+          .select(col("sa"), col("i"), col("w"),
+            posexplode(col("ids")).as(Seq("j", "sb")))
+          .filter(col("i") < col("j"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("common"),
+            sum(col("w").cast("decimal(38,0)")).as("ras"))
+          .select(col("sa"), col("sb"), col("common"),
+            (col("ras").cast("double") / 1e12).as("ra"))
+          .orderBy(col("ra").desc, col("sa"), col("sb"))
+          .limit(20)
+      }),
+
       // --- Simpson's-paradox detector: per calendar-year stratum, the
       // urgent-vs-rest finished-order rate difference, flagged where
       // its SIGN flips against the pooled difference — the aggregation
@@ -571,6 +608,21 @@ object Insights extends QueryModule {
         |  CAST(common AS DOUBLE) / (da.c + db.c - common) AS jac
         |FROM pr JOIN deg da ON da.sk = sa JOIN deg db ON db.sk = sb
         |ORDER BY common DESC, sa, sb LIMIT 20""".stripMargin,
+
+    "q_graph_resource_alloc" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |            FROM lineitem),
+        |w AS (SELECT pk, 1000000000000 // CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM sp GROUP BY pk
+        |      HAVING COUNT(*) BETWEEN 2 AND 256)
+        |SELECT a.sk AS sa, b.sk AS sb,
+        |  CAST(COUNT(*) AS BIGINT) AS common,
+        |  CAST(CAST(SUM(CAST(w.w AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        |    AS DOUBLE) AS ra
+        |FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+        |JOIN w ON w.pk = a.pk
+        |GROUP BY 1, 2
+        |ORDER BY ra DESC, sa, sb LIMIT 20""".stripMargin,
 
     "q_simpson_flip" ->
       """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

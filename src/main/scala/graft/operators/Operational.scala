@@ -29,6 +29,58 @@ object Operational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- chain-ladder development factors (round 15): the
+      // actuarial run-off triangle, spelled on order fulfilment —
+      // cohort = order month, development age = ship-vs-order month
+      // lag (capped at 6 = tail band), cell value = shipped cents.
+      // The age-to-age factor f_d = Σ_cohorts C(c,d+1) / Σ C(c,d) is
+      // the volume-weighted all-cohort estimator, taken over exactly
+      // the cohorts where BOTH ages exist (the standard truncation —
+      // young cohorts can't vote on factors they haven't reached).
+      // Cumulative cells come from a window over the O(cohorts × 7)
+      // aggregate, never the raw rows; the dev/dev+1 pairing is a
+      // self-join of that same tiny relation (AQE broadcasts it); all
+      // cells are exact int64 cents until the terminal factor
+      // division. The lineitem⋈orders join shuffles on orderkey —
+      // co-partitioned at any scale. ---
+      "q_chain_ladder" -> ((s, d) => {
+        val o = table(s, d, "orders").select(
+          col("o_orderkey").as("ok"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("om"),
+          date_trunc("month", col("o_orderdate")).cast("date")
+            .as("cohort"))
+        val li = table(s, d, "lineitem").select(
+          col("l_orderkey").as("ok"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("sm"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .as("epc"))
+        val cells = li.join(o, "ok")
+          .select(col("cohort"),
+            least(col("sm") - col("om"), lit(6L)).as("dev"), col("epc"))
+          .filter(col("dev") >= 0)
+          .groupBy("cohort", "dev").agg(sum("epc").as("v"))
+        val wc = Window.partitionBy("cohort").orderBy("dev")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // localCheckpoint: the cumulative triangle is consumed twice
+        // (both sides of the dev/dev+1 self-join).
+        val cum = cells.withColumn("cumv", sum("v").over(wc))
+          .select(col("cohort"), col("dev"), col("cumv"))
+          .localCheckpoint()
+        cum.as("a").join(cum.as("b"),
+            col("a.cohort") === col("b.cohort")
+              && col("b.dev") === col("a.dev") + 1)
+          .groupBy(col("a.dev").as("dev"))
+          .agg(count(lit(1)).as("n_cohorts"),
+            sum(col("a.cumv")).cast("long").as("c_d"),
+            sum(col("b.cumv")).cast("long").as("c_d1"))
+          .select(col("dev"), col("n_cohorts"), col("c_d"), col("c_d1"),
+            (col("c_d1").cast("double") / col("c_d").cast("double"))
+              .as("factor"))
+          .orderBy("dev")
+      }),
+
       // --- open-order aging report (round 14): non-finished orders
       // bucketed by age against the corpus's as-of date (its max
       // order date — self-anchored so the report is deterministic on
@@ -395,6 +447,34 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_chain_ladder" ->
+      """WITH o AS (SELECT o_orderkey AS ok,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS om,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS cohort
+        |  FROM orders),
+        |li AS (SELECT l_orderkey AS ok,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+        |      AS sm,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+        |  FROM lineitem),
+        |cells AS (SELECT cohort, LEAST(sm - om, 6) AS dev,
+        |    CAST(SUM(epc) AS BIGINT) AS v
+        |  FROM li JOIN o USING (ok) WHERE sm - om >= 0
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort, dev, CAST(SUM(v) OVER (
+        |      PARTITION BY cohort ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cumv FROM cells)
+        |SELECT a.dev AS dev, CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+        |  CAST(SUM(a.cumv) AS BIGINT) AS c_d,
+        |  CAST(SUM(b.cumv) AS BIGINT) AS c_d1,
+        |  CAST(SUM(b.cumv) AS DOUBLE) / CAST(SUM(a.cumv) AS DOUBLE)
+        |    AS factor
+        |FROM cum a JOIN cum b
+        |  ON a.cohort = b.cohort AND b.dev = a.dev + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_order_aging" ->
       s"""WITH a AS (SELECT MAX(o_orderdate) AS as_of FROM orders),

@@ -251,6 +251,55 @@ object Statistics extends QueryModule {
       // tracker), emitting final survival, the median survival time,
       // and totals. The fold is the aggregate() HOF — sequential IEEE
       // order matches the oracle's recursive CTE exactly. ---
+      // --- Nelson-Aalen cumulative hazard (round 15): the additive
+      // companion to q_survival_km's product-limit curve — Ĥ(t) =
+      // Σ_{s≤t} d_s/n_s over weekly duration bands per first-event
+      // cohort, preferred over −ln(KM) for its small-risk-set bias
+      // behavior. Same span derivation as KM (per-user first/last
+      // event, censored inside the trailing 7-day observation edge);
+      // each band's hazard increment is EXACT: (d·1e9) div n_at_risk
+      // int64 (d ≤ 1e9 users before overflow — a fleet recast rides
+      // DECIMAL(38,0)), and the cumulative sum is a window over the
+      // O(cohorts × weeks) grid, so the hash never sees an FP Σ. The
+      // at-risk count derives from the same grid (total minus prior
+      // bands). One shuffle on user_id; grid windows are post-agg. ---
+      "q_nelson_aalen" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        val maxTs = ev.agg(max("ts").as("mx"))
+        val spans = ev
+          .groupBy("user_id")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("cohort"),
+            min("ts").as("t0"), max("ts").as("t1"))
+          .crossJoin(broadcast(maxTs))
+          .select(col("cohort"),
+            (datediff(col("t1").cast("date"), col("t0").cast("date"))
+              .cast("long")).as("dur"),
+            (col("t1") < col("mx") - expr("interval 7 days"))
+              .cast("long").as("death"))
+          .select(col("cohort"), expr("dur div 7").as("wk"),
+            col("death"))
+        val grid = spans.groupBy("cohort", "wk")
+          .agg(sum("death").as("d"),
+            sum(lit(1L) - col("death")).as("c"))
+          .localCheckpoint()
+        val tot = grid.groupBy("cohort")
+          .agg(sum(col("d") + col("c")).as("nt"))
+        val prior = Window.partitionBy("cohort").orderBy("wk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val run = Window.partitionBy("cohort").orderBy("wk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(broadcast(tot), "cohort")
+          .withColumn("at_risk", col("nt")
+            - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+          .withColumn("term", expr("(d * 1000000000) div at_risk"))
+          .withColumn("hs", sum("term").over(run))
+          .select(col("cohort"), col("wk"), col("at_risk"), col("d"),
+            (col("hs").cast("double") / 1e9).as("h"))
+          .orderBy("cohort", "wk")
+      }),
+
       "q_survival_km" -> ((s, d) => {
         val ev = table(s, d, "events")
         val maxTs = ev.agg(max("ts").as("mx"))
@@ -589,6 +638,41 @@ object Statistics extends QueryModule {
          |  v - v_base AS gap
          |FROM l JOIN bs USING (q)
          |ORDER BY event_type, q""".stripMargin,
+
+    "q_nelson_aalen" ->
+      """WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        |fe AS (SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |spans AS (
+        |  SELECT e.user_id, f.event_type AS cohort,
+        |    MIN(e.ts) AS t0, MAX(e.ts) AS t1
+        |  FROM events e JOIN fe f
+        |    ON f.user_id = e.user_id AND f.rn = 1
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT cohort,
+        |         CAST(date_diff('day', CAST(t0 AS DATE),
+        |           CAST(t1 AS DATE)) AS BIGINT) // 7 AS wk,
+        |         CAST(t1 < m - INTERVAL 7 DAY AS BIGINT) AS death
+        |       FROM spans CROSS JOIN mx),
+        |grid AS (SELECT cohort, wk, CAST(SUM(death) AS BIGINT) AS d,
+        |           CAST(SUM(1 - death) AS BIGINT) AS c
+        |         FROM sp GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(SUM(d + c) AS BIGINT) AS nt
+        |        FROM grid GROUP BY 1),
+        |na AS (SELECT cohort, wk, d,
+        |    nt - COALESCE(CAST(SUM(d + c) OVER (PARTITION BY cohort
+        |        ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
+        |  FROM grid JOIN tot USING (cohort)),
+        |t2 AS (SELECT cohort, wk, at_risk, d,
+        |    (d * 1000000000) // at_risk AS term FROM na)
+        |SELECT cohort, wk, at_risk, d,
+        |  CAST(CAST(SUM(term) OVER (PARTITION BY cohort ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS DOUBLE) / 1e9 AS h
+        |FROM t2 ORDER BY cohort, wk""".stripMargin,
 
     "q_survival_km" ->
       """WITH RECURSIVE mx AS (SELECT MAX(ts) AS m FROM events),

@@ -28,6 +28,60 @@ object Telemetry extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- SAX motif census (round 15): symbolic aggregate
+      // approximation of each event type's daily-revenue series —
+      // z-score each day against the type's own mean/std, bin into 4
+      // symbols at the standard-normal quartile breakpoints (±0.6745,
+      // 0), and count the 3-day motifs the symbol stream produces; the
+      // discretized shape vocabulary behind time-series indexing
+      // (Lin/Keogh SAX). Daily values are exact int64 dollars (cents
+      // summed, then div 100 — Σv² < 2^53 so every double cast is
+      // value-exact); μ and σ are ONE fixed IEEE tree off three exact
+      // moments (÷, sqrt — no libm), so the z comparisons against the
+      // breakpoint constants are deterministic cross-engine. Motifs
+      // ride a per-type lead window over the O(types × days) daily
+      // aggregate; the per-type top-5 is a row_number cut on the
+      // O(types × 64) motif counts. Gaps collapse (the symbol stream
+      // is over observed days). ---
+      "q_sax_motifs" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("event_type").as("et"),
+            col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("et", "day").agg(sum("vc").as("cents"))
+          .select(col("et"), col("day"), expr("cents div 100").as("v"))
+          .localCheckpoint()
+        val st = daily.groupBy("et")
+          .agg(count(lit(1)).as("n"), sum("v").cast("long").as("sv"),
+            sum(col("v") * col("v")).cast("long").as("qv"))
+          .select(col("et"),
+            (col("sv").cast("double") / col("n").cast("double"))
+              .as("mu"),
+            sqrt(col("qv").cast("double") / col("n").cast("double")
+              - (col("sv").cast("double") / col("n").cast("double"))
+                * (col("sv").cast("double") / col("n").cast("double")))
+              .as("sig"))
+        val sym = daily.join(broadcast(st), "et")
+          .select(col("et"), col("day"),
+            ((col("v").cast("double") - col("mu")) / col("sig"))
+              .as("z"))
+          .select(col("et"), col("day"),
+            when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+              .when(col("z") < 0.6745, "c").otherwise("d").as("sym"))
+        val wl = Window.partitionBy("et").orderBy("day")
+        val motifs = sym
+          .select(col("et"),
+            concat(col("sym"), lead("sym", 1).over(wl),
+              lead("sym", 2).over(wl)).as("motif"))
+          .filter(col("motif").isNotNull)
+          .groupBy("et", "motif").agg(count(lit(1)).as("c"))
+        val rk = Window.partitionBy("et")
+          .orderBy(col("c").desc, col("motif"))
+        motifs.withColumn("rnk", row_number().over(rk).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy("et", "rnk")
+      }),
+
       // --- lead-lag cross-correlation: corr(click_t, view_{t+k}) for
       // k in -3..3 — the causality screen (does one stream lead the
       // other, and by how many days?). Each series collapses to exact
@@ -376,6 +430,39 @@ object Telemetry extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_sax_motifs" ->
+      """WITH d0 AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT et, day, CAST(SUM(vc) AS BIGINT) // 100 AS v
+        |  FROM d0 GROUP BY 1, 2),
+        |st AS (SELECT et,
+        |    CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE)
+        |      - (CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE))
+        |        * (CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE))) AS sig
+        |  FROM daily GROUP BY 1),
+        |sym AS (SELECT et, day,
+        |    CASE WHEN (CAST(v AS DOUBLE) - mu) / sig < -0.6745 THEN 'a'
+        |         WHEN (CAST(v AS DOUBLE) - mu) / sig < 0.0 THEN 'b'
+        |         WHEN (CAST(v AS DOUBLE) - mu) / sig < 0.6745 THEN 'c'
+        |         ELSE 'd' END AS sym
+        |  FROM daily JOIN st USING (et)),
+        |m AS (SELECT et,
+        |    sym || LEAD(sym, 1) OVER w || LEAD(sym, 2) OVER w AS motif
+        |  FROM sym WINDOW w AS (PARTITION BY et ORDER BY day)),
+        |mc AS (SELECT et, motif, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM m WHERE motif IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT et, motif, c, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY et ORDER BY c DESC, motif) AS BIGINT) AS rnk
+        |  FROM mc)
+        |SELECT et, motif, c, rnk FROM r WHERE rnk <= 5
+        |ORDER BY et, rnk""".stripMargin,
+
     "q_ohlc_hourly" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS hr,

@@ -26,6 +26,57 @@ object Trends extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- classic price-index triple (round 15): per ship month,
+      // Laspeyres (base-quantity weighted), Paasche (current-quantity
+      // weighted) and Fisher (their geometric mean) indices of part
+      // unit prices against the corpus's first month — the price-level
+      // readout any longitudinal purchasing corpus gets asked for.
+      // Unit price per (part, month) is value-weighted and INTEGER:
+      // cents(Σ extendedprice) div Σ qty, so every index numerator /
+      // denominator is an exact Σ int64·int64 (p ≤ 1e7 cents, q ≤ 1e4
+      // per month at bench scale — 2e15 headroom; a fleet-scale corpus
+      // recasts the two sums to DECIMAL(38,0), same plan). Base-month
+      // slice joins back per part key (AQE broadcasts it at bench
+      // scale; at fleet scale it shuffles on pk, co-partitioned with
+      // the month aggregate). FP enters only at the three terminal
+      // divisions and one IEEE sqrt. O(months) out. ---
+      "q_price_index" -> ((s, d) => {
+        val li = table(s, d, "lineitem").select(
+          col("l_partkey").as("pk"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("m"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .as("epc"),
+          expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+        // localCheckpoint: the month-grain aggregate feeds BOTH the
+        // base-month slice and the index join — without it the scan +
+        // shuffle runs twice (the round-6 union-leg lesson).
+        val pm = li.groupBy("pk", "m")
+          .agg(sum("epc").as("sep"), sum("q").as("sq"))
+          .select(col("pk"), col("m"), expr("sep div sq").as("p"),
+            col("sq"))
+          .localCheckpoint()
+        val m0 = pm.agg(min("m").as("m0"))
+        val base = pm.crossJoin(broadcast(m0))
+          .filter(col("m") === col("m0"))
+          .select(col("pk"), col("p").as("p0"), col("sq").as("q0"))
+        pm.join(base, "pk")
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p") * col("q0")).cast("long").as("lnum"),
+            sum(col("p0") * col("q0")).cast("long").as("lden"),
+            sum(col("p") * col("sq")).cast("long").as("pnum"),
+            sum(col("p0") * col("sq")).cast("long").as("pden"))
+          .select(col("m"), col("n_parts"),
+            (col("lnum").cast("double") / col("lden").cast("double"))
+              .as("laspeyres"),
+            (col("pnum").cast("double") / col("pden").cast("double"))
+              .as("paasche"),
+            sqrt((col("lnum").cast("double") / col("lden").cast("double"))
+              * (col("pnum").cast("double") / col("pden").cast("double")))
+              .as("fisher"))
+          .orderBy("m")
+      }),
+
       // --- interrupted-time-series causal impact (round 13): fit an
       // OLS trend on the PRE-intervention daily counts (days < 15),
       // project it over the post period, and report per-day actual vs
@@ -655,6 +706,29 @@ object Trends extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_price_index" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q FROM lineitem),
+        |pm AS (SELECT pk, m,
+        |    CAST(SUM(epc) AS BIGINT) // CAST(SUM(q) AS BIGINT) AS p,
+        |    CAST(SUM(q) AS BIGINT) AS sq FROM li GROUP BY 1, 2),
+        |m0 AS (SELECT MIN(m) AS m0 FROM pm),
+        |base AS (SELECT pk, p AS p0, sq AS q0 FROM pm, m0
+        |         WHERE m = m0)
+        |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(p * q0) AS DOUBLE) / CAST(SUM(p0 * q0) AS DOUBLE)
+        |    AS laspeyres,
+        |  CAST(SUM(p * sq) AS DOUBLE) / CAST(SUM(p0 * sq) AS DOUBLE)
+        |    AS paasche,
+        |  sqrt((CAST(SUM(p * q0) AS DOUBLE)
+        |      / CAST(SUM(p0 * q0) AS DOUBLE))
+        |    * (CAST(SUM(p * sq) AS DOUBLE)
+        |      / CAST(SUM(p0 * sq) AS DOUBLE))) AS fisher
+        |FROM pm JOIN base USING (pk)
+        |GROUP BY m ORDER BY m""".stripMargin,
 
     "q_causal_impact" ->
       """WITH days AS (SELECT CAST(date_diff('day', DATE '2024-01-01',

@@ -75,6 +75,41 @@ object Inference extends QueryModule {
               .as("q_stat"))
       }),
 
+      // --- Bowker's symmetry test (round 15): the k×k generalization
+      // of McNemar — do two 3-class labelers (md5-derived, same device
+      // as q_mcnemar) disagree SYMMETRICALLY, i.e. is the off-diagonal
+      // confusion n_ij ≈ n_ji for every class pair? χ² = Σ_{i<j}
+      // (n_ij − n_ji)²/(n_ij + n_ji). Each unordered pair's term
+      // quantizes exactly: (diff²·1e6) div tot int64 (diff ≤ corpus
+      // size, so diff²·1e6 holds to ~3e6 docs; fleet recast =
+      // DECIMAL(38,0)), summed before ONE terminal division — no FP Σ
+      // reaches the hash. Missing directions contribute via the
+      // conditional sums (0-count cells are real). One map-side
+      // census aggregate, O(k²) cells, 1-row out. ---
+      "q_bowker" -> ((s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        def cls(c: org.apache.spark.sql.Column) =
+          when(c <= "4", "x").when(c <= "a", "y").otherwise("z")
+        val t = table(s, d, "documents")
+          .select(cls(substring(h, 1, 1)).as("la"),
+            cls(substring(h, 2, 1)).as("lb"))
+          .filter(col("la") =!= col("lb"))
+          .select(least(col("la"), col("lb")).as("i"),
+            greatest(col("la"), col("lb")).as("j"),
+            (col("la") < col("lb")).cast("long").as("fwd"))
+        val cells = t.groupBy("i", "j")
+          .agg(sum("fwd").as("nf"),
+            sum(lit(1L) - col("fwd")).as("nr"))
+          .filter(col("nf") + col("nr") > 0)
+          .select(col("i"), col("j"),
+            expr("((nf - nr) * (nf - nr) * 1000000) div (nf + nr)")
+              .as("t1e6"))
+        cells.agg(count(lit(1)).cast("long").as("df"),
+            sum("t1e6").cast("long").as("st"))
+          .select(col("df"),
+            (col("st").cast("double") / 1e6).as("bowker_chi2"))
+      }),
+
       // --- McNemar's test (round 15): paired comparison of two
       // classifiers on the SAME documents — the eval-table statistic
       // for "is model B actually better than model A" when both score
@@ -486,6 +521,31 @@ object Inference extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_bowker" ->
+      """WITH t0 AS (SELECT
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |t AS (SELECT
+        |    CASE WHEN substring(h, 1, 1) <= '4' THEN 'x'
+        |         WHEN substring(h, 1, 1) <= 'a' THEN 'y'
+        |         ELSE 'z' END AS la,
+        |    CASE WHEN substring(h, 2, 1) <= '4' THEN 'x'
+        |         WHEN substring(h, 2, 1) <= 'a' THEN 'y'
+        |         ELSE 'z' END AS lb
+        |  FROM t0),
+        |c AS (SELECT LEAST(la, lb) AS i, GREATEST(la, lb) AS j,
+        |    CAST(SUM(CASE WHEN la < lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nf,
+        |    CAST(SUM(CASE WHEN la > lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nr
+        |  FROM t WHERE la <> lb GROUP BY 1, 2),
+        |cl AS (SELECT i, j,
+        |    ((nf - nr) * (nf - nr) * 1000000) // (nf + nr) AS t1e6
+        |  FROM c WHERE nf + nr > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(CAST(SUM(t1e6) AS BIGINT) AS DOUBLE) / 1e6
+        |    AS bowker_chi2
+        |FROM cl""".stripMargin,
 
     "q_cochran_q" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS j,

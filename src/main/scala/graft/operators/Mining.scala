@@ -65,6 +65,58 @@ object Mining extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- preferential-attachment link prediction (round 15): among
+      // the top-50-degree customers of the customer-part purchase
+      // graph, the highest degree-product pairs with a `linked` flag
+      // for whether they already share a part — Barabási's "rich get
+      // richer" score, the third classic next to common-neighbors and
+      // resource-allocation (which only rank ALREADY-overlapping
+      // pairs; PA is the one that proposes brand-new edges; the
+      // customer graph, not the supplier one — the supplier head is
+      // fully adjacent on this corpus).
+      // The candidate universe is deliberately the top-degree head: a
+      // global non-edge ranking is O(V²) at any scale, while the PA
+      // score is monotone in both degrees, so every global top-20
+      // non-edge among pairs inside the head IS in the head's 1,225
+      // bounded candidate grid (a broadcast-NLJ over two 50-row
+      // relations, the documented bounded-grid pattern). Adjacency for
+      // the head re-derives from the head-filtered edge slice; all
+      // integer. Tie at the top-50 cut is broken (deg desc, ck) total
+      // order. ---
+      "q_graph_pref_attach" -> ((s, d) => {
+        val e = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .join(table(s, d, "orders").select(
+            col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
+          .select("ck", "pk").distinct()
+          .localCheckpoint()
+        val top = e.groupBy("ck").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("ck")).limit(50)
+          .localCheckpoint()
+        val cand = top.select(col("ck").as("sa"), col("c").as("da"))
+          .crossJoin(broadcast(
+            top.select(col("ck").as("sb"), col("c").as("db"))))
+          .filter(col("sa") < col("sb"))
+        val eTop = e.join(broadcast(top.select("ck")), "ck")
+        val adj = eTop.select(col("ck").as("sa"), col("pk"))
+          .join(eTop.select(col("ck").as("sb"), col("pk")), "pk")
+          .filter(col("sa") < col("sb"))
+          .select(col("sa"), col("sb"), lit(1L).as("lk"))
+          .distinct()
+        // adjacency is a FLAG, not a filter: a dense head (every pair
+        // already linked — the sf0.001 corpus) must still produce the
+        // ranking, with `linked` telling the consumer which scores are
+        // predictions and which are confirmations. Unlinked pairs rank
+        // first at equal score.
+        cand.join(adj, Seq("sa", "sb"), "left")
+          .select(col("sa"), col("sb"), col("da"), col("db"),
+            (col("da") * col("db")).as("score"),
+            coalesce(col("lk"), lit(0L)).as("linked"))
+          .orderBy(col("score").desc, col("linked"), col("sa"),
+            col("sb"))
+          .limit(20)
+      }),
+
       // --- winnowing fingerprint selection: the set of per-window
       // minima over w=4 consecutive shingles — the plagiarism/near-dup
       // fingerprinting scheme that guarantees any match of length
@@ -299,6 +351,26 @@ object Mining extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_graph_pref_attach" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |           FROM lineitem
+        |           JOIN orders ON l_orderkey = o_orderkey),
+        |tp AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1 ORDER BY c DESC, ck LIMIT 50),
+        |cand AS (SELECT a.ck AS sa, a.c AS da, b.ck AS sb, b.c AS db
+        |         FROM tp a JOIN tp b ON a.ck < b.ck),
+        |et AS (SELECT e.ck, e.pk FROM e JOIN tp USING (ck)),
+        |adj AS (SELECT DISTINCT x.ck AS sa, y.ck AS sb,
+        |          CAST(1 AS BIGINT) AS lk
+        |        FROM et x JOIN et y
+        |          ON x.pk = y.pk AND x.ck < y.ck)
+        |SELECT cand.sa, cand.sb, da, db, da * db AS score,
+        |  COALESCE(lk, 0) AS linked
+        |FROM cand LEFT JOIN adj
+        |  ON adj.sa = cand.sa AND adj.sb = cand.sb
+        |ORDER BY score DESC, linked, cand.sa, cand.sb
+        |LIMIT 20""".stripMargin,
 
     "q_winnow" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk

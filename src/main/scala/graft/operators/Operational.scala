@@ -29,6 +29,65 @@ object Operational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- Little's-law audit (round 15): per month, arrival rate λ
+      // (orders placed / calendar days), cycle time W (mean
+      // order→last-ship days over orders COMPLETING that month) and
+      // measured end-of-month WIP, with the L = λ·W prediction beside
+      // it — the queueing-theory sanity check every fulfilment
+      // dashboard owes its reader. Everything derives from the
+      // O(months²) (order-month, completion-month) census: arrivals
+      // and completions are its marginals, WIP is the difference of
+      // two cumulative window sums over the O(months) axis, and cycle
+      // sums are exact int64 day totals. λ, W, L are three terminal
+      // divisions; W and L are NULL on zero-completion months (both
+      // engines spell the guard). ---
+      "q_littles_law" -> ((s, d) => {
+        val o = table(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_orderdate").cast("date").as("od"))
+        val comp = table(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(max(col("l_shipdate").cast("date")).as("cd"))
+        val cells = o.join(comp, "ok")
+          .select(
+            (year(col("od")) * 12 + month(col("od")) - 1).cast("long")
+              .as("mo"),
+            (year(col("cd")) * 12 + month(col("cd")) - 1).cast("long")
+              .as("mc"),
+            datediff(col("cd"), col("od")).cast("long").as("cyc"))
+          .groupBy("mo", "mc")
+          .agg(count(lit(1)).as("n"), sum("cyc").as("scyc"))
+          .localCheckpoint()
+        val arr = cells.groupBy(col("mo").as("m"))
+          .agg(sum("n").cast("long").as("arrivals"))
+        val fin = cells.groupBy(col("mc").as("m"))
+          .agg(sum("n").cast("long").as("completions"),
+            sum("scyc").cast("long").as("scyc"))
+        val axis = arr.join(fin, Seq("m"), "full_outer")
+          .select(col("m"),
+            coalesce(col("arrivals"), lit(0L)).as("arrivals"),
+            coalesce(col("completions"), lit(0L)).as("completions"),
+            coalesce(col("scyc"), lit(0L)).as("scyc"))
+        val run = Window.orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        axis
+          .withColumn("wip_end",
+            sum("arrivals").over(run) - sum("completions").over(run))
+          .select(col("m"), col("arrivals"), col("completions"),
+            col("wip_end"),
+            make_date(expr("m div 12"), col("m") % 12 + 1, lit(1))
+              .as("month_start"),
+            when(col("completions") > 0,
+              col("scyc").cast("double") / col("completions"))
+              .as("w_days"))
+          .withColumn("lambda_day", col("arrivals").cast("double")
+            / dayofmonth(last_day(col("month_start"))))
+          .withColumn("l_pred", col("lambda_day") * col("w_days"))
+          .select(col("month_start"), col("arrivals"),
+            col("completions"), col("wip_end"), col("w_days"),
+            col("lambda_day"), col("l_pred"))
+          .orderBy("month_start")
+      }),
+
       // --- chain-ladder development factors (round 15): the
       // actuarial run-off triangle, spelled on order fulfilment —
       // cohort = order month, development age = ship-vs-order month
@@ -447,6 +506,51 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_littles_law" ->
+      """WITH o AS (SELECT o_orderkey AS ok,
+        |    CAST(o_orderdate AS DATE) AS od FROM orders),
+        |comp AS (SELECT l_orderkey AS ok,
+        |    MAX(CAST(l_shipdate AS DATE)) AS cd
+        |  FROM lineitem GROUP BY 1),
+        |r0 AS (SELECT
+        |    CAST(year(od) * 12 + month(od) - 1 AS BIGINT) AS mo,
+        |    CAST(year(cd) * 12 + month(cd) - 1 AS BIGINT) AS mc,
+        |    CAST(date_diff('day', od, cd) AS BIGINT) AS cyc
+        |  FROM o JOIN comp USING (ok)),
+        |cells AS (SELECT mo, mc, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cyc) AS BIGINT) AS scyc
+        |  FROM r0 GROUP BY 1, 2),
+        |arr AS (SELECT mo AS m, CAST(SUM(n) AS BIGINT) AS arrivals
+        |  FROM cells GROUP BY 1),
+        |fin AS (SELECT mc AS m,
+        |    CAST(SUM(n) AS BIGINT) AS completions,
+        |    CAST(SUM(scyc) AS BIGINT) AS scyc
+        |  FROM cells GROUP BY 1),
+        |ax AS (SELECT COALESCE(a.m, f.m) AS m,
+        |    COALESCE(a.arrivals, 0) AS arrivals,
+        |    COALESCE(f.completions, 0) AS completions,
+        |    COALESCE(f.scyc, 0) AS scyc
+        |  FROM arr a FULL OUTER JOIN fin f ON a.m = f.m),
+        |w AS (SELECT m, arrivals, completions,
+        |    CAST(SUM(arrivals) OVER (ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT)
+        |    - CAST(SUM(completions) OVER (ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS wip_end,
+        |    make_date(CAST(m // 12 AS INTEGER),
+        |      CAST(m % 12 + 1 AS INTEGER), 1) AS month_start,
+        |    CASE WHEN completions > 0
+        |      THEN CAST(scyc AS DOUBLE) / completions END AS w_days
+        |  FROM ax)
+        |SELECT month_start, arrivals, completions, wip_end, w_days,
+        |  CAST(arrivals AS DOUBLE)
+        |    / date_part('day', last_day(month_start)) AS lambda_day,
+        |  (CAST(arrivals AS DOUBLE)
+        |    / date_part('day', last_day(month_start))) * w_days
+        |    AS l_pred
+        |FROM w ORDER BY month_start""".stripMargin,
 
     "q_chain_ladder" ->
       """WITH o AS (SELECT o_orderkey AS ok,

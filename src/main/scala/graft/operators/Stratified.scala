@@ -21,6 +21,57 @@ object Stratified extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- fixed-effect meta-analysis (round 15): pool the per-source
+      // "English docs are longer" effect (mean n_chars, en vs rest)
+      // across sources with harmonic-n weights, plus Cochran's Q
+      // heterogeneity and I² — the multi-site readout for any metric
+      // measured per shard/source. Determinism device: per-source
+      // effect d and weight w quantize to integers BEFORE pooling
+      // (w100 = (100·nx·ny) div (nx+ny) is exact; d100 = round(100·d)
+      // rounds one identical IEEE double), the pooled center rounds
+      // once more (round, never div — swd can be negative and Spark
+      // div truncates where DuckDB // floors), and Q's Σw(d−d̄)² is
+      // then exact int64 (long→double is a single correctly-rounded
+      // conversion; the int128/decimal casts are the ones the two
+      // engines disagree on). O(sources) out of two aggregates. ---
+      "q_meta_effect" -> ((s, d) => {
+        val per = table(s, d, "documents")
+          .select(col("source"),
+            (col("lang") === "en").cast("long").as("en"),
+            col("n_chars"))
+          .groupBy("source")
+          .agg(sum("en").as("nx"),
+            sum(col("en") * col("n_chars")).as("sx"),
+            sum(lit(1L) - col("en")).as("ny"),
+            sum((lit(1L) - col("en")) * col("n_chars")).as("sy"))
+          .filter(col("nx") >= 1 && col("ny") >= 1)
+          .select(col("source"),
+            expr("(100 * nx * ny) div (nx + ny)").as("w100"),
+            expr("CAST(round(100 * (CAST(sx AS DOUBLE) / nx" +
+              " - CAST(sy AS DOUBLE) / ny), 0) AS BIGINT)").as("d100"))
+          .localCheckpoint()
+        val pooled = per.agg(count(lit(1)).as("k"),
+            sum("w100").cast("long").as("sw"),
+            sum(col("w100") * col("d100")).cast("long").as("swd"))
+          .withColumn("pooled100", expr(
+            "CAST(round(CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE), 0)" +
+              " AS BIGINT)"))
+        per.crossJoin(broadcast(pooled))
+          .select(col("k"), col("sw"), col("swd"), col("pooled100"),
+            (col("w100") * (col("d100") - col("pooled100"))
+              * (col("d100") - col("pooled100"))).as("qi"))
+          .groupBy("k", "sw", "swd", "pooled100")
+          .agg(sum("qi").cast("long").as("sq"))
+          .select(col("k"),
+            (col("swd").cast("double")
+              / (lit(100.0) * col("sw").cast("double"))).as("pooled_d"),
+            (col("sq").cast("double") / 1e6).as("q_stat"),
+            when(col("sq") > 0,
+              greatest(lit(0.0), (col("sq").cast("double") / 1e6
+                - (col("k") - 1).cast("double"))
+                / (col("sq").cast("double") / 1e6))).as("i2"))
+      }),
+
       // --- Neyman optimal allocation: how a 1000-row audit sample
       // should split across segments (∝ N_h·S_h — big AND volatile
       // strata earn more rows than proportional allocation gives).
@@ -358,6 +409,42 @@ object Stratified extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_meta_effect" ->
+      """WITH per0 AS (SELECT source,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nx,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)
+        |      AS BIGINT) AS sx,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS ny,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE n_chars END)
+        |      AS BIGINT) AS sy
+        |  FROM documents GROUP BY 1),
+        |per AS (SELECT source,
+        |    (100 * nx * ny) // (nx + ny) AS w100,
+        |    CAST(round(100 * (CAST(sx AS DOUBLE) / nx
+        |      - CAST(sy AS DOUBLE) / ny), 0) AS BIGINT) AS d100
+        |  FROM per0 WHERE nx >= 1 AND ny >= 1),
+        |p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(w100) AS BIGINT) AS sw,
+        |    CAST(SUM(w100 * d100) AS BIGINT) AS swd FROM per),
+        |p2 AS (SELECT k, sw, swd,
+        |    CAST(round(CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE), 0)
+        |      AS BIGINT) AS pooled100 FROM p1),
+        |q AS (SELECT k, sw, swd, pooled100,
+        |    CAST(SUM(w100 * (d100 - pooled100) * (d100 - pooled100))
+        |      AS BIGINT) AS sq
+        |  FROM per CROSS JOIN p2 GROUP BY 1, 2, 3, 4)
+        |SELECT k,
+        |  CAST(swd AS DOUBLE) / (100.0 * CAST(sw AS DOUBLE))
+        |    AS pooled_d,
+        |  CAST(sq AS DOUBLE) / 1e6 AS q_stat,
+        |  CASE WHEN sq > 0 THEN GREATEST(0.0,
+        |    (CAST(sq AS DOUBLE) / 1e6 - CAST(k - 1 AS DOUBLE))
+        |      / (CAST(sq AS DOUBLE) / 1e6)) END AS i2
+        |FROM q""".stripMargin,
+
     "q_neyman_alloc" ->
       """WITH m AS (SELECT c_mktsegment AS seg,
         |    CAST(COUNT(*) AS BIGINT) AS nh,

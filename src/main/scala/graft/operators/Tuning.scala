@@ -106,6 +106,61 @@ object Tuning extends QueryModule {
       // truth: candidate precision (verification work wasted) and
       // recall (dups the bands missed). Portability is the point —
       // engine-native hashes would make this eval unverifiable. ---
+      // --- SimHash radius sweep (round 15): the hamming-distance
+      // companion to q_minhash_eval — candidates from the 4x16-bit
+      // band blocking (pigeonhole: any pair within hamming 3 of 64
+      // bits shares >= 1 exact band), then precision/recall against
+      // the exact n-gram truth at each radius r in 0..3. Same [2,256]
+      // posting-list cap as every banded pass (mirrored in the
+      // oracle); hamming is one codegen'd bit_count(xor) per
+      // candidate; the radius axis is a 4-row broadcast theta-join
+      // over the <= 4-row per-hamming census, never a re-scan. Both
+      // terminal rates carry explicit zero-denominator guards (Spark
+      // and DuckDB disagree on x/0). ---
+      "q_simhash_eval" -> ((s, d) => {
+        val sig = table(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.SimHash64(split(col("text"), " ")).as("sh"))
+          .localCheckpoint()
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until 4).map(i =>
+            shiftright(col("sh"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
+            .as(Seq("band", "bkey")))
+        val cand = TextPipeline.postingPairs(
+          bands.groupBy("band", "bkey")
+            .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+            .filter(size(col("ids")).between(2, 256)))
+          .distinct()
+        val ham = cand
+          .join(sig.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+            "a_id")
+          .join(sig.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            "b_id")
+          .select(col("a_id"), col("b_id"),
+            expr("CAST(bit_count(a_sh ^ b_sh) AS BIGINT)").as("ham"))
+          .filter(col("ham") <= 3)
+        val truth = TextPipeline.ngramPairs(s, d)
+          .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+          .localCheckpoint()
+        val census = ham.join(truth, Seq("a_id", "b_id"), "left")
+          .groupBy("ham")
+          .agg(count(lit(1)).as("cp"),
+            sum(coalesce(col("hit"), lit(0L))).as("ch"))
+        val nE = truth.agg(count(lit(1)).as("n_exact"))
+        s.range(4).select(col("id").as("r"))
+          .join(broadcast(census), col("ham") <= col("r"), "left")
+          .groupBy("r")
+          .agg(coalesce(sum("cp"), lit(0L)).cast("long").as("n_pairs"),
+            coalesce(sum("ch"), lit(0L)).cast("long").as("n_hits"))
+          .crossJoin(broadcast(nE))
+          .select(col("r"), col("n_pairs"), col("n_hits"), col("n_exact"),
+            when(col("n_pairs") > 0, col("n_hits").cast("double")
+              / col("n_pairs")).as("cand_precision"),
+            when(col("n_exact") > 0, col("n_hits").cast("double")
+              / col("n_exact")).as("recall"))
+          .orderBy("r")
+      }),
+
       "q_minhash_eval" -> ((s, d) => {
         // localCheckpoint: the shingled relation feeds THREE consumers
         // (the signature stream and both verification sides) — without
@@ -313,6 +368,46 @@ object Tuning extends QueryModule {
           .orderBy("bin")))
 
   override def oracle: Map[String, String] = Map(
+
+    // signature reconstruction reuses SigOracle.simhashSql (nested
+    // WITH scopes its CTE names away from ngramPairCte's)
+    "q_simhash_eval" ->
+      s"""WITH ${TextPipeline.ngramPairCte},
+         |truth AS (SELECT a_id, b_id FROM p),
+         |sig AS (${SigOracle.simhashSql}),
+         |bd AS (SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN band0 WHEN 1 THEN band1
+         |      WHEN 2 THEN band2 ELSE band3 END AS bkey
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 3)) AS band) b),
+         |cap AS (SELECT band, bkey FROM bd GROUP BY 1, 2
+         |        HAVING COUNT(*) BETWEEN 2 AND 256),
+         |cnd AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.doc_id < y.doc_id
+         |  JOIN cap c ON c.band = x.band AND c.bkey = x.bkey),
+         |hm AS (SELECT cnd.a_id, cnd.b_id,
+         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+         |      AS ham
+         |  FROM cnd JOIN sig sa ON sa.doc_id = cnd.a_id
+         |  JOIN sig sb ON sb.doc_id = cnd.b_id),
+         |h3 AS (SELECT hm.ham,
+         |    CASE WHEN t.a_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM hm LEFT JOIN truth t
+         |    ON t.a_id = hm.a_id AND t.b_id = hm.b_id
+         |  WHERE hm.ham <= 3),
+         |ax AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT)
+         |    AS r),
+         |ag AS (SELECT r, CAST(COUNT(h3.ham) AS BIGINT) AS n_pairs,
+         |    CAST(COALESCE(SUM(h3.hit), 0) AS BIGINT) AS n_hits
+         |  FROM ax LEFT JOIN h3 ON h3.ham <= ax.r GROUP BY 1),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM truth)
+         |SELECT r, n_pairs, n_hits, n_exact,
+         |  CASE WHEN n_pairs > 0
+         |    THEN CAST(n_hits AS DOUBLE) / n_pairs END AS cand_precision,
+         |  CASE WHEN n_exact > 0
+         |    THEN CAST(n_hits AS DOUBLE) / n_exact END AS recall
+         |FROM ag CROSS JOIN ne ORDER BY r""".stripMargin,
 
     // the pair relation and the binning expression are shared with the
     // Spark side verbatim (IEEE doubles bin identically)

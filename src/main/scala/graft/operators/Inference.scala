@@ -397,6 +397,50 @@ object Inference extends QueryModule {
       // the top-10 window, and MRR stays exact-integer via the
       // lcm(1..10)=2520 scaling until one final division. Probes with
       // no relevant in the top 10 contribute 0. ---
+      // --- rank-biased precision @10 (round 15): Moffat/Zobel's
+      // impatient-user metric over the same cosine ranking as
+      // q_rank_mrr — RBP = (1−p)·Σ_k rel_k·p^(k−1) at p = 0.8, which
+      // is EXACTLY rational: p^(k−1) = 8^(k−1)·10^(10−k)/10^9, so each
+      // relevant hit contributes an exact integer weight and the
+      // corpus-wide sum is int64 until one terminal scaling — no
+      // pow(), no FP Σ. Same bounded probe set (10 probes), TakeOrdered
+      // top-10 per probe. ---
+      "q_rank_rbp" -> ((s, d) => {
+        val p10 = Array.iterate(1L, 11)(_ * 10)
+        val wts = (1 to 10).map(k =>
+          BigInt(8).pow(k - 1).toLong * p10(10 - k))
+        val e = table(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").as("q"))
+          .withColumn("nn", Similarity.dotQ(col("q"), col("q")))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("plabel"), col("q").as("pq"),
+            col("nn").as("pn"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("plabel"),
+            col("vec_id").as("cand_id"), col("label"),
+            Similarity.cosQ(Similarity.dotQ(col("pq"), col("q")),
+              col("pn"), col("nn")).as("cos"))
+        val wr = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)
+        val per = scored.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 10 && col("label") === col("plabel"))
+          .select(col("probe_id"),
+            element_at(array(wts.map(lit): _*), col("rk")).as("w"))
+          .groupBy("probe_id")
+          .agg(sum("w").as("ws"), count(lit(1)).as("nrel"))
+        probes.select("probe_id")
+          .join(per, Seq("probe_id"), "left")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(coalesce(col("nrel"), lit(0L))).cast("long").as("n_rel"),
+            sum(coalesce(col("ws"), lit(0L))).cast("long").as("tws"))
+          .select(col("n_probes"), col("n_rel"),
+            (lit(0.2) * col("tws").cast("double")
+              / (lit(1e9) * col("n_probes").cast("double")))
+              .as("mean_rbp"))
+      }),
+
       "q_rank_mrr" -> ((s, d) => {
         val e = table(s, d, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding").as("q"))
@@ -762,6 +806,51 @@ object Inference extends QueryModule {
         |FROM pa JOIN pb USING (doc_id)
         |GROUP BY doc_id HAVING MIN(abs(pa - pb)) <= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "q_rank_rbp" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Similarity.qSql} AS qv
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS i,
+         |        unnest(qv) AS v FROM q),
+         |n AS (SELECT vec_id, SUM(v * v) AS nn FROM x GROUP BY 1),
+         |dot AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |          SUM(p.v * c.v) AS d
+         |        FROM x p JOIN x c
+         |          ON p.i = c.i AND p.vec_id < 10
+         |         AND c.vec_id <> p.vec_id
+         |        GROUP BY 1, 2),
+         |lab AS (SELECT vec_id, label FROM q),
+         |sc AS (SELECT probe_id, cand_id,
+         |         CAST(d AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |           sqrt(CAST(nc.nn AS DOUBLE))) AS cos,
+         |         lp.label AS plabel, lc.label AS clabel
+         |       FROM dot
+         |         JOIN n np ON np.vec_id = probe_id
+         |         JOIN n nc ON nc.vec_id = cand_id
+         |         JOIN lab lp ON lp.vec_id = probe_id
+         |         JOIN lab lc ON lc.vec_id = cand_id),
+         |r AS (SELECT probe_id,
+         |        CAST(row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, cand_id) AS BIGINT) AS rk,
+         |        clabel = plabel AS rel
+         |      FROM sc),
+         |wv AS (SELECT probe_id,
+         |         CASE rk WHEN 1 THEN 1000000000 WHEN 2 THEN 800000000
+         |           WHEN 3 THEN 640000000 WHEN 4 THEN 512000000
+         |           WHEN 5 THEN 409600000 WHEN 6 THEN 327680000
+         |           WHEN 7 THEN 262144000 WHEN 8 THEN 209715200
+         |           WHEN 9 THEN 167772160 ELSE 134217728 END AS w
+         |       FROM r WHERE rk <= 10 AND rel),
+         |pp AS (SELECT probe_id, CAST(SUM(w) AS BIGINT) AS ws,
+         |         CAST(COUNT(*) AS BIGINT) AS nrel
+         |       FROM wv GROUP BY 1),
+         |pr AS (SELECT DISTINCT vec_id AS probe_id FROM q
+         |       WHERE vec_id < 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |  CAST(SUM(COALESCE(nrel, 0)) AS BIGINT) AS n_rel,
+         |  0.2 * CAST(CAST(SUM(COALESCE(ws, 0)) AS BIGINT) AS DOUBLE)
+         |    / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_rbp
+         |FROM pr LEFT JOIN pp USING (probe_id)""".stripMargin,
 
     "q_rank_mrr" ->
       s"""WITH q AS (SELECT vec_id, label, ${Similarity.qSql} AS qv

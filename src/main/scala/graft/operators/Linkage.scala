@@ -29,6 +29,24 @@ object Linkage extends QueryModule {
     pmod((h1 + b) * lit(2654435761L), lit(2147483648L))
   }
 
+  /** q_linkage_em_step posterior weights: with literal priors
+    * p=0.1, m=(0.9, 0.8), u=(0.3, 0.2), the E-step weight of each
+    * agreement pattern (γ1, γ2) is a closed-form constant
+    * p·Π m^γ(1−m)^(1−γ) / (that + (1−p)·Π u^γ(1−u)^(1−γ)) — computed
+    * once here; Double.toString embeds the shortest round-trip repr
+    * in the oracle so both engines hold the identical double.
+    */
+  private def emW(g1: Int, g2: Int): Double = {
+    def f(v: Double, g: Int): Double = if (g == 1) v else 1 - v
+    val a = 0.1 * f(0.9, g1) * f(0.8, g2)
+    val b = 0.9 * f(0.3, g1) * f(0.2, g2)
+    a / (a + b)
+  }
+  private[operators] val EmW11: Double = emW(1, 1)
+  private[operators] val EmW10: Double = emW(1, 0)
+  private[operators] val EmW01: Double = emW(0, 1)
+  private[operators] val EmW00: Double = emW(0, 0)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
@@ -127,6 +145,72 @@ object Linkage extends QueryModule {
       // so at fleet scale each block sorts independently; the
       // comparison budget is 3n per block by construction, the whole
       // point of SNM over all-pairs. ---
+      // --- Fellegi-Sunter EM step (round 15): one
+      // expectation-maximization iteration for the match/unmatch
+      // parameters over sorted-neighborhood candidate pairs with two
+      // binary agreement features (same lang, |Δn_chars| ≤ 8) — the
+      // iterative companion to q_linkage_weights' closed-form
+      // estimates, same shape as the other one-step-as-a-query
+      // operators (q_als_step, q_kmeans_step, q_bt_step). Determinism
+      // device: with literal priors the four per-pattern posterior
+      // weights are CLOSED-FORM CONSTANTS — computed once on the
+      // driver and embedded as shortest-repr literals in BOTH engines
+      // (Double.toString round-trips), so the engines only ever do
+      // exact int64 pattern counting plus one fixed 4-term double
+      // tree per output column. O(3n) candidate pairs from per-source
+      // lead windows; 1-row out. ---
+      "q_linkage_em_step" -> ((s, d) => {
+        val wn = Window.partitionBy("source")
+          .orderBy(col("n_chars"), col("doc_id"))
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"))
+        val withLeads = docs
+          .withColumn("l1", lead("lang", 1).over(wn))
+          .withColumn("n1", lead("n_chars", 1).over(wn))
+          .withColumn("l2", lead("lang", 2).over(wn))
+          .withColumn("n2", lead("n_chars", 2).over(wn))
+          .withColumn("l3", lead("lang", 3).over(wn))
+          .withColumn("n3", lead("n_chars", 3).over(wn))
+        val pairs = withLeads.select(col("lang").as("la"),
+            col("n_chars").as("ca"),
+            explode(array(
+              struct(col("l1").as("lb"), col("n1").as("cb")),
+              struct(col("l2").as("lb"), col("n2").as("cb")),
+              struct(col("l3").as("lb"), col("n3").as("cb"))))
+              .as("nb"))
+          .filter(col("nb.cb").isNotNull)
+          .select((col("la") === col("nb.lb")).as("g1"),
+            (abs(col("ca") - col("nb.cb")) <= 8).as("g2"))
+        val cs = pairs.agg(count(lit(1)).as("n"),
+          sum(when(col("g1") && col("g2"), 1L).otherwise(0L))
+            .cast("long").as("c11"),
+          sum(when(col("g1") && !col("g2"), 1L).otherwise(0L))
+            .cast("long").as("c10"),
+          sum(when(!col("g1") && col("g2"), 1L).otherwise(0L))
+            .cast("long").as("c01"),
+          sum(when(!col("g1") && !col("g2"), 1L).otherwise(0L))
+            .cast("long").as("c00"))
+        cs.withColumn("den",
+            col("c11").cast("double") * lit(EmW11)
+              + col("c10").cast("double") * lit(EmW10)
+              + col("c01").cast("double") * lit(EmW01)
+              + col("c00").cast("double") * lit(EmW00))
+          .withColumn("nm1", col("c11").cast("double") * lit(EmW11)
+            + col("c10").cast("double") * lit(EmW10))
+          .withColumn("nm2", col("c11").cast("double") * lit(EmW11)
+            + col("c01").cast("double") * lit(EmW01))
+          .select(col("n").as("n_cand"), col("c00"), col("c01"),
+            col("c10"), col("c11"),
+            (col("den") / col("n").cast("double")).as("p1"),
+            (col("nm1") / col("den")).as("m1"),
+            (col("nm2") / col("den")).as("m2"),
+            (((col("c11") + col("c10")).cast("double") - col("nm1"))
+              / (col("n").cast("double") - col("den"))).as("u1"),
+            (((col("c11") + col("c01")).cast("double") - col("nm2"))
+              / (col("n").cast("double") - col("den"))).as("u2"))
+      }),
+
       "q_sorted_neighborhood" -> ((s, d) => {
         val c = table(s, d, "customer")
           .select(col("c_mktsegment").as("seg"), col("c_name"),
@@ -345,6 +429,48 @@ object Linkage extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_linkage_em_step" ->
+      s"""WITH wl AS (SELECT lang, n_chars,
+         |    LEAD(lang, 1) OVER w AS l1, LEAD(n_chars, 1) OVER w AS n1,
+         |    LEAD(lang, 2) OVER w AS l2, LEAD(n_chars, 2) OVER w AS n2,
+         |    LEAD(lang, 3) OVER w AS l3, LEAD(n_chars, 3) OVER w AS n3
+         |  FROM documents
+         |  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)),
+         |pr AS (
+         |  SELECT lang AS la, n_chars AS ca, l1 AS lb, n1 AS cb
+         |    FROM wl WHERE n1 IS NOT NULL
+         |  UNION ALL SELECT lang, n_chars, l2, n2 FROM wl
+         |    WHERE n2 IS NOT NULL
+         |  UNION ALL SELECT lang, n_chars, l3, n3 FROM wl
+         |    WHERE n3 IS NOT NULL),
+         |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN la = lb AND abs(ca - cb) <= 8
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+         |    CAST(SUM(CASE WHEN la = lb AND NOT abs(ca - cb) <= 8
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+         |    CAST(SUM(CASE WHEN NOT la = lb AND abs(ca - cb) <= 8
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+         |    CAST(SUM(CASE WHEN NOT la = lb AND NOT abs(ca - cb) <= 8
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c00
+         |  FROM pr),
+         |em AS (SELECT n, c00, c01, c10, c11,
+         |    CAST(c11 AS DOUBLE) * $EmW11 + CAST(c10 AS DOUBLE) * $EmW10
+         |      + CAST(c01 AS DOUBLE) * $EmW01
+         |      + CAST(c00 AS DOUBLE) * $EmW00 AS den,
+         |    CAST(c11 AS DOUBLE) * $EmW11 + CAST(c10 AS DOUBLE) * $EmW10
+         |      AS nm1,
+         |    CAST(c11 AS DOUBLE) * $EmW11 + CAST(c01 AS DOUBLE) * $EmW01
+         |      AS nm2
+         |  FROM cs)
+         |SELECT n AS n_cand, c00, c01, c10, c11,
+         |  den / CAST(n AS DOUBLE) AS p1,
+         |  nm1 / den AS m1, nm2 / den AS m2,
+         |  (CAST(c11 + c10 AS DOUBLE) - nm1)
+         |    / (CAST(n AS DOUBLE) - den) AS u1,
+         |  (CAST(c11 + c01 AS DOUBLE) - nm2)
+         |    / (CAST(n AS DOUBLE) - den) AS u2
+         |FROM em""".stripMargin,
 
     "q_linkage_weights" ->
       s"""WITH ${TextPipeline.ngramPairCte},

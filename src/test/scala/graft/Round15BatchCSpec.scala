@@ -124,6 +124,59 @@ class Round15BatchCSpec extends AnyFunSuite {
     rm(dir)
   }
 
+  test("q_rank_rbp: exact rational p=0.8 weights at ranks 1 and 3 " +
+    "sum to 1.64e9 scaled; irrelevant rank 2 contributes nothing") {
+    import spark.implicits._
+    val dir = tmpDir("rbp")
+    // probe 0 [1,0] label 1; candidates: 10 (label 1, identical,
+    // rank 1), 11 (label 0, cos~0.97, rank 2), 12 (label 1, cos 0,
+    // rank 3). ws = 1e9 + 640e6.
+    Seq((0L, Array(1.0f, 0.0f), 1), (10L, Array(1.0f, 0.0f), 1),
+        (11L, Array(0.8f, 0.2f), 0), (12L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_rank_rbp")(spark, dir).head()
+    assert(got.getAs[Long]("n_probes") == 1L)
+    assert(got.getAs[Long]("n_rel") == 2L)
+    assert(got.getAs[Double]("mean_rbp")
+      == 0.2 * 1640000000.0 / (1e9 * 1.0))
+    rm(dir)
+  }
+
+  test("q_linkage_em_step: hand-counted pattern census and the " +
+    "closed-form posterior weights reproduce the one-step update") {
+    import spark.implicits._
+    val dir = tmpDir("emstep")
+    // one source ordered by n_chars: (en,100),(en,105),(fr,200),
+    // (en,204) -> patterns: c11=1, c10=2, c01=1, c00=2 (n=6)
+    Seq((1L, "t", "en", "s", 100L), (2L, "t", "en", "s", 105L),
+        (3L, "t", "fr", "s", 200L), (4L, "t", "en", "s", 204L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent weight recompute (priors p=.1, m=(.9,.8), u=(.3,.2))
+    def w(g1: Int, g2: Int): Double = {
+      def f(v: Double, g: Int) = if (g == 1) v else 1 - v
+      val a = 0.1 * f(0.9, g1) * f(0.8, g2)
+      val b = 0.9 * f(0.3, g1) * f(0.2, g2)
+      a / (a + b)
+    }
+    val den = 1.0 * w(1, 1) + 2.0 * w(1, 0) + 1.0 * w(0, 1) +
+      2.0 * w(0, 0)
+    val nm1 = 1.0 * w(1, 1) + 2.0 * w(1, 0)
+    val nm2 = 1.0 * w(1, 1) + 1.0 * w(0, 1)
+    val got = SparkEntry.queries("q_linkage_em_step")(spark, dir).head()
+    assert(got.getAs[Long]("n_cand") == 6L)
+    assert((got.getAs[Long]("c11"), got.getAs[Long]("c10"),
+      got.getAs[Long]("c01"), got.getAs[Long]("c00"))
+      == ((1L, 2L, 1L, 2L)))
+    assert(got.getAs[Double]("p1") == den / 6.0)
+    assert(got.getAs[Double]("m1") == nm1 / den)
+    assert(got.getAs[Double]("m2") == nm2 / den)
+    assert(got.getAs[Double]("u1") == (3.0 - nm1) / (6.0 - den))
+    assert(got.getAs[Double]("u2") == (2.0 - nm2) / (6.0 - den))
+    rm(dir)
+  }
+
   test("q_littles_law: hand-computed monthly arrivals/WIP/cycle and " +
     "the lambda*W prediction (leap-year February has 29 days)") {
     import spark.implicits._

@@ -370,14 +370,19 @@ object Insights extends QueryModule {
       // the refinement that discounts promiscuous shared neighbors (a
       // part supplied by everyone carries ~no evidence, yet common-
       // neighbor counting weighs it equal to a rare part). Entirely
-      // rational on purpose: each emission carries w = 10^12 div df as
+      // rational on purpose: each emission carries w = 10^9 div df as
       // an exact int64 (the Adamic-Adar 1/ln(df) spelling would drag a
       // non-correctly-rounded libm log into the cross-engine hash),
-      // and the per-pair sum rides DECIMAL(38,0) (a fleet-scale pair
-      // can share millions of parts; int64 caps at ~18M emissions of
-      // 5e11). Same df-cap [2,256] and sorted-posting pair emission as
-      // commonnbrs — O(df²) bounded per part; top-20 is a TakeOrdered
-      // off the O(pairs) aggregate, never a global sort. ---
+      // and the per-pair sum stays a plain int64 — max emission 5e8,
+      // so overflow needs a pair sharing >18e9 df-capped parts, beyond
+      // any corpus (a long aggregation buffer also beats the
+      // DECIMAL(38,0) spelling per emission; measured at parity with
+      // q_graph_commonnbrs in an isolated 3-pass subset bench — the
+      // full-suite gap against it was scan-cache order, not the sum).
+      // Same df-cap [2,256] and
+      // sorted-posting pair emission as commonnbrs — O(df²) bounded
+      // per part; top-20 is a TakeOrdered off the O(pairs) aggregate,
+      // never a global sort. ---
       "q_graph_resource_alloc" -> ((s, d) => {
         val postings = table(s, d, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
@@ -385,7 +390,7 @@ object Insights extends QueryModule {
           .agg(sort_array(collect_set(col("sk"))).as("ids"))
           .filter(size(col("ids")).between(2, 256))
           .select(col("ids"),
-            expr("1000000000000 div CAST(size(ids) AS BIGINT)").as("w"))
+            expr("1000000000 div CAST(size(ids) AS BIGINT)").as("w"))
         postings
           .select(posexplode(col("ids")).as(Seq("i", "sa")),
             col("ids"), col("w"))
@@ -394,9 +399,9 @@ object Insights extends QueryModule {
           .filter(col("i") < col("j"))
           .groupBy("sa", "sb")
           .agg(count(lit(1)).as("common"),
-            sum(col("w").cast("decimal(38,0)")).as("ras"))
+            sum(col("w")).cast("long").as("ras"))
           .select(col("sa"), col("sb"), col("common"),
-            (col("ras").cast("double") / 1e12).as("ra"))
+            (col("ras").cast("double") / 1e9).as("ra"))
           .orderBy(col("ra").desc, col("sa"), col("sb"))
           .limit(20)
       }),
@@ -612,13 +617,12 @@ object Insights extends QueryModule {
     "q_graph_resource_alloc" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
         |            FROM lineitem),
-        |w AS (SELECT pk, 1000000000000 // CAST(COUNT(*) AS BIGINT) AS w
+        |w AS (SELECT pk, 1000000000 // CAST(COUNT(*) AS BIGINT) AS w
         |      FROM sp GROUP BY pk
         |      HAVING COUNT(*) BETWEEN 2 AND 256)
         |SELECT a.sk AS sa, b.sk AS sb,
         |  CAST(COUNT(*) AS BIGINT) AS common,
-        |  CAST(CAST(SUM(CAST(w.w AS DECIMAL(38,0))) AS DOUBLE) / 1e12
-        |    AS DOUBLE) AS ra
+        |  CAST(CAST(SUM(w.w) AS BIGINT) AS DOUBLE) / 1e9 AS ra
         |FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
         |JOIN w ON w.pk = a.pk
         |GROUP BY 1, 2

@@ -141,7 +141,7 @@ class Round15BatchBSpec extends AnyFunSuite {
     "df=1 parts excluded, rarer shared parts weigh more") {
     import spark.implicits._
     val dir = tmpDir("ralloc")
-    // part 100 {1,2} df=2 w=5e11; part 200 {1,2,3} df=3 w=333333333333;
+    // part 100 {1,2} df=2 w=5e8; part 200 {1,2,3} df=3 w=333333333;
     // part 300 {1} df=1 excluded
     val rows = Seq((1L, 100L), (2L, 100L), (1L, 200L), (2L, 200L),
       (3L, 200L), (1L, 300L))
@@ -152,9 +152,9 @@ class Round15BatchBSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("sa"), r.getAs[Long]("sb"),
         r.getAs[Long]("common"), r.getAs[Double]("ra")))
     assert(got.length == 3)
-    assert(got(0) == ((1L, 2L, 2L, 833333333333L.toDouble / 1e12)))
-    assert(got(1) == ((1L, 3L, 1L, 333333333333L.toDouble / 1e12)))
-    assert(got(2) == ((2L, 3L, 1L, 333333333333L.toDouble / 1e12)))
+    assert(got(0) == ((1L, 2L, 2L, 833333333L.toDouble / 1e9)))
+    assert(got(1) == ((1L, 3L, 1L, 333333333L.toDouble / 1e9)))
+    assert(got(2) == ((2L, 3L, 1L, 333333333L.toDouble / 1e9)))
     rm(dir)
   }
 

@@ -431,7 +431,16 @@ object ScaleProbe {
         // pre-distinct inside orientedTriangleEdges (which the
         // l_orderkey bucketing makes exchange-free) — this entry is
         // that defense's measurement
-        "q_graph_triangle" -> runQ("q_graph_triangle"))
+        "q_graph_triangle" -> runQ("q_graph_triangle"),
+        // round-15 second-half additions with pair-emission shapes:
+        // the RA link predictor's collect_set postings absorb the
+        // zipf line duplication exactly like the triangle pre-distinct
+        // (expected ~volume-bound), while the simhash radius eval's
+        // banded candidates grow C(k,2) per ×k template family —
+        // expected output-bound like q_dedup_minhash, and this entry
+        // is the measurement that says which it is
+        "q_graph_resource_alloc" -> runQ("q_graph_resource_alloc"),
+        "q_simhash_eval" -> runQ("q_simhash_eval"))
       val selected = probes.filter { case (q, _) =>
         only.forall(_.contains(q)) }
       val passResults = (1 to passes).map { p =>

@@ -66,7 +66,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_sign_test", "q_tok_oov", "q_causal_impact", "q_ndcg10",
     "q_winsor_mean", "q_tukey_outliers", "q_linkage_weights",
     "q_kanon_census", "q_l_diversity", "q_prefix_cache",
-    "q_hard_negatives", "q_dow_adjust", "q_dedup_normalized")
+    "q_hard_negatives", "q_dow_adjust", "q_dedup_normalized",
+    // round-15 batch B/C: windows (hurst/sax/nelson/chain/littles),
+    // quantized-double pooling (meta/em-step), pair emissions with
+    // integer weights (resource-alloc, simhash eval, rbp), and the
+    // bounded head grid (pref-attach)
+    "q_price_index", "q_chain_ladder", "q_fleiss_kappa", "q_cochran_q",
+    "q_graph_resource_alloc", "q_hurst_rs", "q_sax_motifs",
+    "q_nelson_aalen", "q_simhash_eval", "q_graph_pref_attach",
+    "q_meta_effect", "q_bowker", "q_littles_law", "q_rank_rbp",
+    "q_linkage_em_step")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

@@ -23,6 +23,91 @@ object Planner extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- greedy join-ORDER audit (round 15): does the System-R
+      // textbook estimator est(A⋈B) = |A|·|B| / max(ndv_A, ndv_B),
+      // fed EXACT table stats, rank the three linear join orders of
+      // σ(orders)⋈customer⋈lineitem⋈part the same way the MEASURED
+      // intermediate sizes do? (σ = one priority class, so the filter
+      // selectivity must propagate through the estimate chain — the
+      // part a stats-only ranking usually fumbles.) Cost of a plan =
+      // Σ of its two intermediate-result sizes; estimates propagate
+      // NDVs the textbook way (join keys survive at the smaller side's
+      // NDV, other columns' NDVs unchanged). All stats and actual
+      // sizes are exact int64 count aggregates (the "actuals" are
+      // three real join counts — the audit pays for its ground truth);
+      // the 3-row plan relation is an explode over one crossJoined
+      // 1-row scalar spine; ranks are row_numbers over 3 rows. ---
+      "q_join_order_greedy" -> ((s, d) => {
+        val l = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val o5 = table(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+          .localCheckpoint()
+        val lStats = l.agg(count(lit(1)).as("nl"),
+          countDistinct("ok").as("lok"), countDistinct("pk").as("lpk"))
+        val oStats = o5.agg(count(lit(1)).as("no"),
+          countDistinct("ok").as("ook"), countDistinct("ck").as("ock"))
+        val cStats = table(s, d, "customer")
+          .agg(count(lit(1)).as("nc"),
+            countDistinct("c_custkey").as("cck"))
+        val pStats = table(s, d, "part")
+          .agg(count(lit(1)).as("np"),
+            countDistinct("p_partkey").as("ppk"))
+        // measured intermediates (exact counts of the real joins)
+        val lo = l.join(o5, "ok").localCheckpoint()
+        val aLo = lo.agg(count(lit(1)).as("a_lo"))
+        val aLoc = lo.join(table(s, d, "customer")
+            .select(col("c_custkey").as("ck")), "ck")
+          .agg(count(lit(1)).as("a_loc"))
+        val aOc = o5.join(table(s, d, "customer")
+            .select(col("c_custkey").as("ck")), "ck")
+          .agg(count(lit(1)).as("a_oc"))
+        val lp = l.join(table(s, d, "part")
+            .select(col("p_partkey").as("pk")), "pk")
+          .localCheckpoint()
+        val aLp = lp.agg(count(lit(1)).as("a_lp"))
+        val aLpo = lp.join(o5.select("ok"), "ok")
+          .agg(count(lit(1)).as("a_lpo"))
+        val spine = lStats.crossJoin(oStats).crossJoin(cStats)
+          .crossJoin(pStats).crossJoin(aLo).crossJoin(aLoc)
+          .crossJoin(aOc).crossJoin(aLp).crossJoin(aLpo)
+        // textbook chain estimates (doubles; fixed trees)
+        val estLo = col("nl").cast("double") * col("no").cast("double") /
+          greatest(col("lok"), col("ook")).cast("double")
+        val estLoc = estLo * col("nc").cast("double") /
+          greatest(col("ock"), col("cck")).cast("double")
+        val estOc = col("no").cast("double") * col("nc").cast("double") /
+          greatest(col("ock"), col("cck")).cast("double")
+        val estOcl = estOc * col("nl").cast("double") /
+          greatest(col("ook"), col("lok")).cast("double")
+        val estLp = col("nl").cast("double") * col("np").cast("double") /
+          greatest(col("lpk"), col("ppk")).cast("double")
+        val estLpo = estLp * col("no").cast("double") /
+          greatest(col("lok"), col("ook")).cast("double")
+        val plans = spine.select(explode(array(
+          struct(lit("lo_c_p").as("plan"),
+            (estLo + estLoc).as("est_cost"),
+            (col("a_lo") + col("a_loc")).as("actual_cost")),
+          struct(lit("oc_l_p").as("plan"),
+            (estOc + estOcl).as("est_cost"),
+            (col("a_oc") + col("a_loc")).as("actual_cost")),
+          struct(lit("lp_o_c").as("plan"),
+            (estLp + estLpo).as("est_cost"),
+            (col("a_lp") + col("a_lpo")).as("actual_cost"))))
+          .as("p"))
+          .select(col("p.plan").as("plan"), col("p.est_cost"),
+            col("p.actual_cost"))
+        val rkE = Window.orderBy(col("est_cost"), col("plan"))
+        val rkA = Window.orderBy(col("actual_cost"), col("plan"))
+        plans
+          .withColumn("est_rank", row_number().over(rkE).cast("long"))
+          .withColumn("actual_rank",
+            row_number().over(rkA).cast("long"))
+          .withColumn("agree", col("est_rank") === col("actual_rank"))
+          .orderBy("plan")
+      }),
+
       // --- join-cardinality estimate audit: the optimizer's uniform-
       // key model |A|·|B| / max(ndv_a, ndv_b) vs the EXACT join size
       // Σ_k ca(k)·cb(k), per user bucket, for the view⨝purchase
@@ -251,6 +336,68 @@ object Planner extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_join_order_greedy" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |o5 AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders
+        |       WHERE o_orderpriority = '1-URGENT'),
+        |ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+        |    CAST(COUNT(DISTINCT ok) AS BIGINT) AS lok,
+        |    CAST(COUNT(DISTINCT pk) AS BIGINT) AS lpk FROM l),
+        |os AS (SELECT CAST(COUNT(*) AS BIGINT) AS nno,
+        |    CAST(COUNT(DISTINCT ok) AS BIGINT) AS ook,
+        |    CAST(COUNT(DISTINCT ck) AS BIGINT) AS ock FROM o5),
+        |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS cck
+        |  FROM customer),
+        |ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS ppk
+        |  FROM part),
+        |alo AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_lo
+        |  FROM l JOIN o5 USING (ok)),
+        |aloc AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_loc
+        |  FROM l JOIN o5 USING (ok)
+        |  JOIN customer ON ck = c_custkey),
+        |aoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_oc
+        |  FROM o5 JOIN customer ON ck = c_custkey),
+        |alp AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_lp
+        |  FROM l JOIN part ON pk = p_partkey),
+        |alpo AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_lpo
+        |  FROM l JOIN part ON pk = p_partkey JOIN o5 USING (ok)),
+        |sp AS (SELECT * FROM ls, os, cs, ps, alo, aloc, aoc, alp,
+        |  alpo),
+        |pl AS (
+        |  SELECT 'lo_c_p' AS plan,
+        |    CAST(nl AS DOUBLE) * CAST(nno AS DOUBLE)
+        |      / CAST(GREATEST(lok, ook) AS DOUBLE)
+        |    + CAST(nl AS DOUBLE) * CAST(nno AS DOUBLE)
+        |      / CAST(GREATEST(lok, ook) AS DOUBLE) * CAST(nc AS DOUBLE)
+        |      / CAST(GREATEST(ock, cck) AS DOUBLE) AS est_cost,
+        |    a_lo + a_loc AS actual_cost FROM sp
+        |  UNION ALL SELECT 'oc_l_p',
+        |    CAST(nno AS DOUBLE) * CAST(nc AS DOUBLE)
+        |      / CAST(GREATEST(ock, cck) AS DOUBLE)
+        |    + CAST(nno AS DOUBLE) * CAST(nc AS DOUBLE)
+        |      / CAST(GREATEST(ock, cck) AS DOUBLE) * CAST(nl AS DOUBLE)
+        |      / CAST(GREATEST(ook, lok) AS DOUBLE),
+        |    a_oc + a_loc FROM sp
+        |  UNION ALL SELECT 'lp_o_c',
+        |    CAST(nl AS DOUBLE) * CAST(np AS DOUBLE)
+        |      / CAST(GREATEST(lpk, ppk) AS DOUBLE)
+        |    + CAST(nl AS DOUBLE) * CAST(np AS DOUBLE)
+        |      / CAST(GREATEST(lpk, ppk) AS DOUBLE) * CAST(nno AS DOUBLE)
+        |      / CAST(GREATEST(lok, ook) AS DOUBLE),
+        |    a_lp + a_lpo FROM sp),
+        |r AS (SELECT plan, est_cost, actual_cost,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY est_cost, plan)
+        |      AS BIGINT) AS est_rank,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY actual_cost, plan)
+        |      AS BIGINT) AS actual_rank
+        |  FROM pl)
+        |SELECT plan, est_cost, actual_cost, est_rank, actual_rank,
+        |  est_rank = actual_rank AS agree
+        |FROM r ORDER BY plan""".stripMargin,
 
     "q_ndv_correlation" -> {
       def audit(a: String, b: String): String =

@@ -177,6 +177,36 @@ class Round15BatchCSpec extends AnyFunSuite {
     rm(dir)
   }
 
+  test("q_join_order_greedy: hand-built stats where the textbook " +
+    "estimator mis-ranks two of three join orders") {
+    import spark.implicits._
+    val dir = tmpDir("joingreedy")
+    // l: ok 1,1,2,2 / pk 1,1,2,9 (pk 9 dangling); o5 = {1->c1, 3->c2}
+    // actuals: a_lo=2 a_loc=2 a_oc=2 a_lp=3 a_lpo=2
+    // ests: lo_c_p 4+4=8, oc_l_p 2+4=6, lp_o_c 8/3+8/3=16/3
+    Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, "1-URGENT"), (2L, 1L, "3-MEDIUM"), (3L, 2L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q_join_order_greedy")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("plan"), r.getAs[Double]("est_cost"),
+        r.getAs[Long]("actual_cost"), r.getAs[Long]("est_rank"),
+        r.getAs[Long]("actual_rank"), r.getAs[Boolean]("agree")))
+    val lpEst = 4.0 * 2.0 / 3.0 + 4.0 * 2.0 / 3.0 * 2.0 / 2.0
+    assert(got.toSeq == Seq(
+      ("lo_c_p", 8.0, 4L, 3L, 1L, false),
+      ("lp_o_c", lpEst, 5L, 1L, 3L, false),
+      ("oc_l_p", 6.0, 4L, 2L, 2L, true)))
+    rm(dir)
+  }
+
   test("q_littles_law: hand-computed monthly arrivals/WIP/cycle and " +
     "the lambda*W prediction (leap-year February has 29 days)") {
     import spark.implicits._

@@ -34,6 +34,54 @@ object Diagnostics extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- seasonal Mann-Kendall (round 15): the Hirsch/Slack variant
+      // of q_mk_trend for series with a weekly cycle — S and its
+      // tie-corrected variance accumulate WITHIN each weekday season
+      // (day pairs across seasons never compare, so the weekly cycle
+      // cannot masquerade as trend), then z assembles from the summed
+      // moments. Seasons partition the O(days) daily aggregate, so the
+      // pair join is O(Σ days_k²) over ≤ days²/7 tiny rows; everything
+      // int64 until the terminal z (÷, sqrt). Season labels never
+      // reach the output, so the engines' differing weekday origins
+      // (Spark 1=Sunday, DuckDB 0=Sunday) induce the same partition.
+      // ---
+      "q_seasonal_mk" -> ((s, d) => {
+        val dly = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("v"))
+          .withColumn("season", dayofweek(col("day")).cast("long"))
+          .localCheckpoint()
+        val a = dly.select(col("season"), col("day").as("d1"),
+          col("v").as("v1"))
+        val b = dly.select(col("season"), col("day").as("d2"),
+          col("v").as("v2"))
+        val sAgg = a.join(b, Seq("season"))
+          .filter(col("d2") > col("d1"))
+          .groupBy("season")
+          .agg(sum(when(col("v2") > col("v1"), 1L)
+            .when(col("v2") < col("v1"), -1L).otherwise(0L)).as("sk"))
+        val ties = dly.groupBy("season", "v")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("season")
+          .agg(sum(col("t") * (col("t") - 1L)
+            * (lit(2L) * col("t") + 5L)).as("tsum"),
+            sum("t").as("nk"))
+        sAgg.join(ties, "season")
+          .agg(sum("nk").cast("long").as("n_days"),
+            count(lit(1)).as("n_seasons"),
+            sum("sk").cast("long").as("s"),
+            sum(col("nk") * (col("nk") - 1L)
+              * (lit(2L) * col("nk") + 5L) - col("tsum"))
+              .cast("long").as("var18"))
+          .select(col("n_days"), col("n_seasons"), col("s"),
+            when(col("s") > 0, (col("s") - 1L).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+            .when(col("s") < 0, (col("s") + 1L).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+            .otherwise(lit(0.0)).as("z"))
+      }),
+
       // --- rescaled-range (R/S) Hurst analysis (round 15): long-range
       // dependence of the daily revenue series — the Mandelbrot/Hurst
       // readout that separates trending (H>0.5), random-walk (≈0.5)
@@ -552,6 +600,37 @@ object Diagnostics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_seasonal_mk" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |dly AS (SELECT day, CAST(SUM(vc) AS BIGINT) AS v,
+        |    CAST(dayofweek(day) AS BIGINT) AS season
+        |  FROM d0 GROUP BY 1),
+        |sa AS (SELECT a.season,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+        |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS sk
+        |  FROM dly a JOIN dly b
+        |    ON a.season = b.season AND b.day > a.day
+        |  GROUP BY 1),
+        |ties AS (SELECT season,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+        |    CAST(SUM(t) AS BIGINT) AS nk
+        |  FROM (SELECT season, v, CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM dly GROUP BY 1, 2) GROUP BY 1),
+        |m AS (SELECT CAST(SUM(nk) AS BIGINT) AS n_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_seasons,
+        |    CAST(SUM(sk) AS BIGINT) AS s,
+        |    CAST(SUM(nk * (nk - 1) * (2 * nk + 5) - tsum) AS BIGINT)
+        |      AS var18
+        |  FROM sa JOIN ties USING (season))
+        |SELECT n_days, n_seasons, s,
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z
+        |FROM m""".stripMargin,
 
     "q_hurst_rs" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,

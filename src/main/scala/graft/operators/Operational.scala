@@ -29,6 +29,32 @@ object Operational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+      // --- economic order quantity (round 15): the Harris/Wilson EOQ
+      // per part brand — order size sqrt(2DS/H) and implied replenish
+      // cadence from observed demand, with literal ordering/holding
+      // costs (S=50, H=2) — the inventory-policy classic next to
+      // q_alloc_greedy's allocation and q_croston's intermittent
+      // forecast. Demand is an exact int64 unit sum off one
+      // lineitem⋈part shuffle; EOQ and orders/period are one ÷/sqrt
+      // tree per O(brands) row. ---
+      "q_eoq" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+          .select(col("l_partkey").as("pk"),
+            expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+        val p = table(s, d, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+        li.join(p, "pk")
+          .groupBy("brand")
+          .agg(sum("q").cast("long").as("demand"),
+            countDistinct("pk").as("n_parts"))
+          .select(col("brand"), col("n_parts"), col("demand"),
+            sqrt(lit(2.0) * col("demand").cast("double") * lit(50.0)
+              / lit(2.0)).as("eoq"))
+          .withColumn("n_orders",
+            col("demand").cast("double") / col("eoq"))
+          .orderBy("brand")
+      }),
+
       // --- Little's-law audit (round 15): per month, arrival rate λ
       // (orders placed / calendar days), cycle time W (mean
       // order→last-ship days over orders COMPLETING that month) and
@@ -506,6 +532,21 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_eoq" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q FROM lineitem),
+        |p AS (SELECT p_partkey AS pk, p_brand AS brand FROM part),
+        |g AS (SELECT brand, CAST(COUNT(DISTINCT pk) AS BIGINT)
+        |      AS n_parts,
+        |    CAST(SUM(q) AS BIGINT) AS demand
+        |  FROM li JOIN p USING (pk) GROUP BY 1)
+        |SELECT brand, n_parts, demand,
+        |  sqrt(2.0 * CAST(demand AS DOUBLE) * 50.0 / 2.0) AS eoq,
+        |  CAST(demand AS DOUBLE)
+        |    / sqrt(2.0 * CAST(demand AS DOUBLE) * 50.0 / 2.0)
+        |    AS n_orders
+        |FROM g ORDER BY brand""".stripMargin,
 
     "q_littles_law" ->
       """WITH o AS (SELECT o_orderkey AS ok,

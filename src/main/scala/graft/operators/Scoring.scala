@@ -86,6 +86,40 @@ object Scoring extends QueryModule {
       |ORDER BY event_id""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- t-score collocations (round 15): the hypothesis-test
+    // companion to q_cooccur_pmi — t = (f_xy − f_x·f_y/N)/sqrt(f_xy)
+    // over corpus bigrams with f_xy ≥ 5, the Church/Hanks measure that
+    // (unlike PMI) doesn't blow up on rare pairs. Bigrams ride the
+    // codegen'd NGramGenerator; counts are exact int64 off two
+    // aggregates; t is ONE fixed IEEE tree (·, ÷, sqrt — no libm);
+    // top-25 is a TakeOrdered with (t, gram) total order. ---
+    "q_ngram_tscore" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val big = docs.select(NGramGenerator(toks, 2).alias("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+      // localCheckpoint: the unigram relation joins on BOTH bigram
+      // positions
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+        .localCheckpoint()
+      val nTot = uni.agg(sum("c1").cast("long").as("n"))
+      big
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+        .crossJoin(broadcast(nTot))
+        .select(col("gram"), col("c2"), col("cx"), col("cy"),
+          ((col("c2").cast("double")
+            - col("cx").cast("double") * col("cy").cast("double")
+              / col("n").cast("double"))
+            / sqrt(col("c2").cast("double"))).as("t_score"))
+        .orderBy(col("t_score").desc, col("gram"))
+        .limit(25)
+    }),
+
     // --- unigram-LM perplexity proxy (quality filtering): score each
     // document by its mean token surprisal under the corpus's own
     // unigram model. Two aggregates + one join: token counts (shuffle
@@ -581,6 +615,30 @@ object Scoring extends QueryModule {
     s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"
 
   override def oracle: Map[String, String] = Map(
+
+    "q_ngram_tscore" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT unnest(list_transform(
+        |        range(1, greatest(len(tk) - 1, 0) + 1),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS gram FROM t),
+        |c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM g GROUP BY 1 HAVING COUNT(*) >= 5),
+        |u AS (SELECT unnest(tk) AS w FROM t),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM u GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni)
+        |SELECT gram, c2, ux.c1 AS cx, uy.c1 AS cy,
+        |  (CAST(c2 AS DOUBLE)
+        |    - CAST(ux.c1 AS DOUBLE) * CAST(uy.c1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(c2 AS DOUBLE)) AS t_score
+        |FROM c2
+        |JOIN uni ux ON ux.w = string_split(gram, ' ')[1]
+        |JOIN uni uy ON uy.w = string_split(gram, ' ')[2]
+        |CROSS JOIN n
+        |ORDER BY t_score DESC, gram LIMIT 25""".stripMargin,
+
     // round 13: full oracle for the re-specced portable proxy — the
     // former DeflateLen output was the library's one no-oracle row
     "q_compress_ratio" ->

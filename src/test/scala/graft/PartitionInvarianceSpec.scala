@@ -75,7 +75,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_graph_resource_alloc", "q_hurst_rs", "q_sax_motifs",
     "q_nelson_aalen", "q_simhash_eval", "q_graph_pref_attach",
     "q_meta_effect", "q_bowker", "q_littles_law", "q_rank_rbp",
-    "q_linkage_em_step", "q_join_order_greedy")
+    "q_linkage_em_step", "q_join_order_greedy", "q_seasonal_mk",
+    "q_ngram_tscore", "q_eoq")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

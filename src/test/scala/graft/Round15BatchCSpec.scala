@@ -207,6 +207,60 @@ class Round15BatchCSpec extends AnyFunSuite {
     rm(dir)
   }
 
+  test("q_seasonal_mk: two strictly-rising weeks give S=7 over 7 " +
+    "seasons, tie-free variance 7, z = 6/sqrt(7)") {
+    import spark.implicits._
+    val dir = tmpDir("seasonalmk")
+    val rows = (1 to 14).map(i =>
+      (ts(f"2024-01-${i}%02d"), i.toDouble, i.toLong))
+    rows.toDF("ts", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_seasonal_mk")(spark, dir).head()
+    assert(got.getAs[Long]("n_days") == 14L)
+    assert(got.getAs[Long]("n_seasons") == 7L)
+    assert(got.getAs[Long]("s") == 7L)
+    assert(got.getAs[Double]("z") == 6.0 / math.sqrt(126.0 / 18.0))
+    rm(dir)
+  }
+
+  test("q_ngram_tscore: hand-computed Church/Hanks t for the one " +
+    "bigram above the frequency floor") {
+    import spark.implicits._
+    val dir = tmpDir("tscore")
+    // "a b" x5 (passes f>=5), "b a" x4 (filtered); a=5 b=5 N=10
+    Seq((1L, "a b a b a b a b a b", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_ngram_tscore")(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("gram") == "a b")
+    assert(got(0).getAs[Long]("c2") == 5L)
+    assert(got(0).getAs[Double]("t_score")
+      == (5.0 - 5.0 * 5.0 / 10.0) / math.sqrt(5.0))
+    rm(dir)
+  }
+
+  test("q_eoq: per-brand demand sums and the Wilson sqrt(2DS/H) " +
+    "order size with literal costs") {
+    import spark.implicits._
+    val dir = tmpDir("eoq")
+    Seq((1L, "X"), (2L, "X"), (3L, "Y"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 40.0))
+      .toDF("l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q_eoq")(spark, dir).collect()
+      .map(r => (r.getAs[String]("brand"), r.getAs[Long]("n_parts"),
+        r.getAs[Long]("demand"), r.getAs[Double]("eoq"),
+        r.getAs[Double]("n_orders")))
+    val ex = math.sqrt(2.0 * 60.0 * 50.0 / 2.0)
+    val ey = math.sqrt(2.0 * 40.0 * 50.0 / 2.0)
+    assert(got.toSeq == Seq(("X", 2L, 60L, ex, 60.0 / ex),
+      ("Y", 1L, 40L, ey, 40.0 / ey)))
+    rm(dir)
+  }
+
   test("q_littles_law: hand-computed monthly arrivals/WIP/cycle and " +
     "the lambda*W prediction (leap-year February has 29 days)") {
     import spark.implicits._

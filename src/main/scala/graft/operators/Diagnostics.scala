@@ -67,7 +67,12 @@ object Diagnostics extends QueryModule {
           .agg(sum(col("t") * (col("t") - 1L)
             * (lit(2L) * col("t") + 5L)).as("tsum"),
             sum("t").as("nk"))
-        sAgg.join(ties, "season")
+        // Left join from ties (round-16, ADVICE): a season observed on
+        // a single day has no pairs and therefore no sAgg row; an
+        // inner join dropped it from n_days/n_seasons (its S and
+        // variance contributions are 0 either way — metadata fix).
+        ties.join(sAgg, Seq("season"), "left")
+          .withColumn("sk", coalesce(col("sk"), lit(0L)))
           .agg(sum("nk").cast("long").as("n_days"),
             count(lit(1)).as("n_seasons"),
             sum("sk").cast("long").as("s"),
@@ -107,7 +112,12 @@ object Diagnostics extends QueryModule {
           .select(col("ts").cast("date").as("day"),
             expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
           .groupBy("day").agg(sum("vc").as("cents"))
-          .select(col("day"), expr("cents div 100").as("v"))
+          // floor-consistent dollars (round-16, ADVICE): `div`
+          // truncates, DuckDB `//` floors — subtract pmod so the
+          // dividend is an exact multiple and the engines agree even
+          // on a negative daily sum (see q_sax_motifs).
+          .select(col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
         val idx = daily
           .withColumn("rn",
             row_number().over(Window.orderBy("day")).cast("long"))
@@ -620,10 +630,10 @@ object Diagnostics extends QueryModule {
         |        FROM dly GROUP BY 1, 2) GROUP BY 1),
         |m AS (SELECT CAST(SUM(nk) AS BIGINT) AS n_days,
         |    CAST(COUNT(*) AS BIGINT) AS n_seasons,
-        |    CAST(SUM(sk) AS BIGINT) AS s,
+        |    CAST(SUM(COALESCE(sk, 0)) AS BIGINT) AS s,
         |    CAST(SUM(nk * (nk - 1) * (2 * nk + 5) - tsum) AS BIGINT)
         |      AS var18
-        |  FROM sa JOIN ties USING (season))
+        |  FROM ties LEFT JOIN sa USING (season))
         |SELECT n_days, n_seasons, s,
         |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
@@ -635,8 +645,10 @@ object Diagnostics extends QueryModule {
     "q_hurst_rs" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
-        |daily AS (SELECT day, CAST(SUM(vc) AS BIGINT) // 100 AS v
-        |  FROM d0 GROUP BY 1),
+        |daily AS (SELECT day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1)),
         |idx AS (SELECT day, v,
         |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
         |  FROM daily),

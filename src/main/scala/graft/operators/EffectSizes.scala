@@ -78,8 +78,14 @@ object EffectSizes extends QueryModule {
             (col("sg2").cast("double")
               / (lit(16.0) * col("n_items").cast("double")
                 * col("n_items").cast("double"))).as("p_e"))
+          // Zero-guard (round-16, ADVICE): p_e = 1 when every rating in
+          // the corpus lands in one category; Spark's non-ANSI x/0
+          // yields NULL while DuckDB's IEEE division yields NaN, so the
+          // degenerate corpus would hash-mismatch unguarded (both
+          // engines emit NULL under the unmatched WHEN/CASE).
           .withColumn("kappa",
-            (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+            when(col("p_e") =!= 1.0,
+              (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
       }),
 
       // --- Matthews correlation coefficient: the single balanced
@@ -267,14 +273,17 @@ object EffectSizes extends QueryModule {
         |  CAST(sg2 AS DOUBLE)
         |    / (16.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))
         |    AS p_e,
-        |  (CAST(ss2 - 4 * n_items AS DOUBLE)
-        |      / (12.0 * CAST(n_items AS DOUBLE))
-        |    - CAST(sg2 AS DOUBLE)
+        |  CASE WHEN CAST(sg2 AS DOUBLE)
         |      / (16.0 * CAST(n_items AS DOUBLE)
-        |        * CAST(n_items AS DOUBLE)))
-        |  / (1.0 - CAST(sg2 AS DOUBLE)
-        |      / (16.0 * CAST(n_items AS DOUBLE)
-        |        * CAST(n_items AS DOUBLE))) AS kappa
+        |        * CAST(n_items AS DOUBLE)) <> 1.0 THEN
+        |    (CAST(ss2 - 4 * n_items AS DOUBLE)
+        |        / (12.0 * CAST(n_items AS DOUBLE))
+        |      - CAST(sg2 AS DOUBLE)
+        |        / (16.0 * CAST(n_items AS DOUBLE)
+        |          * CAST(n_items AS DOUBLE)))
+        |    / (1.0 - CAST(sg2 AS DOUBLE)
+        |        / (16.0 * CAST(n_items AS DOUBLE)
+        |          * CAST(n_items AS DOUBLE))) END AS kappa
         |FROM gt CROSS JOIN gc""".stripMargin,
 
     "q_mcc" ->

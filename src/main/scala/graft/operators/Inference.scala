@@ -67,11 +67,17 @@ object Inference extends QueryModule {
         val colsM = li.join(blocks.select("ok"), "ok")
           .groupBy("j").agg(sum("x").cast("long").as("gj"))
           .agg(sum(col("gj") * col("gj")).cast("long").as("sg2"))
+        // Zero-guard (round-16, ADVICE): kT − ΣL² = 0 when every block
+        // is unanimous; Spark's non-ANSI x/0 yields NULL while DuckDB's
+        // IEEE division yields ±inf/NaN, so the degenerate corpus would
+        // hash-mismatch without the explicit guard (both engines emit
+        // NULL under the unmatched WHEN/CASE).
         rowsM.crossJoin(broadcast(colsM))
           .select(col("n_blocks"), lit(3L).as("k"), col("t"),
-            ((lit(2L) * (lit(3L) * col("sg2") - col("t") * col("t")))
-              .cast("double")
-              / (lit(3L) * col("t") - col("sl2")).cast("double"))
+            when(lit(3L) * col("t") - col("sl2") =!= 0L,
+              (lit(2L) * (lit(3L) * col("sg2") - col("t") * col("t")))
+                .cast("double")
+                / (lit(3L) * col("t") - col("sl2")).cast("double"))
               .as("q_stat"))
       }),
 
@@ -83,9 +89,14 @@ object Inference extends QueryModule {
       // quantizes exactly: (diff²·1e6) div tot int64 (diff ≤ corpus
       // size, so diff²·1e6 holds to ~3e6 docs; fleet recast =
       // DECIMAL(38,0)), summed before ONE terminal division — no FP Σ
-      // reaches the hash. Missing directions contribute via the
-      // conditional sums (0-count cells are real). One map-side
-      // census aggregate, O(k²) cells, 1-row out. ---
+      // reaches the hash. A direction missing WITHIN an observed pair
+      // contributes via the conditional sums (its 0 count is real),
+      // but a class pair with NO observed disagreement at all drops
+      // out of the census entirely, so the reported `df` is the count
+      // of non-empty off-diagonal pairs — ≤ the textbook k(k−1)/2 = 3
+      // (round-16, ADVICE: documented deliberately; emitting the fixed
+      // 3 would claim χ² df for terms that contributed nothing). One
+      // map-side census aggregate, O(k²) cells, 1-row out. ---
       "q_bowker" -> ((s, d) => {
         val h = md5(col("doc_id").cast("string"))
         def cls(c: org.apache.spark.sql.Column) =
@@ -605,8 +616,9 @@ object Inference extends QueryModule {
         |  FROM (SELECT j, CAST(SUM(x) AS BIGINT) AS gj
         |        FROM li JOIN blocks USING (ok) GROUP BY 1))
         |SELECT n_blocks, CAST(3 AS BIGINT) AS k, t,
-        |  CAST(2 * (3 * sg2 - t * t) AS DOUBLE)
-        |    / CAST(3 * t - sl2 AS DOUBLE) AS q_stat
+        |  CASE WHEN 3 * t - sl2 <> 0 THEN
+        |    CAST(2 * (3 * sg2 - t * t) AS DOUBLE)
+        |      / CAST(3 * t - sl2 AS DOUBLE) END AS q_stat
         |FROM rm CROSS JOIN cm""".stripMargin,
 
     "q_mcnemar" ->

@@ -49,7 +49,15 @@ object Telemetry extends QueryModule {
             col("ts").cast("date").as("day"),
             expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
           .groupBy("et", "day").agg(sum("vc").as("cents"))
-          .select(col("et"), col("day"), expr("cents div 100").as("v"))
+          // floor-consistent dollars (round-16, ADVICE): Spark `div`
+          // truncates toward zero while DuckDB `//` floors, so a
+          // negative daily sum would diverge cross-engine; subtracting
+          // pmod first makes the dividend an exact multiple of 100
+          // (truncation ≡ floor), identical on both engines and
+          // value-identical to the old spelling for the non-negative
+          // corpus.
+          .select(col("et"), col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
           .localCheckpoint()
         val st = daily.groupBy("et")
           .agg(count(lit(1)).as("n"), sum("v").cast("long").as("sv"),
@@ -434,8 +442,10 @@ object Telemetry extends QueryModule {
     "q_sax_motifs" ->
       """WITH d0 AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
         |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
-        |daily AS (SELECT et, day, CAST(SUM(vc) AS BIGINT) // 100 AS v
-        |  FROM d0 GROUP BY 1, 2),
+        |daily AS (SELECT et, day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT et, day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1, 2)),
         |st AS (SELECT et,
         |    CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) AS mu,

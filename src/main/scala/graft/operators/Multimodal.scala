@@ -306,6 +306,169 @@ object Multimodal extends QueryModule {
     } else ("unknown", -1L, -1L)
   }
 
+  // ---- round 16 (r15 ask #6): audio-container headers. Real
+  // multimodal corpora carry audio next to images; the sibling of the
+  // image walk is a WAV RIFF-chunk walk (fmt chunk: PCM sample rate /
+  // channels / bits) and an MP3 frame-header decode (bitrate and
+  // sample-rate INDEX tables, with an ID3v2 tag skip in front — the
+  // syncsafe-size arithmetic every real sniffer needs). Same
+  // discipline as the image family: synthAudioPayload builds a
+  // structurally real container around closed-form fields,
+  // parseAudioHeader recovers them from the BYTES alone, golden
+  // byte-vector + fuzz specs pin the parser independently of the
+  // synth (AudioHeaderSpec).
+
+  /** MPEG-1 Layer III bitrate table, kbps, index 1-14 (0 = free,
+    * 15 = bad — both parse to -1).
+    */
+  private val Mp3KbpsByIndex: Array[Int] = Array(
+    32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample-rate table by 2-bit index (3 = reserved). */
+  private val Mp3RateByIndex: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Deterministic synthetic audio payload with a REAL container
+    * header: doc_id even → WAV (RIFF/WAVE; a LIST chunk sits BEFORE
+    * `fmt ` when doc_id%4==2, odd-size and padded per RIFF, so the
+    * chunk walk — not a fixed offset — is load-bearing); doc_id odd →
+    * MP3 (MPEG-1 Layer III frame header; doc_id%3==0 prepends an
+    * ID3v2.3 tag of syncsafe size doc_id%100 the parser must skip).
+    * doc_id%11==0 → first 2 bytes only (the truncated-crawl error
+    * path; 11, not the image family's 13, so the two corrupt classes
+    * don't shadow each other in cross-family queries).
+    */
+  private[graft] def synthAudioPayload(docId: Long,
+      textBytes: Array[Byte]): Array[Byte] = {
+    val body = textBytes.take(64)
+    val full: Array[Byte] =
+      if (docId % 2 == 0) {
+        val channels = if (docId % 3 == 0) 2 else 1
+        val rate = Array(8000, 16000, 22050, 44100, 48000)(
+          (docId % 5).toInt)
+        val bits = 8 * (1 + ((docId % 7) % 3)).toInt
+        val hasList = docId % 4 == 2
+        val listLen = (docId % 9).toInt
+        val listPad = listLen % 2
+        val listBytes = if (hasList) 8 + listLen + listPad else 0
+        val buf = java.nio.ByteBuffer
+          .allocate(12 + listBytes + 24 + 8 + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII"))
+        buf.putInt(4 + listBytes + 24 + 8 + body.length)
+        buf.put("WAVE".getBytes("US-ASCII"))
+        if (hasList) {
+          buf.put("LIST".getBytes("US-ASCII"))
+          buf.putInt(listLen) // declared size odd when listLen odd —
+          buf.put(Array.fill(listLen + listPad)('l'.toByte)) // pad byte
+        }
+        buf.put("fmt ".getBytes("US-ASCII"))
+        buf.putInt(16)
+        buf.putShort(1.toShort) // PCM
+        buf.putShort(channels.toShort)
+        buf.putInt(rate)
+        buf.putInt(rate * channels * bits / 8) // byte rate
+        buf.putShort((channels * bits / 8).toShort) // block align
+        buf.putShort(bits.toShort)
+        buf.put("data".getBytes("US-ASCII"))
+        buf.putInt(body.length)
+        buf.put(body)
+        buf.array()
+      } else {
+        val hasId3 = docId % 3 == 0
+        val tagLen = (docId % 100).toInt // < 128: one syncsafe byte
+        val id3Bytes = if (hasId3) 10 + tagLen else 0
+        val bitrateIdx = (1 + docId % 14).toInt
+        val srIdx = (docId % 3).toInt
+        val mode = (docId % 4).toInt // odd ids: 1 = joint, 3 = mono
+        val buf = java.nio.ByteBuffer.allocate(id3Bytes + 4 + body.length)
+        if (hasId3) {
+          buf.put("ID3".getBytes("US-ASCII"))
+          buf.put(3.toByte).put(0.toByte) // v2.3.0
+          buf.put(0.toByte) // flags, no footer
+          buf.put(0.toByte).put(0.toByte).put(0.toByte)
+            .put(tagLen.toByte) // syncsafe u28
+          buf.put(Array.fill(tagLen)('i'.toByte))
+        }
+        buf.put(0xFF.toByte).put(0xFB.toByte) // sync + MPEG-1 L3, no CRC
+        buf.put(((bitrateIdx << 4) | (srIdx << 2)).toByte)
+        buf.put((mode << 6).toByte)
+        buf.put(body)
+        buf.array()
+      }
+    if (docId % 11 == 0) full.take(2) else full
+  }
+
+  /** Header-only audio parse from bytes alone: WAV RIFF-chunk walk to
+    * `fmt ` (LE u16/u32 fields; sizes read unsigned into Long, odd
+    * sizes pad — the PNG fuzz lesson), or ID3v2-skip + MPEG frame-
+    * header decode (MPEG-1 Layer III only; free/bad bitrate and
+    * reserved sample-rate indices parse to -1). Returns (format,
+    * sample_rate, channels, bit_rate_bps); unparseable →
+    * ("unknown",-1,-1,-1), recognized-but-truncated/invalid →
+    * (fmt,-1,-1,-1).
+    */
+  private[graft] def parseAudioHeader(p: Array[Byte])
+      : (String, Long, Long, Long) = {
+    val none = -1L
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') {
+      var off = 12L
+      while (off + 8 <= p.length) {
+        val o = off.toInt
+        val fourcc = new String(p, o, 4, "US-ASCII")
+        val size = le32u(p, o + 4)
+        if (fourcc == "fmt ") {
+          return if (o + 8 + 16 <= p.length && size >= 16L) {
+            val ch = le16(p, o + 10).toLong
+            val rate = le32u(p, o + 12)
+            val bits = le16(p, o + 22).toLong
+            if (ch > 0 && rate > 0 && bits > 0)
+              ("wav", rate, ch, rate * ch * bits)
+            else ("wav", none, none, none)
+          } else ("wav", none, none, none)
+        }
+        off += 8L + size + (size & 1L)
+      }
+      ("wav", none, none, none)
+    } else if (p.length >= 3 && p(0) == 'I' && p(1) == 'D' &&
+        p(2) == '3') {
+      if (p.length < 10) return ("mp3", none, none, none)
+      val tagSize = ((p(6) & 0x7F).toLong << 21) |
+        ((p(7) & 0x7F).toLong << 14) | ((p(8) & 0x7F).toLong << 7) |
+        (p(9) & 0x7F).toLong
+      val footer = if ((p(5) & 0x10) != 0) 10L else 0L
+      parseMp3Frame(p, 10L + tagSize + footer)
+    } else if (p.length >= 2 && (p(0) & 0xFF) == 0xFF &&
+        (p(1) & 0xE0) == 0xE0) {
+      parseMp3Frame(p, 0L)
+    } else ("unknown", none, none, none)
+  }
+
+  /** MPEG frame header at `off`: MPEG-1 (version bits 11) Layer III
+    * (layer bits 01) only — other versions/layers, free/bad bitrate
+    * (0/15) and the reserved sample-rate index (3) all return -1s.
+    */
+  private def parseMp3Frame(p: Array[Byte], off: Long)
+      : (String, Long, Long, Long) = {
+    val none = -1L
+    if (off < 0 || off + 4 > p.length) return ("mp3", none, none, none)
+    val o = off.toInt
+    if ((p(o) & 0xFF) != 0xFF || (p(o + 1) & 0xE0) != 0xE0)
+      return ("mp3", none, none, none)
+    val version = (p(o + 1) >> 3) & 3
+    val layer = (p(o + 1) >> 1) & 3
+    if (version != 3 || layer != 1) return ("mp3", none, none, none)
+    val bitrateIdx = (p(o + 2) >> 4) & 0xF
+    val srIdx = (p(o + 2) >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3)
+      return ("mp3", none, none, none)
+    val mode = (p(o + 3) >> 6) & 3
+    val channels = if (mode == 3) 1L else 2L
+    ("mp3", Mp3RateByIndex(srIdx).toLong, channels,
+      Mp3KbpsByIndex(bitrateIdx - 1).toLong * 1000L)
+  }
+
   /** The synthetic media corpus: (doc_id, media_type, payload). */
   private def media(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").select(
@@ -341,6 +504,51 @@ object Multimodal extends QueryModule {
       |    THEN 13 + LEAST(octet_length(encode(text)), 64)
       |  ELSE CASE WHEN (doc_id // 4) % 3 = 1 THEN 25 ELSE 30 END
       |    + LEAST(octet_length(encode(text)), 64) END""".stripMargin
+
+  /** Closed-form parsed-audio fields of the synth payload (see
+    * synthAudioPayload): fmt / sample_rate / channels / bit_rate /
+    * n_bytes as SELECT-list fragments over (doc_id, body) — shared by
+    * both audio oracles so the class map lives in ONE place. The
+    * truncated class (%11) keeps 2 bytes: an un-tagged MP3's first two
+    * bytes are the FF FB sync (recognized, fields -1) while a WAV's
+    * 'RI' and a tagged MP3's 'ID' are unrecognizable.
+    */
+  private val audioFieldsSql =
+    """CASE WHEN doc_id % 11 = 0 THEN
+      |      CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0
+      |        THEN 'mp3' ELSE 'unknown' END
+      |    WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS fmt,
+      |  CASE WHEN doc_id % 11 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN
+      |      CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |        WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+      |    ELSE CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |      ELSE 32000 END END AS sample_rate,
+      |  CASE WHEN doc_id % 11 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN
+      |      CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+      |    ELSE CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END
+      |    END AS channels,
+      |  CASE WHEN doc_id % 11 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN
+      |      (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+      |      * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+      |      * (8 * (1 + (doc_id % 7) % 3))
+      |    ELSE 1000 * (CASE 1 + doc_id % 14
+      |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+      |      WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+      |      WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+      |      WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+      |      WHEN 13 THEN 256 ELSE 320 END) END AS bit_rate,
+      |  CASE WHEN doc_id % 11 = 0 THEN 2
+      |    WHEN doc_id % 2 = 0 THEN 44
+      |      + CASE WHEN doc_id % 4 = 2
+      |          THEN 8 + (doc_id % 9) + (doc_id % 9) % 2 ELSE 0 END
+      |      + body
+      |    ELSE 4
+      |      + CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 100 ELSE 0 END
+      |      + body END AS n_bytes""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- metadata extraction over opaque binary payloads ---
@@ -513,6 +721,73 @@ object Multimodal extends QueryModule {
         .orderBy("source", "fmt")
     }),
 
+    // --- REAL audio-header parse (round 16, r15 ask #6): synthesize a
+    // structurally genuine WAV (RIFF chunk walk, LIST chunk before
+    // `fmt ` on a quarter of the corpus so fixed offsets cannot pass)
+    // or MP3 (ID3v2 syncsafe-size skip + MPEG-1 Layer III frame
+    // header with table-indexed bitrate/sample-rate) per doc, then
+    // recover (format, sample_rate, channels, bit_rate) FROM THE
+    // BYTES, plus the exact-integer duration estimate
+    // body_bytes·8000 div bit_rate a provisioning pass derives.
+    // Map-side only; at 100 TB the parse reads the first ~120 bytes
+    // of each payload — a metadata pass, like q_image_dims. Oracle:
+    // closed-form in doc_id + text length; the parser is additionally
+    // pinned against hand-built golden vectors + fuzz
+    // (AudioHeaderSpec) so synth and parse cannot share a
+    // compensating bug. ---
+    "q_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload = synthAudioPayload(id, tb)
+          val (fmt, rate, ch, bps) = parseAudioHeader(payload)
+          val durMs =
+            if (bps > 0) math.min(tb.length, 64).toLong * 8000L / bps
+            else -1L
+          (id, payload.length.toLong, fmt, rate, ch, bps, durMs)
+        })
+        .toDF("doc_id", "n_bytes", "fmt", "sample_rate", "channels",
+          "bit_rate", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
+    // --- audio fleet profile over PARSED headers (round 16): per
+    // container format, mono/stereo counts, the distinct sample-rate
+    // census, and byte/duration budgets — the provisioning card an
+    // audio ingest reads before choosing resample buckets (the audio
+    // sibling of q_image_aspect). Parse failures are excluded here;
+    // the error census is q_audio_meta's job. Map-side parse, one
+    // O(formats) aggregate; mean bitrate is ONE terminal division. ---
+    "q_audio_profile" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (fmt, rate, ch, bps) = parseAudioHeader(
+            synthAudioPayload(id, tb))
+          val durMs =
+            if (bps > 0) math.min(tb.length, 64).toLong * 8000L / bps
+            else -1L
+          (id, fmt, rate, ch, bps, durMs)
+        })
+        .toDF("doc_id", "fmt", "sample_rate", "channels", "bit_rate",
+          "duration_ms")
+        .filter(col("sample_rate") > 0)
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum((col("channels") === 1L).cast("long")).as("n_mono"),
+          sum((col("channels") === 2L).cast("long")).as("n_stereo"),
+          countDistinct("sample_rate").as("n_rates"),
+          sum("bit_rate").as("sum_bps"),
+          sum("duration_ms").as("total_ms"))
+        .withColumn("avg_bps",
+          col("sum_bps").cast("double") / col("n"))
+        .orderBy("fmt")
+    }),
+
     // --- multimodal mix card (round 10): per (source, media type),
     // item and BYTE budgets plus each type's byte share within its
     // source — the mixture table a multimodal pretraining run is
@@ -600,6 +875,38 @@ object Multimodal extends QueryModule {
          |  CAST(n_bytes AS DOUBLE) / sb AS byte_share
          |FROM cells JOIN t USING (source)
          |ORDER BY source, fmt""".stripMargin,
+
+    "q_audio_meta" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    LEAST(octet_length(encode(text)), 64) AS body
+         |  FROM documents),
+         |a AS (SELECT doc_id, body, $audioFieldsSql
+         |  FROM f)
+         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, fmt,
+         |  CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(bit_rate AS BIGINT) AS bit_rate,
+         |  CAST(CASE WHEN bit_rate > 0 THEN body * 8000 // bit_rate
+         |    ELSE -1 END AS BIGINT) AS duration_ms
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_audio_profile" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    LEAST(octet_length(encode(text)), 64) AS body
+         |  FROM documents),
+         |a AS (SELECT doc_id, body, $audioFieldsSql
+         |  FROM f)
+         |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN channels = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mono,
+         |  CAST(SUM(CASE WHEN channels = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_stereo,
+         |  CAST(COUNT(DISTINCT sample_rate) AS BIGINT) AS n_rates,
+         |  CAST(SUM(bit_rate) AS BIGINT) AS sum_bps,
+         |  CAST(SUM(body * 8000 // bit_rate) AS BIGINT) AS total_ms,
+         |  CAST(SUM(bit_rate) AS DOUBLE) / COUNT(*) AS avg_bps
+         |FROM a WHERE sample_rate > 0
+         |GROUP BY fmt ORDER BY fmt""".stripMargin,
 
     "q_multimodal_mix" ->
       s"""WITH m AS (SELECT source, $mediaTypeSql AS media_type,

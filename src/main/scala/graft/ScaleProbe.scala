@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Output: BENCH_SCALE.json with, per probe level, per-query
   * base/scaled seconds, the time ratio, the implied growth exponent
-  * log_c(ratio), and a `flagged` list. At the first (10x) level the
+  * log_c(ratio), the OUTPUT ROW COUNTS on both sides plus the
+  * per-unit-output exponent log_c(ratio / max(1, out_ratio/c))
+  * (round 16 — flags read THIS one, so an output-bound reading like
+  * the r14/r15 zipf ssjoin self-adjudicates in the artifact), and a
+  * `flagged` list. The zipf level additionally records a candidate
+  * census (candidates vs qualifying output) for the two banded dedup
+  * pipelines. At the first (10x) level the
   * threshold is 1.3 (super-linear beyond noise); at deeper levels
   * (30x — round-12 ask #6) it tightens to 0.9: the scaled corpus is
   * `copies` DISJOINT shifted components, so honest distributed plans
@@ -50,7 +56,16 @@ object ScaleProbe {
 
   /** The 15 most expensive non-streaming queries of BENCH_DETAIL r9,
     * plus the two heaviest round-12 additions (per-lang tertile
-    * bucketing over the vocab join; label-propagation soft dedup).
+    * bucketing over the vocab join; label-propagation soft dedup),
+    * plus (round 16, r15 ask #7) every remaining query above ~1.5 s
+    * in the r15 quiet BENCH_DETAIL — 27 total, covering the full
+    * >1.5 s cost tail: the TOPSIS/rolling-p95/item-cosine/itemsets
+    * aggregates, the IPF raking loop, the two round-15 graph
+    * additions, the clustering-coefficient edge build, the part-month
+    * price index, and one stateful streaming twin (q_streaming_ohlc —
+    * its state rows scale with data volume; the uniform build now
+    * writes `events` as a single file so the replay builders' glob
+    * resolves, the same constraint the zipf build already met).
     */
   val probeQueries: Seq[String] = Seq(
     "q_lsh_curve", "q_minhash_eval", "q_containment", "q_dataset_card",
@@ -58,7 +73,10 @@ object ScaleProbe {
     "q_graph_modularity", "q_graph_triangle", "q_split_leakage",
     "q_negative_sample", "q_cross_source_dups", "q_graph_wpath",
     "q_label_prop", "q_graph_commonnbrs",
-    "q_ccnet_buckets", "q_soft_dedup")
+    "q_ccnet_buckets", "q_soft_dedup",
+    "q_topsis_rank", "q_rolling_p95", "q_item_cosine", "q_itemsets3",
+    "q_raking_ipf", "q_graph_resource_alloc", "q_graph_pref_attach",
+    "q_price_index", "q_graph_clustcoef", "q_streaming_ohlc")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the
@@ -79,10 +97,18 @@ object ScaleProbe {
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0)
 
-  /** Key-shifted replication of every base table into `dst`. */
+  /** Key-shifted replication of every base table into `dst`. V2
+    * (round 16): `events` is written as a single FILE, not a Spark
+    * directory — the streaming replay builders read the dataset dir
+    * with pathGlobFilter=events.parquet, which matches nothing inside
+    * a directory-shaped table (the constraint buildSkewed has met
+    * since round 14); the probe pool now carries a stateful twin at
+    * the uniform levels too. ~2 MB/copy, so one-task writes are fine
+    * even at 60x.
+    */
   def buildScaled(s: SparkSession, base: String, dst: String,
       copies: Int): Unit = {
-    val done = new java.io.File(dst, "_GRAFT_SCALED")
+    val done = new java.io.File(dst, "_GRAFT_SCALED_V2")
     if (done.exists()) return
     def read(t: String) = Tables.table(s, base, t)
     val cOff = maxOf(read("customer"), "c_custkey") + 1
@@ -117,9 +143,21 @@ object ScaleProbe {
       .withColumn("l_orderkey", shift("l_orderkey", oOff, i))
       .withColumn("l_partkey", shift("l_partkey", pOff, i))
       .withColumn("l_suppkey", shift("l_suppkey", sOff, i)))
-    replicate("events")((d, i) => d
-      .withColumn("event_id", shift("event_id", eOff, i))
-      .withColumn("user_id", shift("user_id", uOff, i)))
+    locally {
+      val src = read("events")
+      val out = (0 until copies).map(i => src
+        .withColumn("event_id", shift("event_id", eOff, i))
+        .withColumn("user_id", shift("user_id", uOff, i)))
+        .reduce(_ unionByName _)
+      val stage = new java.io.File(dst, ".stage_events")
+      out.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val destF = new java.io.File(dst, "events.parquet")
+      org.apache.commons.io.FileUtils.deleteQuietly(destF)
+      java.nio.file.Files.move(part.toPath, destF.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      System.err.println(s"[scale] built events x$copies (single file)")
+    }
     replicate("documents")((d, i) => d
       .withColumn("doc_id", shift("doc_id", dOff, i))
       .withColumn("text", if (i == 0) col("text")
@@ -282,26 +320,57 @@ object ScaleProbe {
     plans.TopKPerKey.register(spark)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def sampleF(tag: String, q: String, f: String => Unit,
-        dir: String): Option[Double] = {
+    // Samples carry the OUTPUT ROW COUNT next to the wall time
+    // (round 16, r15 asks #3/#4): a probe whose wall grows because its
+    // answer grows (near-dup families emit C(k,2) genuine pairs under
+    // template skew) is output-bound, not plan-degenerate — recording
+    // the counts in-artifact makes that adjudication automatic instead
+    // of a SURVEY-prose appendix next to a standing flag.
+    def sampleF(tag: String, q: String, f: String => Long,
+        dir: String): Option[(Double, Long)] = {
       val t0 = System.nanoTime()
-      val ok = try { f(dir); true } catch { case e: Throwable =>
-        System.err.println(s"[scale] FAILED $tag $q: $e"); false }
+      val n = try Some(f(dir)) catch { case e: Throwable =>
+        System.err.println(s"[scale] FAILED $tag $q: $e"); None }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale] $tag%-10s $q%-24s $dt%8.2fs")
-      if (ok) Some(dt) else None
+      System.err.println(f"[scale] $tag%-10s $q%-24s $dt%8.2fs" +
+        n.map(v => s"  rows=$v").getOrElse(""))
+      n.map(v => (dt, v))
     }
-    def runQ(q: String): String => Unit =
-      (dir: String) => { SparkEntry.queries(q)(spark, dir).count(); () }
+    def runQ(q: String): String => Long =
+      (dir: String) => SparkEntry.queries(q)(spark, dir).count()
+    /** Per-query growth row: raw wall exponent log_c(r_wall) PLUS the
+      * per-unit-output exponent log_c(r_wall / max(1, r_out/c)) — the
+      * wall growth after crediting output growth BEYOND the volume
+      * factor as legitimate work. For fixed-size or volume-linear
+      * outputs the two coincide; only when the answer itself grows
+      * super-linearly (pair relations under skew) do they diverge, and
+      * the flag reads the per-output one — the self-adjudication the
+      * r14/r15 ssjoin flags needed prose for.
+      */
+    def growthRow(q: String, b: Option[(Double, Long)],
+        sc: Option[(Double, Long)], c: Double): (String, String, Double) =
+      (b, sc) match {
+        case (Some((bt, bn)), Some((st, sn))) =>
+          val ratio = st / bt
+          val expn = math.log(ratio) / math.log(c)
+          val outRatio = if (bn > 0) sn.toDouble / bn else 1.0
+          val perOut = math.log(ratio / math.max(1.0, outRatio / c)) /
+            math.log(c)
+          (q, f"""{"base":$bt%.2f,"scaled":$st%.2f,"ratio":$ratio%.2f,""" +
+            f""""exponent":$expn%.2f,"base_out":$bn,"scaled_out":$sn,""" +
+            f""""out_ratio":$outRatio%.1f,"exp_per_out":$perOut%.2f}""",
+            perOut)
+        case _ => (q, """{"failed":true}""", Double.NaN)
+      }
     // The wedge-forced spelling of the triangle query (round-14, r13
     // ask #2): the co-partitioned wedge join is the ONLY plan available
     // past the broadcast-feasibility gate, so it needs its own measured
     // exponent series next to the broadcast one — shipping the fallback
     // unmeasured would repeat the r12 mistake the broadcast probes
     // fixed. Forced via the in-process property triangleStrategy reads.
-    val wedgeTriangle: String => Unit = (dir: String) => {
+    val wedgeTriangle: String => Long = (dir: String) => {
       System.setProperty("graft.triangle.force", "wedge")
-      try { SparkEntry.queries("q_graph_triangle")(spark, dir).count(); () }
+      try SparkEntry.queries("q_graph_triangle")(spark, dir).count()
       finally { System.clearProperty("graft.triangle.force"); () }
     }
     def warm(dir: String): Unit =
@@ -329,14 +398,16 @@ object ScaleProbe {
         else if (copies >= 60) graphTail
         else tailQueries
       val selected = pool.filter(q => only.forall(_.contains(q)))
-      val probeFns: Seq[(String, String => Unit)] =
+      val probeFns: Seq[(String, String => Long)] =
         selected.map(q => q -> runQ(q)) ++
           (if (selected.contains("q_graph_triangle"))
             Seq("q_graph_triangle_wedge" -> wedgeTriangle)
           else Seq.empty)
       // min over passes (same stall-storm estimator as Bench); each
       // pass runs base THEN scaled back to back, so a stall storm
-      // taxes both sides of the ratio instead of one
+      // taxes both sides of the ratio instead of one. MIN by wall;
+      // the row count rides along (identical across passes anyway —
+      // the queries are deterministic).
       val passResults = (1 to passes).map { p =>
         val b = probeFns.map { case (q, f) =>
           q -> sampleF(s"b$copies/$p", q, f, base) }.toMap
@@ -346,23 +417,17 @@ object ScaleProbe {
       }
       val names = probeFns.map(_._1)
       val baseT = names.map(q =>
-        q -> passResults.flatMap(_._1(q)).minOption).toMap
+        q -> passResults.flatMap(_._1(q)).minByOption(_._1)).toMap
       val scaledT = names.map(q =>
-        q -> passResults.flatMap(_._2(q)).minOption).toMap
-      val rows = names.map { q =>
-        (q, baseT(q), scaledT(q)) match {
-          case (q, Some(b), Some(sc)) =>
-            val ratio = sc / b
-            val expn = math.log(ratio) / math.log(copies.toDouble)
-            (q, f"""{"base":$b%.2f,"scaled":$sc%.2f,"ratio":$ratio%.2f,""" +
-              f""""exponent":$expn%.2f}""", expn)
-          case (q, _, _) => (q, """{"failed":true}""", Double.NaN)
-        }
-      }
+        q -> passResults.flatMap(_._2(q)).minByOption(_._1)).toMap
+      val rows = names.map(q =>
+        growthRow(q, baseT(q), scaledT(q), copies.toDouble))
       val threshold = if (copies >= 30) 0.9 else 1.3
-      // the wedge series' DESIGN bound is the O(m^1.5) wedge volume —
-      // it is expected super-linear (that is why it loses to the
-      // broadcast below the gate); flag it only past its own bound
+      // Flags read the PER-OUTPUT exponent (self-adjudicating: output
+      // growth beyond the volume factor is credited as work). The
+      // wedge series' DESIGN bound is the O(m^1.5) wedge volume — it
+      // is expected super-linear (that is why it loses to the
+      // broadcast below the gate); flag it only past its own bound.
       val flagged = rows.collect { case (q, _, e)
         if e > (if (q.endsWith("_wedge")) 1.5 else threshold) => q }
       val json = rows.map { case (q, j, _) => "\"" + q + "\":" + j }
@@ -393,14 +458,14 @@ object ScaleProbe {
       } catch { case e: Throwable =>
         System.err.println(s"[scale] skew warmup failed (non-fatal): $e")
       }
-      val probes: Seq[(String, String => Unit)] = Seq(
+      val probes: Seq[(String, String => Long)] = Seq(
         "q_join_salted" -> runQ("q_join_salted"),
         "q_dedup_cluster" -> runQ("q_dedup_cluster"),
         // the posting-stream BUILD itself, bypassing the truth cache —
         // the pipeline the df-cap exists to protect
         "ngram_posting_build" -> ((dir: String) =>
-          { operators.TextPipeline.ngramPairsCompute(spark, dir)
-              .count(); () }),
+          operators.TextPipeline.ngramPairsCompute(spark, dir)
+            .count()),
         // round-14 extensions (r13 ask #3): the prefix-filtered
         // similarity join against viral tokens (the x1200 family's
         // shared vocabulary is the df-ordering's stress test), and one
@@ -451,20 +516,42 @@ object ScaleProbe {
         (b, sc)
       }
       val rows = selected.map { case (q, _) =>
-        (passResults.flatMap(_._1(q)).minOption,
-          passResults.flatMap(_._2(q)).minOption) match {
-          case (Some(b), Some(sc)) =>
-            val ratio = sc / b
-            val expn = math.log(ratio) / math.log(10.0)
-            (q, f"""{"base":$b%.2f,"scaled":$sc%.2f,"ratio":$ratio%.2f,""" +
-              f""""exponent":$expn%.2f}""", expn)
-          case _ => (q, """{"failed":true}""", Double.NaN)
-        }
+        growthRow(q, passResults.flatMap(_._1(q)).minByOption(_._1),
+          passResults.flatMap(_._2(q)).minByOption(_._1), 10.0)
       }
+      // per-output flags: a zipf corpus GENUINELY carries C(k,2)
+      // qualifying pairs per xk near-dup family, so the raw wall
+      // exponent over-indicts output-bound pipelines (the r14/r15
+      // ssjoin flag); wall growth is only a defect when it outruns
+      // volume-normalized output growth too
       val flagged = rows.collect { case (q, _, e) if e > 1.3 => q }
+      // Candidate census for the two banded dedup pipelines (round 16,
+      // r15 asks #3/#4): candidates vs qualifying output on both
+      // sides, in-artifact — a future above-threshold exponent arrives
+      // pre-adjudicated (candidate excess flat = output-bound; excess
+      // growing = the filter/cap regressing). One extra count per
+      // (pipeline, side); skipped under SPARK_GRAFT_ONLY subsets that
+      // exclude the pipeline.
+      def censusRow(q: String, f: String => Long): Option[String] =
+        if (!only.forall(_.contains(q))) None
+        else try {
+          val cb = f(base)
+          val cs = f(dst)
+          Some(s""""$q":{"base_cand":$cb,"scaled_cand":$cs}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] census $q failed: $e"); None
+        }
+      val census = Seq(
+        censusRow("q_ssjoin_prefix", dir =>
+          operators.TextPipeline
+            .ssjoinCandidates(spark, dir, positional = true).count()),
+        censusRow("q_dedup_minhash", dir =>
+          operators.Dedup.minhashCandidates(spark, dir).count())
+      ).flatten
       Some(s"""{"skew":"zipf","factor":10,"threshold":1.3,""" +
         s""""queries":${rows.map { case (q, j, _) => "\"" + q + "\":" + j }
           .mkString("{", ",", "}")},""" +
+        s""""census":${census.mkString("{", ",", "}")},""" +
         s""""flagged":${
           flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     }
@@ -485,7 +572,7 @@ object ScaleProbe {
       } catch { case e: Throwable =>
         System.err.println(s"[scale] hub warmup failed (non-fatal): $e")
       }
-      val probes: Seq[(String, String => Unit)] = Seq(
+      val probes: Seq[(String, String => Long)] = Seq(
         "q_graph_triangle" -> runQ("q_graph_triangle"),
         "q_graph_commonnbrs" -> runQ("q_graph_commonnbrs"),
         // round-15 (r14 ask #8): the wedge fallback's cost is
@@ -503,15 +590,9 @@ object ScaleProbe {
         (b, sc)
       }
       val rows = selected.map { case (q, _) =>
-        (passResults.flatMap(_._1(q)).minOption,
-          passResults.flatMap(_._2(q)).minOption) match {
-          case (Some(b), Some(sc)) =>
-            val ratio = sc / b
-            val expn = math.log(ratio) / math.log(hubCopies.toDouble)
-            (q, f"""{"base":$b%.2f,"scaled":$sc%.2f,"ratio":$ratio%.2f,""" +
-              f""""exponent":$expn%.2f}""", expn)
-          case _ => (q, """{"failed":true}""", Double.NaN)
-        }
+        growthRow(q, passResults.flatMap(_._1(q)).minByOption(_._1),
+          passResults.flatMap(_._2(q)).minByOption(_._1),
+          hubCopies.toDouble)
       }
       // the wedge series keeps its own O(m^1.5) design bound here too
       val flagged = rows.collect { case (q, _, e)

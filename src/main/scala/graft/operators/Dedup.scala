@@ -133,6 +133,38 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
   }
 
+  /** q_dedup_minhash's candidate-pair relation (banded MinHash bucket
+    * collisions, distinct'd), exposed so the scale probe's census can
+    * measure candidates vs qualifying output under skew — the same
+    * self-adjudication the ssjoin census gives q_ssjoin_prefix
+    * (round 16, r15 ask #4). The query itself consumes exactly this.
+    */
+  private[graft] def minhashCandidates(s: SparkSession,
+      d: String): DataFrame = {
+    // band keys in one fused codegen'd pass over the tokens (native
+    // MinHashBandKeys — replaced the interpreted transform/array_min
+    // HOF chain and its Det.let barriers in round 3)
+    val bands = table(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
+          Bands)).as(Seq("band", "bkey")))
+    // Candidate pairs by bucket posting list, NOT a band self-join:
+    // group the skinny (band, bkey, doc_id) stream once, collect each
+    // bucket's (sorted) occupants, emit the i<j pairs map-side — one
+    // shuffle of the band stream instead of two join legs plus a
+    // merge sort (the same single-shuffle shape ngramPairs uses).
+    // LSH bucket sizes are ~geometric by construction (a bucket is a
+    // 64-bit hash collision), so the per-bucket lists are small and
+    // the i<j fan-out matches what the join would have produced
+    // anyway. Pairs colliding in several bands distinct() BEFORE the
+    // array fetch, as before.
+    TextPipeline.postingPairs(
+      bands.groupBy("band", "bkey")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2))
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Canonical LSH candidate generation: the band self-join moves ONLY
     // (band, bkey, doc_id) — 24 bytes/row — never the shingle arrays;
@@ -141,28 +173,7 @@ object Dedup extends QueryModule {
     // candidate. This is the shape that survives 100 TB: shuffle volume
     // is O(docs * bands), not O(docs * bands * doclen).
     "q_dedup_minhash" -> ((s, d) => {
-      // band keys in one fused codegen'd pass over the tokens (native
-      // MinHashBandKeys — replaced the interpreted transform/array_min
-      // HOF chain and its Det.let barriers in round 3)
-      val bands = table(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
-            Bands)).as(Seq("band", "bkey")))
-      // Candidate pairs by bucket posting list, NOT a band self-join:
-      // group the skinny (band, bkey, doc_id) stream once, collect each
-      // bucket's (sorted) occupants, emit the i<j pairs map-side — one
-      // shuffle of the band stream instead of two join legs plus a
-      // merge sort (the same single-shuffle shape ngramPairs uses).
-      // LSH bucket sizes are ~geometric by construction (a bucket is a
-      // 64-bit hash collision), so the per-bucket lists are small and
-      // the i<j fan-out matches what the join would have produced
-      // anyway. Pairs colliding in several bands distinct() BEFORE the
-      // array fetch, as before.
-      val cand = TextPipeline.postingPairs(
-        bands.groupBy("band", "bkey")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2))
-        .distinct()
+      val cand = minhashCandidates(s, d)
       // exact-Jaccard verification on the candidates only: fetch the
       // per-doc shingle arrays (map-side, per-doc-distinct via array op —
       // no extra shuffle) for the few surviving pairs. Broadcast the

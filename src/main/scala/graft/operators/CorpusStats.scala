@@ -74,6 +74,32 @@ object CorpusStats extends QueryModule {
           .orderBy("source")
       }),
 
+      // --- Yule's characteristic K per source (round 16): the
+      // repeat-rate lexical-richness constant — K = 10⁴·(Σc² − N)/N²
+      // over source-local token frequencies — which, unlike TTR,
+      // is (approximately) invariant to corpus length and so directly
+      // comparable across sources; inflated K marks template/boiler-
+      // plate repetition the hapax share reads from the other end.
+      // One (source, token) aggregate then an O(sources) rollup; the
+      // moments (N, V, Σc²) are exact int64, FP is one fixed
+      // multiply-divide tree. ---
+      "q_yule_k" -> ((s, d) => {
+        table(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) > 0)
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum("c").cast("long").as("n_tokens"),
+            sum(col("c") * col("c")).cast("long").as("sum_c2"))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            (lit(10000.0)
+              * (col("sum_c2") - col("n_tokens")).cast("double")
+              / (col("n_tokens").cast("double")
+                * col("n_tokens").cast("double"))).as("yule_k"))
+          .orderBy("source")
+      }),
+
       // --- Heaps-law vocabulary growth curve (round 15): cumulative
       // distinct vocabulary as the corpus accumulates in doc_id order,
       // over ten equal id bands — the readout that tells a crawl
@@ -613,6 +639,22 @@ object CorpusStats extends QueryModule {
         |  CAST(COUNT(*) AS DOUBLE) / sqrt(CAST(SUM(c) AS DOUBLE))
         |    AS root_ttr
         |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_yule_k" ->
+      """WITH tf AS (
+        |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_types, n_tokens,
+        |  10000.0 * CAST(sum_c2 - n_tokens AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    AS yule_k
+        |FROM g ORDER BY source""".stripMargin,
 
     "q_heaps_law" ->
       """WITH mx AS (SELECT MAX(doc_id) + 1 AS mxid FROM documents),

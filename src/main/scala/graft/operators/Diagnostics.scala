@@ -162,6 +162,101 @@ object Diagnostics extends QueryModule {
           .orderBy("w")
       }),
 
+      // --- Page's trend test (round 16): the ORDERED-alternative
+      // sibling of q_friedman_test — same blocked ranks (orders with
+      // exactly 3 lines as blocks, line position as treatment, ranked
+      // quantity as response), but the alternative is the specific
+      // monotone ordering "quantity drifts with line position", which
+      // Friedman's any-difference χ² dilutes. Midranks stay exact via
+      // the ×2 device (2·mid = 2·#less + #eq + 1, counted by the
+      // bounded 3×3 within-block self-join); L·2 = Σ j·R2_j is exact
+      // int64, and with k=3 the normal z is (L2 − 24b)/(2·√(2b)) —
+      // one sqrt + one division. Shuffles only on orderkey; the rank
+      // rollup is O(3) rows. ---
+      "q_page_trend" -> ((s, d) => {
+        val li = table(s, d, "lineitem")
+          .filter(col("l_linenumber") <= 3)
+          .select(col("l_orderkey").as("ok"),
+            col("l_linenumber").cast("long").as("j"),
+            expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+          .localCheckpoint()
+        val blocks = li.groupBy("ok").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 3).select("ok")
+          .localCheckpoint()
+        val liq = li.join(blocks, "ok").localCheckpoint()
+        val ranks = liq
+          .join(liq.select(col("ok"), col("q").as("qb")), "ok")
+          .groupBy("ok", "j")
+          .agg((lit(2L) * sum((col("qb") < col("q")).cast("long"))
+            + sum((col("qb") === col("q")).cast("long")) + lit(1L))
+            .as("r2"))
+        val rj = ranks.groupBy("j").agg(sum("r2").cast("long").as("r2j"))
+        rj.agg(sum(col("j") * col("r2j")).cast("long").as("l2"))
+          .crossJoin(broadcast(
+            blocks.agg(count(lit(1)).cast("long").as("nb"))))
+          .select(col("nb").as("n_blocks"),
+            (col("l2").cast("double") / 2.0).as("page_l"),
+            ((col("l2") - lit(24L) * col("nb")).cast("double")
+              / (lit(2.0) * sqrt(lit(2.0) * col("nb").cast("double"))))
+              .as("z"))
+      }),
+
+      // --- Ljung-Box portmanteau test (round 16): is the daily
+      // revenue series white noise, or does ANY of the first five
+      // autocorrelations carry structure — the residual-diagnostic
+      // gate a forecasting pipeline runs before trusting a model's
+      // "uncorrelated errors" claim (q_autocorr/q_acf_multi read
+      // single lags; this is the joint test). Device: daily exact
+      // int64 dollars (the floor-consistent spelling), mean-centering
+      // kept EXACT by scaling through n (cv_t = n·v_t − Σv), so every
+      // autocovariance Σ cv_t·cv_{t+k} and the variance Σ cv² are
+      // exact int64 (|cv| ≤ n·|v| ~ 3e8 at bench scale → Σ products
+      // < 4e18; a fleet recast rides DECIMAL(38,0), same plan). FP
+      // enters only in the terminal r_k = s_k/s0 ratios and the fixed
+      // left-associated Q = n(n+2)·Σ r_k²/(n−k) tree. One O(days)
+      // aggregate; all windows run over the ≤ O(days) grid. ---
+      "q_ljung_box" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("cents"))
+          .select(col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
+        val idx = daily
+          .withColumn("rn",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .localCheckpoint()
+        val m = idx.agg(count(lit(1)).as("n"),
+          sum("v").cast("long").as("sv"))
+        val w = Window.orderBy("rn")
+        val cent = idx.crossJoin(broadcast(m))
+          .select(col("rn"), (col("n") * col("v") - col("sv")).as("cv"),
+            col("n"))
+        val lagged = (1 to 5).foldLeft(cent) { (df, k) =>
+          df.withColumn(s"l$k", lag("cv", k).over(w))
+        }
+        // SUM skips the NULL products of the first k rows on both
+        // engines — the per-lag evaluable windows need no filters
+        val agg = lagged.agg(
+          max("n").as("n"),
+          sum(col("cv") * col("cv")).cast("long").as("s0"),
+          sum(col("cv") * col("l1")).cast("long").as("s1"),
+          sum(col("cv") * col("l2")).cast("long").as("s2"),
+          sum(col("cv") * col("l3")).cast("long").as("s3"),
+          sum(col("cv") * col("l4")).cast("long").as("s4"),
+          sum(col("cv") * col("l5")).cast("long").as("s5"))
+        def r(i: Int) =
+          col(s"s$i").cast("double") / col("s0").cast("double")
+        def term(i: Int) =
+          r(i) * r(i) / (col("n") - i.toLong).cast("double")
+        agg.select(col("n").as("n_days"),
+          r(1).as("r1"), r(2).as("r2"), r(3).as("r3"), r(4).as("r4"),
+          r(5).as("r5"),
+          (col("n").cast("double") * (col("n") + 2L).cast("double")
+            * (term(1) + term(2) + term(3) + term(4) + term(5)))
+            .as("q_lb"))
+      }),
+
       // --- Brown-Forsythe / Levene homogeneity-of-variance test
       // (round 15): is event-value SPREAD equal across event types —
       // the precondition check q_anova_f silently assumes, and the
@@ -641,6 +736,83 @@ object Diagnostics extends QueryModule {
         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
         |    ELSE 0.0 END AS z
         |FROM m""".stripMargin,
+
+    "q_page_trend" ->
+      """WITH li AS (SELECT l_orderkey AS ok,
+        |    CAST(l_linenumber AS BIGINT) AS j,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_linenumber <= 3),
+        |blocks AS (SELECT ok FROM li GROUP BY ok
+        |           HAVING COUNT(*) = 3),
+        |liq AS (SELECT li.ok, li.j, li.q
+        |  FROM li JOIN blocks ON li.ok = blocks.ok),
+        |ranks AS (SELECT a.ok, a.j,
+        |    2 * CAST(SUM(CASE WHEN b.q < a.q THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |    + CAST(SUM(CASE WHEN b.q = a.q THEN 1 ELSE 0 END)
+        |      AS BIGINT) + 1 AS r2
+        |  FROM liq a JOIN liq b ON a.ok = b.ok GROUP BY 1, 2),
+        |rj AS (SELECT j, CAST(SUM(r2) AS BIGINT) AS r2j
+        |  FROM ranks GROUP BY 1),
+        |l AS (SELECT CAST(SUM(j * r2j) AS BIGINT) AS l2 FROM rj),
+        |bc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM blocks)
+        |SELECT nb AS n_blocks, CAST(l2 AS DOUBLE) / 2.0 AS page_l,
+        |  CAST(l2 - 24 * nb AS DOUBLE)
+        |    / (2.0 * sqrt(2.0 * CAST(nb AS DOUBLE))) AS z
+        |FROM l CROSS JOIN bc""".stripMargin,
+
+    "q_ljung_box" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1)),
+        |idx AS (SELECT v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sv FROM idx),
+        |cent AS (SELECT rn, n * v - sv AS cv, n
+        |  FROM idx CROSS JOIN m),
+        |l AS (SELECT cv, n,
+        |    lag(cv, 1) OVER (ORDER BY rn) AS l1,
+        |    lag(cv, 2) OVER (ORDER BY rn) AS l2,
+        |    lag(cv, 3) OVER (ORDER BY rn) AS l3,
+        |    lag(cv, 4) OVER (ORDER BY rn) AS l4,
+        |    lag(cv, 5) OVER (ORDER BY rn) AS l5
+        |  FROM cent),
+        |a AS (SELECT MAX(n) AS n,
+        |    CAST(SUM(cv * cv) AS BIGINT) AS s0,
+        |    CAST(SUM(cv * l1) AS BIGINT) AS s1,
+        |    CAST(SUM(cv * l2) AS BIGINT) AS s2,
+        |    CAST(SUM(cv * l3) AS BIGINT) AS s3,
+        |    CAST(SUM(cv * l4) AS BIGINT) AS s4,
+        |    CAST(SUM(cv * l5) AS BIGINT) AS s5
+        |  FROM l)
+        |SELECT n AS n_days,
+        |  CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r1,
+        |  CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r2,
+        |  CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r3,
+        |  CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r4,
+        |  CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r5,
+        |  CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * (
+        |    CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE)
+        |    + CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+        |      * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
+        |      / CAST(n - 2 AS DOUBLE)
+        |    + CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE)
+        |      * (CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE))
+        |      / CAST(n - 3 AS DOUBLE)
+        |    + CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE)
+        |      * (CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE))
+        |      / CAST(n - 4 AS DOUBLE)
+        |    + CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE)
+        |      * (CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE))
+        |      / CAST(n - 5 AS DOUBLE)) AS q_lb
+        |FROM a""".stripMargin,
 
     "q_hurst_rs" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,

@@ -27,6 +27,46 @@ object Experiments extends QueryModule {
   private[graft] val SprtFail = 50010L
   private[graft] val SprtThresh = 2944439L
 
+  /** The (source, lang) cell grid with per-cell 2×2 chi-square of
+    * long-doc rate (n_chars ≥ 350) against the rest of the corpus and
+    * the monotone proxy p = 1/(1+χ²) — ONE fixed IEEE tree off exact
+    * int64 cell counts (the q_ab_srm discipline). Shared by the two
+    * multiple-testing gates (q_fdr_bh step-up, q_holm step-down) so
+    * the p-value device can never drift between them. Columns:
+    * source, lang, n_cell, n_long, m (family size), chi2, p.
+    *
+    * Degenerate-margin guard (ADVICE r10 #2): a zero margin — no long
+    * docs anywhere (atot = 0), ALL docs long (atot = n), or a single
+    * cell (n_cell = n) — makes the raw expression 0/0 = NaN, and NaN
+    * p-values order differently in Spark (nan-safe, sorts last) than
+    * DuckDB (NULL). A zero margin means the 2×2 has no discrimination:
+    * chi2 := 0 (p = 1), guarded by the IDENTICAL CASE on both engines.
+    * (a+b = n_cell ≥ 1 always — a cell exists only with members.)
+    */
+  private def longDocCellP(s: SparkSession, d: String): DataFrame = {
+    val cell = table(s, d, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_cell"),
+        sum((col("n_chars") >= 350).cast("long")).as("a"))
+    val tot = cell.agg(sum("n_cell").as("n"), sum("a").as("atot"),
+      count(lit(1)).as("m"))
+    val x = cell.crossJoin(tot)
+      .withColumn("b", col("n_cell") - col("a"))
+      .withColumn("c", col("atot") - col("a"))
+      .withColumn("dd", col("n") - col("n_cell") - col("c"))
+    val t = col("a").cast("double") * col("dd") -
+      col("b").cast("double") * col("c")
+    val chi2raw = t * t / (col("a") + col("b")).cast("double") /
+      (col("c") + col("dd")).cast("double") /
+      (col("a") + col("c")).cast("double") /
+      (col("b") + col("dd")).cast("double") * col("n").cast("double")
+    val chi2 = when(col("atot") > 0 && col("atot") < col("n") &&
+      col("n_cell") < col("n"), chi2raw).otherwise(lit(0.0))
+    x.select(col("source"), col("lang"), col("n_cell"),
+        col("a").as("n_long"), col("m"), chi2.as("chi2"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + col("chi2")))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
@@ -248,36 +288,7 @@ object Experiments extends QueryModule {
       // CELL grid — schema constants, never corpus-sized — and k*
       // is one 1-row aggregate crossed back (AQE broadcasts). ---
       "q_fdr_bh" -> ((s, d) => {
-        val cell = table(s, d, "documents")
-          .groupBy("source", "lang")
-          .agg(count(lit(1)).as("n_cell"),
-            sum((col("n_chars") >= 350).cast("long")).as("a"))
-        val tot = cell.agg(sum("n_cell").as("n"), sum("a").as("atot"),
-          count(lit(1)).as("m"))
-        val x = cell.crossJoin(tot)
-          .withColumn("b", col("n_cell") - col("a"))
-          .withColumn("c", col("atot") - col("a"))
-          .withColumn("dd", col("n") - col("n_cell") - col("c"))
-        val t = col("a").cast("double") * col("dd") -
-          col("b").cast("double") * col("c")
-        val chi2raw = t * t / (col("a") + col("b")).cast("double") /
-          (col("c") + col("dd")).cast("double") /
-          (col("a") + col("c")).cast("double") /
-          (col("b") + col("dd")).cast("double") * col("n").cast("double")
-        // degenerate-margin guard (ADVICE r10 #2): a zero margin —
-        // no long docs anywhere (a+c = atot = 0), ALL docs long
-        // (b+dd = n-atot = 0), or a single cell (c+dd = n-n_cell = 0)
-        // — makes the raw expression 0/0 = NaN, and NaN p-values order
-        // differently in Spark (nan-safe, sorts last) than DuckDB
-        // (NULL). A zero margin means the 2x2 has no discrimination:
-        // chi2 := 0 (p = 1), guarded by the IDENTICAL CASE on both
-        // engines. (a+b = n_cell >= 1 always — a cell exists only with
-        // members.)
-        val chi2 = when(col("atot") > 0 && col("atot") < col("n") &&
-          col("n_cell") < col("n"), chi2raw).otherwise(lit(0.0))
-        val pr = x.select(col("source"), col("lang"), col("n_cell"),
-            col("a").as("n_long"), col("m"), chi2.as("chi2"))
-          .withColumn("p", lit(1.0) / (lit(1.0) + col("chi2")))
+        val pr = longDocCellP(s, d)
         // rank over the bounded cell grid (<= sources x langs rows)
         val rk = pr.withColumn("rnk",
           row_number().over(Window.orderBy("p", "source", "lang"))
@@ -289,6 +300,34 @@ object Experiments extends QueryModule {
           .select(col("source"), col("lang"), col("n_cell"), col("n_long"),
             col("chi2"), col("p"), col("rnk"),
             (col("rnk") <= col("kstar")).as("rejected"))
+          .orderBy("rnk")
+      }),
+
+      // --- Holm step-down family-wise gate (round 16): the SAME
+      // (source, lang) cell grid and chi-square proxy p-values as
+      // q_fdr_bh, under the OTHER canonical multiple-testing contract
+      // — control the probability of ANY false rejection (FWER) at
+      // α = 0.25, uniformly more powerful than plain Bonferroni.
+      // Adjusted p_i = min(1, max_{j<=i} (m−j+1)·p_j) via a running
+      // max over the rank window (the monotone enforcement step that
+      // makes step-down coherent); reject where adjusted p ≤ α. The
+      // windows run over the O(sources × langs) cell grid — schema
+      // constants. The FP running max is order-fixed by the rank
+      // window on both engines. ---
+      "q_holm" -> ((s, d) => {
+        val pr = longDocCellP(s, d)
+        val rk = pr.withColumn("rnk",
+          row_number().over(Window.orderBy("p", "source", "lang"))
+            .cast("long"))
+        val wRun = Window.orderBy("rnk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rk.withColumn("adj_p",
+            least(lit(1.0),
+              max((col("m") - col("rnk") + 1L).cast("double")
+                * col("p")).over(wRun)))
+          .select(col("source"), col("lang"), col("n_cell"),
+            col("n_long"), col("chi2"), col("p"), col("rnk"),
+            col("adj_p"), (col("adj_p") <= 0.25).as("rejected"))
           .orderBy("rnk")
       }),
 
@@ -589,6 +628,43 @@ object Experiments extends QueryModule {
         |SELECT source, lang, n_cell, a AS n_long, chi2, p, rnk,
         |  rnk <= kstar AS rejected
         |FROM rk CROSS JOIN ks ORDER BY rnk""".stripMargin,
+
+    "q_holm" ->
+      """WITH cell AS (SELECT source, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell,
+        |    CAST(SUM(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS atot,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM cell),
+        |x AS (SELECT source, lang, n_cell, a, n_cell - a AS b,
+        |    atot - a AS c, n - n_cell - (atot - a) AS dd, n, m
+        |  FROM cell CROSS JOIN tot),
+        |ch AS (SELECT source, lang, n_cell, a, m,
+        |    CASE WHEN a + c > 0 AND b + dd > 0 AND c + dd > 0 THEN
+        |      (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |      * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |      / CAST(a + b AS DOUBLE) / CAST(c + dd AS DOUBLE)
+        |      / CAST(a + c AS DOUBLE) / CAST(b + dd AS DOUBLE)
+        |      * CAST(n AS DOUBLE) ELSE 0.0 END AS chi2
+        |  FROM x),
+        |pr AS (SELECT source, lang, n_cell, a, m, chi2,
+        |    1.0 / (1.0 + chi2) AS p
+        |  FROM ch),
+        |rk AS (SELECT source, lang, n_cell, a, m, chi2, p,
+        |    CAST(row_number() OVER (ORDER BY p, source, lang) AS BIGINT)
+        |      AS rnk
+        |  FROM pr),
+        |ad AS (SELECT source, lang, n_cell, a, chi2, p, rnk,
+        |    LEAST(1.0, MAX(CAST(m - rnk + 1 AS DOUBLE) * p)
+        |      OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW)) AS adj_p
+        |  FROM rk)
+        |SELECT source, lang, n_cell, a AS n_long, chi2, p, rnk, adj_p,
+        |  adj_p <= 0.25 AS rejected
+        |FROM ad ORDER BY rnk""".stripMargin,
 
     "q_sprt_gate" ->
       """WITH daily AS (SELECT user_id % 2 AS arm,

@@ -121,6 +121,94 @@ object Inference extends QueryModule {
             (col("st").cast("double") / 1e6).as("bowker_chi2"))
       }),
 
+      // --- τ_AP rank correlation (round 16): the top-weighted Kendall
+      // variant (Yilmaz/Aslam/Robertson) between the revenue and
+      // quantity rankings of the top-50 parts — the metric that
+      // answers "do the two orderings agree WHERE IT MATTERS (at the
+      // top)" where plain τ (q_kendall_tau) weights all positions
+      // equally. Concordance counts come from the bounded 50×50
+      // rank-pair join (both relations are TakeOrdered top-k, never
+      // corpus-sized); each position's C_i/(i−1) quantizes to an exact
+      // int64 micro-ratio BEFORE the cross-position sum (the house
+      // quantize-before-Σ rule), leaving ONE terminal FP assembly. ---
+      "q_rank_tau_ap" -> ((s, d) => {
+        val pm = table(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+            .cast("long").as("rev"),
+            sum(expr("CAST(round(l_quantity, 0) AS BIGINT)"))
+              .cast("long").as("qty"))
+        val top = pm.orderBy(col("rev").desc, col("pk")).limit(50)
+          .localCheckpoint()
+        val r = top
+          .withColumn("tr", row_number()
+            .over(Window.orderBy(col("rev").desc, col("pk"))).cast("long"))
+          .withColumn("sr", row_number()
+            .over(Window.orderBy(col("qty").desc, col("pk"))).cast("long"))
+          .localCheckpoint()
+        val a = r.select(col("sr").as("si"), col("tr").as("ti"))
+        val b = r.select(col("sr").as("sj"), col("tr").as("tj"))
+        val conc = a.join(b, col("sj") < col("si"))
+          .groupBy("si")
+          .agg(sum((col("tj") < col("ti")).cast("long")).as("ci"))
+        conc.select(expr("ci * 1000000 div (si - 1)").as("cpm"))
+          .agg(sum("cpm").cast("long").as("scpm"))
+          .crossJoin(broadcast(r.agg(count(lit(1)).as("n_items"))))
+          .select(col("n_items"),
+            (lit(2.0) * col("scpm").cast("double")
+              / (lit(1000000.0) * (col("n_items") - 1).cast("double"))
+              - lit(1.0)).as("tau_ap"))
+      }),
+
+      // --- Mood's median test (round 16): the nonparametric k-group
+      // location test at the OTHER end of the power/robustness
+      // trade-off from q_kruskal_wallis — only above/below the grand
+      // median enters, so arbitrarily heavy tails cannot move it. The
+      // grand median is an exact integer order statistic off the value
+      // histogram (cum·2 ≥ n banded cut, never a corpus sort); the
+      // k×2 contingency χ² assembles per-group from exact int64
+      // counts, each group's term a fixed IEEE tree quantized to
+      // DECIMAL(18,4) before the O(groups) sum; the degenerate-margin
+      // guard (all values on one side) spells NULL identically on
+      // both engines. ---
+      "q_mood_median" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type").as("et"),
+            round(col("value"), 0).cast("long").as("v"))
+          .localCheckpoint()
+        val hist = ev.groupBy("v").agg(count(lit(1)).as("c"))
+        val wb = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = hist.withColumn("cum", sum("c").over(wb))
+          .crossJoin(broadcast(
+            ev.agg(count(lit(1)).cast("long").as("n"))))
+          .agg(min(when(col("cum") * 2 >= col("n"), col("v")))
+            .as("med"))
+        val cells = ev.crossJoin(broadcast(med))
+          .groupBy("et")
+          .agg(count(lit(1)).as("ng"),
+            sum((col("v") > col("med")).cast("long")).as("a"))
+        val tot = cells.agg(sum("ng").cast("long").as("nn"),
+          sum("a").cast("long").as("aa"),
+          count(lit(1)).as("n_groups"))
+        val x = cells.crossJoin(broadcast(tot))
+        val ea = col("ng").cast("double") * col("aa").cast("double") /
+          col("nn").cast("double")
+        val eb = col("ng").cast("double") *
+          (col("nn") - col("aa")).cast("double") /
+          col("nn").cast("double")
+        val da = col("a").cast("double") - ea
+        val db = (col("ng") - col("a")).cast("double") - eb
+        val term = when(col("aa") > 0 && col("aa") < col("nn"),
+          da * da / ea + db * db / eb)
+        x.select(col("n_groups"), col("nn"), dec(term).as("t"))
+          .groupBy("n_groups", "nn")
+          .agg(sum("t").cast("double").as("chi2"))
+          .crossJoin(broadcast(med))
+          .select(col("n_groups"), col("nn").as("n_total"),
+            col("med").as("grand_med"), col("chi2"))
+      }),
+
       // --- McNemar's test (round 15): paired comparison of two
       // classifiers on the SAME documents — the eval-table statistic
       // for "is model B actually better than model A" when both score
@@ -620,6 +708,69 @@ object Inference extends QueryModule {
         |    CAST(2 * (3 * sg2 - t * t) AS DOUBLE)
         |      / CAST(3 * t - sl2 AS DOUBLE) END AS q_stat
         |FROM rm CROSS JOIN cm""".stripMargin,
+
+    "q_rank_tau_ap" ->
+      """WITH pm AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |      AS qty
+        |  FROM lineitem GROUP BY 1),
+        |top AS (SELECT * FROM pm ORDER BY rev DESC, pk LIMIT 50),
+        |r AS (SELECT pk,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, pk) AS BIGINT)
+        |      AS tr,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY qty DESC, pk) AS BIGINT)
+        |      AS sr
+        |  FROM top),
+        |conc AS (SELECT a.sr AS si,
+        |    CAST(SUM(CASE WHEN b.tr < a.tr THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ci
+        |  FROM r a JOIN r b ON b.sr < a.sr GROUP BY 1),
+        |agg AS (SELECT CAST(SUM(ci * 1000000 // (si - 1)) AS BIGINT)
+        |    AS scpm FROM conc),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM r)
+        |SELECT n_items,
+        |  2.0 * CAST(scpm AS DOUBLE)
+        |    / (1000000.0 * CAST(n_items - 1 AS DOUBLE)) - 1.0 AS tau_ap
+        |FROM agg CROSS JOIN n""".stripMargin,
+
+    "q_mood_median" ->
+      """WITH ev AS (SELECT event_type AS et,
+        |    CAST(round(value, 0) AS BIGINT) AS v FROM events),
+        |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+        |med AS (SELECT MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+        |  FROM (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum FROM h) CROSS JOIN nt),
+        |cells AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a
+        |  FROM ev CROSS JOIN med GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS nn,
+        |    CAST(SUM(a) AS BIGINT) AS aa,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups FROM cells),
+        |x AS (SELECT n_groups, nn,
+        |    CAST(CASE WHEN aa > 0 AND aa < nn THEN
+        |      (CAST(a AS DOUBLE) - CAST(ng AS DOUBLE)
+        |          * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) - CAST(ng AS DOUBLE)
+        |          * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE)
+        |          / CAST(nn AS DOUBLE))
+        |      + (CAST(ng - a AS DOUBLE) - CAST(ng AS DOUBLE)
+        |          * CAST(nn - aa AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (CAST(ng - a AS DOUBLE) - CAST(ng AS DOUBLE)
+        |          * CAST(nn - aa AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) * CAST(nn - aa AS DOUBLE)
+        |          / CAST(nn AS DOUBLE)) END AS DECIMAL(18,4)) AS t
+        |  FROM cells CROSS JOIN tot)
+        |SELECT n_groups, nn AS n_total,
+        |  (SELECT med FROM med) AS grand_med,
+        |  CAST(SUM(t) AS DOUBLE) AS chi2
+        |FROM x GROUP BY n_groups, nn""".stripMargin,
 
     "q_mcnemar" ->
       """WITH t AS (SELECT

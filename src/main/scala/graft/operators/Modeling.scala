@@ -153,6 +153,124 @@ object Modeling extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- symmetric MAPE of the seasonal-naive forecast (round 16):
+      // the percentage-error sibling of q_mase_eval — per type,
+      // |v − v_{t-7}| / ((v + v_{t-7})/2) averaged over the evaluable
+      // days; the scale-free readout product reviews quote when MASE's
+      // denominator is unintuitive. Daily values are exact
+      // DECIMAL(18,4) sums; each row's ratio is ONE IEEE division
+      // (decimal→double casts are value-exact at these magnitudes)
+      // rounded to integer permille before the cross-row sum, so
+      // accumulation order cannot reach the hash (the house
+      // quantize-before-Σ discipline); zero-sum rows are excluded on
+      // both engines. Windows run over the O(types × days) grid. ---
+      "q_smape" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(dec(col("value"))).cast(DecimalType(18, 4)).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("f", lag("v", 7).over(w))
+          .filter(col("f").isNotNull && (col("v") + col("f")) > 0)
+          .select(col("event_type"),
+            round(abs(col("v") - col("f")).cast("double") * 2000.0
+              / (col("v") + col("f")).cast("double"), 0)
+              .cast("long").as("sm_pm"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum("sm_pm").cast("long").as("sum_pm"))
+          .select(col("event_type"), col("n_eval"),
+            (col("sum_pm").cast("double")
+              / (lit(1000.0) * col("n_eval").cast("double")))
+              .as("smape"))
+          .orderBy("event_type")
+      }),
+
+      // --- Theil's U2 of the seasonal-naive forecast (round 16): the
+      // squared-error companion — U2 = Σ(v − v_{t-7})² / Σ(v − v_{t-1})²
+      // over the same evaluable days, U < 1 meaning the weekly pattern
+      // beats copy-yesterday in RMSE terms (q_mase_eval answers the
+      // MAE version; outlier-heavy series can disagree). Daily values
+      // are exact int64 DOLLARS (cents summed, then the
+      // floor-consistent (c − pmod)/100 spelling — squares of daily
+      // cents would overflow int64), so both error sums are exact;
+      // FP is one division + one sqrt. ---
+      "q_theil_u" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("event_type"),
+            col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("event_type", "day").agg(sum("vc").as("cents"))
+          .select(col("event_type"), col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("l1", lag("v", 1).over(w))
+          .withColumn("l7", lag("v", 7).over(w))
+          .filter(col("l7").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum((col("v") - col("l7")) * (col("v") - col("l7")))
+              .cast("long").as("sse7"),
+            sum((col("v") - col("l1")) * (col("v") - col("l1")))
+              .cast("long").as("sse1"))
+          .select(col("event_type"), col("n_eval"),
+            when(col("sse1") > 0,
+              col("sse7").cast("double") / col("sse1").cast("double"))
+              .as("u2"),
+            when(col("sse1") > 0,
+              sqrt(col("sse7").cast("double")
+                / col("sse1").cast("double"))).as("theil_u"))
+          .orderBy("event_type")
+      }),
+
+      // --- Winkler interval score (round 16): the PROPER scoring rule
+      // for q_pi_coverage's [p10, p90] band — width + (2/α)·distance
+      // for misses, α = 0.2 — which penalizes both over-wide and
+      // miscovering intervals (coverage alone rewards bands that are
+      // simply huge). Same calibration device: exact-rank integer
+      // bounds off the first-15-day value histogram (cum counts over
+      // O(bins), never a corpus sort), broadcast onto the eval rows;
+      // per-row score (p90−p10) + 10·max(0, p10−v) + 10·max(0, v−p90)
+      // is exact int64, the mean ONE terminal division. ---
+      "q_winkler_score" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"),
+            (datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")) < 15).as("cal"))
+        val bins = ev.filter(col("cal"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        val ranked = bins
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n", sum("c").over(wt))
+        val bounds = ranked.groupBy("event_type")
+          .agg(min(when(col("cum") >= expr("(n + 9) div 10"), col("v")))
+            .as("p10"),
+            min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v")))
+              .as("p90"))
+        ev.filter(!col("cal"))
+          .join(broadcast(bounds), "event_type")
+          .select(col("event_type"), col("p10"), col("p90"),
+            ((col("p90") - col("p10"))
+              + lit(10L) * greatest(lit(0L), col("p10") - col("v"))
+              + lit(10L) * greatest(lit(0L), col("v") - col("p90")))
+              .as("sc"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"), max("p10").as("p10"),
+            max("p90").as("p90"),
+            sum("sc").cast("long").as("sum_score"))
+          .select(col("event_type"), col("n_eval"), col("p10"),
+            col("p90"),
+            (col("sum_score").cast("double") / col("n_eval"))
+              .as("mean_winkler"))
+          .orderBy("event_type")
+      }),
+
       // --- one synchronous label-propagation round on the word bigram
       // graph (the community-detection step): nodes start in 16
       // md5-bucket labels, then adopt the most frequent label among
@@ -426,6 +544,75 @@ object Modeling extends QueryModule {
         |FROM ev JOIN bounds USING (event_type)
         |WHERE NOT cal
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_smape" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (SELECT event_type, v,
+        |    lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM daily),
+        |r AS (SELECT event_type,
+        |    CAST(round(CAST(abs(v - f) AS DOUBLE) * 2000
+        |      / CAST(v + f AS DOUBLE), 0) AS BIGINT) AS sm_pm
+        |  FROM lagd WHERE f IS NOT NULL AND v + f > 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(CAST(SUM(sm_pm) AS BIGINT) AS DOUBLE)
+        |    / (1000.0 * COUNT(*)) AS smape
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_theil_u" ->
+      """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT event_type, day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT event_type, day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1, 2)),
+        |lagd AS (SELECT event_type, v,
+        |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM daily),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM((v - l7) * (v - l7)) AS BIGINT) AS sse7,
+        |    CAST(SUM((v - l1) * (v - l1)) AS BIGINT) AS sse1
+        |  FROM lagd WHERE l7 IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_eval,
+        |  CASE WHEN sse1 > 0
+        |    THEN CAST(sse7 AS DOUBLE) / CAST(sse1 AS DOUBLE) END AS u2,
+        |  CASE WHEN sse1 > 0
+        |    THEN sqrt(CAST(sse7 AS DOUBLE) / CAST(sse1 AS DOUBLE)) END
+        |    AS theil_u
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q_winkler_score" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |      AS cal
+        |  FROM events),
+        |b AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ev WHERE cal GROUP BY 1, 2),
+        |r AS (SELECT event_type, v,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b),
+        |bounds AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS p10,
+        |    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90
+        |  FROM r GROUP BY event_type),
+        |sc AS (SELECT ev.event_type, p10, p90,
+        |    (p90 - p10) + 10 * greatest(0, p10 - v)
+        |      + 10 * greatest(0, v - p90) AS sc
+        |  FROM ev JOIN bounds USING (event_type) WHERE NOT cal)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  MAX(p10) AS p10, MAX(p90) AS p90,
+        |  CAST(CAST(SUM(sc) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS mean_winkler
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_label_prop" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),

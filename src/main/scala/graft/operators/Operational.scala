@@ -55,6 +55,57 @@ object Operational extends QueryModule {
           .orderBy("brand")
       }),
 
+      // --- newsvendor stocking policy (round 16): per event type, the
+      // critical-fractile (cf = 3/4) order-up-to level over the DAILY
+      // demand distribution, with the expected-leftover /
+      // expected-shortage decomposition at that level — the one-period
+      // stochastic-inventory answer that closes the block q_eoq
+      // (deterministic lot size) and q_croston (intermittent forecast)
+      // open. Q* is an exact integer order statistic off the demand
+      // HISTOGRAM (cum·4 ≥ 3n banded cut — O(distinct demands)
+      // windows, never a corpus sort); E[leftover] = (Q·F(Q) −
+      // Σ_{d≤Q} d·f)/n and E[shortage] = (Σ_{d>Q} d·f − Q·(n−F(Q)))/n
+      // are exact int64 off the same cumulative sums, ONE terminal
+      // division each. ---
+      "q_newsvendor" -> ((s, d) => {
+        val hist = table(s, d, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("dem"))
+          .groupBy("event_type", "dem").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("dem")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        val r = hist
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("cumd", sum(col("dem") * col("c")).over(wb))
+          .withColumn("n", sum("c").over(wt))
+          .withColumn("sumd", sum(col("dem") * col("c")).over(wt))
+          .localCheckpoint()
+        val qs = r.groupBy("event_type")
+          .agg(max("n").as("n_days"), max("sumd").as("sum_dem"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("dem")))
+              .as("q_star"))
+        qs.join(
+            r.select(col("event_type"), col("dem"), col("cum"),
+              col("cumd")),
+            Seq("event_type"))
+          .filter(col("dem") === col("q_star"))
+          .select(col("event_type"), col("n_days"), col("q_star"),
+            (col("q_star") * col("cum") - col("cumd")).as("lo_num"),
+            ((col("sum_dem") - col("cumd"))
+              - col("q_star") * (col("n_days") - col("cum")))
+              .as("sh_num"),
+            col("cum"))
+          .select(col("event_type"), col("n_days"), col("q_star"),
+            (col("lo_num").cast("double") / col("n_days"))
+              .as("exp_leftover"),
+            (col("sh_num").cast("double") / col("n_days"))
+              .as("exp_shortage"),
+            (col("cum").cast("double") / col("n_days"))
+              .as("service_level"))
+          .orderBy("event_type")
+      }),
+
       // --- Little's-law audit (round 15): per month, arrival rate λ
       // (orders placed / calendar days), cycle time W (mean
       // order→last-ship days over orders COMPLETING that month) and
@@ -532,6 +583,36 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_newsvendor" ->
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS dem
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, dem, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dd GROUP BY 1, 2),
+        |r AS (SELECT event_type, dem,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dem
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(dem * c) OVER (PARTITION BY event_type
+        |      ORDER BY dem ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cumd,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(dem * c) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS sumd
+        |  FROM h),
+        |qs AS (SELECT event_type, MAX(n) AS n_days,
+        |    MAX(sumd) AS sum_dem,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN dem END) AS q_star
+        |  FROM r GROUP BY event_type)
+        |SELECT qs.event_type, n_days, q_star,
+        |  CAST(q_star * cum - cumd AS DOUBLE) / n_days AS exp_leftover,
+        |  CAST((sum_dem - cumd) - q_star * (n_days - cum) AS DOUBLE)
+        |    / n_days AS exp_shortage,
+        |  CAST(cum AS DOUBLE) / n_days AS service_level
+        |FROM qs JOIN r ON qs.event_type = r.event_type
+        |  AND r.dem = qs.q_star
+        |ORDER BY qs.event_type""".stripMargin,
 
     "q_eoq" ->
       """WITH li AS (SELECT l_partkey AS pk,

@@ -90,6 +90,39 @@ object Telemetry extends QueryModule {
           .orderBy("et", "rnk")
       }),
 
+      // --- p-chart SPC control limits (round 16): the Shewhart
+      // attribute chart over the daily click share — centerline p̄ from
+      // the whole window, per-day 3σ limits p̄ ± 3·√(p̄(1−p̄)/n_d)
+      // (limits vary with the day's own sample size — the textbook
+      // p-chart, not a fixed band), and the out-of-control flag per
+      // day; the monitoring readout an ops review reads before any
+      // anomaly model. Exact int64 daily counts; p̄ rides a broadcast
+      // 1-row rollup; each day's limits are ONE fixed ÷/√ tree.
+      // O(days) out. ---
+      "q_spc_pchart" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("event_type") === "click").cast("long"))
+              .as("n_click"))
+          .localCheckpoint()
+        val tot = daily.agg(sum("n").cast("long").as("tn"),
+          sum("n_click").cast("long").as("tc"))
+        val pbar = col("tc").cast("double") / col("tn").cast("double")
+        val half = lit(3.0) * sqrt(pbar * (lit(1.0) - pbar)
+          / col("n").cast("double"))
+        daily.crossJoin(broadcast(tot))
+          .select(col("day"), col("n"), col("n_click"),
+            (col("n_click").cast("double") / col("n").cast("double"))
+              .as("p"),
+            pbar.as("p_bar"),
+            greatest(lit(0.0), pbar - half).as("lcl"),
+            (pbar + half).as("ucl"))
+          .withColumn("oob",
+            col("p") < col("lcl") || col("p") > col("ucl"))
+          .orderBy("day")
+      }),
+
       // --- lead-lag cross-correlation: corr(click_t, view_{t+k}) for
       // k in -3..3 — the causality screen (does one stream lead the
       // other, and by how many days?). Each series collapses to exact
@@ -438,6 +471,30 @@ object Telemetry extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_spc_pchart" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(n_click) AS BIGINT) AS tc FROM daily),
+        |x AS (SELECT day, n, n_click,
+        |    CAST(n_click AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) AS p_bar,
+        |    GREATEST(0.0, CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)
+        |      - 3.0 * sqrt(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)
+        |        * (1.0 - CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE))
+        |        / CAST(n AS DOUBLE))) AS lcl,
+        |    CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)
+        |      + 3.0 * sqrt(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)
+        |        * (1.0 - CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE))
+        |        / CAST(n AS DOUBLE)) AS ucl
+        |  FROM daily CROSS JOIN tot)
+        |SELECT day, n, n_click, p, p_bar, lcl, ucl,
+        |  p < lcl OR p > ucl AS oob
+        |FROM x ORDER BY day""".stripMargin,
 
     "q_sax_motifs" ->
       """WITH d0 AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,

@@ -245,8 +245,11 @@ object Diagnostics extends QueryModule {
           sum(col("cv") * col("l3")).cast("long").as("s3"),
           sum(col("cv") * col("l4")).cast("long").as("s4"),
           sum(col("cv") * col("l5")).cast("long").as("s5"))
-        def r(i: Int) =
-          col(s"s$i").cast("double") / col("s0").cast("double")
+        // s0 = 0 guard: a constant series zeroes every centered value
+        // and 0/0 is NULL on Spark but NaN on DuckDB — the unmatched
+        // WHEN/CASE emits NULL identically on both engines.
+        def r(i: Int) = when(col("s0") > 0,
+          col(s"s$i").cast("double") / col("s0").cast("double"))
         def term(i: Int) =
           r(i) * r(i) / (col("n") - i.toLong).cast("double")
         agg.select(col("n").as("n_days"),
@@ -789,30 +792,27 @@ object Diagnostics extends QueryModule {
         |    CAST(SUM(cv * l3) AS BIGINT) AS s3,
         |    CAST(SUM(cv * l4) AS BIGINT) AS s4,
         |    CAST(SUM(cv * l5) AS BIGINT) AS s5
-        |  FROM l)
-        |SELECT n AS n_days,
-        |  CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r1,
-        |  CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r2,
-        |  CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r3,
-        |  CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r4,
-        |  CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r5,
+        |  FROM l),
+        |rr AS (SELECT n,
+        |    CASE WHEN s0 > 0
+        |      THEN CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) END AS r1,
+        |    CASE WHEN s0 > 0
+        |      THEN CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) END AS r2,
+        |    CASE WHEN s0 > 0
+        |      THEN CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE) END AS r3,
+        |    CASE WHEN s0 > 0
+        |      THEN CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE) END AS r4,
+        |    CASE WHEN s0 > 0
+        |      THEN CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE) END AS r5
+        |  FROM a)
+        |SELECT n AS n_days, r1, r2, r3, r4, r5,
         |  CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * (
-        |    CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)
-        |      * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
-        |      / CAST(n - 1 AS DOUBLE)
-        |    + CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
-        |      * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE))
-        |      / CAST(n - 2 AS DOUBLE)
-        |    + CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE)
-        |      * (CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE))
-        |      / CAST(n - 3 AS DOUBLE)
-        |    + CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE)
-        |      * (CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE))
-        |      / CAST(n - 4 AS DOUBLE)
-        |    + CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE)
-        |      * (CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE))
-        |      / CAST(n - 5 AS DOUBLE)) AS q_lb
-        |FROM a""".stripMargin,
+        |    r1 * r1 / CAST(n - 1 AS DOUBLE)
+        |    + r2 * r2 / CAST(n - 2 AS DOUBLE)
+        |    + r3 * r3 / CAST(n - 3 AS DOUBLE)
+        |    + r4 * r4 / CAST(n - 4 AS DOUBLE)
+        |    + r5 * r5 / CAST(n - 5 AS DOUBLE)) AS q_lb
+        |FROM rr""".stripMargin,
 
     "q_hurst_rs" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,

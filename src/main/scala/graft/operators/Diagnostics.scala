@@ -162,6 +162,114 @@ object Diagnostics extends QueryModule {
           .orderBy("w")
       }),
 
+      // --- Moran's I with lag-1 temporal weights (round 16): the
+      // autocorrelation statistic in its spatial-statistics normal
+      // form over the daily revenue series — with adjacency weights
+      // w_ij = 1 iff |i−j| = 1 the whole quotient collapses to
+      // I = n·Σc_t·c_{t+1} / ((n−1)·Σc²) where c = n·v − Σv keeps
+      // centering exact int64 (the q_ljung_box device); reported next
+      // to E[I] = −1/(n−1), the null mean a reader compares against.
+      // One O(days) aggregate + O(days) lag window; FP is ONE terminal
+      // division (plus the s0 = 0 NULL guard both engines spell). ---
+      "q_morans_i" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("cents"))
+          .select(col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
+        val idx = daily
+          .withColumn("rn",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .localCheckpoint()
+        val m = idx.agg(count(lit(1)).as("n"),
+          sum("v").cast("long").as("sv"))
+        val w = Window.orderBy("rn")
+        val agg = idx.crossJoin(broadcast(m))
+          .select(col("rn"), (col("n") * col("v") - col("sv")).as("cv"),
+            col("n"))
+          .withColumn("lv", lag("cv", 1).over(w))
+          .agg(max("n").as("n"),
+            sum(col("cv") * col("cv")).cast("long").as("s0"),
+            sum(col("cv") * col("lv")).cast("long").as("s1"))
+        agg.select(col("n").as("n_days"),
+          when(col("s0") > 0,
+            (col("n") * col("s1")).cast("double")
+              / ((col("n") - 1L) * col("s0")).cast("double"))
+            .as("morans_i"),
+          (lit(-1.0) / (col("n") - 1L).cast("double")).as("e_i"))
+      }),
+
+      // --- Geary's C with lag-1 temporal weights (round 16): the
+      // contiguity-ratio companion to q_morans_i — sensitive to LOCAL
+      // differences where I reads global covariance (the two disagree
+      // exactly when structure is local). With lag-1 weights
+      // C = n²·Σ(v_t − v_{t+1})² / (2·Σc²): the difference sum needs
+      // no centering (means cancel), the denominator reuses the exact
+      // n-scaled c's. Same O(days) shapes; FP is one division. ---
+      "q_gearys_c" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("cents"))
+          .select(col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
+        val idx = daily
+          .withColumn("rn",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .localCheckpoint()
+        val m = idx.agg(count(lit(1)).as("n"),
+          sum("v").cast("long").as("sv"))
+        val w = Window.orderBy("rn")
+        val agg = idx.crossJoin(broadcast(m))
+          .select(col("rn"), col("v"),
+            (col("n") * col("v") - col("sv")).as("cv"), col("n"))
+          .withColumn("pv", lag("v", 1).over(w))
+          .agg(max("n").as("n"),
+            sum(col("cv") * col("cv")).cast("long").as("s0"),
+            sum((col("v") - col("pv")) * (col("v") - col("pv")))
+              .cast("long").as("sd2"))
+        agg.select(col("n").as("n_days"),
+          when(col("s0") > 0,
+            (col("n") * col("n") * col("sd2")).cast("double")
+              / (lit(2L) * col("s0")).cast("double")).as("gearys_c"))
+      }),
+
+      // --- seasonal Theil-Sen slope (round 16): the MAGNITUDE
+      // companion to q_seasonal_mk's significance — the median of
+      // within-season pairwise slopes (cents/day), immune to the
+      // weekly cycle for exactly the reason the seasonal MK is (day
+      // pairs never compare across weekday seasons). The pair
+      // relation is the same O(Σ days_k²) CALENDAR-sized grid (never
+      // corpus-sized); each slope is ONE IEEE division; the lower
+      // median is a deterministic row_number cut under the total
+      // (slope, d1, d2) order. ---
+      "q_seasonal_sen" -> ((s, d) => {
+        val dly = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("v"))
+          .withColumn("season", dayofweek(col("day")).cast("long"))
+          .localCheckpoint()
+        val a = dly.select(col("season"), col("day").as("d1"),
+          col("v").as("v1"))
+        val b = dly.select(col("season"), col("day").as("d2"),
+          col("v").as("v2"))
+        val slopes = a.join(b, Seq("season"))
+          .filter(col("d2") > col("d1"))
+          .select(col("d1"), col("d2"),
+            ((col("v2") - col("v1")).cast("double")
+              / datediff(col("d2"), col("d1")).cast("double"))
+              .as("slope"))
+        val n = slopes.agg(count(lit(1)).cast("long").as("n_pairs"))
+        slopes
+          .withColumn("rnk", row_number()
+            .over(Window.orderBy("slope", "d1", "d2")).cast("long"))
+          .crossJoin(broadcast(n))
+          .filter(col("rnk") === expr("(n_pairs + 1) div 2"))
+          .select(col("n_pairs"), col("slope").as("sen_slope"))
+      }),
+
       // --- Page's trend test (round 16): the ORDERED-alternative
       // sibling of q_friedman_test — same blocked ranks (orders with
       // exactly 3 lines as blocks, line position as treatment, ranked
@@ -739,6 +847,74 @@ object Diagnostics extends QueryModule {
         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
         |    ELSE 0.0 END AS z
         |FROM m""".stripMargin,
+
+    "q_morans_i" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1)),
+        |idx AS (SELECT v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sv FROM idx),
+        |cent AS (SELECT rn, n * v - sv AS cv, n
+        |  FROM idx CROSS JOIN m),
+        |l AS (SELECT cv, n, lag(cv, 1) OVER (ORDER BY rn) AS lv
+        |  FROM cent),
+        |a AS (SELECT MAX(n) AS n,
+        |    CAST(SUM(cv * cv) AS BIGINT) AS s0,
+        |    CAST(SUM(cv * lv) AS BIGINT) AS s1 FROM l)
+        |SELECT n AS n_days,
+        |  CASE WHEN s0 > 0 THEN CAST(n * s1 AS DOUBLE)
+        |    / CAST((n - 1) * s0 AS DOUBLE) END AS morans_i,
+        |  -1.0 / CAST(n - 1 AS DOUBLE) AS e_i
+        |FROM a""".stripMargin,
+
+    "q_gearys_c" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1)),
+        |idx AS (SELECT v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sv FROM idx),
+        |cent AS (SELECT rn, v, n * v - sv AS cv, n
+        |  FROM idx CROSS JOIN m),
+        |l AS (SELECT v, cv, n, lag(v, 1) OVER (ORDER BY rn) AS pv
+        |  FROM cent),
+        |a AS (SELECT MAX(n) AS n,
+        |    CAST(SUM(cv * cv) AS BIGINT) AS s0,
+        |    CAST(SUM((v - pv) * (v - pv)) AS BIGINT) AS sd2 FROM l)
+        |SELECT n AS n_days,
+        |  CASE WHEN s0 > 0 THEN CAST(n * n * sd2 AS DOUBLE)
+        |    / CAST(2 * s0 AS DOUBLE) END AS gearys_c
+        |FROM a""".stripMargin,
+
+    "q_seasonal_sen" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |dly AS (SELECT day, CAST(SUM(vc) AS BIGINT) AS v,
+        |    CAST(dayofweek(day) AS BIGINT) AS season
+        |  FROM d0 GROUP BY 1),
+        |sl AS (SELECT a.day AS d1, b.day AS d2,
+        |    CAST(b.v - a.v AS DOUBLE)
+        |      / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM dly a JOIN dly b
+        |    ON a.season = b.season AND b.day > a.day),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sl),
+        |r AS (SELECT slope,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS BIGINT)
+        |      AS rnk
+        |  FROM sl)
+        |SELECT n_pairs, slope AS sen_slope
+        |FROM r CROSS JOIN n WHERE rnk = (n_pairs + 1) // 2""".stripMargin,
 
     "q_page_trend" ->
       """WITH li AS (SELECT l_orderkey AS ok,

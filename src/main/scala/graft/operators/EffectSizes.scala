@@ -88,6 +88,38 @@ object EffectSizes extends QueryModule {
               (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
       }),
 
+      // --- rank-biserial correlation (round 16): the EFFECT SIZE that
+      // belongs next to q_mannwhitney_u's significance — r = 2U/(n₁n₂)
+      // − 1, the difference between the probability a random English
+      // doc outranks a random non-English doc by length and its
+      // converse. Ranks come from the value-HISTOGRAM midrank device
+      // (2·mid = 2·prev + t + 1 exact int64; windows over O(distinct
+      // lengths), never a corpus sort), so 2U₁ = Σt₁·mid2 − n₁(n₁+1)
+      // stays exact; FP is ONE terminal division. Degenerate
+      // single-group corpora guard to NULL on both engines. ---
+      "q_rank_biserial" -> ((s, d) => {
+        val hist = table(s, d, "documents")
+          .select((col("lang") === "en").as("g1"),
+            col("n_chars").cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("t"),
+            sum(col("g1").cast("long")).as("t1"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = hist.withColumn("cum", sum("t").over(w))
+          .withColumn("mr2",
+            lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+        val agg = r.agg(sum("t1").cast("long").as("n1"),
+          sum(col("t") - col("t1")).cast("long").as("n2"),
+          sum(col("t1") * col("mr2")).cast("long").as("r2x"))
+        agg.select(col("n1"), col("n2"),
+          ((col("r2x") - col("n1") * (col("n1") + 1L)).cast("double")
+            / 2.0).as("u1"),
+          when(col("n1") > 0 && col("n2") > 0,
+            (col("r2x") - col("n1") * (col("n1") + 1L)).cast("double")
+              / (col("n1") * col("n2")).cast("double") - 1.0)
+            .as("rank_biserial"))
+      }),
+
       // --- Matthews correlation coefficient: the single balanced
       // number for a binary classifier that precision/recall/F1
       // (q_confusion) can each hide — robust to class imbalance. One
@@ -253,6 +285,28 @@ object EffectSizes extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_rank_biserial" ->
+      """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t1
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT t, t1,
+        |    2 * (CAST(SUM(t) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - t) + t + 1 AS mr2
+        |  FROM h),
+        |a AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+        |    CAST(SUM(t - t1) AS BIGINT) AS n2,
+        |    CAST(SUM(t1 * mr2) AS BIGINT) AS r2x
+        |  FROM r)
+        |SELECT n1, n2,
+        |  CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(r2x - n1 * (n1 + 1) AS DOUBLE)
+        |      / CAST(n1 * n2 AS DOUBLE) - 1.0 END AS rank_biserial
+        |FROM a""".stripMargin,
 
     "q_fleiss_kappa" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_returnflag AS cat

@@ -121,6 +121,45 @@ object Inference extends QueryModule {
             (col("st").cast("double") / 1e6).as("bowker_chi2"))
       }),
 
+      // --- Cochran-Armitage trend test (round 16): does the bulk-line
+      // rate (quantity ≥ 25) trend MONOTONICALLY with line position —
+      // the ordered-proportions companion to q_cochran_q (which asks
+      // only "any difference"). Scores t = 1..3 on the ≤3-line slice;
+      // everything scales through N so the moments stay exact int64:
+      // T' = N·T = Σ t(a_k·N − n_k·A) and S = N·Σt²n − (Σtn)², giving
+      // χ² = T'²·N / (A·(N−A)·S) in ONE fixed FP tree (T'² leaves
+      // int64 range, so only the terminal assembly is double); the
+      // degenerate margins (A = 0, A = N, S = 0) guard to NULL on
+      // both engines. One map-side aggregate to 3 rows, 1-row out. ---
+      "q_cochran_armitage" -> ((s, d) => {
+        val g = table(s, d, "lineitem")
+          .filter(col("l_linenumber") <= 3)
+          .groupBy(col("l_linenumber").cast("long").as("t"))
+          .agg(count(lit(1)).as("nk"),
+            sum((col("l_quantity") >= 25).cast("long")).as("ak"))
+        val tot = g.agg(sum("nk").cast("long").as("nn"),
+          sum("ak").cast("long").as("aa"))
+        val x = g.crossJoin(broadcast(tot))
+          .agg(max("nn").as("nn"), max("aa").as("aa"),
+            sum(col("t") * (col("ak") * col("nn")
+              - col("nk") * col("aa"))).cast("long").as("tp"),
+            sum(col("t") * col("t") * col("nk")).cast("long")
+              .as("st2n"),
+            sum(col("t") * col("nk")).cast("long").as("stn"))
+          .withColumn("s2",
+            col("nn") * col("st2n") - col("stn") * col("stn"))
+        val chi2 = when(col("aa") > 0 && col("aa") < col("nn") &&
+          col("s2") > 0,
+          col("tp").cast("double") * col("tp").cast("double")
+            * col("nn").cast("double")
+            / (col("aa").cast("double")
+              * (col("nn") - col("aa")).cast("double")
+              * col("s2").cast("double")))
+        x.select(col("nn").as("n"), col("aa").as("n_bulk"),
+          col("tp").as("t_num"), chi2.as("ca_chi2"),
+          (signum(col("tp").cast("double")) * sqrt(chi2)).as("ca_z"))
+      }),
+
       // --- τ_AP rank correlation (round 16): the top-weighted Kendall
       // variant (Yilmaz/Aslam/Robertson) between the revenue and
       // quantity rankings of the top-50 parts — the metric that
@@ -708,6 +747,32 @@ object Inference extends QueryModule {
         |    CAST(2 * (3 * sg2 - t * t) AS DOUBLE)
         |      / CAST(3 * t - sl2 AS DOUBLE) END AS q_stat
         |FROM rm CROSS JOIN cm""".stripMargin,
+
+    "q_cochran_armitage" ->
+      """WITH g AS (SELECT CAST(l_linenumber AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ak
+        |  FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS nn,
+        |    CAST(SUM(ak) AS BIGINT) AS aa FROM g),
+        |x AS (SELECT MAX(nn) AS nn, MAX(aa) AS aa,
+        |    CAST(SUM(t * (ak * nn - nk * aa)) AS BIGINT) AS tp,
+        |    CAST(SUM(t * t * nk) AS BIGINT) AS st2n,
+        |    CAST(SUM(t * nk) AS BIGINT) AS stn
+        |  FROM g CROSS JOIN tot),
+        |y AS (SELECT nn, aa, tp, nn * st2n - stn * stn AS s2 FROM x),
+        |z AS (SELECT nn, aa, tp,
+        |    CASE WHEN aa > 0 AND aa < nn AND s2 > 0 THEN
+        |      CAST(tp AS DOUBLE) * CAST(tp AS DOUBLE)
+        |        * CAST(nn AS DOUBLE)
+        |        / (CAST(aa AS DOUBLE) * CAST(nn - aa AS DOUBLE)
+        |          * CAST(s2 AS DOUBLE)) END AS ca_chi2
+        |  FROM y)
+        |SELECT nn AS n, aa AS n_bulk, tp AS t_num, ca_chi2,
+        |  CAST(SIGN(CAST(tp AS DOUBLE)) AS DOUBLE) * sqrt(ca_chi2)
+        |    AS ca_z
+        |FROM z""".stripMargin,
 
     "q_rank_tau_ap" ->
       """WITH pm AS (SELECT l_partkey AS pk,

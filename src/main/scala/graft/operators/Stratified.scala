@@ -215,6 +215,61 @@ object Stratified extends QueryModule {
           .orderBy("p_type")
       }),
 
+      // --- cross-price arc elasticity between brands (round 16): for
+      // every ordered brand pair (A, B), %Δ quantity of A against
+      // %Δ unit price of B between the first and second half of the
+      // shipping window — the substitution/complement screen beside
+      // q_elasticity's own-price slope. Midpoint (arc) percent
+      // changes stay EXACT RATIONAL: the quantity side is
+      // (q2−q1)/(q2+q1) off int64 unit sums, and the price side
+      // cross-multiplies to (c2·u1 − c1·u2)/(c2·u1 + c1·u2) so no
+      // per-half division ever happens — FP is three terminal
+      // divisions per pair. Facts reduce to the O(brands) half-grid
+      // first; the pair grid is a broadcast O(brands²) BNLJ over that
+      // dimension relation, never a fact-side join. Flat-price pairs
+      // guard to NULL identically on both engines. ---
+      "q_cross_elasticity" -> ((s, d) => {
+        val li = table(s, d, "lineitem").select(
+          col("l_partkey").as("pk"),
+          col("l_shipdate").cast("date").as("sd"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .as("epc"),
+          expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+        val p = table(s, d, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))
+        val bounds = li.agg(min("sd").as("mn"), max("sd").as("mx"))
+        val wide = li.join(broadcast(p), "pk")
+          .crossJoin(broadcast(bounds))
+          .select(col("brand"),
+            (datediff(col("sd"), col("mn")) * 2 >=
+              datediff(col("mx"), col("mn")) + 1).cast("long").as("h"),
+            col("epc"), col("q"))
+          .groupBy("brand")
+          .agg(sum(when(col("h") === 0L, col("epc"))).cast("long")
+            .as("c1"),
+            sum(when(col("h") === 0L, col("q"))).cast("long").as("u1"),
+            sum(when(col("h") === 1L, col("epc"))).cast("long")
+              .as("c2"),
+            sum(when(col("h") === 1L, col("q"))).cast("long").as("u2"))
+          .filter(col("u1") > 0 && col("u2") > 0)
+          .localCheckpoint()
+        val aSide = wide.select(col("brand").as("brand_a"),
+          col("u1").as("qa1"), col("u2").as("qa2"))
+        val bSide = wide.select(col("brand").as("brand_b"),
+          col("c1").as("cb1"), col("u1").as("ub1"),
+          col("c2").as("cb2"), col("u2").as("ub2"))
+        val dq = (col("qa2") - col("qa1")).cast("double") /
+          (col("qa2") + col("qa1")).cast("double")
+        val pNum = col("cb2") * col("ub1") - col("cb1") * col("ub2")
+        val pDen = col("cb2") * col("ub1") + col("cb1") * col("ub2")
+        val dp = pNum.cast("double") / pDen.cast("double")
+        aSide.join(broadcast(bSide), col("brand_a") =!= col("brand_b"))
+          .select(col("brand_a"), col("brand_b"), dq.as("dq"),
+            dp.as("dp"),
+            when(pNum =!= 0L, dq / dp).as("cross_elast"))
+          .orderBy("brand_a", "brand_b")
+      }),
+
       // --- ABC revenue classification: parts ranked by revenue, class
       // A to the first 80% of cumulative revenue, B to 95%, C the
       // tail — the inventory-policy classic. Revenue reduces to the
@@ -409,6 +464,40 @@ object Stratified extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_cross_elasticity" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |    CAST(l_shipdate AS DATE) AS sd,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |b AS (SELECT MIN(sd) AS mn, MAX(sd) AS mx FROM li),
+        |wide AS (SELECT p_brand AS brand,
+        |    CAST(SUM(CASE WHEN h = 0 THEN epc END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN h = 0 THEN q END) AS BIGINT) AS u1,
+        |    CAST(SUM(CASE WHEN h = 1 THEN epc END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN h = 1 THEN q END) AS BIGINT) AS u2
+        |  FROM (SELECT pk, epc, q,
+        |      CASE WHEN date_diff('day', mn, sd) * 2
+        |          >= date_diff('day', mn, mx) + 1
+        |        THEN 1 ELSE 0 END AS h
+        |    FROM li CROSS JOIN b) t
+        |  JOIN part ON t.pk = p_partkey
+        |  GROUP BY 1 HAVING CAST(SUM(CASE WHEN h = 0 THEN q END)
+        |      AS BIGINT) > 0
+        |    AND CAST(SUM(CASE WHEN h = 1 THEN q END) AS BIGINT) > 0)
+        |SELECT a.brand AS brand_a, bb.brand AS brand_b,
+        |  CAST(a.u2 - a.u1 AS DOUBLE) / CAST(a.u2 + a.u1 AS DOUBLE)
+        |    AS dq,
+        |  CAST(bb.c2 * bb.u1 - bb.c1 * bb.u2 AS DOUBLE)
+        |    / CAST(bb.c2 * bb.u1 + bb.c1 * bb.u2 AS DOUBLE) AS dp,
+        |  CASE WHEN bb.c2 * bb.u1 - bb.c1 * bb.u2 <> 0 THEN
+        |    (CAST(a.u2 - a.u1 AS DOUBLE) / CAST(a.u2 + a.u1 AS DOUBLE))
+        |    / (CAST(bb.c2 * bb.u1 - bb.c1 * bb.u2 AS DOUBLE)
+        |      / CAST(bb.c2 * bb.u1 + bb.c1 * bb.u2 AS DOUBLE)) END
+        |    AS cross_elast
+        |FROM wide a JOIN wide bb ON a.brand <> bb.brand
+        |ORDER BY brand_a, brand_b""".stripMargin,
 
     "q_meta_effect" ->
       """WITH per0 AS (SELECT source,

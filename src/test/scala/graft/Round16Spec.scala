@@ -228,6 +228,90 @@ class Round16Spec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("q_morans_i / q_gearys_c: a period-2 alternating series has " +
+    "I = -1 exactly and C = 1.75") {
+    val dir = tmpDir("moran")
+    writeEvents(dir, (1 to 8).map { i =>
+      (i.toLong, 1L, "a", day(i), if (i % 2 == 1) 200.0 else 0.0)
+    })
+    val mi = SparkEntry.queries("q_morans_i")(spark, dir).collect().head
+    assert(mi.getAs[Long]("n_days") == 8L)
+    assert(mi.getAs[Double]("morans_i") == -1.0)
+    assert(math.abs(mi.getAs[Double]("e_i") - (-1.0 / 7)) < 1e-15)
+    val gc = SparkEntry.queries("q_gearys_c")(spark, dir).collect().head
+    // n^2 * 7 * 200^2 / (2 * 8 * 800^2) = 64*280000/10240000 = 1.75
+    assert(gc.getAs[Double]("gearys_c") == 1.75)
+    cleanup(dir)
+  }
+
+  test("q_seasonal_sen: a linear cents ramp has every within-season " +
+    "pair slope exactly 100 cents/day") {
+    val dir = tmpDir("sen")
+    writeEvents(dir, (1 to 14).map { i =>
+      (i.toLong, 1L, "a", day(i), i.toDouble)
+    })
+    val r = SparkEntry.queries("q_seasonal_sen")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pairs") == 7L)
+    assert(r.head.getAs[Double]("sen_slope") == 100.0)
+    cleanup(dir)
+  }
+
+  test("q_cross_elasticity: brand A volume +1/3 against brand B " +
+    "price +1/3 gives e(A,B) = 1; B against A's falling unit price " +
+    "gives e(B,A) = -1") {
+    import spark.implicits._
+    val dir = tmpDir("xela")
+    Seq((1L, "BA"), (2L, "BB")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // (partkey, shipdate, extendedprice, quantity): halves split at
+    // the date-window midpoint (day1 vs day10)
+    Seq((1L, day(1), 1.0, 10.0), (1L, day(10), 1.0, 20.0),
+      (2L, day(1), 10.0, 10.0), (2L, day(10), 40.0, 20.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_cross_elasticity")(spark, dir)
+      .collect().map(row => (row.getAs[String]("brand_a"),
+        row.getAs[String]("brand_b")) -> row).toMap
+    assert(r.size == 2)
+    assert(r(("BA", "BB")).getAs[Double]("cross_elast") == 1.0)
+    assert(r(("BB", "BA")).getAs[Double]("cross_elast") == -1.0)
+    cleanup(dir)
+  }
+
+  test("q_cochran_armitage: bulk rates 0/2, 1/2, 2/2 across line " +
+    "positions give chi2 = 4 and z = +2 exactly") {
+    import spark.implicits._
+    val dir = tmpDir("ca")
+    Seq((1L, 1, 10.0), (1L, 2, 30.0), (1L, 3, 30.0),
+      (2L, 1, 10.0), (2L, 2, 10.0), (2L, 3, 30.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_cochran_armitage")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_bulk") == 3L)
+    assert(r.getAs[Long]("t_num") == 12L)
+    assert(r.getAs[Double]("ca_chi2") == 4.0)
+    assert(r.getAs[Double]("ca_z") == 2.0)
+    cleanup(dir)
+  }
+
+  test("q_rank_biserial: English docs strictly longer than the rest " +
+    "gives r = 1 with U1 = n1*n2") {
+    import spark.implicits._
+    val dir = tmpDir("rbis")
+    Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "fr", 1L),
+      (4L, "fr", 2L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_rank_biserial")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("u1") == 4.0)
+    assert(r.getAs[Double]("rank_biserial") == 1.0)
+    cleanup(dir)
+  }
+
   test("q_page_trend: four perfectly monotone 3-line orders give " +
     "L = 56 (the k=3 maximum) and z = 2*sqrt(2)") {
     import spark.implicits._

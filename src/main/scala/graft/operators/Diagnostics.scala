@@ -162,6 +162,37 @@ object Diagnostics extends QueryModule {
           .orderBy("w")
       }),
 
+      // --- turning-point randomness test (round 16): count the local
+      // peaks/troughs of the daily revenue series against the
+      // E[T] = 2(n−2)/3, Var = (16n−29)/90 null — the third classic
+      // randomness screen beside q_runs_test (signs around the
+      // median) and q_ljung_box (joint autocorrelation); each reads a
+      // different departure. STRICT comparisons only: a day tied with
+      // a neighbor is not a turning point (documented; the continuous
+      // null has no ties). Exact integer counting over the O(days)
+      // lag/lead window; z is one fixed ÷/√ tree. ---
+      "q_turning_points" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("v"))
+        val w = Window.orderBy("day")
+        val t = daily
+          .withColumn("pv", lag("v", 1).over(w))
+          .withColumn("nv", lead("v", 1).over(w))
+          .agg(count(lit(1)).as("n"),
+            sum(((col("v") > col("pv") && col("v") > col("nv")) ||
+              (col("v") < col("pv") && col("v") < col("nv")))
+              .cast("long")).as("n_turning"))
+        t.select(col("n").as("n_days"), col("n_turning"),
+          (lit(2.0) * (col("n") - 2L).cast("double") / lit(3.0))
+            .as("e_t"),
+          ((col("n_turning").cast("double")
+            - lit(2.0) * (col("n") - 2L).cast("double") / lit(3.0))
+            / sqrt((lit(16L) * col("n") - 29L).cast("double")
+              / lit(90.0))).as("z"))
+      }),
+
       // --- Moran's I with lag-1 temporal weights (round 16): the
       // autocorrelation statistic in its spatial-statistics normal
       // form over the daily revenue series — with adjacency weights
@@ -847,6 +878,27 @@ object Diagnostics extends QueryModule {
         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
         |    ELSE 0.0 END AS z
         |FROM m""".stripMargin,
+
+    "q_turning_points" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT v,
+        |    lag(v, 1) OVER (ORDER BY day) AS pv,
+        |    lead(v, 1) OVER (ORDER BY day) AS nv
+        |  FROM daily),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN (v > pv AND v > nv)
+        |      OR (v < pv AND v < nv) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_turning
+        |  FROM l)
+        |SELECT n AS n_days, n_turning,
+        |  2.0 * CAST(n - 2 AS DOUBLE) / 3.0 AS e_t,
+        |  (CAST(n_turning AS DOUBLE)
+        |    - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+        |    / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0) AS z
+        |FROM a""".stripMargin,
 
     "q_morans_i" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,

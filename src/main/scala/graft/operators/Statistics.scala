@@ -131,6 +131,83 @@ object Statistics extends QueryModule {
           .orderBy("event_type", "x")
       }),
 
+      // --- Bowley quartile shape card (round 16): the three robust
+      // shape readouts that need only quartiles — Bowley skewness
+      // (Q1+Q3−2Q2)/(Q3−Q1), the quartile coefficient of dispersion
+      // (Q3−Q1)/(Q3+Q1), and Tukey's trimean (Q1+2Q2+Q3)/4 — the
+      // moment-free profile a metrics platform publishes where
+      // outliers make raw skewness/CV lie. Quartiles are exact
+      // integer order statistics off the value histogram (cum·4 ≥ k·n
+      // cross-multiplied cuts, the percentile_grid discipline); each
+      // output is one fixed division off exact ints, with degenerate
+      // (zero-IQR / zero-sum) guards spelled on both engines. ---
+      "q_bowley_skew" -> ((s, d) => {
+        val hist = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        val r = hist
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n", sum("c").over(wt))
+        r.groupBy("event_type")
+          .agg(max("n").as("n"),
+            min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+            min(when(col("cum") * 4 >= col("n") * 2, col("v")))
+              .as("q2"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v")))
+              .as("q3"))
+          .select(col("event_type"), col("n"), col("q1"), col("q2"),
+            col("q3"),
+            when(col("q3") > col("q1"),
+              (col("q1") + col("q3") - lit(2L) * col("q2"))
+                .cast("double")
+                / (col("q3") - col("q1")).cast("double"))
+              .as("bowley_skew"),
+            when(col("q3") + col("q1") =!= 0L,
+              (col("q3") - col("q1")).cast("double")
+                / (col("q3") + col("q1")).cast("double")).as("qcd"),
+            ((col("q1") + lit(2L) * col("q2") + col("q3"))
+              .cast("double") / 4.0).as("trimean"))
+          .orderBy("event_type")
+      }),
+
+      // --- Moors octile kurtosis (round 16): the quantile-based
+      // kurtosis companion — ((E7−E5)+(E3−E1))/(E6−E2) over octiles —
+      // completing the robust shape card where q_bowley_skew reads
+      // skew; heavy tails raise it above the ~1.23 normal reference
+      // without a fourth moment anywhere. Same histogram order-
+      // statistic device (cum·8 ≥ k·n cuts), one terminal division,
+      // zero-denominator guard both engines. ---
+      "q_moors_kurtosis" -> ((s, d) => {
+        val hist = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        val r = hist
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n", sum("c").over(wt))
+        def oct(k: Int) =
+          min(when(col("cum") * 8 >= col("n") * k, col("v")))
+            .as(s"e$k")
+        r.groupBy("event_type")
+          .agg(max("n").as("n"), oct(1), oct(2), oct(3), oct(5),
+            oct(6), oct(7))
+          .select(col("event_type"), col("n"), col("e1"), col("e3"),
+            col("e5"), col("e7"),
+            when(col("e6") > col("e2"),
+              ((col("e7") - col("e5")) + (col("e3") - col("e1")))
+                .cast("double")
+                / (col("e6") - col("e2")).cast("double"))
+              .as("moors_kurt"))
+          .orderBy("event_type")
+      }),
+
       // --- banded WINSORIZED mean per event type (round 13): the
       // robust-mean sibling of q_percentile_grid — clamp each value to
       // the [P05, P95] band boundaries before averaging, the standard
@@ -491,6 +568,55 @@ object Statistics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_bowley_skew" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, v,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |q AS (SELECT event_type, MAX(n) AS n,
+        |    MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    MIN(CASE WHEN cum * 4 >= n * 2 THEN v END) AS q2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n, q1, q2, q3,
+        |  CASE WHEN q3 > q1 THEN CAST(q1 + q3 - 2 * q2 AS DOUBLE)
+        |    / CAST(q3 - q1 AS DOUBLE) END AS bowley_skew,
+        |  CASE WHEN q3 + q1 <> 0 THEN CAST(q3 - q1 AS DOUBLE)
+        |    / CAST(q3 + q1 AS DOUBLE) END AS qcd,
+        |  CAST(q1 + 2 * q2 + q3 AS DOUBLE) / 4.0 AS trimean
+        |FROM q ORDER BY event_type""".stripMargin,
+
+    "q_moors_kurtosis" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, v,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |q AS (SELECT event_type, MAX(n) AS n,
+        |    MIN(CASE WHEN cum * 8 >= n THEN v END) AS e1,
+        |    MIN(CASE WHEN cum * 8 >= n * 2 THEN v END) AS e2,
+        |    MIN(CASE WHEN cum * 8 >= n * 3 THEN v END) AS e3,
+        |    MIN(CASE WHEN cum * 8 >= n * 5 THEN v END) AS e5,
+        |    MIN(CASE WHEN cum * 8 >= n * 6 THEN v END) AS e6,
+        |    MIN(CASE WHEN cum * 8 >= n * 7 THEN v END) AS e7
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n, e1, e3, e5, e7,
+        |  CASE WHEN e6 > e2 THEN
+        |    CAST((e7 - e5) + (e3 - e1) AS DOUBLE)
+        |      / CAST(e6 - e2 AS DOUBLE) END AS moors_kurt
+        |FROM q ORDER BY event_type""".stripMargin,
 
     "q_huber_mean" ->
       """WITH b AS (SELECT event_type,

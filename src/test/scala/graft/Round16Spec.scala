@@ -312,6 +312,60 @@ class Round16Spec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("q_turning_points: an alternating series turns at every " +
+    "interior day (T = n-2), a monotone ramp never turns, and a " +
+    "tied plateau is NOT a turning point (strict comparisons)") {
+    val dir = tmpDir("turn")
+    writeEvents(dir, (1 to 8).map { i =>
+      (i.toLong, 1L, "a", day(i), if (i % 2 == 1) 200.0 else 0.0)
+    })
+    val alt = SparkEntry.queries("q_turning_points")(spark, dir)
+      .collect().head
+    assert(alt.getAs[Long]("n_turning") == 6L)
+    assert(math.abs(alt.getAs[Double]("e_t") - 4.0) < 1e-12)
+    // z = (6 - 4)/sqrt((16*8-29)/90) = 2/sqrt(1.1)
+    assert(math.abs(alt.getAs[Double]("z")
+      - 2.0 / math.sqrt(99.0 / 90.0)) < 1e-12)
+
+    writeEvents(dir, (1 to 8).map { i =>
+      (i.toLong, 1L, "a", day(i), i * 100.0)
+    })
+    assert(SparkEntry.queries("q_turning_points")(spark, dir)
+      .collect().head.getAs[Long]("n_turning") == 0L)
+
+    // plateau 1,2,2,1: day 2 and 3 tie — neither is a strict peak
+    writeEvents(dir, Seq(1.0, 2.0, 2.0, 1.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, 1L, "a", day(i + 1), v)
+    })
+    assert(SparkEntry.queries("q_turning_points")(spark, dir)
+      .collect().head.getAs[Long]("n_turning") == 0L)
+    cleanup(dir)
+  }
+
+  test("q_bowley_skew / q_moors_kurtosis: values 1..8 give the " +
+    "closed-form quartiles (2,4,6) and octiles, a symmetric Bowley " +
+    "skew of 0 and Moors kurtosis 1.0") {
+    val dir = tmpDir("bowley")
+    writeEvents(dir, (1 to 8).map { i =>
+      (i.toLong, 1L, "a", day(i), i.toDouble)
+    })
+    val b = SparkEntry.queries("q_bowley_skew")(spark, dir)
+      .collect().head
+    // cum*4 >= n -> v=2; >= 2n -> 4; >= 3n -> 6
+    assert(b.getAs[Long]("q1") == 2L && b.getAs[Long]("q2") == 4L &&
+      b.getAs[Long]("q3") == 6L)
+    assert(b.getAs[Double]("bowley_skew") == 0.0)
+    assert(b.getAs[Double]("qcd") == 0.5)
+    assert(b.getAs[Double]("trimean") == 4.0)
+    val m = SparkEntry.queries("q_moors_kurtosis")(spark, dir)
+      .collect().head
+    // octile k at value k (cum*8 = v*8 >= k*8) -> e_k = k
+    assert(m.getAs[Long]("e1") == 1L && m.getAs[Long]("e7") == 7L)
+    // ((7-5)+(3-1))/(6-2) = 1.0
+    assert(m.getAs[Double]("moors_kurt") == 1.0)
+    cleanup(dir)
+  }
+
   test("q_page_trend: four perfectly monotone 3-line orders give " +
     "L = 56 (the k=3 maximum) and z = 2*sqrt(2)") {
     import spark.implicits._

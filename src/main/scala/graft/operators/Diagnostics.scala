@@ -193,6 +193,54 @@ object Diagnostics extends QueryModule {
               / lit(90.0))).as("z"))
       }),
 
+      // --- Bartels' rank von Neumann ratio (round 16): the fourth
+      // randomness screen — q_runs_test reads signs, q_turning_points
+      // local extrema, q_ljung_box joint autocorrelation; Bartels
+      // reads successive-difference dispersion in RANK space, robust
+      // where the value-space von Neumann (q_dw_resid's device) is
+      // outlier-dragged. Midranks via the ×2 histogram device
+      // (2·mid = 2·prev + t + 1 exact int64) over the bounded daily-
+      // cents domain; Σ midranks ≡ n(n+1)/2 even under ties, so the
+      // centered denominator is EXACTLY Σr₂² − n(n+1)² with no mean
+      // division. RVN = num/den is the single terminal division (the
+      // ×2 scales cancel); z uses Bartels' null Var ≈ 20/(5n+7)
+      // (stated without tie correction, documented). O(days) grid
+      // everywhere past the daily aggregate. ---
+      "q_bartels_rank" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("v"))
+        val hist = daily.groupBy("v").agg(count(lit(1)).as("c"))
+        val wp = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r2 = hist
+          .withColumn("prev", coalesce(sum("c").over(wp), lit(0L)))
+          .select(col("v"),
+            (lit(2L) * col("prev") + col("c") + 1L).as("r2"))
+        val wd = Window.orderBy("day")
+        val ranked = daily.join(broadcast(r2), "v")
+          .withColumn("nr2", lead("r2", 1).over(wd))
+        ranked.agg(count(lit(1)).as("n"),
+            sum(when(col("nr2").isNotNull,
+              (col("r2") - col("nr2")) * (col("r2") - col("nr2")))
+              .otherwise(0L)).as("num2"),
+            sum(col("r2") * col("r2")).as("sr2sq"))
+          .select(col("n").as("n_days"),
+            ((col("sr2sq") - col("n") * (col("n") + 1L)
+              * (col("n") + 1L))).as("den2"),
+            col("num2"))
+          .select(col("n_days"),
+            when(col("den2") > 0,
+              col("num2").cast("double") / col("den2").cast("double"))
+              .as("rvn"),
+            when(col("den2") > 0,
+              (col("num2").cast("double")
+                / col("den2").cast("double") - 2.0)
+                / sqrt(lit(20.0) / (lit(5L) * col("n_days") + 7L)
+                  .cast("double"))).as("z"))
+      }),
+
       // --- Moran's I with lag-1 temporal weights (round 16): the
       // autocorrelation statistic in its spatial-statistics normal
       // form over the daily revenue series — with adjacency weights
@@ -1251,6 +1299,38 @@ object Diagnostics extends QueryModule {
         |    ELSE 0.0 END AS z
         |FROM sa JOIN ts ON sa.event_type = ts.event_type
         |ORDER BY sa.event_type""".stripMargin,
+
+    "q_bartels_rank" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY v),
+        |r AS (SELECT v,
+        |    2 * COALESCE(CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + c + 1 AS r2
+        |  FROM h),
+        |j AS (SELECT daily.day, r.r2,
+        |    lead(r.r2, 1) OVER (ORDER BY daily.day) AS nr2
+        |  FROM daily JOIN r USING (v)),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN nr2 IS NOT NULL
+        |      THEN (r2 - nr2) * (r2 - nr2) ELSE 0 END) AS BIGINT)
+        |      AS num2,
+        |    CAST(SUM(r2 * r2) AS BIGINT) AS sr2sq
+        |  FROM j)
+        |SELECT n AS n_days,
+        |  CASE WHEN sr2sq - n * (n + 1) * (n + 1) > 0 THEN
+        |    CAST(num2 AS DOUBLE)
+        |      / CAST(sr2sq - n * (n + 1) * (n + 1) AS DOUBLE) END
+        |    AS rvn,
+        |  CASE WHEN sr2sq - n * (n + 1) * (n + 1) > 0 THEN
+        |    (CAST(num2 AS DOUBLE)
+        |      / CAST(sr2sq - n * (n + 1) * (n + 1) AS DOUBLE) - 2.0)
+        |      / sqrt(20.0 / CAST(5 * n + 7 AS DOUBLE)) END AS z
+        |FROM a""".stripMargin,
 
     "q_runs_test" ->
       """WITH g AS (SELECT event_type,

@@ -120,6 +120,42 @@ object EffectSizes extends QueryModule {
             .as("rank_biserial"))
       }),
 
+      // --- Hodges-Lehmann shift estimator (round 16): the MAGNITUDE
+      // companion to q_mannwhitney_u's significance and
+      // q_rank_biserial's standardized effect — the lower median of
+      // all pairwise differences view − click over the rounded-dollar
+      // value domain, the location shift a rank test actually
+      // detects. The difference multiset never materializes per pair:
+      // the two value HISTOGRAMS cross through a broadcast nested
+      // loop (V×V ≤ ~250k cells, bounded by the fixed value domain at
+      // any SF — never a corpus×corpus join) with weight c₁·c₂, and
+      // the lower median is the deterministic cum·2 ≥ n₁n₂ integer
+      // cut (the q_seasonal_sen discipline). All exact int64
+      // (pair-count Σ = n₁·n₂ needs n₁,n₂ < 3e9 — documented);
+      // zero FP in the estimate. ---
+      "q_hodges_lehmann" -> ((s, d) => {
+        val ev = table(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+        val h1 = ev.filter(col("event_type") === "click")
+          .groupBy(col("v").as("v1")).agg(count(lit(1)).as("c1"))
+        val h2 = ev.filter(col("event_type") === "view")
+          .groupBy(col("v").as("v2")).agg(count(lit(1)).as("c2"))
+        val diffs = h1.crossJoin(broadcast(h2))
+          .groupBy((col("v2") - col("v1")).as("diff"))
+          .agg(sum(col("c1") * col("c2")).as("w"))
+        val wc = Window.orderBy("diff")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = diffs.agg(sum("w").as("np"))
+        diffs.withColumn("cum", sum("w").over(wc))
+          .crossJoin(broadcast(tot))
+          .groupBy("np")
+          .agg(min(when(col("cum") * 2 >= col("np"), col("diff")))
+            .as("hl_shift"))
+          .select(col("np").as("n_pairs"), col("hl_shift"))
+      }),
+
       // --- Matthews correlation coefficient: the single balanced
       // number for a binary classifier that precision/recall/F1
       // (q_confusion) can each hide — robust to class imbalance. One
@@ -285,6 +321,25 @@ object EffectSizes extends QueryModule {
     )
 
   override def oracle: Map[String, String] = Map(
+
+    "q_hodges_lehmann" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |h1 AS (SELECT v AS v1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM e WHERE event_type = 'click' GROUP BY v),
+        |h2 AS (SELECT v AS v2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM e WHERE event_type = 'view' GROUP BY v),
+        |dd AS (SELECT v2 - v1 AS diff,
+        |    CAST(SUM(c1 * c2) AS BIGINT) AS w
+        |  FROM h1 CROSS JOIN h2 GROUP BY 1),
+        |c AS (SELECT diff, CAST(SUM(w) OVER (ORDER BY diff
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum FROM dd),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS np FROM dd)
+        |SELECT np AS n_pairs,
+        |  MIN(CASE WHEN cum * 2 >= np THEN diff END) AS hl_shift
+        |FROM c CROSS JOIN t GROUP BY np""".stripMargin,
 
     "q_rank_biserial" ->
       """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,

@@ -123,6 +123,57 @@ object Evaluation extends QueryModule {
           .select(col("n1"), col("n2"), col("d_stat"))
       }),
 
+      // --- two-sample Anderson-Darling test (round 16): the tail-
+      // weighted third member of the CDF-distance family — KS reads
+      // the max gap, CvM integrates the square, AD re-weights that
+      // integral by 1/(F(1−F)) so tail drift dominates. Scholz-
+      // Stephens k=2 discrete spelling WITHOUT continuity correction
+      // over the same click-vs-view samples and quantized domain as
+      // q_ks_test: A² = Σᵢ (1/nᵢ) Σ_{j<L} lⱼ(N·Mᵢⱼ − nᵢBⱼ)² /
+      // (N·Bⱼ(N−Bⱼ)). All counts exact int64 off the O(bins) domain
+      // aggregate; each term is a fixed double tree quantized to 1e-6
+      // before its Σ (the q_smape discipline); df = k−1 = 1 so the
+      // H₀ reference is E[A²] = 1. One corpus pass; windows run over
+      // the bounded value domain. ---
+      "q_ad2_test" -> ((s, d) => {
+        val q = table(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), vq.as("v"))
+        val bins = q.groupBy("v").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+        val wb = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = bins.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+          count(lit(1)).as("l_vals"))
+        val cum = bins
+          .withColumn("m1", sum("c1").over(wb))
+          .withColumn("m2", sum("c2").over(wb))
+          .select(col("c1") + col("c2") as "lj",
+            col("m1"), col("m2"),
+            (col("m1") + col("m2")).as("bj"))
+        def term(m: Column, ni: Column, nn: Column): Column = {
+          val diff = (nn * m - ni * col("bj")).cast("double")
+          col("lj").cast("double") * diff * diff /
+            (nn.cast("double") * col("bj") * (nn - col("bj")))
+        }
+        cum.crossJoin(broadcast(tot))
+          .withColumn("nn", col("n1") + col("n2"))
+          .filter(col("bj") < col("nn"))
+          .agg(max("n1").as("n1"), max("n2").as("n2"),
+            max("l_vals").as("l_vals"),
+            sum(round(term(col("m1"), col("n1"), col("nn")) * 1e6, 0)
+              .cast("long")).as("s1"),
+            sum(round(term(col("m2"), col("n2"), col("nn")) * 1e6, 0)
+              .cast("long")).as("s2"))
+          .select(col("n1"), col("n2"), col("l_vals"),
+            (col("s1").cast("double") / 1e6 / col("n1")
+              + col("s2").cast("double") / 1e6 / col("n2"))
+              .as("a2"))
+      }),
+
       // --- chi-square independence test over the c_mktsegment ×
       // c_nationkey contingency table. The only full-data pass is the
       // cell-count groupBy (one shuffle, output = 125 cells); row/column
@@ -593,6 +644,46 @@ object Evaluation extends QueryModule {
         |  MAX(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2))
         |    AS d_stat
         |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin,
+
+    "q_ad2_test" ->
+      """WITH q AS (SELECT event_type,
+        |  CAST(round(value, 0) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY v),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(c2) AS BIGINT) AS n2,
+        |        CAST(COUNT(*) AS BIGINT) AS l_vals FROM b),
+        |c AS (SELECT CAST(c1 + c2 AS BIGINT) AS lj,
+        |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS m1,
+        |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS m2
+        |  FROM b),
+        |f AS (SELECT lj, m1, m2, m1 + m2 AS bj, n1, n2, l_vals,
+        |    n1 + n2 AS nn
+        |  FROM c CROSS JOIN t),
+        |s AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |    MAX(l_vals) AS l_vals,
+        |    CAST(SUM(CAST(round(CAST(lj AS DOUBLE)
+        |      * CAST(nn * m1 - n1 * bj AS DOUBLE)
+        |      * CAST(nn * m1 - n1 * bj AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * bj * (nn - bj))
+        |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(round(CAST(lj AS DOUBLE)
+        |      * CAST(nn * m2 - n2 * bj AS DOUBLE)
+        |      * CAST(nn * m2 - n2 * bj AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * bj * (nn - bj))
+        |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM f WHERE bj < nn)
+        |SELECT n1, n2, l_vals,
+        |  CAST(s1 AS DOUBLE) / 1000000.0 / n1
+        |    + CAST(s2 AS DOUBLE) / 1000000.0 / n2 AS a2
+        |FROM s""".stripMargin,
 
     "q_chisq_test" ->
       """WITH cells AS (SELECT c_mktsegment AS seg,

@@ -354,6 +354,69 @@ object Inference extends QueryModule {
       // divisor uses N³ (fits int64 to ~2M rows per run — beyond that
       // the term is ties/(N³-N) → 0 and is dropped, as the comment in
       // the oracle notes). ---
+      // --- Jonckheere-Terpstra ordered-alternative trend (round 16):
+      // where q_kruskal_wallis asks "do the k groups differ at all",
+      // JT asks the sharper ordered question — does order value climb
+      // with priority (1-URGENT..5-LOW)? JT = Σ_{g<h} U_gh off the
+      // dollar-value histogram pivoted per priority: a 2-d dominance
+      // sum via per-group strictly-prior window cumulatives, with the
+      // ×2 tie device (jt2 = 2·JT so half-credit ties stay integer —
+      // the q_mannwhitney_u discipline). The window runs over the
+      // bounded dollar domain (totalprice's range is fixed, so the
+      // single-partition sort is calendar-sized at any SF). Null
+      // moments: 4E = N²−Σn², Var = (N²(2N+3)−Σn²(2n+3))/72 assembled
+      // in DECIMAL(38,0) (N³ overflows int64 past N≈2e6), stated
+      // WITHOUT tie correction on both engines (documented); z is the
+      // single terminal ÷/√ tree. One corpus pass. ---
+      "q_jonckheere" -> ((s, d) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cells = table(s, d, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+              .as("g"),
+            round(col("o_totalprice"), 0).cast("long").as("v"))
+        val cgs = (1 to 5).map(g =>
+          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g"))
+        val piv = cells.groupBy("v").agg(cgs.head, cgs.tail: _*)
+        val wp = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = (1 to 5).foldLeft(piv)((df, g) =>
+          df.withColumn(s"l$g",
+            coalesce(sum(col(s"c$g")).over(wp), lit(0L))))
+        // 2·JT contribution at each value v: for every higher group h,
+        // 2·c_h·(# lower-group values strictly below) + c_h·(ties in
+        // lower groups at v).
+        def below(h: Int): Column =
+          (1 until h).map(g => col(s"l$g")).reduce(_ + _)
+        def tiesAt(h: Int): Column =
+          (1 until h).map(g => col(s"c$g")).reduce(_ + _)
+        val contrib = (2 to 5).map(h =>
+          lit(2L) * col(s"c$h") * below(h) + col(s"c$h") * tiesAt(h))
+          .reduce(_ + _)
+        val agg = cum.agg(sum(contrib).as("jt2"),
+          (1 to 5).map(g => sum(col(s"c$g")).as(s"n$g")): _*)
+        val nTot = (1 to 5).map(g => col(s"n$g")).reduce(_ + _)
+        val sumSq = (1 to 5).map(g =>
+          col(s"n$g").cast(d38) * col(s"n$g")).reduce(_ + _)
+        val sumVar = (1 to 5).map(g =>
+          col(s"n$g").cast(d38) * col(s"n$g")
+            * (lit(2L) * col(s"n$g") + lit(3L))).reduce(_ + _)
+        agg
+          .withColumn("n", nTot)
+          .withColumn("fourE", col("n").cast(d38) * col("n") - sumSq)
+          .withColumn("varnum",
+            col("n").cast(d38) * col("n")
+              * (lit(2L) * col("n") + lit(3L)) - sumVar)
+          .select(col("n").as("n_orders"),
+            (col("jt2").cast("double") / 2.0).as("jt"),
+            (col("fourE").cast("double") / 4.0).as("e_jt"),
+            (col("varnum").cast("double") / 72.0).as("var_jt"),
+            when(col("varnum") > 0,
+              (lit(2L) * col("jt2") - col("fourE")).cast("double")
+                / (lit(4.0)
+                  * sqrt(col("varnum").cast("double") / 72.0)))
+              .as("z"))
+      }),
+
       "q_kruskal_wallis" -> ((s, d) => {
         val cells = table(s, d, "events")
           .select(col("event_type").as("g"),
@@ -907,6 +970,58 @@ object Inference extends QueryModule {
         |       CAST(ties AS DOUBLE) / ((n1 + n2) * (n1 + n2 - 1))) / 12.0))
         |    AS z
         |FROM a""".stripMargin,
+
+    "q_jonckheere" ->
+      """WITH c AS (SELECT
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |    CAST(round(o_totalprice, 0) AS BIGINT) AS v FROM orders),
+        |p AS (SELECT v,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |  FROM c GROUP BY v),
+        |w AS (SELECT c1, c2, c3, c4, c5,
+        |    COALESCE(CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS l1,
+        |    COALESCE(CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS l2,
+        |    COALESCE(CAST(SUM(c3) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS l3,
+        |    COALESCE(CAST(SUM(c4) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS l4
+        |  FROM p),
+        |a AS (SELECT
+        |    CAST(SUM(2 * c2 * l1 + c2 * c1
+        |      + 2 * c3 * (l1 + l2) + c3 * (c1 + c2)
+        |      + 2 * c4 * (l1 + l2 + l3) + c4 * (c1 + c2 + c3)
+        |      + 2 * c5 * (l1 + l2 + l3 + l4)
+        |      + c5 * (c1 + c2 + c3 + c4)) AS BIGINT) AS jt2,
+        |    CAST(SUM(c1) AS HUGEINT) AS n1,
+        |    CAST(SUM(c2) AS HUGEINT) AS n2,
+        |    CAST(SUM(c3) AS HUGEINT) AS n3,
+        |    CAST(SUM(c4) AS HUGEINT) AS n4,
+        |    CAST(SUM(c5) AS HUGEINT) AS n5
+        |  FROM w),
+        |m AS (SELECT jt2, n1 + n2 + n3 + n4 + n5 AS n,
+        |    (n1 + n2 + n3 + n4 + n5) * (n1 + n2 + n3 + n4 + n5)
+        |      - (n1 * n1 + n2 * n2 + n3 * n3 + n4 * n4 + n5 * n5)
+        |      AS foure,
+        |    (n1 + n2 + n3 + n4 + n5) * (n1 + n2 + n3 + n4 + n5)
+        |      * (2 * (n1 + n2 + n3 + n4 + n5) + 3)
+        |      - (n1 * n1 * (2 * n1 + 3) + n2 * n2 * (2 * n2 + 3)
+        |        + n3 * n3 * (2 * n3 + 3) + n4 * n4 * (2 * n4 + 3)
+        |        + n5 * n5 * (2 * n5 + 3)) AS varnum
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |  CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+        |  CAST(foure AS DOUBLE) / 4.0 AS e_jt,
+        |  CAST(varnum AS DOUBLE) / 72.0 AS var_jt,
+        |  CASE WHEN varnum > 0 THEN
+        |    CAST(2 * jt2 - foure AS DOUBLE)
+        |      / (4.0 * sqrt(CAST(varnum AS DOUBLE) / 72.0)) END AS z
+        |FROM m""".stripMargin,
 
     "q_kruskal_wallis" ->
       """WITH cells AS (SELECT event_type AS g,

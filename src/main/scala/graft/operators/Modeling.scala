@@ -120,6 +120,57 @@ object Modeling extends QueryModule {
       // order statistics, no interpolation, no global sort of raw
       // rows; the bounds relation broadcasts into the eval-side
       // conditional count. ---
+      // --- empirical CRPS (round 16): the PROPER scoring rule for the
+      // full predictive distribution — q_pi_coverage checks one band,
+      // q_winkler_score prices that band, CRPS integrates over every
+      // quantile at once: CRPS(F,y) = (1/m)Σ|xᵢ−y| − (1/2m²)Σᵢⱼ|xᵢ−xⱼ|
+      // with F the first-15-days empirical distribution per event
+      // type (the q_pi_coverage split). Averaged over eval rows it
+      // collapses to two histogram moments: Σ_y Σ_x |x−y| via the
+      // bounded train×eval histogram cross per type (V² cells, fixed
+      // value domain), and Σ_{i<j}|xᵢ−xⱼ| via the sorted-cumsum Gini
+      // device — both exact, accumulated in DECIMAL(38,0) (pair
+      // counts × dollar diffs pass int64 near 3e9 rows/side). The
+      // terminal assembly T₁/(m·k) − S₂/(m·m) is one fixed tree. ---
+      "q_crps_empirical" -> ((s, d) => {
+        val d38 = DecimalType(38, 0)
+        val ev = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"),
+            (datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")) < 15).as("cal"))
+        val ht = ev.filter(col("cal"))
+          .groupBy(col("event_type"), col("v").as("vt"))
+          .agg(count(lit(1)).as("ct"))
+          .localCheckpoint()
+        val he = ev.filter(!col("cal"))
+          .groupBy(col("event_type"), col("v").as("ve"))
+          .agg(count(lit(1)).as("ce"))
+        val t1 = ht.join(he, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum((col("ct") * col("ce")).cast(d38)
+            * abs(col("vt") - col("ve"))).as("t1"))
+        val wp = Window.partitionBy("event_type").orderBy("vt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val s2 = ht
+          .withColumn("pc", coalesce(sum("ct").over(wp), lit(0L)))
+          .withColumn("ps",
+            coalesce(sum(col("ct") * col("vt")).over(wp), lit(0L)))
+          .groupBy("event_type")
+          .agg(sum(col("ct").cast(d38)
+              * (col("pc") * col("vt") - col("ps"))).as("s2"),
+            sum("ct").as("m"))
+        val k = he.groupBy("event_type").agg(sum("ce").as("k"))
+        s2.join(t1, Seq("event_type")).join(k, Seq("event_type"))
+          .select(col("event_type"), col("m").as("n_train"),
+            col("k").as("n_eval"),
+            (col("t1").cast("double")
+              / (col("m").cast("double") * col("k"))
+              - col("s2").cast("double")
+              / (col("m").cast("double") * col("m"))).as("crps"))
+          .orderBy("event_type")
+      }),
+
       "q_pi_coverage" -> ((s, d) => {
         val ev = table(s, d, "events")
           .select(col("event_type"),
@@ -517,6 +568,43 @@ object Modeling extends QueryModule {
         |  fin.l + fin.b + fin.ring[1] AS forecast
         |FROM fin JOIN n ON fin.event_type = n.event_type
         |WHERE rk = 1 ORDER BY n.event_type""".stripMargin,
+
+    "q_crps_empirical" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |      AS cal
+        |  FROM events),
+        |ht AS (SELECT event_type, v AS vt,
+        |    CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM e WHERE cal GROUP BY 1, 2),
+        |he AS (SELECT event_type, v AS ve,
+        |    CAST(COUNT(*) AS BIGINT) AS ce
+        |  FROM e WHERE NOT cal GROUP BY 1, 2),
+        |t1 AS (SELECT event_type,
+        |    CAST(SUM(CAST(ct * ce AS HUGEINT) * abs(vt - ve))
+        |      AS HUGEINT) AS t1
+        |  FROM ht JOIN he USING (event_type) GROUP BY 1),
+        |w AS (SELECT event_type, vt, ct,
+        |    COALESCE(CAST(SUM(ct) OVER (PARTITION BY event_type
+        |      ORDER BY vt ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING) AS BIGINT), 0) AS pc,
+        |    COALESCE(CAST(SUM(ct * vt) OVER (PARTITION BY event_type
+        |      ORDER BY vt ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING) AS BIGINT), 0) AS ps
+        |  FROM ht),
+        |s2 AS (SELECT event_type,
+        |    CAST(SUM(CAST(ct AS HUGEINT) * (pc * vt - ps))
+        |      AS HUGEINT) AS s2,
+        |    CAST(SUM(ct) AS BIGINT) AS m
+        |  FROM w GROUP BY 1),
+        |kk AS (SELECT event_type, CAST(SUM(ce) AS BIGINT) AS k
+        |  FROM he GROUP BY 1)
+        |SELECT event_type, m AS n_train, k AS n_eval,
+        |  CAST(t1 AS DOUBLE) / (CAST(m AS DOUBLE) * k)
+        |    - CAST(s2 AS DOUBLE) / (CAST(m AS DOUBLE) * m) AS crps
+        |FROM s2 JOIN t1 USING (event_type) JOIN kk USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_pi_coverage" ->
       """WITH ev AS (SELECT event_type,

@@ -208,6 +208,100 @@ object Statistics extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- Rousseeuw-Croux Qn scale (round 16): the robust spread
+      // estimator that needs NO location — the k-th order statistic
+      // (k = C(h,2), h = n div 2 + 1) of all pairwise |xᵢ−xⱼ|, i<j,
+      // with 82% Gaussian efficiency where MAD (q_robust_scale's
+      // device) sits at 37%. The pair multiset never materializes:
+      // the per-type value histogram self-joins on event_type with
+      // v₂ ≥ v₁ (equi key + bounded band — V² ≤ ~250k cells per
+      // type, fixed by the value domain at any SF); equal-value cells
+      // carry C(c,2), cross cells c₁·c₂; the cut is the exact
+      // integer cum ≥ k order statistic. Raw Qn is pure int64; the
+      // Gaussian-consistent rescale (×2.21914, Croux-Rousseeuw) is
+      // the only FP, one fixed literal product. ---
+      "q_qn_scale" -> ((s, d) => {
+        val hist = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val a = hist.select(col("event_type"), col("v").as("va"),
+          col("c").as("ca"))
+        val b = hist.select(col("event_type"), col("v").as("vb"),
+          col("c").as("cb"))
+        val pairs = a.join(b, Seq("event_type"))
+          .filter(col("vb") >= col("va"))
+          .groupBy(col("event_type"),
+            (col("vb") - col("va")).as("diff"))
+          .agg(sum(when(col("va") === col("vb"),
+              expr("ca * (ca - 1) div 2"))
+            .otherwise(col("ca") * col("cb"))).as("w"))
+        val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+          .withColumn("h", expr("n div 2 + 1"))
+          .withColumn("k", expr("h * (h - 1) div 2"))
+        val wc = Window.partitionBy("event_type").orderBy("diff")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairs.withColumn("cum", sum("w").over(wc))
+          .join(broadcast(tot), "event_type")
+          .groupBy("event_type", "n", "k")
+          .agg(min(when(col("cum") >= col("k"), col("diff")))
+            .as("qn_raw"))
+          .filter(col("k") >= 1)
+          .select(col("event_type"), col("n"), col("k"),
+            col("qn_raw"),
+            (col("qn_raw").cast("double") * 2.21914).as("qn"))
+          .orderBy("event_type")
+      }),
+
+      // --- EVT mean-excess card (round 16): the Pareto-tail readout
+      // beside the quantile cards — e(u) = E[X−u | X>u] at the exact
+      // P50/P75/P90 order-statistic thresholds; a mean excess RISING
+      // in u is the heavy-tail signature (GP shape ξ>0) that decides
+      // whether a capacity planner can trust Gaussian headroom.
+      // Thresholds ride the cum·k ≥ n·q histogram cuts; each excess
+      // mean is (Σ_{v>u} c·v − u·n_exc)/n_exc — exact int64 sums off
+      // the same histogram, ONE division per threshold; empty-tail
+      // (u = max) guards to NULL on both engines. ---
+      "q_mean_excess" -> ((s, d) => {
+        val hist = table(s, d, "events")
+          .select(col("event_type"),
+            round(col("value"), 0).cast("long").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        val r = hist
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n", sum("c").over(wt))
+        val cuts = r.groupBy("event_type")
+          .agg(max("n").as("n"),
+            min(when(col("cum") * 2 >= col("n"), col("v"))).as("u50"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v")))
+              .as("u75"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("v")))
+              .as("u90"))
+        val aggs = Seq("50" -> "u50", "75" -> "u75", "90" -> "u90")
+          .flatMap { case (nm, u) => Seq(
+            sum(when(col("v") > col(u), col("c")).otherwise(0L))
+              .as(s"n$nm"),
+            sum(when(col("v") > col(u), col("c") * col("v"))
+              .otherwise(0L)).as(s"s$nm")) }
+        hist.join(broadcast(cuts), "event_type")
+          .groupBy("event_type", "n", "u50", "u75", "u90")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("event_type"), col("n"),
+            col("u50"), col("n50"),
+            when(col("n50") > 0, (col("s50") - col("u50") * col("n50"))
+              .cast("double") / col("n50")).as("me50"),
+            col("u75"), col("n75"),
+            when(col("n75") > 0, (col("s75") - col("u75") * col("n75"))
+              .cast("double") / col("n75")).as("me75"),
+            col("u90"), col("n90"),
+            when(col("n90") > 0, (col("s90") - col("u90") * col("n90"))
+              .cast("double") / col("n90")).as("me90"))
+          .orderBy("event_type")
+      }),
+
       // --- banded WINSORIZED mean per event type (round 13): the
       // robust-mean sibling of q_percentile_grid — clamp each value to
       // the [P05, P95] band boundaries before averaging, the standard
@@ -424,6 +518,71 @@ object Statistics extends QueryModule {
           .orderBy("cohort")
       }),
 
+      // --- two-group log-rank test (round 16): does one arm of the
+      // deterministic user_id%2 split (the q_cvm_test arm device)
+      // retain users longer than the other — the significance test
+      // beside q_survival_km's curve and q_nelson_aalen's hazard.
+      // Same span derivation as KM (per-user first→last event span,
+      // censored inside the trailing 7-day observation edge). At each
+      // pooled death time the hypergeometric moments are exact ints
+      // off the calendar-sized duration grid: at-risk counts come
+      // from a bounded dur≥t broadcast theta join over that grid
+      // (days × days rows, never a corpus self-join). The per-time
+      // E₁ and V terms are FIXED double trees quantized to 1e-6
+      // BEFORE the cross-time sum (the q_smape discipline), so the
+      // hash never sees an order-dependent FP Σ; χ² = (O₁−E₁)²/V is
+      // the single terminal assembly. One shuffle on user_id; all
+      // downstream relations are duration-grid-sized. ---
+      "q_logrank" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        val maxTs = ev.agg(max("ts").as("mx"))
+        val spans = ev.groupBy("user_id")
+          .agg(min("ts").as("t0"), max("ts").as("t1"))
+          .crossJoin(broadcast(maxTs))
+          .select((col("user_id") % 2).as("grp"),
+            datediff(col("t1").cast("date"), col("t0").cast("date"))
+              .cast("long").as("dur"),
+            (col("t1") < col("mx") - expr("interval 7 days"))
+              .cast("long").as("death"))
+        val grid = spans.groupBy("dur")
+          .agg(sum(when(col("grp") === 1, col("death")).otherwise(0L))
+              .as("d1"),
+            sum("death").as("dt"),
+            sum((col("grp") === 1).cast("long")).as("t1c"),
+            count(lit(1)).as("tc"))
+          .localCheckpoint()
+        val deaths = grid.filter(col("dt") > 0)
+          .select(col("dur").as("td"), col("d1"), col("dt"))
+        val atr = deaths
+          .join(broadcast(grid.select(col("dur"), col("t1c"),
+            col("tc"))), col("dur") >= col("td"))
+          .groupBy("td", "d1", "dt")
+          .agg(sum("t1c").as("n1"), sum("tc").as("n"))
+        val e1 = col("dt").cast("double") * col("n1") / col("n")
+        val v = when(col("n") > 1,
+          col("dt").cast("double") * col("n1") *
+            (col("n") - col("n1")) * (col("n") - col("dt")) /
+            (col("n").cast("double") * col("n") * (col("n") - 1)))
+          .otherwise(lit(0.0))
+        val tots = grid.agg(sum("t1c").as("n1_users"),
+          (sum("tc") - sum("t1c")).as("n0_users"))
+        atr.agg(sum("d1").as("o1"), sum("dt").as("d_total"),
+            sum(round(e1 * 1e6, 0).cast("long")).as("e1q"),
+            sum(round(v * 1e6, 0).cast("long")).as("vq"))
+          .crossJoin(broadcast(tots))
+          .select(col("n1_users"), col("n0_users"), col("o1"),
+            (col("d_total") - col("o1")).as("o0"),
+            (col("e1q").cast("double") / 1e6).as("e1"),
+            (col("d_total").cast("double")
+              - col("e1q").cast("double") / 1e6).as("e0"),
+            when(col("vq") > 0,
+              (col("o1").cast("double")
+                - col("e1q").cast("double") / 1e6) *
+                (col("o1").cast("double")
+                  - col("e1q").cast("double") / 1e6) /
+                (col("vq").cast("double") / 1e6)).as("chisq"))
+      }),
+
       // --- moving-average seasonal decomposition (STL-lite): the trend
       // is a centered 7-day moving average of the daily series (full
       // windows only), the day-of-week seasonal index is the mean
@@ -568,6 +727,123 @@ object Statistics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_qn_scale" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS event_type, b.v - a.v AS diff,
+        |    CAST(SUM(CASE WHEN a.v = b.v THEN a.c * (a.c - 1) // 2
+        |      ELSE a.c * b.c END) AS BIGINT) AS w
+        |  FROM h a JOIN h b ON a.event_type = b.event_type
+        |    AND b.v >= a.v
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |    (CAST(SUM(c) AS BIGINT) // 2 + 1)
+        |      * (CAST(SUM(c) AS BIGINT) // 2) // 2 AS k
+        |  FROM h GROUP BY 1),
+        |cw AS (SELECT event_type, diff,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY diff
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM p)
+        |SELECT cw.event_type, t.n, t.k,
+        |  MIN(CASE WHEN cum >= k THEN diff END) AS qn_raw,
+        |  CAST(MIN(CASE WHEN cum >= k THEN diff END) AS DOUBLE)
+        |    * 2.21914 AS qn
+        |FROM cw JOIN t USING (event_type)
+        |WHERE k >= 1
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    "q_mean_excess" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value, 0) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |q AS (SELECT event_type, MAX(n) AS n,
+        |    MIN(CASE WHEN cum * 2 >= n THEN v END) AS u50,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS u75,
+        |    MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS u90
+        |  FROM r GROUP BY event_type),
+        |a AS (SELECT h.event_type AS event_type, q.n, q.u50, q.u75,
+        |    q.u90,
+        |    CAST(SUM(CASE WHEN v > u50 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n50,
+        |    CAST(SUM(CASE WHEN v > u50 THEN c * v ELSE 0 END)
+        |      AS BIGINT) AS s50,
+        |    CAST(SUM(CASE WHEN v > u75 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n75,
+        |    CAST(SUM(CASE WHEN v > u75 THEN c * v ELSE 0 END)
+        |      AS BIGINT) AS s75,
+        |    CAST(SUM(CASE WHEN v > u90 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n90,
+        |    CAST(SUM(CASE WHEN v > u90 THEN c * v ELSE 0 END)
+        |      AS BIGINT) AS s90
+        |  FROM h JOIN q USING (event_type)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT event_type, n, u50, n50,
+        |  CASE WHEN n50 > 0 THEN
+        |    CAST(s50 - u50 * n50 AS DOUBLE) / n50 END AS me50,
+        |  u75, n75,
+        |  CASE WHEN n75 > 0 THEN
+        |    CAST(s75 - u75 * n75 AS DOUBLE) / n75 END AS me75,
+        |  u90, n90,
+        |  CASE WHEN n90 > 0 THEN
+        |    CAST(s90 - u90 * n90 AS DOUBLE) / n90 END AS me90
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_logrank" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |sp AS (SELECT user_id % 2 AS grp,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS BIGINT) AS dur,
+        |    CAST(max(ts) < (SELECT mx FROM mx) - INTERVAL 7 DAY
+        |      AS BIGINT) AS death
+        |  FROM events GROUP BY user_id),
+        |grid AS (SELECT dur,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN death ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(death) AS BIGINT) AS dt,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t1c,
+        |    CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM sp GROUP BY dur),
+        |deaths AS (SELECT dur AS td, d1, dt FROM grid WHERE dt > 0),
+        |atr AS (SELECT td, dd.d1 AS d1, dd.dt AS dt,
+        |    CAST(SUM(g.t1c) AS BIGINT) AS n1,
+        |    CAST(SUM(g.tc) AS BIGINT) AS n
+        |  FROM deaths dd JOIN grid g ON g.dur >= dd.td
+        |  GROUP BY 1, 2, 3),
+        |terms AS (SELECT
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(dt) AS BIGINT) AS d_total,
+        |    CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 / n
+        |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS e1q,
+        |    CAST(SUM(CAST(round(CASE WHEN n > 1 THEN
+        |        CAST(dt AS DOUBLE) * n1 * (n - n1) * (n - dt)
+        |          / (CAST(n AS DOUBLE) * n * (n - 1))
+        |      ELSE 0.0 END * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+        |      AS vq
+        |  FROM atr),
+        |tot AS (SELECT CAST(SUM(t1c) AS BIGINT) AS n1_users,
+        |    CAST(SUM(tc) - SUM(t1c) AS BIGINT) AS n0_users FROM grid)
+        |SELECT n1_users, n0_users, o1,
+        |  CAST(d_total - o1 AS BIGINT) AS o0,
+        |  CAST(e1q AS DOUBLE) / 1000000.0 AS e1,
+        |  CAST(d_total AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000.0
+        |    AS e0,
+        |  CASE WHEN vq > 0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000.0)
+        |      * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000.0)
+        |      / (CAST(vq AS DOUBLE) / 1000000.0) END AS chisq
+        |FROM terms CROSS JOIN tot""".stripMargin,
 
     "q_bowley_skew" ->
       """WITH h AS (SELECT event_type,

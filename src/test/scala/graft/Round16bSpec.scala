@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form unit fixtures for the round-16 continuation operators
+  * (log-rank, two-sample Anderson-Darling, Jonckheere-Terpstra,
+  * Bartels rank von Neumann), each driven through the REGISTERED query.
+  * Every expected value is derived by hand from the statistic's
+  * definition, so a compensating bug shared by the Spark query and its
+  * DuckDB oracle cannot pass here.
+  */
+class Round16bSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def cleanup(dir: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    ()
+  }
+
+  private def ts(date: String, hms: String = "00:00:00"): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"$date $hms")
+
+  private def day(i: Int): java.sql.Timestamp = {
+    val d = java.time.LocalDate.parse("2024-01-01").plusDays(i.toLong - 1)
+    ts(d.toString)
+  }
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, String, java.sql.Timestamp, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def writeOrders(dir: String,
+      rows: Seq[(Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  // ---------------------------------------------------------------- //
+
+  test("q_logrank: hand-tabled 4-user arms (odd users die at dur 2/10, " +
+    "even at 5 with one censored) give O1=2, E1=4/3, V=13/18, " +
+    "chisq=8/13") {
+    val dir = tmpDir("logrank")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 1.0), (2L, 1L, "click", day(3), 1.0),
+      (3L, 3L, "click", day(1), 1.0), (4L, 3L, "click", day(11), 1.0),
+      (5L, 2L, "view", day(1), 1.0), (6L, 2L, "view", day(6), 1.0),
+      (7L, 4L, "view", day(1), 1.0), (8L, 4L, "view", day(30), 1.0)))
+    val r = SparkEntry.queries("q_logrank")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n1_users") == 2L)
+    assert(h.getAs[Long]("n0_users") == 2L)
+    assert(h.getAs[Long]("o1") == 2L)
+    assert(h.getAs[Long]("o0") == 1L)
+    // E1 = 1*2/4 + 1*1/3 + 1*1/2 = 4/3 (1e-6-quantized per term)
+    assert(math.abs(h.getAs[Double]("e1") - 4.0 / 3) < 2e-6)
+    assert(math.abs(h.getAs[Double]("e0") - 5.0 / 3) < 2e-6)
+    // V = 1/4 + 2/9 + 1/4 = 13/18; chisq = (2-4/3)^2/(13/18) = 8/13
+    assert(math.abs(h.getAs[Double]("chisq") - 8.0 / 13) < 1e-4)
+    cleanup(dir)
+  }
+
+  test("q_ad2_test: click {1,2} vs view {2,3} gives A2 exactly 1.0 " +
+    "(each sample contributes 1/3 + 2/3 over the two cut points)") {
+    val dir = tmpDir("ad2")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 1.0), (2L, 1L, "click", day(1), 2.0),
+      (3L, 2L, "view", day(1), 2.0), (4L, 2L, "view", day(1), 3.0)))
+    val r = SparkEntry.queries("q_ad2_test")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n1") == 2L)
+    assert(h.getAs[Long]("n2") == 2L)
+    assert(h.getAs[Long]("l_vals") == 3L)
+    assert(h.getAs[Double]("a2") == 1.0)
+    cleanup(dir)
+  }
+
+  test("q_jonckheere: fully separated priority triples {1,2}<{3,4}<" +
+    "{5,6} reach the maximal JT=12 with E=6, Var=19/3, z=6/sqrt(19/3)") {
+    val dir = tmpDir("jonck")
+    writeOrders(dir, Seq(
+      (1L, "1-URGENT", 1.0), (2L, "1-URGENT", 2.0),
+      (3L, "2-HIGH", 3.0), (4L, "2-HIGH", 4.0),
+      (5L, "3-MEDIUM", 5.0), (6L, "3-MEDIUM", 6.0)))
+    val r = SparkEntry.queries("q_jonckheere")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_orders") == 6L)
+    assert(h.getAs[Double]("jt") == 12.0)
+    assert(h.getAs[Double]("e_jt") == 6.0)
+    assert(math.abs(h.getAs[Double]("var_jt") - 19.0 / 3) < 1e-12)
+    assert(math.abs(h.getAs[Double]("z")
+      - 6.0 / math.sqrt(19.0 / 3)) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_jonckheere: ties split pair credit — {1,1} vs {1,3} gives " +
+    "JT = 2*0.5 + 2 = 3 (two ties at 1, two clear wins)") {
+    val dir = tmpDir("jonck2")
+    writeOrders(dir, Seq(
+      (1L, "1-URGENT", 1.0), (2L, "1-URGENT", 1.0),
+      (3L, "2-HIGH", 1.0), (4L, "2-HIGH", 3.0)))
+    val r = SparkEntry.queries("q_jonckheere")(spark, dir).collect()
+    // U_12: x in g1 {1,1}, y in g2 {1,3}: pairs (1,1)=tie .5 x2,
+    // (1,3)=win x2 -> U = 3
+    assert(r.head.getAs[Double]("jt") == 3.0)
+    assert(r.head.getAs[Double]("e_jt") == 2.0)
+    cleanup(dir)
+  }
+
+  test("q_bartels_rank: daily ranks 1,3,2,4,6,5 give RVN = 56/70 = 0.8 " +
+    "and z = -1.2/sqrt(20/37)") {
+    val dir = tmpDir("bartels")
+    writeEvents(dir, Seq(1.0, 3.0, 2.0, 4.0, 6.0, 5.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, 1L, "click", day(i + 1), v)
+    })
+    val r = SparkEntry.queries("q_bartels_rank")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_days") == 6L)
+    assert(h.getAs[Double]("rvn") == 0.8)
+    assert(math.abs(h.getAs[Double]("z")
+      - (0.8 - 2.0) / math.sqrt(20.0 / 37)) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_hodges_lehmann: click {1,3} vs view {2,10} has difference " +
+    "multiset {-1,1,7,9} -> lower median 1") {
+    val dir = tmpDir("hl")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 1.0), (2L, 1L, "click", day(1), 3.0),
+      (3L, 2L, "view", day(1), 2.0), (4L, 2L, "view", day(1), 10.0)))
+    val r = SparkEntry.queries("q_hodges_lehmann")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pairs") == 4L)
+    assert(r.head.getAs[Long]("hl_shift") == 1L)
+    cleanup(dir)
+  }
+
+  test("q_qn_scale: values {1,3,6,10} have pair distances " +
+    "{2,3,4,5,7,9}; h=3, k=3 -> Qn raw = 4") {
+    val dir = tmpDir("qn")
+    writeEvents(dir, Seq(1.0, 3.0, 6.0, 10.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, 1L, "click", day(1), v)
+    })
+    val r = SparkEntry.queries("q_qn_scale")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n") == 4L)
+    assert(h.getAs[Long]("k") == 3L)
+    assert(h.getAs[Long]("qn_raw") == 4L)
+    assert(math.abs(h.getAs[Double]("qn") - 4 * 2.21914) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_qn_scale: a 3-of-4 tie {5,5,5,9} puts C(3,2)=3 pairs at " +
+    "distance 0 -> Qn raw = 0 (the implosion MAD also shows)") {
+    val dir = tmpDir("qn0")
+    writeEvents(dir, Seq(5.0, 5.0, 5.0, 9.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, 1L, "click", day(1), v)
+    })
+    val r = SparkEntry.queries("q_qn_scale")(spark, dir).collect()
+    assert(r.head.getAs[Long]("qn_raw") == 0L)
+    cleanup(dir)
+  }
+
+  test("q_crps_empirical: train {1,3} (days 1-2) vs eval {2} (day 20) " +
+    "gives CRPS = 1 - 1/2 = 0.5 exactly") {
+    val dir = tmpDir("crps")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 1.0), (2L, 1L, "click", day(2), 3.0),
+      (3L, 1L, "click", day(20), 2.0)))
+    val r = SparkEntry.queries("q_crps_empirical")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_train") == 2L)
+    assert(h.getAs[Long]("n_eval") == 1L)
+    assert(h.getAs[Double]("crps") == 0.5)
+    cleanup(dir)
+  }
+
+  test("q_mean_excess: values 1..10 give u50=5 me50=3, u75=8 me75=1.5, " +
+    "u90=9 me90=1") {
+    val dir = tmpDir("mex")
+    writeEvents(dir, (1 to 10).map(i =>
+      (i.toLong, 1L, "click", day(1), i.toDouble)))
+    val r = SparkEntry.queries("q_mean_excess")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n") == 10L)
+    assert(h.getAs[Long]("u50") == 5L)
+    assert(h.getAs[Long]("n50") == 5L)
+    assert(h.getAs[Double]("me50") == 3.0)
+    assert(h.getAs[Long]("u75") == 8L)
+    assert(h.getAs[Double]("me75") == 1.5)
+    assert(h.getAs[Long]("u90") == 9L)
+    assert(h.getAs[Double]("me90") == 1.0)
+    cleanup(dir)
+  }
+
+  test("q_mean_excess: a single-value histogram has an empty tail " +
+    "above every threshold -> NULL mean excesses") {
+    val dir = tmpDir("mex0")
+    writeEvents(dir, (1 to 4).map(i =>
+      (i.toLong, 1L, "click", day(1), 7.0)))
+    val r = SparkEntry.queries("q_mean_excess")(spark, dir).collect()
+    val h = r.head
+    assert(h.getAs[Long]("n50") == 0L)
+    assert(h.isNullAt(h.fieldIndex("me50")))
+    cleanup(dir)
+  }
+
+  test("q_bartels_rank: a constant series has zero rank variance -> " +
+    "NULL rvn/z under the den2 guard") {
+    val dir = tmpDir("bartels0")
+    writeEvents(dir, (1 to 5).map(i =>
+      (i.toLong, 1L, "click", day(i), 7.0)))
+    val r = SparkEntry.queries("q_bartels_rank")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.isNullAt(r.head.fieldIndex("rvn")))
+    assert(r.head.isNullAt(r.head.fieldIndex("z")))
+    cleanup(dir)
+  }
+}

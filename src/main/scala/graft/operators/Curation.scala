@@ -219,6 +219,50 @@ object Curation extends QueryModule {
         .orderBy("source")
     }),
 
+    // --- systematic sampling with interpenetrating replicates (round
+    // 16): the census-methods member the sampling block lacked —
+    // every k-th frame unit (k = 7 on the doc_id grid, offsets 3 and
+    // 5 giving two INDEPENDENT systematic replicates), with the
+    // Mahalanobis interpenetrating-subsample device: the two
+    // replicate means estimate the same total, and (m₁−m₂)²/4 is an
+    // unbiased variance estimate for their average that survives the
+    // periodicity trap plain systematic sampling hides (a frame
+    // period aligned with k biases BOTH replicates equally — the
+    // split means diverging is the alarm). Pure map-side modulo
+    // filters, zero RNG state, exact int64 char sums; each mean is
+    // one division. ---
+    "q_sample_systematic" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_total"),
+          sum(when(col("doc_id") % 7 === 3, 1L).otherwise(0L))
+            .as("n_rep1"),
+          sum(when(col("doc_id") % 7 === 3, col("n_chars"))
+            .otherwise(0L)).as("chars_rep1"),
+          sum(when(col("doc_id") % 7 === 5, 1L).otherwise(0L))
+            .as("n_rep2"),
+          sum(when(col("doc_id") % 7 === 5, col("n_chars"))
+            .otherwise(0L)).as("chars_rep2"))
+        .select(col("source"), col("n_docs"), col("n_rep1"),
+          col("n_rep2"),
+          (col("chars_total").cast("double") / col("n_docs"))
+            .as("mean_all"),
+          when(col("n_rep1") > 0,
+            col("chars_rep1").cast("double") / col("n_rep1"))
+            .as("mean_rep1"),
+          when(col("n_rep2") > 0,
+            col("chars_rep2").cast("double") / col("n_rep2"))
+            .as("mean_rep2"),
+          when(col("n_rep1") > 0 && col("n_rep2") > 0,
+            (col("chars_rep1").cast("double") / col("n_rep1")
+              - col("chars_rep2").cast("double") / col("n_rep2"))
+              * (col("chars_rep1").cast("double") / col("n_rep1")
+                - col("chars_rep2").cast("double") / col("n_rep2"))
+              / 4.0).as("var_mean"))
+        .orderBy("source")),
+
     // --- context-packing efficiency audit (round 9): per language, the
     // token cost of the two packing policies a training pipeline
     // chooses between — concat-then-chop (q_pack_sequences: only the
@@ -735,6 +779,33 @@ object Curation extends QueryModule {
         |SELECT sz AS grp_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
         |  CAST(SUM(sz) AS BIGINT) AS n_docs
         |FROM g GROUP BY 1 ORDER BY grp_size""".stripMargin,
+
+    "q_sample_systematic" ->
+      """WITH a AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |    CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rep1,
+        |    CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN n_chars ELSE 0 END)
+        |      AS BIGINT) AS chars_rep1,
+        |    CAST(SUM(CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rep2,
+        |    CAST(SUM(CASE WHEN doc_id % 7 = 5 THEN n_chars ELSE 0 END)
+        |      AS BIGINT) AS chars_rep2
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_rep1, n_rep2,
+        |  CAST(chars_total AS DOUBLE) / n_docs AS mean_all,
+        |  CASE WHEN n_rep1 > 0 THEN
+        |    CAST(chars_rep1 AS DOUBLE) / n_rep1 END AS mean_rep1,
+        |  CASE WHEN n_rep2 > 0 THEN
+        |    CAST(chars_rep2 AS DOUBLE) / n_rep2 END AS mean_rep2,
+        |  CASE WHEN n_rep1 > 0 AND n_rep2 > 0 THEN
+        |    (CAST(chars_rep1 AS DOUBLE) / n_rep1
+        |      - CAST(chars_rep2 AS DOUBLE) / n_rep2)
+        |      * (CAST(chars_rep1 AS DOUBLE) / n_rep1
+        |        - CAST(chars_rep2 AS DOUBLE) / n_rep2) / 4.0
+        |    END AS var_mean
+        |FROM a ORDER BY source""".stripMargin,
 
     "q_sample_pps" ->
       """WITH k AS (SELECT source, n_chars,

@@ -406,6 +406,50 @@ object Insights extends QueryModule {
           .limit(20)
       }),
 
+      // --- Salton-cosine link prediction card (round 16): the
+      // degree-normalized family members that complete the block —
+      // commonnbrs counts, Jaccard normalizes by the union,
+      // resource-allocation discounts promiscuous neighbors; Salton
+      // cosine cn/√(d_a·d_b), hub-promoted cn/min, hub-depressed
+      // cn/max, and Leicht-Holme-Newman cn/(d_a·d_b) each read a
+      // different hub bias. Same df-capped sorted-posting pair
+      // emission and broadcast degree joins as q_graph_commonnbrs
+      // (O(df²) bounded per part, top-20 TakeOrdered); every score
+      // but Salton is a single exact-int64 division, Salton adds the
+      // one √. ---
+      "q_graph_salton" -> ((s, d) => {
+        val postings = table(s, d, "lineitem")
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .groupBy("pk")
+          .agg(sort_array(collect_set(col("sk"))).as("ids"))
+          .localCheckpoint()
+        val deg = postings.select(explode(col("ids")).as("sk"))
+          .groupBy("sk").agg(count(lit(1)).as("c"))
+        val capped = postings.filter(size(col("ids")).between(2, 256))
+        TextPipeline.postingPairs(capped.select(col("ids")))
+          .groupBy(col("a_id").as("sa"), col("b_id").as("sb"))
+          .agg(count(lit(1)).as("common"))
+          .join(broadcast(deg.select(col("sk").as("sa"),
+            col("c").as("ca"))), "sa")
+          .join(broadcast(deg.select(col("sk").as("sb"),
+            col("c").as("cb"))), "sb")
+          .select(col("sa"), col("sb"), col("common"), col("ca"),
+            col("cb"),
+            (col("common").cast("double")
+              / sqrt((col("ca") * col("cb")).cast("double")))
+              .as("salton"),
+            (col("common").cast("double")
+              / least(col("ca"), col("cb")).cast("double"))
+              .as("hub_promoted"),
+            (col("common").cast("double")
+              / greatest(col("ca"), col("cb")).cast("double"))
+              .as("hub_depressed"),
+            (col("common").cast("double")
+              / (col("ca") * col("cb")).cast("double")).as("lhn"))
+          .orderBy(col("salton").desc, col("sa"), col("sb"))
+          .limit(20)
+      }),
+
       // --- Simpson's-paradox detector: per calendar-year stratum, the
       // urgent-vs-rest finished-order rate difference, flagged where
       // its SIGN flips against the pooled difference — the aggregation
@@ -613,6 +657,29 @@ object Insights extends QueryModule {
         |  CAST(common AS DOUBLE) / (da.c + db.c - common) AS jac
         |FROM pr JOIN deg da ON da.sk = sa JOIN deg db ON db.sk = sb
         |ORDER BY common DESC, sa, sb LIMIT 20""".stripMargin,
+
+    "q_graph_salton" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |            FROM lineitem),
+        |deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM sp GROUP BY sk),
+        |cap AS (SELECT pk FROM sp GROUP BY pk
+        |        HAVING COUNT(*) BETWEEN 2 AND 256),
+        |pr AS (SELECT a.sk AS sa, b.sk AS sb,
+        |         CAST(COUNT(*) AS BIGINT) AS common
+        |       FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+        |       JOIN cap ON cap.pk = a.pk
+        |       GROUP BY 1, 2)
+        |SELECT sa, sb, common, da.c AS ca, db.c AS cb,
+        |  CAST(common AS DOUBLE) / sqrt(CAST(da.c * db.c AS DOUBLE))
+        |    AS salton,
+        |  CAST(common AS DOUBLE)
+        |    / CAST(least(da.c, db.c) AS DOUBLE) AS hub_promoted,
+        |  CAST(common AS DOUBLE)
+        |    / CAST(greatest(da.c, db.c) AS DOUBLE) AS hub_depressed,
+        |  CAST(common AS DOUBLE) / CAST(da.c * db.c AS DOUBLE) AS lhn
+        |FROM pr JOIN deg da ON da.sk = sa JOIN deg db ON db.sk = sb
+        |ORDER BY salton DESC, sa, sb LIMIT 20""".stripMargin,
 
     "q_graph_resource_alloc" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

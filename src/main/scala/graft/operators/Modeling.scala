@@ -276,6 +276,49 @@ object Modeling extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- Diebold-Mariano forecast-comparison test (round 16):
+      // q_mase_eval and q_theil_u both RANK copy-yesterday vs copy-
+      // last-week; DM asks whether the gap is SIGNIFICANT — the loss
+      // differential d_t = |e₁ₜ| − |e₇ₜ| (MAE loss) tested against
+      // zero mean, h = 1 so the lag-0 variance needs no HAC terms
+      // (documented). Same exact int64 daily-dollar series as
+      // q_theil_u (floor-consistent cents div); d_t and its Σd, Σd²
+      // moments stay exact; DM = d̄/√(s²/n) is one fixed tree off
+      // the n·Σd² − S² device; degenerate (constant-differential)
+      // series guard to NULL on both engines. ---
+      "q_diebold_mariano" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .select(col("event_type"),
+            col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("event_type", "day").agg(sum("vc").as("cents"))
+          .select(col("event_type"), col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val m = daily
+          .withColumn("l1", lag("v", 1).over(w))
+          .withColumn("l7", lag("v", 7).over(w))
+          .filter(col("l7").isNotNull)
+          .select(col("event_type"),
+            (abs(col("v") - col("l1")) - abs(col("v") - col("l7")))
+              .as("dt"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum("dt").cast("long").as("s1"),
+            sum(col("dt") * col("dt")).cast("long").as("s2"))
+        val vard = (col("n_eval") * col("s2") - col("s1") * col("s1"))
+          .cast("double")
+          .divide(col("n_eval").cast("double") * (col("n_eval") - 1L))
+        m.select(col("event_type"), col("n_eval"),
+            (col("s1").cast("double") / col("n_eval")).as("mean_d"),
+            when(col("n_eval") > 1 &&
+                col("n_eval") * col("s2") - col("s1") * col("s1") > 0,
+              (col("s1").cast("double") / col("n_eval"))
+                / sqrt(vard / col("n_eval").cast("double")))
+              .as("dm_stat"))
+          .orderBy("event_type")
+      }),
+
       // --- Winkler interval score (round 16): the PROPER scoring rule
       // for q_pi_coverage's [p10, p90] band — width + (2/α)·distance
       // for misses, α = 0.2 — which penalizes both over-wide and
@@ -650,6 +693,33 @@ object Modeling extends QueryModule {
         |  CAST(CAST(SUM(sm_pm) AS BIGINT) AS DOUBLE)
         |    / (1000.0 * COUNT(*)) AS smape
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_diebold_mariano" ->
+      """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT event_type, day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT event_type, day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1, 2)),
+        |lagd AS (SELECT event_type, v,
+        |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM daily),
+        |dt AS (SELECT event_type,
+        |    CAST(abs(v - l1) - abs(v - l7) AS BIGINT) AS dt
+        |  FROM lagd WHERE l7 IS NOT NULL),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM(dt) AS BIGINT) AS s1,
+        |    CAST(SUM(dt * dt) AS BIGINT) AS s2
+        |  FROM dt GROUP BY event_type)
+        |SELECT event_type, n_eval,
+        |  CAST(s1 AS DOUBLE) / n_eval AS mean_d,
+        |  CASE WHEN n_eval > 1 AND n_eval * s2 - s1 * s1 > 0 THEN
+        |    (CAST(s1 AS DOUBLE) / n_eval)
+        |      / sqrt(CAST(n_eval * s2 - s1 * s1 AS DOUBLE)
+        |        / (CAST(n_eval AS DOUBLE) * (n_eval - 1))
+        |        / CAST(n_eval AS DOUBLE)) END AS dm_stat
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "q_theil_u" ->
       """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,

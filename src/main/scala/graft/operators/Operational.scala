@@ -55,6 +55,38 @@ object Operational extends QueryModule {
           .orderBy("brand")
       }),
 
+      // --- safety stock / reorder point (round 16): the service-level
+      // buffer that completes the inventory block — q_eoq sizes the
+      // lot, q_newsvendor the one-period level, q_croston the
+      // intermittent forecast; safety stock answers "how much buffer
+      // absorbs daily demand noise over the L = 7-day lead time at a
+      // 95% cycle-service level (z = 1.645)": SS = z·σ_d·√L,
+      // ROP = μ_d·L + SS. Daily-demand moments are exact int64
+      // (n·Σd² − S² sample-variance device off the daily COUNT
+      // aggregate); SS/ROP are one fixed ÷/√ tree per O(types) row;
+      // single-day corpora guard to NULL. ---
+      "q_safety_stock" -> ((s, d) => {
+        val daily = table(s, d, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("dem"))
+        val m = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum("dem").cast("long").as("s1"),
+            sum(col("dem") * col("dem")).cast("long").as("s2"))
+        val vard = (col("n_days") * col("s2") - col("s1") * col("s1"))
+          .cast("double")
+          .divide(col("n_days").cast("double") * (col("n_days") - 1L))
+        val ss = lit(1.645) * sqrt(lit(7.0) * vard)
+        m.select(col("event_type"), col("n_days"),
+            (col("s1").cast("double") / col("n_days")).as("mu_daily"),
+            when(col("n_days") > 1, vard).as("var_daily"),
+            when(col("n_days") > 1, ss).as("safety_stock"),
+            when(col("n_days") > 1,
+              col("s1").cast("double") / col("n_days") * 7.0 + ss)
+              .as("reorder_point"))
+          .orderBy("event_type")
+      }),
+
       // --- newsvendor stocking policy (round 16): per event type, the
       // critical-fractile (cf = 3/4) order-up-to level over the DAILY
       // demand distribution, with the expected-leftover /
@@ -583,6 +615,32 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_safety_stock" ->
+      """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS dem
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dem) AS BIGINT) AS s1,
+        |    CAST(SUM(dem * dem) AS BIGINT) AS s2
+        |  FROM dd GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST(s1 AS DOUBLE) / n_days AS mu_daily,
+        |  CASE WHEN n_days > 1 THEN
+        |    CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * (n_days - 1)) END
+        |    AS var_daily,
+        |  CASE WHEN n_days > 1 THEN
+        |    1.645 * sqrt(7.0 * (CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * (n_days - 1)))) END
+        |    AS safety_stock,
+        |  CASE WHEN n_days > 1 THEN
+        |    CAST(s1 AS DOUBLE) / n_days * 7.0
+        |      + 1.645 * sqrt(7.0
+        |        * (CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+        |          / (CAST(n_days AS DOUBLE) * (n_days - 1)))) END
+        |    AS reorder_point
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_newsvendor" ->
       """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -226,6 +226,102 @@ class Round16bSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  private def writeLineitem(dir: String,
+      rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  private def writeDocs(dir: String,
+      rows: Seq[(Long, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("q_graph_salton: postings {1,2} and {1,2,3} give pair (1,2) " +
+    "salton 2/sqrt(4)=1, hub scores 1, LHN 0.5") {
+    val dir = tmpDir("salton")
+    writeLineitem(dir, Seq(
+      (1L, 101L), (2L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L)))
+    val r = SparkEntry.queries("q_graph_salton")(spark, dir).collect()
+    assert(r.length == 3)
+    val h = r.head
+    assert(h.getAs[Long]("sa") == 1L && h.getAs[Long]("sb") == 2L)
+    assert(h.getAs[Long]("common") == 2L)
+    assert(h.getAs[Double]("salton") == 1.0)
+    assert(h.getAs[Double]("hub_promoted") == 1.0)
+    assert(h.getAs[Double]("hub_depressed") == 1.0)
+    assert(h.getAs[Double]("lhn") == 0.5)
+    // (1,3) and (2,3): common 1, salton 1/sqrt(2)
+    assert(math.abs(r(1).getAs[Double]("salton")
+      - 1.0 / math.sqrt(2.0)) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_sample_systematic: ids 1..14 put {3,10} in replicate 1 and " +
+    "{5,12} in replicate 2 -> means 65/85, var_mean (m1-m2)^2/4 = 100") {
+    val dir = tmpDir("syst")
+    writeDocs(dir, (1 to 14).map(i => (i.toLong, "s", i.toLong * 10)))
+    val r = SparkEntry.queries("q_sample_systematic")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_docs") == 14L)
+    assert(h.getAs[Long]("n_rep1") == 2L)
+    assert(h.getAs[Long]("n_rep2") == 2L)
+    assert(h.getAs[Double]("mean_all") == 75.0)
+    assert(h.getAs[Double]("mean_rep1") == 65.0)
+    assert(h.getAs[Double]("mean_rep2") == 85.0)
+    assert(h.getAs[Double]("var_mean") == 100.0)
+    cleanup(dir)
+  }
+
+  test("q_safety_stock: daily demands 2/4/6 give var 4, " +
+    "SS = 1.645*sqrt(28), ROP = 28 + SS") {
+    val dir = tmpDir("sstock")
+    val rows = Seq(1 -> 2, 2 -> 4, 3 -> 6).flatMap { case (dayi, k) =>
+      (1 to k).map(j =>
+        ((dayi * 100 + j).toLong, 1L, "click", day(dayi), 1.0))
+    }
+    writeEvents(dir, rows)
+    val r = SparkEntry.queries("q_safety_stock")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_days") == 3L)
+    assert(h.getAs[Double]("mu_daily") == 4.0)
+    assert(h.getAs[Double]("var_daily") == 4.0)
+    assert(math.abs(h.getAs[Double]("safety_stock")
+      - 1.645 * math.sqrt(28.0)) < 1e-12)
+    assert(math.abs(h.getAs[Double]("reorder_point")
+      - (28.0 + 1.645 * math.sqrt(28.0))) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_diebold_mariano: hand series with d = {60, 10} gives " +
+    "s2 = 1250, DM = 35/sqrt(625) = 1.4; a constant differential " +
+    "guards to NULL") {
+    val dir = tmpDir("dm")
+    val vals = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 10.0, 90.0)
+    writeEvents(dir, vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, "click", day(i + 1), v)
+    } ++ (1 to 14).map(i =>
+      (100L + i, 1L, "view", day(i), 100.0 * i)))
+    val r = SparkEntry.queries("q_diebold_mariano")(spark, dir)
+      .collect().map(x => x.getAs[String]("event_type") -> x).toMap
+    val c = r("click")
+    assert(c.getAs[Long]("n_eval") == 2L)
+    assert(c.getAs[Double]("mean_d") == 35.0)
+    assert(c.getAs[Double]("dm_stat") == 1.4)
+    // the linear ramp's d_t = -600 every day -> zero variance -> NULL
+    val v = r("view")
+    assert(v.getAs[Double]("mean_d") == -600.0)
+    assert(v.isNullAt(v.fieldIndex("dm_stat")))
+    cleanup(dir)
+  }
+
   test("q_bartels_rank: a constant series has zero rank variance -> " +
     "NULL rvn/z under the den2 guard") {
     val dir = tmpDir("bartels0")

@@ -241,6 +241,128 @@ object Diagnostics extends QueryModule {
                   .cast("double"))).as("z"))
       }),
 
+      // --- Pettitt changepoint test (round 16): the RANK-based member
+      // of the changepoint family — q_cusum_change and
+      // q_binseg_change read level shifts in VALUE space (outlier-
+      // dragged), q_page_hinkley streams; Pettitt's K = max|U_t| with
+      // U_t = Σ_{i≤t,j>t} sgn(xⱼ−xᵢ) is distribution-free. The pair
+      // sum never materializes: with ×2 midranks the identity
+      // U_t = t(n+1) − Σ_{i≤t} mid2ᵢ makes every U_t an exact int64
+      // prefix readout (ties cancel inside midranks). K/t* fall out
+      // of one deterministic row_number cut (|U| desc, t asc); the
+      // p-value exponent 6K²/(n³+n²) ships as the one FP tree (the
+      // 2·exp(−·) wrap would drag libm exp into the hash —
+      // documented). O(days) grid everywhere. ---
+      "q_pettitt" -> ((s, d) => {
+        val dailyV = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("v"))
+        val hist = dailyV.groupBy("v").agg(count(lit(1)).as("c"))
+        val wp = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r2 = hist
+          .withColumn("prev", coalesce(sum("c").over(wp), lit(0L)))
+          .select(col("v"),
+            (lit(2L) * col("prev") + col("c") + 1L).as("mid2"))
+        val wd = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = dailyV.agg(count(lit(1)).as("n"))
+        val pref = dailyV.join(broadcast(r2), "v")
+          .withColumn("t", count(lit(1)).over(wd))
+          .withColumn("sr2", sum("mid2").over(wd))
+          .crossJoin(broadcast(tot))
+          .filter(col("t") < col("n"))
+          .select(col("day"), col("t"), col("n"),
+            (col("t") * (col("n") + 1L) - col("sr2")).as("u"))
+        val wr = Window.orderBy(abs(col("u")).desc, col("t").asc)
+        pref.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("n").as("n_days"), col("t").as("t_star"),
+            date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+            col("u").as("u_stat"), abs(col("u")).as("k_stat"),
+            (lit(6.0) * abs(col("u")).cast("double")
+              * abs(col("u")).cast("double")
+              / (col("n").cast("double") * col("n") * col("n")
+                + col("n").cast("double") * col("n"))).as("k_norm"))
+      }),
+
+      // --- Cox-Stuart trend sign test (round 16): the assumption-
+      // free trend screen beside q_mk_trend (all-pairs S) — pair day
+      // t with day t + ⌈n/2⌉, count rises among the non-tied pairs,
+      // and read the binomial sign balance z = (2S−m)/√m (normal
+      // approximation, no continuity correction — documented). The
+      // pairing is one bounded equi self-join on the day INDEX
+      // (row_number over the O(days) daily aggregate), ties drop on
+      // both engines; all counts exact int64, z the single ÷/√
+      // tree. ---
+      "q_cox_stuart" -> ((s, d) => {
+        val dailyV = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("v"))
+        val wd = Window.orderBy("day")
+        val idx = dailyV
+          .withColumn("t", row_number().over(wd).cast("long"))
+        val tot = dailyV.agg(count(lit(1)).as("n"))
+        val a = idx.select(col("t"), col("v").as("va"))
+          .crossJoin(broadcast(tot))
+          .filter(col("t") * 2 <= col("n"))
+          .withColumn("tb", col("t") + (col("n") - expr("n div 2")))
+        val b = idx.select(col("t").as("tb"), col("v").as("vb"))
+        a.join(b, "tb")
+          .agg(max("n").as("n_days"),
+            sum(when(col("vb") =!= col("va"), 1L).otherwise(0L))
+              .as("n_pairs"),
+            sum(when(col("vb") > col("va"), 1L).otherwise(0L))
+              .as("s_plus"))
+          .select(col("n_days"), col("n_pairs"), col("s_plus"),
+            when(col("n_pairs") > 0,
+              (lit(2L) * col("s_plus") - col("n_pairs"))
+                .cast("double")
+                / sqrt(col("n_pairs").cast("double"))).as("z"))
+      }),
+
+      // --- Kendall's W coefficient of concordance (round 16): the
+      // EFFECT SIZE over q_friedman_test's significance — W =
+      // χ²_F/(b(k−1)) ∈ [0,1] answers "how strongly do the daily
+      // blocks agree on the event-type ordering", the agreement
+      // number a rank-stability dashboard publishes where χ² only
+      // says "not independent". Identical complete-block ×2-midrank
+      // device (shared daily aggregate); W adds one division to the
+      // χ² tree; degenerate single-type/single-block corpora guard
+      // to NULL. ---
+      "q_kendall_w" -> ((s, d) => {
+        val g = daily(s, d)
+        val kTot = g.select(countDistinct("event_type").as("k"))
+        val blocks = g
+          .withColumn("kd",
+            count(lit(1)).over(Window.partitionBy("day")))
+          .crossJoin(broadcast(kTot))
+          .filter(col("kd") === col("k"))
+        val a2 = lit(2L) *
+          rank().over(Window.partitionBy("day").orderBy("cnt")) +
+          count(lit(1)).over(Window.partitionBy("day", "cnt")) - lit(1L)
+        val perType = blocks
+          .withColumn("a2", a2)
+          .groupBy("event_type")
+          .agg(sum("a2").as("r2"), count(lit(1)).as("n"),
+            max("k").as("k"))
+        perType
+          .agg(max("n").as("n_blocks"), max("k").as("k"),
+            sum(col("r2") * col("r2")).as("ssq"))
+          .select(col("n_blocks"), col("k"),
+            (lit(3.0) * col("ssq") /
+              (col("n_blocks") * col("k") * (col("k") + 1L)) -
+              lit(3.0) * col("n_blocks") * (col("k") + 1L))
+              .as("chi2_f"))
+          .select(col("n_blocks"), col("k"), col("chi2_f"),
+            when(col("n_blocks") > 0 && col("k") > 1,
+              col("chi2_f")
+                / (col("n_blocks") * (col("k") - 1L)).cast("double"))
+              .as("w"))
+      }),
+
       // --- Moran's I with lag-1 temporal weights (round 16): the
       // autocorrelation statistic in its spatial-statistics normal
       // form over the daily revenue series — with adjacency weights
@@ -1367,6 +1489,92 @@ object Diagnostics extends QueryModule {
         |  sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE) /
         |    CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) AS z
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_pettitt" ->
+      """WITH dv AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dv GROUP BY v),
+        |r AS (SELECT v,
+        |    2 * COALESCE(CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + c + 1 AS mid2
+        |  FROM h),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dv),
+        |p AS (SELECT day,
+        |    CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS t,
+        |    CAST(SUM(mid2) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS sr2
+        |  FROM dv JOIN r USING (v)),
+        |u AS (SELECT day, t, n, t * (n + 1) - sr2 AS u
+        |  FROM p CROSS JOIN t WHERE t < n),
+        |z AS (SELECT day, t, n, u,
+        |    ROW_NUMBER() OVER (ORDER BY abs(u) DESC, t ASC) AS rn
+        |  FROM u)
+        |SELECT n AS n_days, t AS t_star,
+        |  strftime(day, '%Y-%m-%d') AS change_day,
+        |  u AS u_stat, abs(u) AS k_stat,
+        |  6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)
+        |    AS k_norm
+        |FROM z WHERE rn = 1""".stripMargin,
+
+    "q_cox_stuart" ->
+      """WITH dv AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM dv),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dv),
+        |a AS (SELECT idx.t, v AS va, n,
+        |    idx.t + (n - n // 2) AS tb
+        |  FROM idx CROSS JOIN t WHERE idx.t * 2 <= n),
+        |j AS (SELECT a.n, a.va, b.v AS vb
+        |  FROM a JOIN idx b ON b.t = a.tb)
+        |SELECT MAX(n) AS n_days,
+        |  CAST(SUM(CASE WHEN vb <> va THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST(SUM(CASE WHEN vb > va THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS s_plus,
+        |  CASE WHEN SUM(CASE WHEN vb <> va THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(2 * SUM(CASE WHEN vb > va THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN vb <> va THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / sqrt(CAST(SUM(CASE WHEN vb <> va THEN 1 ELSE 0 END)
+        |        AS DOUBLE)) END AS z
+        |FROM j""".stripMargin,
+
+    "q_kendall_w" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |kt AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM g),
+        |bl AS (SELECT g.*, k FROM g CROSS JOIN kt
+        |  QUALIFY COUNT(*) OVER (PARTITION BY day) = k),
+        |rk AS (SELECT event_type, k,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY cnt) +
+        |      COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS a2
+        |  FROM bl),
+        |pt AS (SELECT event_type, MAX(k) AS k,
+        |    CAST(SUM(a2) AS BIGINT) AS r2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM rk GROUP BY event_type),
+        |f AS (SELECT MAX(n) AS n_blocks, MAX(k) AS k,
+        |  3.0 * CAST(SUM(r2 * r2) AS BIGINT) /
+        |    (MAX(n) * MAX(k) * (MAX(k) + 1)) -
+        |  3.0 * MAX(n) * (MAX(k) + 1) AS chi2_f
+        |FROM pt)
+        |SELECT n_blocks, k, chi2_f,
+        |  CASE WHEN n_blocks > 0 AND k > 1 THEN
+        |    chi2_f / CAST(n_blocks * (k - 1) AS DOUBLE) END AS w
+        |FROM f""".stripMargin,
 
     "q_friedman_test" ->
       """WITH g AS (SELECT event_type,

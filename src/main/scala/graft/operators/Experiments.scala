@@ -145,6 +145,52 @@ object Experiments extends QueryModule {
           .withColumn("srm_detected", col("chi2") > 5.991)
       }),
 
+      // --- cluster design effect (round 16): what a user-randomized
+      // experiment on this stream actually costs in effective sample
+      // size — one-way ANOVA over user clusters gives the intraclass
+      // correlation ρ = (MSB−MSW)/(MSB+(m̄−1)·MSW), and
+      // DEFF = 1 + (m̄−1)·ρ is the variance inflation every
+      // cluster-randomized power calc (q_power_mde's per-unit
+      // formula) must divide by. Outcome = event value in cents.
+      // Between-group Σ S_g²/m_g quantizes each per-user term to
+      // 1e-6 micro-units before the cross-user sum (the q_smape
+      // discipline; S_g² stays inside double's 2^53 for user sums
+      // < ~$950M); Σx² rides DECIMAL(38,0); everything terminal is
+      // one fixed tree. One shuffle on user_id; O(1) out. ---
+      "q_design_effect" -> ((s, d) => {
+        val d38 = DecimalType(38, 0)
+        val per = table(s, d, "events")
+          .select(col("user_id"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("x"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("m"), sum("x").as("sg"),
+            sum((col("x").cast(d38) * col("x"))).as("qg"))
+        val gterm = col("sg").cast("double") * col("sg") / col("m")
+        val agg = per.agg(count(lit(1)).as("k_users"),
+          sum("m").cast("long").as("n"),
+          sum("sg").cast("long").as("s_tot"),
+          sum("qg").as("q_tot"),
+          sum(round(gterm * 1e6, 0).cast(d38)).as("gq"))
+        val gsum = col("gq").cast("double") / 1e6
+        val ssb = gsum - col("s_tot").cast("double") * col("s_tot")
+          .cast("double") / col("n")
+        val ssw = col("q_tot").cast("double") - gsum
+        val msb = ssb / (col("k_users") - 1L).cast("double")
+        val msw = ssw / (col("n") - col("k_users")).cast("double")
+        val mbar = col("n").cast("double") / col("k_users")
+        val icc = (msb - msw) / (msb + (mbar - 1.0) * msw)
+        agg.select(col("k_users"), col("n"),
+            when(col("k_users") > 1 && col("n") > col("k_users"),
+              msb).as("msb"),
+            when(col("k_users") > 1 && col("n") > col("k_users"),
+              msw).as("msw"),
+            mbar.as("m_bar"),
+            when(col("k_users") > 1 && col("n") > col("k_users"),
+              icc).as("icc"),
+            when(col("k_users") > 1 && col("n") > col("k_users"),
+              lit(1.0) + (mbar - 1.0) * icc).as("deff"))
+      }),
+
       "q_cuped_adjust" -> ((s, d) => {
         val per = table(s, d, "events")
           .groupBy(col("user_id"))
@@ -489,6 +535,43 @@ object Experiments extends QueryModule {
          |  chi2 > 5.991 AS srm_detected
          |FROM c""".stripMargin
     },
+    "q_design_effect" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),
+        |per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS sg,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+        |  FROM e GROUP BY user_id),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_users,
+        |    CAST(SUM(m) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS BIGINT) AS s_tot,
+        |    CAST(SUM(qg) AS HUGEINT) AS q_tot,
+        |    CAST(SUM(CAST(round(CAST(sg AS DOUBLE) * sg / m
+        |      * 1000000.0, 0) AS HUGEINT)) AS HUGEINT) AS gq
+        |  FROM per),
+        |b AS (SELECT k_users, n,
+        |    CAST(gq AS DOUBLE) / 1000000.0 AS gsum,
+        |    CAST(s_tot AS DOUBLE) AS std,
+        |    CAST(q_tot AS DOUBLE) AS qtd
+        |  FROM a),
+        |c AS (SELECT k_users, n,
+        |    (gsum - std * std / n) / CAST(k_users - 1 AS DOUBLE)
+        |      AS msb,
+        |    (qtd - gsum) / CAST(n - k_users AS DOUBLE) AS msw,
+        |    CAST(n AS DOUBLE) / k_users AS m_bar
+        |  FROM b)
+        |SELECT k_users, n,
+        |  CASE WHEN k_users > 1 AND n > k_users THEN msb END AS msb,
+        |  CASE WHEN k_users > 1 AND n > k_users THEN msw END AS msw,
+        |  m_bar,
+        |  CASE WHEN k_users > 1 AND n > k_users THEN
+        |    (msb - msw) / (msb + (m_bar - 1.0) * msw) END AS icc,
+        |  CASE WHEN k_users > 1 AND n > k_users THEN
+        |    1.0 + (m_bar - 1.0)
+        |      * ((msb - msw) / (msb + (m_bar - 1.0) * msw)) END
+        |    AS deff
+        |FROM c""".stripMargin,
+
     "q_cuped_adjust" ->
       """WITH per AS (SELECT user_id % 2 AS arm,
         |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',

@@ -322,6 +322,80 @@ class Round16bSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("q_pettitt: two-level series 1,2,3 | 10,11,12 puts the maximal " +
+    "U=9 at t=3 (all 9 cross pairs rise), k_norm = 486/252") {
+    val dir = tmpDir("pettitt")
+    writeEvents(dir, Seq(1.0, 2.0, 3.0, 10.0, 11.0, 12.0).zipWithIndex
+      .map { case (v, i) =>
+        ((i + 1).toLong, 1L, "click", day(i + 1), v)
+      })
+    val r = SparkEntry.queries("q_pettitt")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_days") == 6L)
+    assert(h.getAs[Long]("t_star") == 3L)
+    assert(h.getAs[String]("change_day") == "2024-01-03")
+    assert(h.getAs[Long]("u_stat") == 9L)
+    assert(h.getAs[Long]("k_stat") == 9L)
+    assert(math.abs(h.getAs[Double]("k_norm") - 486.0 / 252.0) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_cox_stuart: series 1,2,3,99,4,5,3 pairs (1,4),(2,5),(3,3): " +
+    "two rises, one tie dropped -> z = 2/sqrt(2)") {
+    val dir = tmpDir("coxstuart")
+    writeEvents(dir, Seq(1.0, 2.0, 3.0, 99.0, 4.0, 5.0, 3.0).zipWithIndex
+      .map { case (v, i) =>
+        ((i + 1).toLong, 1L, "click", day(i + 1), v)
+      })
+    val r = SparkEntry.queries("q_cox_stuart")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_days") == 7L)
+    assert(h.getAs[Long]("n_pairs") == 2L)
+    assert(h.getAs[Long]("s_plus") == 2L)
+    assert(math.abs(h.getAs[Double]("z") - math.sqrt(2.0)) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_kendall_w: two days ranking type b above type a both times " +
+    "is perfect concordance -> chi2_f = 2, W = 1") {
+    val dir = tmpDir("kendallw")
+    writeEvents(dir, Seq(
+      (1L, 1L, "a", day(1), 1.0),
+      (2L, 1L, "b", day(1), 1.0), (3L, 1L, "b", day(1), 1.0),
+      (4L, 1L, "a", day(2), 1.0),
+      (5L, 1L, "b", day(2), 1.0), (6L, 1L, "b", day(2), 1.0),
+      (7L, 1L, "b", day(2), 1.0)))
+    val r = SparkEntry.queries("q_kendall_w")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_blocks") == 2L)
+    assert(h.getAs[Long]("k") == 2L)
+    assert(h.getAs[Double]("chi2_f") == 2.0)
+    assert(h.getAs[Double]("w") == 1.0)
+    cleanup(dir)
+  }
+
+  test("q_design_effect: two perfectly homogeneous 2-event users " +
+    "(values 1 and 3) give ICC = 1 and DEFF = m_bar = 2") {
+    val dir = tmpDir("deff")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 1.0), (2L, 1L, "click", day(2), 1.0),
+      (3L, 2L, "click", day(1), 3.0), (4L, 2L, "click", day(2), 3.0)))
+    val r = SparkEntry.queries("q_design_effect")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("k_users") == 2L)
+    assert(h.getAs[Long]("n") == 4L)
+    assert(h.getAs[Double]("msb") == 40000.0)
+    assert(h.getAs[Double]("msw") == 0.0)
+    assert(h.getAs[Double]("m_bar") == 2.0)
+    assert(h.getAs[Double]("icc") == 1.0)
+    assert(h.getAs[Double]("deff") == 2.0)
+    cleanup(dir)
+  }
+
   test("q_bartels_rank: a constant series has zero rank variance -> " +
     "NULL rvn/z under the den2 guard") {
     val dir = tmpDir("bartels0")

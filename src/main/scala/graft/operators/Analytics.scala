@@ -386,6 +386,43 @@ object Analytics extends QueryModule {
               .as("gini"))
       }),
 
+      // --- Atkinson inequality index, ε = 2 (round 16): the WELFARE-
+      // weighted inequality number beside q_gini's Lorenz area — at
+      // ε = 2 it closes to 1 − harmonic/arithmetic mean, maximally
+      // sensitive to the POOR tail where Gini weighs the middle (the
+      // ε = 1 geometric-mean form would drag libm exp/ln into the
+      // hash — documented choice). Per market segment over order
+      // values: reciprocals quantize to exact 1e12 micro-units
+      // (10¹² div cents, cents > 0 filtered both engines), both
+      // Σcents and Σrecip accumulate in DECIMAL(38,0), and the index
+      // is one fixed double tree. One orders⋈customer shuffle,
+      // O(segments) out. ---
+      "q_atkinson" -> ((s, d) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = table(s, d, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("cents"))
+          .filter(col("cents") > 0)
+          .withColumn("r", expr("1000000000000 div cents"))
+        val c = table(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast(d38)).as("sc"),
+            sum(col("r").cast(d38)).as("sr"))
+          .select(col("seg"), col("n"),
+            (col("sc").cast("double") / col("n") / 100.0)
+              .as("mean_price"),
+            (lit(1.0)
+              - (col("n").cast("double") * 1e12
+                / col("sr").cast("double"))
+              / (col("sc").cast("double") / col("n").cast("double")))
+              .as("atkinson2"))
+          .orderBy("seg")
+      }),
+
       // --- Shapley-value conversion attribution: the principled
       // multi-touch upgrade of q_attribution's first-touch and
       // q_attrib_ushape's positional rules. Channels = the three
@@ -630,6 +667,25 @@ object Analytics extends QueryModule {
         |  CAST(SUM(CAST(p AS DECIMAL(18,4)) * w) AS DOUBLE) / 32768.0
         |    AS decayed
         |FROM f GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_atkinson" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, cents,
+        |    1000000000000 // cents AS r
+        |  FROM o WHERE cents > 0),
+        |j AS (SELECT c.c_mktsegment AS seg, cents, r
+        |  FROM f JOIN customer c ON o_custkey = c_custkey),
+        |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS HUGEINT) AS sc,
+        |    CAST(SUM(r) AS HUGEINT) AS sr
+        |  FROM j GROUP BY seg)
+        |SELECT seg, n,
+        |  CAST(sc AS DOUBLE) / n / 100.0 AS mean_price,
+        |  1.0 - (CAST(n AS DOUBLE) * 1e12 / CAST(sr AS DOUBLE))
+        |    / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS atkinson2
+        |FROM a ORDER BY seg""".stripMargin,
 
     "q_gini" ->
       """WITH m AS (SELECT o_custkey,

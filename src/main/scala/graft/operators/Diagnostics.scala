@@ -363,6 +363,59 @@ object Diagnostics extends QueryModule {
               .as("w"))
       }),
 
+      // --- Quade blocked rank test (round 16): Friedman's WEIGHTED
+      // sibling — blocks (days) are ranked by their sample RANGE and
+      // high-spread days count more, which dominates Friedman's
+      // power at small k (k = 5 event types here). All-integer via
+      // stacked ×2 devices: within-block midranks a2 = 2r, block
+      // weights q2 = 2·range-rank, S₄ = q2·(a2−(k+1)) = 4·Qᵢ(rᵢⱼ −
+      // (k+1)/2) exact int64; A₁₆ = ΣS₄² and ΣT₄² accumulate in
+      // DECIMAL(38,0) (b³k³ terms pass int64 near 10⁴ blocks);
+      // F = (b−1)·ΣT₄²/(b·A₁₆ − ΣT₄²) — the ×16 cancels — with the
+      // perfect-concordance denominator-zero guard (F → ∞ there,
+      // NULL on both engines, documented). O(days) windows only. ---
+      "q_quade_test" -> ((s, d) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val g = daily(s, d)
+        val kTot = g.select(countDistinct("event_type").as("k"))
+        val blocks = g
+          .withColumn("kd",
+            count(lit(1)).over(Window.partitionBy("day")))
+          .crossJoin(broadcast(kTot))
+          .filter(col("kd") === col("k"))
+          .localCheckpoint()
+        val a2 = lit(2L) *
+          rank().over(Window.partitionBy("day").orderBy("cnt")) +
+          count(lit(1)).over(Window.partitionBy("day", "cnt")) - lit(1L)
+        val rng = blocks.groupBy("day")
+          .agg((max("cnt") - min("cnt")).as("rng"))
+        val q2 = rng
+          .withColumn("q2",
+            lit(2L) * rank().over(Window.orderBy("rng")) +
+              count(lit(1)).over(Window.partitionBy("rng")) - lit(1L))
+          .select(col("day"), col("q2"))
+        val cells = blocks
+          .withColumn("a2", a2)
+          .join(broadcast(q2), "day")
+          .select(col("event_type"), col("k"),
+            (col("q2") * (col("a2") - (col("k") + 1L))).as("s4"))
+        val perType = cells.groupBy("event_type")
+          .agg(sum("s4").as("t4"), count(lit(1)).as("b"),
+            max("k").as("k"), sum(col("s4").cast(d38) * col("s4"))
+              .as("a16part"))
+        perType
+          .agg(max("b").as("n_blocks"), max("k").as("k"),
+            sum("a16part").as("a16"),
+            sum(col("t4").cast(d38) * col("t4")).as("st4sq"))
+          .select(col("n_blocks"), col("k"),
+            when(col("n_blocks").cast(d38) * col("a16")
+                - col("st4sq") > 0,
+              ((col("n_blocks") - 1L).cast(d38) * col("st4sq"))
+                .cast("double")
+                / (col("n_blocks").cast(d38) * col("a16")
+                  - col("st4sq")).cast("double")).as("f_quade"))
+      }),
+
       // --- Moran's I with lag-1 temporal weights (round 16): the
       // autocorrelation statistic in its spatial-statistics normal
       // form over the daily revenue series — with adjacency weights
@@ -1574,6 +1627,44 @@ object Diagnostics extends QueryModule {
         |SELECT n_blocks, k, chi2_f,
         |  CASE WHEN n_blocks > 0 AND k > 1 THEN
         |    chi2_f / CAST(n_blocks * (k - 1) AS DOUBLE) END AS w
+        |FROM f""".stripMargin,
+
+    "q_quade_test" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |kt AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM g),
+        |bl AS (SELECT g.*, k FROM g CROSS JOIN kt
+        |  QUALIFY COUNT(*) OVER (PARTITION BY day) = k),
+        |rk AS (SELECT day, event_type, k,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY cnt) +
+        |      COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS a2
+        |  FROM bl),
+        |rng AS (SELECT day, MAX(cnt) - MIN(cnt) AS rng
+        |  FROM bl GROUP BY day),
+        |qq AS (SELECT day,
+        |    2 * rank() OVER (ORDER BY rng) +
+        |      COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+        |  FROM rng),
+        |cells AS (SELECT rk.event_type, rk.k,
+        |    CAST(qq.q2 * (rk.a2 - (rk.k + 1)) AS BIGINT) AS s4
+        |  FROM rk JOIN qq USING (day)),
+        |pt AS (SELECT event_type, MAX(k) AS k,
+        |    CAST(SUM(s4) AS BIGINT) AS t4,
+        |    CAST(COUNT(*) AS BIGINT) AS b,
+        |    CAST(SUM(CAST(s4 AS HUGEINT) * s4) AS HUGEINT) AS a16part
+        |  FROM cells GROUP BY event_type),
+        |f AS (SELECT MAX(b) AS n_blocks, MAX(k) AS k,
+        |    CAST(SUM(a16part) AS HUGEINT) AS a16,
+        |    CAST(SUM(CAST(t4 AS HUGEINT) * t4) AS HUGEINT) AS st4sq
+        |  FROM pt)
+        |SELECT n_blocks, k,
+        |  CASE WHEN n_blocks * a16 - st4sq > 0 THEN
+        |    CAST((n_blocks - 1) * st4sq AS DOUBLE)
+        |      / CAST(n_blocks * a16 - st4sq AS DOUBLE) END AS f_quade
         |FROM f""".stripMargin,
 
     "q_friedman_test" ->

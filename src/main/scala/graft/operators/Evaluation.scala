@@ -174,6 +174,54 @@ object Evaluation extends QueryModule {
               .as("a2"))
       }),
 
+      // --- Mood rank scale test (round 16): the two-sample DISPERSION
+      // question over the same click-vs-view samples — q_ks_test/
+      // q_cvm_test/q_ad2_test read any distributional difference,
+      // q_levene_bf the k-group value-space spread; Mood's
+      // M = Σ_{click}(rᵢ − (N+1)/2)² isolates scale in rank space.
+      // ×2 midranks keep every deviation integer ((r2 − (N+1))² =
+      // 4(r − (N+1)/2)²); M4 accumulates in DECIMAL(38,0) (4N³ passes
+      // int64 near N ≈ 1.3e6). Null moments E = n₁(N²−1)/12,
+      // Var = n₁n₂(N+1)(N²−4)/180 stated WITHOUT tie correction
+      // (documented); z is one fixed ÷/√ tree. O(bins) windows. ---
+      "q_mood_scale" -> ((s, d) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val q = table(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), vq.as("v"))
+        val bins = q.groupBy("v").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+        val wb = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = bins.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        val r2 = bins
+          .withColumn("t", col("c1") + col("c2"))
+          .withColumn("cum", sum(col("c1") + col("c2")).over(wb))
+          .select(col("c1"),
+            (lit(2L) * (col("cum") - col("t")) + col("t") + 1L)
+              .as("r2"))
+        val m = r2.crossJoin(broadcast(tot))
+          .withColumn("nn", col("n1") + col("n2"))
+          .agg(max("n1").as("n1"), max("n2").as("n2"),
+            max("nn").as("nn"),
+            sum((col("c1").cast(d38)
+              * (col("r2") - (col("nn") + 1L))
+              * (col("r2") - (col("nn") + 1L)))).as("m4"))
+        val nd = col("nn").cast("double")
+        val eM = col("n1").cast("double") * (nd * nd - 1.0) / 12.0
+        val varM = col("n1").cast("double") * col("n2") * (nd + 1.0)
+          .*(nd * nd - 4.0) / 180.0
+        m.select(col("n1"), col("n2"),
+          (col("m4").cast("double") / 4.0).as("m_stat"),
+          eM.as("e_m"),
+          when(col("n1") > 0 && col("n2") > 0 && col("nn") > 2,
+            (col("m4").cast("double") / 4.0 - eM) / sqrt(varM))
+            .as("z"))
+      }),
+
       // --- chi-square independence test over the c_mktsegment ×
       // c_nationkey contingency table. The only full-data pass is the
       // cell-count groupBy (one shuffle, output = 125 cells); row/column
@@ -684,6 +732,42 @@ object Evaluation extends QueryModule {
         |  CAST(s1 AS DOUBLE) / 1000000.0 / n1
         |    + CAST(s2 AS DOUBLE) / 1000000.0 / n2 AS a2
         |FROM s""".stripMargin,
+
+    "q_mood_scale" ->
+      """WITH q AS (SELECT event_type,
+        |  CAST(round(value, 0) AS BIGINT) AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM q GROUP BY v),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |        CAST(SUM(c2) AS BIGINT) AS n2 FROM b),
+        |r AS (SELECT c1,
+        |    2 * (CAST(SUM(c1 + c2) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - (c1 + c2)) + (c1 + c2) + 1 AS r2
+        |  FROM b),
+        |m AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |    MAX(n1 + n2) AS nn,
+        |    CAST(SUM(CAST(c1 AS HUGEINT)
+        |      * (r2 - (n1 + n2 + 1)) * (r2 - (n1 + n2 + 1)))
+        |      AS HUGEINT) AS m4
+        |  FROM r CROSS JOIN t)
+        |SELECT n1, n2,
+        |  CAST(m4 AS DOUBLE) / 4.0 AS m_stat,
+        |  CAST(n1 AS DOUBLE) * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |    - 1.0) / 12.0 AS e_m,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND nn > 2 THEN
+        |    (CAST(m4 AS DOUBLE) / 4.0
+        |      - CAST(n1 AS DOUBLE) * (CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE) - 1.0) / 12.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * n2 * (CAST(nn AS DOUBLE) + 1.0)
+        |      * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0)
+        |      / 180.0) END AS z
+        |FROM m""".stripMargin,
 
     "q_chisq_test" ->
       """WITH cells AS (SELECT c_mktsegment AS seg,

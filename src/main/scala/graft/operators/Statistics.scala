@@ -302,6 +302,51 @@ object Statistics extends QueryModule {
           .orderBy("event_type")
       }),
 
+      // --- exact 10% TRIMMED mean per event type (round 16): the
+      // companion robust location to q_winsor_mean — winsorizing
+      // CLAMPS the g extreme observations to band edges, trimming
+      // DROPS exactly g = n div 10 from each end (the two react
+      // differently to outlier mass, which is why robust-stats
+      // dashboards publish both). Count-exact trimming off the cent
+      // histogram: each bin contributes c − low − high with
+      // low = min(c, max(g − prev, 0)), high = min(c, max(g −
+      // above, 0)) — integer clip arithmetic, no percentile
+      // interpolation, Σlow = Σhigh = g by construction. One exact
+      // int64 weighted sum, ONE terminal division (to the kept count
+      // n − 2g), /100 to dollars. ---
+      "q_trimmed_mean" -> ((s, d) => {
+        val hist = table(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(100)).cast("long").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val wb = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("event_type")
+        hist
+          .withColumn("cum", sum("c").over(wb))
+          .withColumn("n", sum("c").over(wt))
+          .withColumn("g", expr("n div 10"))
+          .withColumn("lowtake",
+            least(col("c"),
+              greatest(col("g") - (col("cum") - col("c")), lit(0L))))
+          .withColumn("hightake",
+            least(col("c"),
+              greatest(col("g") - (col("n") - col("cum")), lit(0L))))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("g").as("g"),
+            sum(col("c") * col("v")).as("s_all"),
+            sum((col("c") - col("lowtake") - col("hightake"))
+              * col("v")).as("s_trim"))
+          .select(col("event_type"), col("n"), col("g"),
+            (col("s_all").cast("double") / col("n") / 100.0)
+              .as("mean_raw"),
+            when(col("n") - col("g") * 2L > 0,
+              col("s_trim").cast("double")
+                / (col("n") - col("g") * 2L) / 100.0)
+              .as("trimmed_mean"))
+          .orderBy("event_type")
+      }),
+
       // --- banded WINSORIZED mean per event type (round 13): the
       // robust-mean sibling of q_percentile_grid — clamp each value to
       // the [P05, P95] band boundaries before averaging, the standard
@@ -727,6 +772,32 @@ object Statistics extends QueryModule {
   }
 
   override def oracle: Map[String, String] = Map(
+
+    "q_trimmed_mean" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |k AS (SELECT event_type, v, c, n, n // 10 AS g,
+        |    least(c, greatest((n // 10) - (cum - c), 0)) AS lowtake,
+        |    least(c, greatest((n // 10) - (n - cum), 0)) AS hightake
+        |  FROM r),
+        |a AS (SELECT event_type, MAX(n) AS n, MAX(g) AS g,
+        |    CAST(SUM(c * v) AS BIGINT) AS s_all,
+        |    CAST(SUM((c - lowtake - hightake) * v) AS BIGINT) AS s_trim
+        |  FROM k GROUP BY event_type)
+        |SELECT event_type, n, g,
+        |  CAST(s_all AS DOUBLE) / n / 100.0 AS mean_raw,
+        |  CASE WHEN n - 2 * g > 0 THEN
+        |    CAST(s_trim AS DOUBLE) / (n - 2 * g) / 100.0 END
+        |    AS trimmed_mean
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q_qn_scale" ->
       """WITH h AS (SELECT event_type,

@@ -396,6 +396,92 @@ class Round16bSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("q_mood_scale: click {1,4} vs view {2,3} gives M = 4.5, " +
+    "E = 2.5, Var = 4/3 -> z = sqrt(3)") {
+    val dir = tmpDir("mood")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 1.0), (2L, 1L, "click", day(1), 4.0),
+      (3L, 2L, "view", day(1), 2.0), (4L, 2L, "view", day(1), 3.0)))
+    val r = SparkEntry.queries("q_mood_scale")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n1") == 2L && h.getAs[Long]("n2") == 2L)
+    assert(h.getAs[Double]("m_stat") == 4.5)
+    assert(h.getAs[Double]("e_m") == 2.5)
+    assert(math.abs(h.getAs[Double]("z")
+      - 2.0 / math.sqrt(4.0 / 3.0)) < 1e-12)
+    cleanup(dir)
+  }
+
+  test("q_trimmed_mean: {1, 2 x8, 100} with g=1 drops both extremes " +
+    "-> trimmed mean 2.0 vs raw 11.7") {
+    val dir = tmpDir("trim")
+    val vals = Seq(1.0) ++ Seq.fill(8)(2.0) ++ Seq(100.0)
+    writeEvents(dir, vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, "click", day(1), v)
+    })
+    val r = SparkEntry.queries("q_trimmed_mean")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n") == 10L)
+    assert(h.getAs[Long]("g") == 1L)
+    assert(h.getAs[Double]("mean_raw") == 11.7)
+    assert(h.getAs[Double]("trimmed_mean") == 2.0)
+    cleanup(dir)
+  }
+
+  test("q_atkinson: one segment with order values {1.00, 3.00} has " +
+    "harmonic/arithmetic 150/200 -> A(2) = 0.25 (1e-12 reciprocal " +
+    "grid)") {
+    val dir = tmpDir("atkinson")
+    import spark.implicits._
+    Seq((1L, 1L, 1.0), (2L, 1L, 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("q_atkinson")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n") == 2L)
+    assert(h.getAs[Double]("mean_price") == 2.0)
+    assert(math.abs(h.getAs[Double]("atkinson2") - 0.25) < 1e-9)
+    cleanup(dir)
+  }
+
+  test("q_quade_test: 2 blocks x 2 types with ranges 2 and 1 gives " +
+    "A = 2.5, B = 2.25 -> F = 9 exactly") {
+    val dir = tmpDir("quade")
+    val rows =
+      (1 to 1).map(i => (i.toLong, 1L, "a", day(1), 1.0)) ++
+      (1 to 3).map(i => (10L + i, 1L, "b", day(1), 1.0)) ++
+      (1 to 2).map(i => (20L + i, 1L, "a", day(2), 1.0)) ++
+      (1 to 3).map(i => (30L + i, 1L, "b", day(2), 1.0))
+    writeEvents(dir, rows)
+    val r = SparkEntry.queries("q_quade_test")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_blocks") == 2L)
+    assert(h.getAs[Long]("k") == 2L)
+    assert(h.getAs[Double]("f_quade") == 9.0)
+    cleanup(dir)
+  }
+
+  test("q_quade_test: identical blocks are perfect concordance -> " +
+    "b*A16 = sum(T4^2), denominator 0 -> NULL guard") {
+    val dir = tmpDir("quade0")
+    val rows =
+      (1 to 1).map(i => (i.toLong, 1L, "a", day(1), 1.0)) ++
+      (1 to 3).map(i => (10L + i, 1L, "b", day(1), 1.0)) ++
+      (1 to 1).map(i => (20L + i, 1L, "a", day(2), 1.0)) ++
+      (1 to 3).map(i => (30L + i, 1L, "b", day(2), 1.0))
+    writeEvents(dir, rows)
+    val r = SparkEntry.queries("q_quade_test")(spark, dir).collect()
+    assert(r.head.isNullAt(r.head.fieldIndex("f_quade")))
+    cleanup(dir)
+  }
+
   test("q_bartels_rank: a constant series has zero rank variance -> " +
     "NULL rvn/z under the den2 guard") {
     val dir = tmpDir("bartels0")

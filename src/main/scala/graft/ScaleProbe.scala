@@ -505,7 +505,15 @@ object ScaleProbe {
         // expected output-bound like q_dedup_minhash, and this entry
         // is the measurement that says which it is
         "q_graph_resource_alloc" -> runQ("q_graph_resource_alloc"),
-        "q_simhash_eval" -> runQ("q_simhash_eval"))
+        "q_simhash_eval" -> runQ("q_simhash_eval"),
+        // round-16 continuation: the Salton card shares commonnbrs'
+        // df-capped sorted-posting emission (C(df,2) per part — the
+        // [2,256] cap is the defense; this is its fourth measurement
+        // beside commonnbrs/RA/pref-attach), and the AMS F2 sketch is
+        // the same commutative map-side merge algebra the CMS/KMV
+        // entries pin (8 sign-sums — expected ~flat under hot keys)
+        "q_graph_salton" -> runQ("q_graph_salton"),
+        "q_ams_f2" -> runQ("q_ams_f2"))
       val selected = probes.filter { case (q, _) =>
         only.forall(_.contains(q)) }
       val passResults = (1 to passes).map { p =>

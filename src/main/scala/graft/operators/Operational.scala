@@ -55,6 +55,57 @@ object Operational extends QueryModule {
           .orderBy("brand")
       }),
 
+      // --- historical VaR + expected shortfall (round 16): the risk
+      // card over the day-over-day revenue CHANGE — q_mean_excess
+      // reads the upper tail of levels, this reads the LOWER tail of
+      // deltas: VaR(5%/1%) is the exact-rank worst-case daily drop,
+      // ES the mean of the tail at or beyond it (the coherent
+      // measure; VaR alone hides tail shape). Deltas are exact int64
+      // dollars off the pooled daily series (the q_theil_u cents-
+      // floor device); both cuts are cum·k ≥ n integer order
+      // statistics off the delta histogram; each ES is exact sums +
+      // ONE division. Negative deltas = drops (sign documented);
+      // O(days) grid throughout. ---
+      "q_var_es" -> ((s, d) => {
+        val dailyV = table(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            expr("CAST(round(value * 100, 0) AS BIGINT)").as("vc"))
+          .groupBy("day").agg(sum("vc").as("cents"))
+          .select(col("day"),
+            expr("(cents - pmod(cents, 100)) div 100").as("v"))
+        val wd = Window.orderBy("day")
+        val hist = dailyV
+          .withColumn("pv", lag("v", 1).over(wd))
+          .filter(col("pv").isNotNull)
+          .groupBy((col("v") - col("pv")).as("dl"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val wc = Window.orderBy("dl")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.agg(sum("c").as("n"))
+        val cum = hist.withColumn("cum", sum("c").over(wc))
+          .crossJoin(broadcast(tot))
+        val cuts2 = cum.groupBy("n")
+          .agg(min(when(col("cum") * 20 >= col("n"), col("dl")))
+              .as("var05"),
+            min(when(col("cum") * 100 >= col("n"), col("dl")))
+              .as("var01"))
+        hist.crossJoin(broadcast(cuts2))
+          .groupBy("n", "var05", "var01")
+          .agg(sum(when(col("dl") <= col("var05"), col("c"))
+              .otherwise(0L)).as("n05"),
+            sum(when(col("dl") <= col("var05"),
+              col("c") * col("dl")).otherwise(0L)).as("s05"),
+            sum(when(col("dl") <= col("var01"), col("c"))
+              .otherwise(0L)).as("n01"),
+            sum(when(col("dl") <= col("var01"),
+              col("c") * col("dl")).otherwise(0L)).as("s01"))
+          .select(col("n").as("n_deltas"), col("var05"),
+            (col("s05").cast("double") / col("n05")).as("es05"),
+            col("var01"),
+            (col("s01").cast("double") / col("n01")).as("es01"))
+      }),
+
       // --- safety stock / reorder point (round 16): the service-level
       // buffer that completes the inventory block — q_eoq sizes the
       // lot, q_newsvendor the one-period level, q_croston the
@@ -615,6 +666,42 @@ object Operational extends QueryModule {
       }))
 
   override def oracle: Map[String, String] = Map(
+
+    "q_var_es" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc FROM events),
+        |daily AS (SELECT day,
+        |    (c - ((c % 100) + 100) % 100) // 100 AS v
+        |  FROM (SELECT day, CAST(SUM(vc) AS BIGINT) AS c
+        |        FROM d0 GROUP BY 1)),
+        |dl0 AS (SELECT v - lag(v, 1) OVER (ORDER BY day) AS dl
+        |  FROM daily),
+        |h AS (SELECT dl, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dl0 WHERE dl IS NOT NULL GROUP BY dl),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        |cw AS (SELECT dl, n,
+        |    CAST(SUM(c) OVER (ORDER BY dl ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h CROSS JOIN t),
+        |cuts AS (SELECT n,
+        |    MIN(CASE WHEN cum * 20 >= n THEN dl END) AS var05,
+        |    MIN(CASE WHEN cum * 100 >= n THEN dl END) AS var01
+        |  FROM cw GROUP BY n),
+        |a AS (SELECT n, var05, var01,
+        |    CAST(SUM(CASE WHEN dl <= var05 THEN c ELSE 0 END)
+        |      AS BIGINT) AS n05,
+        |    CAST(SUM(CASE WHEN dl <= var05 THEN c * dl ELSE 0 END)
+        |      AS BIGINT) AS s05,
+        |    CAST(SUM(CASE WHEN dl <= var01 THEN c ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN dl <= var01 THEN c * dl ELSE 0 END)
+        |      AS BIGINT) AS s01
+        |  FROM h CROSS JOIN cuts GROUP BY 1, 2, 3)
+        |SELECT n AS n_deltas, var05,
+        |  CAST(s05 AS DOUBLE) / n05 AS es05,
+        |  var01,
+        |  CAST(s01 AS DOUBLE) / n01 AS es01
+        |FROM a""".stripMargin,
 
     "q_safety_stock" ->
       """WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day,

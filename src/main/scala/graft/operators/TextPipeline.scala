@@ -142,6 +142,56 @@ object TextPipeline extends QueryModule {
     // comes from TWO portable aggregate steps (max df, then max gram
     // among ties — deterministic on both engines without struct-max
     // or a gram-vocabulary rank window). ---
+    // --- self-BLEU-2 diversity screen (round 16): the corpus-
+    // DIVERSITY readout the dedup family can't give — near-dup
+    // queries find COPIES; self-BLEU reads how template-like
+    // NEIGHBORING documents are even when no pair crosses a dup
+    // threshold (high self-BLEU = a generator or boilerplate source
+    // fabricating "distinct" docs). Candidate = each doc, reference =
+    // its doc_id successor WITHIN source (deterministic pairing, one
+    // window lead — never an all-pairs relation); clipped bigram
+    // precision Σmin(c_cand, c_ref)/Σc_cand per pair, exact ints via
+    // the codegen'd NGramGenerator occurrence counts; each pair's
+    // precision lands on the exact (clip·10⁶) div tot grid BEFORE
+    // the per-source mean (one terminal division). No brevity
+    // penalty (precision-only, documented); zero-bigram candidates
+    // drop on both engines. Shuffles: gram aggregate + one keyed
+    // pair join — both linear in corpus size. ---
+    "q_self_bleu" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs
+        .select(col("source"), col("doc_id"),
+          lead("doc_id", 1).over(w).as("ref_id"))
+        .filter(col("ref_id").isNotNull)
+      val grams = docs
+        .select(col("source"), col("doc_id"),
+          graft.functions.NGramGenerator(toks, 2).alias("gram"))
+        .groupBy("source", "doc_id", "gram")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ref = grams.select(col("source"),
+        col("doc_id").as("ref_id"), col("gram"), col("c").as("cr"))
+      val perPair = pairs
+        .join(grams, Seq("source", "doc_id"))
+        .join(ref, Seq("source", "ref_id", "gram"), "left")
+        .groupBy("source", "doc_id")
+        .agg(sum(least(col("c"), coalesce(col("cr"), lit(0L))))
+            .as("clip"),
+          sum("c").as("tot"))
+        .select(col("source"), expr("(clip * 1000000) div tot")
+          .as("pm"))
+      perPair.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("pm").cast("long").as("spm"))
+        .select(col("source"), col("n_pairs"),
+          (col("spm").cast("double")
+            / (col("n_pairs").cast("double") * 1000000.0))
+            .as("self_bleu2"))
+        .orderBy("source")
+    }),
+
     "q_template_ngram" -> ((s, d) => {
       val df8 = table(s, d, "documents")
         .select(col("source"), col("doc_id"),
@@ -940,6 +990,37 @@ object TextPipeline extends QueryModule {
          |        ELSE 'fr' END) = lang AS is_match
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_self_bleu" ->
+      """WITH t AS (SELECT source, doc_id, string_split(text, ' ')
+        |    AS tk FROM documents),
+        |g0 AS (SELECT source, doc_id, unnest(list_transform(
+        |    range(1, greatest(len(tk) - 1, 0) + 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS gram FROM t),
+        |g AS (SELECT source, doc_id, gram,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g0 GROUP BY 1, 2, 3),
+        |p AS (SELECT source, doc_id,
+        |    lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS ref_id
+        |  FROM t),
+        |pp AS (SELECT p.source AS source, p.doc_id AS doc_id,
+        |    CAST(SUM(least(g.c, COALESCE(r.cr, 0))) AS BIGINT)
+        |      AS clip,
+        |    CAST(SUM(g.c) AS BIGINT) AS tot
+        |  FROM p
+        |  JOIN g ON g.source = p.source AND g.doc_id = p.doc_id
+        |  LEFT JOIN (SELECT source, doc_id AS ref_id, gram, c AS cr
+        |             FROM g) r
+        |    ON r.source = p.source AND r.ref_id = p.ref_id
+        |      AND r.gram = g.gram
+        |  WHERE p.ref_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pm AS (SELECT source, (clip * 1000000) // tot AS pm FROM pp)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(pm) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS self_bleu2
+        |FROM pm GROUP BY source ORDER BY source""".stripMargin,
 
     "q_template_ngram" ->
       """WITH g AS (SELECT source, doc_id,

@@ -76,7 +76,18 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_nelson_aalen", "q_simhash_eval", "q_graph_pref_attach",
     "q_meta_effect", "q_bowker", "q_littles_law", "q_rank_rbp",
     "q_linkage_em_step", "q_join_order_greedy", "q_seasonal_mk",
-    "q_ngram_tscore", "q_eoq")
+    "q_ngram_tscore", "q_eoq",
+    // round-16 continuation: every addition leans on windows over
+    // bounded domains (midrank histograms, duration grids, daily
+    // series), deterministic order-statistic cuts, or quantized
+    // per-term sums — exactly the shapes this pin exists for
+    "q_logrank", "q_ad2_test", "q_jonckheere", "q_bartels_rank",
+    "q_hodges_lehmann", "q_qn_scale", "q_crps_empirical",
+    "q_mean_excess", "q_graph_salton", "q_sample_systematic",
+    "q_safety_stock", "q_diebold_mariano", "q_pettitt",
+    "q_cox_stuart", "q_kendall_w", "q_design_effect",
+    "q_mood_scale", "q_trimmed_mean", "q_atkinson", "q_quade_test",
+    "q_self_bleu", "q_ams_f2", "q_var_es")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

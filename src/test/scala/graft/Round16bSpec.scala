@@ -482,6 +482,80 @@ class Round16bSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("q_self_bleu: docs 'a b c'->'a b d'->'x y'->'z' give pair " +
+    "precisions 1/2, 0, 0 -> self-BLEU2 = 1/6") {
+    val dir = tmpDir("selfbleu")
+    import spark.implicits._
+    Seq((1L, "s", "a b c"), (2L, "s", "a b d"), (3L, "s", "x y"),
+      (4L, "s", "z"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_self_bleu")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_pairs") == 3L)
+    assert(h.getAs[Double]("self_bleu2") == 500000.0 / 3000000.0)
+    cleanup(dir)
+  }
+
+  test("q_ams_f2: a single user is sign-invariant -> every estimator " +
+    "equals f^2, median = true F2, rel_err = 0") {
+    val dir = tmpDir("ams1")
+    writeEvents(dir, (1 to 3).map(i =>
+      (i.toLong, 7L, "click", day(1), 1.0)))
+    val r = SparkEntry.queries("q_ams_f2")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_users") == 1L)
+    assert(h.getAs[Long]("true_f2") == 9L)
+    assert(h.getAs[Long]("est_f2") == 9L)
+    assert(h.getAs[Double]("rel_err") == 0.0)
+    cleanup(dir)
+  }
+
+  test("q_ams_f2: two users (f=2, f=1) match the md5-parity-replicated " +
+    "lower median of the eight (2s1+s2)^2 estimators") {
+    val dir = tmpDir("ams2")
+    writeEvents(dir,
+      (1 to 2).map(i => (i.toLong, 1L, "click", day(1), 1.0)) ++
+        Seq((9L, 2L, "click", day(1), 1.0)))
+    def hex(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"ams$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+    def sign(h: String, j: Int): Long =
+      if ("02468ace".contains(h(j - 1))) 1L else -1L
+    val ests = (1 to 8).map { j =>
+      val e = 2L * sign(hex(1L), j) + 1L * sign(hex(2L), j)
+      e * e
+    }.sorted
+    val expected = ests(3) // lower median of 8
+    val r = SparkEntry.queries("q_ams_f2")(spark, dir).collect()
+    val h = r.head
+    assert(h.getAs[Long]("true_f2") == 5L)
+    assert(h.getAs[Long]("est_f2") == expected)
+    cleanup(dir)
+  }
+
+  test("q_var_es: deltas {-10,5,-15,40,-10} put VaR05 = ES05 = -15 " +
+    "(single tail bin at n=5)") {
+    val dir = tmpDir("vares")
+    val vals = Seq(100.0, 90.0, 95.0, 80.0, 120.0, 110.0)
+    writeEvents(dir, vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, "click", day(i + 1), v)
+    })
+    val r = SparkEntry.queries("q_var_es")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_deltas") == 5L)
+    assert(h.getAs[Long]("var05") == -15L)
+    assert(h.getAs[Double]("es05") == -15.0)
+    assert(h.getAs[Long]("var01") == -15L)
+    assert(h.getAs[Double]("es01") == -15.0)
+    cleanup(dir)
+  }
+
   test("q_bartels_rank: a constant series has zero rank variance -> " +
     "NULL rvn/z under the den2 guard") {
     val dir = tmpDir("bartels0")

@@ -349,6 +349,38 @@ object Experiments extends QueryModule {
           .orderBy("rnk")
       }),
 
+      // --- Benjamini-Yekutieli FDR gate (round 16): the third
+      // multiple-testing contract over the SAME (source, lang) cell
+      // grid — BH assumes independence/PRDS across cells, which
+      // source×lang quality cells (shared corpus margins) do not
+      // obviously satisfy; BY divides the budget by the harmonic
+      // number H(m) and stays valid under ARBITRARY dependence.
+      // H(m) accumulates on the exact 10⁻¹² reciprocal grid
+      // (10¹² div rnk per ranked cell — no order-dependent FP sum);
+      // the step-up cut mirrors q_fdr_bh with the extra H factor.
+      // O(sources × langs) rows throughout. ---
+      "q_fdr_by" -> ((s, d) => {
+        val pr = longDocCellP(s, d)
+        val rk = pr.withColumn("rnk",
+          row_number().over(Window.orderBy("p", "source", "lang"))
+            .cast("long"))
+        val hm = rk.agg(sum(expr("1000000000000 div rnk"))
+          .cast("long").as("hq"))
+        val ks = rk.crossJoin(broadcast(hm))
+          .groupBy("hq")
+          .agg(coalesce(max(when(
+            col("p") * col("m").cast("double")
+              * (col("hq").cast("double") / 1e12)
+              <= lit(0.25) * col("rnk").cast("double"), col("rnk"))),
+            lit(0L)).as("kstar"))
+        rk.crossJoin(broadcast(ks))
+          .select(col("source"), col("lang"), col("n_cell"),
+            col("n_long"), col("chi2"), col("p"), col("rnk"),
+            (col("hq").cast("double") / 1e12).as("h_m"),
+            (col("rnk") <= col("kstar")).as("rejected"))
+          .orderBy("rnk")
+      }),
+
       // --- Holm step-down family-wise gate (round 16): the SAME
       // (source, lang) cell grid and chi-square proxy p-values as
       // q_fdr_bh, under the OTHER canonical multiple-testing contract
@@ -709,6 +741,46 @@ object Experiments extends QueryModule {
         |    0) AS kstar
         |  FROM rk)
         |SELECT source, lang, n_cell, a AS n_long, chi2, p, rnk,
+        |  rnk <= kstar AS rejected
+        |FROM rk CROSS JOIN ks ORDER BY rnk""".stripMargin,
+
+    "q_fdr_by" ->
+      """WITH cell AS (SELECT source, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell,
+        |    CAST(SUM(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS atot,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM cell),
+        |x AS (SELECT source, lang, n_cell, a, n_cell - a AS b,
+        |    atot - a AS c, n - n_cell - (atot - a) AS dd, n, m
+        |  FROM cell CROSS JOIN tot),
+        |ch AS (SELECT source, lang, n_cell, a, m,
+        |    CASE WHEN a + c > 0 AND b + dd > 0 AND c + dd > 0 THEN
+        |      (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |      * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+        |      / CAST(a + b AS DOUBLE) / CAST(c + dd AS DOUBLE)
+        |      / CAST(a + c AS DOUBLE) / CAST(b + dd AS DOUBLE)
+        |      * CAST(n AS DOUBLE) ELSE 0.0 END AS chi2
+        |  FROM x),
+        |pr AS (SELECT source, lang, n_cell, a, m, chi2,
+        |    1.0 / (1.0 + chi2) AS p
+        |  FROM ch),
+        |rk AS (SELECT source, lang, n_cell, a, m, chi2, p,
+        |    CAST(row_number() OVER (ORDER BY p, source, lang) AS BIGINT)
+        |      AS rnk
+        |  FROM pr),
+        |hm AS (SELECT CAST(SUM(1000000000000 // rnk) AS BIGINT) AS hq
+        |  FROM rk),
+        |ks AS (SELECT hq, COALESCE(MAX(CASE WHEN p * CAST(m AS DOUBLE)
+        |      * (CAST(hq AS DOUBLE) / 1e12)
+        |      <= 0.25 * CAST(rnk AS DOUBLE) THEN rnk END),
+        |    0) AS kstar
+        |  FROM rk CROSS JOIN hm GROUP BY hq)
+        |SELECT source, lang, n_cell, a AS n_long, chi2, p, rnk,
+        |  CAST(hq AS DOUBLE) / 1e12 AS h_m,
         |  rnk <= kstar AS rejected
         |FROM rk CROSS JOIN ks ORDER BY rnk""".stripMargin,
 

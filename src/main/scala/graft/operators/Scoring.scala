@@ -404,6 +404,40 @@ object Scoring extends QueryModule {
             .as("df"))
     }),
 
+    // --- TOST equivalence test (round 16): the inverted question
+    // q_ab_ttest cannot answer — failing to reject "different" is NOT
+    // evidence of "the same"; TOST declares the click/view means
+    // EQUIVALENT only if both one-sided tests reject at the ±δ = 10
+    // margin (the two-one-sided-tests contract every launch-safety
+    // review wants). Same exact int64 arm moments and Welch standard
+    // error as q_ab_ttest (one conditional-sum pass); the two t's and
+    // the 1.645 normal gate (documented approximation) are fixed
+    // terminal trees. ---
+    "q_tost" -> ((s, d) => {
+      val q = table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          round(col("value"), 0).cast("long").as("vq"))
+      def arm(t: String, nm: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$nm"),
+        sum(when(col("event_type") === t, col("vq")).otherwise(0L))
+          .as(s"sx$nm"),
+        sum(when(col("event_type") === t, col("vq") * col("vq"))
+          .otherwise(0L)).as(s"sxx$nm"))
+      val cols = arm("click", "1") ++ arm("view", "2")
+      val m1 = col("sx1").cast("double") / col("n1")
+      val m2 = col("sx2").cast("double") / col("n2")
+      val v1 = col("sxx1").cast("double") / col("n1") - m1 * m1
+      val v2 = col("sxx2").cast("double") / col("n2") - m2 * m2
+      val se = sqrt(v1 / col("n1") + v2 / col("n2"))
+      val tLo = (m1 - m2 + lit(10.0)) / se
+      val tHi = (m1 - m2 - lit(10.0)) / se
+      q.agg(cols.head, cols.tail: _*)
+        .select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+          tLo.as("t_lower"), tHi.as("t_upper"),
+          (tLo > 1.645 && tHi < -1.645).as("equivalent"))
+    }),
+
     // --- per-source quality gating: keep each source's top half by
     // document length. Quality thresholds must be RELATIVE per source
     // (a fixed global cutoff would drop whole low-verbosity sources),
@@ -678,6 +712,27 @@ object Scoring extends QueryModule {
          |  (($m1 - $m2) / sqrt($se1 + $se2)) AS t_stat,
          |  ((($se1 + $se2) * ($se1 + $se2)) /
          |   ($se1 * $se1 / ($n1 - 1) + $se2 * $se2 / ($n2 - 1))) AS df
+         |FROM events WHERE event_type IN ('click', 'view')""".stripMargin
+    },
+
+    "q_tost" -> {
+      val vq = "CAST(round(value, 0) AS BIGINT)"
+      def arm(t: String) = (
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT)",
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN $vq ELSE 0 END) AS BIGINT)",
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN $vq * $vq ELSE 0 END) AS BIGINT)")
+      val (n1, sx1, sxx1) = arm("click")
+      val (n2, sx2, sxx2) = arm("view")
+      val m1 = s"(CAST($sx1 AS DOUBLE) / $n1)"
+      val m2 = s"(CAST($sx2 AS DOUBLE) / $n2)"
+      val v1 = s"(CAST($sxx1 AS DOUBLE) / $n1 - $m1 * $m1)"
+      val v2 = s"(CAST($sxx2 AS DOUBLE) / $n2 - $m2 * $m2)"
+      val se = s"sqrt($v1 / $n1 + $v2 / $n2)"
+      s"""SELECT $n1 AS n1, $n2 AS n2, $m1 AS mean1, $m2 AS mean2,
+         |  (($m1 - $m2 + 10.0) / $se) AS t_lower,
+         |  (($m1 - $m2 - 10.0) / $se) AS t_upper,
+         |  ((($m1 - $m2 + 10.0) / $se) > 1.645
+         |    AND (($m1 - $m2 - 10.0) / $se) < -1.645) AS equivalent
          |FROM events WHERE event_type IN ('click', 'view')""".stripMargin
     },
 

@@ -516,6 +516,55 @@ object Statistics extends QueryModule {
           .orderBy("cohort", "wk")
       }),
 
+      // --- actuarial life table (round 16): the interval-grouped
+      // third member of the survival block — KM multiplies at event
+      // times, Nelson-Aalen adds hazard increments; the life table is
+      // what an actuary/capacity planner publishes per weekly band,
+      // with the ACTUARIAL EXPOSURE adjustment n′ = n − c/2 (within-
+      // band censored users count half a band at risk — the
+      // correction both siblings skip). The ×2 device keeps it exact:
+      // q_w = d/(n − c/2) = 2d/(2n − c), shipped as the integer
+      // (2d·10⁹) div (2n−c) nano-grid plus its double render (the
+      // Nelson-Aalen term discipline; 2n−c ≥ 1 whenever the band
+      // exists, so no zero guard is reachable). Same one-shuffle span
+      // derivation; O(cohorts × weeks) everywhere downstream. ---
+      "q_life_table" -> ((s, d) => {
+        val ev = table(s, d, "events")
+        val maxTs = ev.agg(max("ts").as("mx"))
+        val spans = ev
+          .groupBy("user_id")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("cohort"),
+            min("ts").as("t0"), max("ts").as("t1"))
+          .crossJoin(broadcast(maxTs))
+          .select(col("cohort"),
+            (datediff(col("t1").cast("date"), col("t0").cast("date"))
+              .cast("long")).as("dur"),
+            (col("t1") < col("mx") - expr("interval 7 days"))
+              .cast("long").as("death"))
+          .select(col("cohort"), expr("dur div 7").as("wk"),
+            col("death"))
+        val grid = spans.groupBy("cohort", "wk")
+          .agg(sum("death").as("d"),
+            sum(lit(1L) - col("death")).as("c"))
+        val tot = grid.groupBy("cohort")
+          .agg(sum(col("d") + col("c")).as("nt"))
+        val prior = Window.partitionBy("cohort").orderBy("wk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grid.join(broadcast(tot), "cohort")
+          .withColumn("at_risk", col("nt")
+            - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+          .withColumn("exposure2",
+            col("at_risk") * 2L - col("c"))
+          .withColumn("q9",
+            expr("(d * 2000000000) div exposure2"))
+          .select(col("cohort"), col("wk"), col("at_risk"), col("d"),
+            col("c"),
+            (col("q9").cast("double") / 1e9).as("q_w"))
+          .orderBy("cohort", "wk")
+      }),
+
       "q_survival_km" -> ((s, d) => {
         val ev = table(s, d, "events")
         val maxTs = ev.agg(max("ts").as("mx"))
@@ -1111,6 +1160,38 @@ object Statistics extends QueryModule {
          |  v - v_base AS gap
          |FROM l JOIN bs USING (q)
          |ORDER BY event_type, q""".stripMargin,
+
+    "q_life_table" ->
+      """WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        |fe AS (SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |spans AS (
+        |  SELECT e.user_id, f.event_type AS cohort,
+        |    MIN(e.ts) AS t0, MAX(e.ts) AS t1
+        |  FROM events e JOIN fe f
+        |    ON f.user_id = e.user_id AND f.rn = 1
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT cohort,
+        |         CAST(date_diff('day', CAST(t0 AS DATE),
+        |           CAST(t1 AS DATE)) AS BIGINT) // 7 AS wk,
+        |         CAST(t1 < m - INTERVAL 7 DAY AS BIGINT) AS death
+        |       FROM spans CROSS JOIN mx),
+        |grid AS (SELECT cohort, wk, CAST(SUM(death) AS BIGINT) AS d,
+        |           CAST(SUM(1 - death) AS BIGINT) AS c
+        |         FROM sp GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(SUM(d + c) AS BIGINT) AS nt
+        |        FROM grid GROUP BY 1),
+        |lt AS (SELECT cohort, wk, d, c,
+        |    nt - COALESCE(CAST(SUM(d + c) OVER (PARTITION BY cohort
+        |        ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
+        |  FROM grid JOIN tot USING (cohort))
+        |SELECT cohort, wk, at_risk, d, c,
+        |  CAST((d * 2000000000) // (at_risk * 2 - c) AS DOUBLE) / 1e9
+        |    AS q_w
+        |FROM lt ORDER BY cohort, wk""".stripMargin,
 
     "q_nelson_aalen" ->
       """WITH mx AS (SELECT MAX(ts) AS m FROM events),

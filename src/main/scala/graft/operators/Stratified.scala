@@ -140,6 +140,76 @@ object Stratified extends QueryModule {
           (col("num") / col("den")).as("or_mh"))
       }),
 
+      // --- Breslow-Day homogeneity test (round 16): the question
+      // q_mantel_haenszel's pooled OR silently assumes away — is the
+      // odds ratio actually COMMON across the activity tiers, or is
+      // the pooled number averaging over real effect heterogeneity?
+      // Same per-user 2×2 strata as MH; under the MH common OR ψ each
+      // stratum's expected exposed-case count solves the quadratic
+      // (ψ−1)E² − [ψ(n₁+m₁) + (n₀−m₁)]E + ψn₁m₁ = 0 (closed-form
+      // root, one √ — the in-range root selected by the same CASE on
+      // both engines; ψ=1 degenerates to the linear n₁m₁/N), variance
+      // is the harmonic of the four fitted cells, and χ²_BD =
+      // Σ(a−E)²/V with per-stratum terms DECIMAL-quantized before the
+      // O(strata) sum (the MH num/den discipline). Zero-margin strata
+      // are excluded on both engines (their 2×2 carries no OR
+      // information). O(tiers) everywhere past the user aggregate. ---
+      "q_breslow_day" -> ((s, d) => {
+        val per = table(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("tot"),
+            (sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              >= 14L).as("ex"),
+            (sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)) >= 14L).as("oc"))
+          .withColumn("tier",
+            when(col("tot") < 60L, 0L).when(col("tot") < 70L, 1L)
+              .otherwise(2L))
+        def cell(e: Boolean, o: Boolean, nm: String) =
+          sum(when(col("ex") === e && col("oc") === o, 1L).otherwise(0L))
+            .as(nm)
+        val strata = per.groupBy("tier")
+          .agg(cell(e = true, o = true, "a"),
+            cell(e = true, o = false, "b"),
+            cell(e = false, o = true, "c"),
+            cell(e = false, o = false, "dd"),
+            count(lit(1)).as("n"))
+          .filter(col("a") + col("b") > 0 && col("c") + col("dd") > 0
+            && col("a") + col("c") > 0 && col("b") + col("dd") > 0)
+          .localCheckpoint()
+        val pooled = strata.agg(
+          count(lit(1)).as("n_strata"),
+          sum(dec((col("a") * col("dd")).cast("double") / col("n")))
+            .cast("double").as("num"),
+          sum(dec((col("b") * col("c")).cast("double") / col("n")))
+            .cast("double").as("den"))
+        val psi = col("num") / col("den")
+        val n1 = (col("a") + col("b")).cast("double")
+        val n0 = (col("c") + col("dd")).cast("double")
+        val m1 = (col("a") + col("c")).cast("double")
+        val aa = psi - 1.0
+        val bb = -(psi * (n1 + m1) + (n0 - m1))
+        val cc = psi * n1 * m1
+        val disc = bb * bb - lit(4.0) * aa * cc
+        val e1 = (-bb - sqrt(disc)) / (lit(2.0) * aa)
+        val e2 = (-bb + sqrt(disc)) / (lit(2.0) * aa)
+        val lo = greatest(lit(0.0), m1 - n0)
+        val hi = least(n1, m1)
+        val ee = when(psi === 1.0, n1 * m1 / col("n"))
+          .when(e1 >= lo && e1 <= hi, e1)
+          .otherwise(e2)
+        val vv = lit(1.0) / (lit(1.0) / ee + lit(1.0) / (n1 - ee)
+          + lit(1.0) / (m1 - ee) + lit(1.0) / (n0 - m1 + ee))
+        val term = (col("a") - ee) * (col("a") - ee) / vv
+        strata.crossJoin(broadcast(pooled))
+          .groupBy("n_strata", "num", "den")
+          .agg(sum(dec(term)).cast("double").as("chi2_bd"))
+          .select(col("n_strata"),
+            (col("n_strata") - 1L).as("df"),
+            (col("num") / col("den")).as("or_mh"),
+            col("chi2_bd"))
+      }),
+
       // --- leave-one-source-out top-10 stability: does any single
       // source DECIDE the global top-10 tokens (the robustness check
       // before trusting a vocabulary or cache list)? Global and
@@ -554,6 +624,64 @@ object Stratified extends QueryModule {
         |  w / wtot AS alloc_share,
         |  CAST(floor(1000.0 * w / wtot) AS BIGINT) AS alloc_n
         |FROM w2 CROSS JOIN t ORDER BY seg""".stripMargin,
+
+    "q_breslow_day" ->
+      """WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tot,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >= 14
+        |      AS ex,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 AS oc
+        |  FROM events GROUP BY user_id),
+        |tiers AS (SELECT CASE WHEN tot < 60 THEN 0
+        |    WHEN tot < 70 THEN 1 ELSE 2 END AS tier, ex, oc FROM per),
+        |st0 AS (SELECT tier,
+        |    CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tiers GROUP BY tier),
+        |st AS (SELECT * FROM st0
+        |  WHERE a + b > 0 AND c + dd > 0 AND a + c > 0 AND b + dd > 0),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CAST(CAST(a * dd AS DOUBLE) / n
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS num,
+        |    CAST(SUM(CAST(CAST(b * c AS DOUBLE) / n
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS den
+        |  FROM st),
+        |q AS (SELECT st.a AS a, st.n AS n,
+        |    CAST(st.a + st.b AS DOUBLE) AS n1,
+        |    CAST(st.c + st.dd AS DOUBLE) AS n0,
+        |    CAST(st.a + st.c AS DOUBLE) AS m1,
+        |    p.n_strata AS n_strata, p.num AS num, p.den AS den,
+        |    p.num / p.den AS psi
+        |  FROM st CROSS JOIN p),
+        |eq AS (SELECT *, psi - 1.0 AS aa,
+        |    -(psi * (n1 + m1) + (n0 - m1)) AS bb,
+        |    psi * n1 * m1 AS cc
+        |  FROM q),
+        |rt AS (SELECT *,
+        |    (-bb - sqrt(bb * bb - 4.0 * aa * cc)) / (2.0 * aa) AS r1,
+        |    (-bb + sqrt(bb * bb - 4.0 * aa * cc)) / (2.0 * aa) AS r2
+        |  FROM eq),
+        |ev AS (SELECT *, CASE WHEN psi = 1.0 THEN n1 * m1 / n
+        |    WHEN r1 >= greatest(0.0, m1 - n0) AND r1 <= least(n1, m1)
+        |      THEN r1
+        |    ELSE r2 END AS e
+        |  FROM rt),
+        |vv AS (SELECT *,
+        |    1.0 / (1.0 / e + 1.0 / (n1 - e) + 1.0 / (m1 - e)
+        |      + 1.0 / (n0 - m1 + e)) AS v
+        |  FROM ev)
+        |SELECT n_strata, CAST(n_strata - 1 AS BIGINT) AS df,
+        |  num / den AS or_mh,
+        |  CAST(SUM(CAST((a - e) * (a - e) / v AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS chi2_bd
+        |FROM vv GROUP BY 1, 2, 3""".stripMargin,
 
     "q_mantel_haenszel" ->
       """WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tot,

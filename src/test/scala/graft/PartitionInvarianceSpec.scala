@@ -87,7 +87,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_safety_stock", "q_diebold_mariano", "q_pettitt",
     "q_cox_stuart", "q_kendall_w", "q_design_effect",
     "q_mood_scale", "q_trimmed_mean", "q_atkinson", "q_quade_test",
-    "q_self_bleu", "q_ams_f2", "q_var_es")
+    "q_self_bleu", "q_ams_f2", "q_var_es",
+    "q_tost", "q_breslow_day", "q_fdr_by", "q_life_table")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

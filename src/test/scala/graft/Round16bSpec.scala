@@ -556,6 +556,128 @@ class Round16bSpec extends AnyFunSuite {
     cleanup(dir)
   }
 
+  test("q_tost: arms {8,12} vs {10,14} (means 10/12, Welch se 2) give " +
+    "t_lower = 4 > 1.645 and t_upper = -6 < -1.645 -> equivalent") {
+    val dir = tmpDir("tost")
+    writeEvents(dir, Seq(
+      (1L, 1L, "click", day(1), 8.0), (2L, 1L, "click", day(1), 12.0),
+      (3L, 2L, "view", day(1), 10.0), (4L, 2L, "view", day(1), 14.0)))
+    val r = SparkEntry.queries("q_tost")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Double]("mean1") == 10.0)
+    assert(h.getAs[Double]("mean2") == 12.0)
+    assert(h.getAs[Double]("t_lower") == 4.0)
+    assert(h.getAs[Double]("t_upper") == -6.0)
+    assert(h.getAs[Boolean]("equivalent"))
+    cleanup(dir)
+  }
+
+  /** Breslow-Day fixture users: one user per 2x2 cell per tier, with
+    * event mixes hitting the ex (clicks >= 14) / oc (purchases >= 14)
+    * thresholds and the tot-based tier cuts.
+    */
+  private def bdUser(uid: Long, clicks: Int, purchases: Int,
+      views: Int): Seq[(Long, Long, String, java.sql.Timestamp, Double)] = {
+    val cs = (1 to clicks).map(i =>
+      (uid * 1000 + i, uid, "click", day(1), 1.0))
+    val ps = (1 to purchases).map(i =>
+      (uid * 1000 + 100 + i, uid, "purchase", day(1), 1.0))
+    val vs = (1 to views).map(i =>
+      (uid * 1000 + 500 + i, uid, "view", day(1), 1.0))
+    cs ++ ps ++ vs
+  }
+
+  test("q_breslow_day: two identical OR=1 strata fit exactly -> " +
+    "psi = 1 (linear path), chi2_BD = 0, df = 1") {
+    val dir = tmpDir("bd1")
+    // tier 0 (tot < 60): a/b/c/dd one user each; tier 2 (tot >= 70)
+    val rows =
+      bdUser(1, 20, 20, 0) ++ bdUser(2, 20, 0, 20) ++
+        bdUser(3, 0, 20, 20) ++ bdUser(4, 0, 0, 40) ++
+        bdUser(5, 20, 20, 35) ++ bdUser(6, 20, 0, 55) ++
+        bdUser(7, 0, 20, 55) ++ bdUser(8, 0, 0, 75)
+    writeEvents(dir, rows)
+    val r = SparkEntry.queries("q_breslow_day")(spark, dir).collect()
+    assert(r.length == 1)
+    val h = r.head
+    assert(h.getAs[Long]("n_strata") == 2L)
+    assert(h.getAs[Long]("df") == 1L)
+    assert(h.getAs[Double]("or_mh") == 1.0)
+    assert(h.getAs[Double]("chi2_bd") == 0.0)
+    cleanup(dir)
+  }
+
+  test("q_breslow_day: two identical OR=4 strata take the quadratic " +
+    "root and fit themselves -> chi2_BD ~ 0") {
+    val dir = tmpDir("bd4")
+    // per tier: a=2 (ex+oc), b=1 (ex), c=1 (oc), dd=2 -> OR = 4
+    def stratum(base: Long, pad: Int) =
+      bdUser(base, 20, 20, pad) ++ bdUser(base + 1, 20, 20, pad) ++
+        bdUser(base + 2, 20, 0, pad + 20) ++
+        bdUser(base + 3, 0, 20, pad + 20) ++
+        bdUser(base + 4, 0, 0, pad + 40) ++
+        bdUser(base + 5, 0, 0, pad + 40)
+    writeEvents(dir, stratum(10, 0) ++ stratum(20, 35))
+    val r = SparkEntry.queries("q_breslow_day")(spark, dir).collect()
+    val h = r.head
+    assert(h.getAs[Long]("n_strata") == 2L)
+    assert(math.abs(h.getAs[Double]("or_mh") - 4.0) < 0.01)
+    assert(math.abs(h.getAs[Double]("chi2_bd")) < 1e-4)
+    cleanup(dir)
+  }
+
+  private def writeDocsLang(dir: String,
+      rows: Seq[(Long, String, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("q_fdr_by: 4-cell grid with two strong cells -> H(4) = 25/12 " +
+    "on the 1e-12 grid, BY rejects exactly the two signal cells") {
+    val dir = tmpDir("fdrby")
+    var id = 0L
+    def docs(source: String, lang: String, nLong: Int, nShort: Int) = {
+      val l = (1 to nLong).map { _ => id += 1; (id, source, lang, 400L) }
+      val sh = (1 to nShort).map { _ => id += 1; (id, source, lang, 100L) }
+      l ++ sh
+    }
+    writeDocsLang(dir,
+      docs("s1", "a", 20, 0) ++ docs("s1", "b", 0, 20) ++
+        docs("s2", "a", 10, 10) ++ docs("s2", "b", 10, 10))
+    val r = SparkEntry.queries("q_fdr_by")(spark, dir).collect()
+    assert(r.length == 4)
+    val hm = r.head.getAs[Double]("h_m")
+    assert(math.abs(hm - 2.083333333333) < 1e-9)
+    val rej = r.map(x => x.getAs[Long]("rnk") -> x.getAs[Boolean]("rejected")).toMap
+    assert(rej(1L) && rej(2L) && !rej(3L) && !rej(4L))
+    cleanup(dir)
+  }
+
+  test("q_life_table: mixed death+censor band shows the actuarial " +
+    "half-exposure (q = 1/2.5 = 0.4, not 1/3)") {
+    val dir = tmpDir("lifetable")
+    def span(uid: Long, from: Int, to: Int) = Seq(
+      (uid * 10, uid, "click", day(from), 1.0),
+      (uid * 10 + 1, uid, "click", day(to), 1.0))
+    writeEvents(dir,
+      span(1, 1, 3) ++ span(2, 1, 10) ++ span(5, 2, 11) ++
+        span(7, 1, 22) ++ span(6, 6, 29) ++ span(3, 1, 30))
+    val r = SparkEntry.queries("q_life_table")(spark, dir).collect()
+    assert(r.length == 4)
+    val byWk = r.map(x => x.getAs[Long]("wk") -> x).toMap
+    assert(byWk(0L).getAs[Long]("at_risk") == 6L)
+    assert(byWk(0L).getAs[Double]("q_w") == 166666666 / 1e9)
+    assert(byWk(1L).getAs[Double]("q_w") == 0.4)
+    // wk3: 1 death + 1 censored of 3 at risk -> exposure 2.5
+    assert(byWk(3L).getAs[Long]("d") == 1L)
+    assert(byWk(3L).getAs[Long]("c") == 1L)
+    assert(byWk(3L).getAs[Double]("q_w") == 0.4)
+    assert(byWk(4L).getAs[Double]("q_w") == 0.0)
+    cleanup(dir)
+  }
+
   test("q_bartels_rank: a constant series has zero rank variance -> " +
     "NULL rvn/z under the den2 guard") {
     val dir = tmpDir("bartels0")

@@ -76,7 +76,11 @@ object ScaleProbe {
     "q_ccnet_buckets", "q_soft_dedup",
     "q_topsis_rank", "q_rolling_p95", "q_item_cosine", "q_itemsets3",
     "q_raking_ipf", "q_graph_resource_alloc", "q_graph_pref_attach",
-    "q_price_index", "q_graph_clustcoef", "q_streaming_ohlc")
+    "q_price_index", "q_graph_clustcoef", "q_streaming_ohlc",
+    // round-16 continuation: the one addition above the 1.5 s pool
+    // floor (2.62 s quiet at sf0.1) — the Salton card, sharing the
+    // df-capped posting emission the commonnbrs/RA entries probe
+    "q_graph_salton")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the
@@ -616,8 +620,14 @@ object ScaleProbe {
       skewJson.map(j => s""""skew_level":$j,""").getOrElse("") +
       hubJson.map(j => s""""skew_graph_level":$j,""").getOrElse("") +
       s""""git_sha":"${GitSha.resolve()}"}"""
+    // SPARK_GRAFT_OUT redirects the artifact — a SUBSET re-measure
+    // (SPARK_GRAFT_ONLY) must never clobber the full record; its rows
+    // fold back into BENCH_SCALE.json through the documented MIN rule
+    // with the merge noted in the artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT",
+      "/root/repo/BENCH_SCALE.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_SCALE.json"),
+      java.nio.file.Paths.get(outPath),
       (out + "\n").getBytes("UTF-8"))
     println(out)
     spark.stop()

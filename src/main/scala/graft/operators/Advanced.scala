@@ -572,9 +572,13 @@ object Advanced extends QueryModule {
     // squares is a sort_array element cut, no FP anywhere. True F₂
     // computed beside it for the realized relative error (the
     // estimator's E = F₂ and Var ≤ 2F₂² algebra is what the skew
-    // probe checks at scale). |Σ±f| ≤ total events, so the square
-    // passes int64 under ~3e9 rows — documented. ---
+    // probe checks at scale). |Σ±f| ≤ total events, so the SUMS are
+    // int64-safe at any realistic scale; the SQUARES are not — both
+    // engines accumulate them in DECIMAL(38,0) (the q_quade_test /
+    // q_mood_scale wide-integer device), so there is no row-count
+    // bound and no asymmetric silent-wrap-vs-hard-error failure. ---
     "q_ams_f2" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val f = table(s, d, "events")
         .groupBy("user_id").agg(count(lit(1)).as("f"))
         .withColumn("hx",
@@ -586,14 +590,15 @@ object Advanced extends QueryModule {
           col("f")).otherwise(-col("f"))).as(s"e$j")
       }
       val a2 = f.agg(count(lit(1)).as("n_users"),
-        (sum(col("f") * col("f")).cast("long").as("true_f2") +:
-          signSums): _*)
+        (sum(col("f").cast(d38) * col("f")).cast(d38)
+          .as("true_f2") +: signSums): _*)
       a2.select(col("n_users"), col("true_f2"),
           element_at(sort_array(array((1 to 8).map(j =>
-            col(s"e$j") * col(s"e$j")): _*)), 4).as("est_f2"))
+            (col(s"e$j").cast(d38) * col(s"e$j")).cast(d38)): _*)), 4)
+            .as("est_f2"))
         .select(col("n_users"), col("true_f2"), col("est_f2"),
           ((col("est_f2") - col("true_f2")).cast("double")
-            / col("true_f2")).as("rel_err"))
+            / col("true_f2").cast("double")).as("rel_err"))
     }),
 
     "q_agg_cms" -> ((s, d) => {
@@ -920,19 +925,24 @@ object Advanced extends QueryModule {
         s"""    CAST(SUM(CASE WHEN substr(hx, $j, 1) IN $evens
            |      THEN f ELSE -f END) AS BIGINT) AS e$j""".stripMargin)
         .mkString(",\n")
-      val sq = (1 to 8).map(j => s"e$j * e$j").mkString(", ")
+      // squares in DECIMAL(38,0), mirroring the Spark side exactly
+      val sq = (1 to 8)
+        .map(j => s"CAST(CAST(e$j AS DECIMAL(38,0)) * e$j" +
+          " AS DECIMAL(38,0))")
+        .mkString(", ")
       s"""WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) AS f,
          |    substr(md5('ams' || CAST(user_id AS VARCHAR)), 1, 8)
          |      AS hx
          |  FROM events GROUP BY user_id),
          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-         |    CAST(SUM(f * f) AS BIGINT) AS true_f2,
+         |    CAST(SUM(CAST(f AS DECIMAL(38,0)) * f) AS DECIMAL(38,0))
+         |      AS true_f2,
          |$es
          |  FROM f)
          |SELECT n_users, true_f2,
          |  list_sort([$sq])[4] AS est_f2,
-         |  CAST(list_sort([$sq])[4] - true_f2 AS DOUBLE) / true_f2
-         |    AS rel_err
+         |  CAST(list_sort([$sq])[4] - true_f2 AS DOUBLE)
+         |    / CAST(true_f2 AS DOUBLE) AS rel_err
          |FROM a""".stripMargin
     },
 

@@ -121,7 +121,12 @@ object Integrity extends QueryModule {
       // — so the single sample-sized ntile window stays bounded at ANY
       // corpus scale (the round-8 hardcoded 1/256 gate let the sample
       // grow linearly). The count pass is one cheap aggregate
-      // broadcast into the map-side gate. ---
+      // broadcast into the map-side gate. The 65536-row TakeOrdered
+      // between the gate and the window makes the sample bound
+      // STRUCTURAL (the bounded-window plan sweep sees a reducer, not
+      // prose): the expected sample is < 8192 with sd ~90, so a 65536
+      // cap is 600+ sd out and never bites — and if it somehow did,
+      // the cut is deterministic (full ordering key), not arbitrary.
       "q_range_bounds" -> ((s, d) => {
         val li = table(s, d, "lineitem")
         val n1 = li.agg(count(lit(1)).as("nn"))
@@ -134,6 +139,8 @@ object Integrity extends QueryModule {
           .filter(h % expr("shiftleft(CAST(1 AS BIGINT), b)") === 0)
           .select(col("l_extendedprice").as("price"),
             col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+          .limit(65536)
         val w = Window.orderBy(col("price"), col("l_orderkey"),
           col("l_linenumber"))
         sample
@@ -446,7 +453,8 @@ object Integrity extends QueryModule {
         |        substr(md5('rb' || CAST(l_orderkey AS VARCHAR) || '-'
         |          || CAST(l_linenumber AS VARCHAR)), i, 1)) - 1 AS BIGINT)
         |      << (4 * (8 - i)) for i in range(1, 9)]) AS BIGINT)
-        |    % (CAST(1 AS BIGINT) << b) = 0),
+        |    % (CAST(1 AS BIGINT) << b) = 0
+        |  ORDER BY price, l_orderkey, l_linenumber LIMIT 65536),
         |t AS (SELECT price, CAST(ntile(32) OVER (ORDER BY price,
         |    l_orderkey, l_linenumber) AS BIGINT) AS tile FROM s)
         |SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,

@@ -32,6 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
+  /** All-pairs tripwire for the declared-exact truth twins: the guard
+    * is a PAIR budget, not a vector count — n·(n−1)/2 ≤ 5×10⁹
+    * candidate pairs (a few minutes of fused codegen'd dot products on
+    * one executor-scale box), which derives the vector cap below.
+    * The former 1M-vector cap admitted ~5×10¹¹ pairs — the job would
+    * be dead long before the guard fired; this one trips while the
+    * work is still tractable, naming the bucketed spellings to use
+    * instead.
+    */
+  val allPairsBudget: Long = 5000000000L
+  val allPairsMaxVectors: Long = {
+    // largest n with n·(n−1)/2 ≤ budget
+    val n = math.floor((1.0 + math.sqrt(1.0 + 8.0 *
+      allPairsBudget.toDouble)) / 2.0).toLong
+    if (n * (n - 1) / 2 > allPairsBudget) n - 1 else n
+  }
+
   /** Exact fixed-point dot product — native codegen'd Catalyst expression
     * (graft.functions.QuantizedDot): one fused loop over the float
     * arrays, no intermediate arrays, stays inside whole-stage codegen.
@@ -249,11 +266,15 @@ object Similarity extends QueryModule {
     "q_dedup_embedding" -> ((s, d) => {
       // memoized per (dir, table): the guard scan runs once per
       // session, not once per invocation (bench passes re-run queries)
-      val nVec = graft.Tables.cappedCount(s, d, "embeddings", 1000000L)
-      require(nVec <= 1000000L,
+      val nVec = graft.Tables.cappedCount(s, d, "embeddings",
+        Similarity.allPairsMaxVectors)
+      require(nVec <= Similarity.allPairsMaxVectors,
         s"q_dedup_embedding is the all-pairs EXACT truth twin " +
-          s"(n=$nVec vectors => ~${nVec * nVec / 2} pairs); beyond 1M " +
-          "vectors use the bucketed spellings: q_sim_lsh / " +
+          s"(n=$nVec vectors => >${Similarity.allPairsBudget} " +
+          s"candidate pairs, over the ${Similarity.allPairsBudget} " +
+          "pair budget); beyond " +
+          s"${Similarity.allPairsMaxVectors} vectors use the " +
+          "bucketed spellings: q_sim_lsh / " +
           "q_dedup_semantic (IVF cells) / q_rank_rerank")
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").as("q"))

@@ -23,6 +23,44 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Bounded-window walker (round-17 ask #1): a node below a global
+    * window is REDUCING when its output size is bounded independent of
+    * the corpus — an aggregate (O(groups)), a limit/top-k (O(k)), or a
+    * BroadcastExchange (the broadcast contract bounds the build side).
+    */
+  private def isReducer(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => true
+      case _: LocalLimitExec | _: GlobalLimitExec |
+           _: CollectLimitExec | _: TakeOrderedAndProjectExec => true
+      case _: WindowGroupLimitExec => true
+      case _: BroadcastExchangeExec => true
+      case _ => false
+    }
+  }
+
+  /** File scans reachable from `p` without crossing a reducing node —
+    * each is a corpus-sized relation a global window would drag into
+    * one task.
+    */
+  private def unreducedScans(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    if (isReducer(p)) Nil
+    else p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.nodeName +
+          s" [${s.metadata.getOrElse("Location", "?").takeRight(60)}]")
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(s.nodeName)
+      case other => other.children.flatMap(unreducedScans)
+    }
+
   test("filter predicates push into the parquet scan") {
     val p = plan("q_filter_pred")
     assert(p.contains("PushedFilters: ["), p.take(2000))
@@ -1091,6 +1129,76 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  /** Round-17 ask #1: the bounded-window discipline is INVENTORY-WIDE.
+    * Dozens of queries run `WindowExec` with no partition spec BY
+    * DESIGN — but only over reduced grids (O(bins)/O(days) aggregates,
+    * top-k survivors, broadcast-bounded scalars), never over a
+    * corpus-sized file scan. Until now each was adjudicated per-query;
+    * this sweep pins the rule structurally for EVERY registered batch
+    * query: from each global window, every path down to a parquet
+    * scan must cross a REDUCING node first —
+    *   - an aggregate (Hash/ObjectHash/SortAggregateExec): output is
+    *     O(groups), the grid the window was built for;
+    *   - a limit (Local/Global/CollectLimit, TakeOrderedAndProject,
+    *     WindowGroupLimit): output is O(k) by construction;
+    *   - a BroadcastExchange: the build side of a broadcast join is
+    *     size-bounded by the broadcast contract itself.
+    * A path that reaches a FileSourceScanExec/BatchScanExec through
+    * none of these would single-partition the corpus — the anti-
+    * pattern this test exists to reject. The allowlist is EMPTY; keep
+    * it that way unless a future query has a measured, documented
+    * bounded-input reason the walker cannot see.
+    */
+  test("inventory-wide sweep: every GLOBAL window sits above a " +
+    "reducing node on every path to a file scan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allow = Set.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_streaming_"))
+    assert(names.size >= 519, s"sweep shrank: ${names.size}")
+    val offenders = names.flatMap { q =>
+      // sparkPlan, not executedPlan: AdaptiveSparkPlanExec is a leaf
+      val pe = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val bad = pe.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          unreducedScans(w.child)
+      }.flatten
+      if (bad.nonEmpty && !allow(q)) Some(s"$q -> ${bad.mkString("; ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "global window over an unreduced file scan in:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  /** The sweep above must actually bite: a seeded violation — a global
+    * row_number straight over the lineitem scan — is rejected by the
+    * SAME walker, and a reduced spelling (aggregate below the window)
+    * passes it.
+    */
+  test("bounded-window walker rejects a seeded global window over a " +
+    "raw corpus scan and passes the aggregated spelling") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def hits(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          unreducedScans(w.child)
+      }.flatten
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val seeded = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    assert(hits(seeded).nonEmpty,
+      "seeded violation not detected — the walker is blind:\n" +
+        seeded.queryExecution.sparkPlan.toString.take(2000))
+    val reduced = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
+    assert(hits(reduced).isEmpty,
+      "aggregated global window must pass the walker")
   }
 
   test("q_topsis_rank: normalization rows ride broadcasts and the " +

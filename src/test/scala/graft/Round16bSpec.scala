@@ -507,8 +507,11 @@ class Round16bSpec extends AnyFunSuite {
     assert(r.length == 1)
     val h = r.head
     assert(h.getAs[Long]("n_users") == 1L)
-    assert(h.getAs[Long]("true_f2") == 9L)
-    assert(h.getAs[Long]("est_f2") == 9L)
+    // squares accumulate in DECIMAL(38,0) (overflow-proof at scale)
+    assert(h.getAs[java.math.BigDecimal]("true_f2")
+      .longValueExact == 9L)
+    assert(h.getAs[java.math.BigDecimal]("est_f2")
+      .longValueExact == 9L)
     assert(h.getAs[Double]("rel_err") == 0.0)
     cleanup(dir)
   }
@@ -533,8 +536,10 @@ class Round16bSpec extends AnyFunSuite {
     val expected = ests(3) // lower median of 8
     val r = SparkEntry.queries("q_ams_f2")(spark, dir).collect()
     val h = r.head
-    assert(h.getAs[Long]("true_f2") == 5L)
-    assert(h.getAs[Long]("est_f2") == expected)
+    assert(h.getAs[java.math.BigDecimal]("true_f2")
+      .longValueExact == 5L)
+    assert(h.getAs[java.math.BigDecimal]("est_f2")
+      .longValueExact == expected)
     cleanup(dir)
   }
 

@@ -24,9 +24,17 @@ def fold_level(dst, src, factor, note_rows):
     if not dst or not src:
         return
     thr = dst.get("threshold", 1.3)
+    # Flags: ScaleProbe decides on UNROUNDED exponents but stores 2-dp
+    # values, so recomputing every row's flag from the stored artifact
+    # can flip a query sitting within ~0.005 of the threshold on any
+    # unrelated merge. Keep untouched rows at their prior membership;
+    # re-decide ONLY rows this merge actually changed, on the unrounded
+    # value computed here (the same quantity ScaleProbe flags on).
+    flagged = set(dst.get("flagged", []))
     for q, row in src.get("queries", {}).items():
         cur = dst["queries"].get(q)
-        if cur is None:
+        # {"failed":true} rows (either side) carry no base/scaled keys.
+        if cur is None or cur.get("failed") or row.get("failed"):
             continue
         changed = False
         for side in ("base", "scaled"):
@@ -40,14 +48,15 @@ def fold_level(dst, src, factor, note_rows):
         cur["exponent"] = round(math.log(ratio) / math.log(factor), 2)
         out_ratio = cur.get("out_ratio", 1.0)
         eff = ratio / max(1.0, out_ratio / factor)
-        cur["exp_per_out"] = round(math.log(max(eff, 1e-9))
-                                   / math.log(factor), 2)
+        per_out_raw = math.log(max(eff, 1e-9)) / math.log(factor)
+        cur["exp_per_out"] = round(per_out_raw, 2)
+        row_thr = 1.5 if q.endswith("_wedge") else thr
+        if per_out_raw > row_thr:
+            flagged.add(q)
+        else:
+            flagged.discard(q)
         note_rows.append(q)
-    wedge_thr = 1.5
-    dst["flagged"] = [
-        q for q, row in dst["queries"].items()
-        if row.get("exp_per_out", row["exponent"]) >
-        (wedge_thr if q.endswith("_wedge") else thr)]
+    dst["flagged"] = sorted(flagged)
 
 
 def main():
@@ -64,6 +73,8 @@ def main():
                             ("skew_graph_level", None)):
             if sub.get(key, {}).get("queries"):
                 dst = main_doc.get(key)
+                if dst is None:
+                    continue
                 f = factor or float(dst.get("factor", 30))
                 fold_level(dst, sub[key], f, touched)
         if touched:

@@ -80,7 +80,23 @@ object ScaleProbe {
     // round-16 continuation: the one addition above the 1.5 s pool
     // floor (2.62 s quiet at sf0.1) — the Salton card, sharing the
     // df-capped posting emission the commonnbrs/RA entries probe
-    "q_graph_salton")
+    "q_graph_salton",
+    // round 17 (r16 ask #7): the floor rule is now SPEC-ENFORCED
+    // (ProbePoolSpec reads BENCH_DETAIL MINs against this list), and
+    // this is the compliance sweep it forced — every remaining
+    // non-streaming query above 1.5 s in the r16 BENCH_DETAIL record:
+    // the iterative driver-coordination loops (pagerank, k-center,
+    // max-coverage, BFS/bridges/k-core), the ngram/text tail (LM,
+    // t-score, novelty curve, templates, RAKE, self-BLEU, tf-idf
+    // top-k, PRF expansion, corpus pipeline), and the
+    // ANN/quality/forecast stragglers.
+    "q_select_coverage", "q_template_ngram", "q_corpus_pipeline",
+    "q_graph_bfs", "q_kcenter_seed", "q_graph_bridges",
+    "q_kcore_prune", "q_ngram_novelty_curve", "q_dedup_minhash",
+    "q_self_bleu", "q_pagerank_iter", "q_rake_keywords",
+    "q_ann_recall", "q_croston", "q_prf_expand", "q_tfidf_topk",
+    "q_quality_ensemble", "q_ngram_lm", "q_ngram_tscore",
+    "q_ivf_nprobe_curve")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

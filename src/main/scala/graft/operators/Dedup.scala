@@ -165,6 +165,40 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Exact-Jaccard verification on a candidate pair relation — the
+    * shared tail of q_dedup_minhash and q_minhash_delta: fetch the
+    * per-doc shingle arrays (map-side, per-doc-distinct via array op —
+    * no extra shuffle) for the few surviving pairs. Broadcast the
+    * CANDIDATE side (genuinely small), stream the docs — never let
+    * the planner broadcast the array-carrying docs relation. At
+    * fleet scale with huge candidate sets this becomes a shuffle
+    * join on doc_id instead.
+    */
+  private def jaccardVerify(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
+    docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(broadcast(cand), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        .hint("shuffle_hash"), "b_id")
+      // null-safe denominator: two gram-less docs (<3 tokens) share
+      // identical all-MaxValue band keys and reach the verify with
+      // empty shingle sets — under ANSI mode the raw 0/0 division
+      // THROWS (and pre-ANSI its NaN would pass `>= 0.5` via Spark's
+      // nan-safe compare). nullif-style guard makes jac NULL there,
+      // which the filter drops — matching the DuckDB oracle's
+      // omission of gram-less docs (ADVICE r11 #1)
+      .select(col("a_id"), col("b_id"),
+        graft.Det.let(
+          size(array_union(col("a_sh"), col("b_sh")))) { un =>
+          size(array_intersect(col("a_sh"), col("b_sh")))
+            .cast("double") / when(un > 0, un)
+        }.as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Canonical LSH candidate generation: the band self-join moves ONLY
     // (band, bkey, doc_id) — 24 bytes/row — never the shingle arrays;
@@ -172,36 +206,48 @@ object Dedup extends QueryModule {
     // arrays are fetched, so exact Jaccard runs once per unique
     // candidate. This is the shape that survives 100 TB: shuffle volume
     // is O(docs * bands), not O(docs * bands * doclen).
-    "q_dedup_minhash" -> ((s, d) => {
-      val cand = minhashCandidates(s, d)
-      // exact-Jaccard verification on the candidates only: fetch the
-      // per-doc shingle arrays (map-side, per-doc-distinct via array op —
-      // no extra shuffle) for the few surviving pairs. Broadcast the
-      // CANDIDATE side (genuinely small), stream the docs — never let
-      // the planner broadcast the array-carrying docs relation. At
-      // fleet scale with huge candidate sets this becomes a shuffle
-      // join on doc_id instead.
-      val docs = table(s, d, "documents")
-        .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
-      docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-        .join(broadcast(cand), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-          .hint("shuffle_hash"), "b_id")
-        // null-safe denominator: two gram-less docs (<3 tokens) share
-        // identical all-MaxValue band keys and reach the verify with
-        // empty shingle sets — under ANSI mode the raw 0/0 division
-        // THROWS (and pre-ANSI its NaN would pass `>= 0.5` via Spark's
-        // nan-safe compare). nullif-style guard makes jac NULL there,
-        // which the filter drops — matching the DuckDB oracle's
-        // omission of gram-less docs (ADVICE r11 #1)
-        .select(col("a_id"), col("b_id"),
-          graft.Det.let(
-            size(array_union(col("a_sh"), col("b_sh")))) { un =>
-            size(array_intersect(col("a_sh"), col("b_sh")))
-              .cast("double") / when(un > 0, un)
-          }.as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy("a_id", "b_id")
+    "q_dedup_minhash" -> ((s, d) =>
+      jaccardVerify(s, d, minhashCandidates(s, d))),
+
+    // --- incremental minhash-index maintenance (round 17): the 100 TB
+    // OPERATIONAL shape of q_dedup_minhash — a delta batch of new
+    // documents (doc_id % 5 = 0, the same "new batch" convention
+    // q_dedup_incremental established) joins an EXISTING band index
+    // without re-pairing the corpus. The index side (base docs' band
+    // keys — in production a MATERIALIZED table maintained across
+    // batches, with deletions dropped as q_cdc_merge-style tombstones
+    // before the probe) is NEVER self-joined and never grouped into
+    // posting lists here; it is probed by a BROADCAST of the delta's
+    // band keys (O(|delta|·bands) — the delta is small by definition,
+    // that is what makes it a delta), so the per-batch cost is
+    // O(delta), not O(corpus). Delta-internal pairs come from posting
+    // lists over the delta stream alone. Together with the stored
+    // base-only census this reproduces the from-scratch rebuild
+    // EXACTLY — band keys are per-doc, so a merged-corpus bucket
+    // collision is either base×base (already in the stored census),
+    // delta×base (the probe), or delta×delta (the posting pass);
+    // IncrementalDedupSpec asserts that equality. ---
+    "q_minhash_delta" -> ((s, d) => {
+      val isDelta = col("doc_id") % 5 === 0
+      val bands = table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
+            Bands)).as(Seq("band", "bkey")))
+      val bDelta = bands.filter(isDelta)
+      val bBase = bands.filter(!isDelta)
+      // delta × index probe: the broadcast side is the DELTA (bounded
+      // per batch); the index streams map-side underneath it
+      val dbCand = bBase
+        .join(broadcast(bDelta.select(col("band"), col("bkey"),
+          col("doc_id").as("d_id"))), Seq("band", "bkey"))
+        .select(least(col("doc_id"), col("d_id")).as("a_id"),
+          greatest(col("doc_id"), col("d_id")).as("b_id"))
+      // delta × delta: the posting-list idiom over the delta stream only
+      val ddCand = TextPipeline.postingPairs(
+        bDelta.groupBy("band", "bkey")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) >= 2))
+      jaccardVerify(s, d, dbCand.union(ddCand).distinct())
     }),
 
     // --- transitive near-dup clustering: connected components over the
@@ -556,6 +602,8 @@ object Dedup extends QueryModule {
     // the signatures themselves oracle-checkable — DuckDB rebuilds band
     // keys / sign bits bit-exactly via the HUGEINT XXH64 emulation
     "q_dedup_minhash" -> SigOracle.minhashSql,
+    "q_minhash_delta" -> SigOracle.minhashSqlWhere(
+      "(x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)"),
     "q_dedup_simhash" -> SigOracle.simhashSql,
 
     "q_dedup_cascade" ->

@@ -29,7 +29,14 @@ private[graft] object SigOracle {
   /** q_dedup_minhash twin: MinHashBandKeys(toks, 3, 32, 8) ->
     * postingPairs -> distinct -> exact Jaccard >= 0.5.
     */
-  val minhashSql: String = {
+  val minhashSql: String = minhashSqlWhere("TRUE")
+
+  /** q_minhash_delta twin: the SAME signature emulation with the
+    * bucket-collision pairs restricted by `pairCond` (over x.doc_id /
+    * y.doc_id) — the delta query is from-scratch minhash minus the
+    * base×base pairs, which is exactly a pair-level predicate.
+    */
+  def minhashSqlWhere(pairCond: String): String = {
     // the four sequential band-fold steps acc_{k+1} = hashLong(mv_k, acc_k)
     val folds = (0 until 4).map { k =>
       val src =
@@ -67,7 +74,8 @@ private[graft] object SigOracle {
        |pr AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM pp x JOIN pp y
        |  ON x.band = y.band AND x.bkey = y.bkey
-       |    AND x.doc_id < y.doc_id),
+       |    AND x.doc_id < y.doc_id
+       |  WHERE $pairCond),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
        |ix AS (SELECT p.a_id, p.b_id, COUNT(*) AS ni
        |  FROM pr p

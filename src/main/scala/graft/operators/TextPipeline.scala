@@ -406,6 +406,58 @@ object TextPipeline extends QueryModule {
         .orderBy("doc_id", "span_start")
     }),
 
+    // --- benchmark-contamination gate (round 17): the GPT-3 /
+    // Lee-et-al. decontamination pass — find the positional extents of
+    // 13-gram overlap between training documents and a benchmark
+    // suite, the spans an excision pass would cut before training.
+    // The benchmark is stood in by a deterministic md5 1/16 sample of
+    // the corpus (a real pass reads the suite from a fixture table —
+    // the pipeline shape is identical and the stand-in guarantees
+    // non-empty overlap on the synthetic corpus at every SF). Scale
+    // shape: the benchmark gram set is TINY relative to the corpus
+    // (real suites are a few million grams), so it broadcasts and the
+    // corpus gram stream is matched MAP-SIDE — the corpus is never
+    // shuffled on grams (cheaper than q_dedup_spans, which must
+    // group the full stream); the only shuffles are the benchmark-side
+    // distinct (bounded by the suite) and the per-doc islands window
+    // over hit positions (O(hits), not O(corpus)). At fleet scale a
+    // >100 MB suite swaps the broadcast for a shuffle join — same
+    // relation, planner hint away. ---
+    "q_contam_spans" -> ((s, d) => {
+      val isBench = substring(md5(concat(lit("bm"),
+        col("doc_id").cast("string"))), 1, 1) === "0"
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"), isBench.as("bench"),
+          posexplode(let(toks) { tk =>
+            when(size(tk) >= 13, transform(sequence(lit(1), size(tk) - 12),
+              i => concat_ws(" ",
+                (0 until 13).map(k => element_at(tk, i + k)): _*)))
+              .otherwise(array().cast("array<string>"))
+          }).as(Seq("pos0", "g")))
+        .select(col("doc_id"), col("bench"),
+          (col("pos0") + 1).cast("long").as("pos"), col("g"))
+      val benchGrams = sh.filter(col("bench")).select("g").distinct()
+      val hit = sh.filter(!col("bench"))
+        .join(broadcast(benchGrams), "g")
+        .select("doc_id", "pos")
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      hit
+        .withColumn("lagpos",
+          coalesce(lag(col("pos"), 1).over(wl), col("pos")))
+        .withColumn("island",
+          sum(when(col("pos") - col("lagpos") > 13, 1L).otherwise(0L))
+            .over(wl))
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + 13).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_len"),
+          col("n_grams"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // --- BPE pair-statistics step: the frequency count of adjacent
     // symbol pairs within tokens that drives each byte-pair-encoding
     // merge — one iteration of tokenizer training over the corpus. The
@@ -1164,6 +1216,35 @@ object TextPipeline extends QueryModule {
         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
         |  CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_contam_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(md5('bm' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |      AS bench,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, bench, i AS pos,
+        |         array_to_string(
+        |           tk[CAST(i AS INTEGER):CAST(i + 12 AS INTEGER)],
+        |           ' ') AS g
+        |       FROM t, unnest(range(1, len(tk) - 11)) AS u(i)),
+        |bg AS (SELECT DISTINCT g FROM sh WHERE bench),
+        |hit AS (SELECT doc_id, pos FROM sh JOIN bg USING (g)
+        |        WHERE NOT bench),
+        |lg AS (SELECT doc_id, pos,
+        |         COALESCE(lag(pos) OVER (PARTITION BY doc_id
+        |           ORDER BY pos), pos) AS lagpos
+        |       FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(CASE WHEN pos - lagpos > 13 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM lg)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 13 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) + 13 - MIN(pos) AS BIGINT) AS span_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
 

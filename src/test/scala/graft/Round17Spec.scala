@@ -56,4 +56,71 @@ class Round17Spec extends AnyFunSuite {
     assert(e.getMessage.contains("q_sim_lsh"), e.getMessage)
     cleanup(dir)
   }
+
+  // ---- incremental minhash-index maintenance (verdict task #6) ---- //
+
+  test("q_minhash_delta: stored base-only census + delta work equals " +
+    "the from-scratch q_dedup_minhash rebuild on the merged corpus") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jac"))
+    val scratch = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .collect().map(key).toSet
+    val delta = SparkEntry.queries("q_minhash_delta")(spark, sf)
+      .collect().map(key).toSet
+    assert(delta.nonEmpty, "delta batch produced no pairs at sf0.001")
+    // the delta output is EXACTLY the delta-involved slice of the
+    // from-scratch rebuild...
+    val expectedDelta = scratch.filter { case (a, b, _) =>
+      a % 5 == 0 || b % 5 == 0 }
+    assert(delta == expectedDelta,
+      s"delta mismatch: extra=${delta -- expectedDelta}, " +
+        s"missing=${expectedDelta -- delta}")
+    // ...so stored base×base pairs + delta work rebuild the census
+    val baseOnly = scratch.filter { case (a, b, _) =>
+      a % 5 != 0 && b % 5 != 0 }
+    assert((baseOnly ++ delta) == scratch && (baseOnly & delta).isEmpty,
+      "base-only ∪ delta must partition the from-scratch census")
+  }
+
+  // ---- benchmark-contamination fixture (verdict task #4) ---- //
+
+  test("q_contam_spans: a copied benchmark doc and a 13-gram quote " +
+    "yield exactly the hand-computed contaminated spans") {
+    import spark.implicits._
+    val dir = tmpDir("contam")
+    // doc 6 passes the md5('bm'||id) benchmark gate (hex digit '0');
+    // docs 0/1/2 do not (verified via MessageDigest below)
+    def gate(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"bm$id".getBytes("UTF-8")).take(1)
+        .map("%02x".format(_)).mkString.startsWith("0")
+    }
+    assert(gate(6) && !gate(0) && !gate(1) && !gate(2))
+    val w = (1 to 20).map(i => s"w$i")
+    val benchText = w.mkString(" ")                       // w1..w20
+    val quote = "x1 x2 " + w.take(13).mkString(" ") + " x3"
+    val rows = Seq(
+      (6L, benchText, "en", "src0", benchText.length.toLong),
+      (0L, quote, "en", "src0", quote.length.toLong),     // 1 gram hit
+      (1L, benchText, "en", "src1", benchText.length.toLong), // copy
+      (2L, "y1 y2 y3", "en", "src2", 8L))                 // clean
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_contam_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"),
+        r.getAs[Long]("n_grams")))
+    // doc 0: grams at pos 1..4; only pos 3 (= w1..w13) matches a
+    //   benchmark gram -> one 13-token span [3, 16)
+    // doc 1: a verbatim copy -> all 8 grams hit, one fused island
+    //   [1, 21) of length 20
+    // doc 2 clean, doc 6 is the benchmark itself (never reported)
+    assert(out.toSeq == Seq(
+      (0L, 3L, 16L, 13L, 1L),
+      (1L, 1L, 21L, 20L, 8L)), out.mkString(", "))
+    cleanup(dir)
+  }
 }

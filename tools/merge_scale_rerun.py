@@ -34,7 +34,18 @@ def fold_level(dst, src, factor, note_rows):
     for q, row in src.get("queries", {}).items():
         cur = dst["queries"].get(q)
         # {"failed":true} rows (either side) carry no base/scaled keys.
-        if cur is None or cur.get("failed") or row.get("failed"):
+        if row.get("failed") or (cur is not None and cur.get("failed")):
+            continue
+        if cur is None:
+            # UPSERT (round 17): a query newly admitted to the pool
+            # (ProbePoolSpec floor rule) arrives via a subset run —
+            # copy its complete row and decide its flag from the
+            # rerun's own exponent.
+            dst["queries"][q] = dict(row)
+            val = row.get("exp_per_out", row["exponent"])
+            row_thr = 1.5 if q.endswith("_wedge") else thr
+            (flagged.add if val > row_thr else flagged.discard)(q)
+            note_rows.append(q)
             continue
         changed = False
         for side in ("base", "scaled"):

@@ -165,19 +165,24 @@ object Bench {
           .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detailPath = "/root/repo/BENCH_DETAIL.json"
     // A SPARK_GRAFT_ONLY subset run is a local iteration tool — never
-    // let it clobber the committed full-suite record this file holds.
+    // let it clobber the committed full-suite record BENCH_DETAIL.json
+    // holds; SPARK_GRAFT_DETAIL_OUT redirects a subset's full-precision
+    // record to its own file (the panel runner uses this — same
+    // redirect discipline as ScaleProbe's SPARK_GRAFT_OUT).
+    val detailPath =
+      if (only.isEmpty) Some("/root/repo/BENCH_DETAIL.json")
+      else sys.env.get("SPARK_GRAFT_DETAIL_OUT")
     val sha = GitSha.resolve()
-    try if (only.isEmpty) {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+    try detailPath.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""queries":$detail,"samples":$samplesJson,""" +
           s""""failed":$failedJson,""" +
           s""""sf":"$sfDir","passes":$passes,"git_sha":"$sha"}""" +
           "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $detailPath: $e")
+      System.err.println(s"[bench] could not write ${detailPath.orNull}: $e")
     }
     // The harness records only the LAST ~2000 BYTES of stdout and parses
     // the JSON line out of that tail — a longer line gets truncated from

@@ -327,12 +327,30 @@ object Multimodal extends QueryModule {
   /** MPEG-1 sample-rate table by 2-bit index (3 = reserved). */
   private val Mp3RateByIndex: Array[Int] = Array(44100, 48000, 32000)
 
+  /** FLAC STREAMINFO sample-rate table used by the synth (all valid
+    * 20-bit rates; 24000 exercises a value absent from the WAV set).
+    */
+  private val FlacRates: Array[Int] = Array(
+    8000, 16000, 22050, 24000, 44100, 48000)
+
+  /** Vorbis nominal-bitrate ladder (kbps) used by the synth. */
+  private val VorbisKbps: Array[Int] = Array(
+    64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
   /** Deterministic synthetic audio payload with a REAL container
-    * header: doc_id even → WAV (RIFF/WAVE; a LIST chunk sits BEFORE
-    * `fmt ` when doc_id%4==2, odd-size and padded per RIFF, so the
-    * chunk walk — not a fixed offset — is load-bearing); doc_id odd →
-    * MP3 (MPEG-1 Layer III frame header; doc_id%3==0 prepends an
-    * ID3v2.3 tag of syncsafe size doc_id%100 the parser must skip).
+    * header — FOUR families by doc_id%4 (round 17 widened the r16
+    * WAV/MP3 pair with FLAC and Ogg/Vorbis):
+    *   0 → WAV (RIFF/WAVE; a LIST chunk sits BEFORE `fmt ` when
+    *     (doc_id/4)%2==1, odd-size and padded per RIFF, so the chunk
+    *     walk — not a fixed offset — is load-bearing);
+    *   1 → MP3 (MPEG-1 Layer III frame header; doc_id%3==0 prepends
+    *     an ID3v2.3 tag of syncsafe size doc_id%100 to skip);
+    *   2 → FLAC (fLaC magic + last-flag STREAMINFO block: 20-bit
+    *     sample rate / 3-bit channels-1 / 5-bit bps-1 packed fields);
+    *   3 → Ogg/Vorbis (OggS BOS page with a VARIABLE 1-3 entry
+    *     segment table the parser must skip by count, then the
+    *     0x01+"vorbis" id header: u8 channels, LE u32 rate, LE i32
+    *     nominal bitrate).
     * doc_id%11==0 → first 2 bytes only (the truncated-crawl error
     * path; 11, not the image family's 13, so the two corrupt classes
     * don't shadow each other in cross-family queries).
@@ -340,13 +358,13 @@ object Multimodal extends QueryModule {
   private[graft] def synthAudioPayload(docId: Long,
       textBytes: Array[Byte]): Array[Byte] = {
     val body = textBytes.take(64)
-    val full: Array[Byte] =
-      if (docId % 2 == 0) {
+    val full: Array[Byte] = (docId % 4) match {
+      case 0 =>
         val channels = if (docId % 3 == 0) 2 else 1
         val rate = Array(8000, 16000, 22050, 44100, 48000)(
           (docId % 5).toInt)
         val bits = 8 * (1 + ((docId % 7) % 3)).toInt
-        val hasList = docId % 4 == 2
+        val hasList = (docId / 4) % 2 == 1
         val listLen = (docId % 9).toInt
         val listPad = listLen % 2
         val listBytes = if (hasList) 8 + listLen + listPad else 0
@@ -373,13 +391,13 @@ object Multimodal extends QueryModule {
         buf.putInt(body.length)
         buf.put(body)
         buf.array()
-      } else {
+      case 1 =>
         val hasId3 = docId % 3 == 0
         val tagLen = (docId % 100).toInt // < 128: one syncsafe byte
         val id3Bytes = if (hasId3) 10 + tagLen else 0
         val bitrateIdx = (1 + docId % 14).toInt
         val srIdx = (docId % 3).toInt
-        val mode = (docId % 4).toInt // odd ids: 1 = joint, 3 = mono
+        val mode = ((docId / 4) % 4).toInt // 3 = mono
         val buf = java.nio.ByteBuffer.allocate(id3Bytes + 4 + body.length)
         if (hasId3) {
           buf.put("ID3".getBytes("US-ASCII"))
@@ -394,7 +412,57 @@ object Multimodal extends QueryModule {
         buf.put((mode << 6).toByte)
         buf.put(body)
         buf.array()
-      }
+      case 2 =>
+        val rate = FlacRates((docId % 6).toInt)
+        val channels = 1 + ((docId / 4) % 2).toInt
+        val bits = 8 * (1 + ((docId % 7) % 3)).toInt
+        val buf = java.nio.ByteBuffer.allocate(8 + 34 + body.length)
+        buf.put("fLaC".getBytes("US-ASCII"))
+        buf.put(0x80.toByte) // last-metadata-block, type 0 = STREAMINFO
+        buf.put(0.toByte).put(0.toByte).put(34.toByte) // length u24 BE
+        buf.putShort(4096.toShort) // min blocksize
+        buf.putShort(4096.toShort) // max blocksize
+        buf.put(0.toByte).put(0.toByte).put(0.toByte) // min framesize
+        buf.put(0.toByte).put(0.toByte).put(0.toByte) // max framesize
+        // packed: rate(20) | ch-1(3) | bps-1(5) | total samples(36)
+        val packed = (rate.toLong << 44) |
+          ((channels - 1).toLong << 41) |
+          ((bits - 1).toLong << 36) | body.length.toLong
+        buf.putLong(packed)
+        buf.put(Array.fill(16)(0.toByte)) // md5 of raw audio (unused)
+        buf.put(body)
+        buf.array()
+      case _ =>
+        val nsegs = 1 + (docId % 3).toInt
+        val channels = 1 + ((docId / 4) % 2).toInt
+        val rate = Array(8000, 16000, 22050, 44100, 48000)(
+          (docId % 5).toInt)
+        val nominal = VorbisKbps(((docId / 4) % 10).toInt) * 1000
+        val buf = java.nio.ByteBuffer
+          .allocate(27 + nsegs + 30 + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("OggS".getBytes("US-ASCII"))
+        buf.put(0.toByte) // stream structure version
+        buf.put(2.toByte) // header type: beginning-of-stream
+        buf.putLong(0L) // granule position
+        buf.putInt((docId % 256).toInt) // bitstream serial
+        buf.putInt(0) // page sequence
+        buf.putInt(0) // crc (unchecked by a header sniffer)
+        buf.put(nsegs.toByte)
+        buf.put(Array.fill(nsegs)(30.toByte)) // lacing values
+        buf.put(1.toByte) // packet type: identification
+        buf.put("vorbis".getBytes("US-ASCII"))
+        buf.putInt(0) // vorbis version
+        buf.put(channels.toByte)
+        buf.putInt(rate)
+        buf.putInt(0) // bitrate_maximum
+        buf.putInt(nominal) // bitrate_nominal
+        buf.putInt(0) // bitrate_minimum
+        buf.put(0xB8.toByte) // blocksize_0/1 exponents
+        buf.put(1.toByte) // framing flag
+        buf.put(body)
+        buf.array()
+    }
     if (docId % 11 == 0) full.take(2) else full
   }
 
@@ -442,6 +510,44 @@ object Multimodal extends QueryModule {
     } else if (p.length >= 2 && (p(0) & 0xFF) == 0xFF &&
         (p(1) & 0xE0) == 0xE0) {
       parseMp3Frame(p, 0L)
+    } else if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' &&
+        p(2) == 'a' && p(3) == 'C') {
+      // FLAC: the spec mandates STREAMINFO (type 0, length 34) as the
+      // FIRST metadata block — validate the block header, then unpack
+      // the 20-bit rate / 3-bit channels-1 / 5-bit bps-1 fields
+      if (p.length < 8 + 34 || (p(4) & 0x7F) != 0 ||
+          ((p(5) & 0xFF) << 16 | (p(6) & 0xFF) << 8 | (p(7) & 0xFF))
+            < 34)
+        ("flac", none, none, none)
+      else {
+        val rate = ((p(18) & 0xFF).toLong << 12) |
+          ((p(19) & 0xFF).toLong << 4) | ((p(20) & 0xF0) >> 4).toLong
+        val ch = (((p(20) & 0x0E) >> 1) + 1).toLong
+        val bits = ((((p(20) & 0x01) << 4) |
+          ((p(21) & 0xF0) >> 4)) + 1).toLong
+        if (rate > 0) ("flac", rate, ch, rate * ch * bits)
+        else ("flac", none, none, none)
+      }
+    } else if (p.length >= 4 && p(0) == 'O' && p(1) == 'g' &&
+        p(2) == 'g' && p(3) == 'S') {
+      // Ogg: version-0 page header, then skip the VARIABLE-length
+      // segment table by its count (byte 26) to the first packet — a
+      // Vorbis identification header (0x01 "vorbis": u8 channels,
+      // LE u32 rate, LE i32 nominal bitrate)
+      if (p.length < 27 || p(4) != 0) ("ogg", none, none, none)
+      else {
+        val pk = 27 + (p(26) & 0xFF)
+        if (pk + 30 > p.length || p(pk) != 1 ||
+            new String(p, pk + 1, 6, "US-ASCII") != "vorbis")
+          ("ogg", none, none, none)
+        else {
+          val ch = (p(pk + 11) & 0xFF).toLong
+          val rate = le32u(p, pk + 12)
+          val nominal = (le32u(p, pk + 20).toInt).toLong // i32
+          if (ch > 0 && rate > 0) ("ogg", rate, ch, nominal)
+          else ("ogg", none, none, none)
+        }
+      }
     } else ("unknown", none, none, none)
   }
 
@@ -508,33 +614,55 @@ object Multimodal extends QueryModule {
   /** Closed-form parsed-audio fields of the synth payload (see
     * synthAudioPayload): fmt / sample_rate / channels / bit_rate /
     * n_bytes as SELECT-list fragments over (doc_id, body) — shared by
-    * both audio oracles so the class map lives in ONE place. The
-    * truncated class (%11) keeps 2 bytes: an un-tagged MP3's first two
-    * bytes are the FF FB sync (recognized, fields -1) while a WAV's
-    * 'RI' and a tagged MP3's 'ID' are unrecognizable.
+    * both audio oracles so the class map lives in ONE place. Round 17
+    * widened the map to FOUR families (doc_id%4: wav/mp3/flac/ogg).
+    * The truncated class (%11) keeps 2 bytes: an un-tagged MP3's first
+    * two bytes are the FF FB sync (recognized, fields -1) while WAV's
+    * 'RI', a tagged MP3's 'ID', FLAC's 'fL' and Ogg's 'Og' are all
+    * unrecognizable at 2 bytes.
     */
   private val audioFieldsSql =
     """CASE WHEN doc_id % 11 = 0 THEN
-      |      CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0
+      |      CASE WHEN doc_id % 4 = 1 AND doc_id % 3 <> 0
       |        THEN 'mp3' ELSE 'unknown' END
-      |    WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS fmt,
+      |    WHEN doc_id % 4 = 0 THEN 'wav'
+      |    WHEN doc_id % 4 = 1 THEN 'mp3'
+      |    WHEN doc_id % 4 = 2 THEN 'flac' ELSE 'ogg' END AS fmt,
       |  CASE WHEN doc_id % 11 = 0 THEN -1
-      |    WHEN doc_id % 2 = 0 THEN
+      |    WHEN doc_id % 4 = 0 OR doc_id % 4 = 3 THEN
       |      CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |        WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+      |    WHEN doc_id % 4 = 2 THEN
+      |      CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |        WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 44100
+      |        ELSE 48000 END
       |    ELSE CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
       |      ELSE 32000 END END AS sample_rate,
       |  CASE WHEN doc_id % 11 = 0 THEN -1
-      |    WHEN doc_id % 2 = 0 THEN
+      |    WHEN doc_id % 4 = 0 THEN
       |      CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
-      |    ELSE CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END
+      |    WHEN doc_id % 4 = 1 THEN
+      |      CASE WHEN (doc_id // 4) % 4 = 3 THEN 1 ELSE 2 END
+      |    ELSE 1 + (doc_id // 4) % 2
       |    END AS channels,
       |  CASE WHEN doc_id % 11 = 0 THEN -1
-      |    WHEN doc_id % 2 = 0 THEN
+      |    WHEN doc_id % 4 = 0 THEN
       |      (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |         WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
       |      * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
       |      * (8 * (1 + (doc_id % 7) % 3))
+      |    WHEN doc_id % 4 = 2 THEN
+      |      (CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 44100
+      |         ELSE 48000 END)
+      |      * (1 + (doc_id // 4) % 2)
+      |      * (8 * (1 + (doc_id % 7) % 3))
+      |    WHEN doc_id % 4 = 3 THEN
+      |      1000 * (CASE (doc_id // 4) % 10
+      |        WHEN 0 THEN 64 WHEN 1 THEN 80 WHEN 2 THEN 96
+      |        WHEN 3 THEN 112 WHEN 4 THEN 128 WHEN 5 THEN 160
+      |        WHEN 6 THEN 192 WHEN 7 THEN 224 WHEN 8 THEN 256
+      |        ELSE 320 END)
       |    ELSE 1000 * (CASE 1 + doc_id % 14
       |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
       |      WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
@@ -542,10 +670,12 @@ object Multimodal extends QueryModule {
       |      WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
       |      WHEN 13 THEN 256 ELSE 320 END) END AS bit_rate,
       |  CASE WHEN doc_id % 11 = 0 THEN 2
-      |    WHEN doc_id % 2 = 0 THEN 44
-      |      + CASE WHEN doc_id % 4 = 2
+      |    WHEN doc_id % 4 = 0 THEN 44
+      |      + CASE WHEN (doc_id // 4) % 2 = 1
       |          THEN 8 + (doc_id % 9) + (doc_id % 9) % 2 ELSE 0 END
       |      + body
+      |    WHEN doc_id % 4 = 2 THEN 42 + body
+      |    WHEN doc_id % 4 = 3 THEN 58 + (doc_id % 3) + body
       |    ELSE 4
       |      + CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 100 ELSE 0 END
       |      + body END AS n_bytes""".stripMargin

@@ -96,6 +96,75 @@ class AudioHeaderSpec extends AnyFunSuite {
     }
   }
 
+  private def goldenFlac(rate: Long, ch: Int, bits: Int,
+      blockType: Int = 0, blockLen: Int = 34): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 34) // big-endian
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put((0x80 | blockType).toByte)
+    buf.put(((blockLen >> 16) & 0xFF).toByte)
+      .put(((blockLen >> 8) & 0xFF).toByte)
+      .put((blockLen & 0xFF).toByte)
+    buf.putShort(4096.toShort).putShort(4096.toShort)
+    buf.put(Array.fill(6)(0.toByte)) // min/max framesize u24s
+    buf.putLong((rate << 44) | ((ch - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | 12345L)
+    buf.put(Array.fill(16)(0.toByte))
+    buf.array()
+  }
+
+  private def goldenOggVorbis(rate: Int, ch: Int, nominal: Int,
+      nsegs: Int = 1, packetType: Int = 1): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(27 + nsegs + 30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("OggS".getBytes("US-ASCII"))
+    buf.put(0.toByte).put(2.toByte)
+    buf.putLong(0L).putInt(7).putInt(0).putInt(0)
+    buf.put(nsegs.toByte).put(Array.fill(nsegs)(30.toByte))
+    buf.put(packetType.toByte).put("vorbis".getBytes("US-ASCII"))
+    buf.putInt(0).put(ch.toByte).putInt(rate)
+    buf.putInt(0).putInt(nominal).putInt(0)
+    buf.put(0xB8.toByte).put(1.toByte)
+    buf.array()
+  }
+
+  test("golden FLAC: STREAMINFO 20-bit rate / 3-bit ch / 5-bit bps " +
+    "unpack (96k stereo 24-bit exercises the high rate bits)") {
+    assert(parseAudioHeader(goldenFlac(96000L, 2, 24)) ==
+      (("flac", 96000L, 2L, 96000L * 2 * 24)))
+    assert(parseAudioHeader(goldenFlac(8000L, 1, 8)) ==
+      (("flac", 8000L, 1L, 8000L * 8)))
+  }
+
+  test("golden FLAC: a non-STREAMINFO first block or a truncated " +
+    "STREAMINFO is recognized but unparseable (spec mandates type 0 " +
+    "first)") {
+    assert(parseAudioHeader(goldenFlac(44100L, 2, 16, blockType = 4))
+      == (("flac", -1L, -1L, -1L)))
+    assert(parseAudioHeader(goldenFlac(44100L, 2, 16).take(20)) ==
+      (("flac", -1L, -1L, -1L)))
+  }
+
+  test("golden Ogg/Vorbis: id header found behind a 3-entry segment " +
+    "table (the count-skip, not a fixed offset, is load-bearing)") {
+    assert(parseAudioHeader(goldenOggVorbis(44100, 2, 128000)) ==
+      (("ogg", 44100L, 2L, 128000L)))
+    assert(parseAudioHeader(goldenOggVorbis(8000, 1, 64000, nsegs = 3))
+      == (("ogg", 8000L, 1L, 64000L)))
+  }
+
+  test("golden Ogg: wrong packet type, wrong version, or truncation " +
+    "before the id header classify as recognized-but-unparseable") {
+    assert(parseAudioHeader(
+      goldenOggVorbis(44100, 2, 128000, packetType = 3)) ==
+      (("ogg", -1L, -1L, -1L)))
+    val badVer = goldenOggVorbis(44100, 2, 128000)
+    badVer(4) = 9
+    assert(parseAudioHeader(badVer) == (("ogg", -1L, -1L, -1L)))
+    assert(parseAudioHeader(
+      goldenOggVorbis(44100, 2, 128000).take(30)) ==
+      (("ogg", -1L, -1L, -1L)))
+  }
+
   // ---- synth/parse roundtrip vs the independent closed form ----
 
   test("parse(synth(id)) matches the closed-form field map for a " +
@@ -103,23 +172,35 @@ class AudioHeaderSpec extends AnyFunSuite {
     val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
       224, 256, 320)
     val wavRates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
+    val flacRates = Array(8000L, 16000L, 22050L, 24000L, 44100L, 48000L)
     val mp3Rates = Array(44100L, 48000L, 32000L)
+    val vorbisKbps = Array(64L, 80L, 96L, 112L, 128L, 160L, 192L,
+      224L, 256L, 320L)
     val text = "the quick brown fox".getBytes("UTF-8")
     (1L to 400L).foreach { id =>
       val got = parseAudioHeader(synthAudioPayload(id, text))
       val expected =
         if (id % 11 == 0) {
-          if (id % 2 == 1 && id % 3 != 0) ("mp3", -1L, -1L, -1L)
+          if (id % 4 == 1 && id % 3 != 0) ("mp3", -1L, -1L, -1L)
           else ("unknown", -1L, -1L, -1L)
-        } else if (id % 2 == 0) {
-          val rate = wavRates((id % 5).toInt)
-          val ch = if (id % 3 == 0) 2L else 1L
-          val bits = 8L * (1 + (id % 7) % 3)
-          ("wav", rate, ch, rate * ch * bits)
-        } else {
-          val ch = if (id % 4 == 3) 1L else 2L
-          ("mp3", mp3Rates((id % 3).toInt), ch,
-            kbps((id % 14).toInt) * 1000L)
+        } else (id % 4) match {
+          case 0 =>
+            val rate = wavRates((id % 5).toInt)
+            val ch = if (id % 3 == 0) 2L else 1L
+            val bits = 8L * (1 + (id % 7) % 3)
+            ("wav", rate, ch, rate * ch * bits)
+          case 1 =>
+            val ch = if ((id / 4) % 4 == 3) 1L else 2L
+            ("mp3", mp3Rates((id % 3).toInt), ch,
+              kbps((id % 14).toInt) * 1000L)
+          case 2 =>
+            val rate = flacRates((id % 6).toInt)
+            val ch = 1L + (id / 4) % 2
+            val bits = 8L * (1 + (id % 7) % 3)
+            ("flac", rate, ch, rate * ch * bits)
+          case _ =>
+            ("ogg", wavRates((id % 5).toInt), 1L + (id / 4) % 2,
+              vorbisKbps(((id / 4) % 10).toInt) * 1000L)
         }
       assert(got == expected, s"id=$id")
     }
@@ -148,13 +229,18 @@ class AudioHeaderSpec extends AnyFunSuite {
     "ID3".getBytes("US-ASCII") ++ b)
   private val mp3ish: Gen[Array[Byte]] = rawBytes.map(b =>
     Array(0xFF.toByte, 0xFA.toByte) ++ b)
+  private val flacish: Gen[Array[Byte]] = rawBytes.map(b =>
+    "fLaC".getBytes("US-ASCII") ++ b)
+  private val oggish: Gen[Array[Byte]] = rawBytes.map(b =>
+    "OggS".getBytes("US-ASCII") ++ b)
 
-  private val fmts = Set("wav", "mp3", "unknown")
+  private val fmts = Set("wav", "mp3", "flac", "ogg", "unknown")
 
   test("parser total on arbitrary bytes: never throws, classifies " +
     "into the declared result space, fields reported together") {
     val cases = sample(rawBytes, 300) ++ sample(wavish, 300) ++
-      sample(id3ish, 300) ++ sample(mp3ish, 300)
+      sample(id3ish, 300) ++ sample(mp3ish, 300) ++
+      sample(flacish, 300) ++ sample(oggish, 300)
     cases.foreach { p =>
       val (fmt, rate, ch, bps) = parseAudioHeader(p) // must not throw
       assert(fmts.contains(fmt))
@@ -194,12 +280,16 @@ class AudioHeaderSpec extends AnyFunSuite {
   }
 
   test("parser total on truncations of every synth payload prefix " +
-    "length (WAV with/without LIST, MP3 with/without ID3, corrupt)") {
+    "length (all four container families, with/without the optional " +
+    "chunks, plus every truncated class)") {
     val text = "lorem ipsum dolor sit amet".getBytes("UTF-8")
-    // ids per the class map: WAV plain (4), WAV+LIST odd len (10),
-    // WAV+LIST even len (2), MP3 bare (1), MP3+ID3 (3, 93),
-    // truncated even (22), truncated odd+ID3 (33), truncated odd (55)
-    Seq(4L, 10L, 2L, 1L, 3L, 93L, 22L, 33L, 55L).foreach { id =>
+    // ids per the %4 class map: WAV plain (8), WAV+LIST odd len (12),
+    // WAV+LIST even len (4), MP3 bare (1), MP3+ID3 (9, 93), FLAC
+    // mono/stereo (2, 6), OGG 1-3 segs (3, 7, 23), truncated wav (44),
+    // truncated mp3+ID3 (33), truncated bare mp3 (77), truncated
+    // flac (22), truncated ogg (55)
+    Seq(8L, 12L, 4L, 1L, 9L, 93L, 2L, 6L, 3L, 7L, 23L,
+        44L, 33L, 77L, 22L, 55L).foreach { id =>
       val p = synthAudioPayload(id, text)
       (0 to p.length).foreach { k =>
         val (fmt, _, _, _) = parseAudioHeader(p.take(k)) // no throw

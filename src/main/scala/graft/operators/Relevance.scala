@@ -135,6 +135,55 @@ object Relevance extends QueryModule {
           .orderBy(col("keyness_bits").desc, col("tok"))
       }),
 
+      // --- DSIR data selection (round 17): Data Selection via
+      // Importance Resampling (Xie et al. 2023) — the
+      // target-domain-matching selection pass a pretraining pipeline
+      // runs over raw crawl, here in its deterministic top-k twin.
+      // Hashed BIGRAM features (DSIR's hashed n-grams; the
+      // q_feature_hash trick, 256 buckets — no vocabulary built or
+      // shipped), target distribution = src0 docs, raw = the rest;
+      // per-bucket log importance in BITS via the integer floor-log2
+      // ratio device (q_keyness_llr — zero libm, bit-identical across
+      // engines) with add-one smoothing over the 256-bucket grid;
+      // per-doc score = Σ count·bits, exact int64. Scale shape: the
+      // gram stream aggregates once to (doc, bucket) cells; the
+      // 256-row weight table broadcasts; winners via TakeOrdered —
+      // never a corpus-wide sort. The stochastic resample (Gumbel
+      // noise on the weights) is the one part deliberately not here:
+      // deterministic top-k is its oracle-checkable twin. ---
+      "q_dsir_select" -> ((s, d) => {
+        val feat = table(s, d, "documents")
+          .select(col("doc_id"), (col("source") === "src0").as("tgt"),
+            graft.functions.NGramGenerator(toks, 2).alias("gram"))
+          .select(col("doc_id"), col("tgt"),
+            (conv(substring(md5(col("gram")), 1, 2), 16, 10)
+              .cast("long") % 256).as("bucket"))
+        val dist = feat.groupBy("bucket")
+          .agg(sum(col("tgt").cast("long")).as("ct"),
+            sum((!col("tgt")).cast("long")).as("cr"))
+        val tot = dist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val w = dist.crossJoin(broadcast(tot))
+          .withColumn("ra", (col("ct") + 1) * (col("nr") + 256))
+          .withColumn("rb", (col("cr") + 1) * (col("nt") + 256))
+          .select(col("bucket"),
+            when(col("ra") >= col("rb"),
+              ratioBits(col("ra"), col("rb")))
+              .otherwise(-ratioBits(col("rb"), col("ra")))
+              .as("w_bits"))
+        val scored = feat.filter(!col("tgt"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(w), "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") * col("w_bits")).as("dsir_bits"),
+            sum("cnt").as("n_feats"))
+        val top = scored
+          .orderBy(col("dsir_bits").desc, col("doc_id")).limit(20)
+        val rw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("dsir_bits").desc, col("doc_id"))
+        top.withColumn("rank", row_number().over(rw).cast("long"))
+          .orderBy("rank")
+      }),
+
       // --- feature hashing (the hashing trick): token -> bucket in
       // [0, 64) via the first md5 byte, sparse doc-term matrix as
       // (doc_id, bucket, count) rows. No vocabulary is built, shipped,
@@ -295,6 +344,47 @@ object Relevance extends QueryModule {
         |    ELSE -CAST(length(bin(rb // ra)) - 1 AS BIGINT)
         |  END AS keyness_bits
         |FROM r ORDER BY keyness_bits DESC, tok""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH tk AS (SELECT doc_id, source = 'src0' AS tgt,
+        |    string_split(text, ' ') AS t FROM documents),
+        |f AS (SELECT doc_id, tgt,
+        |    CAST(list_sum([CAST(strpos('0123456789abcdef',
+        |          substr(md5(g), i, 1)) - 1 AS BIGINT)
+        |        << (4 * (2 - i)) for i in range(1, 3)]) AS BIGINT)
+        |      % 256 AS bucket
+        |  FROM (SELECT doc_id, tgt,
+        |      unnest([t[i] || ' ' || t[i+1]
+        |        for i in range(1, len(t))]) AS g
+        |    FROM tk) gg),
+        |dist AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM f GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |    CAST(SUM(cr) AS BIGINT) AS nr FROM dist),
+        |w AS (SELECT bucket,
+        |    CASE WHEN (ct + 1) * (nr + 256) >= (cr + 1) * (nt + 256)
+        |      THEN CAST(length(bin(
+        |        (ct + 1) * (nr + 256) // ((cr + 1) * (nt + 256))))
+        |        - 1 AS BIGINT)
+        |      ELSE -CAST(length(bin(
+        |        (cr + 1) * (nt + 256) // ((ct + 1) * (nr + 256))))
+        |        - 1 AS BIGINT) END AS w_bits
+        |  FROM dist CROSS JOIN tot),
+        |cells AS (SELECT doc_id, bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM f WHERE NOT tgt GROUP BY doc_id, bucket),
+        |sc AS (SELECT doc_id,
+        |    CAST(SUM(cnt * w_bits) AS BIGINT) AS dsir_bits,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_feats
+        |  FROM cells JOIN w USING (bucket) GROUP BY doc_id),
+        |top AS (SELECT * FROM sc
+        |  ORDER BY dsir_bits DESC, doc_id LIMIT 20)
+        |SELECT doc_id, dsir_bits, n_feats,
+        |  CAST(row_number() OVER (ORDER BY dsir_bits DESC, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
 
     "q_feature_hash" ->
       """WITH tk AS (SELECT doc_id,

@@ -391,6 +391,66 @@ object Trends extends QueryModule {
               (col("a_only") + col("b_only")))
       }),
 
+      // --- Bradley-Terry strength fitting (round 17): the pairwise-
+      // preference aggregate under every RLHF/eval-arena leaderboard —
+      // fit latent strengths θ from win counts so that
+      // P(i beats j) = θi/(θi+θj). Arms = event types; a comparison is
+      // one DAY's head-to-head daily-count ranking (i beats j on days
+      // its volume is strictly higher; ties are no contest — the
+      // standard BT protocol). The corpus-scale work is ONE aggregate
+      // to the O(arms²) decisive-comparison matrix; the MM solve
+      // (Hunter 2004: θi ← Wi / Σj nij/(θi+θj), renormalized each
+      // round) runs driver-side on that bounded matrix — exactly where
+      // a fleet pipeline solves it — in EXACT int64 micro-units
+      // (θ on a 1e6 grid, per-pair terms nij·10¹⁵ div (θqi+θqj), floor
+      // division in both engines), so 15 unrolled iterations land on
+      // bit-identical grids with ONE terminal /1e6 render. ---
+      "q_bradley_terry" -> ((s, d) => {
+        import s.implicits._
+        val daily = table(s, d, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        val a = daily.select(col("event_type").as("i"),
+          col("day").as("day"), col("cnt").as("ci"))
+        val b = daily.select(col("event_type").as("j"),
+          col("day").as("day"), col("cnt").as("cj"))
+        val duels = a.join(b, "day").filter(col("i") < col("j"))
+          .filter(col("ci") =!= col("cj"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n"),
+            sum((col("ci") > col("cj")).cast("long")).as("wi"))
+        // bounded collect: O(arms²) rows (event_type cardinality), the
+        // same driver-coordination class as the Coresets greedy loops
+        val m = duels.collect().map(r => (r.getAs[String]("i"),
+          r.getAs[String]("j"), r.getAs[Long]("n"), r.getAs[Long]("wi")))
+        val arms = m.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+        val wins = arms.map(k => k -> (
+          m.filter(_._1 == k).map(_._4).sum +
+            m.filter(_._2 == k).map(t => t._3 - t._4).sum)).toMap
+        val nPlayed = arms.map(k => k ->
+          m.filter(t => t._1 == k || t._2 == k).map(_._3).sum).toMap
+        var thq = arms.map(_ -> 1000000L).toMap
+        val kArms = arms.size.toLong
+        (1 to 15).foreach { _ =>
+          val upd = arms.map { i =>
+            val sm = m.collect {
+              case (x, y, n, _) if x == i || y == i =>
+                val other = if (x == i) y else x
+                n * 1000000000000000L / (thq(i) + thq(other))
+            }.sum
+            i -> (if (sm > 0) math.max(wins(i) *
+              1000000000000000L / sm, 1L) else 1000000L)
+          }.toMap
+          val s0 = upd.values.sum
+          thq = upd.map { case (k, v) =>
+            k -> math.max(v * (kArms * 1000000L) / s0, 1L) }
+        }
+        arms.toSeq.map(k => (k, nPlayed(k), wins(k),
+            thq(k).toDouble / 1e6))
+          .toDF("event_type", "n_comparisons", "wins", "theta")
+          .orderBy("event_type")
+      }),
+
       // --- trailing-7-day p95 per event type (the SLO baseline every
       // alerting rule compares against — a single day's p95 is too
       // noisy to page on): values quantize to the integer domain
@@ -916,6 +976,51 @@ object Trends extends QueryModule {
         .stripMargin
     },
 
+    // the MM solve unrolls as 15 chained CTE pairs (the minhash
+    // band-fold precedent) in the SAME int64 micro-unit arithmetic
+    // the Spark driver loop runs — floor division everywhere, so the
+    // two engines land on identical grids at every iteration
+    "q_bradley_terry" -> {
+      val iters = (0 until 15).map { k =>
+        s"""s$k AS MATERIALIZED (SELECT pb.i,
+           |    CAST(SUM(pb.n * 1000000000000000 //
+           |      (ta.thq + tb.thq)) AS BIGINT) AS sm
+           |  FROM pb JOIN t$k ta ON ta.i = pb.i
+           |    JOIN t$k tb ON tb.i = pb.j GROUP BY pb.i),
+           |u$k AS MATERIALIZED (SELECT w.i,
+           |    GREATEST(w.w * 1000000000000000 // s.sm, 1) AS thq
+           |  FROM wn w JOIN s$k s ON s.i = w.i),
+           |t${k + 1} AS MATERIALIZED (SELECT u.i,
+           |    GREATEST(u.thq *
+           |      CAST((SELECT COUNT(*) * 1000000 FROM u$k) AS BIGINT)
+           |      // CAST((SELECT SUM(thq) FROM u$k) AS BIGINT),
+           |      1) AS thq
+           |  FROM u$k u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH daily AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |duels AS MATERIALIZED (SELECT a.event_type AS i, b.event_type AS j,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wi
+         |  FROM daily a JOIN daily b ON a.day = b.day
+         |    AND a.event_type < b.event_type AND a.cnt <> b.cnt
+         |  GROUP BY 1, 2),
+         |pb AS MATERIALIZED (SELECT i, j, n FROM duels
+         |  UNION ALL SELECT j, i, n FROM duels),
+         |wn AS MATERIALIZED (SELECT i, CAST(SUM(w) AS BIGINT) AS w,
+         |    CAST(SUM(n) AS BIGINT) AS np
+         |  FROM (SELECT i, wi AS w, n FROM duels
+         |    UNION ALL SELECT j, n - wi, n FROM duels) z GROUP BY i),
+         |t0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS thq FROM wn),
+         |$iters
+         |SELECT w.i AS event_type, w.np AS n_comparisons,
+         |  w.w AS wins, CAST(t15.thq AS DOUBLE) / 1000000 AS theta
+         |FROM wn w JOIN t15 ON t15.i = w.i
+         |ORDER BY event_type""".stripMargin
+    },
+
     "q_model_winrate" ->
       """WITH e AS (SELECT CAST(label % 4 AS BIGINT) AS y,
         |    abs(CAST(round(CAST(embedding[2] AS DOUBLE) * 1000, 0)
@@ -939,7 +1044,7 @@ object Trends extends QueryModule {
         |FROM g""".stripMargin,
 
     "q_rolling_p95" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      """WITH daily AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(round(value * 100, 0) AS BIGINT) AS vq,
         |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2, 3),

@@ -123,4 +123,34 @@ class Round17Spec extends AnyFunSuite {
       (1L, 1L, 21L, 20L, 8L)), out.mkString(", "))
     cleanup(dir)
   }
+
+  // ---- Bradley-Terry fixture (round-17 depth) ---- //
+
+  test("q_bradley_terry: 3-1 head-to-head record lands on the exact " +
+    "MM fixed point theta = (1.5, 0.5)") {
+    import spark.implicits._
+    val dir = tmpDir("btfix")
+    def day(i: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00")
+    // click outdraws view on days 1-3; view wins day 4 -> n=4, w=3:1.
+    // MM fixed point: theta_c = 3(tc+tv)/4, theta_v = (tc+tv)/4 with
+    // the sum renormalized to 2 -> (1.5, 0.5), exact on the 1e6 grid.
+    val rows =
+      (1 to 3).flatMap(dd => Seq(
+        (dd * 10L, 1L, "click", day(dd), 1.0),
+        (dd * 10L + 1, 1L, "click", day(dd), 1.0),
+        (dd * 10L + 2, 1L, "view", day(dd), 1.0))) ++ Seq(
+        (40L, 1L, "click", day(4), 1.0),
+        (41L, 1L, "view", day(4), 1.0),
+        (42L, 1L, "view", day(4), 1.0))
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_bradley_terry")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_comparisons"), r.getAs[Long]("wins"),
+          r.getAs[Double]("theta")))).toMap
+    assert(out("click") == ((4L, 3L, 1.5)), out.toString)
+    assert(out("view") == ((4L, 1L, 0.5)), out.toString)
+    cleanup(dir)
+  }
 }

@@ -96,7 +96,10 @@ object ScaleProbe {
     "q_self_bleu", "q_pagerank_iter", "q_rake_keywords",
     "q_ann_recall", "q_croston", "q_prf_expand", "q_tfidf_topk",
     "q_quality_ensemble", "q_ngram_lm", "q_ngram_tscore",
-    "q_ivf_nprobe_curve")
+    "q_ivf_nprobe_curve",
+    // round-17 additions over the floor on their admission bench
+    // (1.57 s subset MIN): the DSIR selection pass
+    "q_dsir_select")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

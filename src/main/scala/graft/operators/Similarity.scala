@@ -315,6 +315,59 @@ object Similarity extends QueryModule {
     // fold back map-side into a single row per vector. qerr (the
     // summed squared quantization error) is the index-quality readout
     // a build monitors. ---
+    // --- principal-direction extraction by power iteration (round
+    // 17): the whitening / OPQ-rotation prep step an ANN index build
+    // runs before quantization — find the dominant eigenvector of the
+    // embedding second-moment (Gram) matrix. Corpus-scale work is ONE
+    // aggregate: each vector's 2^20-fixed-point components explode to
+    // the 2080 upper-triangle (i,j) products and partial-aggregate
+    // map-side, so the shuffle moves O(dims²·partitions) cells, never
+    // vectors (a fleet build swaps the explode for per-partition BLAS
+    // accumulation — same bounded output). The 64×64 solve then runs
+    // driver-side (the q_bradley_terry bounded-matrix discipline) as
+    // EIGHT exact-integer power iterations: G cells in DECIMAL(38,0),
+    // v on a 1e6 grid renormalized by max|w| with sign-split magnitude
+    // floor-division (identical semantics in BigInt and DuckDB //),
+    // so both engines walk bit-identical grids; the Rayleigh quotient
+    // is ONE exact-int→double division pair at the end. ---
+    "q_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val comp = table(s, d, "embeddings")
+        .select(fixedPoint(col("embedding")).as("q"))
+      val cells = comp
+        .select(posexplode(col("q")).as(Seq("i0", "qi")), col("q"))
+        .select(col("i0"), col("qi"),
+          posexplode(col("q")).as(Seq("j0", "qj")))
+        .filter(col("i0") <= col("j0"))
+        .groupBy("i0", "j0")
+        .agg(sum(col("qi").cast(d38) * col("qj")).cast(d38).as("g"))
+      val m = Array.fill(64, 64)(BigInt(0))
+      cells.collect().foreach { r =>
+        val i = r.getAs[Int]("i0"); val j = r.getAs[Int]("j0")
+        val g = BigInt(r.getAs[java.math.BigDecimal]("g")
+          .toBigInteger)
+        m(i)(j) = g; m(j)(i) = g
+      }
+      var v = Array.fill(64)(BigInt(1000000))
+      (1 to 8).foreach { _ =>
+        val w = (0 until 64).map(i =>
+          (0 until 64).map(j => m(i)(j) * v(j)).sum)
+        val mx = w.map(_.abs).max.max(BigInt(1))
+        v = w.map(x =>
+          if (x.signum < 0) -((-x * 1000000) / mx)
+          else (x * 1000000) / mx).toArray
+      }
+      val num = (0 until 64).map(i =>
+        (0 until 64).map(j => v(i) * m(i)(j) * v(j)).sum).sum
+      val den = v.map(x => x * x).sum
+      val lam = num.toDouble / den.toDouble
+      (0 until 64).map(i =>
+          ((i + 1).toLong, v(i).toDouble / 1e6, lam))
+        .toDF("dim", "loading", "lambda")
+        .orderBy("dim")
+    }),
+
     "q_pq_assign" -> ((s, d) => {
       val subs = table(s, d, "embeddings")
         .select(col("vec_id"), posexplode(array(
@@ -1119,6 +1172,59 @@ object Similarity extends QueryModule {
          |  CAST(n_common AS DOUBLE) / 10.0 AS recall_at_10
          |FROM j JOIN nv ON nv.probe_id = j.probe_id
          |ORDER BY probe_id""".stripMargin,
+
+    // the 8 power iterations unroll as MATERIALIZED CTE triples (the
+    // q_bradley_terry device — default-inlined CTEs would expand
+    // exponentially); sign-split magnitude floor division matches the
+    // Spark driver loop's BigInt arithmetic exactly
+    "q_pca_power" -> {
+      val qFx = "list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+      // HUGEINT throughout the iterations: DuckDB's `//` on DECIMAL
+      // operands silently promotes to DOUBLE (lossy at these
+      // magnitudes) while HUGEINT `//` is exact integer floor division
+      val iters = (0 until 8).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT m.i AS dim,
+           |    CAST(SUM(m.g * v.v) AS HUGEINT) AS w
+           |  FROM fm m JOIN v$k v ON v.dim = m.j GROUP BY 1),
+           |mx$k AS MATERIALIZED (SELECT
+           |    GREATEST(MAX(ABS(w)), CAST(1 AS HUGEINT)) AS mx
+           |  FROM w$k),
+           |v${k + 1} AS MATERIALIZED (SELECT dim,
+           |    CAST(CASE WHEN w < 0
+           |      THEN -(((-w) * 1000000) // mx)
+           |      ELSE (w * 1000000) // mx END
+           |      AS HUGEINT) AS v
+           |  FROM w$k CROSS JOIN mx$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (SELECT ROW_NUMBER() OVER () AS rid,
+         |    $qFx AS q FROM embeddings),
+         |ex AS MATERIALIZED (SELECT rid,
+         |    generate_subscripts(q, 1) AS i, unnest(q) AS qi FROM q),
+         |cells AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |    CAST(SUM(CAST(a.qi AS DECIMAL(38,0)) * b.qi)
+         |      AS DECIMAL(38,0)) AS g
+         |  FROM ex a JOIN ex b ON a.rid = b.rid AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |fm AS MATERIALIZED (SELECT i, j, CAST(g AS HUGEINT) AS g
+         |  FROM cells
+         |  UNION ALL SELECT j, i, CAST(g AS HUGEINT) FROM cells
+         |  WHERE i <> j),
+         |v0 AS MATERIALIZED (SELECT DISTINCT i AS dim,
+         |    CAST(1000000 AS HUGEINT) AS v FROM fm),
+         |$iters,
+         |num AS (SELECT CAST(SUM(va.v * m.g * vb.v) AS HUGEINT)
+         |    AS num
+         |  FROM fm m JOIN v8 va ON va.dim = m.i
+         |    JOIN v8 vb ON vb.dim = m.j),
+         |den AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS den
+         |  FROM v8)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(v AS DOUBLE) / 1000000 AS loading,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS lambda
+         |FROM v8 CROSS JOIN num CROSS JOIN den
+         |ORDER BY dim""".stripMargin
+    },
 
     "q_pq_assign" ->
       s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

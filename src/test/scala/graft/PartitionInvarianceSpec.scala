@@ -88,7 +88,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q_cox_stuart", "q_kendall_w", "q_design_effect",
     "q_mood_scale", "q_trimmed_mean", "q_atkinson", "q_quade_test",
     "q_self_bleu", "q_ams_f2", "q_var_es",
-    "q_tost", "q_breslow_day", "q_fdr_by", "q_life_table")
+    "q_tost", "q_breslow_day", "q_fdr_by", "q_life_table",
+    // round-17: contamination islands (per-doc window), the delta
+    // index probe (broadcast + posting pairs), DSIR's int64 bit
+    // scores, and the driver-side integer MM solve
+    "q_contam_spans", "q_minhash_delta", "q_dsir_select",
+    "q_bradley_terry")
 
   test("descaled rewrites are bit-identical at 1 vs 13 shuffle " +
     "partitions") {

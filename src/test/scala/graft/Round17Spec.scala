@@ -153,4 +153,31 @@ class Round17Spec extends AnyFunSuite {
     assert(out("view") == ((4L, 1L, 0.5)), out.toString)
     cleanup(dir)
   }
+
+  // ---- PCA power-iteration fixture (round-17 depth) ---- //
+
+  test("q_pca_power: an axis-aligned corpus converges to e1 exactly " +
+    "(loading 1 on dim 1, 0 elsewhere, lambda = G11)") {
+    import spark.implicits._
+    val dir = tmpDir("pcafix")
+    def axis(d: Int, v: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == d) v else 0.0f)
+    // 3 vectors on dim 1 at 1.0, one on dim 2 at 0.5: the component
+    // ratio shrinks 12x per iteration (G22/G11 = 2^38/(3*2^40)) and
+    // floors to 0 by iteration 6 of 8; lambda = G11 = 3*(2^20)^2
+    val rows = Seq(
+      (0L, axis(0, 1.0f), 0), (1L, axis(0, 1.0f), 0),
+      (2L, axis(0, 1.0f), 0), (3L, axis(1, 0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_pca_power")(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("loading"), r.getAs[Double]("lambda"))))
+      .toMap
+    val g11 = 3.0 * 1048576.0 * 1048576.0
+    assert(out(1L) == ((1.0, g11)), out(1L).toString)
+    (2L to 64L).foreach(dd =>
+      assert(out(dd)._1 == 0.0, s"dim $dd: ${out(dd)}"))
+    cleanup(dir)
+  }
 }

@@ -99,7 +99,12 @@ object ScaleProbe {
     "q_ivf_nprobe_curve",
     // round-17 additions over the floor on their admission bench
     // (1.57 s subset MIN): the DSIR selection pass
-    "q_dsir_select")
+    "q_dsir_select",
+    // round-17 close-bench ratchet: five borderline queries read over
+    // the floor in the 624-query close record (1.53-1.73 s) — the
+    // ratchet admits on any qualifying reading and never flaps back
+    "q_abc_xyz", "q_assoc_rules", "q_basket_pairs", "q_dedup_spans",
+    "q_join_salted")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

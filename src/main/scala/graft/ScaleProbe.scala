@@ -541,7 +541,20 @@ object ScaleProbe {
         // the same commutative map-side merge algebra the CMS/KMV
         // entries pin (8 sign-sums — expected ~flat under hot keys)
         "q_graph_salton" -> runQ("q_graph_salton"),
-        "q_ams_f2" -> runQ("q_ams_f2"))
+        "q_ams_f2" -> runQ("q_ams_f2"),
+        // round 17: the two SPAN pipelines against template zipf —
+        // their adversary: a ×k repeated template multiplies both the
+        // repeated-shingle list (dedup_spans' broadcast-back side) and
+        // the benchmark-gram hit stream (contam_spans' map-side
+        // match), and every extra hit position is genuine output
+        // (islands to cut), so the expected reading is output-bound
+        // like q_dedup_minhash — these entries are that measurement.
+        // The delta probe rides along: its broadcast side is the
+        // delta's band keys, so hot templates inflate candidates but
+        // never serialize a key
+        "q_dedup_spans" -> runQ("q_dedup_spans"),
+        "q_contam_spans" -> runQ("q_contam_spans"),
+        "q_minhash_delta" -> runQ("q_minhash_delta"))
       val selected = probes.filter { case (q, _) =>
         only.forall(_.contains(q)) }
       val passResults = (1 to passes).map { p =>

@@ -1201,6 +1201,34 @@ class PlanQualitySpec extends AnyFunSuite {
       "aggregated global window must pass the walker")
   }
 
+  /** Round-17 additions: the scale claims in their Scaladoc are plan
+    * shapes, pinned here. q_minhash_delta probes the index by
+    * BROADCASTING the delta band keys (a posting-list group over the
+    * base index would re-shuffle the corpus — exactly one
+    * collect_list aggregate is allowed, the delta-internal posting
+    * pass). q_contam_spans matches the corpus gram stream MAP-SIDE
+    * against the broadcast benchmark gram set (the corpus is never
+    * shuffled on grams). q_dsir_select broadcasts the 256-row weight
+    * table and takes winners through TakeOrdered, never a corpus
+    * sort.
+    */
+  test("round-17 plans: delta index probe broadcasts the delta, " +
+    "contamination matches map-side, DSIR tops via TakeOrdered") {
+    val pd = plan("q_minhash_delta")
+    assert(pd.contains("BroadcastHashJoin"), pd.take(3000))
+    assert("collect_list".r.findAllIn(pd).size <= 2, // partial+final
+      "a second posting-list aggregate means the BASE index was " +
+        "grouped — the corpus re-shuffle the delta spelling exists " +
+        "to avoid:\n" + pd.take(3000))
+    val pc = plan("q_contam_spans")
+    assert(pc.contains("BroadcastHashJoin"), pc.take(3000))
+    val ps = plan("q_dsir_select")
+    assert(ps.contains("TakeOrderedAndProject"), ps.take(3000))
+    assert(ps.contains("BroadcastHashJoin"), ps.take(3000))
+    assert(!ps.linesIterator.exists(l => l.contains("Sort ") &&
+      l.contains("global=true")), "global sort crept into DSIR")
+  }
+
   test("q_topsis_rank: normalization rows ride broadcasts and the " +
     "top-20 is a TakeOrdered, never a global sort") {
     val p = plan("q_topsis_rank")

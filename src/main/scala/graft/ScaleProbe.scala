@@ -104,7 +104,10 @@ object ScaleProbe {
     // the floor in the 624-query close record (1.53-1.73 s) — the
     // ratchet admits on any qualifying reading and never flaps back
     "q_abc_xyz", "q_assoc_rules", "q_basket_pairs", "q_dedup_spans",
-    "q_join_salted")
+    "q_join_salted",
+    // second r17 close window (318.16 s better-of-two): one more
+    // borderline admission at 1.51 s
+    "q_inverted_index")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

@@ -56,6 +56,23 @@ class ProbePoolSpec extends AnyFunSuite {
         missing.map(q => f"$q (${detail(q)}%.2f s)").mkString("\n  "))
   }
 
+  test("every pool entry has a 10x probe row in BENCH_SCALE " +
+    "(admission without measurement is not admission)") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assert(f.exists(), "BENCH_SCALE.json missing")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // every probed query appears as a key somewhere in the artifact —
+    // name containment suffices because pool names are unique (the
+    // separator varies: ScaleProbe writes `":{"`, the merge tool's
+    // json.dump writes `": {"`)
+    val unprobed = ScaleProbe.probeQueries
+      .filterNot(q => txt.contains("\"" + q + "\""))
+    assert(unprobed.isEmpty,
+      s"pool entries with no BENCH_SCALE row (run the 10x subset " +
+        s"probe and merge): ${unprobed.mkString(", ")}")
+  }
+
   test("the probe pool only names registered queries") {
     val registered = SparkEntry.queries.keySet
     val unknown = ScaleProbe.probeQueries.filterNot(registered)

@@ -107,7 +107,10 @@ object ScaleProbe {
     "q_join_salted",
     // second r17 close window (318.16 s better-of-two): one more
     // borderline admission at 1.51 s
-    "q_inverted_index")
+    "q_inverted_index",
+    // MRL truncation-recall card (2.84 s admission bench): brute-force
+    // probes×corpus×4 widths by design — expected ~linear in volume
+    "q_mrl_recall")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

@@ -315,6 +315,58 @@ object Similarity extends QueryModule {
     // fold back map-side into a single row per vector. qerr (the
     // summed squared quantization error) is the index-quality readout
     // a build monitors. ---
+    // --- Matryoshka truncation-recall curve (round 17): modern
+    // embedding models train nested (MRL) representations so an index
+    // can store a PREFIX of each vector — the provisioning question is
+    // how much recall each truncation width keeps. For each prefix
+    // width d ∈ {8,16,32,64}: exact top-5 neighbors of the 10 standing
+    // probes by prefix-cosine, intersected with the full-width top-5
+    // (d=64 is its own truth row — recall 1.0, an in-query
+    // self-check). Dots are the exact fixed-point device on array
+    // slices; per-(dim,probe) winners ride the native TopKPerKey
+    // bounded heaps (never a window over the corpus-sized candidate
+    // relation); probes broadcast, so the corpus streams ONCE through
+    // a map-side explode of the 4 widths. Zero-norm prefixes guard to
+    // NULL cosine (none exist in the corpus; the guard keeps the
+    // NaN-vs-inf engine divergence impossible). ---
+    "q_mrl_recall" -> ((s, d) => {
+      val dims = Seq(8, 16, 32, 64)
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"))
+      val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val nProbes = 10.0
+      val scored = e.select(col("vec_id").as("cand_id"),
+          col("q").as("cq"))
+        .join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cand_id"),
+          explode(array(dims.map { dm =>
+            val dt = dotQ(slice(col("cq"), 1, dm),
+              slice(col("pq"), 1, dm))
+            val nc = dotQ(slice(col("cq"), 1, dm),
+              slice(col("cq"), 1, dm))
+            val np = dotQ(slice(col("pq"), 1, dm),
+              slice(col("pq"), 1, dm))
+            struct(lit(dm.toLong).as("dim"),
+              when(nc > 0 && np > 0, cosQ(dt, np, nc)).as("cos"))
+          }: _*)).as("s"))
+        .select(col("probe_id"), col("cand_id"),
+          col("s.dim").as("dim"), col("s.cos").as("cos"))
+        .filter(col("cos").isNotNull)
+      val top = graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("dim"), col("probe_id")),
+        order = Seq(col("cos").desc, col("cand_id").asc), k = 5)
+      val truth = top.filter(col("dim") === 64L)
+        .select(col("probe_id"), col("cand_id"))
+      top.join(truth, Seq("probe_id", "cand_id"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_common"))
+        .select(col("dim"), col("n_common"),
+          (col("n_common").cast("double") / (5.0 * nProbes))
+            .as("recall_at_5"))
+        .orderBy("dim")
+    }),
+
     // --- principal-direction extraction by power iteration (round
     // 17): the whitening / OPQ-rotation prep step an ANN index build
     // runs before quantization — find the dominant eigenvector of the
@@ -1172,6 +1224,46 @@ object Similarity extends QueryModule {
          |  CAST(n_common AS DOUBLE) / 10.0 AS recall_at_10
          |FROM j JOIN nv ON nv.probe_id = j.probe_id
          |ORDER BY probe_id""".stripMargin,
+
+    "q_mrl_recall" -> {
+      val qFx = "list_transform(embedding, e -> " +
+        "CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))"
+      s"""WITH x AS MATERIALIZED (SELECT vec_id,
+         |    generate_subscripts(q, 1) AS i, unnest(q) AS v
+         |  FROM (SELECT vec_id, $qFx AS q FROM embeddings) t),
+         |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+         |nrm AS MATERIALIZED (SELECT d.dim, x.vec_id,
+         |    CAST(SUM(x.v * x.v) AS BIGINT) AS nn
+         |  FROM x JOIN dims d ON x.i <= d.dim GROUP BY 1, 2),
+         |dot AS MATERIALIZED (SELECT d.dim, xp.vec_id AS probe_id,
+         |    xq.vec_id AS cand_id, CAST(SUM(xp.v * xq.v) AS BIGINT)
+         |      AS dt
+         |  FROM x xp JOIN x xq
+         |    ON xq.i = xp.i AND xq.vec_id <> xp.vec_id
+         |  JOIN dims d ON xp.i <= d.dim
+         |  WHERE xp.vec_id >= 10 AND xp.vec_id < 20
+         |  GROUP BY 1, 2, 3),
+         |cs AS (SELECT dot.dim, probe_id, cand_id,
+         |    CASE WHEN np.nn > 0 AND nc.nn > 0 THEN
+         |      CAST(dt AS DOUBLE) / (sqrt(CAST(np.nn AS DOUBLE)) *
+         |        sqrt(CAST(nc.nn AS DOUBLE))) END AS cos
+         |  FROM dot
+         |  JOIN nrm np ON np.vec_id = dot.probe_id
+         |    AND np.dim = dot.dim
+         |  JOIN nrm nc ON nc.vec_id = dot.cand_id
+         |    AND nc.dim = dot.dim),
+         |t5 AS MATERIALIZED (SELECT dim, probe_id, cand_id FROM (
+         |    SELECT dim, probe_id, cand_id,
+         |      row_number() OVER (PARTITION BY dim, probe_id
+         |        ORDER BY cos DESC, cand_id) AS rn
+         |    FROM cs WHERE cos IS NOT NULL) z WHERE rn <= 5),
+         |tr AS (SELECT probe_id, cand_id FROM t5 WHERE dim = 64)
+         |SELECT CAST(t5.dim AS BIGINT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  CAST(COUNT(*) AS DOUBLE) / 50.0 AS recall_at_5
+         |FROM t5 JOIN tr USING (probe_id, cand_id)
+         |GROUP BY t5.dim ORDER BY dim""".stripMargin
+    },
 
     // the 8 power iterations unroll as MATERIALIZED CTE triples (the
     // q_bradley_terry device — default-inlined CTEs would expand

@@ -293,6 +293,47 @@ object Curation extends QueryModule {
             (col("n_docs") * 512L)).as("util_single"))
         .orderBy("lang")),
 
+    // --- length-sorted dynamic-batching padding waste (round 17):
+    // the q_pack_efficiency sibling for PADDED batching — inference
+    // and finetuning stacks sort by length and pad each batch to its
+    // own max, and the provisioning question is how many pad tokens
+    // that still burns per batch size. Computed EXACTLY from the
+    // O(distinct lengths) histogram, never a corpus sort: a full
+    // batch's max is the length bucket its END index lands in, so
+    // Σ_batches max = Σ_buckets L·(cum div B − cumprev div B) over the
+    // cumulative histogram (bounded grid window), the tail partial
+    // batch pads to the global max, and waste = padded − real. The
+    // worst_case column (no sorting: every batch pads to the global
+    // max) is the comparison the sort is buying against. ---
+    "q_batch_padding" -> ((s, d) => {
+      val w = Window.orderBy("nt")
+      val hist = table(s, d, "documents")
+        .select(size(toks).cast("long").as("nt"))
+        .groupBy("nt").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("cumprev",
+          coalesce(lag(col("cum"), 1).over(w), lit(0L)))
+      val tot = hist.agg(max("cum").as("n"),
+        sum(col("nt") * col("c")).as("tt"), max("nt").as("lmax"))
+      val perB = hist
+        .select(col("nt"), col("cum"), col("cumprev"),
+          explode(array(Seq(16L, 64L, 256L).map(lit): _*)).as("b"))
+        .groupBy("b")
+        .agg(sum(col("nt") *
+          (expr("cum div b") - expr("cumprev div b"))).as("maxsum"))
+      perB.crossJoin(broadcast(tot))
+        .select(col("b").as("batch_size"), col("n").as("n_docs"),
+          col("tt").as("real_tokens"),
+          expr("(n + b - 1) div b").as("n_batches"),
+          (col("maxsum") * col("b") + (col("n") % col("b"))
+            * col("lmax")).as("padded_tokens"),
+          (col("n") * col("lmax")).as("worst_case_tokens"))
+        .withColumn("waste_share",
+          (col("padded_tokens") - col("real_tokens")).cast("double")
+            / col("padded_tokens"))
+        .orderBy("batch_size")
+    }),
+
     // --- overlapping chunking for embedding/indexing pipelines: 50-token
     // chunks on a 40-token stride (10-token overlap). One generator
     // (posexplode over the stride sequence) + array slice per row — no
@@ -822,6 +863,34 @@ object Curation extends QueryModule {
         |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS DOUBLE)
         |    / SUM(n_chars) AS mass_rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_batch_padding" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' '))
+        |      AS BIGINT) AS nt FROM documents),
+        |h AS (SELECT nt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY nt),
+        |ch AS (SELECT nt, c,
+        |    CAST(SUM(c) OVER (ORDER BY nt) AS BIGINT) AS cum,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY nt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cumprev
+        |  FROM h),
+        |tot AS (SELECT CAST(MAX(cum) AS BIGINT) AS n,
+        |    CAST(SUM(nt * c) AS BIGINT) AS tt,
+        |    CAST(MAX(nt) AS BIGINT) AS lmax FROM ch),
+        |pb AS (SELECT b, CAST(SUM(nt * (cum // b - cumprev // b))
+        |      AS BIGINT) AS maxsum
+        |  FROM ch CROSS JOIN (SELECT CAST(unnest([16, 64, 256])
+        |    AS BIGINT) AS b) bs
+        |  GROUP BY b)
+        |SELECT b AS batch_size, n AS n_docs, tt AS real_tokens,
+        |  CAST((n + b - 1) // b AS BIGINT) AS n_batches,
+        |  CAST(maxsum * b + (n % b) * lmax AS BIGINT)
+        |    AS padded_tokens,
+        |  CAST(n * lmax AS BIGINT) AS worst_case_tokens,
+        |  CAST(maxsum * b + (n % b) * lmax - tt AS DOUBLE)
+        |    / (maxsum * b + (n % b) * lmax) AS waste_share
+        |FROM pb CROSS JOIN tot ORDER BY batch_size""".stripMargin,
 
     "q_pack_efficiency" ->
       """WITH t AS (SELECT lang,

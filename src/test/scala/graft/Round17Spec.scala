@@ -180,4 +180,31 @@ class Round17Spec extends AnyFunSuite {
       assert(out(dd)._1 == 0.0, s"dim $dd: ${out(dd)}"))
     cleanup(dir)
   }
+
+  // ---- batch-padding fixture (round-17 depth) ---- //
+
+  test("q_batch_padding: lengths 1..20 at B=16 pad the full batch " +
+    "to 16 and the 4-doc tail to 20 — hand-computed 336 padded") {
+    import spark.implicits._
+    val dir = tmpDir("batchpad")
+    val rows = (1 to 20).map(n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "), "en",
+        "src0", n.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_batch_padding")(spark, dir)
+      .collect().map(r => r.getAs[Long]("batch_size") -> r).toMap
+    val b16 = out(16L)
+    // sorted batch 1 = lengths 1..16 (max 16), tail = 17..20 padded
+    // to lmax 20: padded = 16*16 + 4*20 = 336; real = 210
+    assert(b16.getAs[Long]("n_docs") == 20L)
+    assert(b16.getAs[Long]("real_tokens") == 210L)
+    assert(b16.getAs[Long]("n_batches") == 2L)
+    assert(b16.getAs[Long]("padded_tokens") == 336L)
+    assert(b16.getAs[Long]("worst_case_tokens") == 400L)
+    assert(b16.getAs[Double]("waste_share") == (336.0 - 210.0) / 336.0)
+    // B=64: one partial batch of all 20 docs padded to 20 -> 400
+    assert(out(64L).getAs[Long]("padded_tokens") == 400L)
+    cleanup(dir)
+  }
 }

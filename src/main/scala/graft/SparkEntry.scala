@@ -67,6 +67,7 @@ object SparkEntry {
     streaming.StatefulPit,
     streaming.StatefulSprt,
     streaming.StatefulFunnel,
+    streaming.StatefulBandIndex,
     streaming.LateData)
 
   /** Flagship query (TPC-H Q1-shaped aggregation over lineitem) on

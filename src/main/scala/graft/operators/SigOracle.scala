@@ -36,7 +36,37 @@ private[graft] object SigOracle {
     * y.doc_id) — the delta query is from-scratch minhash minus the
     * base×base pairs, which is exactly a pair-level predicate.
     */
-  def minhashSqlWhere(pairCond: String): String = {
+  def minhashSqlWhere(pairCond: String): String =
+    minhashChain(pairCond) + s"""
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
+       |ix AS (SELECT p.a_id, p.b_id, COUNT(*) AS ni
+       |  FROM pr p
+       |  JOIN dg da ON da.doc_id = p.a_id
+       |  JOIN dg db ON db.doc_id = p.b_id AND db.gram = da.gram
+       |  GROUP BY 1, 2),
+       |jj AS (SELECT p.a_id, p.b_id,
+       |    CAST(COALESCE(ix.ni, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - COALESCE(ix.ni, 0)) AS jac
+       |  FROM pr p
+       |  JOIN sz sa ON sa.doc_id = p.a_id
+       |  JOIN sz sb ON sb.doc_id = p.b_id
+       |  LEFT JOIN ix ON ix.a_id = p.a_id AND ix.b_id = p.b_id)
+       |SELECT a_id, b_id, jac FROM jj WHERE jac >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Candidate pairs ONLY (no Jaccard verify) — the oracle of the
+    * streaming band-index twin, whose drained emissions are exactly
+    * the distinct bucket-collision pairs.
+    */
+  val minhashCandidatesSql: String =
+    minhashChain("TRUE").dropRight(1) + "\n" +
+      "SELECT a_id, b_id FROM pr ORDER BY a_id, b_id"
+
+  /** The shared signature-emulation CTE chain, ending at the distinct
+    * candidate-pair relation `pr` (terminated with a trailing comma
+    * for the Jaccard tail; candidates-only callers drop it).
+    */
+  private def minhashChain(pairCond: String): String = {
     // the four sequential band-fold steps acc_{k+1} = hashLong(mv_k, acc_k)
     val folds = (0 until 4).map { k =>
       val src =
@@ -75,22 +105,7 @@ private[graft] object SigOracle {
        |  FROM pp x JOIN pp y
        |  ON x.band = y.band AND x.bkey = y.bkey
        |    AND x.doc_id < y.doc_id
-       |  WHERE $pairCond),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
-       |ix AS (SELECT p.a_id, p.b_id, COUNT(*) AS ni
-       |  FROM pr p
-       |  JOIN dg da ON da.doc_id = p.a_id
-       |  JOIN dg db ON db.doc_id = p.b_id AND db.gram = da.gram
-       |  GROUP BY 1, 2),
-       |jj AS (SELECT p.a_id, p.b_id,
-       |    CAST(COALESCE(ix.ni, 0) AS DOUBLE) /
-       |      (sa.n + sb.n - COALESCE(ix.ni, 0)) AS jac
-       |  FROM pr p
-       |  JOIN sz sa ON sa.doc_id = p.a_id
-       |  JOIN sz sb ON sb.doc_id = p.b_id
-       |  LEFT JOIN ix ON ix.a_id = p.a_id AND ix.b_id = p.b_id)
-       |SELECT a_id, b_id, jac FROM jj WHERE jac >= 0.5
-       |ORDER BY a_id, b_id""".stripMargin
+       |  WHERE $pairCond),""".stripMargin
   }
 
   /** q_dedup_simhash twin: SimHash64(split(text, ' ')) + the four

@@ -207,4 +207,20 @@ class Round17Spec extends AnyFunSuite {
     assert(out(64L).getAs[Long]("padded_tokens") == 400L)
     cleanup(dir)
   }
+
+  // ---- streaming band-index equality (round-17 depth) ---- //
+
+  test("q_streaming_bandindex: the drained live-index collisions " +
+    "equal the batch candidate relation exactly") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+    val streamed = SparkEntry.queries("q_streaming_bandindex")(spark, sf)
+      .collect().map(key).toSet
+    val batch = graft.operators.Dedup.minhashCandidates(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty, "no collisions streamed at sf0.001")
+    assert(streamed == batch,
+      s"extra=${streamed -- batch}, missing=${batch -- streamed}")
+  }
 }

@@ -36,8 +36,13 @@ object Dedup extends QueryModule {
   // 32 hashes in 8 bands of 4: P(no candidate | jac=0.9) ~= 2e-4, while
   // background pairs (jac < 0.3) produce < ~3% spurious candidates that
   // the exact-Jaccard verification then discards.
-  private val NumHashes = 32
-  private val Bands = 8
+  // private[graft]: the streaming band-index twin MUST share these —
+  // a retuning that only touched one copy would silently desync the
+  // live index from its batch twin and oracle (one-definition rule,
+  // same as postingPairs)
+  private[graft] val NumHashes = 32
+  private[graft] val Bands = 8
+  private[graft] val ShingleLen = 3
 
 
   /** Min-label propagation to convergence over the symmetric near-dup
@@ -146,7 +151,7 @@ object Dedup extends QueryModule {
     // HOF chain and its Det.let barriers in round 3)
     val bands = table(s, d, "documents")
       .select(col("doc_id"),
-        posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
+        posexplode(graft.functions.MinHashBandKeys(toks, ShingleLen, NumHashes,
           Bands)).as(Seq("band", "bkey")))
     // Candidate pairs by bucket posting list, NOT a band self-join:
     // group the skinny (band, bkey, doc_id) stream once, collect each
@@ -231,7 +236,7 @@ object Dedup extends QueryModule {
       val isDelta = col("doc_id") % 5 === 0
       val bands = table(s, d, "documents")
         .select(col("doc_id"),
-          posexplode(graft.functions.MinHashBandKeys(toks, 3, NumHashes,
+          posexplode(graft.functions.MinHashBandKeys(toks, ShingleLen, NumHashes,
             Bands)).as(Seq("band", "bkey")))
       val bDelta = bands.filter(isDelta)
       val bBase = bands.filter(!isDelta)

@@ -26,11 +26,20 @@ object Relevance extends QueryModule {
   private val D38 = DecimalType(38, 0)
 
   /** floor(log2(n div c)) for n >= c >= 1 — the Scoring.bits device on
-    * an integer ratio: exact int64 arithmetic on both engines.
+    * an integer ratio: exact int64 arithmetic on both engines. The
+    * quotient is Catalyst's IntegralDivide (the SQL `div`), NOT
+    * floor(double/double) — double division loses low bits once the
+    * cross-multiplied operands pass 2^53, and a quotient within one
+    * ulp of a power of two would then land in a different log2 bucket
+    * than DuckDB's exact `//` (round 17 review finding).
     */
-  private def ratioBits(n: Column, c: Column): Column =
-    (length(bin(floor(n.cast("double") / c.cast("double")).cast("long")))
-      - 1).cast("long")
+  private def ratioBits(n: Column, c: Column): Column = {
+    val q = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(n),
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+    (length(bin(q)) - 1).cast("long")
+  }
 
   /** The standing token bigram graph (q_pagerank_iter's derivation):
     * weighted edges src -> dst with adjacency counts.

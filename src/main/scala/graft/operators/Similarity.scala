@@ -331,22 +331,27 @@ object Similarity extends QueryModule {
     // NaN-vs-inf engine divergence impossible). ---
     "q_mrl_recall" -> ((s, d) => {
       val dims = Seq(8, 16, 32, 64)
+      // per-vector prefix self-norms computed ONCE map-side BEFORE
+      // the probe join (the oracle's nrm CTE) — inside the join each
+      // candidate norm would be recomputed per probe, tripling the
+      // fused dot-product work (round 17 review finding)
+      def norms(q: Column): Column = array(dims.map(dm =>
+        dotQ(slice(q, 1, dm), slice(q, 1, dm))): _*)
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").as("q"))
       val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          norms(col("q")).as("pn"))
       val nProbes = 10.0
       val scored = e.select(col("vec_id").as("cand_id"),
-          col("q").as("cq"))
+          col("q").as("cq"), norms(col("q")).as("cn"))
         .join(broadcast(probes), col("cand_id") =!= col("probe_id"))
         .select(col("probe_id"), col("cand_id"),
-          explode(array(dims.map { dm =>
+          explode(array(dims.zipWithIndex.map { case (dm, ix) =>
             val dt = dotQ(slice(col("cq"), 1, dm),
               slice(col("pq"), 1, dm))
-            val nc = dotQ(slice(col("cq"), 1, dm),
-              slice(col("cq"), 1, dm))
-            val np = dotQ(slice(col("pq"), 1, dm),
-              slice(col("pq"), 1, dm))
+            val nc = element_at(col("cn"), ix + 1)
+            val np = element_at(col("pn"), ix + 1)
             struct(lit(dm.toLong).as("dim"),
               when(nc > 0 && np > 0, cosQ(dt, np, nc)).as("cos"))
           }: _*)).as("s"))
@@ -395,29 +400,41 @@ object Similarity extends QueryModule {
         .groupBy("i0", "j0")
         .agg(sum(col("qi").cast(d38) * col("qj")).cast(d38).as("g"))
       val m = Array.fill(64, 64)(BigInt(0))
-      cells.collect().foreach { r =>
+      val collected = cells.collect()
+      collected.foreach { r =>
         val i = r.getAs[Int]("i0"); val j = r.getAs[Int]("j0")
         val g = BigInt(r.getAs[java.math.BigDecimal]("g")
           .toBigInteger)
         m(i)(j) = g; m(j)(i) = g
       }
-      var v = Array.fill(64)(BigInt(1000000))
-      (1 to 8).foreach { _ =>
-        val w = (0 until 64).map(i =>
-          (0 until 64).map(j => m(i)(j) * v(j)).sum)
-        val mx = w.map(_.abs).max.max(BigInt(1))
-        v = w.map(x =>
-          if (x.signum < 0) -((-x * 1000000) / mx)
-          else (x * 1000000) / mx).toArray
+      // degenerate-corpus parity with the oracle: an EMPTY embeddings
+      // table leaves the oracle's v0 (built FROM the matrix) empty —
+      // emit zero rows, not 64 rows of 0/0; all-zero quantized
+      // vectors collapse v to zeros, where den=0 guards lambda to
+      // NULL on both engines (DuckDB double 0/0 is NULL, not NaN)
+      if (collected.isEmpty)
+        Seq.empty[(Long, Double, java.lang.Double)]
+          .toDF("dim", "loading", "lambda")
+      else {
+        var v = Array.fill(64)(BigInt(1000000))
+        (1 to 8).foreach { _ =>
+          val w = (0 until 64).map(i =>
+            (0 until 64).map(j => m(i)(j) * v(j)).sum)
+          val mx = w.map(_.abs).max.max(BigInt(1))
+          v = w.map(x =>
+            if (x.signum < 0) -((-x * 1000000) / mx)
+            else (x * 1000000) / mx).toArray
+        }
+        val num = (0 until 64).map(i =>
+          (0 until 64).map(j => v(i) * m(i)(j) * v(j)).sum).sum
+        val den = v.map(x => x * x).sum
+        val lam: java.lang.Double =
+          if (den.signum > 0) num.toDouble / den.toDouble else null
+        (0 until 64).map(i =>
+            ((i + 1).toLong, v(i).toDouble / 1e6, lam))
+          .toDF("dim", "loading", "lambda")
+          .orderBy("dim")
       }
-      val num = (0 until 64).map(i =>
-        (0 until 64).map(j => v(i) * m(i)(j) * v(j)).sum).sum
-      val den = v.map(x => x * x).sum
-      val lam = num.toDouble / den.toDouble
-      (0 until 64).map(i =>
-          ((i + 1).toLong, v(i).toDouble / 1e6, lam))
-        .toDF("dim", "loading", "lambda")
-        .orderBy("dim")
     }),
 
     "q_pq_assign" -> ((s, d) => {
@@ -1313,7 +1330,8 @@ object Similarity extends QueryModule {
          |  FROM v8)
          |SELECT CAST(dim AS BIGINT) AS dim,
          |  CAST(v AS DOUBLE) / 1000000 AS loading,
-         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS lambda
+         |  CASE WHEN den > 0 THEN
+         |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS lambda
          |FROM v8 CROSS JOIN num CROSS JOIN den
          |ORDER BY dim""".stripMargin
     },

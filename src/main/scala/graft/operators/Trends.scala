@@ -429,21 +429,26 @@ object Trends extends QueryModule {
             m.filter(_._2 == k).map(t => t._3 - t._4).sum)).toMap
         val nPlayed = arms.map(k => k ->
           m.filter(t => t._1 == k || t._2 == k).map(_._3).sum).toMap
-        var thq = arms.map(_ -> 1000000L).toMap
-        val kArms = arms.size.toLong
+        // BigInt throughout the solve (mirroring the oracle's HUGEINT
+        // casts): w·10¹⁵ and n·10¹⁵ wrap int64 once wins/duel counts
+        // pass ~9223 — the silent-wrap-vs-hard-error asymmetry the
+        // q_ams_f2 DECIMAL fix removed, removed here the same way
+        val scale = BigInt(1000000000000000L)
+        var thq = arms.map(_ -> BigInt(1000000)).toMap
+        val kArms = BigInt(arms.size)
         (1 to 15).foreach { _ =>
           val upd = arms.map { i =>
             val sm = m.collect {
               case (x, y, n, _) if x == i || y == i =>
                 val other = if (x == i) y else x
-                n * 1000000000000000L / (thq(i) + thq(other))
+                BigInt(n) * scale / (thq(i) + thq(other))
             }.sum
-            i -> (if (sm > 0) math.max(wins(i) *
-              1000000000000000L / sm, 1L) else 1000000L)
+            i -> (if (sm > 0) (BigInt(wins(i)) * scale / sm)
+              .max(BigInt(1)) else BigInt(1000000))
           }.toMap
           val s0 = upd.values.sum
           thq = upd.map { case (k, v) =>
-            k -> math.max(v * (kArms * 1000000L) / s0, 1L) }
+            k -> (v * (kArms * 1000000) / s0).max(BigInt(1)) }
         }
         arms.toSeq.map(k => (k, nPlayed(k), wins(k),
             thq(k).toDouble / 1e6))
@@ -981,19 +986,23 @@ object Trends extends QueryModule {
     // the Spark driver loop runs — floor division everywhere, so the
     // two engines land on identical grids at every iteration
     "q_bradley_terry" -> {
+      // HUGEINT through the solve (the q_pca_power lesson: HUGEINT
+      // `//` is exact; n·10¹⁵ / w·10¹⁵ wrap BIGINT past ~9223
+      // wins/duels — the Scala side runs the same grids in BigInt)
       val iters = (0 until 15).map { k =>
         s"""s$k AS MATERIALIZED (SELECT pb.i,
-           |    CAST(SUM(pb.n * 1000000000000000 //
-           |      (ta.thq + tb.thq)) AS BIGINT) AS sm
+           |    CAST(SUM(CAST(pb.n AS HUGEINT) * 1000000000000000 //
+           |      (ta.thq + tb.thq)) AS HUGEINT) AS sm
            |  FROM pb JOIN t$k ta ON ta.i = pb.i
            |    JOIN t$k tb ON tb.i = pb.j GROUP BY pb.i),
            |u$k AS MATERIALIZED (SELECT w.i,
-           |    GREATEST(w.w * 1000000000000000 // s.sm, 1) AS thq
+           |    GREATEST(CAST(w.w AS HUGEINT) * 1000000000000000
+           |      // s.sm, 1) AS thq
            |  FROM wn w JOIN s$k s ON s.i = w.i),
            |t${k + 1} AS MATERIALIZED (SELECT u.i,
            |    GREATEST(u.thq *
-           |      CAST((SELECT COUNT(*) * 1000000 FROM u$k) AS BIGINT)
-           |      // CAST((SELECT SUM(thq) FROM u$k) AS BIGINT),
+           |      CAST((SELECT COUNT(*) * 1000000 FROM u$k) AS HUGEINT)
+           |      // CAST((SELECT SUM(thq) FROM u$k) AS HUGEINT),
            |      1) AS thq
            |  FROM u$k u)""".stripMargin
       }.mkString(",\n")
@@ -1013,7 +1022,8 @@ object Trends extends QueryModule {
          |    CAST(SUM(n) AS BIGINT) AS np
          |  FROM (SELECT i, wi AS w, n FROM duels
          |    UNION ALL SELECT j, n - wi, n FROM duels) z GROUP BY i),
-         |t0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS thq FROM wn),
+         |t0 AS MATERIALIZED (SELECT i,
+         |  CAST(1000000 AS HUGEINT) AS thq FROM wn),
          |$iters
          |SELECT w.i AS event_type, w.np AS n_comparisons,
          |  w.w AS wins, CAST(t15.thq AS DOUBLE) / 1000000 AS theta

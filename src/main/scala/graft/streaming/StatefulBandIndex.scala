@@ -127,7 +127,10 @@ object StatefulBandIndex extends QueryModule {
         .option("maxFilesPerTrigger", "1")
         .parquet(replay)
         .select(col("doc_id"),
-          posexplode(graft.functions.MinHashBandKeys(toks, 3, 32, 8))
+          posexplode(graft.functions.MinHashBandKeys(toks,
+            graft.operators.Dedup.ShingleLen,
+            graft.operators.Dedup.NumHashes,
+            graft.operators.Dedup.Bands))
             .as(Seq("band", "bkey")))
         .select(col("band").cast("long").as("band"),
           col("bkey").cast("long").as("bkey"),

@@ -5,7 +5,9 @@
 # untracked or dirty at rounds 15 AND 16 close. Run this before
 # declaring a round closed; it exits 1 when any round artifact is
 # untracked or any tracked file is modified/unstaged.
-set -u
+# -e makes the gate fail CLOSED: a git invocation erroring out must
+# abort the script, not read as "no output = clean".
+set -eu
 cd "$(dirname "$0")/.."
 
 fail=0

@@ -31,20 +31,25 @@ def fold_level(dst, src, factor, note_rows):
     # re-decide ONLY rows this merge actually changed, on the unrounded
     # value computed here (the same quantity ScaleProbe flags on).
     flagged = set(dst.get("flagged", []))
+    src_flagged = set(src.get("flagged", []))
     for q, row in src.get("queries", {}).items():
         cur = dst["queries"].get(q)
-        # {"failed":true} rows (either side) carry no base/scaled keys.
-        if row.get("failed") or (cur is not None and cur.get("failed")):
+        # a failed rerun row carries no base/scaled keys — skip it;
+        # a failed STORED row is healed by a successful rerun (it
+        # takes the upsert path below rather than staying sticky)
+        if row.get("failed"):
             continue
+        if cur is not None and cur.get("failed"):
+            cur = None
         if cur is None:
             # UPSERT (round 17): a query newly admitted to the pool
-            # (ProbePoolSpec floor rule) arrives via a subset run —
-            # copy its complete row and decide its flag from the
-            # rerun's own exponent.
+            # (ProbePoolSpec floor rule) — or healing a failed row —
+            # copies the complete rerun row. The flag decision is the
+            # RERUN ARTIFACT'S own (ScaleProbe flags on unrounded
+            # values; re-deciding here from the stored 2-dp exponent
+            # could flip a near-threshold row).
             dst["queries"][q] = dict(row)
-            val = row.get("exp_per_out", row["exponent"])
-            row_thr = 1.5 if q.endswith("_wedge") else thr
-            (flagged.add if val > row_thr else flagged.discard)(q)
+            (flagged.add if q in src_flagged else flagged.discard)(q)
             note_rows.append(q)
             continue
         changed = False

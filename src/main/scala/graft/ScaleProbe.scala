@@ -110,7 +110,13 @@ object ScaleProbe {
     "q_inverted_index",
     // MRL truncation-recall card (2.84 s admission bench): brute-force
     // probes×corpus×4 widths by design — expected ~linear in volume
-    "q_mrl_recall")
+    "q_mrl_recall",
+    // round-18 open (r17 verdict task #4): the driver's contended r17
+    // close window (loadavg 3.2-3.8) read six borderline queries at
+    // 1.52-1.69 s — the ratchet admits on ANY qualifying reading and
+    // never shrinks, so all six join the pool with 10x probe rows
+    "q_cluster_purity", "q_doc_novelty", "q_hits_iter",
+    "q_resample_mix", "q_semantic_contam", "q_sim_lsh")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

@@ -596,9 +596,17 @@ object Advanced extends QueryModule {
           element_at(sort_array(array((1 to 8).map(j =>
             (col(s"e$j").cast(d38) * col(s"e$j")).cast(d38)): _*)), 4)
             .as("est_f2"))
-        .select(col("n_users"), col("true_f2"), col("est_f2"),
+        // The DECIMAL(38,0) stays INTERNAL: the output renders both
+        // F2 figures as decimal-digit strings (the portable-output
+        // lattice; a raw DecimalType output hash-diverges at the
+        // driver comparator even when values are identical, and hi/lo
+        // BIGINT halves cannot span a full 38-digit value).
+        .select(col("n_users"),
           ((col("est_f2") - col("true_f2")).cast("double")
-            / col("true_f2").cast("double")).as("rel_err"))
+            / col("true_f2").cast("double")).as("rel_err"),
+          col("true_f2").cast("string").as("true_f2"),
+          col("est_f2").cast("string").as("est_f2"))
+        .select("n_users", "true_f2", "est_f2", "rel_err")
     }),
 
     "q_agg_cms" -> ((s, d) => {
@@ -939,8 +947,9 @@ object Advanced extends QueryModule {
          |      AS true_f2,
          |$es
          |  FROM f)
-         |SELECT n_users, true_f2,
-         |  list_sort([$sq])[4] AS est_f2,
+         |SELECT n_users,
+         |  CAST(true_f2 AS VARCHAR) AS true_f2,
+         |  CAST(list_sort([$sq])[4] AS VARCHAR) AS est_f2,
          |  CAST(list_sort([$sq])[4] - true_f2 AS DOUBLE)
          |    / CAST(true_f2 AS DOUBLE) AS rel_err
          |FROM a""".stripMargin

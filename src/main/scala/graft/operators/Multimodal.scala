@@ -575,6 +575,293 @@ object Multimodal extends QueryModule {
       Mp3KbpsByIndex(bitrateIdx - 1).toLong * 1000L)
   }
 
+  // ---- round 18: VIDEO container headers — the family the r17
+  // verdict listed as the remaining multimodal depth. Two public
+  // container grammars, same discipline as the image/audio shelves
+  // (synth builds a structurally REAL header, parse recovers the
+  // fields from BYTES alone, golden vectors + fuzz pin the parser
+  // independently of the synth — VideoHeaderSpec):
+  //   - MP4 / ISO-BMFF (doc_id%2==0): a length-prefixed box tree. The
+  //     walk is load-bearing three ways: ftyp's size VARIES with its
+  //     compatible-brands count, an optional variable-size `free` box
+  //     sits before moov on half the corpus, and the fields live two
+  //     levels deep (moov > mvhd for timescale/duration, moov > trak
+  //     > tkhd for the 16.16 fixed-point display dims).
+  //   - WebM / Matroska EBML (doc_id%2==1): variable-length-integer
+  //     (vint) sized elements. The vint decode is load-bearing: sizes
+  //     are 2-byte vints, the Segment size is the 8-byte UNKNOWN-SIZE
+  //     vint on a third of the corpus (the live-stream spelling — the
+  //     parser must walk children rather than trust a byte count),
+  //     and Duration is a float64 element whose value is an exact
+  //     integer (read via bit-pattern, no libm).
+  // doc_id%17==0 keeps 3 bytes (truncated-crawl class; 17, not the
+  // image 13 / audio 11, so corrupt classes never shadow each other):
+  // 3 bytes cannot complete either magic, so both families read
+  // 'unknown'.
+
+  /** MP4 mvhd timescale ladder (movie time units per second). */
+  private val Mp4Timescales: Array[Int] = Array(600, 1000, 24000, 90000)
+
+  /** Deterministic synthetic video payload with a REAL container
+    * header; families by doc_id%2 (mp4 / webm), %17 truncation.
+    */
+  private[graft] def synthVideoPayload(docId: Long,
+      textBytes: Array[Byte]): Array[Byte] = {
+    val body = textBytes.take(64)
+    val full: Array[Byte] = if (docId % 2 == 0) {
+      val nBrands = 1 + (docId % 3).toInt
+      val hasFree = (docId / 2) % 2 == 1
+      val freeSize = 8 + (docId % 7).toInt
+      val timescale = Mp4Timescales(((docId / 2) % 4).toInt)
+      val durTicks = 1000 + (docId % 100000).toInt
+      val w = 640 + (docId % 1280).toInt
+      val h = 360 + ((docId / 2) % 720).toInt
+      val ftypSize = 16 + 4 * nBrands
+      val buf = java.nio.ByteBuffer.allocate(
+        ftypSize + (if (hasFree) freeSize else 0) + 216 + 8 +
+          body.length) // big-endian by default
+      buf.putInt(ftypSize)
+      buf.put("ftyp".getBytes("US-ASCII"))
+      buf.put("isom".getBytes("US-ASCII"))
+      buf.putInt(512) // minor version
+      val brands = Seq("isom", "iso2", "mp41")
+      for (i <- 0 until nBrands)
+        buf.put(brands(i % 3).getBytes("US-ASCII"))
+      if (hasFree) {
+        buf.putInt(freeSize)
+        buf.put("free".getBytes("US-ASCII"))
+        buf.put(Array.fill(freeSize - 8)('f'.toByte))
+      }
+      buf.putInt(216) // moov = 8 + mvhd(108) + trak(100)
+      buf.put("moov".getBytes("US-ASCII"))
+      buf.putInt(108)
+      buf.put("mvhd".getBytes("US-ASCII"))
+      buf.putInt(0) // version 0 + flags
+      buf.putInt(0).putInt(0) // ctime, mtime
+      buf.putInt(timescale)
+      buf.putInt(durTicks)
+      buf.putInt(0x00010000) // rate 1.0
+      buf.putShort(0x0100.toShort) // volume 1.0
+      buf.put(Array.fill(10)(0.toByte)) // reserved
+      buf.put(Array.fill(36)(0.toByte)) // matrix
+      buf.put(Array.fill(24)(0.toByte)) // pre_defined
+      buf.putInt(2) // next_track_ID
+      buf.putInt(100) // trak = 8 + tkhd(92)
+      buf.put("trak".getBytes("US-ASCII"))
+      buf.putInt(92)
+      buf.put("tkhd".getBytes("US-ASCII"))
+      buf.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+      buf.putInt(0).putInt(0) // ctime, mtime
+      buf.putInt(1) // track_ID
+      buf.putInt(0) // reserved
+      buf.putInt(durTicks) // duration (movie timescale)
+      buf.put(Array.fill(8)(0.toByte)) // reserved
+      buf.putShort(0.toShort).putShort(0.toShort) // layer, alt_group
+      buf.putShort(0.toShort).putShort(0.toShort) // volume, reserved
+      buf.put(Array.fill(36)(0.toByte)) // matrix
+      buf.putInt(w << 16) // width, 16.16 fixed
+      buf.putInt(h << 16) // height, 16.16 fixed
+      buf.putInt(8 + body.length)
+      buf.put("mdat".getBytes("US-ASCII"))
+      buf.put(body)
+      buf.array()
+    } else {
+      val unknownSeg = (docId / 2) % 3 == 0
+      val tcs = Array(100000, 1000000)(((docId / 2) % 2).toInt)
+      val durTc = 500 + (docId % 50000).toInt
+      val w = 320 + (docId % 1280).toInt
+      val h = 240 + ((docId / 2) % 720).toInt
+      def vint2(n: Int): Array[Byte] = // 2-byte vint: 0x4000 | n
+        Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+      val video = Array[Byte](0xE0.toByte) ++ vint2(10) ++
+        (Array[Byte](0xB0.toByte) ++ vint2(2) ++
+          Array(((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte)) ++
+        (Array[Byte](0xBA.toByte) ++ vint2(2) ++
+          Array(((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte))
+      val trackEntry = Array[Byte](0xAE.toByte) ++
+        vint2(video.length) ++ video
+      val tracks = Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B) ++
+        vint2(trackEntry.length) ++ trackEntry
+      val tcsEl = Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte) ++
+        vint2(4) ++ Array(((tcs >> 24) & 0xFF).toByte,
+          ((tcs >> 16) & 0xFF).toByte, ((tcs >> 8) & 0xFF).toByte,
+          (tcs & 0xFF).toByte)
+      val durBits =
+        java.lang.Double.doubleToLongBits(durTc.toDouble)
+      val durEl = Array[Byte](0x44, 0x89.toByte) ++ vint2(8) ++
+        (0 until 8).map(i =>
+          ((durBits >>> (56 - 8 * i)) & 0xFF).toByte).toArray
+      val info = Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66) ++
+        vint2(tcsEl.length + durEl.length) ++ tcsEl ++ durEl
+      val docType = Array[Byte](0x42, 0x82.toByte) ++ vint2(4) ++
+        "webm".getBytes("US-ASCII")
+      val ebml = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte) ++
+        vint2(docType.length) ++ docType
+      val segContent = info ++ tracks ++ body
+      val segSize: Array[Byte] =
+        if (unknownSeg) Array(0x01.toByte) ++ Array.fill(7)(0xFF.toByte)
+        else vint2(segContent.length)
+      val seg = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67) ++
+        segSize ++ segContent
+      ebml ++ seg
+    }
+    if (docId % 17 == 0) full.take(3) else full
+  }
+
+  /** EBML vint at `off`: returns (value, widthBytes), or null-ish
+    * (-1, 0) when truncated/invalid. The 8-byte all-ones vint is the
+    * UNKNOWN-SIZE marker and returns (-2, width).
+    */
+  private def readVint(p: Array[Byte], offL: Long): (Long, Int) = {
+    // Long-domain bounds first: adversarial sizes can push a caller's
+    // running offset past Int range, and a raw .toInt would wrap into
+    // a "valid" index (fuzz-found AIOOBE)
+    if (offL < 0 || offL >= p.length) return (-1L, 0)
+    val off = offL.toInt
+    val b0 = p(off) & 0xFF
+    if (b0 == 0) return (-1L, 0)
+    val width = Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+    if (off + width > p.length) return (-1L, 0)
+    var v = (b0 & (0xFF >> width)).toLong
+    var allOnes = (b0 & (0xFF >> width)) == (0xFF >> width)
+    for (i <- 1 until width) {
+      v = (v << 8) | (p(off + i) & 0xFF)
+      allOnes = allOnes && (p(off + i) & 0xFF) == 0xFF
+    }
+    if (allOnes) (-2L, width) else (v, width)
+  }
+
+  /** EBML element ID at `off` (IDs keep their marker bits): returns
+    * (id, widthBytes) or (-1, 0).
+    */
+  private def readEbmlId(p: Array[Byte], offL: Long): (Long, Int) = {
+    if (offL < 0 || offL >= p.length) return (-1L, 0)
+    val off = offL.toInt
+    val b0 = p(off) & 0xFF
+    if (b0 == 0) return (-1L, 0)
+    val width = Integer.numberOfLeadingZeros(b0) - 23
+    if (width > 4 || off + width > p.length) return (-1L, 0)
+    var v = b0.toLong
+    for (i <- 1 until width) v = (v << 8) | (p(off + i) & 0xFF)
+    (v, width)
+  }
+
+  /** Unsigned big-endian integer of `len` bytes at `off`. */
+  private def beN(p: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    for (i <- 0 until len) v = (v << 8) | (p(off + i) & 0xFF)
+    v
+  }
+
+  /** Header-only video parse from bytes alone. MP4: top-level box
+    * walk to moov, child walks to mvhd (timescale, duration ticks)
+    * and trak > tkhd (16.16 display dims). WebM: EBML walk —
+    * Segment (unknown-size tolerated) > Info (TimecodeScale uint,
+    * Duration float64-with-integral-value) and > Tracks > TrackEntry
+    * > Video (PixelWidth/PixelHeight uints). Returns (fmt, width,
+    * height, timescale, duration_ms); unrecognized →
+    * ("unknown",-1,-1,-1,-1), recognized-but-invalid → (fmt, -1s).
+    */
+  private[graft] def parseVideoHeader(p: Array[Byte])
+      : (String, Long, Long, Long, Long) = {
+    val none = (-1L, -1L, -1L, -1L)
+    def mp4Fail = ("mp4", none._1, none._2, none._3, none._4)
+    def webmFail = ("webm", none._1, none._2, none._3, none._4)
+    if (p.length >= 8 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' &&
+        p(7) == 'p') {
+      // top-level box walk to moov
+      var off = 0L
+      var moovOff = -1L; var moovEnd = -1L
+      while (off + 8 <= p.length && moovOff < 0) {
+        val o = off.toInt
+        val size = be32(p, o).toLong & 0xFFFFFFFFL
+        if (size < 8) return mp4Fail
+        if (p(o + 4) == 'm' && p(o + 5) == 'o' && p(o + 6) == 'o' &&
+            p(o + 7) == 'v') { moovOff = off; moovEnd = off + size }
+        off += size
+      }
+      if (moovOff < 0 || moovEnd > p.length) return mp4Fail
+      var ts = -1L; var dur = -1L; var w = -1L; var h = -1L
+      var c = moovOff + 8
+      while (c + 8 <= moovEnd) {
+        val o = c.toInt
+        val size = be32(p, o).toLong & 0xFFFFFFFFL
+        if (size < 8) return mp4Fail
+        val typ = new String(p, o + 4, 4, "US-ASCII")
+        if (typ == "mvhd" && size >= 28 && p(o + 8) == 0) {
+          ts = be32(p, o + 20).toLong & 0xFFFFFFFFL
+          dur = be32(p, o + 24).toLong & 0xFFFFFFFFL
+        } else if (typ == "trak") {
+          var t = c + 8
+          val tEnd = c + size
+          while (t + 8 <= tEnd) {
+            val to = t.toInt
+            val tsize = be32(p, to).toLong & 0xFFFFFFFFL
+            if (tsize < 8) return mp4Fail
+            if (p(to + 4) == 't' && p(to + 5) == 'k' &&
+                p(to + 6) == 'h' && p(to + 7) == 'd' &&
+                tsize >= 92 && p(to + 8) == 0) {
+              w = (be32(p, to + 84).toLong & 0xFFFFFFFFL) >> 16
+              h = (be32(p, to + 88).toLong & 0xFFFFFFFFL) >> 16
+            }
+            t += tsize
+          }
+        }
+        c += size
+      }
+      if (ts > 0 && dur >= 0 && w >= 0 && h >= 0)
+        ("mp4", w, h, ts, dur * 1000L / ts)
+      else mp4Fail
+    } else if (p.length >= 4 && (p(0) & 0xFF) == 0x1A &&
+        (p(1) & 0xFF) == 0x45 && (p(2) & 0xFF) == 0xDF &&
+        (p(3) & 0xFF) == 0xA3) {
+      // EBML header: skip by declared size
+      val (hSz, hW) = readVint(p, 4)
+      if (hSz < 0) return webmFail
+      var off = 4L + hW + hSz
+      // expect Segment
+      val (segId, segIdW) = readEbmlId(p, off)
+      if (segId != 0x18538067L) return webmFail
+      val (segSz, segSzW) = readVint(p, off + segIdW)
+      if (segSz == -1L) return webmFail
+      var c = off + segIdW + segSzW
+      val segEnd = // unknown size: walk to end of payload
+        if (segSz == -2L) p.length.toLong else c + segSz
+      var tcs = -1L; var durTc = -1L; var w = -1L; var h = -1L
+      def walkUints(from: Long, to: Long,
+          wanted: Map[Long, Long => Unit], into: Set[Long]): Unit = {
+        var q = from
+        while (q + 2 <= to) {
+          val (id, idW) = readEbmlId(p, q)
+          if (id < 0) return
+          val (sz, szW) = readVint(p, q + idW)
+          if (sz < 0) return
+          val dataOff = q + idW + szW
+          if (dataOff + sz > to) return
+          if (wanted.contains(id)) {
+            if (id == 0x4489L) { // Duration: float64, integral value
+              if (sz == 8)
+                wanted(id)(java.lang.Double
+                  .longBitsToDouble(beN(p, dataOff.toInt, 8)).toLong)
+            } else wanted(id)(beN(p, dataOff.toInt, sz.toInt))
+          }
+          if (into.contains(id)) walkUints(dataOff, dataOff + sz,
+            wanted, into)
+          q = dataOff + sz
+        }
+      }
+      walkUints(c, segEnd,
+        Map(0x2AD7B1L -> ((v: Long) => tcs = v),
+          0x4489L -> ((v: Long) => durTc = v),
+          0xB0L -> ((v: Long) => w = v),
+          0xBAL -> ((v: Long) => h = v)),
+        Set(0x1549A966L, 0x1654AE6BL, 0xAEL, 0xE0L))
+      if (tcs > 0 && durTc >= 0 && w >= 0 && h >= 0)
+        ("webm", w, h, tcs, durTc * tcs / 1000000L)
+      else webmFail
+    } else ("unknown", none._1, none._2, none._3, none._4)
+  }
+
   /** The synthetic media corpus: (doc_id, media_type, payload). */
   private def media(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").select(
@@ -678,6 +965,45 @@ object Multimodal extends QueryModule {
       |    WHEN doc_id % 4 = 3 THEN 58 + (doc_id % 3) + body
       |    ELSE 4
       |      + CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 100 ELSE 0 END
+      |      + body END AS n_bytes""".stripMargin
+
+  /** Closed-form parsed-video fields of the synth payload (see
+    * synthVideoPayload): fmt / width / height / timescale /
+    * duration_ms / n_bytes as SELECT-list fragments over
+    * (doc_id, body) — shared by both video oracles. Truncation class
+    * is %17 (3 bytes — completes neither magic, so both families
+    * read 'unknown').
+    */
+  private val videoFieldsSql =
+    """CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+      |    WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS fmt,
+      |  CASE WHEN doc_id % 17 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN 640 + doc_id % 1280
+      |    ELSE 320 + doc_id % 1280 END AS width,
+      |  CASE WHEN doc_id % 17 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN 360 + (doc_id // 2) % 720
+      |    ELSE 240 + (doc_id // 2) % 720 END AS height,
+      |  CASE WHEN doc_id % 17 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN
+      |      CASE (doc_id // 2) % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |        WHEN 2 THEN 24000 ELSE 90000 END
+      |    ELSE CASE WHEN (doc_id // 2) % 2 = 0
+      |      THEN 100000 ELSE 1000000 END END AS timescale,
+      |  CASE WHEN doc_id % 17 = 0 THEN -1
+      |    WHEN doc_id % 2 = 0 THEN
+      |      (1000 + doc_id % 100000) * 1000
+      |        // (CASE (doc_id // 2) % 4 WHEN 0 THEN 600
+      |          WHEN 1 THEN 1000 WHEN 2 THEN 24000 ELSE 90000 END)
+      |    ELSE (500 + doc_id % 50000)
+      |      * (CASE WHEN (doc_id // 2) % 2 = 0
+      |          THEN 100000 ELSE 1000000 END) // 1000000
+      |    END AS duration_ms,
+      |  CASE WHEN doc_id % 17 = 0 THEN 3
+      |    WHEN doc_id % 2 = 0 THEN 244 + 4 * (doc_id % 3)
+      |      + CASE WHEN (doc_id // 2) % 2 = 1
+      |          THEN 8 + doc_id % 7 ELSE 0 END
+      |      + body
+      |    ELSE 67 + CASE WHEN (doc_id // 2) % 3 = 0 THEN 8 ELSE 2 END
       |      + body END AS n_bytes""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,6 +1244,67 @@ object Multimodal extends QueryModule {
         .orderBy("fmt")
     }),
 
+    // --- VIDEO header metadata (round 18): completes the container
+    // shelf — image (PNG/JPEG/GIF/WebP), audio (WAV/MP3/FLAC/Ogg),
+    // now video (MP4 box-tree walk, WebM EBML vint walk). Recover
+    // (fmt, display width/height, timescale, duration_ms) FROM THE
+    // BYTES; duration_ms is an exact integer division on both
+    // engines (ticks·1000 div timescale / timecodes·tcs div 10⁶ —
+    // no FP crosses the boundary; WebM's float64 Duration element
+    // carries an integral value read via bit pattern, zero libm).
+    // Map-side only — at 100 TB this reads the first ~350 bytes of
+    // each payload, a metadata pass like q_image_dims/q_audio_meta.
+    // Oracle: closed-form in doc_id + text length; the parser is
+    // additionally pinned against hand-built golden vectors + fuzz
+    // (VideoHeaderSpec) so synth and parse cannot share a
+    // compensating bug. ---
+    "q_video_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload = synthVideoPayload(id, tb)
+          val (fmt, w, h, ts, durMs) = parseVideoHeader(payload)
+          (id, payload.length.toLong, fmt, w, h, ts, durMs)
+        })
+        .toDF("doc_id", "n_bytes", "fmt", "width", "height",
+          "timescale", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
+    // --- video fleet profile over PARSED headers (round 18): per
+    // container, the resolution census and duration budget — the
+    // provisioning card a video ingest reads before choosing
+    // transcode ladders (the video sibling of q_audio_profile).
+    // Parse failures excluded here (q_video_meta carries the error
+    // census); map-side parse, one O(formats) aggregate. ---
+    "q_video_profile" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (fmt, w, h, ts, durMs) = parseVideoHeader(
+            synthVideoPayload(id, tb))
+          (id, fmt, w, h, ts, durMs)
+        })
+        .toDF("doc_id", "fmt", "width", "height", "timescale",
+          "duration_ms")
+        .filter(col("timescale") > 0)
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(concat_ws("x", col("width").cast("string"),
+            col("height").cast("string"))).as("n_resolutions"),
+          max("width").as("max_width"),
+          max("height").as("max_height"),
+          countDistinct("timescale").as("n_timescales"),
+          sum("duration_ms").as("total_ms"))
+        .withColumn("avg_ms",
+          col("total_ms").cast("double") / col("n"))
+        .orderBy("fmt")
+    }),
+
     // --- multimodal mix card (round 10): per (source, media type),
     // item and BYTE budgets plus each type's byte share within its
     // source — the mixture table a multimodal pretraining run is
@@ -1036,6 +1423,36 @@ object Multimodal extends QueryModule {
          |  CAST(SUM(body * 8000 // bit_rate) AS BIGINT) AS total_ms,
          |  CAST(SUM(bit_rate) AS DOUBLE) / COUNT(*) AS avg_bps
          |FROM a WHERE sample_rate > 0
+         |GROUP BY fmt ORDER BY fmt""".stripMargin,
+
+    "q_video_meta" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    LEAST(octet_length(encode(text)), 64) AS body
+         |  FROM documents),
+         |v AS (SELECT doc_id, body, $videoFieldsSql
+         |  FROM f)
+         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, fmt,
+         |  CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height,
+         |  CAST(timescale AS BIGINT) AS timescale,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q_video_profile" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    LEAST(octet_length(encode(text)), 64) AS body
+         |  FROM documents),
+         |v AS (SELECT doc_id, body, $videoFieldsSql
+         |  FROM f)
+         |SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT CAST(width AS VARCHAR) || 'x'
+         |    || CAST(height AS VARCHAR)) AS BIGINT) AS n_resolutions,
+         |  CAST(MAX(width) AS BIGINT) AS max_width,
+         |  CAST(MAX(height) AS BIGINT) AS max_height,
+         |  CAST(COUNT(DISTINCT timescale) AS BIGINT) AS n_timescales,
+         |  CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
+         |  CAST(SUM(duration_ms) AS DOUBLE) / COUNT(*) AS avg_ms
+         |FROM v WHERE timescale > 0
          |GROUP BY fmt ORDER BY fmt""".stripMargin,
 
     "q_multimodal_mix" ->

@@ -121,9 +121,11 @@ object Relevance extends QueryModule {
 
       // --- corpus keyness (which tokens characterize corpus A vs B?):
       // add-one-smoothed frequency-ratio in bits, signed —
-      // floor(log2(((a+1)/NA) / ((b+1)/NB))) spelled entirely in int64
-      // cross-multiplications + the floor-log2 device, so the score is
-      // bit-identical across engines with zero libm. The split is a
+      // floor(log2(((a+1)/NA) / ((b+1)/NB))) via exact-integer
+      // cross-multiplications (DECIMAL(38,0) / HUGEINT — the factors
+      // are corpus-scale counts, so int64 would wrap) + the
+      // floor-log2 device, so the score is bit-identical across
+      // engines with zero libm. The split is a
       // deterministic doc_id parity (any metadata split works the
       // same); one vocabulary-sized aggregate + a 1-row totals
       // broadcast. ---
@@ -134,9 +136,17 @@ object Relevance extends QueryModule {
         val counts = tk.groupBy("tok")
           .agg(sum("ga").as("a"), sum(lit(1L) - col("ga")).as("b"))
         val tot = counts.agg(sum("a").as("na"), sum("b").as("nb"))
+        // cross-products in DECIMAL(38,0): both factors are corpus-
+        // scale token counts, so the raw int64 product wraps silently
+        // past ~3e9 grams per side while DuckDB hard-errors — the
+        // q_ams_f2 asymmetry class; ratioBits' IntegralDivide takes
+        // decimal operands exactly (r18 ADVICE, same fix as
+        // q_dsir_select)
         counts.crossJoin(broadcast(tot))
-          .withColumn("ra", (col("a") + 1) * col("nb"))
-          .withColumn("rb", (col("b") + 1) * col("na"))
+          .withColumn("ra",
+            ((col("a") + 1).cast(D38) * col("nb")).cast(D38))
+          .withColumn("rb",
+            ((col("b") + 1).cast(D38) * col("na")).cast(D38))
           .select(col("tok"), col("a"), col("b"),
             when(col("ra") >= col("rb"), ratioBits(col("ra"), col("rb")))
               .otherwise(-ratioBits(col("rb"), col("ra")))
@@ -153,8 +163,10 @@ object Relevance extends QueryModule {
       // shipped), target distribution = src0 docs, raw = the rest;
       // per-bucket log importance in BITS via the integer floor-log2
       // ratio device (q_keyness_llr — zero libm, bit-identical across
-      // engines) with add-one smoothing over the 256-bucket grid;
-      // per-doc score = Σ count·bits, exact int64. Scale shape: the
+      // engines) with add-one smoothing over the 256-bucket grid, the
+      // smoothing cross-products accumulated in DECIMAL(38,0)/HUGEINT
+      // (corpus-scale factors would wrap int64); per-doc score =
+      // Σ count·bits, exact int64 (bits ≤ 127, counts ≤ doc length). Scale shape: the
       // gram stream aggregates once to (doc, bucket) cells; the
       // 256-row weight table broadcasts; winners via TakeOrdered —
       // never a corpus-wide sort. The stochastic resample (Gumbel
@@ -171,9 +183,16 @@ object Relevance extends QueryModule {
           .agg(sum(col("tgt").cast("long")).as("ct"),
             sum((!col("tgt")).cast("long")).as("cr"))
         val tot = dist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        // smoothing cross-products in DECIMAL(38,0): (ct+1)*(nr+256)
+        // is a product of two corpus-scale gram counts — raw int64
+        // wraps silently past ~3e9 grams per side where DuckDB
+        // hard-errors (r18 ADVICE); ratioBits' IntegralDivide handles
+        // decimal operands, so the bits stay exact at any scale
         val w = dist.crossJoin(broadcast(tot))
-          .withColumn("ra", (col("ct") + 1) * (col("nr") + 256))
-          .withColumn("rb", (col("cr") + 1) * (col("nt") + 256))
+          .withColumn("ra",
+            ((col("ct") + 1).cast(D38) * (col("nr") + 256)).cast(D38))
+          .withColumn("rb",
+            ((col("cr") + 1).cast(D38) * (col("nt") + 256)).cast(D38))
           .select(col("bucket"),
             when(col("ra") >= col("rb"),
               ratioBits(col("ra"), col("rb")))
@@ -345,7 +364,9 @@ object Relevance extends QueryModule {
         |      FROM tk GROUP BY tok),
         |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
         |        CAST(SUM(b) AS BIGINT) AS nb FROM c),
-        |r AS (SELECT tok, a, b, (a + 1) * nb AS ra, (b + 1) * na AS rb
+        |r AS (SELECT tok, a, b,
+        |      CAST(a + 1 AS HUGEINT) * nb AS ra,
+        |      CAST(b + 1 AS HUGEINT) * na AS rb
         |      FROM c CROSS JOIN t)
         |SELECT tok, a, b,
         |  CASE WHEN ra >= rb
@@ -372,15 +393,16 @@ object Relevance extends QueryModule {
         |  FROM f GROUP BY bucket),
         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
         |    CAST(SUM(cr) AS BIGINT) AS nr FROM dist),
-        |w AS (SELECT bucket,
-        |    CASE WHEN (ct + 1) * (nr + 256) >= (cr + 1) * (nt + 256)
-        |      THEN CAST(length(bin(
-        |        (ct + 1) * (nr + 256) // ((cr + 1) * (nt + 256))))
-        |        - 1 AS BIGINT)
-        |      ELSE -CAST(length(bin(
-        |        (cr + 1) * (nt + 256) // ((ct + 1) * (nr + 256))))
-        |        - 1 AS BIGINT) END AS w_bits
+        |wp AS (SELECT bucket,
+        |    CAST(ct + 1 AS HUGEINT) * (nr + 256) AS ra,
+        |    CAST(cr + 1 AS HUGEINT) * (nt + 256) AS rb
         |  FROM dist CROSS JOIN tot),
+        |w AS (SELECT bucket,
+        |    CASE WHEN ra >= rb
+        |      THEN CAST(length(bin(ra // rb)) - 1 AS BIGINT)
+        |      ELSE -CAST(length(bin(rb // ra)) - 1 AS BIGINT)
+        |    END AS w_bits
+        |  FROM wp),
         |cells AS (SELECT doc_id, bucket,
         |    CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM f WHERE NOT tgt GROUP BY doc_id, bucket),

@@ -458,6 +458,68 @@ object TextPipeline extends QueryModule {
         .orderBy("doc_id", "span_start")
     }),
 
+    // --- benchmark-contamination census against a FIXTURE table
+    // (round 18, r17 verdict task #7): q_contam_spans proves the
+    // span-excision plan with a stand-in benchmark; this is the
+    // OPERATIONAL report — a pinned fixture of benchmark docs
+    // (bench x split x member grid, in-repo literal shared verbatim
+    // with the oracle SQL) and a per-(bench, split) contamination
+    // census: benchmark size, gram-set size, contaminated training
+    // docs, raw gram hits, distinct benchmark grams found, and the
+    // gram-coverage share — exactly what a training run reads before
+    // freezing a data mix. Fixture text harvests from the corpus by
+    // pinned doc_id (membership and metadata are the fixture; pinning
+    // text literals would break on every testdata regeneration), and
+    // fixture docs are EXCLUDED from the training side — benchmark
+    // docs are not training docs. Scale shape: the fixture relation
+    // (48 rows) and its gram set broadcast; the training corpus is
+    // matched MAP-SIDE and never shuffled on grams; the census
+    // aggregate is O(hits); the final grid assembly joins three
+    // cell-count relations of <= 6 rows. The grid is built from the
+    // fixture side with left joins + coalesce(0), so all 6 census
+    // rows ship even for uncontaminated cells — a 0 row IS the
+    // operational answer, never an empty result. ---
+    "q_contam_fixture" -> ((s, d) => {
+      import s.implicits._
+      val fixture = ContamFixture.rows
+        .toDF("bench", "split", "doc_id")
+      val grams13 = let(toks) { tk =>
+        when(size(tk) >= 13, transform(sequence(lit(1), size(tk) - 12),
+          i => concat_ws(" ",
+            (0 until 13).map(k => element_at(tk, i + k)): _*)))
+          .otherwise(array().cast("array<string>"))
+      }
+      val docs = table(s, d, "documents")
+      val bsh = docs.join(broadcast(fixture), "doc_id")
+        .select(col("bench"), col("split"), explode(grams13).as("g"))
+        .distinct()
+      val trainGrams = docs
+        .join(broadcast(fixture.select("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .select(col("doc_id"), explode(grams13).as("g"))
+      val hits = trainGrams.join(broadcast(bsh), "g")
+      val census = hits.groupBy("bench", "split")
+        .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+          count(lit(1)).as("n_hits"),
+          countDistinct(col("g")).as("n_grams_hit"))
+      val grid = fixture.groupBy("bench", "split")
+        .agg(count(lit(1)).as("n_bench_docs"))
+      val bstats = bsh.groupBy("bench", "split")
+        .agg(count(lit(1)).as("n_bench_grams"))
+      grid.join(broadcast(bstats), Seq("bench", "split"), "left")
+        .join(broadcast(census), Seq("bench", "split"), "left")
+        .select(col("bench"), col("split"), col("n_bench_docs"),
+          coalesce(col("n_bench_grams"), lit(0L)).as("n_bench_grams"),
+          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"))
+        .withColumn("gram_coverage",
+          when(col("n_bench_grams") > 0,
+            col("n_grams_hit").cast("double") /
+              col("n_bench_grams").cast("double")).otherwise(lit(0.0)))
+        .orderBy("bench", "split")
+    }),
+
     // --- BPE pair-statistics step: the frequency count of adjacent
     // symbol pairs within tokens that drives each byte-pair-encoding
     // merge — one iteration of tokenizer training over the corpus. The
@@ -1248,6 +1310,51 @@ object TextPipeline extends QueryModule {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    "q_contam_fixture" ->
+      s"""WITH fx(bench, split, doc_id) AS (
+        |    VALUES ${ContamFixture.valuesSql}),
+        |bd AS (SELECT bench, split, doc_id,
+        |         string_split(text, ' ') AS tk
+        |       FROM fx JOIN documents USING (doc_id)),
+        |bsh AS (SELECT DISTINCT bench, split,
+        |          array_to_string(
+        |            tk[CAST(i AS INTEGER):CAST(i + 12 AS INTEGER)],
+        |            ' ') AS g
+        |        FROM bd, unnest(range(1, len(tk) - 11)) AS u(i)),
+        |tr AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |       FROM documents
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM fx)),
+        |csh AS (SELECT doc_id,
+        |          array_to_string(
+        |            tk[CAST(i AS INTEGER):CAST(i + 12 AS INTEGER)],
+        |            ' ') AS g
+        |        FROM tr, unnest(range(1, len(tk) - 11)) AS u(i)),
+        |hit AS (SELECT bench, split, csh.doc_id, g
+        |        FROM csh JOIN bsh USING (g)),
+        |cen AS (SELECT bench, split,
+        |          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+        |          CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |          CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams_hit
+        |        FROM hit GROUP BY bench, split),
+        |grid AS (SELECT bench, split,
+        |           CAST(COUNT(*) AS BIGINT) AS n_bench_docs
+        |         FROM fx GROUP BY bench, split),
+        |bs AS (SELECT bench, split,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+        |       FROM bsh GROUP BY bench, split)
+        |SELECT bench, split, n_bench_docs,
+        |  COALESCE(n_bench_grams, 0) AS n_bench_grams,
+        |  COALESCE(n_docs_hit, 0) AS n_docs_hit,
+        |  COALESCE(n_hits, 0) AS n_hits,
+        |  COALESCE(n_grams_hit, 0) AS n_grams_hit,
+        |  CASE WHEN COALESCE(n_bench_grams, 0) > 0
+        |    THEN CAST(COALESCE(n_grams_hit, 0) AS DOUBLE)
+        |      / CAST(n_bench_grams AS DOUBLE)
+        |    ELSE 0.0 END AS gram_coverage
+        |FROM grid LEFT JOIN bs USING (bench, split)
+        |LEFT JOIN cen USING (bench, split)
+        |ORDER BY bench, split""".stripMargin,
+
     "q_bpe_step" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
         |           FROM documents),
@@ -1359,4 +1466,33 @@ object TextPipeline extends QueryModule {
         |  replace(pair, ' ', '') AS merged, n
         |FROM bst WHERE rk = 1 ORDER BY step""".stripMargin
   )
+}
+
+/** The pinned benchmark fixture q_contam_fixture reads: a 3-bench x
+  * 2-split x 8-member grid whose doc_ids are spread deterministically
+  * across the [0, 500) id range every SF guarantees. ONE definition
+  * feeds both engines — the Spark side as a literal DataFrame, the
+  * oracle as a generated VALUES clause — so the fixture cannot drift
+  * between them. Membership is the pinned artifact; the text joins
+  * from the corpus at read time (see the q_contam_fixture Scaladoc).
+  */
+private[operators] object ContamFixture {
+  val benches: Seq[String] = Seq("arc", "hellaswag", "mmlu")
+  val splits: Seq[String] = Seq("dev", "test")
+
+  /** (bench, split, doc_id): cell c = bench-index * 2 + split-index
+    * owns ids c*80 + 10k + 3 for k in [0, 8) — 48 distinct ids in
+    * [3, 483], valid at every SF (all testdata sets carry >= 500
+    * docs).
+    */
+  val rows: Seq[(String, String, Int)] = for {
+    (bench, bi) <- benches.zipWithIndex
+    (split, si) <- splits.zipWithIndex
+    k <- 0 until 8
+  } yield (bench, split, (bi * 2 + si) * 80 + k * 10 + 3)
+
+  /** The same 48 rows as a DuckDB VALUES clause. */
+  val valuesSql: String = rows
+    .map { case (b, sp, id) => s"('$b','$sp',$id)" }
+    .mkString(", ")
 }

@@ -106,8 +106,21 @@ object StatefulBandIndex extends QueryModule {
         t0 + 60000L)
       if (!dir.getParentFile.exists()) dir.getParentFile.mkdirs()
       if (!tmp.renameTo(dir)) {
-        // a concurrent builder won the rename — use its result
+        // Two ways a rename fails: a concurrent builder won (dir is
+        // now complete — use its result), or something else went
+        // wrong (cross-device scratch root, stale partial dir) and
+        // dir is missing or incomplete. The latter must fail LOUDLY
+        // here, not as an empty replay read downstream (r18 ADVICE).
         org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        val nowComplete =
+          new java.io.File(dir, "batch0.parquet").exists() &&
+            new java.io.File(dir, "batch1.parquet").exists()
+        if (!nowComplete)
+          throw new IllegalStateException(
+            s"replay build failed: rename $tmp -> $dir failed and " +
+              "the target lacks batch0/batch1.parquet — check that " +
+              s"${graft.Scratch.root} is writable and on the same " +
+              "filesystem as the scratch tmp dirs")
       }
     }
     dir.toString

@@ -1173,6 +1173,68 @@ class PlanQualitySpec extends AnyFunSuite {
         offenders.mkString("\n  "))
   }
 
+  /** Round-18 ask #3: the PORTABLE-OUTPUT LATTICE is inventory-wide.
+    * Every registered query's result crosses the driver boundary as
+    * parquet that a DuckDB-rendered twin must hash-match, so the
+    * output schema may only use types whose rendering is identical on
+    * both engines. Round 17's one red row (q_ams_f2) was exactly this
+    * class: a DECIMAL(38,0) that leaked from the internal accumulator
+    * into the output columns — values equal, hashes divergent. The
+    * lattice below is the set the 627-query inventory actually ships
+    * and the driver has proven green: string/long/int/double/bool,
+    * plus DateType (3 queries) and FloatType (q_array_ops) which are
+    * driver-green as-is. DecimalType, TimestampType, BinaryType, and
+    * every nested type (array/struct/map — the driver's pandas compare
+    * cannot sort nested cells) are structurally rejected. Wide-integer
+    * results ship as hi/lo BIGINT halves (q_kmv_distinct) or
+    * decimal-digit strings (q_ams_f2); keep accumulating in
+    * DECIMAL(38,0) internally — only the OUTPUT schema is pinned.
+    */
+  private val portableLattice: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, LongType, IntegerType, DoubleType, BooleanType,
+      DateType, FloatType)
+  }
+
+  private def nonPortableCols(
+      sch: org.apache.spark.sql.types.StructType): Seq[String] =
+    sch.fields.toSeq.collect {
+      case f if !portableLattice.contains(f.dataType) =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+
+  test("inventory-wide sweep: every registered query's output schema " +
+    "stays inside the portable-output lattice (no DecimalType ever)") {
+    val allow = Set.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_streaming_"))
+    assert(names.size >= 519, s"sweep shrank: ${names.size}")
+    val offenders = names.flatMap { q =>
+      val bad = nonPortableCols(SparkEntry.queries(q)(spark, sf).schema)
+      if (bad.nonEmpty && !allow(q)) Some(s"$q -> ${bad.mkString(", ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "non-portable output type in:\n  " + offenders.mkString("\n  "))
+  }
+
+  /** The lattice sweep must actually bite: a seeded DECIMAL-typed
+    * output (the r17 q_ams_f2 spelling) is rejected by the SAME check,
+    * and its string-rendered twin passes.
+    */
+  test("portable-lattice check rejects a seeded decimal output and " +
+    "passes its string-rendered twin") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val seeded = li.agg(sum(col("l_quantity")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("f2"))
+    assert(nonPortableCols(seeded.schema).nonEmpty,
+      "seeded decimal output not detected — the lattice check is blind")
+    val rendered = seeded.select(col("f2").cast("string").as("f2"))
+    assert(nonPortableCols(rendered.schema).isEmpty,
+      "string-rendered twin must pass the lattice")
+  }
+
   /** The sweep above must actually bite: a seeded violation — a global
     * row_number straight over the lineitem scan — is rejected by the
     * SAME walker, and a reduced spelling (aggregate below the window)
@@ -1222,6 +1284,16 @@ class PlanQualitySpec extends AnyFunSuite {
         "to avoid:\n" + pd.take(3000))
     val pc = plan("q_contam_spans")
     assert(pc.contains("BroadcastHashJoin"), pc.take(3000))
+    // round 18: the fixture census keeps the same map-side discipline
+    // — the corpus gram stream must meet the (broadcast) benchmark
+    // gram set in a BroadcastHashJoin, and the fixture anti-join must
+    // not shuffle the corpus either; no SortMergeJoin anywhere means
+    // the training corpus is never exchanged on grams or doc ids
+    val pf = plan("q_contam_fixture")
+    assert(pf.contains("BroadcastHashJoin"), pf.take(3000))
+    assert(!pf.contains("SortMergeJoin"),
+      "corpus-side shuffle join crept into the fixture census:\n" +
+        pf.take(3000))
     val ps = plan("q_dsir_select")
     assert(ps.contains("TakeOrderedAndProject"), ps.take(3000))
     assert(ps.contains("BroadcastHashJoin"), ps.take(3000))

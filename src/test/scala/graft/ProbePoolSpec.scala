@@ -30,9 +30,17 @@ class ProbePoolSpec extends AnyFunSuite {
       val txt = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // minimal extraction of the flat {"queries":{"name":sec,...}}
-      // object — no JSON lib on the test classpath
-      val qsec = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      // object — no JSON lib on the test classpath. The number
+      // pattern must swallow a scientific-notation exponent whole:
+      // with a bare [0-9.]+ a timing serialized as 9.5E-4 matches as
+      // 9.5 and falsely conscripts a sub-floor query into the pool
+      // (r18 ADVICE).
+      val qsec =
+        """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
       val start = txt.indexOf("\"queries\"")
+      if (start < 0)
+        fail("BENCH_DETAIL.json has no \"queries\" key — the record " +
+          "is malformed; regenerate it with a full bench run")
       val obj = txt.substring(start, txt.indexOf("}", start) + 1)
       Some(qsec.findAllMatchIn(obj)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)

@@ -507,11 +507,11 @@ class Round16bSpec extends AnyFunSuite {
     assert(r.length == 1)
     val h = r.head
     assert(h.getAs[Long]("n_users") == 1L)
-    // squares accumulate in DECIMAL(38,0) (overflow-proof at scale)
-    assert(h.getAs[java.math.BigDecimal]("true_f2")
-      .longValueExact == 9L)
-    assert(h.getAs[java.math.BigDecimal]("est_f2")
-      .longValueExact == 9L)
+    // squares accumulate in DECIMAL(38,0) internally; the OUTPUT
+    // ships decimal-digit strings (round 18 — the portable-output
+    // lattice; a raw DecimalType output hash-diverges at the driver)
+    assert(h.getAs[String]("true_f2") == "9")
+    assert(h.getAs[String]("est_f2") == "9")
     assert(h.getAs[Double]("rel_err") == 0.0)
     cleanup(dir)
   }
@@ -536,10 +536,8 @@ class Round16bSpec extends AnyFunSuite {
     val expected = ests(3) // lower median of 8
     val r = SparkEntry.queries("q_ams_f2")(spark, dir).collect()
     val h = r.head
-    assert(h.getAs[java.math.BigDecimal]("true_f2")
-      .longValueExact == 5L)
-    assert(h.getAs[java.math.BigDecimal]("est_f2")
-      .longValueExact == expected)
+    assert(h.getAs[String]("true_f2") == "5")
+    assert(h.getAs[String]("est_f2") == expected.toString)
     cleanup(dir)
   }
 

@@ -6,6 +6,7 @@ values exactly (row order as produced). Usage:
 
     python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
+import decimal
 import json
 import math
 import os
@@ -19,9 +20,54 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
+    """Type-STRICT canonicalization: (type-class, exact-string-render).
+
+    The driver's comparator hashes a rendered form, so a Spark
+    DecimalType output vs a DuckDB decimal->float64 output diverges
+    there even when the values are numerically equal. A plain Python
+    ``==`` compare (the pre-r18 spelling) cannot see that:
+    ``Decimal(677248) == 677248.0`` is True — which is exactly how the
+    driver-red q_ams_f2 of round 17 passed the local mirror. Mapping
+    both sides through (type-class, repr) makes any representation
+    divergence a local FAIL before the driver sees it.
+    """
+    if isinstance(v, bool):          # bool before int: bool <: int
+        return ("b", v)
     if isinstance(v, float):
-        return ("f", math.isnan(v), v)
+        return ("f", "nan" if math.isnan(v) else repr(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, int):
+        return ("i", v)
     return v
+
+
+def selftest():
+    """Seeded representation-divergence test: a DECIMAL-typed value
+    must NOT canon-equal its numerically-identical float/int twins."""
+    dec = decimal.Decimal(677248)
+    assert canon(dec) != canon(677248.0), "Decimal vs float must differ"
+    assert canon(dec) != canon(677248), "Decimal vs int must differ"
+    assert canon(677248) != canon(677248.0), "int vs float must differ"
+    assert canon(True) != canon(1), "bool vs int must differ"
+    assert canon(decimal.Decimal(677248)) == canon(dec)
+    assert canon(1.5) == canon(1.5)
+    assert canon(float("nan")) == canon(float("nan")), "NaN folds equal"
+    # end-to-end: a decimal-typed dump FAILS against a bigint oracle,
+    # the bigint twin PASSES — the exact q_ams_f2 r17 failure class
+    con = duckdb.connect()
+    dec_rows = con.sql(
+        "SELECT CAST(677248 AS DECIMAL(38,0)) AS x").fetchall()
+    big_rows = con.sql("SELECT CAST(677248 AS BIGINT) AS x").fetchall()
+    flt_rows = con.sql("SELECT CAST(677248 AS DOUBLE) AS x").fetchall()
+    cmp = lambda a, b: tuple(map(canon, a[0])) == tuple(map(canon, b[0]))
+    assert not cmp(dec_rows, flt_rows), "decimal dump vs float oracle" \
+        " must FAIL the mirror"
+    assert not cmp(dec_rows, big_rows), "decimal dump vs bigint oracle" \
+        " must FAIL the mirror"
+    assert cmp(big_rows, big_rows), "bigint twin must pass"
+    print("selftest ok: representation divergence is detected")
+    return 0
 
 
 def main(sf_dir, out_dir):
@@ -96,4 +142,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

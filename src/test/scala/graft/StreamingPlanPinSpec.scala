@@ -60,11 +60,28 @@ class StreamingPlanPinSpec extends AnyFunSuite {
           case _ => ()
         }
     }
+    // Streaming twins are excluded from PlanQualitySpec's batch-side
+    // portable-output-lattice sweep (building one executes a full
+    // streaming query), but their drained batch results cross the same
+    // driver boundary — so the SAME lattice is asserted here, on the
+    // DataFrames this test already has to build (round 18).
+    val lattice: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(StringType, LongType, IntegerType, DoubleType, BooleanType,
+        DateType, FloatType)
+    }
     spark.sparkContext.addSparkListener(listener)
     try {
       twins.foreach { q =>
         captured.clear()
-        SparkEntry.queries(q)(spark, sf).count()
+        val df = SparkEntry.queries(q)(spark, sf)
+        val badCols = df.schema.fields.toSeq
+          .filterNot(f => lattice.contains(f.dataType))
+          .map(f => s"${f.name}: ${f.dataType.simpleString}")
+        assert(badCols.isEmpty,
+          s"$q: non-portable output type (the q_ams_f2 driver-red " +
+            s"class): ${badCols.mkString(", ")}")
+        df.count()
         // The listener bus is asynchronous; wait until the captured
         // set is stable (no growth across three consecutive polls)
         // before asserting, bounded so a wedged bus fails loudly

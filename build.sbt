@@ -44,16 +44,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pin the initial heap too: ParallelGC ergonomics start at ~2g and
+  // grow reluctantly — an allocation-heavy 32-task stage hitting a
+  // still-small heap full-GC-thrashes while it grows (measured: ONE
+  // pair-emission stage burned 503 s of GC on its first run, 0 s once
+  // the heap had grown; r18 StageProfile). Same value as -Xmx so the
+  // committed young gen below is carved from a fixed-size heap.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // G1's adaptive young-gen sizing collapses under the allocation-heavy
   // interpreted expression pipelines (higher-order functions allocate
   // per-element), making identical queries bimodal 4s..60s with 40x CPU
   // inflation; throughput-oriented ParallelGC with a pinned young gen is
   // stable for this batch workload.
-  // Small young gen + capped GC threads: 4g young made each minor GC a
+  // Young gen + capped GC threads: 4g young made each minor GC a
   // multi-GB copy with 23 GC threads contending against 32 task
-  // threads; 1g/8 keeps pauses short and CPU with the tasks (bench
-  // total 133s -> 47s, worst query 23s -> 3s).
-  "-XX:+UseParallelGC", "-Xmn1g", "-XX:ParallelGCThreads=8",
+  // threads; 1g/8 kept pauses short (bench total 133s -> 47s then).
+  // r18 re-measured with threads already capped at 8: 1g collapses
+  // under 32-task allocation-heavy stages (posting-pair emission burned
+  // 36-93 s of task time vs 5 s at 8-16 tasks, 7-59 s of it GC — the
+  // eden share per task is ~30 MB); 2g removes that cliff
+  // (q_graph_resource_alloc 5.31s -> 1.13s same window) without
+  // re-creating the 4g copy cost. Env-tunable for A/B.
+  "-XX:+UseParallelGC",
+  s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_YOUNG", "2g")}",
+  "-XX:ParallelGCThreads=8",
   // Codegen churns generated classes through Metaspace; the default
   // ~21 MB increment forces a Full GC at every threshold crossing (10+
   // "Metadata GC Threshold" pauses per bench run). Start large.

@@ -116,7 +116,14 @@ object ScaleProbe {
     // 1.52-1.69 s — the ratchet admits on ANY qualifying reading and
     // never shrinks, so all six join the pool with 10x probe rows
     "q_cluster_purity", "q_doc_novelty", "q_hits_iter",
-    "q_resample_mix", "q_semantic_contam", "q_sim_lsh")
+    "q_resample_mix", "q_semantic_contam", "q_sim_lsh",
+    // round-18 optimization round: the r18-open bench ran in a
+    // contended window (loadavg 4.6-7.6; q_seq_gaps read 2.58 s vs
+    // 0.54 s in the same day's quieter run) and put eight more
+    // borderline queries over the floor — the ratchet admits on ANY
+    // qualifying reading and never shrinks
+    "q_abc_class", "q_assortativity", "q_chain_ladder", "q_dedup_tfidf",
+    "q_hll_rollup", "q_minhash_delta", "q_seq_gaps", "q_session_cooccur")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

@@ -48,6 +48,45 @@ object Tables {
     cappedCounts.computeIfAbsent((dir, name, cap),
       _ => table(spark, dir, name).limit((cap + 1).toInt).count())
 
+  /** Parallelism restoration for explosion-heavy consumers of a SMALL
+    * MATERIALIZED (localCheckpoint'd) relation. AQE's parallelismFirst
+    * coalescing sizes post-shuffle partitions by BYTES (1 MB floor), so
+    * a few-MB posting-list relation checkpoints into 1-3 partitions and
+    * every downstream C(df,2) pair emission runs on 1-3 of the
+    * session's cores (measured r18: the q_graph_* pair stage at n=2 of
+    * 32, 1.6-2.0 s of serial wall each). Hash-repartitioning the
+    * checkpointed rows back to defaultParallelism costs one exchange of
+    * the already-reduced relation; the partition-count guard makes it a
+    * no-op at fleet scale, where the relation's own bytes give AQE >=
+    * cores partitions. Only call on RDD-backed (checkpointed) frames —
+    * on a lazy plan, getNumPartitions would read the STATIC shuffle
+    * partition count and never see AQE's runtime coalescing.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Opt ONE aggregation's exchange out of AQE's bytes-based partition
+    * coalescing, mid-plan: hash-repartition by the SAME keys the next
+    * groupBy clusters on, at the session's configured shuffle width.
+    * EnsureRequirements sees the distribution already satisfied and
+    * inserts NO second exchange — the groupBy reuses this one — but a
+    * REPARTITION_BY_NUM shuffle is exempt from AQE coalescing, so the
+    * CPU-heavy stage AFTER it (posting-list pair emission, array
+    * verification) keeps the configured width instead of the 1-3
+    * partitions its few MB of bytes would otherwise earn (measured r18:
+    * q_ssjoin_prefix ran ~2 s of its posting/prefix chain on single-task
+    * stages). Width = the session's shuffle partitions — exactly what
+    * the exchange would have had before AQE, so this never changes the
+    * scale story, only disables the bytes heuristic where per-byte CPU
+    * is extreme.
+    */
+  def pinWidth(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   /** events.parquet with its raw on-disk schema (ts as nanos long or as
     * a native timestamp, depending on the dataset generation) — the
     * schema a streaming file source must be given (see StreamingSmoke).

@@ -22,20 +22,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * measured 3x slower than even the interpreted-HOF `transform` +
   * `explode` spelling on the documents corpus.
   *
+  * `withPos = true` is the posexplode twin (r18): GenerateExec prepends
+  * the 0-based gram offset as a `pos` column, exactly as `PosExplode`
+  * does — the positional span pipelines (q_dedup_spans, q_contam_spans)
+  * previously ran their 8/13-gram generation through an interpreted
+  * transform/sequence HOF chain because the codegen generator could not
+  * carry positions.
+  *
   * Registered for SQL via [[NGramGenerator.register]] (generators
   * resolve through the function registry, usable in SELECT / LATERAL
   * VIEW), or used directly through the Column API entry point.
   */
-case class NGramGenerator(child: Expression, n: Int)
+case class NGramGenerator(child: Expression, n: Int,
+    withPos: Boolean = false)
     extends UnaryExpression with CollectionGenerator {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
   override val inline: Boolean = false
-  override val position: Boolean = false
+  override val position: Boolean = withPos
 
   override def elementSchema: StructType =
-    StructType(StructField("gram", StringType, nullable = false) :: Nil)
+    if (withPos)
+      StructType(StructField("pos", IntegerType, nullable = false) ::
+        StructField("gram", StringType, nullable = false) :: Nil)
+    else
+      StructType(StructField("gram", StringType, nullable = false) :: Nil)
 
   override def collectionType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -54,13 +66,19 @@ case class NGramGenerator(child: Expression, n: Int)
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return Iterator.empty
     val grams = NGramGenerator.grams(arr, n)
-    (0 until grams.numElements()).iterator
-      .map(i => InternalRow(grams.getUTF8String(i)))
+    if (withPos)
+      (0 until grams.numElements()).iterator
+        .map(i => InternalRow(i, grams.getUTF8String(i)))
+    else
+      (0 until grams.numElements()).iterator
+        .map(i => InternalRow(grams.getUTF8String(i)))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // GenerateExec's CollectionGenerator path consumes the COLLECTION
-    // from this codegen and iterates it in the stage's produce loop.
+    // from this codegen and iterates it in the stage's produce loop
+    // (with `position = true` it also emits the loop index, exactly as
+    // for posexplode).
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
     val c = child.genCode(ctx)
@@ -109,6 +127,13 @@ object NGramGenerator {
   /** Column API entry point: one output column `gram`. */
   def apply(tokens: Column, n: Int): Column =
     Bridge.column(NGramGenerator(Bridge.expression(tokens), n))
+
+  /** Positional entry point: two output columns `(pos, gram)`, pos
+    * 0-based — posexplode semantics over the gram sequence.
+    */
+  def pos(tokens: Column, n: Int): Column =
+    Bridge.column(NGramGenerator(Bridge.expression(tokens), n,
+      withPos = true))
 
   /** SQL registration: `SELECT graft_ngrams(split(text, ' '), 3) ...`
     * (the n argument must be an integer literal — it shapes the plan).

@@ -164,7 +164,8 @@ object Dedup extends QueryModule {
     // anyway. Pairs colliding in several bands distinct() BEFORE the
     // array fetch, as before.
     TextPipeline.postingPairs(
-      bands.groupBy("band", "bkey")
+      graft.Tables.pinWidth(bands, col("band"), col("bkey"))
+        .groupBy("band", "bkey")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2))
       .distinct()
@@ -249,7 +250,8 @@ object Dedup extends QueryModule {
           greatest(col("doc_id"), col("d_id")).as("b_id"))
       // delta × delta: the posting-list idiom over the delta stream only
       val ddCand = TextPipeline.postingPairs(
-        bDelta.groupBy("band", "bkey")
+        graft.Tables.pinWidth(bDelta, col("band"), col("bkey"))
+          .groupBy("band", "bkey")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) >= 2))
       jaccardVerify(s, d, dbCand.union(ddCand).distinct())

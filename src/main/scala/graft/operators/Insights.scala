@@ -28,10 +28,14 @@ object Insights extends QueryModule {
     */
   private def orderPostings(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val postings = table(s, d, "lineitem")
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-      .localCheckpoint()
+    // bucketed scan (r18): zero-exchange basket aggregate (see
+    // Mining.basketPostings); spread keeps the checkpointed postings at
+    // session width for the pair-emission consumers.
+    val postings = graft.Tables.spread(
+      s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+        .localCheckpoint())
     val freq = postings.select(explode(col("ids")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("c1"))
     val nOrders = postings.agg(count(lit(1)).as("n"))
@@ -342,11 +346,11 @@ object Insights extends QueryModule {
         // the already-deduped lists, and localCheckpoint stops the
         // two consumers from re-running the scan+aggregate (round-6
         // union-leg lesson).
-        val postings = table(s, d, "lineitem")
+        val postings = graft.Tables.spread(table(s, d, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
           .groupBy("pk")
           .agg(sort_array(collect_set(col("sk"))).as("ids"))
-          .localCheckpoint()
+          .localCheckpoint())
         val deg = postings.select(explode(col("ids")).as("sk"))
           .groupBy("sk").agg(count(lit(1)).as("c"))
         val capped = postings.filter(size(col("ids")).between(2, 256))
@@ -384,13 +388,18 @@ object Insights extends QueryModule {
       // per part; top-20 is a TakeOrdered off the O(pairs) aggregate,
       // never a global sort. ---
       "q_graph_resource_alloc" -> ((s, d) => {
-        val postings = table(s, d, "lineitem")
+        // spread-the-checkpoint: the pair emission below is the CPU of
+        // this query, and AQE coalesces the few-MB posting relation to
+        // 1-3 partitions (see Tables.spread) — materialize + rebalance
+        // so the C(df,2) stage uses the whole session.
+        val postings = graft.Tables.spread(table(s, d, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
           .groupBy("pk")
           .agg(sort_array(collect_set(col("sk"))).as("ids"))
           .filter(size(col("ids")).between(2, 256))
           .select(col("ids"),
             expr("1000000000 div CAST(size(ids) AS BIGINT)").as("w"))
+          .localCheckpoint())
         postings
           .select(posexplode(col("ids")).as(Seq("i", "sa")),
             col("ids"), col("w"))
@@ -418,11 +427,11 @@ object Insights extends QueryModule {
       // but Salton is a single exact-int64 division, Salton adds the
       // one √. ---
       "q_graph_salton" -> ((s, d) => {
-        val postings = table(s, d, "lineitem")
+        val postings = graft.Tables.spread(table(s, d, "lineitem")
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
           .groupBy("pk")
           .agg(sort_array(collect_set(col("sk"))).as("ids"))
-          .localCheckpoint()
+          .localCheckpoint())
         val deg = postings.select(explode(col("ids")).as("sk"))
           .groupBy("sk").agg(count(lit(1)).as("c"))
         val capped = postings.filter(size(col("ids")).between(2, 256))

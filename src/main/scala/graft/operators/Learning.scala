@@ -582,10 +582,14 @@ object Learning extends QueryModule {
       }),
 
       "q_item_cosine" -> ((s, d) => {
-        val postings = table(s, d, "lineitem")
-          .groupBy(col("l_orderkey").as("ok"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
-          .localCheckpoint()
+        // bucketed scan + spread (r18): zero-exchange basket aggregate
+        // and full-width pair emission — see Mining.basketPostings /
+        // Tables.spread for the shared adjudication.
+        val postings = graft.Tables.spread(
+          s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
+            .groupBy(col("l_orderkey").as("ok"))
+            .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+            .localCheckpoint())
         val freq = postings.select(explode(col("ids")).as("pk"))
           .groupBy("pk").agg(count(lit(1)).as("cnt"))
         val pairs = postings

@@ -257,7 +257,8 @@ object Linkage extends QueryModule {
             TextPipeline.shingles(TextPipeline.toks).as("sh"))
         val counts = docs.select(col("doc_id"), lng(size(col("sh"))).as("n"))
         val ex = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
-        val postings = ex.groupBy("sg")
+        val postings = graft.Tables.pinWidth(ex, col("sg"))
+          .groupBy("sg")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")).between(2, TextPipeline.NgramDfCap))
         val inter = TextPipeline.postingPairs(postings)

@@ -34,7 +34,12 @@ object Mining extends QueryModule {
     * pair/triple/graph miners below all start from.
     */
   private def basketPostings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "lineitem")
+    // bucketed scan (r18): HashPartitioning(l_orderkey) satisfies the
+    // groupBy's distribution, so the basket aggregate needs NO exchange
+    // — and the downstream C(k,2)/C(k,3) pair emission runs at the
+    // bucket width instead of the 1-3 partitions AQE's bytes-based
+    // coalescing gave the old exchange.
+    s.table(Advanced.bucketize(s, d, "lineitem", "l_orderkey"))
       .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
 

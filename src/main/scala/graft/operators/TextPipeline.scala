@@ -165,12 +165,12 @@ object TextPipeline extends QueryModule {
         .select(col("source"), col("doc_id"),
           lead("doc_id", 1).over(w).as("ref_id"))
         .filter(col("ref_id").isNotNull)
-      val grams = docs
+      val grams = graft.Tables.spread(docs
         .select(col("source"), col("doc_id"),
           graft.functions.NGramGenerator(toks, 2).alias("gram"))
         .groupBy("source", "doc_id", "gram")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint())
       val ref = grams.select(col("source"),
         col("doc_id").as("ref_id"), col("gram"), col("c").as("cr"))
       val perPair = pairs
@@ -377,15 +377,18 @@ object TextPipeline extends QueryModule {
     // (boilerplate is rare relative to the corpus) and broadcasts back;
     // the islands window partitions per doc. ---
     "q_dedup_spans" -> ((s, d) => {
+      // r18: positional 8-grams through the codegen'd generator (pos
+      // twin of NGramGenerator) instead of the interpreted
+      // transform/sequence HOF chain — same (pos0, gram) stream,
+      // whole-stage-compiled. localCheckpoint: TWO consumers (the df
+      // census and the hit join) re-ran the generation without it.
       val sh = table(s, d, "documents")
-        .select(col("doc_id"), posexplode(let(toks) { tk =>
-          when(size(tk) >= 8, transform(sequence(lit(1), size(tk) - 7),
-            i => concat_ws(" ",
-              (0 until 8).map(k => element_at(tk, i + k)): _*)))
-            .otherwise(array().cast("array<string>"))
-        }).as(Seq("pos0", "g")))
+        .select(col("doc_id"),
+          graft.functions.NGramGenerator.pos(toks, 8)
+            .as(Seq("pos0", "g")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
           col("g"))
+        .localCheckpoint()
       val rep = sh.groupBy("g")
         .agg(count_distinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2).select("g")
@@ -426,16 +429,16 @@ object TextPipeline extends QueryModule {
     "q_contam_spans" -> ((s, d) => {
       val isBench = substring(md5(concat(lit("bm"),
         col("doc_id").cast("string"))), 1, 1) === "0"
+      // r18: positional 13-grams through the codegen'd generator — see
+      // q_dedup_spans. checkpointed: the bench-gram distinct and the
+      // training-side probe both read the stream.
       val sh = table(s, d, "documents")
         .select(col("doc_id"), isBench.as("bench"),
-          posexplode(let(toks) { tk =>
-            when(size(tk) >= 13, transform(sequence(lit(1), size(tk) - 12),
-              i => concat_ws(" ",
-                (0 until 13).map(k => element_at(tk, i + k)): _*)))
-              .otherwise(array().cast("array<string>"))
-          }).as(Seq("pos0", "g")))
+          graft.functions.NGramGenerator.pos(toks, 13)
+            .as(Seq("pos0", "g")))
         .select(col("doc_id"), col("bench"),
           (col("pos0") + 1).cast("long").as("pos"), col("g"))
+        .localCheckpoint()
       val benchGrams = sh.filter(col("bench")).select("g").distinct()
       val hit = sh.filter(!col("bench"))
         .join(broadcast(benchGrams), "g")
@@ -483,20 +486,18 @@ object TextPipeline extends QueryModule {
       import s.implicits._
       val fixture = ContamFixture.rows
         .toDF("bench", "split", "doc_id")
-      val grams13 = let(toks) { tk =>
-        when(size(tk) >= 13, transform(sequence(lit(1), size(tk) - 12),
-          i => concat_ws(" ",
-            (0 until 13).map(k => element_at(tk, i + k)): _*)))
-          .otherwise(array().cast("array<string>"))
-      }
+      // r18: 13-grams through the codegen'd NGramGenerator (no
+      // positions needed here) instead of the interpreted HOF chain.
       val docs = table(s, d, "documents")
       val bsh = docs.join(broadcast(fixture), "doc_id")
-        .select(col("bench"), col("split"), explode(grams13).as("g"))
+        .select(col("bench"), col("split"),
+          graft.functions.NGramGenerator(toks, 13).as("g"))
         .distinct()
       val trainGrams = docs
         .join(broadcast(fixture.select("doc_id")), Seq("doc_id"),
           "left_anti")
-        .select(col("doc_id"), explode(grams13).as("g"))
+        .select(col("doc_id"),
+          graft.functions.NGramGenerator(toks, 13).as("g"))
       val hits = trainGrams.join(broadcast(bsh), "g")
       val census = hits.groupBy("bench", "split")
         .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
@@ -785,8 +786,15 @@ object TextPipeline extends QueryModule {
       .select(col("doc_id"), col("source"), array_distinct(toks).as("tk"))
     val ex = docs.select(col("doc_id"), col("source"),
       explode(col("tk")).as("t"))
-    val dfreq = ex.groupBy("source", "t").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfreq, Seq("source", "t"))
+    // pinWidth on every exchange of this chain: the relations are a few
+    // MB (AQE coalesces them to 1-3 partitions) but each row costs real
+    // CPU downstream — rarity sort, prefix slice, posting-pair emission
+    // (measured r18: ~2 s of single-task stages in this query).
+    val exP = graft.Tables.pinWidth(ex, col("source"), col("t"))
+    val dfreq = exP.groupBy("source", "t").agg(count(lit(1)).as("df"))
+    val ranked = graft.Tables.pinWidth(
+      exP.join(dfreq, Seq("source", "t")),
+        col("doc_id"), col("source"))
       .groupBy("doc_id", "source")
       .agg(sort_array(collect_list(struct(col("df"), col("t"))))
         .as("ord"), count(lit(1)).as("n"))
@@ -798,7 +806,8 @@ object TextPipeline extends QueryModule {
         lit(1),
         (col("n") - ceil(col("n") * lit(tau)) + 1).cast("int")))
         .as(Seq("p0", "t")))
-    val postings = pre.groupBy("source", "t")
+    val postings = graft.Tables.pinWidth(pre, col("source"), col("t"))
+      .groupBy("source", "t")
       .agg(sort_array(collect_list(struct(col("doc_id"),
         (col("p0") + 1).as("pos"), col("n")))).as("es"))
       .filter(size(col("es")) >= 2)
@@ -958,7 +967,8 @@ object TextPipeline extends QueryModule {
     // posting list per gram, sorted for deterministic a<b emission; the
     // df-cap (see NgramDfCap) drops viral grams AND bounds every list —
     // the collect_list is never unbounded state
-    val postings = ex.groupBy("s")
+    val postings = graft.Tables.pinWidth(ex, col("s"))
+      .groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, NgramDfCap))
     val inter = postingPairs(postings)

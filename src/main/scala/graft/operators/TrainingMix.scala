@@ -170,14 +170,26 @@ object TrainingMix extends QueryModule {
       "q_ccnet_buckets" -> ((s, d) => {
         val ex = table(s, d, "documents")
           .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
-        val vocab = ex.groupBy("tok").agg(count(lit(1)).as("c"))
+        // ONE tokenize pass (r18): reduce the occurrence stream to
+        // per-(doc, tok) counts first — the vocabulary AND the per-doc
+        // surprisal both derive from it (checkpointed, spread), so the
+        // corpus is exploded once instead of twice and the vocab join
+        // streams doc-distinct tokens instead of every occurrence.
+        // sum_bits is unchanged exactly: k occurrences of one (doc,
+        // tok) each contribute the same bits(n_total, c), so the
+        // per-occurrence sum equals k * bits (bits < 64, k <= doc len
+        // — the product is nowhere near int64).
+        val tf = graft.Tables.spread(
+          ex.groupBy("doc_id", "lang", "tok")
+            .agg(count(lit(1)).as("k")).localCheckpoint())
+        val vocab = tf.groupBy("tok").agg(sum("k").cast("long").as("c"))
         val tot = vocab.agg(sum(col("c")).cast("long").as("n_total"))
-        val perDoc = ex.join(vocab, "tok")
+        val perDoc = tf.join(vocab, "tok")
           .crossJoin(broadcast(tot))
-          .select(col("doc_id"), col("lang"),
-            Scoring.bits(col("n_total"), col("c")).as("b"))
+          .select(col("doc_id"), col("lang"), col("k"),
+            (col("k") * Scoring.bits(col("n_total"), col("c"))).as("b"))
           .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_tok"),
+          .agg(sum("k").cast("long").as("n_tok"),
             sum("b").cast("long").as("sum_bits"))
           .withColumn("smilli", expr("(sum_bits * 1000) div n_tok"))
         val bands = perDoc.groupBy("lang", "smilli")

@@ -134,12 +134,24 @@ object Trends extends QueryModule {
       "q_doc_novelty" -> ((s, d) => {
         val docs = table(s, d, "documents")
           .select(col("doc_id"), TextPipeline.shingles(toks).as("sh"))
+        // r18 rewrite, result-identical: shingle arrays are per-doc
+        // DISTINCT, so a df==1 gram names its only doc (min(doc_id)
+        // over one row) and per-doc totals are size(sh) map-side — the
+        // old plan shuffled the full exploded stream a SECOND time
+        // (join back against df) only to recount what the array length
+        // already knows. One corpus-sized shuffle instead of two; the
+        // unique-gram rollup is vocabulary- then doc-sized.
         val ex = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
-        val dfreq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
-        ex.join(dfreq, "sg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sh"),
-            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        val uniq = ex.groupBy("sg")
+          .agg(count(lit(1)).as("df"), min("doc_id").as("fd"))
+          .filter(col("df") === 1)
+          .groupBy(col("fd").as("doc_id"))
+          .agg(count(lit(1)).as("n_unique"))
+        docs.filter(size(col("sh")) > 0)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+          .join(uniq, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"))
           .withColumn("novelty",
             col("n_unique").cast("double") / col("n_sh"))
           .orderBy("doc_id")
@@ -474,9 +486,19 @@ object Trends extends QueryModule {
         val anchors = daily.select(col("event_type"), col("day"))
           .distinct().select(col("event_type").as("et"),
             col("day").as("anchor"))
-        val merged = daily.join(anchors,
-            col("event_type") === col("et") &&
-              datediff(col("anchor"), col("day")).between(0, 6))
+        // r18 rewrite, result-identical: the old spelling was a theta
+        // join (equi on event_type + a 0..6-day band) — the only equi
+        // key has |event types| values, so the whole merge ran as a
+        // handful of skewed partitions. Each day-cell contributes to
+        // EXACTLY the 7 anchors day..day+6, so explode those up front
+        // and equi-join on (et, anchor): the inner join against the
+        // distinct real-anchor list drops fabricated dates, and the
+        // shuffle is now keyed on the full (et, anchor) space.
+        val merged = daily
+          .select(col("event_type").as("et"), col("vq"), col("c"),
+            explode(sequence(col("day"), date_add(col("day"), 6)))
+              .as("anchor"))
+          .join(anchors, Seq("et", "anchor"))
           .groupBy("et", "anchor", "vq").agg(sum("c").as("c"))
         val w = Window.partitionBy("et", "anchor").orderBy("vq")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -127,7 +127,8 @@ object Tuning extends QueryModule {
             shiftright(col("sh"), 16 * i).bitwiseAND(lit(0xFFFFL))): _*))
             .as(Seq("band", "bkey")))
         val cand = TextPipeline.postingPairs(
-          bands.groupBy("band", "bkey")
+          graft.Tables.pinWidth(bands, col("band"), col("bkey"))
+            .groupBy("band", "bkey")
             .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
             .filter(size(col("ids")).between(2, 256)))
           .distinct()
@@ -185,8 +186,9 @@ object Tuning extends QueryModule {
         val bandArr = array((0 until Bands).map(i =>
           concat_ws("_", col(s"h${2 * i}"), col(s"h${2 * i + 1}"))): _*)
         val cand = TextPipeline.postingPairs(
-          sig.select(col("doc_id"), posexplode(bandArr)
-              .as(Seq("band", "bkey")))
+          graft.Tables.pinWidth(
+            sig.select(col("doc_id"), posexplode(bandArr)
+              .as(Seq("band", "bkey"))), col("band"), col("bkey"))
             .groupBy("band", "bkey")
             .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
             .filter(size(col("ids")) >= 2))

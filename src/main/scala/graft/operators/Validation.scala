@@ -297,20 +297,27 @@ object Validation extends QueryModule {
       // fleet-scale curation run behaves. The 5-row stage relation's
       // windows are bounded by the stage count, never by data. ---
       "q_corpus_pipeline" -> ((s, d) => {
+        // checkpoint the scan: predicate pushdown sinks the heavy
+        // split()-length gate into the single-file scan stage (one
+        // task); materializing the repartitioned raw docs first keeps
+        // the whole funnel at session width (measured r18: ~0.9 s
+        // serial scan stage + 0.9 s serial shingle stage without it)
         val docs = table(s, d, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
+          .localCheckpoint()
         val s1 = docs.filter(length(trim(col("text"))) > 0)
         val s2 = s1.filter(
           size(split(col("text"), " ")).between(20, 10000) &&
             col("n_chars") <= 20000)
-        val s3 = s2.groupBy("text").agg(min("doc_id").as("doc_id"))
-          .localCheckpoint()
+        val s3 = graft.Tables.spread(
+          s2.groupBy("text").agg(min("doc_id").as("doc_id"))
+            .localCheckpoint())
         val sh = s3.select(col("doc_id"),
           TextPipeline.shingles(split(col("text"), " ")).as("sh"))
         val counts = sh.select(col("doc_id"),
           size(col("sh")).cast("long").as("n"))
-        val postings = sh
-          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val postings = graft.Tables.pinWidth(sh
+          .select(col("doc_id"), explode(col("sh")).as("g")), col("g"))
           .groupBy("g")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")).between(2, TextPipeline.NgramDfCap))

@@ -28,9 +28,18 @@ object StageProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKPerKey.register(spark)
+    // A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies runtime SQL
+    // confs so a candidate setting can be profiled without a rebuild.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
 
     final case class Row(id: Int, name: String, wallMs: Long, taskMs: Long,
-        inMB: Double, srMB: Double, swMB: Double, tasks: Int)
+        inMB: Double, srMB: Double, swMB: Double, spillMB: Double,
+        gcMs: Long, tasks: Int)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -44,6 +53,8 @@ object StageProfile {
           m.inputMetrics.bytesRead / 1e6,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
+          m.memoryBytesSpilled / 1e6,
+          m.jvmGCTime,
           si.numTasks))
       }
     })
@@ -71,7 +82,7 @@ object StageProfile {
       stages.asScala.toSeq.sortBy(-_.taskMs).foreach { r =>
         println(f"  stage ${r.id}%4d wall=${r.wallMs}%6dms task=${r.taskMs}%7dms " +
           f"in=${r.inMB}%8.1fMB sr=${r.srMB}%8.1fMB sw=${r.swMB}%8.1fMB " +
-          f"n=${r.tasks}%3d  ${r.name}")
+          f"spill=${r.spillMB}%7.1fMB gc=${r.gcMs}%5dms n=${r.tasks}%3d  ${r.name}")
       }
     }
     spark.stop()

@@ -123,7 +123,11 @@ object ScaleProbe {
     // borderline queries over the floor — the ratchet admits on ANY
     // qualifying reading and never shrinks
     "q_abc_class", "q_assortativity", "q_chain_ladder", "q_dedup_tfidf",
-    "q_hll_rollup", "q_minhash_delta", "q_seq_gaps", "q_session_cooccur")
+    "q_hll_rollup", "q_minhash_delta", "q_seq_gaps", "q_session_cooccur",
+    // r18 close window (same ambient class, loadavg median 6.8): five
+    // more borderliners read 1.52-1.68 s
+    "q_tpch_q18", "q_bm25_tuning", "q_bloom_fpr_curve", "q_bpe_train",
+    "q_tpch_q21")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

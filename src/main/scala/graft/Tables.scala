@@ -62,9 +62,23 @@ object Tables {
     * on a lazy plan, getNumPartitions would read the STATIC shuffle
     * partition count and never see AQE's runtime coalescing.
     */
+  /** Restored width for spread/pinWidth: HALF the session's width,
+    * floor 8 (env-overridable). Full width measurably over-shoots in
+    * local mode: all tasks share ONE JVM young gen, and 32 concurrent
+    * allocation-heavy pair-emission tasks contend (r18 spread scan,
+    * q_graph_resource_alloc steady-state: 2 tasks 2.3 s, 8 → 1.03 s,
+    * 16 → 0.84 s, 32 → 1.9 s + GC storms; the pinned-32 spelling also
+    * regressed q_minhash_eval ~2.4 → 6.6 s across four bench samples).
+    * On a real cluster executors have 4-8 cores against their own
+    * heaps, so the contention this halving dodges is local-mode-only —
+    * exactly the class of knob the brief says to parameterise.
+    */
+  private def restoreWidth(sessionWidth: Int): Int =
+    sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
+      .getOrElse(math.max(8, sessionWidth / 2))
+
   def spread(df: DataFrame): DataFrame = {
-    val p = sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val p = restoreWidth(df.sparkSession.sparkContext.defaultParallelism)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
@@ -85,7 +99,8 @@ object Tables {
     */
   def pinWidth(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+      restoreWidth(df.sparkSession.sessionState.conf.numShufflePartitions),
+      cols: _*)
 
   /** events.parquet with its raw on-disk schema (ts as nanos long or as
     * a native timestamp, depending on the dataset generation) — the

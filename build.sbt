@@ -50,7 +50,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pair-emission stage burned 503 s of GC on its first run, 0 s once
   // the heap had grown; r18 StageProfile). Same value as -Xmx so the
   // committed young gen below is carved from a fixed-size heap.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // SPARK_GRAFT_XMS overrides just the initial heap (A/B hook, and the
+  // portability knob for hosts under 32 GB where committing the full
+  // heap at startup would fail outright — r18 ADVICE).
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))}",
   // G1's adaptive young-gen sizing collapses under the allocation-heavy
   // interpreted expression pipelines (higher-order functions allocate
   // per-element), making identical queries bimodal 4s..60s with 40x CPU

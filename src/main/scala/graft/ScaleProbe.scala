@@ -127,7 +127,12 @@ object ScaleProbe {
     // r18 close window (same ambient class, loadavg median 6.8): five
     // more borderliners read 1.52-1.68 s
     "q_tpch_q18", "q_bm25_tuning", "q_bloom_fpr_curve", "q_bpe_train",
-    "q_tpch_q21")
+    "q_tpch_q21",
+    // round-19 open: the committed r18 close record (loadavg median
+    // 6.8 — the round's storm class) read six more borderliners at
+    // 1.51-2.04 s; the ratchet admits on ANY qualifying reading
+    "q_bt_step", "q_cross_elasticity", "q_dedup_fuzzy",
+    "q_fleiss_kappa", "q_littles_law", "q_range_bounds")
 
   /** The steepest 10x exponents of BENCH_SCALE r10/r11 — the subset
     * deeper levels re-probe (carrying all 15 to 30x would triple the

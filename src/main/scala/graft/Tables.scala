@@ -74,7 +74,11 @@ object Tables {
     * exactly the class of knob the brief says to parameterise.
     */
   private def restoreWidth(sessionWidth: Int): Int =
-    sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
+    // tolerant env parse (r18 ADVICE): a malformed or non-positive
+    // override must fall back to the computed default, not throw
+    // mid-query
+    sys.env.get("SPARK_GRAFT_SPREAD")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
       .getOrElse(math.max(8, sessionWidth / 2))
 
   def spread(df: DataFrame): DataFrame = {

@@ -77,6 +77,13 @@ object StageProfile {
       val t0 = System.nanoTime()
       val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus before reading/clearing the queue
+      // (r18 ADVICE: late stage-completed events were dropped or
+      // attributed to the next query's breakdown). listenerBus is
+      // private[spark]; a short settle after the action is enough for
+      // a dev tool — stage-completed events trail the job end by
+      // milliseconds, not seconds.
+      Thread.sleep(500)
       println(f"==== $name  total=$dt%.2fs rows=$n")
       import scala.jdk.CollectionConverters._
       stages.asScala.toSeq.sortBy(-_.taskMs).foreach { r =>
